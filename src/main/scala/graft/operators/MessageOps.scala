@@ -1,0 +1,407 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+
+/** Message-semantics operators: the reference's produce/consume/route/ack
+  * protocol behaviors (SURVEY.md §2.1) re-expressed as declarative Spark
+  * transformations over the `events` envelope table.
+  *
+  * Every public op is `DataFrame => DataFrame` so it composes at scale; the
+  * `queries`/`oracle` maps wire them into the driver contract
+  * (`SparkEntry`). All outputs are deterministically ordered and use
+  * engine-portable expressions (SURVEY §7.3: `user_id % n` routing, epoch
+  * µs/ms integers instead of raw timestamps).
+  */
+object MessageOps {
+
+  private val P = Fixtures.NumPartitions // topic partition fan-out
+
+  /** epoch microseconds of `ts` — portable across Spark (µs-truncated
+    * TimestampType) and DuckDB (`epoch_us(CAST(ts AS TIMESTAMP))`).
+    */
+  private def publishUs(c: Column): Column = unix_micros(c)
+
+  // ---------------------------------------------------------------------
+  // Scan / filter / decode (consume path: reference src/message/codec.rs,
+  // serde.rs — payload decode; dispatcher routing src/netflow/dispatcher.rs)
+  // ---------------------------------------------------------------------
+
+  /** Envelope projection of a topic scan (SURVEY §1.3 envelope schema;
+    * reference `MessageMetadata` proto:89-149). Pure project — Catalyst
+    * prunes the parquet scan to exactly these columns.
+    */
+  def scanEnvelope(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_id").as("entry_id"),
+      (col("user_id") % P).cast("int").as("partition"),
+      col("user_id").as("partition_key"),
+      unix_millis(col("ts")).as("publish_ms"),
+      col("event_type").as("topic"),
+      col("value"),
+      col("props"))
+      .orderBy("entry_id")
+
+  /** Client-side selection (dispatcher routes frames by key; we filter rows).
+    * Predicate is pushed to the parquet reader (`PushedFilters` in explain).
+    */
+  def filterByType(ev: DataFrame, eventType: String, minValue: Double): DataFrame =
+    ev.filter(col("event_type") === eventType && col("value") > minValue)
+      .select(
+        col("event_id"), col("user_id"),
+        publishUs(col("ts")).as("publish_us"), col("value"))
+      .orderBy("event_id")
+
+  /** `DeserializeMessage` analog (reference src/message/serde.rs:6-23):
+    * decode the opaque JSON payload with a declared schema — schema-on-read.
+    */
+  def decodeProps(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_id"),
+      from_json(col("props"), lit("k INT")).getField("k").as("prop_k"))
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------------
+  // Routing (produce path: partition_key hash routing proto:98-99,
+  // round-robin PartitionedProducer src/entity/producer.rs:308-311,
+  // Key_Shared hash ranges proto:286-295)
+  // ---------------------------------------------------------------------
+
+  /** Hash-routing by partition key → per-partition message counts. Uses
+    * portable `key % n`, not Murmur3, so the oracle agrees. At scale this is
+    * a map-side-combined groupBy: one shuffle of `P` tiny rows.
+    */
+  def routeByPartitionKey(ev: DataFrame): DataFrame =
+    ev.groupBy((col("user_id") % P).cast("int").as("part"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
+      .orderBy("part")
+
+  /** Round-robin distribution (`rotate_left(1)` per send). The global
+    * `row_number` is inherently single-partition; acceptable here because
+    * the verification query is small, but the real-scale equivalent is
+    * `df.repartition(n)` (documented, not computed — round-robin at scale
+    * is a physical property, not a query result).
+    */
+  def roundRobinBalance(ev: DataFrame, slots: Int): DataFrame = {
+    val w = Window.orderBy("event_id")
+    ev.select(col("event_id"), ((row_number().over(w) - 1) % slots).cast("long").as("slot"))
+      .groupBy("slot").agg(count(lit(1)).as("n"))
+      .orderBy("slot")
+  }
+
+  /** Key_Shared hash-range assignment (proto:286-295): portable hash of the
+    * key into [0, 256), bucketed into 4 sticky ranges.
+    */
+  def keySharedRanges(ev: DataFrame): DataFrame = {
+    val h = (col("user_id") * 31 + 7) % 256
+    val range = when(h < 64, "r0").when(h < 128, "r1").when(h < 192, "r2").otherwise("r3")
+    ev.select(range.as("range_id"), col("user_id"))
+      .groupBy("range_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
+      .orderBy("range_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Dedup & ordering (broker dedup on (producer, sequence_id)
+  // proto:577-579; SerialId src/netflow/models.rs:132-148)
+  // ---------------------------------------------------------------------
+
+  /** Broker-style dedup: first message wins per (producer, sequence) where
+    * producer ≈ user_id and sequence ≈ event_id % 256 (the fixture has no
+    * real duplicate sends, so the modulus manufactures collisions).
+    * Deterministic variant of `dropDuplicates`: survivor = lowest event_id.
+    * One shuffle on the dedup key; at scale identical to the exact-dedup
+    * pattern used for document dedup.
+    */
+  def dedupBySequence(ev: DataFrame): DataFrame = {
+    val seq = (col("event_id") % 256).as("seq")
+    val w = Window.partitionBy("user_id", "seq").orderBy("event_id")
+    ev.select(col("user_id"), seq, col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("seq"), col("event_id").as("first_event_id"))
+      .orderBy("user_id", "seq")
+  }
+
+  // ---------------------------------------------------------------------
+  // Ack semantics (CommandAck proto:479-507; redelivery proto:562-565;
+  // DLQ src/entity/consumer.rs:71-77)
+  // ---------------------------------------------------------------------
+
+  /** Cumulative-ack frontier: running max of publish time per key —
+    * "everything ≤ this coordinate is consumed" (proto:480-483).
+    */
+  def cumulativeAckFrontier(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(
+      col("user_id"), col("event_id"),
+      max(publishUs(col("ts"))).over(w).as("frontier_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Individual-ack backlog: delivered ∖ acked as a left-anti join on the
+    * message id (proto:488-489 — CommandAck Individual carries a message-id
+    * list). The "acked" set here is the deterministic subset of clicks plus
+    * every third message; backlog = everything not in it. Both sides shuffle
+    * on event_id (or the small side broadcasts under AQE).
+    */
+  def ackBacklogAntiJoin(ev: DataFrame): DataFrame = {
+    val acked = ev.filter(col("event_type") === "click" || col("event_id") % 3 === 0)
+      .select(col("event_id")).distinct()
+    ev.join(acked, Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** Redelivery tracking (redelivery_count proto:475): groups delivered
+    * more than once per (key, type). Map-side combine keeps the shuffle to
+    * group cardinality.
+    */
+  def redeliveryCounts(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("user_id", "event_type")
+
+  /** Dead-letter divert: groups exceeding max_redeliver_count go to the DLQ
+    * branch (reference DeadLetterPolicy). Same aggregate as above with the
+    * DLQ threshold filter.
+    */
+  def deadLetterSplit(ev: DataFrame, maxRedeliver: Int): DataFrame =
+    ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxRedeliver)
+      .orderBy("user_id", "event_type")
+
+  // ---------------------------------------------------------------------
+  // Cursors (Seek proto:537-543; GetLastMessageId proto:646-654;
+  // compacted read proto:325)
+  // ---------------------------------------------------------------------
+
+  /** Seek to a publish-timestamp then read forward k messages
+    * (CommandSeek by message_publish_time). Spark plans
+    * TakeOrderedAndProject: per-partition top-k heaps + driver merge —
+    * no global sort even at 100 TB.
+    */
+  def seekByTimeTopK(ev: DataFrame, sinceEpochUs: Long, k: Int): DataFrame =
+    ev.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      publishUs(col("ts")).as("publish_us"))
+      .filter(col("publish_us") >= sinceEpochUs)
+      .orderBy(col("publish_us"), col("event_id"))
+      .limit(k)
+
+  /** Last message id per topic partition (GetLastMessageId): max message
+    * coordinate per partition via a ranking window over `P` partitions.
+    */
+  def lastMessagePerPartition(ev: DataFrame): DataFrame = {
+    val withPart = ev.select(
+      (col("user_id") % P).cast("int").as("part"),
+      col("event_id"), publishUs(col("ts")).as("publish_us"))
+    val w = Window.partitionBy("part")
+      .orderBy(col("publish_us").desc, col("event_id").desc)
+    withPart.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("part"), col("event_id").as("last_event_id"), col("publish_us").as("last_us"))
+      .orderBy("part")
+  }
+
+  /** Compacted-topic read: latest value per key (read_compacted). The
+    * classic changelog-compaction pattern: ranking window, keep rank 1.
+    */
+  def readCompactedLastPerKey(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(publishUs(col("ts")).desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("value"), publishUs(col("ts")).as("publish_us"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Batching (BatchedMessage codec.rs:28-60), chunking (proto:142-145),
+  // stats (proto:597-644), delayed delivery (proto:125-126)
+  // ---------------------------------------------------------------------
+
+  /** Batch assemble/disassemble round-trip: pack each key's messages into
+    * one batch (sorted collect_list), then explode back out, tagging each
+    * row with its batch size (`num_messages_in_batch`).
+    */
+  def batchExplode(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(col("event_id"))).as("batch"))
+      .select(
+        col("user_id"),
+        size(col("batch")).cast("long").as("batch_n"),
+        explode(col("batch")).as("event_id"))
+      .orderBy("user_id", "event_id")
+
+  /** Chunked-message reassembly (uuid/chunk_id/num_chunks): split each
+    * document into fixed-size chunks, then reassemble in chunk order and
+    * report chunk count + reassembled length. The shuffle key is the
+    * message uuid (doc_id), so reassembly is one exchange; chunk order is
+    * restored with array_sort on (chunk_id, fragment) structs.
+    */
+  def chunkReassembly(docs: DataFrame, chunkLen: Int): DataFrame = {
+    val nChunks = greatest(ceil(length(col("text")) / lit(chunkLen.toDouble)), lit(1)).cast("int")
+    val chunked = docs.select(
+      col("doc_id"), col("text"),
+      explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        expr(s"substring(text, chunk_id * $chunkLen + 1, $chunkLen)").as("chunk"))
+    chunked.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            x => x.getField("chunk")),
+          "").as("reassembled"))
+      .select(col("doc_id"), col("n_chunks"), length(col("reassembled")).cast("long").as("len_out"))
+      .orderBy("doc_id")
+  }
+
+  /** Throughput per tumbling hour (consumer stats msgRateOut proto:609-613
+    * over time buckets). Sum rounded to the payload's 2-decimal grain so
+    * the decimal value is exact under any summation order.
+    */
+  def throughputTumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_ms")
+
+  /** Backlog by subscription type (msgBacklog proto:642-643) with a rollup
+    * grand-total row — grouping-sets coverage on the stream table.
+    */
+  def backlogByType(ev: DataFrame): DataFrame =
+    ev.rollup("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("backlog"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** Delayed-delivery eligibility (deliver_at_time proto:125-126):
+    * messages whose deliver-at (publish + delay) has passed `nowEpochUs`.
+    */
+  def deliverAtFilter(ev: DataFrame, delayUs: Long, nowEpochUs: Long): DataFrame =
+    ev.select(col("event_id"), col("user_id"), publishUs(col("ts")).as("publish_us"))
+      .filter(col("publish_us") + delayUs <= nowEpochUs)
+      .orderBy("event_id")
+
+  // ---------------------------------------------------------------------
+  // Driver-contract wiring
+  // ---------------------------------------------------------------------
+
+  private val T0_US = 1704412800000000L // 2024-01-05 00:00:00 UTC
+  private val NOW_US = 1704240000000000L // 2024-01-03 00:00:00 UTC
+  private val HOUR_US = 3600000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_events_envelope" -> ((s, d) => scanEnvelope(Fixtures.events(s, d))),
+    "filter_events_type" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
+    "decode_props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
+    "route_partition_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
+    "round_robin_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
+    "key_shared_ranges" -> ((s, d) => keySharedRanges(Fixtures.events(s, d))),
+    "dedup_by_sequence" -> ((s, d) => dedupBySequence(Fixtures.events(s, d))),
+    "cumulative_ack_frontier" -> ((s, d) => cumulativeAckFrontier(Fixtures.events(s, d))),
+    "ack_backlog_anti_join" -> ((s, d) => ackBacklogAntiJoin(Fixtures.events(s, d))),
+    "redelivery_counts" -> ((s, d) => redeliveryCounts(Fixtures.events(s, d))),
+    "dead_letter_split" -> ((s, d) => deadLetterSplit(Fixtures.events(s, d), 16)),
+    "seek_by_time_topk" -> ((s, d) => seekByTimeTopK(Fixtures.events(s, d), T0_US, 100)),
+    "last_message_per_partition" -> ((s, d) => lastMessagePerPartition(Fixtures.events(s, d))),
+    "read_compacted_last_per_key" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
+    "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
+    "chunk_reassembly" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
+    "throughput_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
+    "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
+    "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)))
+
+  private val US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+  def oracle: Map[String, String] = Map(
+    "scan_events_envelope" ->
+      s"""SELECT event_id AS entry_id, CAST(user_id % $P AS INTEGER) AS partition,
+          user_id AS partition_key, epoch_ms(CAST(ts AS TIMESTAMP)) AS publish_ms,
+          event_type AS topic, value, props FROM events ORDER BY entry_id""",
+    "filter_events_type" ->
+      s"""SELECT event_id, user_id, $US AS publish_us, value FROM events
+          WHERE event_type = 'purchase' AND value > 50 ORDER BY event_id""",
+    "decode_props_json" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS prop_k
+         FROM events ORDER BY event_id""",
+    "route_partition_key" ->
+      s"""SELECT CAST(user_id % $P AS INTEGER) AS part, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+          FROM events GROUP BY 1 ORDER BY part""",
+    "round_robin_balance" ->
+      """SELECT slot, CAST(count(*) AS BIGINT) AS n FROM
+         (SELECT (row_number() OVER (ORDER BY event_id) - 1) % 4 AS slot FROM events)
+         GROUP BY slot ORDER BY slot""",
+    "key_shared_ranges" ->
+      """SELECT CASE WHEN h < 64 THEN 'r0' WHEN h < 128 THEN 'r1'
+                     WHEN h < 192 THEN 'r2' ELSE 'r3' END AS range_id,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+         FROM (SELECT user_id, (user_id * 31 + 7) % 256 AS h FROM events)
+         GROUP BY 1 ORDER BY range_id""",
+    "dedup_by_sequence" ->
+      """SELECT user_id, seq, event_id AS first_event_id FROM
+         (SELECT user_id, event_id % 256 AS seq, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_id % 256 ORDER BY event_id) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id, seq""",
+    "cumulative_ack_frontier" ->
+      s"""SELECT user_id, event_id,
+          max($US) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frontier_us
+          FROM events ORDER BY user_id, event_id""",
+    "ack_backlog_anti_join" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id NOT IN
+           (SELECT event_id FROM events WHERE event_type = 'click' OR event_id % 3 = 0)
+         ORDER BY event_id""",
+    "redelivery_counts" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events
+         GROUP BY user_id, event_type HAVING count(*) > 1
+         ORDER BY user_id, event_type""",
+    "dead_letter_split" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events
+         GROUP BY user_id, event_type HAVING count(*) > 16
+         ORDER BY user_id, event_type""",
+    "seek_by_time_topk" ->
+      s"""SELECT event_id, user_id, event_type, $US AS publish_us FROM events
+          WHERE $US >= $T0_US ORDER BY publish_us, event_id LIMIT 100""",
+    "last_message_per_partition" ->
+      s"""SELECT part, event_id AS last_event_id, publish_us AS last_us FROM
+          (SELECT CAST(user_id % $P AS INTEGER) AS part, event_id, $US AS publish_us,
+                  row_number() OVER (PARTITION BY user_id % $P
+                    ORDER BY $US DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY part""",
+    "read_compacted_last_per_key" ->
+      s"""SELECT user_id, event_id, event_type, value, publish_us FROM
+          (SELECT user_id, event_id, event_type, value, $US AS publish_us,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY $US DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "batch_explode" ->
+      """SELECT user_id, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS batch_n,
+         event_id FROM events ORDER BY user_id, event_id""",
+    "chunk_reassembly" ->
+      """SELECT doc_id, CAST(greatest(ceil(length(text) / 40.0), 1) AS BIGINT) AS n_chunks,
+         CAST(length(text) AS BIGINT) AS len_out FROM documents ORDER BY doc_id""",
+    "throughput_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY hour_ms""",
+    "backlog_by_type" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS backlog
+         FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST""",
+    "deliver_at_filter" ->
+      s"""SELECT event_id, user_id, $US AS publish_us FROM events
+          WHERE $US + $HOUR_US <= $NOW_US ORDER BY event_id""")
+}

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB over the parquet
+fixtures, loads the Spark result from <out>/<name>/*.parquet, and
+compares schema + values (columns sorted by name, rows sorted by all
+columns). Strict equality; floats reported with max-abs-diff on
+mismatch. Dev tool only — never imported by the Scala engine.
+"""
+import sys, json, glob, math
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [names[i] for i in order], out
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    spark_only = []
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in sqls:
+            files = glob.glob(f"{d}/*.parquet")
+            nrows = sum(pq.read_table(f).num_rows for f in files) if files else -1
+            spark_only.append((name, nrows))
+    for name, sql in sorted(sqls.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        st = pq.read_table(files[0])
+        s_names = st.column_names
+        s_rows = [tuple(r[c] for c in s_names) for r in st.to_pylist()]
+        try:
+            res = con.execute(sql)
+            d_names = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        sn, sr = canon(s_names, s_rows)
+        dn, dr = canon(d_names, d_rows)
+        if sn != dn:
+            print(f"FAIL {name}: columns spark={sn} duck={dn}")
+            n_fail += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+            continue
+        bad = None
+        maxd = 0.0
+        for a, b in zip(sr, dr):
+            if a == b:
+                continue
+            # compute float divergence detail
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    if math.isnan(x) and math.isnan(y):
+                        continue
+                    maxd = max(maxd, abs(x - y))
+                    if x != y and bad is None:
+                        bad = (a, b)
+                elif x != y:
+                    bad = (a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: first diff spark={bad[0]} duck={bad[1]} maxfloatdiff={maxd}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+            n_pass += 1
+    for name, nrows in spark_only:
+        tag = "PASS" if nrows > 0 else "WARN(empty)"
+        print(f"{tag} {name}: no oracle, rows={nrows}")
+    print(f"== {n_pass} pass / {n_fail} fail / {len(spark_only)} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
