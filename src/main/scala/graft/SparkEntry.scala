@@ -2,14 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.MessageOps
+import graft.operators.{LlmOps, MessageOps, RelationalOps}
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` aggregates every operator group's declared query inventory
   * (SURVEY §2.3); `oracleSql` carries the DuckDB-equivalent SQL for each
   * oracle-checkable key. Column names/types are aligned pairwise — the
-  * driver hash-compares after sorting columns by name.
+  * driver hash-compares after sorting columns by name. Keys without an
+  * oracle entry (the `stream_*` trio, `payload_integrity_crc`) are the
+  * SURVEY §7.3 sanctioned omissions: streams have no DuckDB analog and
+  * castagnoli CRC has no DuckDB function; both are locked down by the
+  * ScalaTest suite instead.
   */
 object SparkEntry {
 
@@ -22,11 +27,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MessageOps.queries
+    MessageOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
+      StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    MessageOps.oracle
+    MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+
+/** LLM-training-data pipeline operators (the north-star extensions from
+  * BASELINE.json / SURVEY §2.3 [N] rows): text analysis, document
+  * deduplication, and embedding similarity over the `documents` /
+  * `embeddings` fixtures. The reference has no analog for these — its
+  * payloads are opaque bytes (`/root/reference/src/message/codec.rs:20`);
+  * these ops are what a consumer of that message stream runs downstream.
+  *
+  * Scale design notes (100 TB):
+  *  - every op is a `DataFrame => DataFrame` with one shuffle keyed on a
+  *    hash/signature, never an all-pairs comparison;
+  *  - tokenization/normalization stays inside whole-stage codegen (built-in
+  *    string/array functions, no UDFs);
+  *  - top-k is `orderBy.limit` which Spark plans as TakeOrderedAndProject
+  *    (per-partition heaps + driver merge, no global sort);
+  *  - signatures are md5 (engine-portable, uniformly distributed — the
+  *    shuffle key never skews even if the corpus does).
+  */
+object LlmOps {
+
+  /** Normalized token array: lowercase, trim, split on whitespace runs.
+    * Portable: identical semantics in DuckDB via
+    * `regexp_split_to_array(trim(lower(text)), '\s+')`.
+    */
+  private def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  /** Token frequency top-k over the corpus. explode → map-side-combined
+    * groupBy: the shuffle carries one row per distinct word per partition,
+    * not one per token. Top-k is TakeOrderedAndProject.
+    */
+  def textTokenizeCounts(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
+  // ---------------------------------------------------------------------
+  // Deduplication
+  // ---------------------------------------------------------------------
+
+  /** Near-duplicate detection via a bag-of-distinct-words signature:
+    * normalize → tokenize → distinct → sort → md5. Documents that share a
+    * vocabulary (word order / frequency ignored) collapse into one group;
+    * the survivor is the lowest doc_id (deterministic, unlike
+    * `dropDuplicates`). This is the hash-bucketed dedup shape: signature
+    * computation is embarrassingly parallel, the single shuffle is on the
+    * 128-bit signature (uniform, skew-free), and the aggregate combines
+    * map-side. All-pairs comparison never happens — the same plan works on
+    * 10^11 documents. (MinHash/LSH banding for *partial* overlap reuses
+    * this skeleton with band hashes as the group key.)
+    */
+  def docNearDedup(docs: DataFrame): DataFrame = {
+    val sig = md5(
+      array_join(sort_array(array_distinct(tokens(col("text")))), " ")
+        .cast("binary"))
+    docs.select(sig.as("sig"), col("doc_id"))
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------
+
+  /** Elementwise fold: sum of x*y over zipped arrays, in array order (the
+    * higher-order-function fold is deterministic left-to-right, stays in
+    * codegen, and never leaves the row — no explode, no shuffle).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sqnorm(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k against one query vector: the exact baseline
+    * ANN variants are measured against. The 1-row query side is broadcast
+    * (explicit hint), so the scan side streams with zero shuffle and the
+    * top-k is a TakeOrderedAndProject — at 100 TB this reads every vector
+    * once, which is the correct brute-force plan. Cosine is rounded to 6
+    * decimals so the value (and the order, which is on the rounded value)
+    * is stable across summation orders/engines.
+    */
+  def embeddingTopKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(
+          dot(col("embedding"), col("qe")) /
+            (sqrt(sqnorm(col("embedding"))) * sqrt(sqnorm(col("qe")))),
+          6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Multimodal columns
+  // ---------------------------------------------------------------------
+
+  /** Typed stats over an opaque vector column, per label: the pattern for
+    * multimodal payloads (image/audio embeddings ride as arrays; bytes ride
+    * as binary). Width stats are exact ints; the L2-norm stats fold inside
+    * the row (higher-order fns, no UDF) and aggregate map-side.
+    */
+  def multimodalWidthStats(emb: DataFrame): DataFrame =
+    emb.select(
+      col("label"),
+      size(col("embedding")).as("width"),
+      sqrt(sqnorm(col("embedding"))).as("l2"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("width")).as("min_w"),
+        max(col("width")).as("max_w"),
+        round(avg(col("l2")), 6).as("avg_norm"),
+        round(min(col("l2")), 6).as("min_norm"),
+        round(max(col("l2")), 6).as("max_norm"))
+      .orderBy("label")
+
+  // ---------------------------------------------------------------------
+  // Driver-contract wiring
+  // ---------------------------------------------------------------------
+
+  private val TOP_K_WORDS = 50
+  private val QUERY_VEC = 0L
+  private val TOP_K_VECS = 20
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokenize_counts" ->
+      ((s, d) => textTokenizeCounts(Fixtures.documents(s, d), TOP_K_WORDS)),
+    "doc_near_dedup" ->
+      ((s, d) => docNearDedup(Fixtures.documents(s, d))),
+    "embedding_topk_cosine" ->
+      ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
+    "multimodal_width_stats" ->
+      ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))))
+
+  def oracle: Map[String, String] = Map(
+    "text_tokenize_counts" ->
+      s"""SELECT word, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word
+          ORDER BY n DESC, word LIMIT $TOP_K_WORDS""",
+    "doc_near_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS sig,
+                min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+         FROM documents GROUP BY 1""",
+    "embedding_topk_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QUERY_VEC),
+          p AS (SELECT e.vec_id,
+                       sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS dot,
+                       sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS n1,
+                       sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS n2
+                FROM embeddings e, q, range(1, 65) t(i)
+                WHERE e.vec_id <> $QUERY_VEC
+                GROUP BY e.vec_id)
+          SELECT vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
+          FROM p ORDER BY cosine DESC, vec_id LIMIT $TOP_K_VECS""",
+    "multimodal_width_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(len(embedding)) AS INTEGER) AS min_w,
+                CAST(max(len(embedding)) AS INTEGER) AS max_w,
+                round(avg(l2), 6) AS avg_norm,
+                round(min(l2), 6) AS min_norm,
+                round(max(l2), 6) AS max_norm
+         FROM (SELECT label, embedding,
+                      sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+               FROM embeddings)
+         GROUP BY label ORDER BY label""")
+}

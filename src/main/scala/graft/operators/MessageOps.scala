@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Crc32C
 import graft.model.Fixtures
 
 /** Message-semantics operators: the reference's produce/consume/route/ack
@@ -32,7 +33,10 @@ object MessageOps {
 
   /** Envelope projection of a topic scan (SURVEY §1.3 envelope schema;
     * reference `MessageMetadata` proto:89-149). Pure project — Catalyst
-    * prunes the parquet scan to exactly these columns.
+    * prunes the parquet scan to exactly these columns. No output sort:
+    * full-table results are canonicalized by the comparator (it sorts rows
+    * before hashing), and a global sort of an unbounded output is exactly
+    * the shuffle we refuse to pay at 100 TB.
     */
   def scanEnvelope(ev: DataFrame): DataFrame =
     ev.select(
@@ -43,7 +47,6 @@ object MessageOps {
       col("event_type").as("topic"),
       col("value"),
       col("props"))
-      .orderBy("entry_id")
 
   /** Client-side selection (dispatcher routes frames by key; we filter rows).
     * Predicate is pushed to the parquet reader (`PushedFilters` in explain).
@@ -53,7 +56,6 @@ object MessageOps {
       .select(
         col("event_id"), col("user_id"),
         publishUs(col("ts")).as("publish_us"), col("value"))
-      .orderBy("event_id")
 
   /** `DeserializeMessage` analog (reference src/message/serde.rs:6-23):
     * decode the opaque JSON payload with a declared schema — schema-on-read.
@@ -62,7 +64,6 @@ object MessageOps {
     ev.select(
       col("event_id"),
       from_json(col("props"), lit("k INT")).getField("k").as("prop_k"))
-      .orderBy("event_id")
 
   // ---------------------------------------------------------------------
   // Routing (produce path: partition_key hash routing proto:98-99,
@@ -79,18 +80,22 @@ object MessageOps {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
       .orderBy("part")
 
-  /** Round-robin distribution (`rotate_left(1)` per send). The global
-    * `row_number` is inherently single-partition; acceptable here because
-    * the verification query is small, but the real-scale equivalent is
-    * `df.repartition(n)` (documented, not computed — round-robin at scale
-    * is a physical property, not a query result).
+  /** Round-robin distribution (`rotate_left(1)` per send): slot `i` of `N`
+    * messages over `s` slots holds exactly `⌊(N - i + s - 1) / s⌋` — the
+    * answer is closed-form in the row count, so the plan is one
+    * map-side-combined `count()` plus 4 rows of arithmetic. No window, no
+    * sort, no single-task stage (the round-1 unpartitioned-window version
+    * pulled the whole table into one task). At scale the physical act of
+    * round-robin routing is `df.repartition(n)`; this query reports the
+    * resulting balance.
     */
-  def roundRobinBalance(ev: DataFrame, slots: Int): DataFrame = {
-    val w = Window.orderBy("event_id")
-    ev.select(col("event_id"), ((row_number().over(w) - 1) % slots).cast("long").as("slot"))
-      .groupBy("slot").agg(count(lit(1)).as("n"))
+  def roundRobinBalance(ev: DataFrame, slots: Int): DataFrame =
+    ev.agg(count(lit(1)).as("total"))
+      .select(col("total"), explode(sequence(lit(0), lit(slots - 1))).as("slot"))
+      .select(
+        col("slot").cast("long").as("slot"),
+        expr(s"(total - slot + ${slots - 1}) div $slots").as("n"))
       .orderBy("slot")
-  }
 
   /** Key_Shared hash-range assignment (proto:286-295): portable hash of the
     * key into [0, 256), bucketed into 4 sticky ranges.
@@ -123,7 +128,6 @@ object MessageOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("seq"), col("event_id").as("first_event_id"))
-      .orderBy("user_id", "seq")
   }
 
   // ---------------------------------------------------------------------
@@ -140,7 +144,6 @@ object MessageOps {
     ev.select(
       col("user_id"), col("event_id"),
       max(publishUs(col("ts"))).over(w).as("frontier_us"))
-      .orderBy("user_id", "event_id")
   }
 
   /** Individual-ack backlog: delivered ∖ acked as a left-anti join on the
@@ -154,7 +157,6 @@ object MessageOps {
       .select(col("event_id")).distinct()
     ev.join(acked, Seq("event_id"), "left_anti")
       .select(col("event_id"), col("user_id"), col("event_type"))
-      .orderBy("event_id")
   }
 
   /** Redelivery tracking (redelivery_count proto:475): groups delivered
@@ -240,7 +242,6 @@ object MessageOps {
         col("user_id"),
         size(col("batch")).cast("long").as("batch_n"),
         explode(col("batch")).as("event_id"))
-      .orderBy("user_id", "event_id")
 
   /** Chunked-message reassembly (uuid/chunk_id/num_chunks): split each
     * document into fixed-size chunks, then reassemble in chunk order and
@@ -270,10 +271,12 @@ object MessageOps {
 
   /** Throughput per tumbling hour (consumer stats msgRateOut proto:609-613
     * over time buckets). Sum rounded to the payload's 2-decimal grain so
-    * the decimal value is exact under any summation order.
+    * the decimal value is exact under any summation order. Buckets are
+    * computed arithmetically on the epoch (`µs div hour`), not with
+    * `date_trunc`, so the result is independent of the session time zone.
     */
   def throughputTumbling(ev: DataFrame): DataFrame =
-    ev.groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+    ev.groupBy((expr("unix_micros(ts) div 3600000000") * 3600000).as("hour_ms"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_ms")
 
@@ -291,7 +294,21 @@ object MessageOps {
   def deliverAtFilter(ev: DataFrame, delayUs: Long, nowEpochUs: Long): DataFrame =
     ev.select(col("event_id"), col("user_id"), publishUs(col("ts")).as("publish_us"))
       .filter(col("publish_us") + delayUs <= nowEpochUs)
-      .orderBy("event_id")
+
+  /** Payload integrity: CRC32C (Castagnoli) checksum per message, summed
+    * per topic — the read-side verification the reference left as a TODO
+    * (`codec.rs:185`; write-side `codec.rs:139-149`). Uses the native
+    * `Crc32C` expression (codegen'd; Spark's `crc32` is the wrong
+    * polynomial). No DuckDB oracle exists for castagnoli → driver records
+    * rows-only; exactness is locked by Crc32CSpec's known-answer vectors.
+    */
+  def payloadIntegrityCrc(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_type"),
+      Crc32C.crc32c(ev.sparkSession, "cast(props as binary)").as("crc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("crc")).as("crc_sum"))
+      .orderBy("event_type")
 
   // ---------------------------------------------------------------------
   // Driver-contract wiring
@@ -320,7 +337,8 @@ object MessageOps {
     "chunk_reassembly" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
     "throughput_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
     "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
-    "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)))
+    "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
+    "payload_integrity_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
   private val US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
@@ -340,9 +358,11 @@ object MessageOps {
           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
           FROM events GROUP BY 1 ORDER BY part""",
     "round_robin_balance" ->
-      """SELECT slot, CAST(count(*) AS BIGINT) AS n FROM
-         (SELECT (row_number() OVER (ORDER BY event_id) - 1) % 4 AS slot FROM events)
-         GROUP BY slot ORDER BY slot""",
+      """SELECT CAST(t.slot AS BIGINT) AS slot,
+                CAST((c.total - t.slot + 3) // 4 AS BIGINT) AS n
+         FROM (SELECT count(*) AS total FROM events) c,
+              (VALUES (0), (1), (2), (3)) t(slot)
+         ORDER BY slot""",
     "key_shared_ranges" ->
       """SELECT CASE WHEN h < 64 THEN 'r0' WHEN h < 128 THEN 'r1'
                      WHEN h < 192 THEN 'r2' ELSE 'r3' END AS range_id,
@@ -395,7 +415,7 @@ object MessageOps {
       """SELECT doc_id, CAST(greatest(ceil(length(text) / 40.0), 1) AS BIGINT) AS n_chunks,
          CAST(length(text) AS BIGINT) AS len_out FROM documents ORDER BY doc_id""",
     "throughput_tumbling" ->
-      """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000 AS hour_ms,
          CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
     "backlog_by_type" ->

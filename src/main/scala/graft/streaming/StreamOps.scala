@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Fixtures
+
+/** Structured Streaming slice (SURVEY §2.3 `stream_*` keys): the
+  * reference's consume-side semantics — event-time windows over pushed
+  * messages, session activity, and broker dedup — expressed as streaming
+  * queries over a file-stream read of the events fixture.
+  *
+  * The reference never finished its consumer (`TopicConsumer::new` ends in
+  * `unimplemented!()`, `/root/reference/src/entity/consumer.rs:40`); the
+  * streaming source here plays the role its dispatcher push-path
+  * (`src/netflow/dispatcher.rs:193-206`) was meant to feed. Event-time vs
+  * publish-time and watermarking follow the proto's two-timestamp model
+  * (`src/PulsarApi.proto:92,110-112`); dedup keys follow the broker's
+  * `(producer, sequence_id)` rule (`proto:577-579`).
+  *
+  * Execution model: `readStream` → transform → memory sink, driven to
+  * completion with `Trigger.AvailableNow`. At scale the same declarations
+  * run continuously against a real source with checkpointed offsets —
+  * stream/batch equivalence is the Structured Streaming contract the unit
+  * tests assert (no DuckDB oracle for streams; SURVEY §7.3).
+  */
+object StreamOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** File-stream read of events.parquet with the same ns→µs timestamp
+    * normalization as the batch loader (`Fixtures.events`). Schema comes
+    * from a batch read — a streaming file source requires a declared
+    * schema (it cannot infer while files keep arriving). The source needs
+    * a *directory* to watch (fixtures are single files, and the fixture
+    * tree is read-only), so the file is staged once into a temp dir — at
+    * scale this is the drop-in point for a real topic/landing directory.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    val dir = stagingDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_events_")
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+      d.toFile.deleteOnExit()
+      d
+    })
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val stagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Run a streaming DataFrame to completion into an in-memory table and
+    * return its final content as a batch DataFrame.
+    */
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour event-time window with watermark: the streaming form
+    * of per-bucket throughput (consumer stats msgRateOut,
+    * `src/PulsarApi.proto:609-613`). Complete mode: AvailableNow processes
+    * the backlog in few batches and append would hold back windows the
+    * watermark has not passed; complete emits the final state.
+    */
+  def streamTumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    runToTable(agg, "complete")
+      .select(
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Per-user session windows with a 5-minute gap (subscription activity
+    * sessions; consumer keep-alive/idle semantics,
+    * `src/netflow/connection.rs:516-558`).
+    */
+  def streamSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, "complete")
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n"))
+  }
+
+  /** Streaming dedup on the broker key `(producer ≈ user_id, sequence ≈
+    * event_id % 256)` within the watermark
+    * (`dropDuplicatesWithinWatermark`): state for a key is dropped once the
+    * watermark passes it, so state size is bounded by the watermark horizon
+    * — the 100 TB-safe form of streaming dedup. Output projects only the
+    * key (the surviving row's other fields depend on arrival order).
+    */
+  def streamDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventsStream(spark, sfDir)
+      .select(
+        col("user_id"),
+        (col("event_id") % 256).as("seq"),
+        col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "seq")
+    runToTable(deduped, "append")
+      .select(col("user_id"), col("seq"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver-contract wiring (no-oracle keys: validated by the ScalaTest
+  // stream-vs-batch equivalence suite; driver records rows-only)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_window" -> ((s, d) => streamTumblingWindow(s, d)),
+    "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
+    "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)))
+}

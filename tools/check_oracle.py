@@ -58,7 +58,8 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        st = pq.read_table(files[0])
+        import pyarrow as pa
+        st = pa.concat_tables([pq.read_table(f) for f in files])
         s_names = st.column_names
         s_rows = [tuple(r[c] for c in s_names) for r in st.to_pylist()]
         try:
