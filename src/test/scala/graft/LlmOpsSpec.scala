@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.operators.LlmOps
+
+class LlmOpsSpec extends SparkTestBase {
+
+  private lazy val docs = Fixtures.documents(spark, sfDir)
+  private lazy val emb = Fixtures.embeddings(spark, sfDir)
+
+  test("textTokenizeCounts: top-k counts are descending and bounded by total tokens") {
+    val rows = LlmOps.textTokenizeCounts(docs, 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse))
+    val totalTokens = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(ns.sum <= totalTokens)
+  }
+
+  test("docNearDedup: groups partition the corpus; survivors are group minima") {
+    val d = LlmOps.docNearDedup(docs)
+    assert(d.agg(sum("n_dups")).collect()(0).getLong(0) === docs.count())
+    // keep_id must be a member of its own signature group: re-derive
+    val withSig = docs.select(
+      md5(array_join(sort_array(array_distinct(split(trim(lower(col("text"))), "\\s+"))), " ")
+        .cast("binary")).as("sig"),
+      col("doc_id"))
+    val expected = withSig.groupBy("sig")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    assertSameRows(d, expected)
+    // and the fixture genuinely contains near-dups — the op is not vacuous
+    assert(d.filter(col("n_dups") > 1).count() > 0)
+  }
+
+  test("docNearDedup is idempotent: dedup of survivors finds no duplicates") {
+    val survivors = LlmOps.docNearDedup(docs)
+      .join(docs, col("keep_id") === col("doc_id"))
+      .select("doc_id", "text")
+    val again = LlmOps.docNearDedup(survivors)
+    assert(again.filter(col("n_dups") > 1).count() === 0)
+  }
+
+  test("embeddingTopKCosine: k rows, cosine in [-1,1], descending, query excluded") {
+    val rows = LlmOps.embeddingTopKCosine(emb, 0L, 20).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getAs[Long]("vec_id") != 0L))
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.forall(c => c >= -1.000001 && c <= 1.000001))
+    assert(cos.sameElements(cos.sorted.reverse))
+  }
+
+  test("embeddingTopKCosine: self-query scores 1.0 at the top") {
+    // querying against vec 0 including itself would yield cosine 1; emulate
+    // by duplicating vec 0 under a new id and confirming it ranks first
+    val dup = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(999999L))
+    val rows = LlmOps.embeddingTopKCosine(emb.union(dup), 0L, 1).collect()
+    assert(rows(0).getAs[Long]("vec_id") === 999999L)
+    assert(math.abs(rows(0).getAs[Double]("cosine") - 1.0) < 1e-6)
+  }
+
+  test("multimodalWidthStats: all fixture vectors are 64-wide, norms positive") {
+    val rows = LlmOps.multimodalWidthStats(emb).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === emb.count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("min_w") === 64)
+      assert(r.getAs[Int]("max_w") === 64)
+      assert(r.getAs[Double]("min_norm") > 0.0)
+      assert(r.getAs[Double]("avg_norm") >= r.getAs[Double]("min_norm"))
+      assert(r.getAs[Double]("max_norm") >= r.getAs[Double]("avg_norm"))
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.streaming.StreamOps
+
+/** Stream-vs-batch equivalence: the Structured Streaming guarantee (same
+  * declarative query → same result on the same input) checked over the
+  * events fixture, per SURVEY §5 — streams have no DuckDB oracle, this
+  * suite is their correctness gate.
+  */
+class StreamOpsSpec extends SparkTestBase {
+
+  private lazy val ev = Fixtures.events(spark, sfDir)
+
+  test("stream_tumbling_window equals the batch window aggregation") {
+    val stream = StreamOps.streamTumblingWindow(spark, sfDir)
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("hour_ms"),
+        col("n"), col("sum_value"))
+    assertSameRows(stream, batch)
+  }
+
+  test("stream_session_window equals the batch session aggregation") {
+    val stream = StreamOps.streamSessionWindow(spark, sfDir)
+    val batch = ev
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n"))
+    assertSameRows(stream, batch)
+  }
+
+  test("stream_dedup_watermark equals exact batch dedup on the same keys") {
+    val stream = StreamOps.streamDedupWatermark(spark, sfDir)
+    val batch = ev
+      .select(col("user_id"), (col("event_id") % 256).as("seq"))
+      .distinct()
+    assertSameRows(stream, batch)
+  }
+}
