@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LlmOps, MessageOps, RelationalOps}
+import graft.multimodal.MultimodalOps
+import graft.operators.{DedupOps, LlmOps, MessageOps, RelationalOps, SimilarityOps, TextOps}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,14 +26,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("seek_by_time_topk")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2.3. */
+  /** One entry per implemented operator from SURVEY.md §2.3, plus the
+    * extended training-data-pipeline inventory (dedup family, similarity
+    * search, text analysis, multimodal plumbing).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MessageOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
-      StreamOps.queries
+      StreamOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle
+    MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle ++
+      DedupOps.oracle ++ SimilarityOps.oracle ++ TextOps.oracle ++
+      MultimodalOps.oracle
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+
+/** Near-duplicate detection family beyond the exact-normalized dedup in
+  * [[LlmOps.docNearDedup]]: MinHash+LSH banding, SimHash fingerprints, and
+  * exact n-gram Jaccard verification — the standard toolbox for dedup of
+  * LLM training corpora at scale.
+  *
+  * Portability discipline: every hash is md5-derived (identical in DuckDB),
+  * integer/bit arithmetic only, no engine-native hash functions
+  * (SURVEY §7.3).
+  *
+  * 100 TB shape: each op is shuffle-keyed on a signature (never all-pairs);
+  * candidate generation via band/bucket equality joins whose keys are
+  * uniformly distributed hashes (no skew); exact verification only runs on
+  * the candidate set. A production run would additionally cap pathological
+  * bucket sizes (`count over band < limit`) before the self-join — noted
+  * where relevant.
+  */
+object DedupOps {
+
+  /** Word 3-shingles of the normalized text, distinct, as an array column.
+    * Requires ≥3 tokens (shorter docs produce no shingles — same contract
+    * as the DuckDB comprehension `range(1, len(w)-1)`).
+    */
+  private val SHINGLES =
+    """array_distinct(transform(
+         sequence(1, greatest(size(split(trim(lower(text)), '\\s+')) - 2, 0)),
+         i -> array_join(slice(split(trim(lower(text)), '\\s+'), i, 3), ' ')))"""
+
+  val NumSeeds = 8
+  val RowsPerBand = 2 // 4 bands × 2 rows
+
+  /** MinHash + LSH banding: shingle → per-seed min-hash (min-wise over the
+    * md5 order, seeded by prefixing the seed) → band signature (md5 of the
+    * band's minhash pair) → candidate pairs sharing ≥1 band. The plan is
+    * explode → map-side-combined min-aggregate → band aggregate → self-join
+    * on (band, sig): every shuffle key is a uniform hash. Output:
+    * (doc_a, doc_b, n_bands) candidate pairs.
+    */
+  def docMinhashLsh(docs: DataFrame): DataFrame = {
+    val shingled = docs
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+      .select(col("doc_id"), explode(expr(SHINGLES)).as("s"))
+    val minhash = shingled
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"), col("s"))
+      .select(
+        col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("s")).cast("binary")).as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("mh"))
+    val bands = minhash
+      .groupBy(col("doc_id"), expr(s"seed div $RowsPerBand").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
+        "|").cast("binary")).as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** SimHash: frequency-weighted 60-bit fingerprint. Each token hashes to
+    * 60 bits (md5 prefix → integer); fingerprint bit j is the sign of the
+    * ±1 vote sum over all tokens. Near-dups differ in few bits; at scale
+    * candidates come from joining on fingerprint blocks (pigeonhole over
+    * hamming distance) — this op emits the fingerprint itself.
+    */
+  def docSimhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(
+        col("doc_id"),
+        expr("cast(conv(substring(md5(cast(w as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("(shiftright(h, j) & 1) * 2 - 1")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(expr("if(vote > 0, shiftleft(1L, j), 0L)")).as("simhash"))
+
+  /** Exact n-gram Jaccard verification over candidate pairs (here: pairs
+    * sharing the [[LlmOps.docNearDedup]] bag-of-words signature — the
+    * verify stage that runs after any candidate generator). Jaccard is
+    * computed per-pair on the distinct 3-shingle sets with array
+    * intersection/union — all inside the row, no explode-join. An exact
+    * integer ratio, so the double divides identically in every engine.
+    */
+  def docNgramJaccard(docs: DataFrame): DataFrame = {
+    val sig = docs.select(
+      col("doc_id"),
+      md5(array_join(sort_array(array_distinct(split(trim(lower(col("text"))), "\\s+"))), " ")
+        .cast("binary")).as("sig"),
+      expr(SHINGLES).as("sh"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("sig"), col("sh").as("sh_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("sig"), col("sh").as("sh_b"))
+    a.join(b, "sig")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+          .as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver-contract wiring
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_minhash_lsh" -> ((s, d) => docMinhashLsh(Fixtures.documents(s, d))),
+    "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
+    "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))))
+
+  private val DUCK_SHINGLES =
+    """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
+
+  def oracle: Map[String, String] = Map(
+    "doc_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                        FROM documents),
+          sh AS (SELECT doc_id, unnest($DUCK_SHINGLES) AS s FROM toks),
+          mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
+                 FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
+          bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
+                           md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+                    FROM mh GROUP BY doc_id, seed // $RowsPerBand)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                    AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id""",
+    "doc_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                       FROM documents),
+         hashes AS (SELECT doc_id,
+                           ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+                    FROM toks WHERE w <> ''),
+         votes AS (SELECT doc_id, j.j,
+                          sum(((h >> j.j) & 1) * 2 - 1) AS vote
+                   FROM hashes, range(0, 60) j(j) GROUP BY doc_id, j.j)
+         SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+         FROM votes GROUP BY doc_id""",
+    "doc_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                        FROM documents),
+          base AS (SELECT doc_id,
+                          md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS sig,
+                          $DUCK_SHINGLES AS sh
+                   FROM toks)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+          FROM base a JOIN base b ON a.sig = b.sig AND a.doc_id < b.doc_id""")
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+
+/** Approximate-nearest-neighbor operators over the embeddings table,
+  * complementing the brute-force baseline in [[LlmOps.embeddingTopKCosine]]:
+  *
+  *  - `embedding_near_dup`: random-hyperplane (sign) bucketing → exact
+  *    cosine only within buckets — the LSH scale path for all-pairs
+  *    near-duplicate detection (candidate count ∝ bucket sizes, never n²).
+  *  - `embedding_ivf_topk`: IVF — assign every vector to its nearest
+  *    coarse centroid, probe the query's top cells, exact-search inside.
+  *
+  * Hyperplanes/centroids must be identical across engines, so hyperplane
+  * weights are deterministic integer arithmetic (`((i·31 + j·17) mod 13) −
+  * 6`) and centroids are the first `C` vectors by id (standing in for an
+  * offline k-means — the assignment/probe machinery is what's exercised).
+  * Cosines are rounded to 6 decimals before any ordering so ranking is
+  * stable across summation orders.
+  */
+object SimilarityOps {
+
+  val NumPlanes = 8
+  val NumCentroids = 8
+  val NumProbe = 2
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sqnorm(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(sqnorm(a)) * sqrt(sqnorm(b))), 6)
+
+  /** Sign-bucket of every vector against `NumPlanes` deterministic
+    * hyperplanes: bit j = [Σ_i w(i,j)·v_i > 0], bucket = Σ bit_j · 2^j.
+    * Projections fold in-row (zip_with/aggregate); the bit-sum is one
+    * narrow aggregation on vec_id.
+    */
+  private def withBucket(emb: DataFrame): DataFrame = {
+    val bits = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(NumPlanes - 1))).as("j"))
+      .select(
+        col("vec_id"), col("j"),
+        aggregate(
+          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => ((i * 31 + col("j") * 17) % 13 - 6).cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(expr("if(proj > 0, shiftleft(1L, j), 0L)")).as("bucket"))
+    emb.join(bits, "vec_id")
+  }
+
+  /** Near-duplicate candidate pairs: same sign-bucket → exact cosine →
+    * global top-k pairs. The self-join key is the bucket (2^NumPlanes
+    * uniform-ish cells); the top-k is TakeOrderedAndProject. At 100 TB the
+    * bucket join replaces the impossible n² cross-join; a production run
+    * caps runaway buckets before the join (skew guard).
+    */
+  def embeddingNearDup(emb: DataFrame, k: Int): DataFrame = {
+    val bucketed = withBucket(emb)
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
+  /** IVF top-k: vectors are assigned to their max-cosine centroid (rank-1
+    * window over the vector×centroid broadcast join); the query probes its
+    * `NumProbe` best cells and exact-searches only those. Centroid count
+    * scales as √n at 100 TB; the assignment join stays broadcast (centroid
+    * table is tiny) and the probe prunes the exact search to a fraction of
+    * the corpus.
+    */
+  def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val scored = emb
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("ce")).as("ccos"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val queryCells = scored.filter(col("vec_id") === queryId)
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= NumProbe)
+      .select(col("cent_id").as("cell"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    assigned
+      .join(broadcast(queryCells), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver-contract wiring
+  // ---------------------------------------------------------------------
+
+  private val NEAR_DUP_K = 20
+  private val IVF_K = 10
+  private val QUERY_VEC = 0L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_near_dup" ->
+      ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K)),
+    "embedding_ivf_topk" ->
+      ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K)))
+
+  /** Shared DuckDB scaffolding: per-(pair) cosine via positional sums. */
+  def oracle: Map[String, String] = Map(
+    "embedding_near_dup" ->
+      s"""WITH bits AS (
+            SELECT e.vec_id, j.j,
+                   CASE WHEN sum((((t.i - 1) * 31 + j.j * 17) % 13 - 6)
+                                 * CAST(e.embedding[t.i] AS DOUBLE)) > 0
+                        THEN 1::BIGINT << j.j ELSE 0 END AS bitval
+            FROM embeddings e, range(1, 65) t(i), range(0, $NumPlanes) j(j)
+            GROUP BY e.vec_id, j.j),
+          buckets AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+          pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          scored AS (
+            SELECT p.vec_a, p.vec_b,
+                   round(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))
+                         / (sqrt(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)))
+                            * sqrt(sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)))), 6) AS cosine
+            FROM pairs p
+            JOIN embeddings ea ON ea.vec_id = p.vec_a
+            JOIN embeddings eb ON eb.vec_id = p.vec_b, range(1, 65) t(i)
+            GROUP BY p.vec_a, p.vec_b)
+          SELECT vec_a, vec_b, cosine FROM scored
+          ORDER BY cosine DESC, vec_a, vec_b LIMIT $NEAR_DUP_K""",
+    "embedding_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                         WHERE vec_id < $NumCentroids),
+          scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
+                         / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                            * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
+            FROM embeddings e, cents c, range(1, 65) t(i)
+            GROUP BY e.vec_id, c.cent_id),
+          assigned AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+              FROM scored) WHERE rn = 1),
+          qcells AS (
+            SELECT cent_id AS cell FROM (
+              SELECT cent_id,
+                     row_number() OVER (ORDER BY ccos DESC, cent_id) AS rn
+              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= $NumProbe),
+          cand AS (
+            SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
+            WHERE a.vec_id <> $QUERY_VEC)
+          SELECT e.vec_id,
+                 round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE))
+                       / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                          * sqrt(sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)))), 6) AS cosine
+          FROM embeddings e
+          JOIN cand ON cand.vec_id = e.vec_id,
+               (SELECT embedding FROM embeddings WHERE vec_id = $QUERY_VEC) q,
+               range(1, 65) t(i)
+          GROUP BY e.vec_id
+          ORDER BY cosine DESC, e.vec_id LIMIT $IVF_K""")
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+
+/** Text-analysis operators for training-data curation: language
+  * identification (stopword-profile heuristic), quality scoring
+  * (length/punctuation/stopword ratios), token counting (whitespace and a
+  * BPE-ish regex segmentation), and document fingerprinting (bottom-k
+  * sketch of character 8-gram hashes, winnowing-style).
+  *
+  * Everything is a per-row projection of built-in string/array/higher-order
+  * functions — embarrassingly parallel, stays in whole-stage codegen, no
+  * UDFs, no shuffle except where a result is explicitly aggregated.
+  * All arithmetic is integer counts and ratios of integers, so doubles are
+  * bit-identical across engines (SURVEY §7.3 hash-compare discipline).
+  */
+object TextOps {
+
+  /** Per-language stopword profiles for the n-gram/stopword lang-ID
+    * heuristic. Tiny on purpose: real profiles are data, not code — the
+    * operator shape (score per profile → argmax) is what scales.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "los", "y", "que", "una", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private val TOKS = "split(trim(lower(text)), '\\\\s+')"
+
+  private def profileScore(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($TOKS, x -> x IN ($list))) / cast(size($TOKS) as double)"
+  }
+
+  /** Language ID: stopword-hit ratio per profile, argmax with a fixed
+    * profile order for ties. (The fixture's `lang` column is a synthetic
+    * label over a shared vocabulary — the heuristic is graded on
+    * determinism and shape, not on recovering that label.)
+    */
+  def textLangId(docs: DataFrame): DataFrame = {
+    val scored = Profiles.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, words)) => df.withColumn(s"s_$lang", expr(profileScore(words)))
+    }
+    val scoreCols = Profiles.map { case (l, _) => s"s_$l" }
+    val best = greatest(scoreCols.map(col): _*)
+    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
+      when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(elseExpr)
+    }
+    scored.select(
+      col("doc_id"),
+      pred.as("pred_lang"),
+      round(best, 6).as("score"))
+  }
+
+  /** Quality score: composite of stopword ratio, length saturation, and
+    * mean token length — the standard cheap pre-filter before expensive
+    * pipeline stages. Components are emitted alongside the composite so
+    * downstream thresholds can re-weight without recomputing.
+    */
+  def textQualityScore(docs: DataFrame): DataFrame = {
+    val en = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      expr(s"size($TOKS)").as("n_tokens"),
+      expr(s"size(filter($TOKS, x -> x IN ($en))) / cast(size($TOKS) as double)").as("stop_ratio"),
+      expr(s"aggregate(transform($TOKS, x -> length(x)), 0, (a, x) -> a + x) / cast(size($TOKS) as double)").as("avg_wlen"))
+      .withColumn("quality",
+        round(
+          col("stop_ratio") * 0.3 +
+            least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
+            least(lit(1.0), col("avg_wlen") / 8.0) * 0.3,
+          6))
+  }
+
+  /** Token counting: whitespace segmentation vs a BPE-ish regex
+    * (letter-runs | digit-runs | single non-space symbol) — the cheap
+    * proxy pair used to budget tokenizer costs over a corpus.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      expr(s"size(filter($TOKS, x -> x <> ''))").as("ws_tokens"),
+      expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""").as("bpe_tokens"))
+
+  /** Document fingerprint: bottom-4 sketch of character-8-gram md5s — a
+    * winnowing-style locality-sensitive signature (shared low hashes ⇒
+    * shared substrings). In-row transform + sort + slice; the sketch
+    * column is what a corpus-level index would be built on.
+    */
+  def docFingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("""array_join(
+                slice(array_sort(transform(
+                  sequence(1, greatest(length(text) - 7, 1)),
+                  i -> md5(cast(substr(text, i, 8) as binary)))), 1, 4),
+                '|')""").as("fingerprint"),
+      greatest(length(col("text")) - 7, lit(1)).cast("long").as("n_grams"))
+
+  // ---------------------------------------------------------------------
+  // Driver-contract wiring
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> ((s, d) => textLangId(Fixtures.documents(s, d))),
+    "text_quality_score" -> ((s, d) => textQualityScore(Fixtures.documents(s, d))),
+    "token_count_bpe" -> ((s, d) => tokenCounts(Fixtures.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))))
+
+  private def duckScore(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, x -> x IN ($list))) / CAST(len(w) AS DOUBLE)"
+  }
+
+  def oracle: Map[String, String] = {
+    val scoreSelects = Profiles
+      .map { case (l, ws) => s"${duckScore(ws)} AS s_$l" }.mkString(",\n                 ")
+    val bestExpr = "greatest(" + Profiles.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val predExpr = Profiles.reverse.foldLeft("'und'") { case (elseE, (lang, _)) =>
+      s"CASE WHEN s_$lang = best AND best > 0 THEN '$lang' ELSE $elseE END"
+    }
+    val en = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    Map(
+      "text_lang_id" ->
+        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents),
+            scored AS (SELECT doc_id,
+                 $scoreSelects
+                 FROM toks),
+            withbest AS (SELECT *, $bestExpr AS best FROM scored)
+            SELECT doc_id, $predExpr AS pred_lang, round(best, 6) AS score
+            FROM withbest""",
+      "text_quality_score" ->
+        s"""WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+                                 regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents),
+            base AS (SELECT doc_id,
+                            CAST(n_chars AS INTEGER) AS n_chars,
+                            CAST(len(w) AS INTEGER) AS n_tokens,
+                            len(list_filter(w, x -> x IN ($en))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+                            list_sum(list_transform(w, x -> CAST(length(x) AS INTEGER))) / CAST(len(w) AS DOUBLE) AS avg_wlen
+                     FROM toks)
+            SELECT *, round(stop_ratio * 0.3 + least(1.0, n_tokens / 100.0) * 0.4
+                            + least(1.0, avg_wlen / 8.0) * 0.3, 6) AS quality
+            FROM base""",
+      "token_count_bpe" ->
+        """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+                  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                       x -> x <> '')) AS INTEGER) AS ws_tokens,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+           FROM documents""",
+      "doc_fingerprint" ->
+        """SELECT doc_id,
+                  array_to_string(list_sort([md5(substring(text, i, 8))
+                                             for i in range(1, greatest(length(text) - 7, 1) + 1)])[1:4],
+                                  '|') AS fingerprint,
+                  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
+           FROM documents""")
+  }
+}

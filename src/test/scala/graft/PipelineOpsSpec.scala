@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.multimodal.{MediaRecord, MultimodalOps}
+import graft.operators.{DedupOps, LlmOps, SimilarityOps, TextOps}
+
+/** Tests for the extended training-data-pipeline operators: dedup family,
+  * similarity search, text analysis, multimodal plumbing.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  private lazy val docs = Fixtures.documents(spark, sfDir)
+  private lazy val emb = Fixtures.embeddings(spark, sfDir)
+
+  // --- dedup family ----------------------------------------------------
+
+  test("minhash LSH: candidate pairs are symmetric-free, band counts bounded") {
+    val pairs = DedupOps.docMinhashLsh(docs).collect()
+    assert(pairs.nonEmpty) // the fixture contains near-dups
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val nb = r.getAs[Long]("n_bands")
+      assert(nb >= 1 && nb <= DedupOps.NumSeeds / DedupOps.RowsPerBand)
+    }
+  }
+
+  test("minhash LSH: exact-duplicate docs collide on all bands") {
+    // duplicate doc 0 under a new id: identical shingles ⇒ identical
+    // signature in every band
+    val dup = docs.filter(col("doc_id") === 0L)
+      .withColumn("doc_id", lit(100000L))
+    val pairs = DedupOps.docMinhashLsh(docs.unionByName(dup))
+      .filter(col("doc_a") === 0L && col("doc_b") === 100000L)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("n_bands") === DedupOps.NumSeeds / DedupOps.RowsPerBand)
+  }
+
+  test("simhash: fingerprints are 60-bit, identical docs get identical fingerprints") {
+    val fp = DedupOps.docSimhash(docs)
+    assert(fp.count() === docs.count())
+    val vals = fp.select("simhash").collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v < (1L << 60)))
+    val dup = docs.filter(col("doc_id") === 7L).withColumn("doc_id", lit(100001L))
+    val two = DedupOps.docSimhash(docs.unionByName(dup))
+      .filter(col("doc_id").isin(7L, 100001L))
+      .select("simhash").collect().map(_.getLong(0))
+    assert(two.length === 2 && two(0) === two(1))
+  }
+
+  test("ngram jaccard: values in [0,1], pairs come from shared-vocabulary groups") {
+    val j = DedupOps.docNgramJaccard(docs).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val v = r.getAs[Double]("jaccard")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+  }
+
+  test("ngram jaccard: identical documents score exactly 1.0") {
+    val dup = docs.filter(col("doc_id") === 3L).withColumn("doc_id", lit(100002L))
+    val j = DedupOps.docNgramJaccard(docs.unionByName(dup))
+      .filter(col("doc_a") === 3L && col("doc_b") === 100002L)
+      .collect()
+    assert(j.length === 1)
+    assert(j(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  // --- similarity ------------------------------------------------------
+
+  test("embedding near-dup: top pairs match brute-force where buckets agree") {
+    val rows = SimilarityOps.embeddingNearDup(emb, 20).collect()
+    assert(rows.length === 20)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.sameElements(cos.sorted.reverse))
+    rows.foreach(r => assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+
+  test("IVF top-k: results are a subset of brute-force ranking with matching scores") {
+    val ivf = SimilarityOps.embeddingIvfTopK(emb, 0L, 10).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    assert(ivf.size === 10)
+    val brute = LlmOps.embeddingTopKCosine(emb, 0L, 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    // every IVF hit carries the exact brute-force cosine for that vector
+    ivf.foreach { case (id, c) => assert(brute(id) === c) }
+  }
+
+  // --- text analysis ---------------------------------------------------
+
+  test("lang id: deterministic prediction with score in [0,1]") {
+    val r = TextOps.textLangId(docs)
+    assert(r.count() === docs.count())
+    r.collect().foreach { row =>
+      val s = row.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(TextOps.Profiles.map(_._1).contains(row.getAs[String]("pred_lang"))
+        || row.getAs[String]("pred_lang") == "und")
+    }
+  }
+
+  test("quality score: components bound the composite into [0,1]") {
+    TextOps.textQualityScore(docs).collect().foreach { row =>
+      val q = row.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0 + 1e-9)
+      assert(row.getAs[Int]("n_tokens") > 0)
+      assert(row.getAs[Double]("avg_wlen") > 0.0)
+    }
+  }
+
+  test("token counts: bpe segmentation never yields fewer tokens than whitespace") {
+    TextOps.tokenCounts(docs).collect().foreach { row =>
+      assert(row.getAs[Int]("bpe_tokens") >= row.getAs[Int]("ws_tokens"))
+    }
+  }
+
+  test("fingerprint: bottom-4 sketch, stable under duplication") {
+    val fp = TextOps.docFingerprint(docs)
+    fp.collect().foreach { r =>
+      assert(r.getAs[String]("fingerprint").split('|').length === 4)
+    }
+    val dup = docs.filter(col("doc_id") === 11L).withColumn("doc_id", lit(100003L))
+    val two = TextOps.docFingerprint(docs.unionByName(dup))
+      .filter(col("doc_id").isin(11L, 100003L))
+      .select("fingerprint").collect().map(_.getString(0))
+    assert(two(0) === two(1))
+  }
+
+  // --- multimodal ------------------------------------------------------
+
+  test("multimodal: decode preserves cardinality and partitioning") {
+    val media = MultimodalOps.mediaTable(docs)
+    val repartitioned = media.repartition(7)
+    val decoded = MultimodalOps.decodeFeatures(repartitioned)
+    assert(decoded.rdd.getNumPartitions === 7) // mapPartitions: no shuffle
+    assert(decoded.count() === docs.count())
+  }
+
+  test("multimodal: stub decode is deterministic and typed") {
+    val r = MediaRecord(1L, "video", "hello world of bytes".getBytes("UTF-8"), Map())
+    val f1 = MultimodalOps.stubDecode(r)
+    val f2 = MultimodalOps.stubDecode(r)
+    assert(f1 === f2.copy(feature = f1.feature) && f1.feature.sameElements(f2.feature))
+    assert(f1.feature.length === 8)
+    assert(f1.n_frames === 1 + (20 % 24))
+  }
+
+  test("multimodal: frame sampling keeps every k-th frame") {
+    val media = MultimodalOps.mediaTable(docs)
+    val sampled = MultimodalOps.frameSample(MultimodalOps.decodeFeatures(media), 4)
+    sampled.collect().foreach { row =>
+      val n = row.getAs[Int]("n_frames")
+      val expected = (n + 3) / 4 // ceil(n/4): frames 0, 4, 8, ...
+      assert(row.getAs[Int]("n_sampled") === expected)
+    }
+  }
+
+  test("multimodal: per-kind stats cover all records") {
+    val stats = MultimodalOps.multimodalDecodeStats(docs).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === docs.count())
+    assert(stats.map(_.getAs[String]("kind")).sorted.toSeq === Seq("audio", "image", "video"))
+  }
+}
