@@ -23,28 +23,51 @@ import graft.model.Fixtures
   */
 object DedupOps {
 
-  /** Word 3-shingles of the normalized text, distinct, as an array column.
-    * Requires ≥3 tokens (shorter docs produce no shingles — same contract
-    * as the DuckDB comprehension `range(1, len(w)-1)`).
+  /** Word 3-shingles over a pre-split token array column `w`, distinct.
+    * Operating on `w` (not re-splitting `text` inside the lambda) matters:
+    * Catalyst's project-collapse would otherwise inline the split into
+    * every lambda element — an O(tokens²) regex blow-up per document.
     */
   private val SHINGLES =
     """array_distinct(transform(
-         sequence(1, greatest(size(split(trim(lower(text)), '\\s+')) - 2, 0)),
-         i -> array_join(slice(split(trim(lower(text)), '\\s+'), i, 3), ' ')))"""
+         sequence(1, greatest(size(w) - 2, 0)),
+         i -> array_join(slice(w, i, 3), ' ')))"""
+
+  /** Tokenized docs with the split materialized behind a round-robin
+    * exchange, so downstream shingle lambdas reuse the array instead of
+    * re-splitting (the exchange is a projection barrier; at 100 TB it
+    * doubles as the parallelism spreader for skewed input files).
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .repartition(col("doc_id"))
 
   val NumSeeds = 8
   val RowsPerBand = 2 // 4 bands × 2 rows
 
+  /** Enumerate unordered member pairs of a sorted id array column —
+    * `flatten(transform(m, (a, i) -> transform(slice(m, i+2, ...), b -> (a, b))))`.
+    * Group-then-enumerate replaces a self-join: the pipeline is computed
+    * once, the bucket is the shuffle key, and pair count is bounded by
+    * bucket size (cap buckets before this at adversarial scale).
+    */
+  private def memberPairs(members: Column): Column =
+    flatten(transform(members, (a, i) =>
+      transform(slice(members, i + 2, size(members)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+
   /** MinHash + LSH banding: shingle → per-seed min-hash (min-wise over the
     * md5 order, seeded by prefixing the seed) → band signature (md5 of the
-    * band's minhash pair) → candidate pairs sharing ≥1 band. The plan is
-    * explode → map-side-combined min-aggregate → band aggregate → self-join
-    * on (band, sig): every shuffle key is a uniform hash. Output:
+    * band's minhash pair) → candidate pairs within each band bucket. The
+    * plan is explode → map-side-combined min-aggregate → band aggregate →
+    * bucket aggregate → in-row pair enumeration: one linear pipeline,
+    * every shuffle key a uniform hash, no self-join recompute. Output:
     * (doc_a, doc_b, n_bands) candidate pairs.
     */
   def docMinhashLsh(docs: DataFrame): DataFrame = {
-    val shingled = docs
-      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3)
+    val shingled = tokenized(docs)
       .select(col("doc_id"), explode(expr(SHINGLES)).as("s"))
     val minhash = shingled
       .select(col("doc_id"), explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"), col("s"))
@@ -58,11 +81,12 @@ object DedupOps {
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
         "|").cast("binary")).as("sig"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    bands
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(memberPairs(col("members"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -93,20 +117,26 @@ object DedupOps {
     * integer ratio, so the double divides identically in every engine.
     */
   def docNgramJaccard(docs: DataFrame): DataFrame = {
-    val sig = docs.select(
+    val sig = tokenized(docs).select(
       col("doc_id"),
-      md5(array_join(sort_array(array_distinct(split(trim(lower(col("text"))), "\\s+"))), " ")
+      md5(array_join(sort_array(array_distinct(col("w"))), " ")
         .cast("binary")).as("sig"),
       expr(SHINGLES).as("sh"))
-    val a = sig.select(col("doc_id").as("doc_a"), col("sig"), col("sh").as("sh_a"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("sig"), col("sh").as("sh_b"))
-    a.join(b, "sig")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
-          .as("jaccard"))
+    def pairStruct(a: Column, b: Column): Column = struct(
+      a.getField("doc_id").as("doc_a"),
+      b.getField("doc_id").as("doc_b"),
+      (size(array_intersect(a.getField("sh"), b.getField("sh"))).cast("double") /
+        size(array_distinct(concat(a.getField("sh"), b.getField("sh")))).cast("double"))
+        .as("jaccard"))
+    val grouped = sig
+      .groupBy("sig")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("m"))
+      .filter(size(col("m")) > 1)
+    val pairs = flatten(transform(col("m"), (a, i) =>
+      transform(slice(col("m"), i + 2, size(col("m"))), b => pairStruct(a, b))))
+    grouped
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.jaccard").as("jaccard"))
   }
 
   // ---------------------------------------------------------------------
@@ -123,8 +153,9 @@ object DedupOps {
 
   def oracle: Map[String, String] = Map(
     "doc_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                        FROM documents),
+      s"""WITH toks AS (SELECT * FROM (
+                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents) WHERE len(w) >= 3),
           sh AS (SELECT doc_id, unnest($DUCK_SHINGLES) AS s FROM toks),
           mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
                  FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
@@ -147,8 +178,9 @@ object DedupOps {
          SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
          FROM votes GROUP BY doc_id""",
     "doc_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                        FROM documents),
+      s"""WITH toks AS (SELECT * FROM (
+                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents) WHERE len(w) >= 3),
           base AS (SELECT doc_id,
                           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS sig,
                           $DUCK_SHINGLES AS sh
