@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.MultimodalOps
 import graft.operators.{DedupOps, LlmOps, MessageOps, RelationalOps, SimilarityOps, TextOps}
+import graft.sources.MsgLog
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MessageOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
       StreamOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      TextOps.queries ++ MultimodalOps.queries
+      TextOps.queries ++ MultimodalOps.queries ++ MsgLog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -41,5 +42,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ TextOps.oracle ++
-      MultimodalOps.oracle
+      MultimodalOps.oracle ++ MsgLog.oracle
 }

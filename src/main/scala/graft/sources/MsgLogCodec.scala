@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.functions.Crc32C
+
+/** One message of the graft message log: the §1.3 envelope essentials —
+  * entry coordinates are assigned by position in the ledger (reference
+  * `MessageIdData{ledgerId, entryId}`, `src/PulsarApi.proto:52-58`).
+  */
+case class MsgFrame(
+    eventId: Long,
+    tsUs: Long,
+    userId: Long,
+    eventType: String,
+    value: Double,
+    props: String)
+
+/** Wire codec for graft message-log ledger files — the reference's frame
+  * discipline (`/root/reference/src/message/codec.rs:114-206`)
+  * re-expressed for a file-backed log:
+  *
+  * {{{
+  * frame := [totalSize: int32] [crc32c: uint32 over body] [body]
+  * body  := [event_id: int64] [ts_us: int64] [user_id: int64]
+  *          [value: float64] [len: int32][event_type utf8]
+  *          [len: int32][props utf8]
+  * }}}
+  *
+  * Differences from the reference, on purpose:
+  *  - CRC32C is VERIFIED on read. The reference computes the checksum on
+  *    write (`codec.rs:147-149`) but left read-side verification as a TODO
+  *    (`codec.rs:185`); a storage-backed log cannot skip it.
+  *  - No protobuf: the envelope is fixed, so fixed-width fields +
+  *    length-prefixed strings decode with zero copies beyond the strings.
+  */
+object MsgLogCodec {
+
+  val Extension = ".glog"
+
+  def writeFrame(out: DataOutputStream, m: MsgFrame): Unit = {
+    val et = m.eventType.getBytes(UTF_8)
+    val pr = m.props.getBytes(UTF_8)
+    val body = java.nio.ByteBuffer.allocate(8 + 8 + 8 + 8 + 4 + et.length + 4 + pr.length)
+    body.putLong(m.eventId).putLong(m.tsUs).putLong(m.userId).putDouble(m.value)
+    body.putInt(et.length).put(et).putInt(pr.length).put(pr)
+    val bytes = body.array()
+    out.writeInt(4 + bytes.length)
+    out.writeInt(Crc32C.compute(bytes).toInt)
+    out.write(bytes)
+  }
+
+  /** Decode the next frame, verifying the checksum. Returns None at clean
+    * EOF; corrupt frames raise (a real connector would route these to the
+    * dead-letter path, §2.1 #9).
+    */
+  def readFrame(in: DataInputStream): Option[MsgFrame] = {
+    val totalSize =
+      try in.readInt()
+      catch { case _: EOFException => return None }
+    val storedCrc = in.readInt() & 0xFFFFFFFFL
+    val body = new Array[Byte](totalSize - 4)
+    in.readFully(body)
+    val actual = Crc32C.compute(body)
+    if (actual != storedCrc) {
+      throw new java.io.IOException(
+        f"graft-msglog: CRC32C mismatch (stored 0x$storedCrc%08x, computed 0x$actual%08x)")
+    }
+    val buf = java.nio.ByteBuffer.wrap(body)
+    val eventId = buf.getLong; val tsUs = buf.getLong
+    val userId = buf.getLong; val value = buf.getDouble
+    val et = new Array[Byte](buf.getInt); buf.get(et)
+    val pr = new Array[Byte](buf.getInt); buf.get(pr)
+    Some(MsgFrame(eventId, tsUs, userId, new String(et, UTF_8), value, new String(pr, UTF_8)))
+  }
+
+  /** Skip one frame without decoding (offset seek path). False at EOF. */
+  def skipFrame(in: DataInputStream): Boolean = {
+    val totalSize =
+      try in.readInt()
+      catch { case _: EOFException => return false }
+    in.skipBytes(totalSize)
+    true
+  }
+
+  /** Count frames in a ledger by walking the size prefixes — the
+    * `GetLastMessageId` probe (§2.1 #11): O(frames) seeks, no payload
+    * decode, no CRC work.
+    */
+  def countFrames(path: java.nio.file.Path): Long = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
+    try {
+      var n = 0L
+      while (skipFrame(in)) n += 1
+      n
+    } finally in.close()
+  }
+}

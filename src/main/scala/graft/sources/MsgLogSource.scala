@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.io.DataInputStream
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source for graft message-log directories — the "real
+  * Pulsar source" slot from SURVEY §7.2, built against a file-backed log
+  * since the sandbox has no broker. The §3.2 trace is the spec:
+  *
+  *  - a topic = a directory of ledger files (`*.glog`), one per topic
+  *    partition (reference `{topic}-partition-{n}` fan-out,
+  *    `src/discovery/mod.rs:71`);
+  *  - `planInputPartitions` = the lookup/fan-out step (§2.1 #12-13): one
+  *    `InputPartition` per ledger slice, readers run where the executors
+  *    are;
+  *  - offsets are `(ledger, entry)` coordinates (`MessageIdData`,
+  *    `src/PulsarApi.proto:52-58`), serialized as the per-ledger consumed
+  *    entry counts;
+  *  - `maxRowsPerTrigger` implements credit-based flow control
+  *    (`CommandFlow` permits, §2.1 #6) through Spark's admission-control
+  *    API;
+  *  - `commit(offset)` is the cumulative ack (§2.1 #7);
+  *  - every frame's CRC32C is verified on read (the reference's TODO at
+  *    `codec.rs:185`).
+  */
+class MsgLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-msglog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MsgLogSource.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new MsgLogTable(properties.get("path"))
+}
+
+object MsgLogSource {
+  /** Envelope schema (§1.3): message coordinates + payload fields. */
+  val Schema: StructType = StructType(Seq(
+    StructField("ledger", IntegerType, nullable = false),
+    StructField("entry", LongType, nullable = false),
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  def ledgerFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(MsgLogCodec.Extension))
+      .sortBy(_.getFileName.toString)
+  }
+}
+
+class MsgLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-msglog(`$path`)"
+  override def schema(): StructType = MsgLogSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MsgLogScanBuilder(path, options)
+}
+
+class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder {
+  override def build(): Scan = new MsgLogScan(path, options)
+}
+
+class MsgLogScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = MsgLogSource.Schema
+  override def description(): String = s"graft-msglog $path"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      MsgLogSource.ledgerFiles(path).zipWithIndex.map { case (p, i) =>
+        MsgLogPartition(i, p.toString, 0L, Long.MaxValue): InputPartition
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MsgLogReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MsgLogMicroBatchStream(path,
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+}
+
+/** Offset = consumed entry count per ledger (cumulative-ack frontier). */
+case class MsgLogOffset(counts: Seq[Long]) extends Offset {
+  override def json(): String = counts.mkString("[", ",", "]")
+}
+
+object MsgLogOffset {
+  def parse(json: String): MsgLogOffset = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) MsgLogOffset(Seq.empty)
+    else MsgLogOffset(body.split(",").map(_.trim.toLong).toSeq)
+  }
+}
+
+class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def files: Seq[Path] = MsgLogSource.ledgerFiles(path)
+
+  private lazy val totals: Seq[Long] = files.map(MsgLogCodec.countFrames)
+
+  /** AvailableNow contract: freeze the end of the backlog up front so the
+    * paced micro-batches drain exactly this snapshot and stop. `totals`
+    * is lazy — forcing it here is the snapshot. (Without this interface
+    * Spark wraps the stream and ignores read limits under AvailableNow.)
+    */
+  override def prepareForTriggerAvailableNow(): Unit = totals
+
+  override def initialOffset(): Offset = MsgLogOffset(totals.map(_ => 0L))
+
+  override def latestOffset(): Offset = MsgLogOffset(totals)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control = the flow-control permit grant: advance each
+    * ledger's frontier in order until the row budget is spent.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = MsgLogOffset.parse(start.json()).counts
+      .padTo(totals.length, 0L)
+    limit match {
+      case mr: ReadMaxRows =>
+        var budget = mr.maxRows()
+        val next = totals.zip(from).map { case (total, done) =>
+          val take = math.min(total - done, budget)
+          budget -= take
+          done + take
+        }
+        MsgLogOffset(next)
+      case _ => MsgLogOffset(totals)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = MsgLogOffset.parse(start.json()).counts.padTo(totals.length, 0L)
+    val e = MsgLogOffset.parse(end.json()).counts.padTo(totals.length, 0L)
+    files.zipWithIndex.flatMap { case (p, i) =>
+      if (e(i) > s(i)) Some(MsgLogPartition(i, p.toString, s(i), e(i)): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new MsgLogReaderFactory
+
+  override def deserializeOffset(json: String): Offset = MsgLogOffset.parse(json)
+
+  override def commit(end: Offset): Unit = () // cumulative ack: checkpoint-owned
+
+  override def stop(): Unit = ()
+}
+
+/** One ledger slice: entries [startEntry, endEntry) of one file. */
+case class MsgLogPartition(ledger: Int, file: String, startEntry: Long, endEntry: Long)
+    extends InputPartition
+
+class MsgLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MsgLogPartition]
+    new MsgLogPartitionReader(p)
+  }
+}
+
+/** Sequential frame decoder over one ledger slice; seeks by skipping size
+  * prefixes (no decode, no CRC until the slice starts).
+  */
+class MsgLogPartitionReader(p: MsgLogPartition) extends PartitionReader[InternalRow] {
+  private val in = new DataInputStream(new java.io.BufferedInputStream(
+    Files.newInputStream(Paths.get(p.file)), 1 << 16))
+  private var entry = 0L
+  while (entry < p.startEntry && MsgLogCodec.skipFrame(in)) entry += 1
+  private var current: MsgFrame = _
+
+  override def next(): Boolean = {
+    if (entry >= p.endEntry) return false
+    MsgLogCodec.readFrame(in) match {
+      case Some(m) => current = m; entry += 1; true
+      case None => false
+    }
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    p.ledger, entry - 1, current.eventId, current.tsUs, current.userId,
+    UTF8String.fromString(current.eventType), current.value,
+    UTF8String.fromString(current.props)))
+
+  override def close(): Unit = in.close()
+}
