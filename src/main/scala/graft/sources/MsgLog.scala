@@ -1,50 +1,28 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, DataOutputStream}
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Fixtures
 
-/** Producer side of the graft message log: route rows to ledger files by
-  * partition key and frame them with the [[MsgLogCodec]] — the reference's
-  * produce path (§3.1: serialize → sequence → frame → send) with the
-  * "send" landing in a ledger file instead of a socket. Hash routing on
-  * `user_id` mirrors `partition_key` routing (`src/PulsarApi.proto:98-99`);
-  * one writer per partition mirrors the per-partition producer fan-out
+/** Producer-side helpers for the graft message log. Routing is declarative
+  * (`repartition(n, col("user_id"))` = `partition_key` hash routing,
+  * `src/PulsarApi.proto:98-99`); framing and ledger placement happen in
+  * the DataSource V2 sink ([[MsgLogWriteBuilder]]) — one ledger per input
+  * partition, like one producer per topic partition
   * (`src/entity/producer.rs:39-52`).
-  *
-  * Executors write ledgers local to the task (correct in local mode; on a
-  * cluster the directory would be a DFS path — the routing and framing
-  * logic is unchanged).
   */
 object MsgLog {
 
-  def writeEvents(ev: DataFrame, dir: String, numLedgers: Int): Unit = {
-    Files.createDirectories(Paths.get(dir))
+  def writeEvents(ev: DataFrame, dir: String, numLedgers: Int): Unit =
     ev.select(
-      col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), col("props"))
       .repartition(numLedgers, col("user_id"))
-      .foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val pid = TaskContext.get().partitionId()
-          val path = Paths.get(dir, f"ledger-$pid%04d${MsgLogCodec.Extension}")
-          val out = new DataOutputStream(
-            new BufferedOutputStream(Files.newOutputStream(path), 1 << 16))
-          try it.foreach { r =>
-            MsgLogCodec.writeFrame(out, MsgFrame(
-              r.getAs[Long]("event_id"), r.getAs[Long]("ts_us"),
-              r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
-              r.getAs[Double]("value"), r.getAs[String]("props")))
-          } finally out.close()
-        }
-      }
-  }
+      .write.format("graft-msglog").mode("append").save(dir)
 
   val NumLedgers = 4
 

@@ -8,10 +8,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,13 +72,22 @@ object MsgLogSource {
   }
 }
 
-class MsgLogTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-msglog(`$path`)"
+class MsgLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_msglog_$path"
   override def schema(): StructType = MsgLogSource.Schema
+  /** ACCEPT_ANY_SCHEMA: writes carry only the payload columns — `ledger`
+    * and `entry` are read-side coordinates the sink assigns, so write
+    * resolution must not demand them (the writer validates the payload
+    * columns itself by name).
+    */
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MsgLogScanBuilder(path, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MsgLogWriteBuilder(path, info)
 }
 
 class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)

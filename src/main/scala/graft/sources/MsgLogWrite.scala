@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/** Produce path of the graft message log as a DataSource V2 writer — the
+  * reference's send pipeline (§3.1: serialize → sequence → frame → await
+  * receipt) with task-commit standing in for the broker receipt:
+  *
+  *  - each task writes its partition's frames to a temp ledger, so a
+  *    failed/speculative task leaves no partial ledger visible (the
+  *    reference correlates receipts by `(producer_id, sequence_id)` to
+  *    the same end — exactly-once visibility of sent data);
+  *  - task commit atomically renames the temp ledger into place;
+  *    `abort` deletes it (reference: retry/reconnect with epoch bump,
+  *    `src/entity/producer.rs:132-176`);
+  *  - routing is NOT the writer's job: callers route declaratively
+  *    (`df.repartition(n, col("user_id"))`) and the writer preserves the
+  *    partitioning — one ledger per input partition, like one producer
+  *    per topic partition (`src/entity/producer.rs:39-52`).
+  *
+  * Streaming epochs land as separate ledger files tagged by epoch id —
+  * restart-safe because an epoch re-commit overwrites the same names.
+  */
+class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MsgLogBatchWrite(path, info.schema())
+    override def toStreaming: StreamingWrite = new MsgLogStreamingWrite(path, info.schema())
+  }
+}
+
+case class MsgLogCommit(file: String) extends WriterCommitMessage
+
+class MsgLogBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  /** Per-write id in the ledger names: two appends to one topic must not
+    * collide on `ledger-<partition>` (that would silently replace the
+    * first write's ledgers — observed, fixed). Streaming epochs stay
+    * deterministic instead: an epoch replayed after restart SHOULD
+    * overwrite its own files (idempotent re-commit).
+    */
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MsgLogWriterFactory(path, schema, writeId)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MsgLogStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    MsgLogWriterFactory(path, schema, "")
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Serializable factory shipped to executors (one writer per task). */
+case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new MsgLogDataWriter(path, schema, f"epoch-$epochId%06d-$partitionId%04d", taskId)
+}
+
+/** Frames one partition's rows into `<stem>.glog` via a temp file +
+  * atomic rename on commit. Expects the envelope columns (by name):
+  * event_id, ts, user_id, event_type, value, props.
+  */
+class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val iEvent = schema.fieldIndex("event_id")
+  private val iTs = schema.fieldIndex("ts")
+  private val iUser = schema.fieldIndex("user_id")
+  private val iType = schema.fieldIndex("event_type")
+  private val iValue = schema.fieldIndex("value")
+  private val iProps = schema.fieldIndex("props")
+
+  private val tmp: Path = Paths.get(dir, s".$stem-$taskId${MsgLogCodec.Extension}.tmp")
+  private var out: DataOutputStream = _
+  private var n = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    Files.createDirectories(Paths.get(dir))
+    out = new DataOutputStream(
+      new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    MsgLogCodec.writeFrame(out, MsgFrame(
+      row.getLong(iEvent),
+      row.getLong(iTs), // TimestampType is epoch-µs internally
+      row.getLong(iUser),
+      row.getUTF8String(iType).toString,
+      row.getDouble(iValue),
+      row.getUTF8String(iProps).toString))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) return MsgLogCommit("")
+    out.close()
+    val dest = Paths.get(dir, s"$stem${MsgLogCodec.Extension}")
+    Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    MsgLogCommit(dest.toString)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    Files.deleteIfExists(tmp)
+  }
+
+  override def close(): Unit = ()
+}
