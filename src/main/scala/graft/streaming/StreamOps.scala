@@ -4,9 +4,20 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.model.Fixtures
+
+/** Keyed delivery coordinates: producer ≈ user, sequence ≈ event_id mod 256
+  * (the broker dedup key, reference `src/PulsarApi.proto:577-579`).
+  */
+case class DeliveryKey(user_id: Long, seq: Long)
+
+/** Per-key consumer state: how many times this message was delivered. */
+case class DeliveryCount(n: Long)
+
+/** Emitted tracking row (`redelivery_count`, reference proto:475). */
+case class Delivery(user_id: Long, seq: Long, n_deliveries: Long)
 
 /** Structured Streaming slice (SURVEY §2.3 `stream_*` keys): the
   * reference's consume-side semantics — event-time windows over pushed
@@ -124,6 +135,54 @@ object StreamOps {
       .select(col("user_id"), col("seq"))
   }
 
+  /** Custom-state redelivery tracking via `flatMapGroupsWithState`: the
+    * consumer-side ledger of how many times each `(producer, sequence)`
+    * was delivered (`redelivery_count`, proto:475; negative-ack redeliver,
+    * proto:562-565) — semantics the built-in dedup/window operators can't
+    * express because the count must survive across micro-batches.
+    *
+    * State is one counter per in-flight key, dropped on event-time
+    * timeout past the watermark — bounded exactly like
+    * `dropDuplicatesWithinWatermark`'s store, so a 100 TB/day stream
+    * holds state only for the watermark horizon.
+    */
+  def streamRedeliveryTracker(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventsStream(spark, sfDir)
+      .select(
+        col("user_id"),
+        (col("event_id") % 256).as("seq"),
+        col("ts"))
+      .withWatermark("ts", "1 hour")
+
+    val tracker = src
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey { case (user, seq, _) => DeliveryKey(user, seq) }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: DeliveryKey, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[DeliveryCount]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.map(_.n).getOrElse(0L)
+            val total = prior + rows.size
+            state.update(DeliveryCount(total))
+            state.getCurrentWatermarkMs() match {
+              case wm if wm > 0 => state.setTimeoutTimestamp(wm + 3600000L)
+              case _ => ()
+            }
+            Iterator.single(Delivery(key.user_id, key.seq, total))
+          }
+        })
+
+    val emitted = runToTable(tracker.toDF(), "update")
+    // update-mode memory sink appends one row per key per batch; the
+    // latest (= max) count per key is the tracker's answer.
+    emitted.groupBy("user_id", "seq")
+      .agg(max(col("n_deliveries")).as("n_deliveries"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring (no-oracle keys: validated by the ScalaTest
   // stream-vs-batch equivalence suite; driver records rows-only)
@@ -132,5 +191,6 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> ((s, d) => streamTumblingWindow(s, d)),
     "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
-    "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)))
+    "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)),
+    "stream_redelivery_tracker" -> ((s, d) => streamRedeliveryTracker(s, d)))
 }

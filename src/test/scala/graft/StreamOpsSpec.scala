@@ -38,6 +38,14 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
+  test("stream_redelivery_tracker equals the batch per-key delivery count") {
+    val stream = StreamOps.streamRedeliveryTracker(spark, sfDir)
+    val batch = ev
+      .groupBy(col("user_id"), (col("event_id") % 256).as("seq"))
+      .agg(count(lit(1)).as("n_deliveries"))
+    assertSameRows(stream, batch)
+  }
+
   test("stream_dedup_watermark equals exact batch dedup on the same keys") {
     val stream = StreamOps.streamDedupWatermark(spark, sfDir)
     val batch = ev
