@@ -107,6 +107,37 @@ object RelationalOps {
         col("n_events"),
         (abs(col("apx") - col("exact_users")) <= col("exact_users") * 0.15).as("approx_ok"))
 
+  /** Skew-safe equi-join: spread each hot key of the large side over
+    * `salts` sub-keys (deterministic salt from a spreading column) and
+    * replicate the small side once per salt. At 100 TB a single hot
+    * partition key (one celebrity user, one default topic) turns a plain
+    * shuffle join into one straggler task; salting bounds any task at
+    * 1/`salts` of the hot key. AQE's skew-join handles the sort-merge
+    * case at runtime; explicit salting is the declarative form that also
+    * covers aggregations and non-AQE paths.
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String,
+      spreadCol: String, salts: Int): DataFrame = {
+    val l = large.withColumn("_salt", pmod(hash(col(spreadCol)), lit(salts)))
+    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Contract query for the salting path: events ⋈ per-user dimension
+    * through [[saltedJoin]], then aggregated — results are identical to
+    * the plain join (the oracle computes it unsalted), proving salting is
+    * a pure physical rewrite.
+    */
+  def saltedJoinSkew(ev: DataFrame): DataFrame = {
+    val dim = ev.groupBy("user_id")
+      .agg(count_distinct(col("event_type")).as("n_types"))
+    saltedJoin(ev, dim, "user_id", "event_id", 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("n_types")).as("sum_types"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -121,7 +152,8 @@ object RelationalOps {
     "set_ops_returnflag" -> ((s, d) => setOpsSegment(
       Fixtures.customer(s, d), Fixtures.orders(s, d), SEGMENT)),
     "string_date_math_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
-    "approx_distinct_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))))
+    "approx_distinct_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
+    "salted_join_skew" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))))
 
   def oracle: Map[String, String] = Map(
     "topic_join_star" ->
@@ -160,6 +192,13 @@ object RelationalOps {
                 abs(o_totalprice - 150000.0) AS price_dev,
                 CAST(floor(o_totalprice) AS BIGINT) AS price_floor
          FROM orders""",
+    "salted_join_skew" ->
+      """WITH dim AS (SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+                      FROM events GROUP BY user_id)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(d.n_types) AS BIGINT) AS sum_types
+         FROM events e JOIN dim d USING (user_id)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "approx_distinct_users" ->
       """SELECT exact_users, n_events,
                 (abs(apx - exact_users) <= exact_users * 0.15) AS approx_ok

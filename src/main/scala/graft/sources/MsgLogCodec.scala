@@ -22,7 +22,9 @@ case class MsgFrame(
   * re-expressed for a file-backed log:
   *
   * {{{
-  * frame := [totalSize: int32] [crc32c: uint32 over body] [body]
+  * frame := [totalSize: int32] [crc32c: uint32 over codec+stored] [codec: u8] [stored]
+  * stored := body            when codec = 0 (NONE)
+  *         | deflate(body)   when codec = 1 (ZLIB)
   * body  := [event_id: int64] [ts_us: int64] [user_id: int64]
   *          [value: float64] [len: int32][event_type utf8]
   *          [len: int32][props utf8]
@@ -34,21 +36,51 @@ case class MsgFrame(
   *    (`codec.rs:185`); a storage-backed log cannot skip it.
   *  - No protobuf: the envelope is fixed, so fixed-width fields +
   *    length-prefixed strings decode with zero copies beyond the strings.
+  *  - Compression is per-frame with a codec id, like the reference's
+  *    payload compression (`src/message/producer.rs:54-131`, proto:81-87);
+  *    zlib is the JDK-available codec standing in for the reference's
+  *    LZ4/Zlib/Zstd/Snappy set. Readers auto-detect per frame.
   */
 object MsgLogCodec {
 
   val Extension = ".glog"
 
-  def writeFrame(out: DataOutputStream, m: MsgFrame): Unit = {
+  val CodecNone: Byte = 0
+  val CodecZlib: Byte = 1
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 16)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val i = new java.util.zip.Inflater()
+    i.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 2 + 16)
+    val buf = new Array[Byte](4096)
+    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
+    i.end()
+    out.toByteArray
+  }
+
+  def writeFrame(out: DataOutputStream, m: MsgFrame, codec: Byte = CodecNone): Unit = {
     val et = m.eventType.getBytes(UTF_8)
     val pr = m.props.getBytes(UTF_8)
     val body = java.nio.ByteBuffer.allocate(8 + 8 + 8 + 8 + 4 + et.length + 4 + pr.length)
     body.putLong(m.eventId).putLong(m.tsUs).putLong(m.userId).putDouble(m.value)
     body.putInt(et.length).put(et).putInt(pr.length).put(pr)
-    val bytes = body.array()
-    out.writeInt(4 + bytes.length)
-    out.writeInt(Crc32C.compute(bytes).toInt)
-    out.write(bytes)
+    val stored = if (codec == CodecZlib) deflate(body.array()) else body.array()
+    val checked = new Array[Byte](1 + stored.length)
+    checked(0) = codec
+    System.arraycopy(stored, 0, checked, 1, stored.length)
+    out.writeInt(4 + checked.length)
+    out.writeInt(Crc32C.compute(checked).toInt)
+    out.write(checked)
   }
 
   /** Decode the next frame, verifying the checksum. Returns None at clean
@@ -60,12 +92,18 @@ object MsgLogCodec {
       try in.readInt()
       catch { case _: EOFException => return None }
     val storedCrc = in.readInt() & 0xFFFFFFFFL
-    val body = new Array[Byte](totalSize - 4)
-    in.readFully(body)
-    val actual = Crc32C.compute(body)
+    val checked = new Array[Byte](totalSize - 4)
+    in.readFully(checked)
+    val actual = Crc32C.compute(checked)
     if (actual != storedCrc) {
       throw new java.io.IOException(
         f"graft-msglog: CRC32C mismatch (stored 0x$storedCrc%08x, computed 0x$actual%08x)")
+    }
+    val stored = java.util.Arrays.copyOfRange(checked, 1, checked.length)
+    val body = checked(0) match {
+      case CodecZlib => inflate(stored)
+      case CodecNone => stored
+      case other => throw new java.io.IOException(s"graft-msglog: unknown codec id $other")
     }
     val buf = java.nio.ByteBuffer.wrap(body)
     val eventId = buf.getLong; val tsUs = buf.getLong

@@ -29,15 +29,26 @@ import org.apache.spark.sql.types.StructType
   */
 class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
 
+  /** Per-frame payload codec (reference compression option,
+    * `src/entity/producer.rs:325-347`): `compression=zlib|none`.
+    */
+  private val codec: Byte = Option(info.options.get("compression")) match {
+    case Some("zlib") => MsgLogCodec.CodecZlib
+    case Some("none") | None => MsgLogCodec.CodecNone
+    case Some(other) =>
+      throw new IllegalArgumentException(
+        s"graft-msglog: unsupported compression '$other' (use zlib or none)")
+  }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new MsgLogBatchWrite(path, info.schema())
-    override def toStreaming: StreamingWrite = new MsgLogStreamingWrite(path, info.schema())
+    override def toBatch: BatchWrite = new MsgLogBatchWrite(path, info.schema(), codec)
+    override def toStreaming: StreamingWrite = new MsgLogStreamingWrite(path, info.schema(), codec)
   }
 }
 
 case class MsgLogCommit(file: String) extends WriterCommitMessage
 
-class MsgLogBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte) extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
     * first write's ledgers — observed, fixed). Streaming epochs stay
@@ -46,32 +57,33 @@ class MsgLogBatchWrite(path: String, schema: StructType) extends BatchWrite {
     */
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    MsgLogWriterFactory(path, schema, writeId)
+    MsgLogWriterFactory(path, schema, writeId, codec)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class MsgLogStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+class MsgLogStreamingWrite(path: String, schema: StructType, codec: Byte) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MsgLogWriterFactory(path, schema, "")
+    MsgLogWriterFactory(path, schema, "", codec)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Serializable factory shipped to executors (one writer per task). */
-case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String)
+case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String, codec: Byte)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId)
+    new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId, codec)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new MsgLogDataWriter(path, schema, f"epoch-$epochId%06d-$partitionId%04d", taskId)
+    new MsgLogDataWriter(path, schema, f"epoch-$epochId%06d-$partitionId%04d", taskId, codec)
 }
 
 /** Frames one partition's rows into `<stem>.glog` via a temp file +
   * atomic rename on commit. Expects the envelope columns (by name):
   * event_id, ts, user_id, event_type, value, props.
   */
-class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long)
+class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
+    codec: Byte = MsgLogCodec.CodecNone)
     extends DataWriter[InternalRow] {
 
   private val iEvent = schema.fieldIndex("event_id")
@@ -99,7 +111,7 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
       row.getLong(iUser),
       row.getUTF8String(iType).toString,
       row.getDouble(iValue),
-      row.getUTF8String(iProps).toString))
+      row.getUTF8String(iProps).toString), codec)
     n += 1
   }
 

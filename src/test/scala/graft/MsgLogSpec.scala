@@ -97,6 +97,32 @@ class MsgLogSpec extends SparkTestBase {
     assertSameRows(streamed, batch)
   }
 
+  test("zlib-compressed frames round-trip and shrink the ledger") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val plain = Files.createTempDirectory("glog_plain_").toString
+    val packed = Files.createTempDirectory("glog_zlib_").toString
+    ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
+    ev.repartition(2).write.format("graft-msglog")
+      .option("compression", "zlib").mode("append").save(packed)
+    def dirSize(d: String): Long =
+      Files.list(Paths.get(d)).mapToLong(p => Files.size(p)).sum()
+    assert(dirSize(packed) < dirSize(plain))
+    assertSameRows(
+      spark.read.format("graft-msglog").load(packed).drop("ledger", "entry"),
+      spark.read.format("graft-msglog").load(plain).drop("ledger", "entry"))
+  }
+
+  test("unsupported compression codec is rejected by name") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ex = intercept[Exception] {
+      ev.write.format("graft-msglog").option("compression", "zstd")
+        .mode("append").save(Files.createTempDirectory("glog_bad_").toString)
+    }
+    assert(ex.getMessage.contains("unsupported compression"))
+  }
+
   test("batch sink: a second append adds ledgers instead of replacing them") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -71,6 +71,15 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(row.getAs[String]("prio4") === src.getAs[String]("o_orderpriority").substring(0, 4).toUpperCase)
   }
 
+  test("saltedJoin is a pure physical rewrite: same rows as the plain join") {
+    val ev = Fixtures.events(spark, sfDir)
+    val dim = ev.groupBy("user_id").agg(count_distinct(col("event_type")).as("n_types"))
+    val salted = RelationalOps.saltedJoin(ev, dim, "user_id", "event_id", 8)
+      .select("user_id", "event_id", "n_types")
+    val plain = ev.join(dim, "user_id").select("user_id", "event_id", "n_types")
+    assertSameRows(salted, plain)
+  }
+
   test("approxDistinctUsers: exact matches count(distinct), approx within bound") {
     val ev = Fixtures.events(spark, sfDir)
     val r = RelationalOps.approxDistinctUsers(ev).collect()(0)
