@@ -55,6 +55,25 @@ object MsgLog {
       .orderBy("event_type")
   }
 
+  /** Namespace topic listing (reference `CommandGetTopicsOfNamespace`,
+    * `src/PulsarApi.proto:656-670`): a namespace = a directory of topic
+    * directories; returns one row per topic with its partition (ledger)
+    * count and message total — the catalog surface a multi-topic
+    * subscribe (`union` of sources) starts from.
+    */
+  def listTopics(spark: SparkSession, namespaceDir: String): DataFrame = {
+    import spark.implicits._
+    val topics = Option(new java.io.File(namespaceDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .sortBy(_.getName)
+      .map { d =>
+        val ledgers = MsgLogSource.ledgerFiles(d.getAbsolutePath)
+        (d.getName, ledgers.size, ledgers.map(MsgLogCodec.countFrames).sum)
+      }
+    topics.toSeq.toDF("topic", "n_partitions", "n_messages")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)))
 

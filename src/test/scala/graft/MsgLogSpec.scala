@@ -151,6 +151,18 @@ class MsgLogSpec extends SparkTestBase {
     assert(back.select("ledger").distinct().count() >= 3)
   }
 
+  test("listTopics enumerates topics with partition and message counts") {
+    val ns = Files.createTempDirectory("glog_ns_")
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    MsgLog.writeEvents(ev, ns.resolve("topic-a").toString, 2)
+    MsgLog.writeEvents(ev.limit(100), ns.resolve("topic-b").toString, 1)
+    val topics = MsgLog.listTopics(spark, ns.toString).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(topics("topic-a") === (2, ev.count()))
+    assert(topics("topic-b")._2 === 100L)
+  }
+
   test("contract query matches a direct aggregation of the source table") {
     val viaLog = MsgLog.msglogRoundtripScan(spark, sfDir)
     val direct = Fixtures.events(spark, sfDir)
