@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -90,14 +90,24 @@ class MsgLogTable(path: String) extends Table with SupportsRead with SupportsWri
     new MsgLogWriteBuilder(path, info)
 }
 
+/** Column pruning (`SupportsPushDownRequiredColumns`): a projection of 2
+  * envelope columns must not materialize all 8 — at 100 TB the UTF-8
+  * decode of unrequested string fields dominates scan cost. Frames are
+  * still walked whole (the log is row-framed), but only requested fields
+  * are converted and shipped.
+  */
 class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder {
-  override def build(): Scan = new MsgLogScan(path, options)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = MsgLogSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new MsgLogScan(path, options, required)
 }
 
-class MsgLogScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = MsgLogSource.Schema
-  override def description(): String = s"graft-msglog $path"
+class MsgLogScan(path: String, options: CaseInsensitiveStringMap, required: StructType)
+    extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-msglog $path cols=[${required.fieldNames.mkString(",")}]"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -105,12 +115,12 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
         MsgLogPartition(i, p.toString, 0L, Long.MaxValue): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new MsgLogReaderFactory
+      MsgLogReaderFactory(required)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MsgLogMicroBatchStream(path,
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong), required)
 }
 
 /** Offset = consumed entry count per ledger (cumulative-ack frontier). */
@@ -126,7 +136,8 @@ object MsgLogOffset {
   }
 }
 
-class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
+class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
+    required: StructType = MsgLogSource.Schema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -178,7 +189,7 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new MsgLogReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = MsgLogReaderFactory(required)
 
   override def deserializeOffset(json: String): Offset = MsgLogOffset.parse(json)
 
@@ -191,22 +202,36 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long])
 case class MsgLogPartition(ledger: Int, file: String, startEntry: Long, endEntry: Long)
     extends InputPartition
 
-class MsgLogReaderFactory extends PartitionReaderFactory {
+case class MsgLogReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MsgLogPartition]
-    new MsgLogPartitionReader(p)
+    new MsgLogPartitionReader(p, required)
   }
 }
 
 /** Sequential frame decoder over one ledger slice; seeks by skipping size
-  * prefixes (no decode, no CRC until the slice starts).
+  * prefixes (no decode, no CRC until the slice starts). Only the pruned
+  * columns are materialized into the output row.
   */
-class MsgLogPartitionReader(p: MsgLogPartition) extends PartitionReader[InternalRow] {
+class MsgLogPartitionReader(p: MsgLogPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(p.file)), 1 << 16))
   private var entry = 0L
   while (entry < p.startEntry && MsgLogCodec.skipFrame(in)) entry += 1
   private var current: MsgFrame = _
+
+  private val extractors: Array[() => Any] = required.fieldNames.map {
+    case "ledger" => () => p.ledger
+    case "entry" => () => entry - 1
+    case "event_id" => () => current.eventId
+    case "ts" => () => current.tsUs
+    case "user_id" => () => current.userId
+    case "event_type" => () => UTF8String.fromString(current.eventType)
+    case "value" => () => current.value
+    case "props" => () => UTF8String.fromString(current.props)
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
 
   override def next(): Boolean = {
     if (entry >= p.endEntry) return false
@@ -216,10 +241,8 @@ class MsgLogPartitionReader(p: MsgLogPartition) extends PartitionReader[Internal
     }
   }
 
-  override def get(): InternalRow = new GenericInternalRow(Array[Any](
-    p.ledger, entry - 1, current.eventId, current.tsUs, current.userId,
-    UTF8String.fromString(current.eventType), current.value,
-    UTF8String.fromString(current.props)))
+  override def get(): InternalRow =
+    new GenericInternalRow(extractors.map(_.apply()))
 
   override def close(): Unit = in.close()
 }

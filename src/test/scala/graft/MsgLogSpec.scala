@@ -151,6 +151,21 @@ class MsgLogSpec extends SparkTestBase {
     assert(back.select("ledger").distinct().count() >= 3)
   }
 
+  test("column pruning reaches the scan: projected reads carry only requested columns") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val projected = spark.read.format("graft-msglog").load(dir)
+      .select("user_id", "value")
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[user_id,value]"), s"scan not pruned:\n$plan")
+    assert(projected.distinct().count() > 0)
+    // aggregate over a pruned stream read stays correct
+    val sum = spark.read.format("graft-msglog").load(dir)
+      .agg(org.apache.spark.sql.functions.sum("value")).collect()(0).getDouble(0)
+    val expected = Fixtures.events(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(sum - expected) < 1e-6)
+  }
+
   test("listTopics enumerates topics with partition and message counts") {
     val ns = Files.createTempDirectory("glog_ns_")
     val ev = Fixtures.events(spark, sfDir)
