@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -95,19 +96,80 @@ class MsgLogTable(path: String) extends Table with SupportsRead with SupportsWri
   * decode of unrequested string fields dominates scan cost. Frames are
   * still walked whole (the log is row-framed), but only requested fields
   * are converted and shipped.
+  *
+  * Filter pushdown (`SupportsPushDownFilters`): comparison predicates on
+  * envelope fields are evaluated against the decoded frame BEFORE row
+  * materialization — rows that fail never allocate UTF8 strings or reach
+  * Spark. Pushdown is inexact (the reader still walks every frame to keep
+  * offsets dense), so every filter is also returned as a residual for
+  * Spark to re-check — correctness never depends on the reader's
+  * evaluation.
   */
 class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = MsgLogSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new MsgLogScan(path, options, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => MsgLogFilters.compile(f).isDefined)
+    filters // all residual: reader-side evaluation is an optimization only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new MsgLogScan(path, options, required, pushed)
 }
 
-class MsgLogScan(path: String, options: CaseInsensitiveStringMap, required: StructType)
+/** Compile catalog filters to frame predicates (the supported subset). */
+object MsgLogFilters {
+  private def value(m: MsgFrame, attr: String): Option[Any] = attr match {
+    case "event_id" => Some(m.eventId)
+    case "user_id" => Some(m.userId)
+    case "value" => Some(m.value)
+    case "event_type" => Some(m.eventType)
+    case "ts" => Some(m.tsUs)
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Long, y: java.sql.Timestamp) =>
+      Some(java.lang.Long.compare(x, y.getTime * 1000L))
+    case (x: Long, y: java.time.Instant) =>
+      Some(java.lang.Long.compare(x,
+        y.getEpochSecond * 1000000L + y.getNano / 1000L))
+    case _ => None
+  }
+
+  def compile(f: Filter): Option[MsgFrame => Boolean] = f match {
+    case EqualTo(a, v) => compiled(a, v, _ == 0)
+    case GreaterThan(a, v) => compiled(a, v, _ > 0)
+    case GreaterThanOrEqual(a, v) => compiled(a, v, _ >= 0)
+    case LessThan(a, v) => compiled(a, v, _ < 0)
+    case LessThanOrEqual(a, v) => compiled(a, v, _ <= 0)
+    case IsNotNull(a) if value(MsgLogFilters.probe, a).isDefined =>
+      Some(_ => true) // envelope fields are never null
+    case _ => None
+  }
+
+  private val probe = MsgFrame(0L, 0L, 0L, "", 0.0, "")
+
+  private def compiled(attr: String, v: Any, test: Int => Boolean): Option[MsgFrame => Boolean] =
+    value(probe, attr).flatMap(pv => cmp(pv, v).map(_ =>
+      (m: MsgFrame) => value(m, attr).flatMap(x => cmp(x, v)).exists(test)))
+}
+
+class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
+    required: StructType, pushed: Array[Filter] = Array.empty)
     extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-msglog $path cols=[${required.fieldNames.mkString(",")}]"
+    s"graft-msglog $path cols=[${required.fieldNames.mkString(",")}]" +
+      s" pushed=[${pushed.mkString(",")}]"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -115,12 +177,13 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap, required: Stru
         MsgLogPartition(i, p.toString, 0L, Long.MaxValue): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MsgLogReaderFactory(required)
+      MsgLogReaderFactory(required, pushed.flatMap(MsgLogFilters.compile))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MsgLogMicroBatchStream(path,
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong), required)
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
+      pushed.flatMap(MsgLogFilters.compile))
 }
 
 /** Offset = consumed entry count per ledger (cumulative-ack frontier). */
@@ -137,7 +200,8 @@ object MsgLogOffset {
 }
 
 class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
-    required: StructType = MsgLogSource.Schema)
+    required: StructType = MsgLogSource.Schema,
+    preds: Array[MsgFrame => Boolean] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -189,7 +253,7 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = MsgLogReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = MsgLogReaderFactory(required, preds)
 
   override def deserializeOffset(json: String): Offset = MsgLogOffset.parse(json)
 
@@ -202,18 +266,23 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
 case class MsgLogPartition(ledger: Int, file: String, startEntry: Long, endEntry: Long)
     extends InputPartition
 
-case class MsgLogReaderFactory(required: StructType) extends PartitionReaderFactory {
+case class MsgLogReaderFactory(required: StructType,
+    preds: Array[MsgFrame => Boolean] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MsgLogPartition]
-    new MsgLogPartitionReader(p, required)
+    new MsgLogPartitionReader(p, required, preds)
   }
 }
 
 /** Sequential frame decoder over one ledger slice; seeks by skipping size
   * prefixes (no decode, no CRC until the slice starts). Only the pruned
-  * columns are materialized into the output row.
+  * columns are materialized into the output row; frames failing a pushed
+  * predicate are skipped before materialization (entry numbering still
+  * advances — offsets stay dense).
   */
-class MsgLogPartitionReader(p: MsgLogPartition, required: StructType)
+class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
+    preds: Array[MsgFrame => Boolean] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(p.file)), 1 << 16))
@@ -234,11 +303,15 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType)
   }
 
   override def next(): Boolean = {
-    if (entry >= p.endEntry) return false
-    MsgLogCodec.readFrame(in) match {
-      case Some(m) => current = m; entry += 1; true
-      case None => false
+    while (entry < p.endEntry) {
+      MsgLogCodec.readFrame(in) match {
+        case Some(m) =>
+          entry += 1
+          if (preds.forall(_(m))) { current = m; return true }
+        case None => return false
+      }
     }
+    false
   }
 
   override def get(): InternalRow =

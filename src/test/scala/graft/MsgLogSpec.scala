@@ -166,6 +166,24 @@ class MsgLogSpec extends SparkTestBase {
     assert(math.abs(sum - expected) < 1e-6)
   }
 
+  test("filter pushdown reaches the scan and results stay exact") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val filtered = spark.read.format("graft-msglog").load(dir)
+      .filter(col("event_type") === "click" && col("value") > 100.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("EqualTo(event_type,click)"),
+      s"filters not pushed:\n$plan")
+    val expected = Fixtures.events(spark, sfDir)
+      .filter(col("event_type") === "click" && col("value") > 100.0).count()
+    assert(filtered.count() === expected)
+    // unsupported predicate (on props) still answers correctly as residual
+    val weird = spark.read.format("graft-msglog").load(dir)
+      .filter(col("props").contains("\"k\": 7") && col("user_id") < 50)
+    val expected2 = Fixtures.events(spark, sfDir)
+      .filter(col("props").contains("\"k\": 7") && col("user_id") < 50).count()
+    assert(weird.count() === expected2)
+  }
+
   test("listTopics enumerates topics with partition and message counts") {
     val ns = Files.createTempDirectory("glog_ns_")
     val ev = Fixtures.events(spark, sfDir)
