@@ -93,6 +93,22 @@ object MultimodalOps {
     media.mapPartitions { it => it.map(stubDecode) }
   }
 
+  /** Resize (STUB geometry, real plumbing): letterbox every decoded frame
+    * into a target box preserving aspect ratio — the standard pre-model
+    * normalization. Pure integer/double projection over the decoded
+    * metadata; a real implementation swaps the arithmetic for a pixel
+    * kernel inside the same column contract.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], targetW: Int, targetH: Int): DataFrame =
+    features.toDF()
+      .withColumn("scale",
+        least(lit(targetW) / col("width"), lit(targetH) / col("height")))
+      .select(
+        col("media_id"), col("kind"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"),
+        round(col("scale"), 6).as("scale"))
+
   /** Frame sampling: every k-th frame index per video/audio — a projection
     * over the decoded metadata (`sequence` + HOF), no second decode pass.
     */

@@ -31,6 +31,27 @@ class MsgLogSpec extends SparkTestBase {
     assert(MsgLogCodec.readFrame(in) === None)
   }
 
+  test("codec: arbitrary frames round-trip under both codecs (scalacheck)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Gen
+    val genFrame = for {
+      id <- Gen.long; ts <- Gen.long; user <- Gen.long
+      et <- Gen.asciiPrintableStr
+      v <- Gen.double
+      props <- Gen.listOf(Gen.alphaNumStr).map(_.mkString("{", ",", "}"))
+    } yield MsgFrame(id, ts, user, et, v, props)
+    val prop = forAll(genFrame, Gen.oneOf(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib)) {
+      (m, codec) =>
+        val out = new ByteArrayOutputStream()
+        MsgLogCodec.writeFrame(new DataOutputStream(out), m, codec)
+        MsgLogCodec.readFrame(
+          new DataInputStream(new ByteArrayInputStream(out.toByteArray))).contains(m)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("codec: corrupt payload byte is rejected by the CRC check") {
     val out = new ByteArrayOutputStream()
     MsgLogCodec.writeFrame(new DataOutputStream(out), frame(1))

@@ -157,6 +157,20 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: resize letterboxes into the target box preserving aspect") {
+    val features = MultimodalOps.decodeFeatures(MultimodalOps.mediaTable(docs))
+    val resized = MultimodalOps.resizeStub(features, 224, 224)
+    resized.collect().foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(w <= 224 && h <= 224)
+      assert(w == 224 || h == 224 ||
+        math.max(w, h) >= 223) // floor can shave a pixel off the long side
+      val ratioIn = r.getAs[Int]("width").toDouble / r.getAs[Int]("height")
+      val ratioOut = w.toDouble / h
+      assert(math.abs(ratioIn - ratioOut) < 0.1)
+    }
+  }
+
   test("multimodal: per-kind stats cover all records") {
     val stats = MultimodalOps.multimodalDecodeStats(docs).collect()
     assert(stats.map(_.getAs[Long]("n")).sum === docs.count())
