@@ -42,5 +42,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ TextOps.oracle ++
-      MultimodalOps.oracle ++ MsgLog.oracle
+      MultimodalOps.oracle ++ MsgLog.oracle ++ StreamOps.oracle
 }

@@ -183,6 +183,39 @@ object StreamOps {
       .agg(max(col("n_deliveries")).as("n_deliveries"))
   }
 
+  /** Dead-letter split via `foreachBatch` (reference `DeadLetterPolicy`,
+    * `src/entity/consumer.rs:71-77`): each micro-batch fans out to two
+    * sinks — poison messages (here: a row-level predicate standing in for
+    * "exceeded max_redeliver_count") divert to the DLQ topic, the rest to
+    * the main topic. `foreachBatch` is the multi-sink escape hatch:
+    * inside the closure the batch is a plain DataFrame, written
+    * idempotently per epoch. Returns per-topic delivery counts read back
+    * from the sinks — so the oracle checks the whole fan-out path.
+    */
+  def streamDeadLetterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val poison = col("value") > 250.0 || col("props").isNull
+    val base = java.nio.file.Files.createTempDirectory("graft_dlq_")
+    base.toFile.deleteOnExit()
+    val (mainDir, dlqDir) = (s"$base/main", s"$base/dlq")
+    val q = eventsStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.filter(poison).write.mode("append").parquet(dlqDir)
+        batch.filter(!poison).write.mode("append").parquet(mainDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val main = spark.read.parquet(mainDir)
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("topic", lit("main"))
+    val dlq = spark.read.parquet(dlqDir)
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("topic", lit("dlq"))
+    main.unionByName(dlq).select("topic", "n", "sum_value").orderBy("topic")
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring (no-oracle keys: validated by the ScalaTest
   // stream-vs-batch equivalence suite; driver records rows-only)
@@ -192,5 +225,20 @@ object StreamOps {
     "stream_tumbling_window" -> ((s, d) => streamTumblingWindow(s, d)),
     "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
     "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)),
-    "stream_redelivery_tracker" -> ((s, d) => streamRedeliveryTracker(s, d)))
+    "stream_redelivery_tracker" -> ((s, d) => streamRedeliveryTracker(s, d)),
+    "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)))
+
+  /** `stream_dlq_split` is the one streaming key with a DuckDB oracle: its
+    * output is read back from the sink files, so the comparison covers the
+    * full foreachBatch fan-out rather than in-flight streaming state.
+    */
+  def oracle: Map[String, String] = Map(
+    "stream_dlq_split" ->
+      """SELECT topic, CAST(n AS BIGINT) AS n, sum_value FROM (
+           SELECT 'main' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM events WHERE NOT (value > 250.0 OR props IS NULL)
+           UNION ALL
+           SELECT 'dlq' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
+           FROM events WHERE value > 250.0 OR props IS NULL)
+         ORDER BY topic""")
 }
