@@ -295,6 +295,29 @@ object MessageOps {
     ev.select(col("event_id"), col("user_id"), publishUs(col("ts")).as("publish_us"))
       .filter(col("publish_us") + delayUs <= nowEpochUs)
 
+  /** Sliding rate window (flow-control accounting, permits proto:523-529):
+    * for every message, how many messages its producer sent in the
+    * trailing hour — a RANGE frame over the event-time axis (value-based,
+    * not row-based: gaps matter). One shuffle on user_id.
+    */
+  def rateLimitWindow(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("publish_us")
+      .rangeBetween(-3600000000L, 0)
+    ev.select(col("user_id"), col("event_id"), publishUs(col("ts")).as("publish_us"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+  }
+
+  /** Inter-arrival gaps per producer (`lag` analytic): the delay between
+    * consecutive sends, the raw signal behind keep-alive/idle detection
+    * (reference heartbeat thresholds, `src/netflow/connection.rs:516-558`).
+    */
+  def interArrivalGaps(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("publish_us", "event_id")
+    ev.select(col("user_id"), col("event_id"), publishUs(col("ts")).as("publish_us"))
+      .withColumn("gap_us", col("publish_us") - lag("publish_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+  }
+
   /** Payload integrity: CRC32C (Castagnoli) checksum per message, summed
     * per topic — the read-side verification the reference left as a TODO
     * (`codec.rs:185`; write-side `codec.rs:139-149`). Uses the native
@@ -338,6 +361,8 @@ object MessageOps {
     "throughput_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
     "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
     "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
+    "rate_limit_window" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
+    "inter_arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
     "payload_integrity_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
   private val US = "epoch_us(CAST(ts AS TIMESTAMP))"
@@ -423,5 +448,17 @@ object MessageOps {
          FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST""",
     "deliver_at_filter" ->
       s"""SELECT event_id, user_id, $US AS publish_us FROM events
-          WHERE $US + $HOUR_US <= $NOW_US ORDER BY event_id""")
+          WHERE $US + $HOUR_US <= $NOW_US ORDER BY event_id""",
+    "rate_limit_window" ->
+      s"""SELECT user_id, event_id, $US AS publish_us,
+                 CAST(count(*) OVER (PARTITION BY user_id ORDER BY $US
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_last_hour
+          FROM events""",
+    "inter_arrival_gaps" ->
+      s"""SELECT user_id, event_id, publish_us, gap_us FROM (
+            SELECT user_id, event_id, $US AS publish_us,
+                   $US - lag($US, 1) OVER (PARTITION BY user_id
+                     ORDER BY $US, event_id) AS gap_us
+            FROM events) WHERE gap_us IS NOT NULL""")
 }
