@@ -62,14 +62,19 @@ object MultimodalOps {
 
   /** STUB decoder — deterministic fake in place of a real codec.
     * Real shape: parse container header → dims/frames; emit a feature
-    * vector from the decoded frames. Fake shape: dims/frames from byte
-    * length + first byte; feature = 8 pseudo-channel means derived by
-    * integer arithmetic. Deterministic, portable, and cheap — the
-    * mapPartitions boundary it sits behind is the real artifact.
+    * vector from the decoded frames. Fake shape: dims/frames from the
+    * payload's code-point count + first code point; feature = 8
+    * pseudo-channel means derived by integer arithmetic. Code points,
+    * not raw bytes, so the arithmetic means the same thing in the SQL
+    * oracle (`length`/`ascii` are character-based there) for non-ASCII
+    * payloads too; `byte_len` stays the true byte size (`strlen` in the
+    * oracle). Deterministic, portable, and cheap — the mapPartitions
+    * boundary it sits behind is the real artifact.
     */
   def stubDecode(r: MediaRecord): MediaFeatures = {
-    val len = r.bytes.length
-    val first = if (len > 0) r.bytes(0) & 0xFF else 0
+    val text = new String(r.bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val len = text.codePointCount(0, text.length)
+    val first = if (text.nonEmpty) text.codePointAt(0) else 0
     val width = 16 + (len % 64)
     val height = 16 + (first % 32)
     val nFrames = r.kind match {
@@ -78,7 +83,7 @@ object MultimodalOps {
       case _ => 1
     }
     val feature = Array.tabulate(8)(i => ((len * 31 + i * 7) % 97) / 97.0f)
-    MediaFeatures(r.media_id, r.kind, width, height, nFrames, len, feature)
+    MediaFeatures(r.media_id, r.kind, width, height, nFrames, r.bytes.length, feature)
   }
 
   /** Batched decode: one decoder pass per partition (`mapPartitions`), the
@@ -155,6 +160,7 @@ object MultimodalOps {
            SELECT doc_id AS media_id,
                   ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
                   length(text) AS len,
+                  strlen(text) AS nbytes,
                   ascii(substring(text, 1, 1)) AS first_b
            FROM documents),
          d AS (
@@ -164,7 +170,7 @@ object MultimodalOps {
                   CASE kind WHEN 'video' THEN 1 + (len % 24)
                             WHEN 'audio' THEN 1 + (len % 100)
                             ELSE 1 END AS n_frames,
-                  len AS byte_len,
+                  nbytes AS byte_len,
                   list_sum([CAST(CAST(((len * 31 + i * 7) % 97) / 97.0 AS FLOAT) AS DOUBLE)
                             for i in range(0, 8)]) AS feat_sum
            FROM m)

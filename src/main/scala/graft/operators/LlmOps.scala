@@ -74,19 +74,7 @@ object LlmOps {
   // Similarity search
   // ---------------------------------------------------------------------
 
-  /** Elementwise fold: sum of x*y over zipped arrays, in array order (the
-    * higher-order-function fold is deterministic left-to-right, stays in
-    * codegen, and never leaves the row — no explode, no shuffle).
-    */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def sqnorm(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  import VectorMath.{dot, sqnorm}
 
   /** Brute-force cosine top-k against one query vector: the exact baseline
     * ANN variants are measured against. The 1-row query side is broadcast

@@ -28,18 +28,7 @@ object SimilarityOps {
   val NumCentroids = 8
   val NumProbe = 2
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def sqnorm(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(sqnorm(a)) * sqrt(sqnorm(b))), 6)
+  import VectorMath.cosine
 
   /** Sign-bucket of every vector against `NumPlanes` deterministic
     * hyperplanes: bit j = [Σ_i w(i,j)·v_i > 0], bucket = Σ bit_j · 2^j.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Fixtures
@@ -30,12 +30,20 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
-  private val TOKS = "split(trim(lower(text)), '\\\\s+')"
+  /** Tokenized docs with the split materialized once behind an exchange
+    * barrier — the per-expression `TOKS` inlining this replaces
+    * re-tokenized every document up to 10× per row (project-collapse
+    * duplicates the regex split into every consuming expression).
+    */
+  private def withTokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("text"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+      .repartition(col("doc_id"))
 
-  private def profileScore(words: Seq[String]): String = {
-    val list = words.map(w => s"'$w'").mkString(", ")
-    s"size(filter($TOKS, x -> x IN ($list))) / cast(size($TOKS) as double)"
-  }
+  private def profileScore(words: Seq[String]): Column =
+    size(filter(col("w"), x => x.isin(words: _*))) /
+      size(col("w")).cast("double")
 
   /** Language ID: stopword-hit ratio per profile, argmax with a fixed
     * profile order for ties. (The fixture's `lang` column is a synthetic
@@ -43,8 +51,8 @@ object TextOps {
     * determinism and shape, not on recovering that label.)
     */
   def textLangId(docs: DataFrame): DataFrame = {
-    val scored = Profiles.foldLeft(docs.select(col("doc_id"), col("text"))) {
-      case (df, (lang, words)) => df.withColumn(s"s_$lang", expr(profileScore(words)))
+    val scored = Profiles.foldLeft(withTokens(docs)) {
+      case (df, (lang, words)) => df.withColumn(s"s_$lang", profileScore(words))
     }
     val scoreCols = Profiles.map { case (l, _) => s"s_$l" }
     val best = greatest(scoreCols.map(col): _*)
@@ -63,13 +71,14 @@ object TextOps {
     * downstream thresholds can re-weight without recomputing.
     */
   def textQualityScore(docs: DataFrame): DataFrame = {
-    val en = Profiles.head._2.map(w => s"'$w'").mkString(", ")
-    docs.select(
+    val en = Profiles.head._2
+    withTokens(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
-      expr(s"size($TOKS)").as("n_tokens"),
-      expr(s"size(filter($TOKS, x -> x IN ($en))) / cast(size($TOKS) as double)").as("stop_ratio"),
-      expr(s"aggregate(transform($TOKS, x -> length(x)), 0, (a, x) -> a + x) / cast(size($TOKS) as double)").as("avg_wlen"))
+      size(col("w")).as("n_tokens"),
+      profileScore(en).as("stop_ratio"),
+      (aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x) /
+        size(col("w")).cast("double")).as("avg_wlen"))
       .withColumn("quality",
         round(
           col("stop_ratio") * 0.3 +
@@ -83,10 +92,10 @@ object TextOps {
     * proxy pair used to budget tokenizer costs over a corpus.
     */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    withTokens(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
-      expr(s"size(filter($TOKS, x -> x <> ''))").as("ws_tokens"),
+      size(filter(col("w"), x => x =!= "")).as("ws_tokens"),
       expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""").as("bpe_tokens"))
 
   /** Document fingerprint: bottom-4 sketch of character-8-gram md5s — a

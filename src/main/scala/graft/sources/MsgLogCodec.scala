@@ -48,6 +48,17 @@ object MsgLogCodec {
   val CodecNone: Byte = 0
   val CodecZlib: Byte = 1
 
+  /** Upper bound on a frame's stored size: a corrupt size prefix (the one
+    * field the CRC cannot cover) must fail as a decode error, not as a
+    * NegativeArraySizeException or a multi-GB allocation.
+    */
+  val MaxFrameBytes: Int = 1 << 26 // 64 MiB
+
+  private def checkSize(totalSize: Int): Unit =
+    if (totalSize < 5 || totalSize > MaxFrameBytes)
+      throw new java.io.IOException(
+        s"graft-msglog: corrupt frame size $totalSize (valid: 5..$MaxFrameBytes)")
+
   private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(bytes); d.finish()
@@ -91,6 +102,7 @@ object MsgLogCodec {
     val totalSize =
       try in.readInt()
       catch { case _: EOFException => return None }
+    checkSize(totalSize)
     val storedCrc = in.readInt() & 0xFFFFFFFFL
     val checked = new Array[Byte](totalSize - 4)
     in.readFully(checked)
@@ -113,12 +125,21 @@ object MsgLogCodec {
     Some(MsgFrame(eventId, tsUs, userId, new String(et, UTF_8), value, new String(pr, UTF_8)))
   }
 
-  /** Skip one frame without decoding (offset seek path). False at EOF. */
+  /** Skip one frame without decoding (offset seek path). False at clean
+    * EOF; a truncated or size-corrupt frame raises.
+    */
   def skipFrame(in: DataInputStream): Boolean = {
     val totalSize =
       try in.readInt()
       catch { case _: EOFException => return false }
-    in.skipBytes(totalSize)
+    checkSize(totalSize)
+    var remaining = totalSize
+    while (remaining > 0) {
+      val skipped = in.skipBytes(remaining)
+      if (skipped <= 0)
+        throw new java.io.IOException("graft-msglog: truncated ledger (short frame)")
+      remaining -= skipped
+    }
     true
   }
 

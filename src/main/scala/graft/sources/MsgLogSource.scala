@@ -67,9 +67,13 @@ object MsgLogSource {
   def ledgerFiles(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(MsgLogCodec.Extension))
-      .sortBy(_.getFileName.toString)
+    else {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(MsgLogCodec.Extension))
+        .sortBy(_.getFileName.toString)
+      finally stream.close() // Files.list holds a directory fd until closed
+    }
   }
 }
 
@@ -138,7 +142,10 @@ object MsgLogFilters {
     case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Long, y: java.sql.Timestamp) =>
-      Some(java.lang.Long.compare(x, y.getTime * 1000L))
+      // getTime() floors to ms; restore the µs digits from the nanos field
+      // or equality/range filters silently under-include sub-ms rows
+      val us = y.getTime * 1000L + (y.getNanos % 1000000) / 1000L
+      Some(java.lang.Long.compare(x, us))
     case (x: Long, y: java.time.Instant) =>
       Some(java.lang.Long.compare(x,
         y.getEpochSecond * 1000000L + y.getNano / 1000L))
@@ -186,17 +193,23 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       pushed.flatMap(MsgLogFilters.compile))
 }
 
-/** Offset = consumed entry count per ledger (cumulative-ack frontier). */
-case class MsgLogOffset(counts: Seq[Long]) extends Offset {
-  override def json(): String = counts.mkString("[", ",", "]")
+/** Offset = consumed entry count per ledger, keyed by LEDGER NAME (the
+  * cumulative-ack frontier). Name-keyed, not index-keyed: ledgers appear
+  * over time with arbitrary lexicographic positions (batch writes embed a
+  * random write id), so positional offsets would re-bind to the wrong
+  * ledger after a new file sorts in front — duplicating some messages and
+  * skipping others on restart.
+  */
+case class MsgLogOffset(counts: Map[String, Long]) extends Offset {
+  override def json(): String = counts.toSeq.sorted
+    .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 }
 
 object MsgLogOffset {
-  def parse(json: String): MsgLogOffset = {
-    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) MsgLogOffset(Seq.empty)
-    else MsgLogOffset(body.split(",").map(_.trim.toLong).toSeq)
-  }
+  private val Entry = """"([^"]+)"\s*:\s*(\d+)""".r
+  def parse(json: String): MsgLogOffset =
+    MsgLogOffset(Entry.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
 }
 
 class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
@@ -205,50 +218,59 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private def files: Seq[Path] = MsgLogSource.ledgerFiles(path)
-
-  private lazy val totals: Seq[Long] = files.map(MsgLogCodec.countFrames)
+  /** Live (name → frame count) listing in name order. Walked per trigger —
+    * at real scale a ledger footer/index file replaces the size-walk.
+    */
+  private def listCounts(): Seq[(String, Long)] =
+    MsgLogSource.ledgerFiles(path)
+      .map(p => p.getFileName.toString -> MsgLogCodec.countFrames(p))
 
   /** AvailableNow contract: freeze the end of the backlog up front so the
-    * paced micro-batches drain exactly this snapshot and stop. `totals`
-    * is lazy — forcing it here is the snapshot. (Without this interface
-    * Spark wraps the stream and ignores read limits under AvailableNow.)
+    * paced micro-batches drain exactly this snapshot and stop. (Without
+    * this interface Spark wraps the stream and ignores read limits under
+    * AvailableNow.)
     */
-  override def prepareForTriggerAvailableNow(): Unit = totals
+  @volatile private var frozen: Option[Seq[(String, Long)]] = None
+  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(listCounts())
 
-  override def initialOffset(): Offset = MsgLogOffset(totals.map(_ => 0L))
+  private def currentTotals: Seq[(String, Long)] = frozen.getOrElse(listCounts())
 
-  override def latestOffset(): Offset = MsgLogOffset(totals)
+  override def initialOffset(): Offset = MsgLogOffset(Map.empty) // absent = 0
+
+  override def latestOffset(): Offset = MsgLogOffset(currentTotals.toMap)
 
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   /** Admission control = the flow-control permit grant: advance each
-    * ledger's frontier in order until the row budget is spent.
+    * ledger's frontier in name order until the row budget is spent.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = MsgLogOffset.parse(start.json()).counts
-      .padTo(totals.length, 0L)
     limit match {
       case mr: ReadMaxRows =>
         var budget = mr.maxRows()
-        val next = totals.zip(from).map { case (total, done) =>
-          val take = math.min(total - done, budget)
+        val next = currentTotals.map { case (name, total) =>
+          val done = from.getOrElse(name, 0L)
+          val take = math.max(0L, math.min(total - done, budget))
           budget -= take
-          done + take
+          name -> (done + take)
         }
-        MsgLogOffset(next)
-      case _ => MsgLogOffset(totals)
+        MsgLogOffset(next.toMap)
+      case _ => MsgLogOffset(currentTotals.toMap)
     }
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = MsgLogOffset.parse(start.json()).counts.padTo(totals.length, 0L)
-    val e = MsgLogOffset.parse(end.json()).counts.padTo(totals.length, 0L)
-    files.zipWithIndex.flatMap { case (p, i) =>
-      if (e(i) > s(i)) Some(MsgLogPartition(i, p.toString, s(i), e(i)): InputPartition)
+    val s = MsgLogOffset.parse(start.json()).counts
+    val e = MsgLogOffset.parse(end.json()).counts
+    e.toSeq.sorted.zipWithIndex.flatMap { case ((name, endCount), i) =>
+      val startCount = s.getOrElse(name, 0L)
+      if (endCount > startCount)
+        Some(MsgLogPartition(i, Paths.get(path, name).toString,
+          startCount, endCount): InputPartition)
       else None
     }.toArray
   }

@@ -193,7 +193,10 @@ object StreamOps {
     * from the sinks — so the oracle checks the whole fan-out path.
     */
   def streamDeadLetterSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val poison = col("value") > 250.0 || col("props").isNull
+    // null-safe three-way: null value/props is itself poison, so the
+    // predicate is never NULL and main ∪ dlq = everything (a NULL here
+    // would drop the row from BOTH branches under three-valued filters)
+    val poison = col("value").isNull || col("props").isNull || col("value") > 250.0
     val base = java.nio.file.Files.createTempDirectory("graft_dlq_")
     base.toFile.deleteOnExit()
     val (mainDir, dlqDir) = (s"$base/main", s"$base/dlq")
@@ -236,9 +239,9 @@ object StreamOps {
     "stream_dlq_split" ->
       """SELECT topic, CAST(n AS BIGINT) AS n, sum_value FROM (
            SELECT 'main' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
-           FROM events WHERE NOT (value > 250.0 OR props IS NULL)
+           FROM events WHERE NOT (value IS NULL OR props IS NULL OR value > 250.0)
            UNION ALL
            SELECT 'dlq' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
-           FROM events WHERE value > 250.0 OR props IS NULL)
+           FROM events WHERE value IS NULL OR props IS NULL OR value > 250.0)
          ORDER BY topic""")
 }

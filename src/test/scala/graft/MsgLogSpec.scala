@@ -144,6 +144,45 @@ class MsgLogSpec extends SparkTestBase {
     assert(ex.getMessage.contains("unsupported compression"))
   }
 
+  test("codec: corrupt size prefix fails as a decode error, not an allocation") {
+    val out = new ByteArrayOutputStream()
+    MsgLogCodec.writeFrame(new DataOutputStream(out), frame(1))
+    val bytes = out.toByteArray
+    bytes(0) = 0x7F.toByte // size prefix -> huge
+    val ex = intercept[java.io.IOException] {
+      MsgLogCodec.readFrame(new DataInputStream(new ByteArrayInputStream(bytes)))
+    }
+    assert(ex.getMessage.contains("corrupt frame size"))
+  }
+
+  test("restart on a grown log resumes by ledger name: no loss, no duplication") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_grow_").toString
+    val ckpt = Files.createTempDirectory("glog_grow_ckpt_").toString
+    val outDir = Files.createTempDirectory("glog_grow_out_").toString
+    ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-msglog")
+        .option("maxRowsPerTrigger", "300").load(topic)
+        .select("event_id")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // append a second write: its ledgers embed a fresh random write id and
+    // may sort lexicographically before the first write's — offsets must
+    // follow names, not positions
+    ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
+    drain()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() === 2 * ev.count())
+  }
+
   test("batch sink: a second append adds ledgers instead of replacing them") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
