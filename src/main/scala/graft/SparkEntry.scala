@@ -13,10 +13,11 @@ import graft.streaming.StreamOps
   * (SURVEY §2.3); `oracleSql` carries the DuckDB-equivalent SQL for each
   * oracle-checkable key. Column names/types are aligned pairwise — the
   * driver hash-compares after sorting columns by name. Keys without an
-  * oracle entry (the `stream_*` trio, `payload_integrity_crc`) are the
-  * SURVEY §7.3 sanctioned omissions: streams have no DuckDB analog and
-  * castagnoli CRC has no DuckDB function; both are locked down by the
-  * ScalaTest suite instead.
+  * oracle entry (four `stream_*` keys whose results live in streaming
+  * state, and `payload_integrity_crc` — no castagnoli in DuckDB) are the
+  * SURVEY §7.3 sanctioned omissions, locked down by the ScalaTest suite
+  * instead; `stream_dlq_split` DOES carry an oracle because its result is
+  * read back from the sink files.
   */
 object SparkEntry {
 

@@ -33,16 +33,16 @@ object DedupOps {
          sequence(1, greatest(size(w) - 2, 0)),
          i -> array_join(slice(w, i, 3), ' ')))"""
 
-  /** Tokenized docs with the split materialized behind a round-robin
-    * exchange, so downstream shingle lambdas reuse the array instead of
-    * re-splitting (the exchange is a projection barrier; at 100 TB it
-    * doubles as the parallelism spreader for skewed input files).
+  /** Tokenized docs with the split materialized as a named alias, which
+    * downstream shingle lambdas reference instead of re-splitting.
+    * CollapseProject refuses to inline a non-cheap alias referenced more
+    * than once (SPARK-36718), so the alias alone — no exchange barrier —
+    * guarantees one regex split per row.
     */
   private def tokenized(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
-      .repartition(col("doc_id"))
 
   val NumSeeds = 8
   val RowsPerBand = 2 // 4 bands × 2 rows

@@ -30,16 +30,15 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
-  /** Tokenized docs with the split materialized once behind an exchange
-    * barrier — the per-expression `TOKS` inlining this replaces
-    * re-tokenized every document up to 10× per row (project-collapse
-    * duplicates the regex split into every consuming expression).
+  /** Tokenized docs with the split materialized once as a named alias —
+    * the per-expression inlining this replaces re-tokenized every
+    * document up to 10× per row. The multi-referenced non-cheap alias is
+    * enough (CollapseProject won't inline it, SPARK-36718); no shuffle.
     */
   private def withTokens(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"), col("text"),
       split(trim(lower(col("text"))), "\\s+").as("w"))
-      .repartition(col("doc_id"))
 
   private def profileScore(words: Seq[String]): Column =
     size(filter(col("w"), x => x.isin(words: _*))) /

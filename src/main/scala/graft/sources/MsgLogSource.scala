@@ -64,6 +64,14 @@ object MsgLogSource {
     StructField("value", DoubleType, nullable = false),
     StructField("props", StringType, nullable = false)))
 
+  /** Stable `ledger` coordinate for a ledger file: a positive hash of its
+    * NAME. Positional indices are not stable — a later write's ledger can
+    * sort in front, silently re-numbering every coordinate downstream
+    * consumers may have keyed on. Like Pulsar's ledgerId, the value is an
+    * opaque unique id, not a dense partition index.
+    */
+  def ledgerId(name: String): Int = name.hashCode & 0x7FFFFFFF
+
   def ledgerFiles(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
@@ -180,8 +188,9 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      MsgLogSource.ledgerFiles(path).zipWithIndex.map { case (p, i) =>
-        MsgLogPartition(i, p.toString, 0L, Long.MaxValue): InputPartition
+      MsgLogSource.ledgerFiles(path).map { p =>
+        MsgLogPartition(MsgLogSource.ledgerId(p.getFileName.toString),
+          p.toString, 0L, Long.MaxValue): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       MsgLogReaderFactory(required, pushed.flatMap(MsgLogFilters.compile))
@@ -207,9 +216,17 @@ case class MsgLogOffset(counts: Map[String, Long]) extends Offset {
 
 object MsgLogOffset {
   private val Entry = """"([^"]+)"\s*:\s*(\d+)""".r
-  def parse(json: String): MsgLogOffset =
-    MsgLogOffset(Entry.findAllMatchIn(json)
+  def parse(json: String): MsgLogOffset = {
+    val t = json.trim
+    // Loud on anything that is not this format (e.g. a checkpoint from an
+    // older positional-offset version): silently parsing to an empty map
+    // would reset every frontier to 0 and re-deliver the whole log.
+    if (!(t.startsWith("{") && t.endsWith("}")))
+      throw new IllegalArgumentException(
+        s"graft-msglog: unrecognized offset format (expected name-keyed JSON object): $t")
+    MsgLogOffset(Entry.findAllMatchIn(t)
       .map(m => m.group(1) -> m.group(2).toLong).toMap)
+  }
 }
 
 class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
@@ -244,33 +261,46 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
 
   /** Admission control = the flow-control permit grant: advance each
     * ledger's frontier in name order until the row budget is spent.
+    * The result always merges over `start` — offsets are monotonic, so a
+    * transiently empty/unreadable listing must never regress a committed
+    * frontier (that would re-deliver a ledger from entry 0 once the
+    * listing recovers).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = MsgLogOffset.parse(start.json()).counts
-    limit match {
+    val listing = currentTotals
+    lastListing = listing
+    val advanced = limit match {
       case mr: ReadMaxRows =>
         var budget = mr.maxRows()
-        val next = currentTotals.map { case (name, total) =>
+        listing.map { case (name, total) =>
           val done = from.getOrElse(name, 0L)
           val take = math.max(0L, math.min(total - done, budget))
           budget -= take
           name -> (done + take)
         }
-        MsgLogOffset(next.toMap)
-      case _ => MsgLogOffset(currentTotals.toMap)
+      case _ => listing.map { case (name, total) =>
+        name -> math.max(total, from.getOrElse(name, 0L))
+      }
     }
+    MsgLogOffset(from ++ advanced.toMap)
   }
 
-  override def reportLatestOffset(): Offset = latestOffset()
+  /** Last listing taken by latestOffset this trigger — reusing it here
+    * avoids a second full size-walk of every ledger per micro-batch.
+    */
+  @volatile private var lastListing: Seq[(String, Long)] = null
+  override def reportLatestOffset(): Offset =
+    MsgLogOffset(Option(lastListing).getOrElse(currentTotals).toMap)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = MsgLogOffset.parse(start.json()).counts
     val e = MsgLogOffset.parse(end.json()).counts
-    e.toSeq.sorted.zipWithIndex.flatMap { case ((name, endCount), i) =>
+    e.toSeq.sorted.flatMap { case (name, endCount) =>
       val startCount = s.getOrElse(name, 0L)
       if (endCount > startCount)
-        Some(MsgLogPartition(i, Paths.get(path, name).toString,
-          startCount, endCount): InputPartition)
+        Some(MsgLogPartition(MsgLogSource.ledgerId(name),
+          Paths.get(path, name).toString, startCount, endCount): InputPartition)
       else None
     }.toArray
   }

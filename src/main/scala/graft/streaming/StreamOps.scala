@@ -203,8 +203,17 @@ object StreamOps {
     val q = eventsStream(spark, sfDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.filter(poison).write.mode("append").parquet(dlqDir)
-        batch.filter(!poison).write.mode("append").parquet(mainDir)
+        // idempotent per epoch: each sink writes into an epoch-keyed
+        // directory with overwrite, so a replayed epoch replaces its own
+        // output instead of double-appending; persist() keeps the split
+        // from recomputing the micro-batch source once per sink
+        batch.persist()
+        try {
+          batch.filter(poison).write.mode("overwrite")
+            .parquet(s"$dlqDir/epoch=$epochId")
+          batch.filter(!poison).write.mode("overwrite")
+            .parquet(s"$mainDir/epoch=$epochId")
+        } finally batch.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())
