@@ -318,6 +318,24 @@ object MessageOps {
       .filter(col("gap_us").isNotNull)
   }
 
+  /** The SQL surface: the same engine through `spark.sql` over a
+    * registered view — top-3 producers per topic by message count
+    * (`dense_rank` so count ties share a rank). Consumers of the library
+    * that live in SQL get the identical Catalyst plans the DataFrame API
+    * produces.
+    */
+  def sqlTopProducers(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    ev.createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type, user_id, n, rnk FROM (
+           SELECT event_type, user_id, count(*) AS n,
+                  dense_rank() OVER (PARTITION BY event_type
+                    ORDER BY count(*) DESC, user_id) AS rnk
+           FROM graft_events GROUP BY event_type, user_id)
+         WHERE rnk <= 3 ORDER BY event_type, rnk, user_id""")
+  }
+
   /** Payload integrity: CRC32C (Castagnoli) checksum per message, summed
     * per topic — the read-side verification the reference left as a TODO
     * (`codec.rs:185`; write-side `codec.rs:139-149`). Uses the native
@@ -363,6 +381,7 @@ object MessageOps {
     "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
     "rate_limit_window" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
     "inter_arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
+    "sql_top_producers" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
     "payload_integrity_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
   private val US = "epoch_us(CAST(ts AS TIMESTAMP))"
@@ -460,5 +479,12 @@ object MessageOps {
             SELECT user_id, event_id, $US AS publish_us,
                    $US - lag($US, 1) OVER (PARTITION BY user_id
                      ORDER BY $US, event_id) AS gap_us
-            FROM events) WHERE gap_us IS NOT NULL""")
+            FROM events) WHERE gap_us IS NOT NULL""",
+    "sql_top_producers" ->
+      """SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk FROM (
+           SELECT event_type, user_id, count(*) AS n,
+                  dense_rank() OVER (PARTITION BY event_type
+                    ORDER BY count(*) DESC, user_id) AS rnk
+           FROM events GROUP BY event_type, user_id)
+         WHERE rnk <= 3 ORDER BY event_type, rnk, user_id""")
 }

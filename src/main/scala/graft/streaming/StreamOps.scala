@@ -228,6 +228,24 @@ object StreamOps {
     main.unionByName(dlq).select("topic", "n", "sum_value").orderBy("topic")
   }
 
+  /** Stream-static enrichment join: the in-flight message stream joins a
+    * broadcast dimension (customer metadata keyed by the partition key) —
+    * the lookup-enrichment every consumer pipeline performs (topic
+    * metadata lookup analog, reference `src/discovery/mod.rs:44-110`).
+    * The static side is planned once and broadcast to every micro-batch;
+    * no stream state is held for the join itself.
+    */
+  def streamEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Fixtures.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = eventsStream(spark, sfDir)
+      .join(broadcast(dim), "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    runToTable(enriched, "complete")
+      .select(col("c_mktsegment"), col("n"), col("sum_value"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring (no-oracle keys: validated by the ScalaTest
   // stream-vs-batch equivalence suite; driver records rows-only)
@@ -238,13 +256,19 @@ object StreamOps {
     "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
     "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)),
     "stream_redelivery_tracker" -> ((s, d) => streamRedeliveryTracker(s, d)),
-    "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)))
+    "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
+    "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)))
 
   /** `stream_dlq_split` is the one streaming key with a DuckDB oracle: its
     * output is read back from the sink files, so the comparison covers the
     * full foreachBatch fan-out rather than in-flight streaming state.
     */
   def oracle: Map[String, String] = Map(
+    "stream_enrich_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment""",
     "stream_dlq_split" ->
       """SELECT topic, CAST(n AS BIGINT) AS n, sum_value FROM (
            SELECT 'main' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -46,6 +46,16 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
+  test("stream_enrich_join equals the batch join-aggregate") {
+    val stream = StreamOps.streamEnrichJoin(spark, sfDir)
+    val dim = Fixtures.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val batch = ev.join(dim, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assertSameRows(stream, batch)
+  }
+
   test("stream_dedup_watermark equals exact batch dedup on the same keys") {
     val stream = StreamOps.streamDedupWatermark(spark, sfDir)
     val batch = ev
