@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.MultimodalOps
-import graft.operators.{DedupOps, LlmOps, MessageOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{BucketedOps, DedupOps, LlmOps, MessageOps, RelationalOps, SimilarityOps, TextOps}
 import graft.sources.MsgLog
 import graft.streaming.StreamOps
 
@@ -35,7 +35,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MessageOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
       StreamOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      TextOps.queries ++ MultimodalOps.queries ++ MsgLog.queries
+      TextOps.queries ++ MultimodalOps.queries ++ MsgLog.queries ++
+      BucketedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -43,5 +44,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ TextOps.oracle ++
-      MultimodalOps.oracle ++ MsgLog.oracle ++ StreamOps.oracle
+      MultimodalOps.oracle ++ MsgLog.oracle ++ StreamOps.oracle ++
+      BucketedOps.oracle
 }
