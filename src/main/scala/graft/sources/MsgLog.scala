@@ -55,6 +55,26 @@ object MsgLog {
       .orderBy("event_type")
   }
 
+  /** Topic compaction (reference `read_compacted`,
+    * `src/PulsarApi.proto:325`): rewrite a topic keeping only the latest
+    * message per partition key — the broker-side compaction job whose
+    * *read* form is the `read_compacted_last_per_key` query. Latest =
+    * max (publish time, event_id); output is routed/framed like any
+    * produce, so a compacted topic is itself a valid topic.
+    */
+  def compactTopic(spark: SparkSession, inDir: String, outDir: String,
+      numLedgers: Int = NumLedgers): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = spark.read.format("graft-msglog").load(inDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    latest.repartition(numLedgers, col("user_id"))
+      .write.format("graft-msglog").mode("append").save(outDir)
+  }
+
   /** Namespace topic listing (reference `CommandGetTopicsOfNamespace`,
     * `src/PulsarApi.proto:656-670`): a namespace = a directory of topic
     * directories; returns one row per topic with its partition (ledger)

@@ -193,13 +193,26 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
           p.toString, 0L, Long.MaxValue): InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MsgLogReaderFactory(required, pushed.flatMap(MsgLogFilters.compile))
+      MsgLogReaderFactory(required,
+        pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MsgLogMicroBatchStream(path,
       Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
-      pushed.flatMap(MsgLogFilters.compile))
+      pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate)
+
+  /** Seek-by-publish-time (reference `CommandSeek{message_publish_time}`,
+    * `src/PulsarApi.proto:537-543`): `startingTimeUs` positions the
+    * subscription at the first message at/after the timestamp. Applied as
+    * a reader-side predicate — offsets stay dense, earlier frames are
+    * skipped before materialization.
+    */
+  private def seekPredicate: Array[MsgFrame => Boolean] =
+    Option(options.get("startingTimeUs")).map(_.toLong) match {
+      case Some(t0) => Array((m: MsgFrame) => m.tsUs >= t0)
+      case None => Array.empty
+    }
 }
 
 /** Offset = consumed entry count per ledger, keyed by LEDGER NAME (the

@@ -244,6 +244,31 @@ class MsgLogSpec extends SparkTestBase {
     assert(weird.count() === expected2)
   }
 
+  test("startingTimeUs seeks the subscription to the first message at/after t0") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val t0 = 1704240000000000L // 2024-01-03 00:00:00 UTC
+    val sought = spark.read.format("graft-msglog")
+      .option("startingTimeUs", t0.toString).load(dir)
+    val expected = Fixtures.events(spark, sfDir)
+      .filter(unix_micros(col("ts")) >= t0).count()
+    assert(sought.count() === expected)
+    assert(sought.agg(min(unix_micros(col("ts")))).collect()(0).getLong(0) >= t0)
+  }
+
+  test("compactTopic keeps exactly the latest message per key, as a valid topic") {
+    val in = MsgLog.stagedEventsLog(spark, sfDir)
+    val out = Files.createTempDirectory("glog_compact_").toString
+    MsgLog.compactTopic(spark, in, out)
+    val compacted = spark.read.format("graft-msglog").load(out)
+    val ev = Fixtures.events(spark, sfDir)
+    assert(compacted.count() === ev.select("user_id").distinct().count())
+    // each surviving message carries its key's max timestamp
+    val expected = ev.groupBy("user_id").agg(max(unix_micros(col("ts"))).as("us"))
+    assertSameRows(
+      compacted.select(col("user_id"), unix_micros(col("ts")).as("us")),
+      expected)
+  }
+
   test("listTopics enumerates topics with partition and message counts") {
     val ns = Files.createTempDirectory("glog_ns_")
     val ev = Fixtures.events(spark, sfDir)
