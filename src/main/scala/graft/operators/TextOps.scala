@@ -58,10 +58,16 @@ object TextOps {
     val pred = Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
       when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(elseExpr)
     }
+    // raw double, deliberately unrounded: both engines derive the score
+    // from identical integer counts through identical IEEE ops, so the
+    // bits match exactly — while round() itself DIVERGES between engines
+    // when a tidy rational lands exactly on a decimal midpoint (Spark
+    // rounds the exact binary value, DuckDB rounds via float arithmetic;
+    // observed at sf0.1)
     scored.select(
       col("doc_id"),
       pred.as("pred_lang"),
-      round(best, 6).as("score"))
+      best.as("score"))
   }
 
   /** Quality score: composite of stopword ratio, length saturation, and
@@ -79,11 +85,12 @@ object TextOps {
       (aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x) /
         size(col("w")).cast("double")).as("avg_wlen"))
       .withColumn("quality",
-        round(
-          col("stop_ratio") * 0.3 +
-            least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
-            least(lit(1.0), col("avg_wlen") / 8.0) * 0.3,
-          6))
+        // unrounded on purpose: exact ratios through identical IEEE ops
+        // are bit-identical across engines; round() is what diverges on
+        // decimal-midpoint values (see textLangId)
+        col("stop_ratio") * 0.3 +
+          least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
+          least(lit(1.0), col("avg_wlen") / 8.0) * 0.3)
   }
 
   /** Token counting: whitespace segmentation vs a BPE-ish regex
@@ -143,7 +150,7 @@ object TextOps {
                  $scoreSelects
                  FROM toks),
             withbest AS (SELECT *, $bestExpr AS best FROM scored)
-            SELECT doc_id, $predExpr AS pred_lang, round(best, 6) AS score
+            SELECT doc_id, $predExpr AS pred_lang, best AS score
             FROM withbest""",
       "text_quality_score" ->
         s"""WITH toks AS (SELECT doc_id, length(text) AS n_chars,
@@ -155,8 +162,8 @@ object TextOps {
                             len(list_filter(w, x -> x IN ($en))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
                             list_sum(list_transform(w, x -> CAST(length(x) AS INTEGER))) / CAST(len(w) AS DOUBLE) AS avg_wlen
                      FROM toks)
-            SELECT *, round(stop_ratio * 0.3 + least(1.0, n_tokens / 100.0) * 0.4
-                            + least(1.0, avg_wlen / 8.0) * 0.3, 6) AS quality
+            SELECT *, stop_ratio * 0.3 + least(1.0, n_tokens / 100.0) * 0.4
+                      + least(1.0, avg_wlen / 8.0) * 0.3 AS quality
             FROM base""",
       "token_count_bpe" ->
         """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
