@@ -109,6 +109,42 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sum(expr("if(vote > 0, shiftleft(1L, j), 0L)")).as("simhash"))
 
+  val SimhashBlocks = 4 // 4 × 15-bit blocks over the 60-bit fingerprint
+  val MaxHamming = 12
+
+  /** SimHash candidate pairs via hamming-block banding: split each 60-bit
+    * fingerprint into 4 × 15-bit blocks; by pigeonhole, any pair within
+    * hamming distance 3·(blocks-1) shares at least one exact block, so
+    * the block value is the bucket key. Candidates verify exactly with
+    * `bit_count(xor)` in-row. Same group-then-enumerate skeleton as the
+    * MinHash bands — one linear pipeline, uniform bucket keys, no n².
+    */
+  def docSimhashPairs(docs: DataFrame): DataFrame = {
+    val fp = docSimhash(docs)
+    val blocks = fp.select(
+      col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("blk"))
+      .select(
+        col("doc_id"), col("simhash"), col("blk"),
+        expr("shiftright(simhash, blk * 15) & 32767").as("blk_val"))
+    def pairStruct(a: Column, b: Column): Column = struct(
+      a.getField("doc_id").as("doc_a"),
+      b.getField("doc_id").as("doc_b"),
+      a.getField("simhash").bitwiseXOR(b.getField("simhash")).as("x"))
+    val enumerated = flatten(transform(col("m"), (a, i) =>
+      transform(slice(col("m"), i + 2, size(col("m"))), b => pairStruct(a, b))))
+    blocks
+      .groupBy("blk", "blk_val")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(enumerated).as("p"))
+      .select(
+        col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        expr("bit_count(p.x)").as("hamming"))
+      .distinct() // a pair can share multiple blocks
+      .filter(col("hamming") <= MaxHamming)
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs (here: pairs
     * sharing the [[LlmOps.docNearDedup]] bag-of-words signature — the
     * verify stage that runs after any candidate generator). Jaccard is
@@ -146,6 +182,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_minhash_lsh" -> ((s, d) => docMinhashLsh(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
+    "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
@@ -177,6 +214,23 @@ object DedupOps {
                    FROM hashes, range(0, 60) j(j) GROUP BY doc_id, j.j)
          SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
          FROM votes GROUP BY doc_id""",
+    "doc_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                        FROM documents),
+          hashes AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+                     FROM toks WHERE w <> ''),
+          votes AS (SELECT doc_id, j.j, sum(((h >> j.j) & 1) * 2 - 1) AS vote
+                    FROM hashes, range(0, 60) j(j) GROUP BY doc_id, j.j),
+          fp AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+                 FROM votes GROUP BY doc_id),
+          blocks AS (SELECT doc_id, simhash, b.blk,
+                            (simhash >> (b.blk * 15)) & 32767 AS blk_val
+                     FROM fp, range(0, $SimhashBlocks) b(blk)),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                    FROM blocks a JOIN blocks b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
     "doc_ngram_jaccard" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

@@ -50,6 +50,14 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(two.length === 2 && two(0) === two(1))
   }
 
+  test("simhash pairs: exact duplicates appear at hamming 0; bound respected") {
+    val dup = docs.filter(col("doc_id") === 5L).withColumn("doc_id", lit(100005L))
+    val pairs = DedupOps.docSimhashPairs(docs.unionByName(dup))
+    val self = pairs.filter(col("doc_a") === 5L && col("doc_b") === 100005L).collect()
+    assert(self.length === 1 && self(0).getAs[Int]("hamming") === 0)
+    assert(pairs.filter(col("hamming") > DedupOps.MaxHamming).count() === 0)
+  }
+
   test("ngram jaccard: values in [0,1], pairs come from shared-vocabulary groups") {
     val j = DedupOps.docNgramJaccard(docs).collect()
     assert(j.nonEmpty)
