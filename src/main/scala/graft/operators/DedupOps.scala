@@ -175,6 +175,30 @@ object DedupOps {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.jaccard").as("jaccard"))
   }
 
+  val JaccardThreshold = 0.5
+
+  /** The complete near-dup pipeline in one query: MinHash/LSH candidate
+    * generation → exact shingle-Jaccard verification → confirmed
+    * duplicate pairs above the threshold. Candidates bound the exact
+    * work (Jaccard runs only on pairs sharing a band, never all pairs);
+    * the verify join brings each side's shingle set by doc_id — two
+    * broadcast-able joins against the candidate list. Jaccard is an
+    * exact integer ratio (unrounded: identical in every engine).
+    */
+  def docLshVerifiedDups(docs: DataFrame): DataFrame = {
+    val candidates = docMinhashLsh(docs)
+    val shingles = tokenized(docs).select(col("doc_id"), expr(SHINGLES).as("sh"))
+    candidates
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_bands"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -183,7 +207,8 @@ object DedupOps {
     "doc_minhash_lsh" -> ((s, d) => docMinhashLsh(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
-    "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))))
+    "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
+    "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
     """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
@@ -231,6 +256,30 @@ object DedupOps {
                     FROM blocks a JOIN blocks b
                       ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
+    "doc_lsh_verified_dups" ->
+      s"""WITH toks AS (SELECT * FROM (
+                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents) WHERE len(w) >= 3),
+          shset AS (SELECT doc_id, $DUCK_SHINGLES AS sh FROM toks),
+          sh AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+          mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
+                 FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
+          bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
+                           md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+                    FROM mh GROUP BY doc_id, seed // $RowsPerBand),
+          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(count(*) AS BIGINT) AS n_bands
+                   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                                             AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+          SELECT c.doc_a, c.doc_b, c.n_bands,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+          FROM cand c
+          JOIN shset sa ON sa.doc_id = c.doc_a
+          JOIN shset sb ON sb.doc_id = c.doc_b
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold""",
     "doc_ngram_jaccard" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
