@@ -138,6 +138,26 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** Exact interpolated percentiles of message values per topic — the
+    * latency/size-distribution readout every stats surface needs
+    * (consumer stats rates, proto:609-613, generalized to quantiles).
+    * Exact (sort-based) rather than approximate so the cross-engine
+    * comparison is bit-deterministic: both engines linearly interpolate
+    * over the same sorted doubles. At 100 TB exact percentiles become
+    * `approx_percentile` (t-digest) — same query shape, sketch mergeable
+    * map-side.
+    */
+  def valuePercentiles(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("pcts"))
+      .select(
+        col("event_type"),
+        col("pcts").getItem(0).as("p25"),
+        col("pcts").getItem(1).as("p50"),
+        col("pcts").getItem(2).as("p75"),
+        col("pcts").getItem(3).as("p95"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -153,7 +173,8 @@ object RelationalOps {
       Fixtures.customer(s, d), Fixtures.orders(s, d), SEGMENT)),
     "string_date_math_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
     "approx_distinct_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
-    "salted_join_skew" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))))
+    "salted_join_skew" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))),
+    "value_percentiles" -> ((s, d) => valuePercentiles(Fixtures.events(s, d))))
 
   def oracle: Map[String, String] = Map(
     "topic_join_star" ->
@@ -192,6 +213,13 @@ object RelationalOps {
                 abs(o_totalprice - 150000.0) AS price_dev,
                 CAST(floor(o_totalprice) AS BIGINT) AS price_floor
          FROM orders""",
+    "value_percentiles" ->
+      """SELECT event_type,
+                quantile_cont(value, 0.25) AS p25,
+                quantile_cont(value, 0.5) AS p50,
+                quantile_cont(value, 0.75) AS p75,
+                quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "salted_join_skew" ->
       """WITH dim AS (SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
                       FROM events GROUP BY user_id)
