@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for the session shape every entry point needs: UTC
+  * timestamps, ns-as-long parquet reads (the events fixture is
+  * timestamp[ns]), a per-JVM temp warehouse (bucketed tables must not
+  * land in the working directory), right-sized shuffle parallelism.
+  * One builder so a new main cannot forget an invariant.
+  */
+object GraftSession {
+
+  private lazy val warehouseDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wh_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("spark.ui.enabled", "false")
+}

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,18 +18,19 @@ object BucketedOps {
 
   val NumBuckets = 8
 
-  private val staged = new ConcurrentHashMap[String, (String, String)]()
-
-  /** Stage the events fixture and its per-user totals as bucketed tables
-    * (once per sf dir + session). `saveAsTable` is required — bucket
-    * metadata lives in the catalog, not in the files.
+  /** Stage the events fixture and its per-user totals as bucketed tables.
+    * `saveAsTable` is required — bucket metadata lives in the catalog,
+    * not in the files. Checked against the CURRENT session's catalog on
+    * every call (a cache keyed by sf dir would hand out names that no
+    * longer exist after a session restart, and would never repair a
+    * partial staging where only one of the two tables was written).
     */
   def stagedTables(spark: SparkSession, sfDir: String): (String, String) =
-    staged.computeIfAbsent(sfDir, _ => {
+    synchronized {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       val fact = s"graft_ev_bucketed$tag"
       val dim = s"graft_user_totals$tag"
-      if (!spark.catalog.tableExists(fact)) {
+      if (!(spark.catalog.tableExists(fact) && spark.catalog.tableExists(dim))) {
         val ev = Fixtures.events(spark, sfDir)
         ev.write.bucketBy(NumBuckets, "user_id").sortBy("user_id")
           .mode("overwrite").saveAsTable(fact)
@@ -41,7 +40,7 @@ object BucketedOps {
           .mode("overwrite").saveAsTable(dim)
       }
       (fact, dim)
-    })
+    }
 
   /** Co-located join: bucketed fact ⋈ bucketed dim on the bucket key —
     * zero exchanges in the plan. Output: per event_type, how many

@@ -47,16 +47,17 @@ object DedupOps {
   val NumSeeds = 8
   val RowsPerBand = 2 // 4 bands × 2 rows
 
-  /** Enumerate unordered member pairs of a sorted id array column —
-    * `flatten(transform(m, (a, i) -> transform(slice(m, i+2, ...), b -> (a, b))))`.
+  /** Enumerate unordered member pairs of a sorted array column, mapping
+    * each (earlier, later) pair through `pair` —
+    * `flatten(transform(m, (a, i) -> transform(slice(m, i+2, ...), b -> pair(a, b))))`.
     * Group-then-enumerate replaces a self-join: the pipeline is computed
     * once, the bucket is the shuffle key, and pair count is bounded by
-    * bucket size (cap buckets before this at adversarial scale).
+    * bucket size (cap buckets before this at adversarial scale). Shared
+    * by the MinHash, Jaccard, and SimHash candidate generators.
     */
-  private def memberPairs(members: Column): Column =
+  private def memberPairs(members: Column, pair: (Column, Column) => Column): Column =
     flatten(transform(members, (a, i) =>
-      transform(slice(members, i + 2, size(members)),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
+      transform(slice(members, i + 2, size(members)), b => pair(a, b))))
 
   /** MinHash + LSH banding: shingle → per-seed min-hash (min-wise over the
     * md5 order, seeded by prefixing the seed) → band signature (md5 of the
@@ -85,7 +86,8 @@ object DedupOps {
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .filter(size(col("members")) > 1)
-      .select(explode(memberPairs(col("members"))).as("p"))
+      .select(explode(memberPairs(col("members"),
+        (a, b) => struct(a.as("doc_a"), b.as("doc_b")))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
@@ -113,11 +115,14 @@ object DedupOps {
   val MaxHamming = 12
 
   /** SimHash candidate pairs via hamming-block banding: split each 60-bit
-    * fingerprint into 4 × 15-bit blocks; by pigeonhole, any pair within
-    * hamming distance 3·(blocks-1) shares at least one exact block, so
-    * the block value is the bucket key. Candidates verify exactly with
-    * `bit_count(xor)` in-row. Same group-then-enumerate skeleton as the
-    * MinHash bands — one linear pipeline, uniform bucket keys, no n².
+    * fingerprint into 4 × 15-bit blocks; pairs sharing at least one exact
+    * block become candidates, verified exactly with `bit_count(xor)`
+    * in-row and reported up to `MaxHamming`. Recall is GUARANTEED only up
+    * to hamming ≤ blocks−1 = 3 (pigeonhole: 4 differing bits can land one
+    * per block); above that, candidates are probabilistic — the same
+    * approximate-recall contract as MinHash banding. Same
+    * group-then-enumerate skeleton as the MinHash bands — one linear
+    * pipeline, uniform bucket keys, no n².
     */
   def docSimhashPairs(docs: DataFrame): DataFrame = {
     val fp = docSimhash(docs)
@@ -131,13 +136,11 @@ object DedupOps {
       a.getField("doc_id").as("doc_a"),
       b.getField("doc_id").as("doc_b"),
       a.getField("simhash").bitwiseXOR(b.getField("simhash")).as("x"))
-    val enumerated = flatten(transform(col("m"), (a, i) =>
-      transform(slice(col("m"), i + 2, size(col("m"))), b => pairStruct(a, b))))
     blocks
       .groupBy("blk", "blk_val")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("m"))
       .filter(size(col("m")) > 1)
-      .select(explode(enumerated).as("p"))
+      .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         expr("bit_count(p.x)").as("hamming"))
@@ -164,14 +167,11 @@ object DedupOps {
       (size(array_intersect(a.getField("sh"), b.getField("sh"))).cast("double") /
         size(array_distinct(concat(a.getField("sh"), b.getField("sh")))).cast("double"))
         .as("jaccard"))
-    val grouped = sig
+    sig
       .groupBy("sig")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("m"))
       .filter(size(col("m")) > 1)
-    val pairs = flatten(transform(col("m"), (a, i) =>
-      transform(slice(col("m"), i + 2, size(col("m"))), b => pairStruct(a, b))))
-    grouped
-      .select(explode(pairs).as("p"))
+      .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.jaccard").as("jaccard"))
   }
 

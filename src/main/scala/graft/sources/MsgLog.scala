@@ -64,6 +64,11 @@ object MsgLog {
     */
   def compactTopic(spark: SparkSession, inDir: String, outDir: String,
       numLedgers: Int = NumLedgers): Unit = {
+    // The sink is append-only, so compacting INTO a non-empty topic would
+    // leave the stale pre-compaction ledgers alongside the new ones —
+    // refuse rather than silently violate the latest-per-key contract.
+    require(MsgLogSource.ledgerFiles(outDir).isEmpty,
+      s"compactTopic: output topic $outDir already contains ledgers")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)

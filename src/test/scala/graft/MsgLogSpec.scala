@@ -255,6 +255,16 @@ class MsgLogSpec extends SparkTestBase {
     assert(sought.agg(min(unix_micros(col("ts")))).collect()(0).getLong(0) >= t0)
   }
 
+  test("compactTopic refuses a non-empty output topic") {
+    val in = MsgLog.stagedEventsLog(spark, sfDir)
+    val out = Files.createTempDirectory("glog_compact_guard_").toString
+    MsgLog.compactTopic(spark, in, out)
+    val ex = intercept[IllegalArgumentException] {
+      MsgLog.compactTopic(spark, in, out)
+    }
+    assert(ex.getMessage.contains("already contains ledgers"))
+  }
+
   test("compactTopic keeps exactly the latest message per key, as a valid topic") {
     val in = MsgLog.stagedEventsLog(spark, sfDir)
     val out = Files.createTempDirectory("glog_compact_").toString
