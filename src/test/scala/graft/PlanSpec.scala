@@ -1,0 +1,76 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties the operators
+  * were designed around, asserted against the actual executed plans so a
+  * future refactor cannot silently lose them. Each assertion names the
+  * plan feature that would be the 100 TB bottleneck if it regressed.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter_events_type pushes its predicates into the parquet scan") {
+    val p = plan("filter_events_type")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), " +
+      "EqualTo(event_type,purchase), GreaterThan(value,50.0)]"), p)
+  }
+
+  test("scan_events_envelope prunes the scan to the projected columns") {
+    val p = plan("scan_events_envelope")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint," +
+      "event_type:string,value:double,props:string>"), p)
+    // and no sort anywhere: full-table output must not pay a range shuffle
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("seek_by_time_topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("seek_by_time_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("topic_join_star broadcasts every dimension join") {
+    val p = plan("topic_join_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("route_partition_key aggregates with a map-side partial") {
+    val p = plan("route_partition_key")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("round_robin_balance has no window operator") {
+    val p = plan("round_robin_balance")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("embedding_topk_cosine broadcasts the query vector and takes ordered") {
+    val p = plan("embedding_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("msglog scan prunes columns and reports pushed filters") {
+    val dir = graft.sources.MsgLog.stagedEventsLog(spark, sfDir)
+    val p = spark.read.format("graft-msglog").load(dir)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 10)
+      .select("user_id", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cols=[event_id,user_id]"), p) // pruned, schema order
+    assert(p.contains("LessThan(user_id,10)"), p)
+  }
+
+  test("no operator collects to the driver") {
+    // all queries build lazily without .collect(); constructing every
+    // plan must not run a job (closed-form ops may run their one count)
+    SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
+      .filterNot(Set("round_robin_balance", "msglog_roundtrip_scan",
+        "bucketed_join_colocate", "doc_lsh_verified_dups"))
+      .foreach { k =>
+        val df = SparkEntry.queries(k)(spark, sfDir)
+        assert(df.queryExecution.logical != null)
+      }
+  }
+}
