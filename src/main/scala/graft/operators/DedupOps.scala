@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Fixtures
@@ -17,9 +18,13 @@ import graft.model.Fixtures
   * 100 TB shape: each op is shuffle-keyed on a signature (never all-pairs);
   * candidate generation via band/bucket equality joins whose keys are
   * uniformly distributed hashes (no skew); exact verification only runs on
-  * the candidate set. A production run would additionally cap pathological
-  * bucket sizes (`count over band < limit`) before the self-join — noted
-  * where relevant.
+  * the candidate set. Every candidate bucket is CAPPED at
+  * [[DedupOps.MaxBucketMembers]] members before pair enumeration
+  * ([[DedupOps.groupMembers]]) — web-scale corpora contain mega-clusters
+  * of thousands of identical boilerplate documents, and without the cap
+  * one such bucket turns quadratic. The cap is part of the operator
+  * contract, mirrored in every DuckDB oracle (`row_number ≤ cap`), and
+  * the dropped-row count is surfaced as an observed metric.
   */
 object DedupOps {
 
@@ -237,7 +242,9 @@ object DedupOps {
          votes AS (SELECT doc_id, j.j,
                           sum(((h >> j.j) & 1) * 2 - 1) AS vote
                    FROM hashes, range(0, 60) j(j) GROUP BY doc_id, j.j)
-         SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+         -- CAST: DuckDB sums BIGINT into HUGEINT (decimal128 at the
+         -- comparator) while Spark stays int64 — values are identical
+         SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id""",
     "doc_simhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w

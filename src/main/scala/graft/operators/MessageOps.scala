@@ -272,11 +272,17 @@ object MessageOps {
   /** Throughput per tumbling hour (consumer stats msgRateOut proto:609-613
     * over time buckets). Sum rounded to the payload's 2-decimal grain so
     * the decimal value is exact under any summation order. Buckets are
-    * computed arithmetically on the epoch (`µs div hour`), not with
+    * computed arithmetically on the epoch (`µs` floor-div hour), not with
     * `date_trunc`, so the result is independent of the session time zone.
+    * Floor, not truncate: Spark's `div` truncates toward zero while the
+    * DuckDB oracle's `//` floors, so pre-1970 (negative-epoch) timestamps
+    * would land in different buckets — `pmod` subtraction gives exact
+    * integer floor division on both signs.
     */
   def throughputTumbling(ev: DataFrame): DataFrame =
-    ev.groupBy((expr("unix_micros(ts) div 3600000000") * 3600000).as("hour_ms"))
+    ev.groupBy((expr(
+      "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+      * 3600000).as("hour_ms"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_ms")
 

@@ -40,8 +40,14 @@ object TextOps {
       col("doc_id"), col("text"),
       split(trim(lower(col("text"))), "\\s+").as("w"))
 
+  /** `array_contains` against one literal array, not `isin` — In(6)
+    * expands to six codegen'd comparisons per element per profile, and at
+    * 5 profiles the whole-stage-codegen compile dominated the query at
+    * small scale (BENCH_r02: 7.6 s for 500 rows). One ArrayContains call
+    * per element keeps the generated method small; same semantics.
+    */
   private def profileScore(words: Seq[String]): Column =
-    size(filter(col("w"), x => x.isin(words: _*))) /
+    size(filter(col("w"), x => array_contains(typedlit(words), x))) /
       size(col("w")).cast("double")
 
   /** Language ID: stopword-hit ratio per profile, argmax with a fixed
@@ -50,9 +56,10 @@ object TextOps {
     * determinism and shape, not on recovering that label.)
     */
   def textLangId(docs: DataFrame): DataFrame = {
-    val scored = Profiles.foldLeft(withTokens(docs)) {
-      case (df, (lang, words)) => df.withColumn(s"s_$lang", profileScore(words))
-    }
+    val scored = withTokens(docs).select(
+      col("*") +: Profiles.map { case (lang, words) =>
+        profileScore(words).as(s"s_$lang")
+      }: _*)
     val scoreCols = Profiles.map { case (l, _) => s"s_$l" }
     val best = greatest(scoreCols.map(col): _*)
     val pred = Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>

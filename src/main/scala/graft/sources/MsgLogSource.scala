@@ -55,7 +55,7 @@ class MsgLogSource extends TableProvider with DataSourceRegister {
 object MsgLogSource {
   /** Envelope schema (§1.3): message coordinates + payload fields. */
   val Schema: StructType = StructType(Seq(
-    StructField("ledger", IntegerType, nullable = false),
+    StructField("ledger", LongType, nullable = false),
     StructField("entry", LongType, nullable = false),
     StructField("event_id", LongType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
@@ -64,13 +64,20 @@ object MsgLogSource {
     StructField("value", DoubleType, nullable = false),
     StructField("props", StringType, nullable = false)))
 
-  /** Stable `ledger` coordinate for a ledger file: a positive hash of its
-    * NAME. Positional indices are not stable — a later write's ledger can
-    * sort in front, silently re-numbering every coordinate downstream
-    * consumers may have keyed on. Like Pulsar's ledgerId, the value is an
-    * opaque unique id, not a dense partition index.
+  /** Stable `ledger` coordinate for a ledger file: a positive 63-bit hash
+    * of its NAME (first 8 bytes of md5). Positional indices are not
+    * stable — a later write's ledger can sort in front, silently
+    * re-numbering every coordinate downstream consumers may have keyed
+    * on. Like Pulsar's ledgerId, the value is an opaque unique id, not a
+    * dense partition index; 63 bits keep the birthday-collision odds
+    * negligible where a 31-bit `hashCode` would not (two colliding
+    * ledgers in one topic would alias their coordinates).
     */
-  def ledgerId(name: String): Int = name.hashCode & 0x7FFFFFFF
+  def ledgerId(name: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong & 0x7FFFFFFFFFFFFFFFL
+  }
 
   def ledgerFiles(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
@@ -148,7 +155,12 @@ object MsgLogFilters {
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
     case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      // Spark orders strings by UTF-8 binary comparison; String.compareTo
+      // is UTF-16 code-unit order, which diverges for supplementary-plane
+      // characters — and a pushed range predicate drops rows BEFORE
+      // materialization, where no residual can restore them.
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
     case (x: Long, y: java.sql.Timestamp) =>
       // getTime() floors to ms; restore the µs digits from the nanos field
       // or equality/range filters silently under-include sub-ms rows
@@ -328,7 +340,7 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
 }
 
 /** One ledger slice: entries [startEntry, endEntry) of one file. */
-case class MsgLogPartition(ledger: Int, file: String, startEntry: Long, endEntry: Long)
+case class MsgLogPartition(ledger: Long, file: String, startEntry: Long, endEntry: Long)
     extends InputPartition
 
 case class MsgLogReaderFactory(required: StructType,

@@ -42,7 +42,8 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MsgLogBatchWrite(path, info.schema(), codec)
-    override def toStreaming: StreamingWrite = new MsgLogStreamingWrite(path, info.schema(), codec)
+    override def toStreaming: StreamingWrite =
+      new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec)
   }
 }
 
@@ -62,9 +63,17 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte) extends Ba
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class MsgLogStreamingWrite(path: String, schema: StructType, codec: Byte) extends StreamingWrite {
+/** Streaming ledger names carry the QUERY id (stable across restarts of
+  * the same checkpoint): epoch ids alone restart at 0 for a fresh
+  * checkpoint, so two streaming queries producing into one topic — or a
+  * re-pointed query after a checkpoint reset — would rename over each
+  * other's `epoch-N` ledgers. Including queryId isolates queries while
+  * keeping an epoch re-commit of the SAME query idempotent.
+  */
+class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String, codec: Byte)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MsgLogWriterFactory(path, schema, "", codec)
+    MsgLogWriterFactory(path, schema, queryId, codec)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -75,7 +84,7 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId, codec)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new MsgLogDataWriter(path, schema, f"epoch-$epochId%06d-$partitionId%04d", taskId, codec)
+    new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId, codec)
 }
 
 /** Frames one partition's rows into `<stem>.glog` via a temp file +

@@ -259,9 +259,11 @@ object StreamOps {
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
     "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)))
 
-  /** `stream_dlq_split` is the one streaming key with a DuckDB oracle: its
-    * output is read back from the sink files, so the comparison covers the
-    * full foreachBatch fan-out rather than in-flight streaming state.
+  /** The two oracle-backed streaming keys: `stream_dlq_split` is compared
+    * via its sink files (covering the full foreachBatch fan-out rather
+    * than in-flight state) and `stream_enrich_join` via its final joined
+    * aggregate; the other four streaming keys are rows-only for the
+    * driver and locked by the stream-vs-batch equivalence suite.
     */
   def oracle: Map[String, String] = Map(
     "stream_enrich_join" ->
