@@ -57,12 +57,51 @@ object DedupOps {
     * `flatten(transform(m, (a, i) -> transform(slice(m, i+2, ...), b -> pair(a, b))))`.
     * Group-then-enumerate replaces a self-join: the pipeline is computed
     * once, the bucket is the shuffle key, and pair count is bounded by
-    * bucket size (cap buckets before this at adversarial scale). Shared
-    * by the MinHash, Jaccard, and SimHash candidate generators.
+    * bucket size (capped by [[groupMembers]]). Shared by the MinHash,
+    * Jaccard, SimHash, and embedding-LSH candidate generators.
     */
-  private def memberPairs(members: Column, pair: (Column, Column) => Column): Column =
+  private[operators] def memberPairs(members: Column, pair: (Column, Column) => Column): Column =
     flatten(transform(members, (a, i) =>
       transform(slice(members, i + 2, size(members)), b => pair(a, b))))
+
+  /** Bucket-size cap for every candidate generator. Web corpora contain
+    * mega-clusters (thousands of byte-identical boilerplate docs sharing
+    * every band/block/bucket); uncapped, one such group enumerates
+    * O(cluster²) pairs and its collect_list row grows without bound. 512
+    * keeps the fixture buckets untouched (max observed 269 at sf0.1)
+    * while bounding any group at C(512,2) pairs; the cap is operator
+    * semantics, mirrored in the oracles as `row_number() ≤ cap`.
+    */
+  val MaxBucketMembers = 512
+
+  /** The shared capped group-then-enumerate front half: rank members
+    * within each bucket (`row_number` over `order`, a window on the same
+    * shuffle key the aggregation needs — one exchange total), DROP
+    * members ranked past [[MaxBucketMembers]] — counting them into the
+    * observed metric `<metric>.overflow_rows` so truncation is never
+    * silent — then collect the survivors into a sorted `m` array for
+    * [[memberPairs]]. The cap binds BEFORE the collect: a mega-cluster
+    * costs a bounded array, not an unbounded in-row collect followed by
+    * a slice.
+    */
+  private[operators] def groupMembers(
+      df: DataFrame, keys: Seq[Column], member: Column, order: Column,
+      metric: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order)
+    df.withColumn("rk", row_number().over(w))
+      .observe(metric, sum(when(col("rk") > MaxBucketMembers, 1L).otherwise(0L))
+        .as("overflow_rows"))
+      .filter(col("rk") <= MaxBucketMembers)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(member)).as("m"))
+      .filter(size(col("m")) > 1)
+  }
+
+  /** The oracle-side mirror of [[groupMembers]]'s cap: both sides of a
+    * candidate self-join keep only members ranked ≤ cap within their
+    * bucket. */
+  private def duckCap(rankCol: String): String =
+    s"$rankCol <= $MaxBucketMembers"
 
   /** MinHash + LSH banding: shingle → per-seed min-hash (min-wise over the
     * md5 order, seeded by prefixing the seed) → band signature (md5 of the
@@ -87,11 +126,9 @@ object DedupOps {
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
         "|").cast("binary")).as("sig"))
-    bands
-      .groupBy("band", "sig")
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(memberPairs(col("members"),
+    groupMembers(bands, Seq(col("band"), col("sig")), col("doc_id"),
+        col("doc_id"), "minhash_bucket_overflow")
+      .select(explode(memberPairs(col("m"),
         (a, b) => struct(a.as("doc_a"), b.as("doc_b")))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -141,10 +178,9 @@ object DedupOps {
       a.getField("doc_id").as("doc_a"),
       b.getField("doc_id").as("doc_b"),
       a.getField("simhash").bitwiseXOR(b.getField("simhash")).as("x"))
-    blocks
-      .groupBy("blk", "blk_val")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("m"))
-      .filter(size(col("m")) > 1)
+    groupMembers(blocks, Seq(col("blk"), col("blk_val")),
+        struct(col("doc_id"), col("simhash")), col("doc_id"),
+        "simhash_block_overflow")
       .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
@@ -172,10 +208,9 @@ object DedupOps {
       (size(array_intersect(a.getField("sh"), b.getField("sh"))).cast("double") /
         size(array_distinct(concat(a.getField("sh"), b.getField("sh")))).cast("double"))
         .as("jaccard"))
-    sig
-      .groupBy("sig")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sh")))).as("m"))
-      .filter(size(col("m")) > 1)
+    groupMembers(sig, Seq(col("sig")),
+        struct(col("doc_id"), col("sh")), col("doc_id"),
+        "jaccard_sig_overflow")
       .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.jaccard").as("jaccard"))
   }
@@ -228,10 +263,14 @@ object DedupOps {
                  FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
           bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
                            md5(string_agg(mh, '|' ORDER BY seed)) AS sig
-                    FROM mh GROUP BY doc_id, seed // $RowsPerBand)
+                    FROM mh GROUP BY doc_id, seed // $RowsPerBand),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
+                                                  ORDER BY doc_id) AS rk
+                     FROM bands)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
-          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                                    AND a.doc_id < b.doc_id
+          FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
+                                      AND a.doc_id < b.doc_id
+                                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
           GROUP BY a.doc_id, b.doc_id""",
     "doc_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -258,10 +297,14 @@ object DedupOps {
           blocks AS (SELECT doc_id, simhash, b.blk,
                             (simhash >> (b.blk * 15)) & 32767 AS blk_val
                      FROM fp, range(0, $SimhashBlocks) b(blk)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
+                                                  ORDER BY doc_id) AS rk
+                     FROM blocks),
           pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-                    FROM blocks a JOIN blocks b
-                      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+                    FROM ranked a JOIN ranked b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
     "doc_lsh_verified_dups" ->
       s"""WITH toks AS (SELECT * FROM (
@@ -274,10 +317,14 @@ object DedupOps {
           bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
                            md5(string_agg(mh, '|' ORDER BY seed)) AS sig
                     FROM mh GROUP BY doc_id, seed // $RowsPerBand),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
+                                                  ORDER BY doc_id) AS rk
+                     FROM bands),
           cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           CAST(count(*) AS BIGINT) AS n_bands
-                   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                                             AND a.doc_id < b.doc_id
+                   FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
+                                               AND a.doc_id < b.doc_id
+                                               AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
                    GROUP BY a.doc_id, b.doc_id)
           SELECT c.doc_a, c.doc_b, c.n_bands,
                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
@@ -294,9 +341,13 @@ object DedupOps {
           base AS (SELECT doc_id,
                           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS sig,
                           $DUCK_SHINGLES AS sh
-                   FROM toks)
+                   FROM toks),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY sig
+                                                  ORDER BY doc_id) AS rk
+                     FROM base)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-          FROM base a JOIN base b ON a.sig = b.sig AND a.doc_id < b.doc_id""")
+          FROM ranked a JOIN ranked b ON a.sig = b.sig AND a.doc_id < b.doc_id
+                                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}""")
 }

@@ -32,37 +32,42 @@ object SimilarityOps {
 
   /** Sign-bucket of every vector against `NumPlanes` deterministic
     * hyperplanes: bit j = [Σ_i w(i,j)·v_i > 0], bucket = Σ bit_j · 2^j.
-    * Projections fold in-row (zip_with/aggregate); the bit-sum is one
-    * narrow aggregation on vec_id.
+    * A pure per-row projection — the plane count is a compile-time
+    * constant, so all `NumPlanes` projections fold in-row
+    * (zip_with/aggregate, codegen'd) and the bucket assembles as a sum of
+    * `when`s. No explode, no re-aggregation, no join: the bucket column
+    * costs the scan it rides on.
     */
   private def withBucket(emb: DataFrame): DataFrame = {
-    val bits = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(NumPlanes - 1))).as("j"))
-      .select(
-        col("vec_id"), col("j"),
-        aggregate(
-          zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-            (x, i) => ((i * 31 + col("j") * 17) % 13 - 6).cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x).as("proj"))
-      .groupBy("vec_id")
-      .agg(sum(expr("if(proj > 0, shiftleft(1L, j), 0L)")).as("bucket"))
-    emb.join(bits, "vec_id")
+    def proj(j: Int): Column = aggregate(
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => ((i * 31 + lit(j) * 17) % 13 - 6).cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val bucket = (0 until NumPlanes)
+      .map(j => when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
 
   /** Near-duplicate candidate pairs: same sign-bucket → exact cosine →
-    * global top-k pairs. The self-join key is the bucket (2^NumPlanes
-    * uniform-ish cells); the top-k is TakeOrderedAndProject. At 100 TB the
-    * bucket join replaces the impossible n² cross-join; a production run
-    * caps runaway buckets before the join (skew guard).
+    * global top-k pairs, on the same capped group-then-enumerate skeleton
+    * as every other candidate generator ([[DedupOps.groupMembers]]): one
+    * shuffle on the bucket key, members collected once (never a self-join
+    * recomputing the projection pipeline per side), pair enumeration
+    * in-row and bounded by [[DedupOps.MaxBucketMembers]]. The top-k is
+    * TakeOrderedAndProject.
     */
   def embeddingNearDup(emb: DataFrame, k: Int): DataFrame = {
-    val bucketed = withBucket(emb)
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
-    a.join(b, "bucket")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cosine"))
+    def pairStruct(a: Column, b: Column): Column = struct(
+      a.getField("vec_id").as("vec_a"),
+      b.getField("vec_id").as("vec_b"),
+      cosine(a.getField("embedding"), b.getField("embedding")).as("cosine"))
+    DedupOps.groupMembers(withBucket(emb), Seq(col("bucket")),
+        struct(col("vec_id"), col("embedding")), col("vec_id"),
+        "embdup_bucket_overflow")
+      .select(explode(DedupOps.memberPairs(col("m"), pairStruct)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
@@ -126,9 +131,13 @@ object SimilarityOps {
             FROM embeddings e, range(1, 65) t(i), range(0, $NumPlanes) j(j)
             GROUP BY e.vec_id, j.j),
           buckets AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                                  ORDER BY vec_id) AS rk
+                     FROM buckets),
           pairs AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            FROM ranked a JOIN ranked b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              AND a.rk <= ${DedupOps.MaxBucketMembers} AND b.rk <= ${DedupOps.MaxBucketMembers}),
           scored AS (
             SELECT p.vec_a, p.vec_b,
                    round(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))

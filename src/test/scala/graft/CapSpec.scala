@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** Adversarial bucket-size-cap tests: web corpora contain mega-clusters of
+  * identical boilerplate documents that land every member in the same
+  * LSH band/block/bucket — without a cap, one group enumerates
+  * O(cluster²) pairs. Each candidate generator must stay bounded by
+  * C(MaxBucketMembers, 2) per bucket and surface the truncation through
+  * its observed metric.
+  */
+class CapSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val Cap = DedupOps.MaxBucketMembers
+  private val ClusterSize = Cap + 88 // deliberately past the cap
+
+  private lazy val megaDocs = (0L until ClusterSize.toLong)
+    .map(i => (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+    .toDF("doc_id", "text")
+
+  /** Run `action` while capturing the named observed metric (metrics are
+    * delivered to QueryExecutionListeners asynchronously).
+    */
+  private def observedMetric[A](name: String)(action: => A): (A, Long) = {
+    @volatile var metric: Option[Long] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get(name).foreach(r => metric = Some(r.getLong(0)))
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val result = action
+      val deadline = System.currentTimeMillis() + 30000
+      while (metric.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      (result, metric.getOrElse(fail(s"observed metric $name never arrived")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("minhash LSH caps a mega-cluster: bounded pairs, overflow observed") {
+    val (rows, overflow) = observedMetric("minhash_bucket_overflow") {
+      DedupOps.docMinhashLsh(megaDocs).agg(
+        count(lit(1)), max(col("n_bands")), min(col("n_bands"))).head()
+    }
+    // every band's bucket keeps the first Cap doc_ids → one capped pair
+    // set shared by all 4 bands
+    assert(rows.getLong(0) === Cap.toLong * (Cap - 1) / 2)
+    assert(rows.getLong(1) === DedupOps.NumSeeds / DedupOps.RowsPerBand)
+    assert(rows.getLong(2) === DedupOps.NumSeeds / DedupOps.RowsPerBand)
+    // (ClusterSize - Cap) members dropped in each of the 4 band buckets
+    assert(overflow ===
+      (ClusterSize - Cap).toLong * (DedupOps.NumSeeds / DedupOps.RowsPerBand))
+  }
+
+  test("simhash pair banding caps a mega-cluster") {
+    val (n, overflow) = observedMetric("simhash_block_overflow") {
+      DedupOps.docSimhashPairs(megaDocs).count()
+    }
+    assert(n === Cap.toLong * (Cap - 1) / 2) // all at hamming 0
+    assert(overflow === (ClusterSize - Cap).toLong * DedupOps.SimhashBlocks)
+  }
+
+  test("ngram-jaccard signature grouping caps a mega-cluster") {
+    val (n, overflow) = observedMetric("jaccard_sig_overflow") {
+      DedupOps.docNgramJaccard(megaDocs).count()
+    }
+    assert(n === Cap.toLong * (Cap - 1) / 2)
+    assert(overflow === (ClusterSize - Cap).toLong)
+  }
+
+  test("embedding near-dup caps a mega-cluster of identical vectors") {
+    val mega = (0L until ClusterSize.toLong)
+      .map(i => (i, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val (top, overflow) = observedMetric("embdup_bucket_overflow") {
+      SimilarityOps.embeddingNearDup(mega, 20).collect()
+    }
+    assert(top.length === 20)
+    top.foreach(r => assert(r.getAs[Double]("cosine") === 1.0))
+    assert(overflow === (ClusterSize - Cap).toLong)
+  }
+}

@@ -46,6 +46,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("embedding_near_dup groups buckets once: no self-join, one shuffle to enumerate") {
+    val p = plan("embedding_near_dup")
+    // the r2 shape self-joined the bucket pipeline, computing the
+    // projection/bucketing twice; the skeleton shape computes it once
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, p)
+  }
+
   test("embedding_topk_cosine broadcasts the query vector and takes ordered") {
     val p = plan("embedding_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
