@@ -94,18 +94,59 @@ object MsgLog {
       .sortBy(_.getName)
       .map { d =>
         val ledgers = MsgLogSource.ledgerFiles(d.getAbsolutePath)
-        (d.getName, ledgers.size, ledgers.map(MsgLogCodec.countFrames).sum)
+        (d.getName, ledgers.size, ledgers.map(MsgLogCodec.countEntries).sum)
       }
     topics.toSeq.toDF("topic", "n_partitions", "n_messages")
   }
 
+  private val stagedNs = new ConcurrentHashMap[String, String]()
+
+  /** Stage the events fixture as a 2-topic NAMESPACE once per sf dir:
+    * even user_ids → `topic-even`, odd → `topic-odd` (a producer-side
+    * routing split, so the union of the two topics is exactly the events
+    * table).
+    */
+  def stagedNamespace(spark: SparkSession, sfDir: String): String =
+    stagedNs.computeIfAbsent(sfDir, _ => {
+      val dir = Files.createTempDirectory("graft_msglog_ns_")
+      dir.toFile.deleteOnExit()
+      val ev = Fixtures.events(spark, sfDir)
+      writeEvents(ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        dir.resolve("topic-even").toString, 2)
+      writeEvents(ev.filter(pmod(col("user_id"), lit(2)) === 1),
+        dir.resolve("topic-odd").toString, 2)
+      dir.toString
+    })
+
+  /** Contract query: consume a UNION of topics (`topics=*` over the
+    * namespace) as one DataFrame and aggregate per (topic, event_type) —
+    * the `CommandGetTopicsOfNamespace` consumption path. The oracle
+    * recomputes the producer-side routing split over the original table:
+    * a message landing in (or labeled with) the wrong topic breaks the
+    * hash match.
+    */
+  def msglogMultiTopicScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val ns = stagedNamespace(spark, sfDir)
+    spark.read.format("graft-msglog").option("topics", "*").load(ns)
+      .groupBy("topic", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)))
+    "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)),
+    "msglog_multi_topic_scan" -> ((s, d) => msglogMultiTopicScan(s, d)))
 
   def oracle: Map[String, String] = Map(
     "msglog_roundtrip_scan" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "msglog_multi_topic_scan" ->
+      """SELECT CASE WHEN user_id % 2 = 0 THEN 'topic-even' ELSE 'topic-odd' END AS topic,
+                event_type, CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""")
 }

@@ -22,13 +22,26 @@ case class MsgFrame(
   * re-expressed for a file-backed log:
   *
   * {{{
-  * frame := [totalSize: int32] [crc32c: uint32 over codec+stored] [codec: u8] [stored]
-  * stored := body            when codec = 0 (NONE)
-  *         | deflate(body)   when codec = 1 (ZLIB)
-  * body  := [event_id: int64] [ts_us: int64] [user_id: int64]
-  *          [value: float64] [len: int32][event_type utf8]
-  *          [len: int32][props utf8]
+  * frame   := [totalSize: int32] [crc32c: uint32 over checked] [checked]
+  * checked := [flags: u8] [count: int32 when flags&0x80] [stored]
+  * stored  := payload                      when codec = 0 (NONE)
+  *          | deflate(payload)             when codec = 1 (ZLIB)
+  *          | [rawLen: int32] lz4(payload) when codec = 2 (LZ4)
+  *          | [rawLen: int32] zstd(payload)when codec = 3 (ZSTD)
+  * payload := body{count}                  (bodies are self-delimiting)
+  * body    := [event_id: int64] [ts_us: int64] [user_id: int64]
+  *            [value: float64] [len: int32][event_type utf8]
+  *            [len: int32][props utf8]
   * }}}
+  *
+  * `codec = flags & 0x7F`; `flags & 0x80` marks a BATCHED frame carrying
+  * `count` messages (reference `BatchedMessage`,
+  * `src/message/codec.rs:23-60` — the send side the reference left
+  * `unimplemented!` at `producer.rs:226-229`). An unbatched frame omits
+  * the count field, so every pre-batching ledger parses unchanged.
+  * A message's `entry` coordinate is its ordinal across ALL frames —
+  * `(frame, batch_index)` flattened, like `MessageIdData.batch_index`
+  * (`proto:52-58`).
   *
   * Differences from the reference, on purpose:
   *  - CRC32C is VERIFIED on read. The reference computes the checksum on
@@ -38,8 +51,9 @@ case class MsgFrame(
   *    length-prefixed strings decode with zero copies beyond the strings.
   *  - Compression is per-frame with a codec id, like the reference's
   *    payload compression (`src/message/producer.rs:54-131`, proto:81-87);
-  *    zlib is the JDK-available codec standing in for the reference's
-  *    LZ4/Zlib/Zstd/Snappy set. Readers auto-detect per frame.
+  *    the codec set matches the reference's feature gates minus Snappy:
+  *    zlib via the JDK, LZ4/Zstd via the lz4-java/zstd-jni libraries that
+  *    ship with Spark. Readers auto-detect per frame.
   */
 object MsgLogCodec {
 
@@ -47,6 +61,10 @@ object MsgLogCodec {
 
   val CodecNone: Byte = 0
   val CodecZlib: Byte = 1
+  val CodecLz4: Byte = 2
+  val CodecZstd: Byte = 3
+
+  val BatchFlag: Int = 0x80
 
   /** Upper bound on a frame's stored size: a corrupt size prefix (the one
     * field the CRC cannot cover) must fail as a decode error, not as a
@@ -54,10 +72,23 @@ object MsgLogCodec {
     */
   val MaxFrameBytes: Int = 1 << 26 // 64 MiB
 
+  /** Upper bound on a batched frame's message count — like the size
+    * prefix, the header is validated structurally before the CRC verdict
+    * so a corrupt count cannot drive entry accounting insane.
+    */
+  val MaxBatchCount: Int = 1 << 20
+
   private def checkSize(totalSize: Int): Unit =
     if (totalSize < 5 || totalSize > MaxFrameBytes)
       throw new java.io.IOException(
         s"graft-msglog: corrupt frame size $totalSize (valid: 5..$MaxFrameBytes)")
+
+  private def checkCount(count: Int): Unit =
+    if (count < 1 || count > MaxBatchCount)
+      throw new java.io.IOException(
+        s"graft-msglog: corrupt batch count $count (valid: 1..$MaxBatchCount)")
+
+  // --- compression -------------------------------------------------------
 
   private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
@@ -79,80 +110,209 @@ object MsgLogCodec {
     out.toByteArray
   }
 
-  def writeFrame(out: DataOutputStream, m: MsgFrame, codec: Byte = CodecNone): Unit = {
+  /** LZ4 block format carries no length header of its own and Zstd's is
+    * optional, so both store an explicit rawLen prefix — the exact-size
+    * allocation on decode, validated against [[MaxFrameBytes]].
+    */
+  private def withRawLen(raw: Int, compressed: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + compressed.length)
+    out.putInt(raw).put(compressed)
+    out.array()
+  }
+
+  private def compress(payload: Array[Byte], codec: Byte): Array[Byte] = codec match {
+    case CodecNone => payload
+    case CodecZlib => deflate(payload)
+    case CodecLz4 =>
+      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      withRawLen(payload.length, c.compress(payload))
+    case CodecZstd =>
+      withRawLen(payload.length, com.github.luben.zstd.Zstd.compress(payload))
+    case other =>
+      throw new IllegalArgumentException(s"graft-msglog: unknown codec id $other")
+  }
+
+  private def rawLen(stored: Array[Byte]): Int = {
+    val n = java.nio.ByteBuffer.wrap(stored, 0, 4).getInt
+    if (n < 0 || n > MaxFrameBytes)
+      throw new java.io.IOException(s"graft-msglog: corrupt rawLen $n")
+    n
+  }
+
+  private def decompress(stored: Array[Byte], codec: Byte): Array[Byte] = codec match {
+    case CodecNone => stored
+    case CodecZlib => inflate(stored)
+    case CodecLz4 =>
+      val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+      d.decompress(stored, 4, rawLen(stored))
+    case CodecZstd =>
+      com.github.luben.zstd.Zstd.decompress(
+        java.util.Arrays.copyOfRange(stored, 4, stored.length), rawLen(stored))
+    case other =>
+      throw new java.io.IOException(s"graft-msglog: unknown codec id $other")
+  }
+
+  // --- message bodies ------------------------------------------------------
+
+  private def encodeBody(m: MsgFrame): Array[Byte] = {
     val et = m.eventType.getBytes(UTF_8)
     val pr = m.props.getBytes(UTF_8)
     val body = java.nio.ByteBuffer.allocate(8 + 8 + 8 + 8 + 4 + et.length + 4 + pr.length)
     body.putLong(m.eventId).putLong(m.tsUs).putLong(m.userId).putDouble(m.value)
     body.putInt(et.length).put(et).putInt(pr.length).put(pr)
-    val stored = if (codec == CodecZlib) deflate(body.array()) else body.array()
-    val checked = new Array[Byte](1 + stored.length)
-    checked(0) = codec
-    System.arraycopy(stored, 0, checked, 1, stored.length)
-    out.writeInt(4 + checked.length)
-    out.writeInt(Crc32C.compute(checked).toInt)
-    out.write(checked)
+    body.array()
   }
 
-  /** Decode the next frame, verifying the checksum. Returns None at clean
-    * EOF; corrupt frames raise (a real connector would route these to the
-    * dead-letter path, §2.1 #9).
-    */
-  def readFrame(in: DataInputStream): Option[MsgFrame] = {
-    val totalSize =
-      try in.readInt()
-      catch { case _: EOFException => return None }
-    checkSize(totalSize)
-    val storedCrc = in.readInt() & 0xFFFFFFFFL
-    val checked = new Array[Byte](totalSize - 4)
-    in.readFully(checked)
-    val actual = Crc32C.compute(checked)
-    if (actual != storedCrc) {
-      throw new java.io.IOException(
-        f"graft-msglog: CRC32C mismatch (stored 0x$storedCrc%08x, computed 0x$actual%08x)")
-    }
-    val stored = java.util.Arrays.copyOfRange(checked, 1, checked.length)
-    val body = checked(0) match {
-      case CodecZlib => inflate(stored)
-      case CodecNone => stored
-      case other => throw new java.io.IOException(s"graft-msglog: unknown codec id $other")
-    }
-    val buf = java.nio.ByteBuffer.wrap(body)
+  private def decodeBody(buf: java.nio.ByteBuffer): MsgFrame = {
     val eventId = buf.getLong; val tsUs = buf.getLong
     val userId = buf.getLong; val value = buf.getDouble
     val et = new Array[Byte](buf.getInt); buf.get(et)
     val pr = new Array[Byte](buf.getInt); buf.get(pr)
-    Some(MsgFrame(eventId, tsUs, userId, new String(et, UTF_8), value, new String(pr, UTF_8)))
+    MsgFrame(eventId, tsUs, userId, new String(et, UTF_8), value, new String(pr, UTF_8))
   }
 
-  /** Skip one frame without decoding (offset seek path). False at clean
-    * EOF; a truncated or size-corrupt frame raises.
+  // --- write ---------------------------------------------------------------
+
+  def writeFrame(out: DataOutputStream, m: MsgFrame, codec: Byte = CodecNone): Unit =
+    writeBatch(out, Seq(m), codec)
+
+  /** Frame `msgs` as one wire frame — unbatched layout for a single
+    * message (back-compatible), batched (`flags|0x80` + count) otherwise.
     */
-  def skipFrame(in: DataInputStream): Boolean = {
+  def writeBatch(out: DataOutputStream, msgs: Seq[MsgFrame], codec: Byte = CodecNone): Unit = {
+    require(msgs.nonEmpty, "graft-msglog: empty batch")
+    checkCount(msgs.length)
+    val bodies = msgs.map(encodeBody)
+    val payload = new Array[Byte](bodies.map(_.length).sum)
+    var off = 0
+    bodies.foreach { b => System.arraycopy(b, 0, payload, off, b.length); off += b.length }
+    val stored = compress(payload, codec)
+    val batched = msgs.length > 1
+    val headerLen = 1 + (if (batched) 4 else 0)
+    val checked = java.nio.ByteBuffer.allocate(headerLen + stored.length)
+    checked.put((if (batched) codec | BatchFlag else codec.toInt).toByte)
+    if (batched) checked.putInt(msgs.length)
+    checked.put(stored)
+    out.writeInt(4 + checked.capacity())
+    out.writeInt(Crc32C.compute(checked.array()).toInt)
+    out.write(checked.array())
+  }
+
+  // --- read ----------------------------------------------------------------
+
+  /** One decoded wire frame. `Corrupt` carries the verbatim frame bytes
+    * (for dead-letter diversion) and the entry count the frame CLAIMS —
+    * the same count [[countEntries]] assigns it, so entry numbering stays
+    * consistent whether or not the frame verifies.
+    */
+  sealed trait FrameResult
+  case class Entries(msgs: Array[MsgFrame]) extends FrameResult
+  case class Corrupt(raw: Array[Byte], claimedCount: Int, error: String) extends FrameResult
+  case object FrameEof extends FrameResult
+
+  private def headerCount(checked: Array[Byte]): Int = {
+    val flags = checked(0) & 0xFF
+    if ((flags & BatchFlag) != 0) {
+      if (checked.length < 5)
+        throw new java.io.IOException("graft-msglog: truncated batch header")
+      val n = java.nio.ByteBuffer.wrap(checked, 1, 4).getInt
+      checkCount(n)
+      n
+    } else 1
+  }
+
+  /** Decode the next frame without raising on checksum failure — the
+    * caller decides fail vs dead-letter. Structural corruption (bad size
+    * prefix, truncation) still raises: the stream cannot advance past it.
+    */
+  def readFrameResult(in: DataInputStream): FrameResult = {
     val totalSize =
       try in.readInt()
-      catch { case _: EOFException => return false }
+      catch { case _: EOFException => return FrameEof }
     checkSize(totalSize)
-    var remaining = totalSize
+    val storedCrc = in.readInt() & 0xFFFFFFFFL
+    val checked = new Array[Byte](totalSize - 4)
+    in.readFully(checked)
+    val count = headerCount(checked)
+    val actual = Crc32C.compute(checked)
+    if (actual != storedCrc) {
+      val raw = java.nio.ByteBuffer.allocate(8 + checked.length)
+        .putInt(totalSize).putInt(storedCrc.toInt).put(checked).array()
+      return Corrupt(raw, count,
+        f"graft-msglog: CRC32C mismatch (stored 0x$storedCrc%08x, computed 0x$actual%08x)")
+    }
+    val flags = checked(0) & 0xFF
+    val headerLen = if ((flags & BatchFlag) != 0) 5 else 1
+    val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
+    val payload = decompress(stored, (flags & ~BatchFlag).toByte)
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    Entries(Array.fill(count)(decodeBody(buf)))
+  }
+
+  /** Decode the next frame's messages, verifying the checksum (corrupt
+    * frames raise). Returns None at clean EOF.
+    */
+  def readEntries(in: DataInputStream): Option[Array[MsgFrame]] =
+    readFrameResult(in) match {
+      case Entries(msgs) => Some(msgs)
+      case Corrupt(_, _, err) => throw new java.io.IOException(err)
+      case FrameEof => None
+    }
+
+  /** Single-message convenience over [[readEntries]] for unbatched
+    * streams (codec tests, probes).
+    */
+  def readFrame(in: DataInputStream): Option[MsgFrame] =
+    readEntries(in).map { msgs =>
+      require(msgs.length == 1, s"readFrame on a batched frame (${msgs.length} messages)")
+      msgs(0)
+    }
+
+  /** Skip one frame without decoding or CRC work, returning the entry
+    * count it claims (header walk only). None at clean EOF; a truncated
+    * or size-corrupt frame raises.
+    */
+  def skipFrame(in: DataInputStream): Option[Int] = {
+    val totalSize =
+      try in.readInt()
+      catch { case _: EOFException => return None }
+    checkSize(totalSize)
+    in.readInt() // crc
+    val flags = in.readUnsignedByte()
+    var consumed = 5
+    val count = if ((flags & BatchFlag) != 0) {
+      val n = in.readInt(); consumed += 4; checkCount(n); n
+    } else 1
+    var remaining = totalSize - consumed
     while (remaining > 0) {
       val skipped = in.skipBytes(remaining)
       if (skipped <= 0)
         throw new java.io.IOException("graft-msglog: truncated ledger (short frame)")
       remaining -= skipped
     }
-    true
+    Some(count)
   }
 
-  /** Count frames in a ledger by walking the size prefixes — the
+  /** Diagnostic counter of full ledger entry-walks, for asserting that
+    * offset computation does NOT re-walk unchanged ledgers per trigger.
+    */
+  val entryWalks = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Count messages in a ledger by walking frame headers — the
     * `GetLastMessageId` probe (§2.1 #11): O(frames) seeks, no payload
     * decode, no CRC work.
     */
-  def countFrames(path: java.nio.file.Path): Long = {
+  def countEntries(path: java.nio.file.Path): Long = {
+    entryWalks.incrementAndGet()
     val in = new DataInputStream(
       new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
     try {
       var n = 0L
-      while (skipFrame(in)) n += 1
+      var more = true
+      while (more) skipFrame(in) match {
+        case Some(c) => n += c
+        case None => more = false
+      }
       n
     } finally in.close()
   }

@@ -26,30 +26,39 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a topic = a directory of ledger files (`*.glog`), one per topic
   *    partition (reference `{topic}-partition-{n}` fan-out,
   *    `src/discovery/mod.rs:71`);
+  *  - `topics=a,b` (comma-separated names or globs) reads a UNION of
+  *    topics under a namespace directory as one DataFrame carrying a
+  *    `topic` column — the consumer side of
+  *    `CommandGetTopicsOfNamespace` (`src/PulsarApi.proto:656-670`);
   *  - `planInputPartitions` = the lookup/fan-out step (§2.1 #12-13): one
   *    `InputPartition` per ledger slice, readers run where the executors
   *    are;
   *  - offsets are `(ledger, entry)` coordinates (`MessageIdData`,
   *    `src/PulsarApi.proto:52-58`), serialized as the per-ledger consumed
-  *    entry counts;
+  *    entry counts; `startingOffsets` (the same JSON) seeks a batch or
+  *    streaming read to a saved position — `CommandSeek{message_id}`
+  *    (`proto:537-543`) — alongside `startingTimeUs` (seek by publish
+  *    time);
   *  - `maxRowsPerTrigger` implements credit-based flow control
   *    (`CommandFlow` permits, §2.1 #6) through Spark's admission-control
   *    API;
   *  - `commit(offset)` is the cumulative ack (§2.1 #7);
   *  - every frame's CRC32C is verified on read (the reference's TODO at
-  *    `codec.rs:185`).
+  *    `codec.rs:185`); `onCorrupt=deadletter` diverts failed frames to
+  *    `<topic>/.dlq/` instead of failing the read (reference DLQ policy,
+  *    `src/entity/consumer.rs:71-77`) — the default stays fail-loud.
   */
 class MsgLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-msglog"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MsgLogSource.Schema
+    MsgLogSource.schemaFor(options.containsKey("topics"))
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new MsgLogTable(properties.get("path"))
+    new MsgLogTable(properties.get("path"), schema)
 }
 
 object MsgLogSource {
@@ -64,14 +73,22 @@ object MsgLogSource {
     StructField("value", DoubleType, nullable = false),
     StructField("props", StringType, nullable = false)))
 
+  /** Multi-topic reads additionally carry the topic name — the reader's
+    * answer to "which topic did this message come from" in a namespace
+    * union. */
+  def schemaFor(multiTopic: Boolean): StructType =
+    if (multiTopic) StructType(StructField("topic", StringType, nullable = false) +: Schema.fields)
+    else Schema
+
   /** Stable `ledger` coordinate for a ledger file: a positive 63-bit hash
-    * of its NAME (first 8 bytes of md5). Positional indices are not
-    * stable — a later write's ledger can sort in front, silently
-    * re-numbering every coordinate downstream consumers may have keyed
-    * on. Like Pulsar's ledgerId, the value is an opaque unique id, not a
-    * dense partition index; 63 bits keep the birthday-collision odds
-    * negligible where a 31-bit `hashCode` would not (two colliding
-    * ledgers in one topic would alias their coordinates).
+    * of its offset KEY (topic-qualified name — first 8 bytes of md5).
+    * Positional indices are not stable — a later write's ledger can sort
+    * in front, silently re-numbering every coordinate downstream
+    * consumers may have keyed on. Like Pulsar's ledgerId, the value is an
+    * opaque unique id, not a dense partition index; 63 bits keep the
+    * birthday-collision odds negligible where a 31-bit `hashCode` would
+    * not (two colliding ledgers in one topic would alias their
+    * coordinates).
     */
   def ledgerId(name: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -90,11 +107,61 @@ object MsgLogSource {
       finally stream.close() // Files.list holds a directory fd until closed
     }
   }
+
+  /** One ledger of a scan. In single-topic mode `topic` is "" and the
+    * offset `key` is the bare ledger name — existing checkpoints keep
+    * resolving; multi-topic keys are `topic/name`.
+    */
+  case class LedgerRef(topic: String, name: String, path: Path) {
+    def key: String = if (topic.isEmpty) name else s"$topic/$name"
+  }
+
+  /** Resolve the scan's ledgers: `path` is a topic dir (no `topics`
+    * option) or a namespace dir whose subdirectories are topics, selected
+    * by comma-separated names or glob patterns (`topics=clicks,audit-*`
+    * or `topics=*`).
+    */
+  def resolveLedgers(path: String, topics: Option[String]): Seq[LedgerRef] = topics match {
+    case None =>
+      ledgerFiles(path).map(p => LedgerRef("", p.getFileName.toString, p))
+    case Some(spec) =>
+      val patterns = spec.split(",").map(_.trim).filter(_.nonEmpty)
+      val matchers = patterns.map(p =>
+        java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
+      val base = Paths.get(path)
+      val dirs =
+        if (!Files.isDirectory(base)) Seq.empty
+        else {
+          val stream = Files.list(base)
+          try stream.iterator().asScala.toSeq
+            .filter(Files.isDirectory(_))
+            .filter(d => matchers.exists(_.matches(d.getFileName)))
+            .sortBy(_.getFileName.toString)
+          finally stream.close()
+        }
+      dirs.flatMap { d =>
+        val topic = d.getFileName.toString
+        ledgerFiles(d.toString).map(p => LedgerRef(topic, p.getFileName.toString, p))
+      }
+  }
+
+  /** Resolve an offset key back to its ledger file (inverse of
+    * [[LedgerRef.key]]). */
+  def keyPath(path: String, key: String): Path = key.indexOf('/') match {
+    case -1 => Paths.get(path, key)
+    case i => Paths.get(path, key.substring(0, i), key.substring(i + 1))
+  }
+
+  private[sources] def keyTopic(key: String): String = key.indexOf('/') match {
+    case -1 => ""
+    case i => key.substring(0, i)
+  }
 }
 
-class MsgLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class MsgLogTable(path: String, schema0: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_msglog_$path"
-  override def schema(): StructType = MsgLogSource.Schema
+  override def schema(): StructType = schema0
   /** ACCEPT_ANY_SCHEMA: writes carry only the payload columns — `ledger`
     * and `entry` are read-side coordinates the sink assigns, so write
     * resolution must not demand them (the writer validates the payload
@@ -122,18 +189,23 @@ class MsgLogTable(path: String) extends Table with SupportsRead with SupportsWri
   * Spark. Pushdown is inexact (the reader still walks every frame to keep
   * offsets dense), so every filter is also returned as a residual for
   * Spark to re-check — correctness never depends on the reader's
-  * evaluation.
+  * evaluation. `EqualTo(topic, …)` prunes whole topics at planning —
+  * partition pruning, the one pushdown that skips IO instead of decode.
   */
 class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private var required: StructType = MsgLogSource.Schema
+  private val multiTopic = options.containsKey("topics")
+  private var required: StructType = MsgLogSource.schemaFor(multiTopic)
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => MsgLogFilters.compile(f).isDefined)
+    pushed = filters.filter {
+      case EqualTo("topic", _: String) => multiTopic
+      case f => MsgLogFilters.compile(f).isDefined
+    }
     filters // all residual: reader-side evaluation is an optimization only
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -198,21 +270,41 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
     s"graft-msglog $path cols=[${required.fieldNames.mkString(",")}]" +
       s" pushed=[${pushed.mkString(",")}]"
 
+  private val topics = Option(options.get("topics"))
+  private val deadLetter = MsgLogScan.deadLetterOption(options)
+
+  /** `startingOffsets` = a saved [[MsgLogOffset]] JSON: the batch read
+    * starts each ledger at the saved entry (reference
+    * `CommandSeek{message_id}`); ledgers absent from the map read from 0.
+    */
+  private val startingCounts: Map[String, Long] =
+    Option(options.get("startingOffsets"))
+      .map(MsgLogOffset.parse(_).counts).getOrElse(Map.empty)
+
+  /** Topics equality-pruned at planning (see [[MsgLogScanBuilder]]). */
+  private val topicEq: Option[Set[String]] = {
+    val eqs = pushed.collect { case EqualTo("topic", t: String) => t }
+    if (eqs.isEmpty) None else Some(eqs.toSet)
+  }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      MsgLogSource.ledgerFiles(path).map { p =>
-        MsgLogPartition(MsgLogSource.ledgerId(p.getFileName.toString),
-          p.toString, 0L, Long.MaxValue): InputPartition
-      }.toArray
+      MsgLogSource.resolveLedgers(path, topics)
+        .filter(r => topicEq.forall(_.contains(r.topic)))
+        .map { r =>
+          MsgLogPartition(MsgLogSource.ledgerId(r.key), r.path.toString, r.topic,
+            startingCounts.getOrElse(r.key, 0L), Long.MaxValue): InputPartition
+        }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       MsgLogReaderFactory(required,
-        pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate)
+        pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate, deadLetter)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MsgLogMicroBatchStream(path,
+    new MsgLogMicroBatchStream(path, topics,
       Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
-      pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate)
+      pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate,
+      startingCounts, deadLetter)
 
   /** Seek-by-publish-time (reference `CommandSeek{message_publish_time}`,
     * `src/PulsarApi.proto:537-543`): `startingTimeUs` positions the
@@ -227,12 +319,23 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
     }
 }
 
+object MsgLogScan {
+  def deadLetterOption(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("onCorrupt")) match {
+      case Some("deadletter") => true
+      case Some("fail") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-msglog: unsupported onCorrupt '$other' (use fail or deadletter)")
+    }
+}
+
 /** Offset = consumed entry count per ledger, keyed by LEDGER NAME (the
-  * cumulative-ack frontier). Name-keyed, not index-keyed: ledgers appear
-  * over time with arbitrary lexicographic positions (batch writes embed a
-  * random write id), so positional offsets would re-bind to the wrong
-  * ledger after a new file sorts in front — duplicating some messages and
-  * skipping others on restart.
+  * cumulative-ack frontier; `topic/name` in multi-topic scans).
+  * Name-keyed, not index-keyed: ledgers appear over time with arbitrary
+  * lexicographic positions (batch writes embed a random write id), so
+  * positional offsets would re-bind to the wrong ledger after a new file
+  * sorts in front — duplicating some messages and skipping others on
+  * restart.
   */
 case class MsgLogOffset(counts: Map[String, Long]) extends Offset {
   override def json(): String = counts.toSeq.sorted
@@ -254,18 +357,41 @@ object MsgLogOffset {
   }
 }
 
-class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
+class MsgLogMicroBatchStream(path: String, topics: Option[String],
+    maxRowsPerTrigger: Option[Long],
     required: StructType = MsgLogSource.Schema,
-    preds: Array[MsgFrame => Boolean] = Array.empty)
+    preds: Array[MsgFrame => Boolean] = Array.empty,
+    startingCounts: Map[String, Long] = Map.empty,
+    deadLetter: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  /** Live (name → frame count) listing in name order. Walked per trigger —
-    * at real scale a ledger footer/index file replaces the size-walk.
+  /** Entry counts memoized by (file length, mtime): ledgers are immutable
+    * once their atomic rename lands, so an unchanged (size, mtime) pair
+    * means an unchanged count. Without this, `latestOffset` walked every
+    * frame of every ledger on every trigger — O(total retained log) of
+    * driver-side IO per micro-batch, growing forever; with it, a trigger
+    * costs one directory listing plus a walk of only NEW ledgers.
     */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, java.nio.file.attribute.FileTime, Long)]()
+
+  private def cachedCount(key: String, p: Path): Long = {
+    val size = Files.size(p)
+    val mtime = Files.getLastModifiedTime(p)
+    val hit = countCache.get(key)
+    if (hit != null && hit._1 == size && hit._2 == mtime) hit._3
+    else {
+      val n = MsgLogCodec.countEntries(p)
+      countCache.put(key, (size, mtime, n))
+      n
+    }
+  }
+
+  /** Live (key → entry count) listing in key order. */
   private def listCounts(): Seq[(String, Long)] =
-    MsgLogSource.ledgerFiles(path)
-      .map(p => p.getFileName.toString -> MsgLogCodec.countFrames(p))
+    MsgLogSource.resolveLedgers(path, topics)
+      .map(r => r.key -> cachedCount(r.key, r.path))
 
   /** AvailableNow contract: freeze the end of the backlog up front so the
     * paced micro-batches drain exactly this snapshot and stop. (Without
@@ -277,7 +403,12 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
 
   private def currentTotals: Seq[(String, Long)] = frozen.getOrElse(listCounts())
 
-  override def initialOffset(): Offset = MsgLogOffset(Map.empty) // absent = 0
+  /** Subscription start position (`CommandSeek{message_id}`): the
+    * `startingOffsets` option, for a FRESH checkpoint only — Spark calls
+    * this once and checkpoints the result; restarts resume from the
+    * checkpoint. Absent ledgers start at 0.
+    */
+  override def initialOffset(): Offset = MsgLogOffset(startingCounts)
 
   override def latestOffset(): Offset = MsgLogOffset(currentTotals.toMap)
 
@@ -312,7 +443,7 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
   }
 
   /** Last listing taken by latestOffset this trigger — reusing it here
-    * avoids a second full size-walk of every ledger per micro-batch.
+    * avoids a second listing per micro-batch.
     */
   @volatile private var lastListing: Seq[(String, Long)] = null
   override def reportLatestOffset(): Offset =
@@ -321,16 +452,18 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = MsgLogOffset.parse(start.json()).counts
     val e = MsgLogOffset.parse(end.json()).counts
-    e.toSeq.sorted.flatMap { case (name, endCount) =>
-      val startCount = s.getOrElse(name, 0L)
+    e.toSeq.sorted.flatMap { case (key, endCount) =>
+      val startCount = s.getOrElse(key, 0L)
       if (endCount > startCount)
-        Some(MsgLogPartition(MsgLogSource.ledgerId(name),
-          Paths.get(path, name).toString, startCount, endCount): InputPartition)
+        Some(MsgLogPartition(MsgLogSource.ledgerId(key),
+          MsgLogSource.keyPath(path, key).toString, MsgLogSource.keyTopic(key),
+          startCount, endCount): InputPartition)
       else None
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = MsgLogReaderFactory(required, preds)
+  override def createReaderFactory(): PartitionReaderFactory =
+    MsgLogReaderFactory(required, preds, deadLetter)
 
   override def deserializeOffset(json: String): Offset = MsgLogOffset.parse(json)
 
@@ -340,36 +473,94 @@ class MsgLogMicroBatchStream(path: String, maxRowsPerTrigger: Option[Long],
 }
 
 /** One ledger slice: entries [startEntry, endEntry) of one file. */
-case class MsgLogPartition(ledger: Long, file: String, startEntry: Long, endEntry: Long)
+case class MsgLogPartition(ledger: Long, file: String, topic: String,
+    startEntry: Long, endEntry: Long)
     extends InputPartition
 
 case class MsgLogReaderFactory(required: StructType,
-    preds: Array[MsgFrame => Boolean] = Array.empty)
+    preds: Array[MsgFrame => Boolean] = Array.empty,
+    deadLetter: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MsgLogPartition]
-    new MsgLogPartitionReader(p, required, preds)
+    new MsgLogPartitionReader(p, required, preds, deadLetter)
   }
 }
 
-/** Sequential frame decoder over one ledger slice; seeks by skipping size
-  * prefixes (no decode, no CRC until the slice starts). Only the pruned
-  * columns are materialized into the output row; frames failing a pushed
-  * predicate are skipped before materialization (entry numbering still
-  * advances — offsets stay dense).
+/** Sequential frame decoder over one ledger slice; whole frames below the
+  * slice are skipped via their headers (no decode, no CRC), a straddling
+  * batched frame is decoded once and its leading messages dropped. Only
+  * the pruned columns are materialized into the output row; messages
+  * failing a pushed predicate are skipped before materialization (entry
+  * numbering still advances — offsets stay dense, batched or not).
+  *
+  * `deadLetter=true` diverts a CRC-failed frame verbatim to
+  * `<dir>/.dlq/<ledger>-<entry>.frame` and keeps reading (the frame
+  * still consumes the entry count its header claims, matching
+  * [[MsgLogCodec.countEntries]]); the default re-raises — corruption is
+  * an error unless the caller opted into the DLQ policy.
   */
 class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
-    preds: Array[MsgFrame => Boolean] = Array.empty)
+    preds: Array[MsgFrame => Boolean] = Array.empty,
+    deadLetter: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(p.file)), 1 << 16))
+
+  /** Entry ordinal of the next not-yet-consumed message. */
   private var entry = 0L
-  while (entry < p.startEntry && MsgLogCodec.skipFrame(in)) entry += 1
+
+  // Seek: skip whole frames that end at/before the slice start via their
+  // headers (no decode, no CRC). A frame whose entries straddle
+  // startEntry must NOT be skipped — mark/reset peeks its ≤13 header
+  // bytes and rewinds for the decode path, which drops the leading
+  // messages. Re-mark per frame: BufferedInputStream only honors reset
+  // within the marked readlimit, never across a payload skip.
+  private def seek(): Unit = {
+    while (entry < p.startEntry) {
+      in.mark(16)
+      val sizeOrEof =
+        try Some(in.readInt())
+        catch { case _: java.io.EOFException => None }
+      sizeOrEof match {
+        case None => return
+        case Some(totalSize) =>
+          in.readInt() // crc
+          val flags = in.readUnsignedByte()
+          var consumed = 5
+          val count = if ((flags & MsgLogCodec.BatchFlag) != 0) {
+            consumed += 4
+            val n = in.readInt()
+            if (n < 1 || n > MsgLogCodec.MaxBatchCount)
+              throw new java.io.IOException(s"graft-msglog: corrupt batch count $n")
+            n
+          } else 1
+          if (entry + count <= p.startEntry) {
+            var remaining = totalSize - consumed
+            while (remaining > 0) {
+              val skipped = in.skipBytes(remaining)
+              if (skipped <= 0) throw new java.io.IOException(
+                "graft-msglog: truncated ledger (short frame)")
+              remaining -= skipped
+            }
+            entry += count
+          } else {
+            in.reset()
+            return
+          }
+      }
+    }
+  }
+  seek()
+
   private var current: MsgFrame = _
+  private var currentEntry = 0L
+  private var pending: Iterator[MsgFrame] = Iterator.empty
 
   private val extractors: Array[() => Any] = required.fieldNames.map {
+    case "topic" => () => UTF8String.fromString(p.topic)
     case "ledger" => () => p.ledger
-    case "entry" => () => entry - 1
+    case "entry" => () => currentEntry
     case "event_id" => () => current.eventId
     case "ts" => () => current.tsUs
     case "user_id" => () => current.userId
@@ -379,16 +570,36 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
+  private def divertToDlq(raw: Array[Byte]): Unit = {
+    val ledgerPath = Paths.get(p.file)
+    val dlqDir = ledgerPath.getParent.resolve(".dlq")
+    Files.createDirectories(dlqDir)
+    val name = s"${ledgerPath.getFileName}-$entry.frame"
+    Files.write(dlqDir.resolve(name), raw)
+  }
+
   override def next(): Boolean = {
-    while (entry < p.endEntry) {
-      MsgLogCodec.readFrame(in) match {
-        case Some(m) =>
-          entry += 1
-          if (preds.forall(_(m))) { current = m; return true }
-        case None => return false
+    while (true) {
+      while (pending.hasNext) {
+        val m = pending.next()
+        val e = entry
+        entry += 1
+        if (e >= p.endEntry) return false
+        if (e >= p.startEntry && preds.forall(_(m))) {
+          current = m; currentEntry = e; return true
+        }
+      }
+      if (entry >= p.endEntry) return false
+      MsgLogCodec.readFrameResult(in) match {
+        case MsgLogCodec.FrameEof => return false
+        case MsgLogCodec.Corrupt(raw, claimed, err) =>
+          if (!deadLetter) throw new java.io.IOException(err)
+          divertToDlq(raw)
+          entry += claimed
+        case MsgLogCodec.Entries(msgs) => pending = msgs.iterator
       }
     }
-    false
+    false // unreachable
   }
 
   override def get(): InternalRow =

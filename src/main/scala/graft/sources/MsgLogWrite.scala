@@ -29,27 +29,50 @@ import org.apache.spark.sql.types.StructType
   */
 class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
 
-  /** Per-frame payload codec (reference compression option,
-    * `src/entity/producer.rs:325-347`): `compression=zlib|none`.
+  /** Per-frame payload codec (reference compression feature gates,
+    * `src/message/producer.rs:54-131`): `compression=none|zlib|lz4|zstd`.
     */
   private val codec: Byte = Option(info.options.get("compression")) match {
     case Some("zlib") => MsgLogCodec.CodecZlib
+    case Some("lz4") => MsgLogCodec.CodecLz4
+    case Some("zstd") => MsgLogCodec.CodecZstd
     case Some("none") | None => MsgLogCodec.CodecNone
     case Some(other) =>
       throw new IllegalArgumentException(
-        s"graft-msglog: unsupported compression '$other' (use zlib or none)")
+        s"graft-msglog: unsupported compression '$other' (use none, zlib, lz4 or zstd)")
+  }
+
+  /** Messages packed per wire frame (reference `BatchedMessage`,
+    * `src/message/codec.rs:23-60`): `batchSize=N` amortizes the frame
+    * header + CRC + compression context over N messages — the
+    * small-message throughput lever. 1 (default) writes the unbatched
+    * layout byte-for-byte.
+    */
+  private val batchSize: Int = Option(info.options.get("batchSize")) match {
+    case None => 1
+    case Some(s) =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"graft-msglog: invalid batchSize '$s'")
+      }
+      if (n < 1 || n > MsgLogCodec.MaxBatchCount)
+        throw new IllegalArgumentException(
+          s"graft-msglog: batchSize $n out of range 1..${MsgLogCodec.MaxBatchCount}")
+      n
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new MsgLogBatchWrite(path, info.schema(), codec)
+    override def toBatch: BatchWrite =
+      new MsgLogBatchWrite(path, info.schema(), codec, batchSize)
     override def toStreaming: StreamingWrite =
-      new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec)
+      new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec, batchSize)
   }
 }
 
 case class MsgLogCommit(file: String) extends WriterCommitMessage
 
-class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte) extends BatchWrite {
+class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int)
+    extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
     * first write's ledgers — observed, fixed). Streaming epochs stay
@@ -58,7 +81,7 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte) extends Ba
     */
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    MsgLogWriterFactory(path, schema, writeId, codec)
+    MsgLogWriterFactory(path, schema, writeId, codec, batchSize)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -70,21 +93,25 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte) extends Ba
   * other's `epoch-N` ledgers. Including queryId isolates queries while
   * keeping an epoch re-commit of the SAME query idempotent.
   */
-class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String, codec: Byte)
+class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String,
+    codec: Byte, batchSize: Int)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MsgLogWriterFactory(path, schema, queryId, codec)
+    MsgLogWriterFactory(path, schema, queryId, codec, batchSize)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Serializable factory shipped to executors (one writer per task). */
-case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String, codec: Byte)
+case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String,
+    codec: Byte, batchSize: Int)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId, codec)
+    new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId,
+      codec, batchSize)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId, codec)
+    new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId,
+      codec, batchSize)
 }
 
 /** Frames one partition's rows into `<stem>.glog` via a temp file +
@@ -92,7 +119,7 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
   * event_id, ts, user_id, event_type, value, props.
   */
 class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
-    codec: Byte = MsgLogCodec.CodecNone)
+    codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1)
     extends DataWriter[InternalRow] {
 
   private val iEvent = schema.fieldIndex("event_id")
@@ -112,20 +139,30 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
       new BufferedOutputStream(Files.newOutputStream(tmp), 1 << 16))
   }
 
+  /** Pending messages of the frame under assembly (batchSize > 1). */
+  private val batch = new scala.collection.mutable.ArrayBuffer[MsgFrame](batchSize)
+
+  private def flushBatch(): Unit = if (batch.nonEmpty) {
+    MsgLogCodec.writeBatch(out, batch.toSeq, codec)
+    batch.clear()
+  }
+
   override def write(row: InternalRow): Unit = {
     ensureOpen()
-    MsgLogCodec.writeFrame(out, MsgFrame(
+    batch += MsgFrame(
       row.getLong(iEvent),
       row.getLong(iTs), // TimestampType is epoch-µs internally
       row.getLong(iUser),
       row.getUTF8String(iType).toString,
       row.getDouble(iValue),
-      row.getUTF8String(iProps).toString), codec)
+      row.getUTF8String(iProps).toString)
+    if (batch.length >= batchSize) flushBatch()
     n += 1
   }
 
   override def commit(): WriterCommitMessage = {
     if (out == null) return MsgLogCommit("")
+    flushBatch() // the final short frame
     out.close()
     val dest = Paths.get(dir, s"$stem${MsgLogCodec.Extension}")
     Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,

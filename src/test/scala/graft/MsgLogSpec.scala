@@ -3,11 +3,13 @@ package graft
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.Fixtures
-import graft.sources.{MsgFrame, MsgLog, MsgLogCodec}
+import graft.sources.{MsgFrame, MsgLog, MsgLogCodec, MsgLogMicroBatchStream, MsgLogSource}
 
 /** The custom DataSource V2 connector, exercised end to end: codec
   * round-trip discipline (mirroring the reference's byte-identical codec
@@ -31,7 +33,7 @@ class MsgLogSpec extends SparkTestBase {
     assert(MsgLogCodec.readFrame(in) === None)
   }
 
-  test("codec: arbitrary frames round-trip under both codecs (scalacheck)") {
+  test("codec: arbitrary frames round-trip under all codecs, batched and unbatched (scalacheck)") {
     import org.scalacheck.Prop.forAll
     import org.scalacheck.Gen
     val genFrame = for {
@@ -40,16 +42,32 @@ class MsgLogSpec extends SparkTestBase {
       v <- Gen.double
       props <- Gen.listOf(Gen.alphaNumStr).map(_.mkString("{", ",", "}"))
     } yield MsgFrame(id, ts, user, et, v, props)
-    val prop = forAll(genFrame, Gen.oneOf(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib)) {
-      (m, codec) =>
-        val out = new ByteArrayOutputStream()
-        MsgLogCodec.writeFrame(new DataOutputStream(out), m, codec)
-        MsgLogCodec.readFrame(
-          new DataInputStream(new ByteArrayInputStream(out.toByteArray))).contains(m)
+    val genBatch = Gen.nonEmptyListOf(genFrame).map(_.take(12))
+    val genCodec = Gen.oneOf(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib,
+      MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd)
+    val prop = forAll(genBatch, genCodec) { (msgs, codec) =>
+      val out = new ByteArrayOutputStream()
+      MsgLogCodec.writeBatch(new DataOutputStream(out), msgs, codec)
+      MsgLogCodec.readEntries(
+        new DataInputStream(new ByteArrayInputStream(out.toByteArray)))
+        .exists(_.toSeq == msgs)
     }
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("codec: skipFrame agrees with readEntries on batched entry counts") {
+    val out = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(out)
+    MsgLogCodec.writeBatch(dos, (0L until 5L).map(frame), MsgLogCodec.CodecLz4)
+    MsgLogCodec.writeFrame(dos, frame(99))
+    MsgLogCodec.writeBatch(dos, (10L until 13L).map(frame), MsgLogCodec.CodecZstd)
+    val in = new DataInputStream(new ByteArrayInputStream(out.toByteArray))
+    assert(MsgLogCodec.skipFrame(in) === Some(5))
+    assert(MsgLogCodec.skipFrame(in) === Some(1))
+    assert(MsgLogCodec.skipFrame(in) === Some(3))
+    assert(MsgLogCodec.skipFrame(in) === None)
   }
 
   test("codec: corrupt payload byte is rejected by the CRC check") {
@@ -134,14 +152,81 @@ class MsgLogSpec extends SparkTestBase {
       spark.read.format("graft-msglog").load(plain).drop("ledger", "entry"))
   }
 
+  test("lz4 and zstd frames round-trip and shrink the ledger") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val plain = Files.createTempDirectory("glog_plain2_").toString
+    ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
+    def dirSize(d: String): Long =
+      Files.list(Paths.get(d)).mapToLong(p => Files.size(p)).sum()
+    Seq("lz4", "zstd").foreach { codec =>
+      val packed = Files.createTempDirectory(s"glog_${codec}_").toString
+      // batch the compressed write: per-message compression contexts have
+      // nothing to bite on; batching is what makes lz4/zstd earn its id
+      ev.repartition(2).write.format("graft-msglog")
+        .option("compression", codec).option("batchSize", "64")
+        .mode("append").save(packed)
+      assert(dirSize(packed) < dirSize(plain), codec)
+      assertSameRows(
+        spark.read.format("graft-msglog").load(packed).drop("ledger", "entry"),
+        spark.read.format("graft-msglog").load(plain).drop("ledger", "entry"))
+    }
+  }
+
   test("unsupported compression codec is rejected by name") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val ex = intercept[Exception] {
-      ev.write.format("graft-msglog").option("compression", "zstd")
+      ev.write.format("graft-msglog").option("compression", "snappy")
         .mode("append").save(Files.createTempDirectory("glog_bad_").toString)
     }
     assert(ex.getMessage.contains("unsupported compression"))
+  }
+
+  test("batched frames round-trip transparently with dense entry coordinates") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_batched_").toString
+    // 7 does not divide the partition sizes: the last frame of each
+    // ledger is short, and read slices straddle frame boundaries
+    ev.repartition(2, col("user_id")).write.format("graft-msglog")
+      .option("batchSize", "7").mode("append").save(dir)
+    val back = spark.read.format("graft-msglog").load(dir)
+    assertSameRows(
+      back.select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), col("value"), col("props")),
+      ev.select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), col("value"), col("props")))
+    // entry = (frame, batch_index) flattened: still dense per ledger
+    val perLedger = back.groupBy("ledger")
+      .agg(min("entry").as("mn"), max("entry").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    perLedger.foreach { r =>
+      assert(r.getAs[Long]("mn") === 0L)
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n") - 1)
+    }
+  }
+
+  test("a batched ledger streams with row-budget pacing straddling frames") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_batch_stream_").toString
+    ev.repartition(2, col("user_id")).write.format("graft-msglog")
+      .option("batchSize", "7").option("compression", "zstd")
+      .mode("append").save(dir)
+    val name = "msglog_batched_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("maxRowsPerTrigger", "300") // not a multiple of 7: slices straddle
+      .load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertSameRows(
+      spark.table(name),
+      ev.groupBy("event_type").agg(count(lit(1)).as("n")))
   }
 
   test("codec: corrupt size prefix fails as a decode error, not an allocation") {
@@ -298,5 +383,173 @@ class MsgLogSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
     assertSameRows(viaLog, direct)
+  }
+
+  // --- startingOffsets (seek to a message-id) ---------------------------
+
+  private def offsetsJson(dir: String, perLedger: Long): String =
+    MsgLogSource.ledgerFiles(dir)
+      .map(p => s""""${p.getFileName}":$perLedger""").mkString("{", ",", "}")
+
+  test("startingOffsets: batch read starts each ledger at the saved entry") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val total = Fixtures.events(spark, sfDir).count()
+    val sought = spark.read.format("graft-msglog")
+      .option("startingOffsets", offsetsJson(dir, 5L)).load(dir)
+    assert(sought.count() === total - 5 * MsgLog.NumLedgers)
+    // exactly the suffix: every ledger resumes at entry 5
+    val mins = sought.groupBy("ledger").agg(min("entry").as("mn")).collect()
+    assert(mins.length === MsgLog.NumLedgers)
+    mins.foreach(r => assert(r.getAs[Long]("mn") === 5L))
+  }
+
+  test("startingOffsets: a fresh stream subscribes from the saved position, agreeing with batch") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val json = offsetsJson(dir, 7L)
+    val name = "msglog_seek_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("startingOffsets", json)
+      .load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batchSuffix = spark.read.format("graft-msglog")
+      .option("startingOffsets", json).load(dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assertSameRows(spark.table(name), batchSuffix)
+  }
+
+  // --- offset computation is O(changed ledgers) --------------------------
+
+  test("latestOffset never re-walks an unchanged ledger") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_walk_").toString
+    ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
+    val stream = new MsgLogMicroBatchStream(dir, None, None)
+    val w0 = MsgLogCodec.entryWalks.get()
+    val first = stream.latestOffset().json()
+    val w1 = MsgLogCodec.entryWalks.get()
+    assert(w1 - w0 === 2L, "first listing walks every ledger once")
+    assert(stream.latestOffset().json() === first)
+    assert(MsgLogCodec.entryWalks.get() === w1,
+      "second trigger over an unchanged log walks nothing")
+    // grow the log: only the NEW ledgers are walked
+    ev.limit(50).repartition(1).write.format("graft-msglog").mode("append").save(dir)
+    stream.latestOffset()
+    assert(MsgLogCodec.entryWalks.get() === w1 + 1L,
+      "a grown log walks exactly the new ledgers")
+  }
+
+  // --- multi-topic (namespace) reads -------------------------------------
+
+  test("multi-topic read unions the namespace with a topic column") {
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val df = spark.read.format("graft-msglog").option("topics", "*").load(ns)
+    val ev = Fixtures.events(spark, sfDir)
+    assert(df.columns.head === "topic")
+    assert(df.count() === ev.count())
+    val perTopic = df.groupBy("topic").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTopic("topic-even") ===
+      ev.filter(pmod(col("user_id"), lit(2)) === 0).count())
+    assert(perTopic("topic-odd") ===
+      ev.filter(pmod(col("user_id"), lit(2)) === 1).count())
+    // explicit topic list and glob both select subsets
+    val even = spark.read.format("graft-msglog").option("topics", "topic-even").load(ns)
+    assert(even.count() === perTopic("topic-even"))
+    val glob = spark.read.format("graft-msglog").option("topics", "topic-*").load(ns)
+    assert(glob.count() === ev.count())
+  }
+
+  test("multi-topic: topic equality prunes whole topics at planning") {
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val filtered = spark.read.format("graft-msglog").option("topics", "*").load(ns)
+      .filter(col("topic") === "topic-odd")
+    val plan = filtered.queryExecution.executedPlan
+    assert(plan.toString.contains("EqualTo(topic,topic-odd)"), plan.toString)
+    // only topic-odd's ledgers become partitions (2, not 4)
+    val parts = filtered.rdd.getNumPartitions
+    assert(parts === 2, s"expected 2 pruned partitions, got $parts")
+    assert(filtered.count() ===
+      Fixtures.events(spark, sfDir).filter(pmod(col("user_id"), lit(2)) === 1).count())
+  }
+
+  test("multi-topic stream drains the namespace union, keyed by topic/ledger") {
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val name = "msglog_ns_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("topics", "*")
+      .option("maxRowsPerTrigger", "500")
+      .load(ns)
+      .groupBy("topic").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ev = Fixtures.events(spark, sfDir)
+    assertSameRows(
+      spark.table(name),
+      ev.groupBy(when(pmod(col("user_id"), lit(2)) === 0, "topic-even")
+        .otherwise("topic-odd").as("topic"))
+        .agg(count(lit(1)).as("n")))
+  }
+
+  // --- corrupt-frame dead-lettering ---------------------------------------
+
+  /** A tiny topic of `n` unbatched frames with one payload byte of frame
+    * `corruptIdx` flipped; returns the topic dir.
+    */
+  private def corruptTopic(n: Int, corruptIdx: Int): String = {
+    val dir = Files.createTempDirectory("glog_corrupt_")
+    val ledger = dir.resolve(s"ledger-test-0000${MsgLogCodec.Extension}")
+    val bytes = {
+      val bos = new ByteArrayOutputStream()
+      val dos = new DataOutputStream(bos)
+      (0 until n).foreach(i => MsgLogCodec.writeFrame(dos, frame(i.toLong)))
+      bos.toByteArray
+    }
+    // walk size prefixes to the corrupt frame's payload
+    var pos = 0
+    (0 until corruptIdx).foreach { _ =>
+      val size = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+      pos += 4 + size
+    }
+    val victim = pos + 4 + 4 + 1 + 2 // size + crc + flags + 2 payload bytes in
+    bytes(victim) = (bytes(victim) ^ 0x01).toByte
+    Files.write(ledger, bytes)
+    dir.toString
+  }
+
+  test("corrupt frame fails the read loudly by default") {
+    val dir = corruptTopic(10, 3)
+    val ex = intercept[Exception] {
+      spark.read.format("graft-msglog").load(dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("CRC32C mismatch")), messages(ex).mkString("\n"))
+  }
+
+  test("onCorrupt=deadletter diverts the frame verbatim and keeps reading") {
+    val dir = corruptTopic(10, 3)
+    val back = spark.read.format("graft-msglog")
+      .option("onCorrupt", "deadletter").load(dir)
+    val rows = back.select("entry", "event_id").collect()
+    assert(rows.length === 9)
+    // the corrupt frame still consumed its entry: numbering has a hole at 3
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 10L).filter(_ != 3L))
+    val dlq = Files.list(Paths.get(dir, ".dlq")).iterator().asScala.toSeq
+    assert(dlq.size === 1)
+    assert(dlq.head.getFileName.toString.endsWith("-3.frame"))
+    // diverted bytes are the frame verbatim (re-readable after repair)
+    val raw = Files.readAllBytes(dlq.head)
+    assert(java.nio.ByteBuffer.wrap(raw, 0, 4).getInt === raw.length - 4)
+    // the DLQ sidecar dir does not pollute subsequent topic listings
+    assert(MsgLogSource.ledgerFiles(dir).size === 1)
   }
 }
