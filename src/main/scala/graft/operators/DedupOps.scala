@@ -224,6 +224,14 @@ object DedupOps {
     * the verify join brings each side's shingle set by doc_id — two
     * broadcast-able joins against the candidate list. Jaccard is an
     * exact integer ratio (unrounded: identical in every engine).
+    *
+    * Scale note: `shingles` is referenced on both verify sides, so the
+    * tokenize+shingle projection is computed twice per run (and once more
+    * inside the candidate pipeline). At 100 TB you persist/checkpoint
+    * `candidates` and `shingles` between the stages instead — kept
+    * stateless here because the driver contract re-runs each query
+    * cold and a `.persist` with no unpersist would pin executor memory
+    * across the 50+-query bench.
     */
   def docLshVerifiedDups(docs: DataFrame): DataFrame = {
     val candidates = docMinhashLsh(docs)

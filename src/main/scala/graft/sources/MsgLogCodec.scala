@@ -51,9 +51,9 @@ case class MsgFrame(
   *    length-prefixed strings decode with zero copies beyond the strings.
   *  - Compression is per-frame with a codec id, like the reference's
   *    payload compression (`src/message/producer.rs:54-131`, proto:81-87);
-  *    the codec set matches the reference's feature gates minus Snappy:
-  *    zlib via the JDK, LZ4/Zstd via the lz4-java/zstd-jni libraries that
-  *    ship with Spark. Readers auto-detect per frame.
+  *    the codec set matches the reference's feature gates: zlib via the
+  *    JDK, LZ4/Zstd/Snappy via the lz4-java/zstd-jni/snappy-java
+  *    libraries that ship with Spark. Readers auto-detect per frame.
   */
 object MsgLogCodec {
 
@@ -63,6 +63,7 @@ object MsgLogCodec {
   val CodecZlib: Byte = 1
   val CodecLz4: Byte = 2
   val CodecZstd: Byte = 3
+  val CodecSnappy: Byte = 4
 
   val BatchFlag: Int = 0x80
 
@@ -128,6 +129,8 @@ object MsgLogCodec {
       withRawLen(payload.length, c.compress(payload))
     case CodecZstd =>
       withRawLen(payload.length, com.github.luben.zstd.Zstd.compress(payload))
+    case CodecSnappy =>
+      org.xerial.snappy.Snappy.compress(payload)
     case other =>
       throw new IllegalArgumentException(s"graft-msglog: unknown codec id $other")
   }
@@ -148,6 +151,8 @@ object MsgLogCodec {
     case CodecZstd =>
       com.github.luben.zstd.Zstd.decompress(
         java.util.Arrays.copyOfRange(stored, 4, stored.length), rawLen(stored))
+    case CodecSnappy =>
+      org.xerial.snappy.Snappy.uncompress(stored)
     case other =>
       throw new java.io.IOException(s"graft-msglog: unknown codec id $other")
   }

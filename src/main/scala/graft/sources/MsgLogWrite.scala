@@ -36,10 +36,11 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
     case Some("zlib") => MsgLogCodec.CodecZlib
     case Some("lz4") => MsgLogCodec.CodecLz4
     case Some("zstd") => MsgLogCodec.CodecZstd
+    case Some("snappy") => MsgLogCodec.CodecSnappy
     case Some("none") | None => MsgLogCodec.CodecNone
     case Some(other) =>
       throw new IllegalArgumentException(
-        s"graft-msglog: unsupported compression '$other' (use none, zlib, lz4 or zstd)")
+        s"graft-msglog: unsupported compression '$other' (use none, zlib, lz4, zstd or snappy)")
   }
 
   /** Messages packed per wire frame (reference `BatchedMessage`,

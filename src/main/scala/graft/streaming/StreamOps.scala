@@ -69,6 +69,12 @@ object StreamOps {
 
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return its final content as a batch DataFrame.
+    *
+    * The memory sink is the TEST/DRIVER surface only: every result here
+    * is a small final aggregate, which is the one shape a driver-side
+    * sink is safe for. Production egress is foreachBatch fan-out or file
+    * sinks — `streamDeadLetterSplit` (foreachBatch → parquet) and the
+    * `graft-msglog` streaming sink demonstrate both at-scale paths.
     */
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"

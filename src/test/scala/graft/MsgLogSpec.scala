@@ -44,7 +44,7 @@ class MsgLogSpec extends SparkTestBase {
     } yield MsgFrame(id, ts, user, et, v, props)
     val genBatch = Gen.nonEmptyListOf(genFrame).map(_.take(12))
     val genCodec = Gen.oneOf(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib,
-      MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd)
+      MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd, MsgLogCodec.CodecSnappy)
     val prop = forAll(genBatch, genCodec) { (msgs, codec) =>
       val out = new ByteArrayOutputStream()
       MsgLogCodec.writeBatch(new DataOutputStream(out), msgs, codec)
@@ -152,14 +152,14 @@ class MsgLogSpec extends SparkTestBase {
       spark.read.format("graft-msglog").load(plain).drop("ledger", "entry"))
   }
 
-  test("lz4 and zstd frames round-trip and shrink the ledger") {
+  test("lz4, zstd and snappy frames round-trip and shrink the ledger") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val plain = Files.createTempDirectory("glog_plain2_").toString
     ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
     def dirSize(d: String): Long =
       Files.list(Paths.get(d)).mapToLong(p => Files.size(p)).sum()
-    Seq("lz4", "zstd").foreach { codec =>
+    Seq("lz4", "zstd", "snappy").foreach { codec =>
       val packed = Files.createTempDirectory(s"glog_${codec}_").toString
       // batch the compressed write: per-message compression contexts have
       // nothing to bite on; batching is what makes lz4/zstd earn its id
@@ -177,7 +177,7 @@ class MsgLogSpec extends SparkTestBase {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val ex = intercept[Exception] {
-      ev.write.format("graft-msglog").option("compression", "snappy")
+      ev.write.format("graft-msglog").option("compression", "brotli")
         .mode("append").save(Files.createTempDirectory("glog_bad_").toString)
     }
     assert(ex.getMessage.contains("unsupported compression"))
