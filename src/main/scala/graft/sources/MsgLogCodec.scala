@@ -28,6 +28,8 @@ case class MsgFrame(
   *          | deflate(payload)             when codec = 1 (ZLIB)
   *          | [rawLen: int32] lz4(payload) when codec = 2 (LZ4)
   *          | [rawLen: int32] zstd(payload)when codec = 3 (ZSTD)
+  *          | snappy(payload)              when codec = 4 (SNAPPY;
+  *                                          self-describing length)
   * payload := body{count}                  (bodies are self-delimiting)
   * body    := [event_id: int64] [ts_us: int64] [user_id: int64]
   *            [value: float64] [len: int32][event_type utf8]
@@ -149,8 +151,16 @@ object MsgLogCodec {
       val d = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
       d.decompress(stored, 4, rawLen(stored))
     case CodecZstd =>
-      com.github.luben.zstd.Zstd.decompress(
-        java.util.Arrays.copyOfRange(stored, 4, stored.length), rawLen(stored))
+      // offset-taking variant: no copy of the compressed payload just to
+      // strip the 4-byte rawLen prefix (the lz4 branch gets this free)
+      val n = rawLen(stored)
+      val dst = new Array[Byte](n)
+      val written = com.github.luben.zstd.Zstd.decompressByteArray(
+        dst, 0, n, stored, 4, stored.length - 4)
+      if (written != n)
+        throw new java.io.IOException(
+          s"graft-msglog: zstd raw length mismatch ($written != $n)")
+      dst
     case CodecSnappy =>
       org.xerial.snappy.Snappy.uncompress(stored)
     case other =>
@@ -215,20 +225,24 @@ object MsgLogCodec {
   case class Corrupt(raw: Array[Byte], claimedCount: Int, error: String) extends FrameResult
   case object FrameEof extends FrameResult
 
-  private def headerCount(checked: Array[Byte]): Int = {
-    val flags = checked(0) & 0xFF
-    if ((flags & BatchFlag) != 0) {
-      if (checked.length < 5)
-        throw new java.io.IOException("graft-msglog: truncated batch header")
-      val n = java.nio.ByteBuffer.wrap(checked, 1, 4).getInt
-      checkCount(n)
-      n
-    } else 1
-  }
+  /** Entry accounting for a frame whose CRC may not hold: a batch count
+    * outside 1..MaxBatchCount in a CRC-FAILED frame claims 1 — the true
+    * count is unknowable, and what matters is that [[readFrameResult]]
+    * and [[skipFrame]] (hence [[countEntries]]) assign the SAME number
+    * from the same bytes, so offsets stay consistent whether the frame is
+    * decoded, skipped, or dead-lettered. A CRC-VALID frame with an
+    * out-of-range count is a writer bug and raises ([[checkCount]]).
+    */
+  private def lenientCount(n: Int): Int =
+    if (n >= 1 && n <= MaxBatchCount) n else 1
 
   /** Decode the next frame without raising on checksum failure — the
-    * caller decides fail vs dead-letter. Structural corruption (bad size
-    * prefix, truncation) still raises: the stream cannot advance past it.
+    * caller decides fail vs dead-letter; header corruption inside the
+    * CRC-covered bytes (a flipped batch flag, a garbage count) lands in
+    * `Corrupt` like any payload corruption, because the frame boundary
+    * (the size prefix) is still intact. Only structural corruption the
+    * stream cannot safely advance past — a bad size prefix, a truncated
+    * file, a batched frame too short for its own count field — raises.
     */
   def readFrameResult(in: DataInputStream): FrameResult = {
     val totalSize =
@@ -238,20 +252,25 @@ object MsgLogCodec {
     val storedCrc = in.readInt() & 0xFFFFFFFFL
     val checked = new Array[Byte](totalSize - 4)
     in.readFully(checked)
-    val count = headerCount(checked)
+    val flags = checked(0) & 0xFF
+    val batched = (flags & BatchFlag) != 0
+    if (batched && checked.length < 5) // mirrors skipFrame's structural check
+      throw new java.io.IOException("graft-msglog: truncated batch header")
+    val rawCount =
+      if (batched) java.nio.ByteBuffer.wrap(checked, 1, 4).getInt else 1
     val actual = Crc32C.compute(checked)
     if (actual != storedCrc) {
       val raw = java.nio.ByteBuffer.allocate(8 + checked.length)
         .putInt(totalSize).putInt(storedCrc.toInt).put(checked).array()
-      return Corrupt(raw, count,
+      return Corrupt(raw, lenientCount(rawCount),
         f"graft-msglog: CRC32C mismatch (stored 0x$storedCrc%08x, computed 0x$actual%08x)")
     }
-    val flags = checked(0) & 0xFF
-    val headerLen = if ((flags & BatchFlag) != 0) 5 else 1
+    checkCount(rawCount) // CRC holds: an invalid count is a writer bug
+    val headerLen = if (batched) 5 else 1
     val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
     val payload = decompress(stored, (flags & ~BatchFlag).toByte)
     val buf = java.nio.ByteBuffer.wrap(payload)
-    Entries(Array.fill(count)(decodeBody(buf)))
+    Entries(Array.fill(rawCount)(decodeBody(buf)))
   }
 
   /** Decode the next frame's messages, verifying the checksum (corrupt
@@ -273,30 +292,54 @@ object MsgLogCodec {
       msgs(0)
     }
 
-  /** Skip one frame without decoding or CRC work, returning the entry
-    * count it claims (header walk only). None at clean EOF; a truncated
-    * or size-corrupt frame raises.
+  /** One frame's header: its wire size, the entry count it claims (the
+    * [[lenientCount]] discipline), and how many bytes the header walk
+    * consumed past the size prefix's 4.
     */
-  def skipFrame(in: DataInputStream): Option[Int] = {
+  case class FrameHeader(totalSize: Int, claimedCount: Int, headerConsumed: Int)
+
+  /** Read the next frame's size prefix + header without touching the
+    * payload — THE single header-walk implementation behind skip, count,
+    * and reader seek (three call sites sharing one set of structural
+    * checks, so they cannot drift). None at clean EOF. Strict on what
+    * frame-boundary accounting depends on (size prefix range, a batched
+    * frame big enough for its count field); lenient on the count VALUE
+    * (see [[lenientCount]]).
+    */
+  def readFrameHeader(in: DataInputStream): Option[FrameHeader] = {
     val totalSize =
       try in.readInt()
       catch { case _: EOFException => return None }
     checkSize(totalSize)
-    in.readInt() // crc
+    in.readInt() // crc: not verified on a header walk
     val flags = in.readUnsignedByte()
     var consumed = 5
     val count = if ((flags & BatchFlag) != 0) {
-      val n = in.readInt(); consumed += 4; checkCount(n); n
+      if (totalSize < 9) // count field would extend past the frame
+        throw new java.io.IOException("graft-msglog: truncated batch header")
+      val n = in.readInt(); consumed += 4
+      lenientCount(n)
     } else 1
-    var remaining = totalSize - consumed
+    Some(FrameHeader(totalSize, count, consumed))
+  }
+
+  /** Skip the payload remainder of a frame whose header was just read. */
+  def skipPayload(in: DataInputStream, h: FrameHeader): Unit = {
+    var remaining = h.totalSize - h.headerConsumed
     while (remaining > 0) {
       val skipped = in.skipBytes(remaining)
       if (skipped <= 0)
         throw new java.io.IOException("graft-msglog: truncated ledger (short frame)")
       remaining -= skipped
     }
-    Some(count)
   }
+
+  /** Skip one frame without decoding or CRC work, returning the entry
+    * count it claims. None at clean EOF; a truncated or size-corrupt
+    * frame raises.
+    */
+  def skipFrame(in: DataInputStream): Option[Int] =
+    readFrameHeader(in).map { h => skipPayload(in, h); h.claimedCount }
 
   /** Diagnostic counter of full ledger entry-walks, for asserting that
     * offset computation does NOT re-walk unchanged ledgers per trigger.

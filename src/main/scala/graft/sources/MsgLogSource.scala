@@ -304,7 +304,7 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
     new MsgLogMicroBatchStream(path, topics,
       Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
       pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate,
-      startingCounts, deadLetter)
+      startingCounts, deadLetter, topicEq)
 
   /** Seek-by-publish-time (reference `CommandSeek{message_publish_time}`,
     * `src/PulsarApi.proto:537-543`): `startingTimeUs` positions the
@@ -362,7 +362,8 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     required: StructType = MsgLogSource.Schema,
     preds: Array[MsgFrame => Boolean] = Array.empty,
     startingCounts: Map[String, Long] = Map.empty,
-    deadLetter: Boolean = false)
+    deadLetter: Boolean = false,
+    topicEq: Option[Set[String]] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -388,9 +389,15 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     }
   }
 
-  /** Live (key → entry count) listing in key order. */
+  /** Live (key → entry count) listing in key order. A pushed
+    * `EqualTo(topic, …)` prunes non-matching topics here too — though
+    * Spark currently runs filter pushdown only for batch scans, so for
+    * streams the `topics=` option is the pruning lever users reach for;
+    * the topicEq path activates for free if streaming pushdown lands.
+    */
   private def listCounts(): Seq[(String, Long)] =
     MsgLogSource.resolveLedgers(path, topics)
+      .filter(r => topicEq.forall(_.contains(r.topic)))
       .map(r => r.key -> cachedCount(r.key, r.path))
 
   /** AvailableNow contract: freeze the end of the backlog up front so the
@@ -511,39 +518,22 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
   private var entry = 0L
 
   // Seek: skip whole frames that end at/before the slice start via their
-  // headers (no decode, no CRC). A frame whose entries straddle
-  // startEntry must NOT be skipped — mark/reset peeks its ≤13 header
-  // bytes and rewinds for the decode path, which drops the leading
-  // messages. Re-mark per frame: BufferedInputStream only honors reset
-  // within the marked readlimit, never across a payload skip.
+  // headers ([[MsgLogCodec.readFrameHeader]] — no decode, no CRC, one
+  // shared validation path with skipFrame/countEntries). A frame whose
+  // entries straddle startEntry must NOT be skipped — mark/reset peeks
+  // its ≤13 header bytes and rewinds for the decode path, which drops
+  // the leading messages. Re-mark per frame: BufferedInputStream only
+  // honors reset within the marked readlimit, never across a payload
+  // skip.
   private def seek(): Unit = {
     while (entry < p.startEntry) {
       in.mark(16)
-      val sizeOrEof =
-        try Some(in.readInt())
-        catch { case _: java.io.EOFException => None }
-      sizeOrEof match {
+      MsgLogCodec.readFrameHeader(in) match {
         case None => return
-        case Some(totalSize) =>
-          in.readInt() // crc
-          val flags = in.readUnsignedByte()
-          var consumed = 5
-          val count = if ((flags & MsgLogCodec.BatchFlag) != 0) {
-            consumed += 4
-            val n = in.readInt()
-            if (n < 1 || n > MsgLogCodec.MaxBatchCount)
-              throw new java.io.IOException(s"graft-msglog: corrupt batch count $n")
-            n
-          } else 1
-          if (entry + count <= p.startEntry) {
-            var remaining = totalSize - consumed
-            while (remaining > 0) {
-              val skipped = in.skipBytes(remaining)
-              if (skipped <= 0) throw new java.io.IOException(
-                "graft-msglog: truncated ledger (short frame)")
-              remaining -= skipped
-            }
-            entry += count
+        case Some(h) =>
+          if (entry + h.claimedCount <= p.startEntry) {
+            MsgLogCodec.skipPayload(in, h)
+            entry += h.claimedCount
           } else {
             in.reset()
             return

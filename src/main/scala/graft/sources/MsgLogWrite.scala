@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
 class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
 
   /** Per-frame payload codec (reference compression feature gates,
-    * `src/message/producer.rs:54-131`): `compression=none|zlib|lz4|zstd`.
+    * `src/message/producer.rs:54-131`):
+    * `compression=none|zlib|lz4|zstd|snappy`.
     */
   private val codec: Byte = Option(info.options.get("compression")) match {
     case Some("zlib") => MsgLogCodec.CodecZlib

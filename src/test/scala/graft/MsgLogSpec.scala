@@ -501,10 +501,12 @@ class MsgLogSpec extends SparkTestBase {
 
   // --- corrupt-frame dead-lettering ---------------------------------------
 
-  /** A tiny topic of `n` unbatched frames with one payload byte of frame
-    * `corruptIdx` flipped; returns the topic dir.
+  /** A tiny topic of `n` unbatched frames with one byte of frame
+    * `corruptIdx` flipped — a payload byte, or the flags byte
+    * (`flipFlags`, simulating header corruption inside the CRC-covered
+    * region); returns the topic dir.
     */
-  private def corruptTopic(n: Int, corruptIdx: Int): String = {
+  private def corruptTopic(n: Int, corruptIdx: Int, flipFlags: Boolean = false): String = {
     val dir = Files.createTempDirectory("glog_corrupt_")
     val ledger = dir.resolve(s"ledger-test-0000${MsgLogCodec.Extension}")
     val bytes = {
@@ -513,14 +515,17 @@ class MsgLogSpec extends SparkTestBase {
       (0 until n).foreach(i => MsgLogCodec.writeFrame(dos, frame(i.toLong)))
       bos.toByteArray
     }
-    // walk size prefixes to the corrupt frame's payload
+    // walk size prefixes to the corrupt frame
     var pos = 0
     (0 until corruptIdx).foreach { _ =>
       val size = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
       pos += 4 + size
     }
-    val victim = pos + 4 + 4 + 1 + 2 // size + crc + flags + 2 payload bytes in
-    bytes(victim) = (bytes(victim) ^ 0x01).toByte
+    val victim =
+      if (flipFlags) pos + 4 + 4 // size + crc → the flags byte
+      else pos + 4 + 4 + 1 + 2 // size + crc + flags + 2 payload bytes in
+    bytes(victim) =
+      (bytes(victim) ^ (if (flipFlags) 0x80 else 0x01)).toByte
     Files.write(ledger, bytes)
     dir.toString
   }
@@ -551,5 +556,52 @@ class MsgLogSpec extends SparkTestBase {
     assert(java.nio.ByteBuffer.wrap(raw, 0, 4).getInt === raw.length - 4)
     // the DLQ sidecar dir does not pollute subsequent topic listings
     assert(MsgLogSource.ledgerFiles(dir).size === 1)
+  }
+
+  test("corrupt HEADER bytes (flipped batch flag) are dead-letterable, not fatal") {
+    // the flags/count header lives inside the CRC-covered bytes: its
+    // corruption must land in the DLQ like payload corruption, because
+    // the frame boundary (size prefix) is intact — a prior revision threw
+    // on the count check before the CRC verdict and the stream could
+    // never advance past the frame regardless of policy
+    val dir = corruptTopic(10, 4, flipFlags = true)
+    val ex = intercept[Exception] {
+      spark.read.format("graft-msglog").load(dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("CRC32C mismatch")), messages(ex).mkString("\n"))
+    val back = spark.read.format("graft-msglog")
+      .option("onCorrupt", "deadletter").load(dir)
+    val entries = back.select("entry").collect().map(_.getLong(0)).sorted.toSeq
+    // the corrupt frame claims 1 entry (lenient count): a hole at 4
+    assert(entries === (0L until 10L).filter(_ != 4L))
+    assert(Files.list(Paths.get(dir, ".dlq")).count() === 1)
+  }
+
+  test("a topics-scoped stream never lists or walks the rest of the namespace") {
+    // Spark does not run filter pushdown for streaming V2 relations, so
+    // `topics=` is the streaming pruning lever (EqualTo(topic,…) pruning
+    // covers the batch path — see 'prunes whole topics at planning')
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val w0 = MsgLogCodec.entryWalks.get()
+    val name = "msglog_stream_prune_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("topics", "topic-odd")
+      .load(ns)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ev = Fixtures.events(spark, sfDir)
+    assertSameRows(
+      spark.table(name),
+      ev.filter(pmod(col("user_id"), lit(2)) === 1)
+        .groupBy("event_type").agg(count(lit(1)).as("n")))
+    // only topic-odd's 2 ledgers were ever walked (AvailableNow freezes
+    // one listing up front; the whole namespace would be 4)
+    assert(MsgLogCodec.entryWalks.get() - w0 === 2L)
   }
 }
