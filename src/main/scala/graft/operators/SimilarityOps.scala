@@ -72,16 +72,46 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** One deterministic Lloyd (k-means) refinement over the first-`C`
+    * seed: assign every vector to its max-cosine seed centroid, then
+    * recompute each centroid as the dimension-wise mean of its cell.
+    * Means are rounded to 6 decimals so the refined centroids are
+    * bit-identical across engines and summation orders (the same
+    * discipline as the cosines themselves) — which is what lets the IVF
+    * index stay ORACLE-CHECKED instead of a fixed-seed stand-in. One
+    * iteration by design: each extra pass doubles the oracle's CTE chain
+    * for marginal cell movement, and at 100 TB k-means runs as an
+    * offline pipeline anyway — this is the in-engine refinement step of
+    * that pipeline (broadcast assignment join + one dim-wise shuffle,
+    * both scale-safe; empty cells drop in both engines identically).
+    */
+  private def lloydOnce(emb: DataFrame): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("ce")).as("ccos"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), posexplode(col("embedding")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("cx"))
+      .groupBy("cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        x => x.getField("cx")).as("ce"))
+  }
+
   /** IVF top-k: vectors are assigned to their max-cosine centroid (rank-1
     * window over the vector×centroid broadcast join); the query probes its
-    * `NumProbe` best cells and exact-searches only those. Centroid count
-    * scales as √n at 100 TB; the assignment join stays broadcast (centroid
-    * table is tiny) and the probe prunes the exact search to a fraction of
-    * the corpus.
+    * `NumProbe` best cells and exact-searches only those. Centroids are
+    * the [[lloydOnce]] k-means refinement of the first-`C` seed. Centroid
+    * count scales as √n at 100 TB; the assignment join stays broadcast
+    * (centroid table is tiny) and the probe prunes the exact search to a
+    * fraction of the corpus.
     */
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val centroids = lloydOnce(emb)
     val scored = emb
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
@@ -150,8 +180,28 @@ object SimilarityOps {
           SELECT vec_a, vec_b, cosine FROM scored
           ORDER BY cosine DESC, vec_a, vec_b LIMIT $NEAR_DUP_K""",
     "embedding_ivf_topk" ->
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
                          WHERE vec_id < $NumCentroids),
+          seed_scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
+                         / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                            * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
+            FROM embeddings e, seeds c, range(1, 65) t(i)
+            GROUP BY e.vec_id, c.cent_id),
+          seed_assign AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+              FROM seed_scored) WHERE rn = 1),
+          cent_dims AS (
+            SELECT a.cell AS cent_id, t.i,
+                   round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS cx
+            FROM seed_assign a JOIN embeddings e ON e.vec_id = a.vec_id,
+                 range(1, 65) t(i)
+            GROUP BY a.cell, t.i),
+          cents AS (SELECT cent_id, list(cx ORDER BY i) AS ce
+                    FROM cent_dims GROUP BY cent_id),
           scored AS (
             SELECT e.vec_id, c.cent_id,
                    round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
