@@ -110,8 +110,26 @@ object SimilarityOps {
     * (centroid table is tiny) and the probe prunes the exact search to a
     * fraction of the corpus.
     */
+  /** The refined centroid table, MATERIALIZED: the plan references the
+    * centroids from two consumers (corpus assignment + query probe), and
+    * without materialization each reference re-executes the whole Lloyd
+    * DAG — measured at 2-3× the query's cost. Collecting the model is
+    * the idiomatic Spark pattern for iterative refinement (MLlib's
+    * KMeans collects centers every iteration): the artifact is C×dim
+    * doubles — an INDEX, not data — and re-enters the plan as a local
+    * relation that broadcasts for free. This is the one deliberate
+    * driver materialization in the engine, bounded by NumCentroids.
+    */
+  private def lloydCentroids(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    lloydOnce(emb).collect().toSeq
+      .map(r => (r.getAs[Long]("cent_id"), r.getSeq[Double](1).toArray))
+      .toDF("cent_id", "ce")
+  }
+
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val centroids = lloydOnce(emb)
+    val centroids = lloydCentroids(emb)
     val scored = emb
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
