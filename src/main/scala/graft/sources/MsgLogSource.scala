@@ -116,17 +116,51 @@ object MsgLogSource {
     def key: String = if (topic.isEmpty) name else s"$topic/$name"
   }
 
+  /** Offset keys embed directory/file names verbatim inside a JSON object
+    * and a `topic/name` composite — a quote would corrupt the offset
+    * round-trip (the regex parse recovers the WRONG key and the frontier
+    * silently rebinds to 0 = full re-delivery), and a '/' in a topic name
+    * would alias the composite. Writer-produced names are always safe;
+    * this guards against hand-placed files, failing LOUD at planning
+    * instead of duplicating silently at consumption.
+    */
+  private def checkKeySafe(kind: String, s: String): Unit =
+    if (s.exists(c => c == '"' || c == '/' || c == '\\' || c < ' '))
+      throw new IllegalArgumentException(
+        s"""graft-msglog: $kind "$s" contains characters unsafe for offset keys (", \\, /, control)""")
+
   /** Resolve the scan's ledgers: `path` is a topic dir (no `topics`
     * option) or a namespace dir whose subdirectories are topics, selected
     * by comma-separated names or glob patterns (`topics=clicks,audit-*`
     * or `topics=*`).
     */
+  /** Split a topics spec on commas OUTSIDE glob brace groups, so
+    * `{clicks,audit}-2024` stays one pattern (java.nio glob syntax the
+    * option advertises) instead of being torn into two invalid ones.
+    */
+  private[graft] def splitTopicsSpec(spec: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    spec.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' => depth = math.max(0, depth - 1); cur += '}'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   def resolveLedgers(path: String, topics: Option[String]): Seq[LedgerRef] = topics match {
     case None =>
-      ledgerFiles(path).map(p => LedgerRef("", p.getFileName.toString, p))
+      ledgerFiles(path).map { p =>
+        val name = p.getFileName.toString
+        checkKeySafe("ledger name", name)
+        LedgerRef("", name, p)
+      }
     case Some(spec) =>
-      val patterns = spec.split(",").map(_.trim).filter(_.nonEmpty)
-      val matchers = patterns.map(p =>
+      val matchers = splitTopicsSpec(spec).map(p =>
         java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
       val base = Paths.get(path)
       val dirs =
@@ -141,7 +175,12 @@ object MsgLogSource {
         }
       dirs.flatMap { d =>
         val topic = d.getFileName.toString
-        ledgerFiles(d.toString).map(p => LedgerRef(topic, p.getFileName.toString, p))
+        checkKeySafe("topic name", topic)
+        ledgerFiles(d.toString).map { p =>
+          val name = p.getFileName.toString
+          checkKeySafe("ledger name", name)
+          LedgerRef(topic, name, p)
+        }
       }
   }
 
@@ -156,6 +195,24 @@ object MsgLogSource {
     case -1 => ""
     case i => key.substring(0, i)
   }
+
+  /** Single- and multi-topic subscriptions use disjoint offset key spaces
+    * (`name` vs `topic/name`). A checkpoint or `startingOffsets` map from
+    * the other mode would parse fine but match NOTHING in the listing, so
+    * every frontier would silently fall back to 0 and re-deliver the
+    * whole log — fail loud instead, naming the cause (the `topics=`
+    * option was added or removed under an existing position).
+    */
+  private[sources] def checkKeySpace(
+      counts: Map[String, Long], multiTopic: Boolean, what: String): Unit =
+    counts.keys.find(k => k.contains('/') != multiTopic).foreach { k =>
+      val expected = if (multiTopic) "'topic/ledger'" else "bare ledger-name"
+      throw new IllegalArgumentException(
+        s"graft-msglog: $what key '$k' does not match this " +
+          s"${if (multiTopic) "multi" else "single"}-topic subscription " +
+          s"(expected $expected keys) — adding or removing the topics= option " +
+          "under an existing checkpoint or startingOffsets re-keys every frontier")
+    }
 }
 
 class MsgLogTable(path: String, schema0: StructType) extends Table
@@ -280,6 +337,7 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
   private val startingCounts: Map[String, Long] =
     Option(options.get("startingOffsets"))
       .map(MsgLogOffset.parse(_).counts).getOrElse(Map.empty)
+  MsgLogSource.checkKeySpace(startingCounts, topics.isDefined, "startingOffsets")
 
   /** Topics equality-pruned at planning (see [[MsgLogScanBuilder]]). */
   private val topicEq: Option[Set[String]] = {
@@ -422,12 +480,15 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
-  /** Admission control = the flow-control permit grant: advance each
-    * ledger's frontier in name order until the row budget is spent.
-    * The result always merges over `start` — offsets are monotonic, so a
-    * transiently empty/unreadable listing must never regress a committed
-    * frontier (that would re-deliver a ledger from entry 0 once the
-    * listing recovers).
+  /** Admission control = the flow-control permit grant: split the row
+    * budget across ledgers PROPORTIONALLY to their backlog (remainder in
+    * key order), not first-come in key order — greedy allocation would
+    * let one continuously-growing ledger (or, in a namespace union, one
+    * hot topic) absorb every trigger's budget and starve the rest of the
+    * subscription forever. The result always merges over `start` —
+    * offsets are monotonic, so a transiently empty/unreadable listing
+    * must never regress a committed frontier (that would re-deliver a
+    * ledger from entry 0 once the listing recovers).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = MsgLogOffset.parse(start.json()).counts
@@ -435,15 +496,35 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     lastListing = listing
     val advanced = limit match {
       case mr: ReadMaxRows =>
-        var budget = mr.maxRows()
-        listing.map { case (name, total) =>
-          val done = from.getOrElse(name, 0L)
-          val take = math.max(0L, math.min(total - done, budget))
-          budget -= take
-          name -> (done + take)
+        val budget = mr.maxRows()
+        val backlogs = listing.map { case (key, total) =>
+          (key, math.max(0L, total - from.getOrElse(key, 0L)))
         }
-      case _ => listing.map { case (name, total) =>
-        name -> math.max(total, from.getOrElse(name, 0L))
+        val totalBacklog = backlogs.map(_._2).sum
+        if (totalBacklog <= budget)
+          listing.map { case (key, total) =>
+            key -> math.max(total, from.getOrElse(key, 0L))
+          }
+        else {
+          // proportional floor grants, then remainder in key order; the
+          // double is a grant heuristic only — clamped to backlog and to
+          // the remaining budget, so no over-grant is possible
+          var remaining = budget
+          val base = backlogs.map { case (key, bl) =>
+            val share = math.min(bl,
+              math.min(remaining, (bl.toDouble * budget / totalBacklog).toLong))
+            remaining -= share
+            (key, bl, share)
+          }
+          val granted = base.map { case (key, bl, share) =>
+            val extra = math.min(remaining, bl - share)
+            remaining -= extra
+            key -> (from.getOrElse(key, 0L) + share + extra)
+          }
+          granted
+        }
+      case _ => listing.map { case (key, total) =>
+        key -> math.max(total, from.getOrElse(key, 0L))
       }
     }
     MsgLogOffset(from ++ advanced.toMap)
@@ -472,7 +553,11 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   override def createReaderFactory(): PartitionReaderFactory =
     MsgLogReaderFactory(required, preds, deadLetter)
 
-  override def deserializeOffset(json: String): Offset = MsgLogOffset.parse(json)
+  override def deserializeOffset(json: String): Offset = {
+    val off = MsgLogOffset.parse(json)
+    MsgLogSource.checkKeySpace(off.counts, topics.isDefined, "checkpoint offset")
+    off
+  }
 
   override def commit(end: Offset): Unit = () // cumulative ack: checkpoint-owned
 
@@ -547,8 +632,11 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
   private var currentEntry = 0L
   private var pending: Iterator[MsgFrame] = Iterator.empty
 
+  // partition constant: encode once, not per row
+  private val topicUtf8 = UTF8String.fromString(p.topic)
+
   private val extractors: Array[() => Any] = required.fieldNames.map {
-    case "topic" => () => UTF8String.fromString(p.topic)
+    case "topic" => () => topicUtf8
     case "ledger" => () => p.ledger
     case "entry" => () => currentEntry
     case "event_id" => () => current.eventId

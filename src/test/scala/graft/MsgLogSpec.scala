@@ -22,6 +22,16 @@ class MsgLogSpec extends SparkTestBase {
   private def frame(id: Long) =
     MsgFrame(id, 1704067200000000L + id, id % 7, s"type-$id", id * 1.5, s"""{"k": $id}""")
 
+  private def dirSize(d: String): Long = {
+    val s = Files.list(Paths.get(d))
+    try s.mapToLong(p => Files.size(p)).sum()
+    finally s.close() // Files.list holds a directory fd until closed
+  }
+
+  private def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
+
   test("codec: frame round-trips byte-exactly") {
     val out = new ByteArrayOutputStream()
     val dos = new DataOutputStream(out)
@@ -144,8 +154,6 @@ class MsgLogSpec extends SparkTestBase {
     ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
     ev.repartition(2).write.format("graft-msglog")
       .option("compression", "zlib").mode("append").save(packed)
-    def dirSize(d: String): Long =
-      Files.list(Paths.get(d)).mapToLong(p => Files.size(p)).sum()
     assert(dirSize(packed) < dirSize(plain))
     assertSameRows(
       spark.read.format("graft-msglog").load(packed).drop("ledger", "entry"),
@@ -157,8 +165,6 @@ class MsgLogSpec extends SparkTestBase {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val plain = Files.createTempDirectory("glog_plain2_").toString
     ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
-    def dirSize(d: String): Long =
-      Files.list(Paths.get(d)).mapToLong(p => Files.size(p)).sum()
     Seq("lz4", "zstd", "snappy").foreach { codec =>
       val packed = Files.createTempDirectory(s"glog_${codec}_").toString
       // batch the compressed write: per-message compression contexts have
@@ -499,6 +505,45 @@ class MsgLogSpec extends SparkTestBase {
         .agg(count(lit(1)).as("n")))
   }
 
+  test("row budgets split proportionally: no topic starves in a namespace union") {
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val stream = new MsgLogMicroBatchStream(ns, Some("*"), Some(100L))
+    val start = stream.initialOffset()
+    val granted = graft.sources.MsgLogOffset.parse(
+      stream.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L)).json()).counts
+    // all 4 ledgers (2 per topic) have large backlogs: each gets a share
+    // of the 100-row budget instead of the first key taking all of it
+    assert(granted.size === 4)
+    granted.foreach { case (k, n) => assert(n > 0L, s"$k starved") }
+    assert(granted.values.sum === 100L)
+  }
+
+  test("offset key spaces are guarded: a single-topic checkpoint cannot feed a topics= stream") {
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val multi = new MsgLogMicroBatchStream(ns, Some("*"), None)
+    val exMulti = intercept[IllegalArgumentException] {
+      multi.deserializeOffset("""{"ledger-x.glog":500}""")
+    }
+    assert(exMulti.getMessage.contains("topics="))
+    val single = new MsgLogMicroBatchStream(ns, None, None)
+    val exSingle = intercept[IllegalArgumentException] {
+      single.deserializeOffset("""{"topic-even/ledger-x.glog":500}""")
+    }
+    assert(exSingle.getMessage.contains("topics="))
+  }
+
+  test("topics spec splits on commas outside glob brace groups") {
+    assert(MsgLogSource.splitTopicsSpec("a,b") === Seq("a", "b"))
+    assert(MsgLogSource.splitTopicsSpec("{clicks,audit}-2024") === Seq("{clicks,audit}-2024"))
+    assert(MsgLogSource.splitTopicsSpec("x-*, {a,b}, c") === Seq("x-*", "{a,b}", "c"))
+    // and end-to-end: a brace group selects both topics
+    val ns = MsgLog.stagedNamespace(spark, sfDir)
+    val both = spark.read.format("graft-msglog")
+      .option("topics", "{topic-even,topic-odd}").load(ns)
+    assert(both.count() === Fixtures.events(spark, sfDir).count())
+  }
+
   // --- corrupt-frame dead-lettering ---------------------------------------
 
   /** A tiny topic of `n` unbatched frames with one byte of frame
@@ -535,9 +580,7 @@ class MsgLogSpec extends SparkTestBase {
     val ex = intercept[Exception] {
       spark.read.format("graft-msglog").load(dir).count()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("CRC32C mismatch")), messages(ex).mkString("\n"))
+    assert(causeMessages(ex).exists(_.contains("CRC32C mismatch")), causeMessages(ex).mkString("\n"))
   }
 
   test("onCorrupt=deadletter diverts the frame verbatim and keeps reading") {
@@ -568,9 +611,7 @@ class MsgLogSpec extends SparkTestBase {
     val ex = intercept[Exception] {
       spark.read.format("graft-msglog").load(dir).count()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("CRC32C mismatch")), messages(ex).mkString("\n"))
+    assert(causeMessages(ex).exists(_.contains("CRC32C mismatch")), causeMessages(ex).mkString("\n"))
     val back = spark.read.format("graft-msglog")
       .option("onCorrupt", "deadletter").load(dir)
     val entries = back.select("entry").collect().map(_.getLong(0)).sorted.toSeq

@@ -77,8 +77,9 @@ class PlanSpec extends SparkTestBase {
     // plan must not run a job (closed-form ops may run their one count)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
       .filterNot(Set("round_robin_balance", "msglog_roundtrip_scan",
-        "bucketed_join_colocate", "doc_lsh_verified_dups",
-        "embedding_ivf_topk")) // materializes its C×dim centroid index
+        "msglog_multi_topic_scan", "bucketed_join_colocate",
+        "doc_lsh_verified_dups",
+        "embedding_ivf_topk")) // staging writes / C×dim centroid index
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
         assert(df.queryExecution.logical != null)
