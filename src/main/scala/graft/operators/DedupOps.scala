@@ -139,19 +139,31 @@ object DedupOps {
     * ±1 vote sum over all tokens. Near-dups differ in few bits; at scale
     * candidates come from joining on fingerprint blocks (pigeonhole over
     * hamming distance) — this op emits the fingerprint itself.
+    *
+    * Computed entirely IN-ROW: the first formulation exploded
+    * tokens × 60 bit-positions through two shuffled aggregations — a 60×
+    * row blowup of the corpus for what is per-document arithmetic. Here
+    * the token hashes fold into a 60-vote accumulator array and then
+    * into the fingerprint inside one projection: zero shuffles, zero
+    * blowup, identical integer results (the oracle is unchanged).
     */
   def docSimhash(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .select(
-        col("doc_id"),
-        expr("cast(conv(substring(md5(cast(w as binary)), 1, 15), 16, 10) as bigint)").as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("(shiftright(h, j) & 1) * 2 - 1")).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(expr("if(vote > 0, shiftleft(1L, j), 0L)")).as("simhash"))
+      .select(col("doc_id"), expr(
+        """transform(
+             filter(split(trim(lower(text)), '\\s+'), w -> w <> ''),
+             w -> cast(conv(substring(md5(cast(w as binary)), 1, 15), 16, 10) as bigint))""")
+        .as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), expr(
+        """aggregate(
+             zip_with(
+               aggregate(hs, array_repeat(0L, 60),
+                 (acc, h) -> zip_with(acc, sequence(0, 59),
+                   (a, j) -> a + (shiftright(h, j) & 1) * 2 - 1)),
+               sequence(0, 59),
+               (v, j) -> if(v > 0, shiftleft(1L, j), 0L)),
+             0L, (acc, x) -> acc + x)""").as("simhash"))
 
   val SimhashBlocks = 4 // 4 × 15-bit blocks over the 60-bit fingerprint
   val MaxHamming = 12
@@ -225,24 +237,31 @@ object DedupOps {
     * broadcast-able joins against the candidate list. Jaccard is an
     * exact integer ratio (unrounded: identical in every engine).
     *
-    * Scale note: `shingles` is referenced on both verify sides, so the
-    * tokenize+shingle projection is computed twice per run (and once more
-    * inside the candidate pipeline). At 100 TB you persist/checkpoint
-    * `candidates` and `shingles` between the stages instead — kept
-    * stateless here because the driver contract re-runs each query
-    * cold and a `.persist` with no unpersist would pin executor memory
-    * across the 50+-query bench.
+    * The verify stage reads the corpus ONCE: each candidate pair explodes
+    * into its two doc sides, the (tiny, broadcast) sides join the shingle
+    * sets in one pass, and the pair regroups in a shuffle proportional to
+    * the CANDIDATE count, not the corpus. (The first formulation joined
+    * `shingles` twice — two full tokenize+shingle computations of every
+    * document per run.) Jaccard is symmetric, so the collected side
+    * order does not matter. At 100 TB you additionally persist/checkpoint
+    * `candidates` between the stages — kept stateless here because the
+    * driver contract re-runs each query cold.
     */
   def docLshVerifiedDups(docs: DataFrame): DataFrame = {
     val candidates = docMinhashLsh(docs)
     val shingles = tokenized(docs).select(col("doc_id"), expr(SHINGLES).as("sh"))
-    candidates
-      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val sides = candidates
+      .select(struct(col("doc_a"), col("doc_b"), col("n_bands")).as("pair"))
+      .select(col("pair"),
+        explode(array(col("pair.doc_a"), col("pair.doc_b"))).as("doc_id"))
+    broadcast(sides).join(shingles, "doc_id")
+      .groupBy("pair")
+      .agg(collect_list(col("sh")).as("m"))
       .select(
-        col("doc_a"), col("doc_b"), col("n_bands"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"))
+        col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
+        col("pair.n_bands").as("n_bands"),
+        (size(array_intersect(element_at(col("m"), 1), element_at(col("m"), 2))).cast("double") /
+          size(array_distinct(concat(element_at(col("m"), 1), element_at(col("m"), 2)))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
