@@ -134,9 +134,76 @@ object MsgLog {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  private val stagedEnv = new ConcurrentHashMap[String, String]()
+
+  /** Envelope columns derived DETERMINISTICALLY from the events fixture,
+    * so a DuckDB oracle can recompute every one of them from the original
+    * table: producer fan-out by user hash, sequence = event id, event
+    * time lagging publish time by `event_id % 1000` µs, partition/ordering
+    * keys from the routing key, a properties map keyed off user and type.
+    */
+  private def withEnvelope(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"), col("props"),
+      concat(lit("p-"), pmod(col("user_id"), lit(4))).as("producer_name"),
+      col("event_id").as("sequence_id"),
+      timestamp_micros(unix_micros(col("ts")) + pmod(col("event_id"), lit(1000)))
+        .as("event_time"),
+      pmod(col("user_id"), lit(50)).cast("string").as("partition_key"),
+      encode(pmod(col("user_id"), lit(50)).cast("string"), "UTF-8").as("ordering_key"),
+      map(
+        lit("tier"),
+        when(pmod(col("user_id"), lit(3)) === 0, "gold")
+          .when(pmod(col("user_id"), lit(3)) === 1, "silver")
+          .otherwise("bronze"),
+        lit("src"), col("event_type")).as("properties"),
+      lit(0).as("redelivery_count"))
+
+  /** Stage the events fixture as a fully-enveloped topic once per sf dir,
+    * routed by partition_key (the reference's `partition_key` hash
+    * routing, `src/PulsarApi.proto:98-99`).
+    */
+  def stagedEnvelopeLog(spark: SparkSession, sfDir: String): String =
+    stagedEnv.computeIfAbsent(sfDir, _ => {
+      val dir = Files.createTempDirectory("graft_msglog_env_")
+      dir.toFile.deleteOnExit()
+      withEnvelope(Fixtures.events(spark, sfDir))
+        .repartition(NumLedgers, col("partition_key"))
+        .write.format("graft-msglog").mode("append").save(dir.toString)
+      dir.toString
+    })
+
+  /** Contract query: produce the events stream with the FULL
+    * `MessageMetadata` envelope (`src/PulsarApi.proto:89-149`), consume
+    * it back, and aggregate over envelope fields only a correct
+    * round-trip can reproduce — a property-map lookup and partition_key
+    * as the grouping keys, max sequence_id, distinct producers, the
+    * event-vs-publish time lag, and an ordering_key/partition_key
+    * consistency count. The oracle recomputes every envelope derivation
+    * from the original events table: any envelope field lost, reordered,
+    * or corrupted by the codec/writer/reader breaks the hash match.
+    */
+  def msglogEnvelopeScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEnvelopeLog(spark, sfDir)
+    spark.read.format("graft-msglog").load(dir)
+      .groupBy(
+        col("properties").getItem("tier").as("tier"),
+        col("partition_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("sequence_id")).as("max_seq"),
+        count_distinct(col("producer_name")).as("n_producers"),
+        sum(unix_micros(col("event_time")) - unix_micros(col("ts"))).as("lag_us"),
+        sum(when(decode(col("ordering_key"), "UTF-8") === col("partition_key"), 1L)
+          .otherwise(0L)).as("n_okey_match"),
+        max(col("redelivery_count")).as("max_redelivery"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)),
-    "msglog_multi_topic_scan" -> ((s, d) => msglogMultiTopicScan(s, d)))
+    "msglog_multi_topic_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
+    "msglog_envelope_scan" -> ((s, d) => msglogEnvelopeScan(s, d)))
 
   def oracle: Map[String, String] = Map(
     "msglog_roundtrip_scan" ->
@@ -148,5 +215,17 @@ object MsgLog {
       """SELECT CASE WHEN user_id % 2 = 0 THEN 'topic-even' ELSE 'topic-odd' END AS topic,
                 event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "msglog_envelope_scan" ->
+      """SELECT CASE WHEN user_id % 3 = 0 THEN 'gold'
+                     WHEN user_id % 3 = 1 THEN 'silver'
+                     ELSE 'bronze' END AS tier,
+                CAST(user_id % 50 AS VARCHAR) AS partition_key,
+                CAST(count(*) AS BIGINT) AS n,
+                max(event_id) AS max_seq,
+                CAST(count(DISTINCT 'p-' || CAST(user_id % 4 AS VARCHAR)) AS BIGINT) AS n_producers,
+                CAST(sum(event_id % 1000) AS BIGINT) AS lag_us,
+                CAST(count(*) AS BIGINT) AS n_okey_match,
+                CAST(0 AS INTEGER) AS max_redelivery
          FROM events GROUP BY 1, 2""")
 }

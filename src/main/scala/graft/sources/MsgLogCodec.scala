@@ -5,9 +5,20 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import graft.functions.Crc32C
 
-/** One message of the graft message log: the §1.3 envelope essentials —
-  * entry coordinates are assigned by position in the ledger (reference
-  * `MessageIdData{ledgerId, entryId}`, `src/PulsarApi.proto:52-58`).
+/** One message of the graft message log: the full §1.3 envelope — entry
+  * coordinates are assigned by position in the ledger (reference
+  * `MessageIdData{ledgerId, entryId}`, `src/PulsarApi.proto:52-58`); the
+  * optional fields mirror `MessageMetadata`
+  * (`src/PulsarApi.proto:89-149`): `producer_name`/`sequence_id`
+  * (proto:90-91), `event_time` distinct from publish time (proto:113),
+  * `partition_key` (proto:98), `ordering_key` (proto:123, bytes — it
+  * overrides partition_key for Key_Shared dispatch), free-form
+  * `properties` (proto:96), `redelivery_count` (CommandMessage,
+  * proto:475), and `deliver_at_time` (proto:125-126, delayed delivery).
+  *
+  * Absence encoding keeps the core fixture payload allocation-free:
+  * `null` for reference-typed fields, `-1` for the non-negative numeric
+  * ones, `0` for redeliveryCount (the proto default).
   */
 case class MsgFrame(
     eventId: Long,
@@ -15,7 +26,15 @@ case class MsgFrame(
     userId: Long,
     eventType: String,
     value: Double,
-    props: String)
+    props: String,
+    producerName: String = null,
+    sequenceId: Long = -1L,
+    eventTimeUs: Long = -1L,
+    partitionKey: String = null,
+    orderingKey: Seq[Byte] = null,
+    properties: Map[String, String] = null,
+    redeliveryCount: Int = 0,
+    deliverAtUs: Long = -1L)
 
 /** Wire codec for graft message-log ledger files — the reference's frame
   * discipline (`/root/reference/src/message/codec.rs:114-206`)
@@ -33,14 +52,30 @@ case class MsgFrame(
   * payload := body{count}                  (bodies are self-delimiting)
   * body    := [event_id: int64] [ts_us: int64] [user_id: int64]
   *            [value: float64] [len: int32][event_type utf8]
-  *            [len: int32][props utf8]
+  *            [len: int32][props utf8] [env when flags&0x40]
+  * env     := [bits: u8]                   (presence bitmask)
+  *            [len: int32][producer_name utf8]   when bits&0x01
+  *            [sequence_id: int64]               when bits&0x02
+  *            [event_time_us: int64]             when bits&0x04
+  *            [len: int32][partition_key utf8]   when bits&0x08
+  *            [len: int32][ordering_key bytes]   when bits&0x10
+  *            [n: int32]([klen][k][vlen][v]){n}  when bits&0x20
+  *            [redelivery_count: int32]          when bits&0x40
+  *            [deliver_at_us: int64]             when bits&0x80
   * }}}
   *
-  * `codec = flags & 0x7F`; `flags & 0x80` marks a BATCHED frame carrying
+  * `codec = flags & 0x1F`; `flags & 0x80` marks a BATCHED frame carrying
   * `count` messages (reference `BatchedMessage`,
   * `src/message/codec.rs:23-60` — the send side the reference left
   * `unimplemented!` at `producer.rs:226-229`). An unbatched frame omits
   * the count field, so every pre-batching ledger parses unchanged.
+  * `flags & 0x40` marks an ENVELOPE frame whose bodies carry the optional
+  * `MessageMetadata` fields (`src/PulsarApi.proto:89-149`) behind a
+  * per-message presence bitmask — a write with no envelope columns stays
+  * byte-identical to the pre-envelope layout, and every pre-envelope
+  * ledger decodes with the envelope fields absent (NULL column values).
+  * Properties are encoded in sorted key order so frames are deterministic
+  * for a given message.
   * A message's `entry` coordinate is its ordinal across ALL frames —
   * `(frame, batch_index)` flattened, like `MessageIdData.batch_index`
   * (`proto:52-58`).
@@ -68,6 +103,11 @@ object MsgLogCodec {
   val CodecSnappy: Byte = 4
 
   val BatchFlag: Int = 0x80
+  val EnvelopeFlag: Int = 0x40
+
+  /** Low bits of the flags byte that carry the codec id (the high bits
+    * are the batch/envelope markers). */
+  val CodecMask: Int = 0x1F
 
   /** Upper bound on a frame's stored size: a corrupt size prefix (the one
     * field the CRC cannot cover) must fail as a decode error, not as a
@@ -169,21 +209,113 @@ object MsgLogCodec {
 
   // --- message bodies ------------------------------------------------------
 
-  private def encodeBody(m: MsgFrame): Array[Byte] = {
+  // envelope presence bits (see the layout comment above)
+  private val BitProducer = 0x01
+  private val BitSequence = 0x02
+  private val BitEventTime = 0x04
+  private val BitPartKey = 0x08
+  private val BitOrderKey = 0x10
+  private val BitProperties = 0x20
+  private val BitRedelivery = 0x40
+  private val BitDeliverAt = 0x80
+
+  private def envBits(m: MsgFrame): Int = {
+    var b = 0
+    if (m.producerName != null) b |= BitProducer
+    if (m.sequenceId >= 0) b |= BitSequence
+    if (m.eventTimeUs >= 0) b |= BitEventTime
+    if (m.partitionKey != null) b |= BitPartKey
+    if (m.orderingKey != null) b |= BitOrderKey
+    if (m.properties != null) b |= BitProperties
+    if (m.redeliveryCount != 0) b |= BitRedelivery
+    if (m.deliverAtUs >= 0) b |= BitDeliverAt
+    b
+  }
+
+  /** Whether any envelope field is set — the frame-level flag is the OR
+    * over the batch, so an all-core batch stays on the compact layout.
+    */
+  def hasEnvelope(m: MsgFrame): Boolean = envBits(m) != 0
+
+  private def encodeBody(m: MsgFrame, envelope: Boolean): Array[Byte] = {
     val et = m.eventType.getBytes(UTF_8)
     val pr = m.props.getBytes(UTF_8)
-    val body = java.nio.ByteBuffer.allocate(8 + 8 + 8 + 8 + 4 + et.length + 4 + pr.length)
+    var size = 8 + 8 + 8 + 8 + 4 + et.length + 4 + pr.length
+    var bits = 0
+    var pn: Array[Byte] = null
+    var pk: Array[Byte] = null
+    var ok: Array[Byte] = null
+    var kvs: Seq[(Array[Byte], Array[Byte])] = null
+    if (envelope) {
+      bits = envBits(m)
+      size += 1
+      if ((bits & BitProducer) != 0) { pn = m.producerName.getBytes(UTF_8); size += 4 + pn.length }
+      if ((bits & BitSequence) != 0) size += 8
+      if ((bits & BitEventTime) != 0) size += 8
+      if ((bits & BitPartKey) != 0) { pk = m.partitionKey.getBytes(UTF_8); size += 4 + pk.length }
+      if ((bits & BitOrderKey) != 0) { ok = m.orderingKey.toArray; size += 4 + ok.length }
+      if ((bits & BitProperties) != 0) {
+        kvs = m.properties.toSeq.sortBy(_._1)
+          .map { case (k, v) => (k.getBytes(UTF_8), v.getBytes(UTF_8)) }
+        size += 4 + kvs.iterator.map(e => 8 + e._1.length + e._2.length).sum
+      }
+      if ((bits & BitRedelivery) != 0) size += 4
+      if ((bits & BitDeliverAt) != 0) size += 8
+    }
+    val body = java.nio.ByteBuffer.allocate(size)
     body.putLong(m.eventId).putLong(m.tsUs).putLong(m.userId).putDouble(m.value)
     body.putInt(et.length).put(et).putInt(pr.length).put(pr)
+    if (envelope) {
+      body.put(bits.toByte)
+      if (pn != null) body.putInt(pn.length).put(pn)
+      if ((bits & BitSequence) != 0) body.putLong(m.sequenceId)
+      if ((bits & BitEventTime) != 0) body.putLong(m.eventTimeUs)
+      if (pk != null) body.putInt(pk.length).put(pk)
+      if (ok != null) body.putInt(ok.length).put(ok)
+      if (kvs != null) {
+        body.putInt(kvs.length)
+        kvs.foreach { case (k, v) =>
+          body.putInt(k.length).put(k).putInt(v.length).put(v)
+        }
+      }
+      if ((bits & BitRedelivery) != 0) body.putInt(m.redeliveryCount)
+      if ((bits & BitDeliverAt) != 0) body.putLong(m.deliverAtUs)
+    }
     body.array()
   }
 
-  private def decodeBody(buf: java.nio.ByteBuffer): MsgFrame = {
+  private def readBytes(buf: java.nio.ByteBuffer): Array[Byte] = {
+    val b = new Array[Byte](buf.getInt); buf.get(b); b
+  }
+
+  private def decodeBody(buf: java.nio.ByteBuffer, envelope: Boolean): MsgFrame = {
     val eventId = buf.getLong; val tsUs = buf.getLong
     val userId = buf.getLong; val value = buf.getDouble
-    val et = new Array[Byte](buf.getInt); buf.get(et)
-    val pr = new Array[Byte](buf.getInt); buf.get(pr)
-    MsgFrame(eventId, tsUs, userId, new String(et, UTF_8), value, new String(pr, UTF_8))
+    val et = readBytes(buf)
+    val pr = readBytes(buf)
+    val core = MsgFrame(eventId, tsUs, userId, new String(et, UTF_8), value, new String(pr, UTF_8))
+    if (!envelope) core
+    else {
+      val bits = buf.get() & 0xFF
+      core.copy(
+        producerName =
+          if ((bits & BitProducer) != 0) new String(readBytes(buf), UTF_8) else null,
+        sequenceId = if ((bits & BitSequence) != 0) buf.getLong else -1L,
+        eventTimeUs = if ((bits & BitEventTime) != 0) buf.getLong else -1L,
+        partitionKey =
+          if ((bits & BitPartKey) != 0) new String(readBytes(buf), UTF_8) else null,
+        orderingKey =
+          if ((bits & BitOrderKey) != 0)
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(readBytes(buf))
+          else null,
+        properties =
+          if ((bits & BitProperties) != 0)
+            Seq.fill(buf.getInt)(
+              (new String(readBytes(buf), UTF_8), new String(readBytes(buf), UTF_8))).toMap
+          else null,
+        redeliveryCount = if ((bits & BitRedelivery) != 0) buf.getInt else 0,
+        deliverAtUs = if ((bits & BitDeliverAt) != 0) buf.getLong else -1L)
+    }
   }
 
   // --- write ---------------------------------------------------------------
@@ -197,7 +329,8 @@ object MsgLogCodec {
   def writeBatch(out: DataOutputStream, msgs: Seq[MsgFrame], codec: Byte = CodecNone): Unit = {
     require(msgs.nonEmpty, "graft-msglog: empty batch")
     checkCount(msgs.length)
-    val bodies = msgs.map(encodeBody)
+    val envelope = msgs.exists(hasEnvelope)
+    val bodies = msgs.map(encodeBody(_, envelope))
     val payload = new Array[Byte](bodies.map(_.length).sum)
     var off = 0
     bodies.foreach { b => System.arraycopy(b, 0, payload, off, b.length); off += b.length }
@@ -205,7 +338,8 @@ object MsgLogCodec {
     val batched = msgs.length > 1
     val headerLen = 1 + (if (batched) 4 else 0)
     val checked = java.nio.ByteBuffer.allocate(headerLen + stored.length)
-    checked.put((if (batched) codec | BatchFlag else codec.toInt).toByte)
+    val flags = codec | (if (batched) BatchFlag else 0) | (if (envelope) EnvelopeFlag else 0)
+    checked.put(flags.toByte)
     if (batched) checked.putInt(msgs.length)
     checked.put(stored)
     out.writeInt(4 + checked.capacity())
@@ -268,9 +402,10 @@ object MsgLogCodec {
     checkCount(rawCount) // CRC holds: an invalid count is a writer bug
     val headerLen = if (batched) 5 else 1
     val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
-    val payload = decompress(stored, (flags & ~BatchFlag).toByte)
+    val payload = decompress(stored, (flags & CodecMask).toByte)
+    val envelope = (flags & EnvelopeFlag) != 0
     val buf = java.nio.ByteBuffer.wrap(payload)
-    Entries(Array.fill(rawCount)(decodeBody(buf)))
+    Entries(Array.fill(rawCount)(decodeBody(buf, envelope)))
   }
 
   /** Decode the next frame's messages, verifying the checksum (corrupt
@@ -340,6 +475,46 @@ object MsgLogCodec {
     */
   def skipFrame(in: DataInputStream): Option[Int] =
     readFrameHeader(in).map { h => skipPayload(in, h); h.claimedCount }
+
+  /** Delayed-delivery frontier (reference `deliver_at_time`,
+    * `src/PulsarApi.proto:125-126`): the first entry index at/after
+    * `from` whose `deliver_at` is after `nowUs`, paired with that
+    * message's deliver time (for memoization — the frontier cannot move
+    * until the clock reaches it). Returns `(totalEntries, -1)` when
+    * everything is deliverable. Frames wholly below `from` are skipped
+    * via headers (no decode, no CRC): the walk costs O(held backlog),
+    * not O(ledger), when resumed from a previous frontier.
+    */
+  def deliverableFrontier(path: java.nio.file.Path, from: Long, nowUs: Long): (Long, Long) = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
+    try {
+      var entry = 0L
+      var seeking = true
+      while (seeking && entry < from) {
+        in.mark(16)
+        readFrameHeader(in) match {
+          case None => seeking = false
+          case Some(h) =>
+            if (entry + h.claimedCount <= from) {
+              skipPayload(in, h); entry += h.claimedCount
+            } else { in.reset(); seeking = false }
+        }
+      }
+      while (true) {
+        readFrameResult(in) match {
+          case FrameEof => return (entry, -1L)
+          case Corrupt(_, claimed, _) => entry += claimed
+          case Entries(msgs) =>
+            msgs.foreach { m =>
+              if (entry >= from && m.deliverAtUs > nowUs) return (entry, m.deliverAtUs)
+              entry += 1
+            }
+        }
+      }
+      (entry, -1L) // unreachable
+    } finally in.close()
+  }
 
   /** Diagnostic counter of full ledger entry-walks, for asserting that
     * offset computation does NOT re-walk unchanged ledgers per trigger.

@@ -62,7 +62,12 @@ class MsgLogSource extends TableProvider with DataSourceRegister {
 }
 
 object MsgLogSource {
-  /** Envelope schema (§1.3): message coordinates + payload fields. */
+  /** Envelope schema (§1.3): message coordinates + payload fields + the
+    * optional `MessageMetadata` fields
+    * (`/root/reference/src/PulsarApi.proto:89-149`). The optional fields
+    * are nullable: pre-envelope ledgers and messages written without them
+    * read as NULL, except `redelivery_count` whose proto default is 0.
+    */
   val Schema: StructType = StructType(Seq(
     StructField("ledger", LongType, nullable = false),
     StructField("entry", LongType, nullable = false),
@@ -71,7 +76,15 @@ object MsgLogSource {
     StructField("user_id", LongType, nullable = false),
     StructField("event_type", StringType, nullable = false),
     StructField("value", DoubleType, nullable = false),
-    StructField("props", StringType, nullable = false)))
+    StructField("props", StringType, nullable = false),
+    StructField("producer_name", StringType, nullable = true),
+    StructField("sequence_id", LongType, nullable = true),
+    StructField("event_time", TimestampType, nullable = true),
+    StructField("partition_key", StringType, nullable = true),
+    StructField("ordering_key", BinaryType, nullable = true),
+    StructField("properties", MapType(StringType, StringType), nullable = true),
+    StructField("redelivery_count", IntegerType, nullable = false),
+    StructField("deliver_at", TimestampType, nullable = true)))
 
   /** Multi-topic reads additionally carry the topic name — the reader's
     * answer to "which topic did this message come from" in a namespace
@@ -270,7 +283,11 @@ class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = new MsgLogScan(path, options, required, pushed)
 }
 
-/** Compile catalog filters to frame predicates (the supported subset). */
+/** Compile catalog filters to frame predicates (the supported subset).
+  * Envelope fields are nullable: `value` returns None for an absent
+  * field, so a pushed comparison excludes the row (SQL three-valued
+  * semantics — NULL compares to nothing) and `IsNotNull` tests presence.
+  */
 object MsgLogFilters {
   private def value(m: MsgFrame, attr: String): Option[Any] = attr match {
     case "event_id" => Some(m.eventId)
@@ -278,11 +295,18 @@ object MsgLogFilters {
     case "value" => Some(m.value)
     case "event_type" => Some(m.eventType)
     case "ts" => Some(m.tsUs)
+    case "producer_name" => Option(m.producerName)
+    case "sequence_id" => if (m.sequenceId < 0) None else Some(m.sequenceId)
+    case "event_time" => if (m.eventTimeUs < 0) None else Some(m.eventTimeUs)
+    case "partition_key" => Option(m.partitionKey)
+    case "redelivery_count" => Some(m.redeliveryCount)
+    case "deliver_at" => if (m.deliverAtUs < 0) None else Some(m.deliverAtUs)
     case _ => None
   }
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Number) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: Int, y: Number) => Some(java.lang.Integer.compare(x, y.intValue()))
     case (x: Double, y: Number) => Some(java.lang.Double.compare(x, y.doubleValue()))
     case (x: String, y: String) =>
       // Spark orders strings by UTF-8 binary comparison; String.compareTo
@@ -308,11 +332,16 @@ object MsgLogFilters {
     case LessThan(a, v) => compiled(a, v, _ < 0)
     case LessThanOrEqual(a, v) => compiled(a, v, _ <= 0)
     case IsNotNull(a) if value(MsgLogFilters.probe, a).isDefined =>
-      Some(_ => true) // envelope fields are never null
+      Some(m => value(m, a).isDefined) // presence test: core fields always, envelope per message
     case _ => None
   }
 
-  private val probe = MsgFrame(0L, 0L, 0L, "", 0.0, "")
+  /** All-fields-present frame used to validate an attribute/operand pair
+    * at compile time (never evaluated against data). */
+  private val probe = MsgFrame(0L, 0L, 0L, "", 0.0, "",
+    producerName = "", sequenceId = 0L, eventTimeUs = 0L, partitionKey = "",
+    orderingKey = Seq.empty, properties = Map.empty, redeliveryCount = 0,
+    deliverAtUs = 0L)
 
   private def compiled(attr: String, v: Any, test: Int => Boolean): Option[MsgFrame => Boolean] =
     value(probe, attr).flatMap(pv => cmp(pv, v).map(_ =>
@@ -354,15 +383,18 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
             startingCounts.getOrElse(r.key, 0L), Long.MaxValue): InputPartition
         }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MsgLogReaderFactory(required,
-        pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate, deadLetter)
+      MsgLogReaderFactory(required, readerPredicates, deadLetter)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MsgLogMicroBatchStream(path, topics,
       Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
-      pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate,
-      startingCounts, deadLetter, topicEq)
+      readerPredicates, startingCounts, deadLetter, topicEq,
+      delayedDelivery = Option(options.get("delayedDelivery")).exists(_.toBoolean),
+      nowUsOverride = Option(options.get("delayedDeliveryNowUs")).map(_.toLong))
+
+  private def readerPredicates: Array[MsgFrame => Boolean] =
+    pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate ++ keyHashPredicate
 
   /** Seek-by-publish-time (reference `CommandSeek{message_publish_time}`,
     * `src/PulsarApi.proto:537-543`): `startingTimeUs` positions the
@@ -375,9 +407,64 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       case Some(t0) => Array((m: MsgFrame) => m.tsUs >= t0)
       case None => Array.empty
     }
+
+  /** Key_Shared hash-range consumption (reference `KeySharedMeta`
+    * hash_ranges, `src/PulsarApi.proto:286-295`; `src/entity/consumer.rs:
+    * 68`): `keyHashRange=start:end` filters messages to those whose key
+    * hash lands in [start, end] over the 16-bit Pulsar key-hash space, so
+    * N disjoint subscriptions partition a topic by key — each key's
+    * messages all land in exactly one subscription, batch or streaming.
+    * Like seek, it is a reader-side predicate: offsets stay dense and a
+    * range subscription's checkpoint remains valid for the whole topic.
+    */
+  private def keyHashPredicate: Array[MsgFrame => Boolean] =
+    Option(options.get("keyHashRange")).map { spec =>
+      val (lo, hi) = MsgLogScan.parseKeyHashRange(spec)
+      Array((m: MsgFrame) => {
+        val h = MsgLogScan.keyHash(m)
+        h >= lo && h <= hi
+      })
+    }.getOrElse(Array.empty)
 }
 
 object MsgLogScan {
+
+  /** Size of the Key_Shared hash space (Pulsar's 16-bit key-hash range). */
+  val KeyHashSpace = 65536
+
+  /** Portable per-message key hash in [0, KeyHashSpace): CRC32C (the
+    * log's own checksum function — published, engine-independent) of the
+    * dispatch key. The dispatch key follows the reference's precedence
+    * (`ordering_key` overrides `partition_key`, SURVEY §2.1 #28;
+    * `src/PulsarApi.proto:123`); keyless messages hash the empty key, so
+    * they stay together in one range — a keyless topic has no per-key
+    * ordering to spread.
+    */
+  def keyHash(m: MsgFrame): Int = {
+    val key: Array[Byte] =
+      if (m.orderingKey != null) m.orderingKey.toArray
+      else if (m.partitionKey != null)
+        m.partitionKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else Array.emptyByteArray
+    (graft.functions.Crc32C.compute(key) % KeyHashSpace).toInt
+  }
+
+  def parseKeyHashRange(spec: String): (Int, Int) = spec.split(":", -1) match {
+    case Array(a, b) =>
+      val (lo, hi) =
+        try (a.trim.toInt, b.trim.toInt)
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-msglog: invalid keyHashRange '$spec' (expected start:end)")
+        }
+      if (lo < 0 || hi >= KeyHashSpace || lo > hi)
+        throw new IllegalArgumentException(
+          s"graft-msglog: keyHashRange $lo:$hi out of order or outside 0..${KeyHashSpace - 1}")
+      (lo, hi)
+    case _ => throw new IllegalArgumentException(
+      s"graft-msglog: invalid keyHashRange '$spec' (expected start:end)")
+  }
+
   def deadLetterOption(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("onCorrupt")) match {
       case Some("deadletter") => true
@@ -421,9 +508,16 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     preds: Array[MsgFrame => Boolean] = Array.empty,
     startingCounts: Map[String, Long] = Map.empty,
     deadLetter: Boolean = false,
-    topicEq: Option[Set[String]] = None)
+    topicEq: Option[Set[String]] = None,
+    delayedDelivery: Boolean = false,
+    nowUsOverride: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  /** Trigger clock for delayed delivery; `delayedDeliveryNowUs` pins it
+    * for deterministic tests. */
+  private def clockNowUs(): Long =
+    nowUsOverride.getOrElse(System.currentTimeMillis() * 1000L)
 
   /** Entry counts memoized by (file length, mtime): ledgers are immutable
     * once their atomic rename lands, so an unchanged (size, mtime) pair
@@ -447,16 +541,66 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     }
   }
 
+  /** Delayed-delivery frontier memo per ledger: (size, mtime, frontier,
+    * blocking deliver_at). Ledger files are immutable once renamed in, so
+    * for a given file the frontier only moves when the clock reaches the
+    * blocking message's deliver time — and the re-walk resumes FROM the
+    * previous frontier (entries behind it are already deliverable), so
+    * each entry of a held backlog is decoded O(1) times per release, not
+    * per trigger.
+    */
+  private val delayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, java.nio.file.attribute.FileTime, Long, Long)]()
+
+  private def deliverableCount(key: String, p: Path, now: Long): Long = {
+    val size = Files.size(p)
+    val mtime = Files.getLastModifiedTime(p)
+    val hit = delayCache.get(key)
+    val fresh = hit != null && hit._1 == size && hit._2 == mtime
+    if (fresh && (hit._4 == -1L || now < hit._4)) hit._3
+    else {
+      val (frontier, nextAt) =
+        MsgLogCodec.deliverableFrontier(p, if (fresh) hit._3 else 0L, now)
+      delayCache.put(key, (size, mtime, frontier, nextAt))
+      frontier
+    }
+  }
+
   /** Live (key → entry count) listing in key order. A pushed
     * `EqualTo(topic, …)` prunes non-matching topics here too — though
     * Spark currently runs filter pushdown only for batch scans, so for
     * streams the `topics=` option is the pruning lever users reach for;
     * the topicEq path activates for free if streaming pushdown lands.
+    *
+    * With `delayedDelivery=true` each ledger's offered count is capped at
+    * its deliverable frontier (reference `deliver_at_time`,
+    * `proto:125-126`): a message surfaces only in triggers at/after its
+    * deliver time. Divergence from the broker, on purpose: the broker's
+    * delayed-message tracker delivers AROUND a held message; a
+    * cumulative-offset log holds the frontier AT it (in-order delivery),
+    * like the documented ack-set anti-join divergence.
     */
-  private def listCounts(): Seq[(String, Long)] =
-    MsgLogSource.resolveLedgers(path, topics)
+  private def listCounts(): Seq[(String, Long)] = {
+    val live = MsgLogSource.resolveLedgers(path, topics)
       .filter(r => topicEq.forall(_.contains(r.topic)))
-      .map(r => r.key -> cachedCount(r.key, r.path))
+    val now = if (delayedDelivery) clockNowUs() else 0L
+    val counts = live.map { r =>
+      val total = cachedCount(r.key, r.path)
+      val n = if (delayedDelivery) math.min(total, deliverableCount(r.key, r.path, now))
+        else total
+      r.key -> n
+    }
+    // evict entries for ledgers that left the listing (deleted or
+    // compacted topics): the caches track the LIVE set, so their
+    // footprint follows the retained log instead of growing with churn
+    val liveKeys = live.iterator.map(_.key).toSet
+    countCache.keySet.removeIf(k => !liveKeys.contains(k))
+    delayCache.keySet.removeIf(k => !liveKeys.contains(k))
+    counts
+  }
+
+  /** Live cache size, for the eviction regression test. */
+  private[graft] def cachedLedgerCount: Int = countCache.size
 
   /** AvailableNow contract: freeze the end of the backlog up front so the
     * paced micro-batches drain exactly this snapshot and stop. (Without
@@ -645,6 +789,31 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
     case "event_type" => () => UTF8String.fromString(current.eventType)
     case "value" => () => current.value
     case "props" => () => UTF8String.fromString(current.props)
+    case "producer_name" => () =>
+      if (current.producerName == null) null else UTF8String.fromString(current.producerName)
+    case "sequence_id" => () =>
+      if (current.sequenceId < 0) null else java.lang.Long.valueOf(current.sequenceId)
+    case "event_time" => () =>
+      if (current.eventTimeUs < 0) null else java.lang.Long.valueOf(current.eventTimeUs)
+    case "partition_key" => () =>
+      if (current.partitionKey == null) null else UTF8String.fromString(current.partitionKey)
+    case "ordering_key" => () =>
+      if (current.orderingKey == null) null else current.orderingKey.toArray
+    case "properties" => () =>
+      if (current.properties == null) null
+      else {
+        // sorted key order: the map column is deterministic for a given
+        // message (maps hash by entry order in the driver's comparator)
+        val kvs = current.properties.toSeq.sortBy(_._1)
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            kvs.map(kv => UTF8String.fromString(kv._1)).toArray[Any]),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            kvs.map(kv => UTF8String.fromString(kv._2)).toArray[Any]))
+      }
+    case "redelivery_count" => () => java.lang.Integer.valueOf(current.redeliveryCount)
+    case "deliver_at" => () =>
+      if (current.deliverAtUs < 0) null else java.lang.Long.valueOf(current.deliverAtUs)
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 

@@ -117,8 +117,14 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
 }
 
 /** Frames one partition's rows into `<stem>.glog` via a temp file +
-  * atomic rename on commit. Expects the envelope columns (by name):
-  * event_id, ts, user_id, event_type, value, props.
+  * atomic rename on commit. Expects the payload columns (by name):
+  * event_id, ts, user_id, event_type, value, props. The optional
+  * `MessageMetadata` envelope columns (producer_name, sequence_id,
+  * event_time, partition_key, ordering_key, properties,
+  * redelivery_count, deliver_at — `src/PulsarApi.proto:89-149`) are
+  * picked up by name when the write schema carries them; NULL cells and
+  * absent columns encode as absent fields, so a write without them is
+  * byte-identical to the pre-envelope layout.
   */
 class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
     codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1)
@@ -130,6 +136,18 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
   private val iType = schema.fieldIndex("event_type")
   private val iValue = schema.fieldIndex("value")
   private val iProps = schema.fieldIndex("props")
+
+  private def optIdx(name: String): Int = schema.fields.indexWhere(_.name == name)
+  private val iProducer = optIdx("producer_name")
+  private val iSeq = optIdx("sequence_id")
+  private val iEventTime = optIdx("event_time")
+  private val iPartKey = optIdx("partition_key")
+  private val iOrderKey = optIdx("ordering_key")
+  private val iProperties = optIdx("properties")
+  private val iRedelivery = optIdx("redelivery_count")
+  private val iDeliverAt = optIdx("deliver_at")
+
+  private def has(i: Int, row: InternalRow): Boolean = i >= 0 && !row.isNullAt(i)
 
   private val tmp: Path = Paths.get(dir, s".$stem-$taskId${MsgLogCodec.Extension}.tmp")
   private var out: DataOutputStream = _
@@ -157,7 +175,25 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
       row.getLong(iUser),
       row.getUTF8String(iType).toString,
       row.getDouble(iValue),
-      row.getUTF8String(iProps).toString)
+      row.getUTF8String(iProps).toString,
+      producerName =
+        if (has(iProducer, row)) row.getUTF8String(iProducer).toString else null,
+      sequenceId = if (has(iSeq, row)) row.getLong(iSeq) else -1L,
+      eventTimeUs = if (has(iEventTime, row)) row.getLong(iEventTime) else -1L,
+      partitionKey =
+        if (has(iPartKey, row)) row.getUTF8String(iPartKey).toString else null,
+      orderingKey =
+        if (has(iOrderKey, row))
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(row.getBinary(iOrderKey))
+        else null,
+      properties = if (has(iProperties, row)) {
+        val md = row.getMap(iProperties)
+        val ks = md.keyArray(); val vs = md.valueArray()
+        (0 until md.numElements())
+          .map(j => ks.getUTF8String(j).toString -> vs.getUTF8String(j).toString).toMap
+      } else null,
+      redeliveryCount = if (has(iRedelivery, row)) row.getInt(iRedelivery) else 0,
+      deliverAtUs = if (has(iDeliverAt, row)) row.getLong(iDeliverAt) else -1L)
     if (batch.length >= batchSize) flushBatch()
     n += 1
   }

@@ -67,6 +67,42 @@ class MsgLogSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  private def envFrame(id: Long) = frame(id).copy(
+    producerName = s"producer-${id % 3}",
+    sequenceId = id,
+    eventTimeUs = 1704067200000000L + id * 2,
+    partitionKey = s"pk-${id % 5}",
+    orderingKey = s"ok-$id".getBytes("UTF-8").toSeq,
+    properties = Map("tier" -> s"t${id % 2}", "src" -> "spec"),
+    redeliveryCount = (id % 4).toInt,
+    deliverAtUs = 1704067300000000L + id)
+
+  test("codec: envelope fields round-trip under all codecs, mixed with core-only messages") {
+    val codecs = Seq(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib,
+      MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd, MsgLogCodec.CodecSnappy)
+    codecs.foreach { codec =>
+      val msgs = Seq(envFrame(1), frame(2), envFrame(3).copy(properties = null),
+        frame(4).copy(sequenceId = 7))
+      val out = new ByteArrayOutputStream()
+      MsgLogCodec.writeBatch(new DataOutputStream(out), msgs, codec)
+      val back = MsgLogCodec.readEntries(
+        new DataInputStream(new ByteArrayInputStream(out.toByteArray)))
+      assert(back.exists(_.toSeq == msgs), s"codec $codec")
+    }
+  }
+
+  test("codec: a write without envelope fields stays on the pre-envelope layout") {
+    val out = new ByteArrayOutputStream()
+    MsgLogCodec.writeBatch(new DataOutputStream(out), Seq(frame(1)), MsgLogCodec.CodecNone)
+    val bytes = out.toByteArray
+    // flags byte (after size + crc) must not carry the envelope marker:
+    // pre-envelope readers and golden ledgers keep working unchanged
+    assert((bytes(8) & MsgLogCodec.EnvelopeFlag) === 0)
+    val envOut = new ByteArrayOutputStream()
+    MsgLogCodec.writeBatch(new DataOutputStream(envOut), Seq(envFrame(1)), MsgLogCodec.CodecNone)
+    assert((envOut.toByteArray.apply(8) & MsgLogCodec.EnvelopeFlag) !== 0)
+  }
+
   test("codec: skipFrame agrees with readEntries on batched entry counts") {
     val out = new ByteArrayOutputStream()
     val dos = new DataOutputStream(out)
@@ -101,6 +137,73 @@ class MsgLogSpec extends SparkTestBase {
         col("event_type"), col("value"), col("props")),
       ev.select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
         col("event_type"), col("value"), col("props")))
+  }
+
+  test("envelope: DataFrame write/read round-trips all MessageMetadata fields, incl. absent ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_env_rt_").toString
+    val env = Seq(
+      (1L, 1L, "a", 1.0, """{"k":1}""", "prod-A", 11L, "k1", 2, Map("x" -> "1", "y" -> "2")),
+      (2L, 2L, "b", 2.0, """{"k":2}""", "prod-B", 12L, "k2", 0, Map("z" -> "9")))
+      .toDF("event_id", "user_id", "event_type", "value", "props",
+        "producer_name", "sequence_id", "partition_key", "redelivery_count", "properties")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("event_id")))
+      .withColumn("event_time", timestamp_micros(lit(1704067201000000L) + col("event_id")))
+      .withColumn("deliver_at", timestamp_micros(lit(1704067202000000L) + col("event_id")))
+      .withColumn("ordering_key", encode(col("partition_key"), "UTF-8"))
+    env.repartition(1).write.format("graft-msglog").mode("append").save(dir)
+    // second append without any envelope column: pre-envelope write path
+    Seq((3L, 3L, "c", 3.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(1704067200000003L)))
+      .repartition(1).write.format("graft-msglog").mode("append").save(dir)
+    val back = spark.read.format("graft-msglog").load(dir)
+      .select(col("event_id"), col("producer_name"), col("sequence_id"),
+        unix_micros(col("event_time")).as("evus"), col("partition_key"),
+        decode(col("ordering_key"), "UTF-8").as("ok"),
+        col("properties"), col("redelivery_count"), unix_micros(col("deliver_at")).as("daus"))
+    val rows = back.collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(rows.size === 3)
+    assert(rows(1L).getAs[String]("producer_name") === "prod-A")
+    assert(rows(1L).getAs[Long]("sequence_id") === 11L)
+    assert(rows(1L).getAs[Long]("evus") === 1704067201000001L)
+    assert(rows(1L).getAs[String]("ok") === "k1")
+    assert(rows(1L).getAs[Map[String, String]]("properties") === Map("x" -> "1", "y" -> "2"))
+    assert(rows(1L).getAs[Int]("redelivery_count") === 2)
+    assert(rows(1L).getAs[Long]("daus") === 1704067202000001L)
+    assert(rows(2L).getAs[Map[String, String]]("properties") === Map("z" -> "9"))
+    assert(rows(2L).getAs[Int]("redelivery_count") === 0)
+    // the core-only append reads as NULL envelope fields (0 redeliveries)
+    val r3 = rows(3L)
+    assert(r3.isNullAt(r3.fieldIndex("producer_name")))
+    assert(r3.isNullAt(r3.fieldIndex("sequence_id")))
+    assert(r3.isNullAt(r3.fieldIndex("evus")))
+    assert(r3.isNullAt(r3.fieldIndex("ok")))
+    assert(r3.isNullAt(r3.fieldIndex("properties")))
+    assert(r3.getAs[Int]("redelivery_count") === 0)
+    // pushed filters on envelope fields: comparisons skip NULL rows,
+    // IsNotNull tests presence
+    val full = spark.read.format("graft-msglog").load(dir)
+    assert(full.filter(col("partition_key") === "k1").count() === 1)
+    assert(full.filter(col("producer_name").isNotNull).count() === 2)
+    assert(full.filter(col("sequence_id") >= 11L).count() === 2)
+  }
+
+  test("envelope contract query matches a direct derivation from the source table") {
+    val res = MsgLog.msglogEnvelopeScan(spark, sfDir)
+    val tier = when(pmod(col("user_id"), lit(3)) === 0, "gold")
+      .when(pmod(col("user_id"), lit(3)) === 1, "silver")
+      .otherwise("bronze")
+    val direct = Fixtures.events(spark, sfDir)
+      .groupBy(tier.as("tier"), pmod(col("user_id"), lit(50)).cast("string").as("partition_key"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("event_id")).as("max_seq"),
+        count_distinct(concat(lit("p-"), pmod(col("user_id"), lit(4)))).as("n_producers"),
+        sum(pmod(col("event_id"), lit(1000))).as("lag_us"),
+        count(lit(1)).as("n_okey_match"),
+        max(lit(0)).as("max_redelivery"))
+    assertSameRows(res, direct)
   }
 
   test("ledger routing: all ledgers populated, one ledger per user") {
@@ -448,6 +551,118 @@ class MsgLogSpec extends SparkTestBase {
     stream.latestOffset()
     assert(MsgLogCodec.entryWalks.get() === w1 + 1L,
       "a grown log walks exactly the new ledgers")
+  }
+
+  test("keyHashRange: disjoint ranges partition a topic by key, batch and streaming") {
+    val dir = MsgLog.stagedEnvelopeLog(spark, sfDir)
+    val full = spark.read.format("graft-msglog").load(dir)
+    val lower = spark.read.format("graft-msglog")
+      .option("keyHashRange", "0:32767").load(dir)
+    val upper = spark.read.format("graft-msglog")
+      .option("keyHashRange", "32768:65535").load(dir)
+    // union of the two subscriptions == the whole topic, intersection empty
+    assert(lower.count() + upper.count() === full.count())
+    assert(lower.select("event_id").intersect(upper.select("event_id")).count() === 0)
+    assertSameRows(
+      lower.select("event_id").union(upper.select("event_id")),
+      full.select("event_id"))
+    // a key's messages never split across subscriptions
+    val loKeys = lower.select("partition_key").distinct()
+    val hiKeys = upper.select("partition_key").distinct()
+    assert(loKeys.intersect(hiKeys).count() === 0)
+    assert(lower.count() > 0 && upper.count() > 0,
+      "both halves of the hash space own keys on the fixture")
+    // streaming: the same option paces through the identical subset
+    val name = "msglog_keyrange_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("keyHashRange", "0:32767").load(dir)
+      .groupBy("partition_key").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assertSameRows(
+      spark.table(name),
+      lower.groupBy("partition_key").agg(count(lit(1)).as("n")))
+    // malformed specs fail loud at planning
+    intercept[IllegalArgumentException](
+      graft.sources.MsgLogScan.parseKeyHashRange("10:9"))
+    intercept[IllegalArgumentException](
+      graft.sources.MsgLogScan.parseKeyHashRange("0:99999"))
+    intercept[IllegalArgumentException](
+      graft.sources.MsgLogScan.parseKeyHashRange("abc"))
+  }
+
+  test("keyHashRange: ordering_key overrides partition_key for dispatch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_okey_dispatch_").toString
+    // two messages share a partition_key but carry different ordering keys:
+    // dispatch must follow the ordering key (SURVEY §2.1 #28)
+    Seq((1L, 1L, "a", 1.0, "{}", "shared-pk", "okey-one"),
+        (2L, 2L, "b", 2.0, "{}", "shared-pk", "okey-two"))
+      .toDF("event_id", "user_id", "event_type", "value", "props",
+        "partition_key", "ok_str")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("event_id")))
+      .withColumn("ordering_key", encode(col("ok_str"), "UTF-8"))
+      .drop("ok_str")
+      .repartition(1).write.format("graft-msglog").mode("append").save(dir)
+    val h1 = graft.sources.MsgLogScan.keyHash(
+      graft.sources.MsgFrame(1L, 0L, 0L, "", 0.0, "",
+        orderingKey = "okey-one".getBytes("UTF-8").toSeq, partitionKey = "shared-pk"))
+    val cnt = spark.read.format("graft-msglog")
+      .option("keyHashRange", s"$h1:$h1").load(dir).count()
+    assert(cnt === 1L, "only the message whose ORDERING key hashes into the range is dispatched")
+  }
+
+  test("delayed delivery: messages surface only in triggers at/after their deliver time") {
+    // one ledger, controlled order: entries 0-4 deliverable at t=1000,
+    // entries 5-9 held until t=5_000_000
+    val dir = Files.createTempDirectory("glog_delay_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 10).foreach { i =>
+      MsgLogCodec.writeFrame(out,
+        frame(i.toLong).copy(deliverAtUs = if (i < 5) 1000L else 5000000L))
+    }
+    out.close()
+    // trigger before the held block's deliver time: frontier stops at 5
+    val early = new MsgLogMicroBatchStream(dir.toString, None, None,
+      delayedDelivery = true, nowUsOverride = Some(2000L))
+    assert(early.latestOffset().json() === """{"ledger-0000.glog":5}""")
+    // trigger at/after the deliver time: everything surfaces
+    val late = new MsgLogMicroBatchStream(dir.toString, None, None,
+      delayedDelivery = true, nowUsOverride = Some(5000000L))
+    assert(late.latestOffset().json() === """{"ledger-0000.glog":10}""")
+    // paced end-to-end stream at the early clock sees exactly the 5
+    val name = "msglog_delay_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("delayedDelivery", "true")
+      .option("delayedDeliveryNowUs", "2000")
+      .option("maxRowsPerTrigger", "2")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val seen = spark.table(name).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(seen.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // without the option the source ignores deliver_at entirely
+    val plain = new MsgLogMicroBatchStream(dir.toString, None, None)
+    assert(plain.latestOffset().json() === """{"ledger-0000.glog":10}""")
+  }
+
+  test("countCache evicts ledgers that leave the listing (deletion/compaction churn)") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_evict_").toString
+    ev.repartition(3, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
+    val stream = new MsgLogMicroBatchStream(dir, None, None)
+    stream.latestOffset()
+    assert(stream.cachedLedgerCount === 3)
+    // compaction/deletion: a ledger leaves the listing -> its entry goes too
+    val victim = MsgLogSource.ledgerFiles(dir).head
+    Files.delete(victim)
+    stream.latestOffset()
+    assert(stream.cachedLedgerCount === 2,
+      "cache size tracks the live ledger count after deletion")
   }
 
   // --- multi-topic (namespace) reads -------------------------------------
