@@ -76,6 +76,17 @@ case class MsgFrame(
   * ledger decodes with the envelope fields absent (NULL column values).
   * Properties are encoded in sorted key order so frames are deterministic
   * for a given message.
+  *
+  * `flags & 0x20` marks a CHUNK frame (reference chunked large messages,
+  * `src/PulsarApi.proto:142-145`: `uuid`, `chunk_id`,
+  * `num_chunks_from_msg`): one oversized logical message's encoded body
+  * split across frames, each `[uuid: 2×int64] [chunk_id: int32]
+  * [num_chunks: int32] [stored slice]` after the flags byte, slices
+  * compressed independently. Chunk frames are never batched. Entry
+  * accounting puts the group's single logical entry on chunk 0 (the
+  * discipline [[readFrameHeader]], [[countEntries]] and the reader's
+  * seek all share): a seek that skips chunk 0 skips the whole message,
+  * and a reader that decodes chunk 0 owns its entry until emission.
   * A message's `entry` coordinate is its ordinal across ALL frames —
   * `(frame, batch_index)` flattened, like `MessageIdData.batch_index`
   * (`proto:52-58`).
@@ -104,9 +115,10 @@ object MsgLogCodec {
 
   val BatchFlag: Int = 0x80
   val EnvelopeFlag: Int = 0x40
+  val ChunkFlag: Int = 0x20
 
   /** Low bits of the flags byte that carry the codec id (the high bits
-    * are the batch/envelope markers). */
+    * are the batch/envelope/chunk markers). */
   val CodecMask: Int = 0x1F
 
   /** Upper bound on a frame's stored size: a corrupt size prefix (the one
@@ -342,9 +354,54 @@ object MsgLogCodec {
     checked.put(flags.toByte)
     if (batched) checked.putInt(msgs.length)
     checked.put(stored)
-    out.writeInt(4 + checked.capacity())
-    out.writeInt(Crc32C.compute(checked.array()).toInt)
-    out.write(checked.array())
+    emitFrame(out, checked.array())
+  }
+
+  private def emitFrame(out: DataOutputStream, checked: Array[Byte]): Unit = {
+    out.writeInt(4 + checked.length)
+    out.writeInt(Crc32C.compute(checked).toInt)
+    out.write(checked)
+  }
+
+  /** Write one message, CHUNKING it when its encoded body exceeds
+    * `maxChunkBytes` (reference chunked messages, `proto:142-145`): the
+    * body is split into `ceil(len / maxChunkBytes)` slices, each framed
+    * as `(uuid, chunk_id, num_chunks)` with its slice compressed
+    * independently. A body that fits writes the ordinary unbatched frame
+    * (byte-identical to `writeBatch(Seq(m))`), so chunk-enabled topics
+    * stay readable by any reader.
+    */
+  def writeMessageAuto(out: DataOutputStream, m: MsgFrame, codec: Byte,
+      maxChunkBytes: Int): Unit = {
+    require(maxChunkBytes > 0, "graft-msglog: maxChunkBytes must be positive")
+    val envelope = hasEnvelope(m)
+    val envFlag = if (envelope) EnvelopeFlag else 0
+    val body = encodeBody(m, envelope)
+    if (body.length <= maxChunkBytes) {
+      val stored = compress(body, codec)
+      val checked = java.nio.ByteBuffer.allocate(1 + stored.length)
+      checked.put((codec | envFlag).toByte).put(stored)
+      emitFrame(out, checked.array())
+    } else {
+      val n = ((body.length.toLong + maxChunkBytes - 1) / maxChunkBytes).toInt
+      checkCount(n)
+      val uuid = java.util.UUID.randomUUID()
+      var off = 0
+      var cid = 0
+      while (off < body.length) {
+        val slice = java.util.Arrays.copyOfRange(
+          body, off, math.min(off + maxChunkBytes, body.length))
+        val stored = compress(slice, codec)
+        val checked = java.nio.ByteBuffer.allocate(1 + 24 + stored.length)
+        checked.put((codec | ChunkFlag | envFlag).toByte)
+        checked.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+        checked.putInt(cid).putInt(n)
+        checked.put(stored)
+        emitFrame(out, checked.array())
+        off += maxChunkBytes
+        cid += 1
+      }
+    }
   }
 
   // --- read ----------------------------------------------------------------
@@ -358,6 +415,13 @@ object MsgLogCodec {
   case class Entries(msgs: Array[MsgFrame]) extends FrameResult
   case class Corrupt(raw: Array[Byte], claimedCount: Int, error: String) extends FrameResult
   case object FrameEof extends FrameResult
+
+  /** One chunk of a split oversized message: the decompressed body slice
+    * plus the group coordinates. `envelope` is carried per frame so the
+    * reassembled body decodes without peeking back at chunk 0's flags.
+    */
+  case class ChunkPiece(uuidHi: Long, uuidLo: Long, chunkId: Int, numChunks: Int,
+      envelope: Boolean, payload: Array[Byte]) extends FrameResult
 
   /** Entry accounting for a frame whose CRC may not hold: a batch count
     * outside 1..MaxBatchCount in a CRC-FAILED frame claims 1 — the true
@@ -388,22 +452,46 @@ object MsgLogCodec {
     in.readFully(checked)
     val flags = checked(0) & 0xFF
     val batched = (flags & BatchFlag) != 0
-    if (batched && checked.length < 5) // mirrors skipFrame's structural check
+    val chunked = (flags & ChunkFlag) != 0
+    // structural checks mirror skipFrame's (the stream can advance past
+    // CRC failures, never past truncation); chunk takes precedence over
+    // batch in BOTH the corrupt-claim and the header-walk paths, so a
+    // garbage flags byte yields the same claim either way
+    if (chunked && checked.length < 25)
+      throw new java.io.IOException("graft-msglog: truncated chunk header")
+    if (!chunked && batched && checked.length < 5)
       throw new java.io.IOException("graft-msglog: truncated batch header")
     val rawCount =
-      if (batched) java.nio.ByteBuffer.wrap(checked, 1, 4).getInt else 1
+      if (chunked) {
+        val cid = java.nio.ByteBuffer.wrap(checked, 17, 4).getInt
+        if (cid == 0) 1 else 0
+      } else if (batched) java.nio.ByteBuffer.wrap(checked, 1, 4).getInt
+      else 1
     val actual = Crc32C.compute(checked)
     if (actual != storedCrc) {
       val raw = java.nio.ByteBuffer.allocate(8 + checked.length)
         .putInt(totalSize).putInt(storedCrc.toInt).put(checked).array()
-      return Corrupt(raw, lenientCount(rawCount),
+      return Corrupt(raw, if (chunked) rawCount else lenientCount(rawCount),
         f"graft-msglog: CRC32C mismatch (stored 0x$storedCrc%08x, computed 0x$actual%08x)")
+    }
+    val envelope = (flags & EnvelopeFlag) != 0
+    if (chunked) {
+      if (batched)
+        throw new java.io.IOException("graft-msglog: chunk frame with batch flag (writer bug)")
+      val hdr = java.nio.ByteBuffer.wrap(checked, 1, 24)
+      val uuidHi = hdr.getLong; val uuidLo = hdr.getLong
+      val cid = hdr.getInt; val n = hdr.getInt
+      if (n < 1 || n > MaxBatchCount || cid < 0 || cid >= n)
+        throw new java.io.IOException(
+          s"graft-msglog: corrupt chunk coordinates $cid/$n (writer bug)")
+      val stored = java.util.Arrays.copyOfRange(checked, 25, checked.length)
+      return ChunkPiece(uuidHi, uuidLo, cid, n, envelope,
+        decompress(stored, (flags & CodecMask).toByte))
     }
     checkCount(rawCount) // CRC holds: an invalid count is a writer bug
     val headerLen = if (batched) 5 else 1
     val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
     val payload = decompress(stored, (flags & CodecMask).toByte)
-    val envelope = (flags & EnvelopeFlag) != 0
     val buf = java.nio.ByteBuffer.wrap(payload)
     Entries(Array.fill(rawCount)(decodeBody(buf, envelope)))
   }
