@@ -504,6 +504,8 @@ object MsgLogCodec {
       case Entries(msgs) => Some(msgs)
       case Corrupt(_, _, err) => throw new java.io.IOException(err)
       case FrameEof => None
+      case _: ChunkPiece => throw new java.io.IOException(
+        "graft-msglog: chunk frame in a per-frame read (use foreachEntry or the partition reader)")
     }
 
   /** Single-message convenience over [[readEntries]] for unbatched
@@ -516,18 +518,29 @@ object MsgLogCodec {
     }
 
   /** One frame's header: its wire size, the entry count it claims (the
-    * [[lenientCount]] discipline), and how many bytes the header walk
-    * consumed past the size prefix's 4.
+    * [[lenientCount]] discipline), how many bytes the header walk
+    * consumed past the size prefix's 4, and — for a chunk frame — its
+    * chunk ordinal (`-1` for non-chunk frames). A chunk frame claims the
+    * group's single entry on chunk 0 and nothing on continuations,
+    * mirroring [[readFrameResult]] exactly so skip/count/seek and the
+    * decode path can never drift on a chunked ledger.
     */
-  case class FrameHeader(totalSize: Int, claimedCount: Int, headerConsumed: Int)
+  case class FrameHeader(totalSize: Int, claimedCount: Int, headerConsumed: Int,
+      chunkId: Int = -1) {
+    /** Continuation frame of a chunk group (carries no entry of its own). */
+    def isChunkCont: Boolean = chunkId > 0
+  }
 
   /** Read the next frame's size prefix + header without touching the
     * payload — THE single header-walk implementation behind skip, count,
     * and reader seek (three call sites sharing one set of structural
     * checks, so they cannot drift). None at clean EOF. Strict on what
     * frame-boundary accounting depends on (size prefix range, a batched
-    * frame big enough for its count field); lenient on the count VALUE
-    * (see [[lenientCount]]).
+    * frame big enough for its count field, a chunk frame big enough for
+    * its coordinates); lenient on the count VALUE (see [[lenientCount]];
+    * for chunk frames the claim is `chunk_id == 0 ? 1 : 0` from the
+    * unverified header bytes — the same claim [[readFrameResult]] assigns
+    * a CRC-failed chunk frame).
     */
   def readFrameHeader(in: DataInputStream): Option[FrameHeader] = {
     val totalSize =
@@ -537,13 +550,23 @@ object MsgLogCodec {
     in.readInt() // crc: not verified on a header walk
     val flags = in.readUnsignedByte()
     var consumed = 5
-    val count = if ((flags & BatchFlag) != 0) {
-      if (totalSize < 9) // count field would extend past the frame
-        throw new java.io.IOException("graft-msglog: truncated batch header")
-      val n = in.readInt(); consumed += 4
-      lenientCount(n)
-    } else 1
-    Some(FrameHeader(totalSize, count, consumed))
+    if ((flags & ChunkFlag) != 0) {
+      if (totalSize < 29) // uuid+chunk coordinates would extend past the frame
+        throw new java.io.IOException("graft-msglog: truncated chunk header")
+      in.readLong(); in.readLong() // uuid: not needed on a header walk
+      val cid = in.readInt()
+      in.readInt() // num_chunks
+      consumed += 24
+      Some(FrameHeader(totalSize, if (cid == 0) 1 else 0, consumed, chunkId = cid))
+    } else {
+      val count = if ((flags & BatchFlag) != 0) {
+        if (totalSize < 9) // count field would extend past the frame
+          throw new java.io.IOException("graft-msglog: truncated batch header")
+        val n = in.readInt(); consumed += 4
+        lenientCount(n)
+      } else 1
+      Some(FrameHeader(totalSize, count, consumed))
+    }
   }
 
   /** Skip the payload remainder of a frame whose header was just read. */
@@ -564,6 +587,120 @@ object MsgLogCodec {
   def skipFrame(in: DataInputStream): Option[Int] =
     readFrameHeader(in).map { h => skipPayload(in, h); h.claimedCount }
 
+  /** Bytes a header walk may consume past its `mark` before a `reset`:
+    * size prefix (4) + crc (4) + flags (1) + the larger of the batch
+    * count (4) and the chunk coordinates (24). Seek loops must
+    * `mark(SeekMarkLimit)` per frame or a chunk header straddling the
+    * buffer boundary invalidates the mark.
+    */
+  val SeekMarkLimit: Int = 4 + 4 + 1 + 24
+
+  /** Position `in` at the first frame carrying entries >= `from`,
+    * skipping earlier frames via headers (no decode, no CRC) — THE
+    * single seek implementation behind the partition reader and
+    * [[deliverableFrontier]]. Returns the entry ordinal at the resulting
+    * position. Chunk-group aware: skipping a group's chunk 0 (which
+    * claims the group's single entry) also skips its continuation frames
+    * even once the entry target is reached, so a reader never starts
+    * mid-group; a group whose entry IS wanted is left intact with the
+    * stream positioned at its chunk 0. The stream must support
+    * mark/reset ([[SeekMarkLimit]]).
+    */
+  def seekToEntry(in: DataInputStream, from: Long): Long = {
+    var entry = 0L
+    var inSkippedGroup = false
+    while (true) {
+      in.mark(SeekMarkLimit)
+      readFrameHeader(in) match {
+        case None => return entry
+        case Some(h) =>
+          if (h.isChunkCont && inSkippedGroup) skipPayload(in, h) // claims 0 entries
+          else if (entry < from && entry + h.claimedCount <= from) {
+            skipPayload(in, h)
+            entry += h.claimedCount
+            inSkippedGroup = h.chunkId == 0
+          } else { in.reset(); return entry }
+      }
+    }
+    entry // unreachable
+  }
+
+  /** Reassembles chunk groups from consecutive [[ChunkPiece]] frames.
+    * Groups are contiguous within a ledger by construction: each ledger
+    * has exactly one writer task and [[writeMessageAuto]] emits a group's
+    * frames back-to-back — the file-backed analog of the reference
+    * constraint that a producer cannot interleave chunks of one message
+    * (chunking and batching are mutually exclusive, and a chunked send
+    * completes before the next message; `src/PulsarApi.proto:142-145`).
+    * Out-of-order, orphaned, or uuid-mismatched pieces are writer bugs or
+    * corruption and raise.
+    */
+  final class ChunkAssembler {
+    private var uuidHi = 0L
+    private var uuidLo = 0L
+    private var total = -1
+    private var envelope = false
+    private val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    /** No group under assembly. */
+    def isEmpty: Boolean = total < 0
+
+    /** Drop the group under assembly (dead-letter recovery). */
+    def reset(): Unit = { total = -1; parts.clear() }
+
+    /** Buffer one piece; decode and return the logical message when the
+      * group completes (its entry is the one chunk 0 claimed).
+      */
+    def offer(c: ChunkPiece): Option[MsgFrame] = {
+      if (c.chunkId == 0) {
+        if (!isEmpty)
+          throw new java.io.IOException(
+            "graft-msglog: chunk 0 arrived while another chunk group was open")
+        uuidHi = c.uuidHi; uuidLo = c.uuidLo; total = c.numChunks; envelope = c.envelope
+        parts += c.payload
+      } else {
+        if (isEmpty || c.uuidHi != uuidHi || c.uuidLo != uuidLo ||
+            c.chunkId != parts.length || c.numChunks != total)
+          throw new java.io.IOException(
+            s"graft-msglog: out-of-order or orphaned chunk ${c.chunkId}/${c.numChunks}")
+        parts += c.payload
+      }
+      if (parts.length < total) None
+      else {
+        val body = new Array[Byte](parts.iterator.map(_.length).sum)
+        var off = 0
+        parts.foreach { p => System.arraycopy(p, 0, body, off, p.length); off += p.length }
+        val env = envelope
+        reset()
+        Some(decodeBody(java.nio.ByteBuffer.wrap(body), env))
+      }
+    }
+  }
+
+  /** Decode every message of a ledger in order, reassembling chunk
+    * groups; corrupt frames and truncated groups raise. The full-decode
+    * walk behind maintenance scans (sequence-frontier recovery, tests) —
+    * the partition reader keeps its own incremental loop for
+    * slice/predicate/DLQ handling.
+    */
+  def foreachEntry(path: java.nio.file.Path)(f: MsgFrame => Unit): Unit = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
+    val assembler = new ChunkAssembler
+    try {
+      var more = true
+      while (more) readFrameResult(in) match {
+        case FrameEof =>
+          if (!assembler.isEmpty)
+            throw new java.io.IOException("graft-msglog: ledger ends mid chunk group")
+          more = false
+        case Corrupt(_, _, err) => throw new java.io.IOException(err)
+        case Entries(msgs) => msgs.foreach(f)
+        case c: ChunkPiece => assembler.offer(c).foreach(f)
+      }
+    } finally in.close()
+  }
+
   /** Delayed-delivery frontier (reference `deliver_at_time`,
     * `src/PulsarApi.proto:125-126`): the first entry index at/after
     * `from` whose `deliver_at` is after `nowUs`, paired with that
@@ -576,25 +713,25 @@ object MsgLogCodec {
   def deliverableFrontier(path: java.nio.file.Path, from: Long, nowUs: Long): (Long, Long) = {
     val in = new DataInputStream(
       new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
+    val assembler = new ChunkAssembler
     try {
-      var entry = 0L
-      var seeking = true
-      while (seeking && entry < from) {
-        in.mark(16)
-        readFrameHeader(in) match {
-          case None => seeking = false
-          case Some(h) =>
-            if (entry + h.claimedCount <= from) {
-              skipPayload(in, h); entry += h.claimedCount
-            } else { in.reset(); seeking = false }
-        }
-      }
+      var entry = seekToEntry(in, from)
       while (true) {
         readFrameResult(in) match {
-          case FrameEof => return (entry, -1L)
+          case FrameEof =>
+            // a truncated group still claimed its entry via chunk 0 —
+            // count it so the frontier agrees with countEntries
+            return (if (assembler.isEmpty) entry else entry + 1, -1L)
           case Corrupt(_, claimed, _) => entry += claimed
           case Entries(msgs) =>
             msgs.foreach { m =>
+              if (entry >= from && m.deliverAtUs > nowUs) return (entry, m.deliverAtUs)
+              entry += 1
+            }
+          case c: ChunkPiece =>
+            // the group's entry (claimed by chunk 0) advances only when
+            // the message completes — matching the reader's emission point
+            assembler.offer(c).foreach { m =>
               if (entry >= from && m.deliverAtUs > nowUs) return (entry, m.deliverAtUs)
               entry += 1
             }

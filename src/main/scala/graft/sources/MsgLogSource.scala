@@ -743,38 +743,19 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(p.file)), 1 << 16))
 
-  /** Entry ordinal of the next not-yet-consumed message. */
-  private var entry = 0L
-
   // Seek: skip whole frames that end at/before the slice start via their
-  // headers ([[MsgLogCodec.readFrameHeader]] — no decode, no CRC, one
-  // shared validation path with skipFrame/countEntries). A frame whose
-  // entries straddle startEntry must NOT be skipped — mark/reset peeks
-  // its ≤13 header bytes and rewinds for the decode path, which drops
-  // the leading messages. Re-mark per frame: BufferedInputStream only
-  // honors reset within the marked readlimit, never across a payload
-  // skip.
-  private def seek(): Unit = {
-    while (entry < p.startEntry) {
-      in.mark(16)
-      MsgLogCodec.readFrameHeader(in) match {
-        case None => return
-        case Some(h) =>
-          if (entry + h.claimedCount <= p.startEntry) {
-            MsgLogCodec.skipPayload(in, h)
-            entry += h.claimedCount
-          } else {
-            in.reset()
-            return
-          }
-      }
-    }
-  }
-  seek()
+  // headers ([[MsgLogCodec.seekToEntry]] — no decode, no CRC, one shared
+  // group-aware implementation with the delayed-delivery frontier). A
+  // frame whose entries straddle startEntry is NOT skipped — the decode
+  // path drops its leading messages; a chunk group whose single entry
+  // was skipped is skipped whole (continuation frames included).
+  /** Entry ordinal of the next not-yet-consumed message. */
+  private var entry = MsgLogCodec.seekToEntry(in, p.startEntry)
 
   private var current: MsgFrame = _
   private var currentEntry = 0L
   private var pending: Iterator[MsgFrame] = Iterator.empty
+  private val assembler = new MsgLogCodec.ChunkAssembler
 
   // partition constant: encode once, not per row
   private val topicUtf8 = UTF8String.fromString(p.topic)
@@ -838,12 +819,26 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
       }
       if (entry >= p.endEntry) return false
       MsgLogCodec.readFrameResult(in) match {
-        case MsgLogCodec.FrameEof => return false
+        case MsgLogCodec.FrameEof =>
+          if (!assembler.isEmpty)
+            throw new java.io.IOException("graft-msglog: ledger ends mid chunk group")
+          return false
         case MsgLogCodec.Corrupt(raw, claimed, err) =>
           if (!deadLetter) throw new java.io.IOException(err)
           divertToDlq(raw)
+          if (!assembler.isEmpty) {
+            // a piece of the open group is unrecoverable: the group's
+            // entry (claimed by its chunk 0) is consumed by the drop
+            assembler.reset()
+            entry += 1
+          }
           entry += claimed
         case MsgLogCodec.Entries(msgs) => pending = msgs.iterator
+        case c: MsgLogCodec.ChunkPiece =>
+          // a continuation whose group was DLQ-dropped carries no entry —
+          // skip it; anything else out of order is a writer bug (raise)
+          if (!(deadLetter && c.chunkId > 0 && assembler.isEmpty))
+            assembler.offer(c).foreach(m => pending = Iterator.single(m))
       }
     }
     false // unreachable

@@ -63,17 +63,46 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
       n
   }
 
+  /** Chunked large messages (reference `uuid`/`chunk_id`/
+    * `num_chunks_from_msg`, `src/PulsarApi.proto:142-145`):
+    * `maxFrameBytes=N` splits any message whose encoded body exceeds N
+    * into N-byte chunk frames ([[MsgLogCodec.writeMessageAuto]]) — the
+    * only way to write a payload past the 64 MiB frame cap. Mutually
+    * exclusive with `batchSize` > 1, the reference's own producer
+    * constraint (chunking requires batching disabled). Capped at half
+    * [[MsgLogCodec.MaxFrameBytes]] so a chunk slice plus header and
+    * worst-case compression expansion always fits a legal frame.
+    */
+  private val maxFrameBytes: Int = Option(info.options.get("maxFrameBytes")) match {
+    case None => 0
+    case Some(s) =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"graft-msglog: invalid maxFrameBytes '$s'")
+      }
+      if (n < 1 || n > MsgLogCodec.MaxFrameBytes / 2)
+        throw new IllegalArgumentException(
+          s"graft-msglog: maxFrameBytes $n out of range 1..${MsgLogCodec.MaxFrameBytes / 2}")
+      if (batchSize > 1)
+        throw new IllegalArgumentException(
+          "graft-msglog: maxFrameBytes (chunking) requires batchSize=1 — " +
+            "chunking and batching are mutually exclusive, as in the reference producer")
+      n
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new MsgLogBatchWrite(path, info.schema(), codec, batchSize)
+      new MsgLogBatchWrite(path, info.schema(), codec, batchSize, maxFrameBytes)
     override def toStreaming: StreamingWrite =
-      new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec, batchSize)
+      new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec, batchSize,
+        maxFrameBytes)
   }
 }
 
 case class MsgLogCommit(file: String) extends WriterCommitMessage
 
-class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int)
+class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int,
+    maxFrameBytes: Int = 0)
     extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
@@ -83,7 +112,7 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
     */
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    MsgLogWriterFactory(path, schema, writeId, codec, batchSize)
+    MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -96,24 +125,24 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
   * keeping an epoch re-commit of the SAME query idempotent.
   */
 class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String,
-    codec: Byte, batchSize: Int)
+    codec: Byte, batchSize: Int, maxFrameBytes: Int = 0)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MsgLogWriterFactory(path, schema, queryId, codec, batchSize)
+    MsgLogWriterFactory(path, schema, queryId, codec, batchSize, maxFrameBytes)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Serializable factory shipped to executors (one writer per task). */
 case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String,
-    codec: Byte, batchSize: Int)
+    codec: Byte, batchSize: Int, maxFrameBytes: Int = 0)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId,
-      codec, batchSize)
+      codec, batchSize, maxFrameBytes)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId,
-      codec, batchSize)
+      codec, batchSize, maxFrameBytes)
 }
 
 /** Frames one partition's rows into `<stem>.glog` via a temp file +
@@ -127,7 +156,7 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
   * byte-identical to the pre-envelope layout.
   */
 class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
-    codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1)
+    codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1, maxFrameBytes: Int = 0)
     extends DataWriter[InternalRow] {
 
   private val iEvent = schema.fieldIndex("event_id")
@@ -167,9 +196,23 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
     batch.clear()
   }
 
+  /** The wire encodes `-1` as "absent" for these fields, so a negative
+    * value would silently round-trip to NULL. The proto fields are
+    * unsigned (`sequence_id`/`event_time`/`deliver_at_time`,
+    * `src/PulsarApi.proto:91,113,125`), so refusing is reference-faithful
+    * — and loud beats silent data loss.
+    */
+  private def nonNeg(field: String, v: Long): Long = {
+    if (v < 0)
+      throw new IllegalArgumentException(
+        s"graft-msglog: negative $field ($v) is unwritable — the wire format reads " +
+          "negative values back as NULL (the reference proto field is unsigned)")
+    v
+  }
+
   override def write(row: InternalRow): Unit = {
     ensureOpen()
-    batch += MsgFrame(
+    val m = MsgFrame(
       row.getLong(iEvent),
       row.getLong(iTs), // TimestampType is epoch-µs internally
       row.getLong(iUser),
@@ -178,8 +221,9 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
       row.getUTF8String(iProps).toString,
       producerName =
         if (has(iProducer, row)) row.getUTF8String(iProducer).toString else null,
-      sequenceId = if (has(iSeq, row)) row.getLong(iSeq) else -1L,
-      eventTimeUs = if (has(iEventTime, row)) row.getLong(iEventTime) else -1L,
+      sequenceId = if (has(iSeq, row)) nonNeg("sequence_id", row.getLong(iSeq)) else -1L,
+      eventTimeUs =
+        if (has(iEventTime, row)) nonNeg("event_time", row.getLong(iEventTime)) else -1L,
       partitionKey =
         if (has(iPartKey, row)) row.getUTF8String(iPartKey).toString else null,
       orderingKey =
@@ -193,8 +237,13 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
           .map(j => ks.getUTF8String(j).toString -> vs.getUTF8String(j).toString).toMap
       } else null,
       redeliveryCount = if (has(iRedelivery, row)) row.getInt(iRedelivery) else 0,
-      deliverAtUs = if (has(iDeliverAt, row)) row.getLong(iDeliverAt) else -1L)
-    if (batch.length >= batchSize) flushBatch()
+      deliverAtUs =
+        if (has(iDeliverAt, row)) nonNeg("deliver_at", row.getLong(iDeliverAt)) else -1L)
+    if (maxFrameBytes > 0) MsgLogCodec.writeMessageAuto(out, m, codec, maxFrameBytes)
+    else {
+      batch += m
+      if (batch.length >= batchSize) flushBatch()
+    }
     n += 1
   }
 

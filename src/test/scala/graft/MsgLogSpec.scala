@@ -835,6 +835,184 @@ class MsgLogSpec extends SparkTestBase {
     assert(Files.list(Paths.get(dir, ".dlq")).count() === 1)
   }
 
+  // --- chunked large messages (reference `uuid`/`chunk_id`/
+  // `num_chunks_from_msg`, `src/PulsarApi.proto:142-145`) ----------------
+
+  private def bigFrame(id: Long, payloadLen: Int = 5000) =
+    frame(id).copy(props = s"""{"k": $id, "pad": "${"x" * payloadLen}"}""")
+
+  test("codec: chunked messages round-trip through foreachEntry, all codecs") {
+    val codecs = Seq(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib,
+      MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd, MsgLogCodec.CodecSnappy)
+    codecs.foreach { codec =>
+      val msgs = Seq(frame(0), bigFrame(1), envFrame(2), bigFrame(3).copy(sequenceId = 3),
+        frame(4))
+      val dir = Files.createTempDirectory("glog_chunk_codec_")
+      val ledger = dir.resolve(s"ledger-t-0000${MsgLogCodec.Extension}")
+      val bos = new ByteArrayOutputStream()
+      val dos = new DataOutputStream(bos)
+      msgs.foreach(MsgLogCodec.writeMessageAuto(dos, _, codec, 1024))
+      Files.write(ledger, bos.toByteArray)
+      val back = Seq.newBuilder[MsgFrame]
+      MsgLogCodec.foreachEntry(ledger)(back += _)
+      assert(back.result() === msgs, s"codec $codec")
+      // entry accounting: the header walk (countEntries) agrees with the
+      // decode path — one entry per logical message, chunked or not
+      assert(MsgLogCodec.countEntries(ledger) === msgs.length.toLong, s"codec $codec")
+    }
+  }
+
+  test("codec: chunk frames claim the group's single entry on chunk 0 only") {
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    MsgLogCodec.writeMessageAuto(dos, bigFrame(7, 2500), MsgLogCodec.CodecNone, 1024)
+    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    // ~2.5 KB body at 1 KB chunks → 3 frames: claims 1, 0, 0
+    assert(MsgLogCodec.skipFrame(in) === Some(1))
+    assert(MsgLogCodec.skipFrame(in) === Some(0))
+    assert(MsgLogCodec.skipFrame(in) === Some(0))
+    assert(MsgLogCodec.skipFrame(in) === None)
+  }
+
+  test("codec: a body within maxChunkBytes stays on the plain unbatched layout") {
+    val bos = new ByteArrayOutputStream()
+    MsgLogCodec.writeMessageAuto(new DataOutputStream(bos), frame(1),
+      MsgLogCodec.CodecNone, 1 << 20)
+    val auto = bos.toByteArray
+    assert((auto(8) & MsgLogCodec.ChunkFlag) === 0)
+    val plain = new ByteArrayOutputStream()
+    MsgLogCodec.writeFrame(new DataOutputStream(plain), frame(1))
+    assert(auto.toSeq === plain.toByteArray.toSeq)
+  }
+
+  private def chunkedTopic(n: Int, payloadLen: Int = 5000,
+      maxFrame: Int = 1024): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_chunk_topic_").toString
+    (0 until n).map { i =>
+      (i.toLong, 1704067200000000L + i, i.toLong % 7, s"type-$i", i * 1.5,
+        s"""{"k": $i, "pad": "${"x" * payloadLen}"}""")
+    }.toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(1)
+      .write.format("graft-msglog").option("maxFrameBytes", maxFrame.toString)
+      .mode("append").save(dir)
+    dir
+  }
+
+  test("chunked ledger: DataFrame round-trip of payloads past the chunk size") {
+    val dir = chunkedTopic(10)
+    val back = spark.read.format("graft-msglog").load(dir)
+      .select("entry", "event_id", "props").collect().sortBy(_.getLong(0))
+    assert(back.length === 10)
+    // dense entries, one per logical message; payloads intact
+    assert(back.map(_.getLong(0)).toSeq === (0L until 10L))
+    back.foreach { r =>
+      assert(r.getString(2) === s"""{"k": ${r.getLong(1)}, "pad": "${"x" * 5000}"}""")
+    }
+    // and the ledger really is chunked (more frames than entries)
+    val ledger = MsgLogSource.ledgerFiles(dir).head
+    var frames = 0
+    val in = new DataInputStream(new ByteArrayInputStream(Files.readAllBytes(ledger)))
+    while (MsgLogCodec.skipFrame(in).isDefined) frames += 1
+    assert(frames > 10)
+  }
+
+  test("chunked ledger: startingOffsets and row-budget pacing stay on message boundaries") {
+    val dir = chunkedTopic(10)
+    // batch seek: entries [4, 10) — the seek must skip whole chunk groups
+    val sliced = spark.read.format("graft-msglog")
+      .option("startingOffsets", offsetsJson(dir, 4L)).load(dir)
+      .select("entry", "event_id").collect().sortBy(_.getLong(0))
+    assert(sliced.map(_.getLong(0)).toSeq === (4L until 10L))
+    assert(sliced.map(_.getLong(1)).toSeq.sorted === (4L until 10L))
+    // paced stream: 3 entries per trigger; straddled groups must reassemble
+    val name = "msglog_chunk_paced_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("maxRowsPerTrigger", "3").load(dir)
+      .select("event_id", "props")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(name).collect()
+    assert(got.length === 10)
+    assert(got.map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+    assert(got.forall(r => r.getString(1).length > 5000))
+  }
+
+  private def corruptChunkedTopic(victimFrame: Int): String = {
+    val dir = Files.createTempDirectory("glog_chunk_corrupt_")
+    val ledger = dir.resolve(s"ledger-test-0000${MsgLogCodec.Extension}")
+    val bos = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(bos)
+    (0 until 5).foreach(i => MsgLogCodec.writeMessageAuto(dos, bigFrame(i.toLong, 2500),
+      MsgLogCodec.CodecNone, 1024)) // 3 chunk frames per message
+    val bytes = bos.toByteArray
+    var pos = 0
+    (0 until victimFrame).foreach { _ =>
+      pos += 4 + java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+    }
+    val victim = pos + 4 + 4 + 1 + 24 + 2 // size + crc + flags + chunk header + 2 payload bytes
+    bytes(victim) = (bytes(victim) ^ 0x01).toByte
+    Files.write(ledger, bytes)
+    dir.toString
+  }
+
+  test("corrupt chunk fails the read loudly by default") {
+    val dir = corruptChunkedTopic(7) // message 2's middle chunk
+    val ex = intercept[Exception] {
+      spark.read.format("graft-msglog").load(dir).count()
+    }
+    assert(causeMessages(ex).exists(_.contains("CRC32C mismatch")), causeMessages(ex).mkString("\n"))
+  }
+
+  test("corrupt chunk with deadletter drops the whole group, keeps every other message") {
+    val dir = corruptChunkedTopic(7) // frames 6-8 are message 2's group
+    val back = spark.read.format("graft-msglog")
+      .option("onCorrupt", "deadletter").load(dir)
+      .select("entry", "event_id").collect().sortBy(_.getLong(0))
+    // the broken group consumed its entry: numbering has a hole at 2
+    assert(back.map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L, 4L))
+    assert(back.map(_.getLong(1)).toSeq === Seq(0L, 1L, 3L, 4L))
+    assert(Files.list(Paths.get(dir, ".dlq")).count() === 1)
+    // offset accounting survives the drop: header walk still says 5
+    assert(MsgLogCodec.countEntries(MsgLogSource.ledgerFiles(dir).head) === 5L)
+  }
+
+  test("maxFrameBytes rejects batching and out-of-range values loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, "{}"))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    val dir = Files.createTempDirectory("glog_chunk_opt_").toString
+    val exBatch = intercept[Exception] {
+      df.write.format("graft-msglog").option("maxFrameBytes", "1024")
+        .option("batchSize", "4").mode("append").save(dir)
+    }
+    assert(causeMessages(exBatch).exists(_.contains("mutually exclusive")),
+      causeMessages(exBatch).mkString("\n"))
+    val exRange = intercept[Exception] {
+      df.write.format("graft-msglog").option("maxFrameBytes", "0")
+        .mode("append").save(dir)
+    }
+    assert(causeMessages(exRange).exists(_.contains("out of range")),
+      causeMessages(exRange).mkString("\n"))
+  }
+
+  test("negative sequence_id / deliver_at are rejected at write, not read back as NULL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_negseq_").toString
+    val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, "{}", -5L))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props", "sequence_id")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    val ex = intercept[Exception] {
+      df.write.format("graft-msglog").mode("append").save(dir)
+    }
+    assert(causeMessages(ex).exists(_.contains("negative sequence_id")),
+      causeMessages(ex).mkString("\n"))
+  }
+
   test("a topics-scoped stream never lists or walks the rest of the namespace") {
     // Spark does not run filter pushdown for streaming V2 relations, so
     // `topics=` is the streaming pruning lever (EqualTo(topic,…) pruning
