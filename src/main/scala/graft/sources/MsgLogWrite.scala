@@ -90,19 +90,101 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
       n
   }
 
+  /** Producer-side dedup on batch append (reference broker dedup:
+    * `last_sequence_id` per producer, `src/PulsarApi.proto:577-579`;
+    * `SerialId`, `src/netflow/models.rs:132-148`): with
+    * `dedupOnAppend=true`, messages whose `(producer_name, sequence_id)`
+    * is at/below the topic's recorded last-sequence frontier are skipped,
+    * so re-running the same batch append is idempotent. The frontier is
+    * the max over the per-ledger `.seq` sidecars every write maintains
+    * ([[MsgLogSeqFrontier]]); batch-only — streaming epochs are already
+    * idempotent by ledger name.
+    */
+  private val dedupOnAppend: Boolean =
+    Option(info.options.get("dedupOnAppend")).exists(_.toBoolean)
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new MsgLogBatchWrite(path, info.schema(), codec, batchSize, maxFrameBytes)
-    override def toStreaming: StreamingWrite =
+      new MsgLogBatchWrite(path, info.schema(), codec, batchSize, maxFrameBytes,
+        dedupOnAppend)
+    override def toStreaming: StreamingWrite = {
+      if (dedupOnAppend)
+        throw new IllegalArgumentException(
+          "graft-msglog: dedupOnAppend is batch-only — streaming epochs are " +
+            "idempotent by ledger name (an epoch re-commit overwrites its own files)")
       new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec, batchSize,
         maxFrameBytes)
+    }
   }
+}
+
+/** Per-ledger sequence-frontier sidecars: `<ledger>.glog.seq` records the
+  * max `sequence_id` seen per `producer_name` in that ledger — the
+  * file-backed analog of the broker's per-producer `last_sequence_id`
+  * cursor (`src/PulsarApi.proto:577-579`). Sidecars keep the append-dedup
+  * frontier O(ledgers) instead of O(log): a dedup append reads a few
+  * bytes per ledger rather than decoding 100 TB of frames. Ledgers
+  * without a sidecar (pre-feature writes, hand-placed files) fall back to
+  * a full decode walk — correct, just slower, and only ever paid once if
+  * anything rewrites the sidecar. Format: one `<maxSeq>\t<producer>` line
+  * per producer (seq first, so producer names may contain tabs), sorted
+  * for determinism; written tmp + atomic rename like the ledgers.
+  */
+object MsgLogSeqFrontier {
+  val Extension = ".seq"
+
+  def sidecarPath(ledger: Path): Path =
+    ledger.resolveSibling(ledger.getFileName.toString + Extension)
+
+  def write(ledger: Path, maxima: Map[String, Long]): Unit = {
+    val body = maxima.toSeq.sortBy(_._1)
+      .map { case (p, s) => s"$s\t$p" }.mkString("", "\n", "\n")
+    val target = sidecarPath(ledger)
+    val tmp = target.resolveSibling("." + target.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def read(sidecar: Path): Map[String, Long] =
+    new String(Files.readAllBytes(sidecar), java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        if (i < 0) throw new java.io.IOException(
+          s"graft-msglog: corrupt sequence sidecar $sidecar: '$line'")
+        line.substring(i + 1) -> line.substring(0, i).toLong
+      }.toMap
+
+  private def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (p, s)) =>
+      acc.updated(p, math.max(s, acc.getOrElse(p, Long.MinValue)))
+    }
+
+  /** Max recorded `sequence_id` per producer across a topic's ledgers —
+    * sidecars where present, full decode walk where not.
+    */
+  def topicFrontier(dir: String): Map[String, Long] =
+    MsgLogSource.ledgerFiles(dir).foldLeft(Map.empty[String, Long]) { (acc, ledger) =>
+      val sidecar = sidecarPath(ledger)
+      val maxima =
+        if (Files.exists(sidecar)) read(sidecar)
+        else {
+          var m = Map.empty[String, Long]
+          MsgLogCodec.foreachEntry(ledger) { f =>
+            if (f.producerName != null && f.sequenceId >= 0)
+              m = m.updated(f.producerName,
+                math.max(f.sequenceId, m.getOrElse(f.producerName, Long.MinValue)))
+          }
+          m
+        }
+      merge(acc, maxima)
+    }
 }
 
 case class MsgLogCommit(file: String) extends WriterCommitMessage
 
 class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int,
-    maxFrameBytes: Int = 0)
+    maxFrameBytes: Int = 0, dedupOnAppend: Boolean = false)
     extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
@@ -111,8 +193,14 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
     * overwrite its own files (idempotent re-commit).
     */
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes)
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side, once per write: the topic's last-sequence frontier
+    // ships to every task (like the broker answering the producer's
+    // session-establish with last_sequence_id, proto:577-579)
+    val frontier =
+      if (dedupOnAppend) MsgLogSeqFrontier.topicFrontier(path) else Map.empty[String, Long]
+    MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes, frontier)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -135,11 +223,12 @@ class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String,
 
 /** Serializable factory shipped to executors (one writer per task). */
 case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String,
-    codec: Byte, batchSize: Int, maxFrameBytes: Int = 0)
+    codec: Byte, batchSize: Int, maxFrameBytes: Int = 0,
+    dedupFrontier: Map[String, Long] = Map.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId,
-      codec, batchSize, maxFrameBytes)
+      codec, batchSize, maxFrameBytes, dedupFrontier)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId,
       codec, batchSize, maxFrameBytes)
@@ -156,7 +245,8 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
   * byte-identical to the pre-envelope layout.
   */
 class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
-    codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1, maxFrameBytes: Int = 0)
+    codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1, maxFrameBytes: Int = 0,
+    dedupFrontier: Map[String, Long] = Map.empty)
     extends DataWriter[InternalRow] {
 
   private val iEvent = schema.fieldIndex("event_id")
@@ -211,7 +301,6 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
   }
 
   override def write(row: InternalRow): Unit = {
-    ensureOpen()
     val m = MsgFrame(
       row.getLong(iEvent),
       row.getLong(iTs), // TimestampType is epoch-µs internally
@@ -239,6 +328,21 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
       redeliveryCount = if (has(iRedelivery, row)) row.getInt(iRedelivery) else 0,
       deliverAtUs =
         if (has(iDeliverAt, row)) nonNeg("deliver_at", row.getLong(iDeliverAt)) else -1L)
+    // broker dedup (proto:577-579): a message at/below the topic's
+    // recorded last-sequence frontier for its producer is a replay — skip
+    if (m.producerName != null && m.sequenceId >= 0 &&
+        dedupFrontier.get(m.producerName).exists(m.sequenceId <= _)) return
+    if (m.producerName != null && m.sequenceId >= 0) {
+      if (m.producerName.exists(c => c == '\n' || c == '\r'))
+        throw new IllegalArgumentException(
+          "graft-msglog: producer_name with line breaks is unwritable " +
+            "(it would corrupt the line-oriented sequence sidecar)")
+      seqMaxima.updateWith(m.producerName) {
+        case Some(s) => Some(math.max(s, m.sequenceId))
+        case None => Some(m.sequenceId)
+      }
+    }
+    ensureOpen() // after the dedup skip: an all-replay partition writes no ledger
     if (maxFrameBytes > 0) MsgLogCodec.writeMessageAuto(out, m, codec, maxFrameBytes)
     else {
       batch += m
@@ -247,6 +351,13 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
     n += 1
   }
 
+  /** Max sequence_id per producer among WRITTEN messages — the ledger's
+    * `.seq` sidecar, maintained on every write so a later
+    * `dedupOnAppend` append can recover the frontier without decoding
+    * the log.
+    */
+  private val seqMaxima = scala.collection.mutable.Map.empty[String, Long]
+
   override def commit(): WriterCommitMessage = {
     if (out == null) return MsgLogCommit("")
     flushBatch() // the final short frame
@@ -254,6 +365,9 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
     val dest = Paths.get(dir, s"$stem${MsgLogCodec.Extension}")
     Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    // sequence sidecar AFTER the ledger: a crash between the renames
+    // leaves a sidecar-less ledger, which the frontier walk handles
+    if (seqMaxima.nonEmpty) MsgLogSeqFrontier.write(dest, seqMaxima.toMap)
     MsgLogCommit(dest.toString)
   }
 

@@ -1013,6 +1013,76 @@ class MsgLogSpec extends SparkTestBase {
       causeMessages(ex).mkString("\n"))
   }
 
+  // --- batch-append producer dedup (reference broker dedup:
+  // `last_sequence_id` per producer, `src/PulsarApi.proto:577-579`) ------
+
+  private def seqBatch(seqs: Range, producers: Int = 2) = {
+    import spark.implicits._
+    seqs.map { i =>
+      (i.toLong, 1704067200000000L + i, i.toLong, s"type-${i % 3}", i * 1.0, "{}",
+        s"p-${i % producers}", i.toLong)
+    }.toDF("event_id", "tsus", "user_id", "event_type", "value", "props",
+        "producer_name", "sequence_id")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(2, col("producer_name"))
+  }
+
+  test("dedupOnAppend: replaying the same batch append adds no entries and no ledgers") {
+    val dir = Files.createTempDirectory("glog_dedup_rt_").toString
+    seqBatch(0 until 20).write.format("graft-msglog").mode("append").save(dir)
+    val ledgers0 = MsgLogSource.ledgerFiles(dir)
+    assert(spark.read.format("graft-msglog").load(dir).count() === 20)
+    // every populated ledger carries its sequence sidecar
+    ledgers0.foreach { l =>
+      assert(Files.exists(graft.sources.MsgLogSeqFrontier.sidecarPath(l)), l.toString)
+    }
+    seqBatch(0 until 20).write.format("graft-msglog")
+      .option("dedupOnAppend", "true").mode("append").save(dir)
+    assert(spark.read.format("graft-msglog").load(dir).count() === 20)
+    // all-replay writers open no ledger at all
+    assert(MsgLogSource.ledgerFiles(dir).size === ledgers0.size)
+  }
+
+  test("dedupOnAppend: a partially-overlapping append keeps only new sequences") {
+    val dir = Files.createTempDirectory("glog_dedup_part_").toString
+    seqBatch(0 until 10).write.format("graft-msglog").mode("append").save(dir)
+    seqBatch(5 until 15).write.format("graft-msglog")
+      .option("dedupOnAppend", "true").mode("append").save(dir)
+    val back = spark.read.format("graft-msglog").load(dir)
+      .select("producer_name", "sequence_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(back === (0 until 15).map(i => (s"p-${i % 2}", i.toLong)).sorted)
+  }
+
+  test("dedupOnAppend: frontier recovers by decode walk when sidecars are missing") {
+    val dir = Files.createTempDirectory("glog_dedup_walk_").toString
+    seqBatch(0 until 10).write.format("graft-msglog").mode("append").save(dir)
+    MsgLogSource.ledgerFiles(dir).foreach { l =>
+      Files.delete(graft.sources.MsgLogSeqFrontier.sidecarPath(l))
+    }
+    seqBatch(0 until 10).write.format("graft-msglog")
+      .option("dedupOnAppend", "true").mode("append").save(dir)
+    assert(spark.read.format("graft-msglog").load(dir).count() === 10)
+  }
+
+  test("dedupOnAppend is rejected for streaming writes (epochs are idempotent by name)") {
+    val src = Files.createTempDirectory("glog_dedup_src_").toString
+    seqBatch(0 until 5).write.format("graft-msglog").mode("append").save(src)
+    val dst = Files.createTempDirectory("glog_dedup_dst_").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("graft-msglog").load(src)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .writeStream.format("graft-msglog")
+        .option("dedupOnAppend", "true")
+        .option("checkpointLocation",
+          Files.createTempDirectory("glog_dedup_ckpt_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    assert(causeMessages(ex).exists(_.contains("batch-only")), causeMessages(ex).mkString("\n"))
+  }
+
   test("a topics-scoped stream never lists or walks the rest of the namespace") {
     // Spark does not run filter pushdown for streaming V2 relations, so
     // `topics=` is the streaming pruning lever (EqualTo(topic,…) pruning
