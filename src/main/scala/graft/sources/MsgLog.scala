@@ -200,10 +200,30 @@ object MsgLog {
         max(col("redelivery_count")).as("max_redelivery"))
   }
 
+  /** Contract query: consume the topic under a DECLARED payload schema
+    * (`payloadSchema` option — the `GetSchema` analog,
+    * `src/PulsarApi.proto:672-700`) and aggregate over the decoded
+    * `payload.k` struct field. The oracle re-derives the field with
+    * DuckDB's JSON extraction from the original table: a mis-decoded,
+    * mis-typed, or dropped payload field breaks the hash match.
+    */
+  def msglogSchemaScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedEventsLog(spark, sfDir)
+    spark.read.format("graft-msglog")
+      .option("payloadSchema", "k INT")
+      .load(dir)
+      .groupBy((col("payload.k") % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        max(col("payload.k")).as("max_k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)),
     "msglog_multi_topic_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
-    "msglog_envelope_scan" -> ((s, d) => msglogEnvelopeScan(s, d)))
+    "msglog_envelope_scan" -> ((s, d) => msglogEnvelopeScan(s, d)),
+    "msglog_schema_scan" -> ((s, d) => msglogSchemaScan(s, d)))
 
   def oracle: Map[String, String] = Map(
     "msglog_roundtrip_scan" ->
@@ -216,6 +236,12 @@ object MsgLog {
                 event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "msglog_schema_scan" ->
+      """SELECT CAST(CAST(props->>'k' AS INTEGER) % 10 AS INTEGER) AS k_mod,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(value), 2) AS sum_value,
+                max(CAST(props->>'k' AS INTEGER)) AS max_k
+         FROM events GROUP BY 1""",
     "msglog_envelope_scan" ->
       """SELECT CASE WHEN user_id % 3 = 0 THEN 'gold'
                      WHEN user_id % 3 = 1 THEN 'silver'

@@ -52,7 +52,8 @@ class MsgLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-msglog"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MsgLogSource.schemaFor(options.containsKey("topics"))
+    MsgLogSource.schemaFor(options.containsKey("topics"),
+      Option(options.get("payloadSchema")))
 
   override def getTable(
       schema: StructType,
@@ -92,6 +93,32 @@ object MsgLogSource {
   def schemaFor(multiTopic: Boolean): StructType =
     if (multiTopic) StructType(StructField("topic", StringType, nullable = false) +: Schema.fields)
     else Schema
+
+  /** `payloadSchema=<DDL>` — the schema-registry surface (reference
+    * `GetSchema`/`GetOrCreateSchema`, `src/PulsarApi.proto:672-700`): a
+    * declared per-topic payload schema yields a typed `payload` struct
+    * column decoded from the `props` JSON at the source, instead of every
+    * consumer re-doing `from_json` by hand. NULL when `props` does not
+    * parse under the declared schema (the reader never fails a scan on a
+    * payload-schema mismatch — schema enforcement on write stays the
+    * producer's job, as in the reference). Decode cost is paid only when
+    * the `payload` column is actually required (column pruning drops it
+    * with the rest).
+    */
+  def schemaFor(multiTopic: Boolean, payloadDdl: Option[String]): StructType = {
+    val base = schemaFor(multiTopic)
+    payloadDdl match {
+      case None => base
+      case Some(ddl) =>
+        val st =
+          try StructType.fromDDL(ddl)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"graft-msglog: invalid payloadSchema DDL '$ddl': ${e.getMessage}", e)
+          }
+        StructType(base.fields :+ StructField("payload", st, nullable = true))
+    }
+  }
 
   /** Stable `ledger` coordinate for a ledger file: a positive 63-bit hash
     * of its offset KEY (topic-qualified name — first 8 bytes of md5).
@@ -266,7 +293,8 @@ class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private val multiTopic = options.containsKey("topics")
-  private var required: StructType = MsgLogSource.schemaFor(multiTopic)
+  private var required: StructType =
+    MsgLogSource.schemaFor(multiTopic, Option(options.get("payloadSchema")))
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -795,6 +823,22 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
     case "redelivery_count" => () => java.lang.Integer.valueOf(current.redeliveryCount)
     case "deliver_at" => () =>
       if (current.deliverAtUs < 0) null else java.lang.Long.valueOf(current.deliverAtUs)
+    case "payload" =>
+      // declared payload schema (`payloadSchema` option): decode `props`
+      // through Spark's own Jackson parser — the same machinery as
+      // from_json, built once per reader, exercised only when the
+      // payload column survives pruning. Unparseable props → NULL (the
+      // read never fails on a payload-schema mismatch).
+      val parser = new org.apache.spark.sql.catalyst.json.JacksonParser(
+        required("payload").dataType,
+        new org.apache.spark.sql.catalyst.json.JSONOptions(
+          Map.empty[String, String], "UTC", ""),
+        allowArrayAsStructs = false, Nil)
+      () =>
+        try parser.parse[UTF8String](UTF8String.fromString(current.props),
+          org.apache.spark.sql.catalyst.json.CreateJacksonParser.utf8String,
+          identity).headOption.orNull
+        catch { case _: Exception => null }
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 

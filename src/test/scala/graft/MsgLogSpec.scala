@@ -1083,6 +1083,61 @@ class MsgLogSpec extends SparkTestBase {
     assert(causeMessages(ex).exists(_.contains("batch-only")), causeMessages(ex).mkString("\n"))
   }
 
+  // --- declared payload schema (reference `GetSchema`/`GetOrCreateSchema`,
+  // `src/PulsarApi.proto:672-700`) ---------------------------------------
+
+  test("payloadSchema decodes props into a typed struct column at the source") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val rows = spark.read.format("graft-msglog")
+      .option("payloadSchema", "k INT").load(dir)
+      .select("props", "payload.k").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = """"k":\s*(-?\d+)""".r.findFirstMatchIn(r.getString(0)).get.group(1).toInt
+      assert(r.getInt(1) === expected, r.getString(0))
+    }
+  }
+
+  test("payloadSchema: unparseable or mismatched props read as NULL, never fail the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_schema_null_").toString
+    Seq(
+      (1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 5}"""),
+      (2L, 1704067200000001L, 2L, "t", 2.0, "not json at all"),
+      (3L, 1704067200000002L, 3L, "t", 3.0, "{}"))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(1)
+      .write.format("graft-msglog").mode("append").save(dir)
+    val rows = spark.read.format("graft-msglog")
+      .option("payloadSchema", "k INT").load(dir)
+      .select("event_id", "payload", "payload.k").collect()
+      .sortBy(_.getLong(0))
+    assert(rows(0).getInt(2) === 5)
+    assert(rows(1).isNullAt(1)) // malformed JSON → NULL struct
+    assert(!rows(2).isNullAt(1) && rows(2).isNullAt(2)) // `{}` → struct with NULL field
+  }
+
+  test("payloadSchema: invalid DDL is rejected loudly by name") {
+    val dir = MsgLog.stagedEventsLog(spark, sfDir)
+    val ex = intercept[Exception] {
+      spark.read.format("graft-msglog")
+        .option("payloadSchema", "k INTERGALACTIC").load(dir).count()
+    }
+    assert(causeMessages(ex).exists(_.contains("invalid payloadSchema")),
+      causeMessages(ex).mkString("\n"))
+  }
+
+  test("schema contract query matches a direct derivation from the source table") {
+    assertSameRows(
+      MsgLog.msglogSchemaScan(spark, sfDir),
+      Fixtures.events(spark, sfDir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          max(col("k")).as("max_k")))
+  }
+
   test("a topics-scoped stream never lists or walks the rest of the namespace") {
     // Spark does not run filter pushdown for streaming V2 relations, so
     // `topics=` is the streaming pruning lever (EqualTo(topic,…) pruning
