@@ -28,22 +28,50 @@ object SimilarityOps {
   val NumCentroids = 8
   val NumProbe = 2
 
+  /** Plane-count bounds for [[defaultNumPlanes]]: at least 4 (16 buckets
+    * — below that LSH degenerates to near-all-pairs), at most 24 (16M
+    * buckets — the bucket id stays a small Long sum and recall loss from
+    * over-splitting dominates past that).
+    */
+  val MinPlanes = 4
+  val MaxPlanes = 24
+
+  /** Bucket geometry for a corpus of `corpusSize` vectors: enough
+    * hyperplanes that the MEAN bucket holds ~`targetBucket` members —
+    * `ceil(log2(n / targetBucket))`, clamped to
+    * [[MinPlanes]]..[[MaxPlanes]]. This is the 100 TB lever: a fixed
+    * plane count overflows every bucket past [[DedupOps.MaxBucketMembers]]
+    * at 100× the corpus (truncation becomes the recall failure mode),
+    * while planes scaling with log(n) keep expected bucket size — and
+    * therefore candidate quality — constant. Callers that need
+    * cross-engine determinism (the oracle-checked keys) pin an explicit
+    * count instead of deriving it from a live `count()`.
+    */
+  def defaultNumPlanes(corpusSize: Long,
+      targetBucket: Int = DedupOps.MaxBucketMembers / 2): Int = {
+    require(corpusSize > 0 && targetBucket > 0,
+      s"defaultNumPlanes: corpusSize=$corpusSize targetBucket=$targetBucket must be positive")
+    val planes = math.ceil(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(MaxPlanes, math.max(MinPlanes, planes))
+  }
+
   import VectorMath.cosine
 
-  /** Sign-bucket of every vector against `NumPlanes` deterministic
+  /** Sign-bucket of every vector against `numPlanes` deterministic
     * hyperplanes: bit j = [Σ_i w(i,j)·v_i > 0], bucket = Σ bit_j · 2^j.
-    * A pure per-row projection — the plane count is a compile-time
-    * constant, so all `NumPlanes` projections fold in-row
+    * A pure per-row projection — the plane count is a plan-time
+    * constant, so all `numPlanes` projections fold in-row
     * (zip_with/aggregate, codegen'd) and the bucket assembles as a sum of
     * `when`s. No explode, no re-aggregation, no join: the bucket column
     * costs the scan it rides on.
     */
-  private def withBucket(emb: DataFrame): DataFrame = {
+  private def withBucket(emb: DataFrame, numPlanes: Int): DataFrame = {
     def proj(j: Int): Column = aggregate(
       zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
         (x, i) => ((i * 31 + lit(j) * 17) % 13 - 6).cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    val bucket = (0 until NumPlanes)
+    val bucket = (0 until numPlanes)
       .map(j => when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
@@ -55,14 +83,17 @@ object SimilarityOps {
     * shuffle on the bucket key, members collected once (never a self-join
     * recomputing the projection pipeline per side), pair enumeration
     * in-row and bounded by [[DedupOps.MaxBucketMembers]]. The top-k is
-    * TakeOrderedAndProject.
+    * TakeOrderedAndProject. `numPlanes` sets the bucket geometry — size
+    * it to the corpus with [[defaultNumPlanes]].
     */
-  def embeddingNearDup(emb: DataFrame, k: Int): DataFrame = {
+  def embeddingNearDup(emb: DataFrame, k: Int, numPlanes: Int = NumPlanes): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62,
+      s"embeddingNearDup: numPlanes $numPlanes outside 1..62 (bucket id is a Long bit-sum)")
     def pairStruct(a: Column, b: Column): Column = struct(
       a.getField("vec_id").as("vec_a"),
       b.getField("vec_id").as("vec_b"),
       cosine(a.getField("embedding"), b.getField("embedding")).as("cosine"))
-    DedupOps.groupMembers(withBucket(emb), Seq(col("bucket")),
+    DedupOps.groupMembers(withBucket(emb, numPlanes), Seq(col("bucket")),
         struct(col("vec_id"), col("embedding")), col("vec_id"),
         "embdup_bucket_overflow")
       .select(explode(DedupOps.memberPairs(col("m"), pairStruct)).as("p"))
@@ -162,41 +193,54 @@ object SimilarityOps {
   private val IVF_K = 10
   private val QUERY_VEC = 0L
 
+  /** Second pinned plane count for the oracle-checked keys: the geometry
+    * [[defaultNumPlanes]] would pick for a ~10M-vector corpus — proving
+    * the operator+oracle pair holds across geometries, not just at the
+    * historical constant. */
+  private val AltPlanes = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_near_dup" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K)),
+    "embedding_near_dup_p16" ->
+      ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K, AltPlanes)),
     "embedding_ivf_topk" ->
       ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K)))
 
+  /** The near-dup oracle, parameterized on the bucket geometry exactly as
+    * the operator is. */
+  private def nearDupOracle(numPlanes: Int, k: Int): String =
+    s"""WITH bits AS (
+          SELECT e.vec_id, j.j,
+                 CASE WHEN sum((((t.i - 1) * 31 + j.j * 17) % 13 - 6)
+                               * CAST(e.embedding[t.i] AS DOUBLE)) > 0
+                      THEN 1::BIGINT << j.j ELSE 0 END AS bitval
+          FROM embeddings e, range(1, 65) t(i), range(0, $numPlanes) j(j)
+          GROUP BY e.vec_id, j.j),
+        buckets AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                                ORDER BY vec_id) AS rk
+                   FROM buckets),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM ranked a JOIN ranked b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            AND a.rk <= ${DedupOps.MaxBucketMembers} AND b.rk <= ${DedupOps.MaxBucketMembers}),
+        scored AS (
+          SELECT p.vec_a, p.vec_b,
+                 round(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))
+                       / (sqrt(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)))
+                          * sqrt(sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)))), 6) AS cosine
+          FROM pairs p
+          JOIN embeddings ea ON ea.vec_id = p.vec_a
+          JOIN embeddings eb ON eb.vec_id = p.vec_b, range(1, 65) t(i)
+          GROUP BY p.vec_a, p.vec_b)
+        SELECT vec_a, vec_b, cosine FROM scored
+        ORDER BY cosine DESC, vec_a, vec_b LIMIT $k"""
+
   /** Shared DuckDB scaffolding: per-(pair) cosine via positional sums. */
   def oracle: Map[String, String] = Map(
-    "embedding_near_dup" ->
-      s"""WITH bits AS (
-            SELECT e.vec_id, j.j,
-                   CASE WHEN sum((((t.i - 1) * 31 + j.j * 17) % 13 - 6)
-                                 * CAST(e.embedding[t.i] AS DOUBLE)) > 0
-                        THEN 1::BIGINT << j.j ELSE 0 END AS bitval
-            FROM embeddings e, range(1, 65) t(i), range(0, $NumPlanes) j(j)
-            GROUP BY e.vec_id, j.j),
-          buckets AS (SELECT vec_id, sum(bitval) AS bucket FROM bits GROUP BY vec_id),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY bucket
-                                                  ORDER BY vec_id) AS rk
-                     FROM buckets),
-          pairs AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM ranked a JOIN ranked b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              AND a.rk <= ${DedupOps.MaxBucketMembers} AND b.rk <= ${DedupOps.MaxBucketMembers}),
-          scored AS (
-            SELECT p.vec_a, p.vec_b,
-                   round(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE))
-                         / (sqrt(sum(CAST(ea.embedding[t.i] AS DOUBLE) * CAST(ea.embedding[t.i] AS DOUBLE)))
-                            * sqrt(sum(CAST(eb.embedding[t.i] AS DOUBLE) * CAST(eb.embedding[t.i] AS DOUBLE)))), 6) AS cosine
-            FROM pairs p
-            JOIN embeddings ea ON ea.vec_id = p.vec_a
-            JOIN embeddings eb ON eb.vec_id = p.vec_b, range(1, 65) t(i)
-            GROUP BY p.vec_a, p.vec_b)
-          SELECT vec_a, vec_b, cosine FROM scored
-          ORDER BY cosine DESC, vec_a, vec_b LIMIT $NEAR_DUP_K""",
+    "embedding_near_dup" -> nearDupOracle(NumPlanes, NEAR_DUP_K),
+    "embedding_near_dup_p16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
     "embedding_ivf_topk" ->
       s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
                          WHERE vec_id < $NumCentroids),

@@ -85,4 +85,42 @@ class CapSpec extends SparkTestBase {
     top.foreach(r => assert(r.getAs[Double]("cosine") === 1.0))
     assert(overflow === (ClusterSize - Cap).toLong)
   }
+
+  test("embedding near-dup: cap discipline holds at any plane count (identical cluster)") {
+    // a mega-cluster of byte-identical vectors collides in ONE bucket
+    // regardless of geometry — more planes never break the cap contract
+    val mega = (0L until ClusterSize.toLong)
+      .map(i => (i, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val (top, overflow) = observedMetric("embdup_bucket_overflow") {
+      SimilarityOps.embeddingNearDup(mega, 20, numPlanes = 16).collect()
+    }
+    assert(top.length === 20)
+    assert(overflow === (ClusterSize - Cap).toLong)
+  }
+
+  test("embedding near-dup: scaled-up plane counts leave the fixture overflow-free") {
+    // the geometry defaultNumPlanes picks for larger corpora must not
+    // truncate on real (non-adversarial) data: overflow metric stays 0
+    val emb = graft.model.Fixtures.embeddings(spark, sfDir)
+    Seq(12, 16).foreach { planes =>
+      val (n, overflow) = observedMetric("embdup_bucket_overflow") {
+        SimilarityOps.embeddingNearDup(emb, 20, planes).count()
+      }
+      assert(n <= 20)
+      assert(overflow === 0L, s"numPlanes=$planes")
+    }
+  }
+
+  test("defaultNumPlanes sizes the bucket geometry to the corpus") {
+    import SimilarityOps.{defaultNumPlanes, MinPlanes, MaxPlanes}
+    // mean bucket ≈ target: 1M vectors / 256-target → 2^12 buckets
+    assert(defaultNumPlanes(1L << 20, 256) === 12)
+    assert(defaultNumPlanes(10_000_000L, 256) === 16)
+    // clamps: tiny corpora never under-split, web-scale never over-split
+    assert(defaultNumPlanes(100L, 256) === MinPlanes)
+    assert(defaultNumPlanes(Long.MaxValue / 2, 1) === MaxPlanes)
+    // the oracle-checked keys' pinned counts are reachable geometries
+    assert(defaultNumPlanes(2000L) === MinPlanes)
+  }
 }
