@@ -444,6 +444,21 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
     * messages all land in exactly one subscription, batch or streaming.
     * Like seek, it is a reader-side predicate: offsets stay dense and a
     * range subscription's checkpoint remains valid for the whole topic.
+    *
+    * Documented divergence — STICKY only, no AUTO_SPLIT: the reference
+    * protocol defines two Key_Shared modes (`proto:286-295`),
+    * consumer-declared static ranges (STICKY) and broker-managed dynamic
+    * splitting of the hash space as consumers join and leave
+    * (AUTO_SPLIT). This source implements STICKY. AUTO_SPLIT requires a
+    * live membership arbiter — a broker observing consumer
+    * connect/disconnect and re-assigning sub-ranges in real time — which
+    * a file-backed log deliberately has none of: readers are stateless
+    * Spark tasks whose "membership" is a plan, not a session. The
+    * equivalent elasticity in Spark is declarative — re-run with
+    * different `keyHashRange` splits, or drop the option and let Spark
+    * partition the scan itself (like the ack-set anti-join and
+    * held-frontier delayed-delivery divergences, this trades broker
+    * dynamism for plan determinism).
     */
   private def keyHashPredicate: Array[MsgFrame => Boolean] =
     Option(options.get("keyHashRange")).map { spec =>
