@@ -1013,6 +1013,65 @@ class MsgLogSpec extends SparkTestBase {
       causeMessages(ex).mkString("\n"))
   }
 
+  test("delayed delivery: the frontier reassembles chunk groups and holds at the right entry") {
+    // chunked ledger, 6 messages: entries 0-3 deliverable, 4-5 held —
+    // the frontier walk must reassemble each group to read deliver_at
+    // and resume FROM a prior frontier without landing mid-group
+    val dir = Files.createTempDirectory("glog_delay_chunk_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 6).foreach { i =>
+      MsgLogCodec.writeMessageAuto(out,
+        bigFrame(i.toLong, 2500).copy(deliverAtUs = if (i < 4) 1000L else 5000000L),
+        MsgLogCodec.CodecNone, 1024)
+    }
+    out.close()
+    val early = new MsgLogMicroBatchStream(dir.toString, None, None,
+      delayedDelivery = true, nowUsOverride = Some(2000L))
+    assert(early.latestOffset().json() === """{"ledger-0000.glog":4}""")
+    val late = new MsgLogMicroBatchStream(dir.toString, None, None,
+      delayedDelivery = true, nowUsOverride = Some(5000000L))
+    assert(late.latestOffset().json() === """{"ledger-0000.glog":6}""")
+    // memoized resume (same stream, clock advances): frontier 4 → 6
+    val resumed = new MsgLogMicroBatchStream(dir.toString, None, None,
+      delayedDelivery = true, nowUsOverride = Some(2000L))
+    assert(resumed.latestOffset().json() === """{"ledger-0000.glog":4}""")
+  }
+
+  test("codec: arbitrary chunked messages round-trip (scalacheck)") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Gen
+    val genMsg = for {
+      id <- Gen.long; ts <- Gen.long; user <- Gen.long
+      et <- Gen.asciiPrintableStr
+      v <- Gen.double
+      pad <- Gen.chooseNum(0, 4000)
+      seq <- Gen.oneOf(Gen.const(-1L), Gen.chooseNum(0L, Long.MaxValue))
+    } yield frame(id).copy(eventId = id, tsUs = ts, userId = user, eventType = et,
+      value = v, props = "p" * pad, sequenceId = seq)
+    val genChunk = Gen.chooseNum(64, 2048)
+    val genCodec = Gen.oneOf(MsgLogCodec.CodecNone, MsgLogCodec.CodecZlib,
+      MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd, MsgLogCodec.CodecSnappy)
+    val prop = forAll(Gen.nonEmptyListOf(genMsg).map(_.take(8)), genChunk, genCodec) {
+      (msgs, maxChunk, codec) =>
+        val dir = Files.createTempDirectory("glog_chunk_prop_")
+        val ledger = dir.resolve("ledger-p-0000.glog")
+        val bos = new ByteArrayOutputStream()
+        val dos = new DataOutputStream(bos)
+        msgs.foreach(MsgLogCodec.writeMessageAuto(dos, _, codec, maxChunk))
+        Files.write(ledger, bos.toByteArray)
+        val back = Seq.newBuilder[MsgFrame]
+        MsgLogCodec.foreachEntry(ledger)(back += _)
+        val ok = back.result() == msgs &&
+          MsgLogCodec.countEntries(ledger) == msgs.length.toLong
+        Files.delete(ledger); Files.delete(dir)
+        ok
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // --- batch-append producer dedup (reference broker dedup:
   // `last_sequence_id` per producer, `src/PulsarApi.proto:577-579`) ------
 
