@@ -99,6 +99,14 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
     * the max over the per-ledger `.seq` sidecars every write maintains
     * ([[MsgLogSeqFrontier]]); batch-only — streaming epochs are already
     * idempotent by ledger name.
+    *
+    * The frontier is read ONCE at write planning: like the broker
+    * answering a producer's session-establish with `last_sequence_id`,
+    * it serializes a producer's appends, not concurrent sessions — two
+    * simultaneous appends replaying the same producer's sequences can
+    * both pass the check (the reference has the same property across
+    * producer sessions racing the dedup cursor). Replay protection is
+    * per producer name, sequential by construction in the reference.
     */
   private val dedupOnAppend: Boolean =
     Option(info.options.get("dedupOnAppend")).exists(_.toBoolean)

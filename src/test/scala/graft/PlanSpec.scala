@@ -72,6 +72,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LessThan(user_id,10)"), p)
   }
 
+  test("payloadSchema: the payload column prunes away when not projected") {
+    // the JSON decode is the expensive part of a schema-declared scan —
+    // a query not touching `payload` must not pay it (the reader builds
+    // the parser only for columns that survive pruning)
+    val dir = graft.sources.MsgLog.stagedEventsLog(spark, sfDir)
+    val reader = spark.read.format("graft-msglog").option("payloadSchema", "k INT")
+    val without = reader.load(dir).select("event_id", "user_id")
+      .queryExecution.executedPlan.toString
+    assert(without.contains("cols=[event_id,user_id]"), without)
+    val withPayload = reader.load(dir).select("event_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(withPayload.contains("cols=[event_id,payload]"), withPayload)
+  }
+
   test("no operator collects to the driver") {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)
