@@ -36,7 +36,7 @@ object Bench {
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (0 until warmup).foreach { _ =>
         try run()
-        catch { case _: Throwable => () } // reported by the timed pass below
+        catch { case scala.util.control.NonFatal(_) => () } // reported by the timed pass
       }
       val t0 = System.nanoTime()
       try run()

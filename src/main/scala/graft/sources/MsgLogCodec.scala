@@ -635,6 +635,11 @@ object MsgLogCodec {
     * Out-of-order, orphaned, or uuid-mismatched pieces are writer bugs or
     * corruption and raise.
     */
+  /** The buffered state of a chunk group abandoned mid-assembly: its
+    * uuid and the decompressed slices received so far (chunk ids are the
+    * indices — contiguity is enforced on offer). */
+  case class OpenGroup(uuidHi: Long, uuidLo: Long, pieces: Seq[Array[Byte]])
+
   final class ChunkAssembler {
     private var uuidHi = 0L
     private var uuidLo = 0L
@@ -647,6 +652,18 @@ object MsgLogCodec {
 
     /** Drop the group under assembly (dead-letter recovery). */
     def reset(): Unit = { total = -1; parts.clear() }
+
+    /** Drop the group under assembly, returning its buffered slices so a
+      * dead-letter policy can preserve them (the healthy 99% of a large
+      * message whose one corrupt chunk would otherwise take the rest
+      * with it). None when nothing is open. */
+    def drain(): Option[OpenGroup] =
+      if (isEmpty) None
+      else {
+        val g = OpenGroup(uuidHi, uuidLo, parts.toSeq)
+        reset()
+        Some(g)
+      }
 
     /** Buffer one piece; decode and return the logical message when the
       * group completes (its entry is the one chunk 0 claimed).
@@ -722,7 +739,13 @@ object MsgLogCodec {
             // a truncated group still claimed its entry via chunk 0 —
             // count it so the frontier agrees with countEntries
             return (if (assembler.isEmpty) entry else entry + 1, -1L)
-          case Corrupt(_, claimed, _) => entry += claimed
+          case Corrupt(_, claimed, _) =>
+            // offset accounting must stay as lenient as countEntries: a
+            // corrupt piece drops its group (entry consumed, deliver_at
+            // unknowable → counted deliverable; the READ path still fails
+            // loud or dead-letters, this walk only numbers entries)
+            if (!assembler.isEmpty) { assembler.reset(); entry += 1 }
+            entry += claimed
           case Entries(msgs) =>
             msgs.foreach { m =>
               if (entry >= from && m.deliverAtUs > nowUs) return (entry, m.deliverAtUs)
@@ -730,11 +753,14 @@ object MsgLogCodec {
             }
           case c: ChunkPiece =>
             // the group's entry (claimed by chunk 0) advances only when
-            // the message completes — matching the reader's emission point
-            assembler.offer(c).foreach { m =>
-              if (entry >= from && m.deliverAtUs > nowUs) return (entry, m.deliverAtUs)
-              entry += 1
-            }
+            // the message completes — matching the reader's emission
+            // point; a continuation of a corrupt-dropped group carries no
+            // entry and is skipped
+            if (!(c.chunkId > 0 && assembler.isEmpty))
+              assembler.offer(c).foreach { m =>
+                if (entry >= from && m.deliverAtUs > nowUs) return (entry, m.deliverAtUs)
+                entry += 1
+              }
         }
       }
       (entry, -1L) // unreachable

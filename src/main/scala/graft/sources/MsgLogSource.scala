@@ -387,6 +387,14 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
   private val topics = Option(options.get("topics"))
   private val deadLetter = MsgLogScan.deadLetterOption(options)
 
+  /** Session timezone captured at PLANNING, like every Spark datasource:
+    * `payloadSchema` TIMESTAMP/DATE fields must parse exactly as
+    * `from_json` would in this session (the surface the option replaces),
+    * not in a hardcoded zone.
+    */
+  private val sessionTz =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
   /** `startingOffsets` = a saved [[MsgLogOffset]] JSON: the batch read
     * starts each ledger at the saved entry (reference
     * `CommandSeek{message_id}`); ledgers absent from the map read from 0.
@@ -411,7 +419,7 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
             startingCounts.getOrElse(r.key, 0L), Long.MaxValue): InputPartition
         }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      MsgLogReaderFactory(required, readerPredicates, deadLetter)
+      MsgLogReaderFactory(required, readerPredicates, deadLetter, sessionTz)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -419,7 +427,8 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
       readerPredicates, startingCounts, deadLetter, topicEq,
       delayedDelivery = Option(options.get("delayedDelivery")).exists(_.toBoolean),
-      nowUsOverride = Option(options.get("delayedDeliveryNowUs")).map(_.toLong))
+      nowUsOverride = Option(options.get("delayedDeliveryNowUs")).map(_.toLong),
+      sessionTz = sessionTz)
 
   private def readerPredicates: Array[MsgFrame => Boolean] =
     pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate ++ keyHashPredicate
@@ -553,7 +562,8 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     deadLetter: Boolean = false,
     topicEq: Option[Set[String]] = None,
     delayedDelivery: Boolean = false,
-    nowUsOverride: Option[Long] = None)
+    nowUsOverride: Option[Long] = None,
+    sessionTz: String = "UTC")
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -738,7 +748,7 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MsgLogReaderFactory(required, preds, deadLetter)
+    MsgLogReaderFactory(required, preds, deadLetter, sessionTz)
 
   override def deserializeOffset(json: String): Offset = {
     val off = MsgLogOffset.parse(json)
@@ -758,11 +768,12 @@ case class MsgLogPartition(ledger: Long, file: String, topic: String,
 
 case class MsgLogReaderFactory(required: StructType,
     preds: Array[MsgFrame => Boolean] = Array.empty,
-    deadLetter: Boolean = false)
+    deadLetter: Boolean = false,
+    sessionTz: String = "UTC")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MsgLogPartition]
-    new MsgLogPartitionReader(p, required, preds, deadLetter)
+    new MsgLogPartitionReader(p, required, preds, deadLetter, sessionTz)
   }
 }
 
@@ -781,7 +792,8 @@ case class MsgLogReaderFactory(required: StructType,
   */
 class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
     preds: Array[MsgFrame => Boolean] = Array.empty,
-    deadLetter: Boolean = false)
+    deadLetter: Boolean = false,
+    sessionTz: String = "UTC")
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(p.file)), 1 << 16))
@@ -847,7 +859,7 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
       val parser = new org.apache.spark.sql.catalyst.json.JacksonParser(
         required("payload").dataType,
         new org.apache.spark.sql.catalyst.json.JSONOptions(
-          Map.empty[String, String], "UTC", ""),
+          Map.empty[String, String], sessionTz, ""),
         allowArrayAsStructs = false, Nil)
       () =>
         try parser.parse[UTF8String](UTF8String.fromString(current.props),
@@ -857,12 +869,28 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
     case other => throw new IllegalArgumentException(s"unknown column $other")
   }
 
+  private def dlqDir(): java.nio.file.Path = {
+    val d = Paths.get(p.file).getParent.resolve(".dlq")
+    Files.createDirectories(d)
+    d
+  }
+
   private def divertToDlq(raw: Array[Byte]): Unit = {
-    val ledgerPath = Paths.get(p.file)
-    val dlqDir = ledgerPath.getParent.resolve(".dlq")
-    Files.createDirectories(dlqDir)
-    val name = s"${ledgerPath.getFileName}-$entry.frame"
-    Files.write(dlqDir.resolve(name), raw)
+    val name = s"${Paths.get(p.file).getFileName}-$entry.frame"
+    Files.write(dlqDir().resolve(name), raw)
+  }
+
+  /** Preserve one healthy slice of a chunk group broken by a corrupt
+    * sibling: the corrupt FRAME diverts verbatim (wire bytes, CRC
+    * included) via [[divertToDlq]], while the group's intact slices land
+    * as decompressed `.part` files keyed by the group uuid — without
+    * them, one flipped bit in one chunk would silently discard the other
+    * 99% of a large message's bytes and no recovery would be possible.
+    */
+  private def divertChunkPart(uuidHi: Long, uuidLo: Long, cid: Int,
+      bytes: Array[Byte]): Unit = {
+    val name = f"${Paths.get(p.file).getFileName}-chunk-$uuidHi%016x$uuidLo%016x-$cid.part"
+    Files.write(dlqDir().resolve(name), bytes)
   }
 
   override def next(): Boolean = {
@@ -885,18 +913,25 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
         case MsgLogCodec.Corrupt(raw, claimed, err) =>
           if (!deadLetter) throw new java.io.IOException(err)
           divertToDlq(raw)
-          if (!assembler.isEmpty) {
-            // a piece of the open group is unrecoverable: the group's
-            // entry (claimed by its chunk 0) is consumed by the drop
-            assembler.reset()
+          // a piece of the open group is unrecoverable: the group's
+          // entry (claimed by its chunk 0) is consumed by the drop, and
+          // its already-buffered healthy slices are preserved alongside
+          // the corrupt frame
+          assembler.drain().foreach { g =>
+            g.pieces.zipWithIndex.foreach { case (bytes, cid) =>
+              divertChunkPart(g.uuidHi, g.uuidLo, cid, bytes)
+            }
             entry += 1
           }
           entry += claimed
         case MsgLogCodec.Entries(msgs) => pending = msgs.iterator
         case c: MsgLogCodec.ChunkPiece =>
           // a continuation whose group was DLQ-dropped carries no entry —
-          // skip it; anything else out of order is a writer bug (raise)
-          if (!(deadLetter && c.chunkId > 0 && assembler.isEmpty))
+          // preserve its slice with the group's other survivors; anything
+          // else out of order is a writer bug (raise)
+          if (deadLetter && c.chunkId > 0 && assembler.isEmpty)
+            divertChunkPart(c.uuidHi, c.uuidLo, c.chunkId, c.payload)
+          else
             assembler.offer(c).foreach(m => pending = Iterator.single(m))
       }
     }

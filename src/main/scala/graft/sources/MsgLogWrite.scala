@@ -158,9 +158,13 @@ object MsgLogSeqFrontier {
     new String(Files.readAllBytes(sidecar), java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).map { line =>
         val i = line.indexOf('\t')
-        if (i < 0) throw new java.io.IOException(
-          s"graft-msglog: corrupt sequence sidecar $sidecar: '$line'")
-        line.substring(i + 1) -> line.substring(0, i).toLong
+        val seq =
+          try if (i < 0) throw new NumberFormatException else line.substring(0, i).toLong
+          catch {
+            case _: NumberFormatException => throw new java.io.IOException(
+              s"graft-msglog: corrupt sequence sidecar $sidecar: '$line'")
+          }
+        line.substring(i + 1) -> seq
       }.toMap
 
   private def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
@@ -183,6 +187,10 @@ object MsgLogSeqFrontier {
               m = m.updated(f.producerName,
                 math.max(f.sequenceId, m.getOrElse(f.producerName, Long.MinValue)))
           }
+          // memoize the recovery (even an empty result): ledgers are
+          // immutable, so without this write-back every dedup append
+          // re-decodes every pre-feature ledger in full
+          write(ledger, m)
           m
         }
       merge(acc, maxima)

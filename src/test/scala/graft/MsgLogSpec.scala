@@ -975,7 +975,14 @@ class MsgLogSpec extends SparkTestBase {
     // the broken group consumed its entry: numbering has a hole at 2
     assert(back.map(_.getLong(0)).toSeq === Seq(0L, 1L, 3L, 4L))
     assert(back.map(_.getLong(1)).toSeq === Seq(0L, 1L, 3L, 4L))
-    assert(Files.list(Paths.get(dir, ".dlq")).count() === 1)
+    // the corrupt frame lands verbatim AND the group's healthy slices are
+    // preserved as .part files (chunks 0 and 2 of the 3-chunk group) —
+    // one flipped bit must not silently discard the rest of the message
+    val dlq = Files.list(Paths.get(dir, ".dlq")).iterator().asScala.toSeq
+      .map(_.getFileName.toString).sorted
+    assert(dlq.count(_.endsWith(".frame")) === 1, dlq)
+    assert(dlq.count(_.endsWith(".part")) === 2, dlq)
+    assert(dlq.filter(_.endsWith(".part")).map(_.takeRight(6)).sorted === Seq("0.part", "2.part"), dlq)
     // offset accounting survives the drop: header walk still says 5
     assert(MsgLogCodec.countEntries(MsgLogSource.ledgerFiles(dir).head) === 5L)
   }
@@ -1116,12 +1123,41 @@ class MsgLogSpec extends SparkTestBase {
   test("dedupOnAppend: frontier recovers by decode walk when sidecars are missing") {
     val dir = Files.createTempDirectory("glog_dedup_walk_").toString
     seqBatch(0 until 10).write.format("graft-msglog").mode("append").save(dir)
-    MsgLogSource.ledgerFiles(dir).foreach { l =>
+    val ledgers = MsgLogSource.ledgerFiles(dir)
+    ledgers.foreach { l =>
       Files.delete(graft.sources.MsgLogSeqFrontier.sidecarPath(l))
     }
     seqBatch(0 until 10).write.format("graft-msglog")
       .option("dedupOnAppend", "true").mode("append").save(dir)
     assert(spark.read.format("graft-msglog").load(dir).count() === 10)
+    // the decode-walk recovery memoizes itself: sidecars are written back
+    // so the next append never re-decodes these immutable ledgers
+    ledgers.foreach { l =>
+      assert(Files.exists(graft.sources.MsgLogSeqFrontier.sidecarPath(l)), l.toString)
+    }
+  }
+
+  test("payloadSchema: timestamp fields parse in the session timezone, like from_json") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_schema_tz_").toString
+    Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"t": "2026-01-01 00:00:00"}"""))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(1)
+      .write.format("graft-msglog").mode("append").save(dir)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = spark.read.format("graft-msglog")
+        .option("payloadSchema", "t TIMESTAMP").load(dir)
+        .select(unix_micros(col("payload.t")).as("us"))
+        .head().getLong(0)
+      val viaFromJson = spark.read.format("graft-msglog").load(dir)
+        .select(unix_micros(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("t TIMESTAMP")).getField("t")).as("us"))
+        .head().getLong(0)
+      assert(got === viaFromJson)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("dedupOnAppend is rejected for streaming writes (epochs are idempotent by name)") {
