@@ -410,14 +410,51 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
     if (eqs.isEmpty) None else Some(eqs.toSet)
   }
 
+  /** `minPartitions=N` (same lever as the Kafka source's option): split
+    * ledger entry ranges into ~N read slices. Without it, scan
+    * parallelism is capped at the LEDGER count — a topic compacted into
+    * a few multi-GB ledgers would read nearly serially on a 1000-core
+    * cluster no matter how many executors are idle. Slices are
+    * entry-range sub-scans; the shared seek ([[MsgLogCodec.seekToEntry]])
+    * keeps their boundaries on whole frames, batched frames, and chunk
+    * groups, so a split read returns exactly the unsplit rows. Splitting
+    * needs per-ledger entry counts — one header-only walk per ledger at
+    * planning (no decode, no CRC) — so it runs only when the option asks
+    * for it; the default plan stays listing-only.
+    */
+  private val minPartitions: Option[Int] =
+    Option(options.get("minPartitions")).map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"graft-msglog: invalid minPartitions '$s'")
+      }
+      if (n < 1) throw new IllegalArgumentException(
+        s"graft-msglog: minPartitions $n must be >= 1")
+      n
+    }
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      MsgLogSource.resolveLedgers(path, topics)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val refs = MsgLogSource.resolveLedgers(path, topics)
         .filter(r => topicEq.forall(_.contains(r.topic)))
-        .map { r =>
-          MsgLogPartition(MsgLogSource.ledgerId(r.key), r.path.toString, r.topic,
-            startingCounts.getOrElse(r.key, 0L), Long.MaxValue): InputPartition
-        }.toArray
+      minPartitions match {
+        case Some(n) if refs.nonEmpty =>
+          val ranges = refs.map { r =>
+            (r.key, startingCounts.getOrElse(r.key, 0L), MsgLogCodec.countEntries(r.path))
+          }
+          val byKey = refs.map(r => r.key -> r).toMap
+          MsgLogScan.planSlices(ranges, n).map { case (key, s, e) =>
+            val r = byKey(key)
+            MsgLogPartition(MsgLogSource.ledgerId(key), r.path.toString, r.topic,
+              s, e): InputPartition
+          }.toArray
+        case _ =>
+          refs.map { r =>
+            MsgLogPartition(MsgLogSource.ledgerId(r.key), r.path.toString, r.topic,
+              startingCounts.getOrElse(r.key, 0L), Long.MaxValue): InputPartition
+          }.toArray
+      }
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       MsgLogReaderFactory(required, readerPredicates, deadLetter, sessionTz)
   }
@@ -428,7 +465,7 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       readerPredicates, startingCounts, deadLetter, topicEq,
       delayedDelivery = Option(options.get("delayedDelivery")).exists(_.toBoolean),
       nowUsOverride = Option(options.get("delayedDeliveryNowUs")).map(_.toLong),
-      sessionTz = sessionTz)
+      sessionTz = sessionTz, minPartitions = minPartitions)
 
   private def readerPredicates: Array[MsgFrame => Boolean] =
     pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate ++ keyHashPredicate
@@ -480,6 +517,50 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
 }
 
 object MsgLogScan {
+
+  /** Allocate ~`minPartitions` contiguous entry-range slices over
+    * per-ledger backlogs, proportionally to backlog size. Input rows are
+    * `(key, start, total)`; output `(key, sliceStart, sliceEnd)` with
+    * slices within a ledger differing by at most one entry. Every ledger
+    * yields at least one slice (even an empty one — the reader returns
+    * no rows for start >= end), so topic coverage never depends on the
+    * split arithmetic. Pure, for unit tests.
+    */
+  def planSlices(ledgers: Seq[(String, Long, Long)],
+      minPartitions: Int): Seq[(String, Long, Long)] = {
+    val backlogs = ledgers.map { case (k, s, t) => (k, s, math.max(s, t)) }
+    val sizes = backlogs.map { case (_, s, e) => e - s }
+    val total = sizes.sum
+    // proportional floor apportionment — at least one slice per ledger,
+    // never more slices than entries
+    val n = sizes.map { b =>
+      val quota = if (total == 0) 0L else b * minPartitions / total
+      math.min(math.max(1L, b), math.max(1L, quota))
+    }.toArray
+    // greedy top-up to the requested parallelism where backlog allows:
+    // repeatedly split the ledger with the largest current slice size
+    var have = n.sum
+    while (have < minPartitions && sizes.indices.exists(i => n(i) < sizes(i))) {
+      val i = sizes.indices.filter(i => n(i) < sizes(i))
+        .maxBy(i => sizes(i).toDouble / n(i))
+      n(i) += 1
+      have += 1
+    }
+    backlogs.zipWithIndex.flatMap { case ((key, start, _), i) =>
+      val backlog = sizes(i)
+      val k = n(i).toInt
+      // k near-equal slices: the first (backlog % k) get one extra entry
+      val base = backlog / k
+      val extra = backlog % k
+      var at = start
+      (0 until k).map { j =>
+        val size = base + (if (j < extra) 1L else 0L)
+        val slice = (key, at, at + size)
+        at += size
+        slice
+      }
+    }
+  }
 
   /** Size of the Key_Shared hash space (Pulsar's 16-bit key-hash range). */
   val KeyHashSpace = 65536
@@ -563,7 +644,8 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     topicEq: Option[Set[String]] = None,
     delayedDelivery: Boolean = false,
     nowUsOverride: Option[Long] = None,
-    sessionTz: String = "UTC")
+    sessionTz: String = "UTC",
+    minPartitions: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -734,16 +816,26 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   override def reportLatestOffset(): Offset =
     MsgLogOffset(Option(lastListing).getOrElse(currentTotals).toMap)
 
+  /** A trigger's slices. With `minPartitions=N` the per-ledger deltas are
+    * further split (entry counts are already in the offsets — unlike the
+    * batch path, no extra walk), so one hot ledger's large micro-batch
+    * fans out instead of running on one core.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = MsgLogOffset.parse(start.json()).counts
     val e = MsgLogOffset.parse(end.json()).counts
-    e.toSeq.sorted.flatMap { case (key, endCount) =>
+    val deltas = e.toSeq.sorted.flatMap { case (key, endCount) =>
       val startCount = s.getOrElse(key, 0L)
-      if (endCount > startCount)
-        Some(MsgLogPartition(MsgLogSource.ledgerId(key),
-          MsgLogSource.keyPath(path, key).toString, MsgLogSource.keyTopic(key),
-          startCount, endCount): InputPartition)
-      else None
+      if (endCount > startCount) Some((key, startCount, endCount)) else None
+    }
+    val slices = minPartitions match {
+      case Some(n) if deltas.nonEmpty => MsgLogScan.planSlices(deltas, n)
+      case _ => deltas
+    }
+    slices.map { case (key, startCount, endCount) =>
+      MsgLogPartition(MsgLogSource.ledgerId(key),
+        MsgLogSource.keyPath(path, key).toString, MsgLogSource.keyTopic(key),
+        startCount, endCount): InputPartition
     }.toArray
   }
 

@@ -1178,6 +1178,74 @@ class MsgLogSpec extends SparkTestBase {
     assert(causeMessages(ex).exists(_.contains("batch-only")), causeMessages(ex).mkString("\n"))
   }
 
+  // --- minPartitions slice splitting ------------------------------------
+
+  test("planSlices covers each backlog exactly with near-even disjoint slices") {
+    import graft.sources.MsgLogScan.planSlices
+    val ledgers = Seq(("a", 0L, 1000L), ("b", 250L, 300L), ("c", 5L, 5L))
+    val slices = planSlices(ledgers, 8)
+    // coverage: slices of each ledger tile [start, total) exactly, in order
+    ledgers.foreach { case (k, s, t) =>
+      val own = slices.filter(_._1 == k)
+      assert(own.nonEmpty, k)
+      assert(own.head._2 === s, k)
+      assert(own.last._3 === t, k)
+      own.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(e1 === s2, k)
+        case _ => ()
+      }
+      // near-even: sizes differ by at most 1 within a ledger
+      val sizes = own.map(x => x._3 - x._2)
+      assert(sizes.max - sizes.min <= 1, s"$k $sizes")
+    }
+    // proportionality: the 1000-entry ledger gets the splits, the tiny
+    // and empty ledgers get one slice each
+    assert(slices.count(_._1 == "a") >= 6)
+    assert(slices.count(_._1 == "c") === 1)
+    assert(slices.size >= 8)
+  }
+
+  test("minPartitions splits batch reads beyond the ledger count, rows intact") {
+    // chunked ledger (1 file) + a batched topic: splitting must respect
+    // chunk-group and batch-frame boundaries via the shared seek
+    val dir = chunkedTopic(20)
+    val unsplit = spark.read.format("graft-msglog").load(dir)
+    assert(unsplit.rdd.getNumPartitions === 1)
+    val split = spark.read.format("graft-msglog")
+      .option("minPartitions", "6").load(dir)
+    assert(split.rdd.getNumPartitions >= 6)
+    assertSameRows(split.drop("ledger"), unsplit.drop("ledger"))
+
+    val dir2 = Files.createTempDirectory("glog_minpart_batch_").toString
+    import spark.implicits._
+    (0 until 500).map(i => (i.toLong, 1704067200000000L + i, i.toLong % 7,
+        s"type-${i % 3}", i * 1.0, "{}"))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(2)
+      .write.format("graft-msglog").option("batchSize", "7").mode("append").save(dir2)
+    val split2 = spark.read.format("graft-msglog")
+      .option("minPartitions", "12").load(dir2)
+    assert(split2.rdd.getNumPartitions >= 12)
+    assert(split2.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 500L))
+  }
+
+  test("minPartitions fans out streaming micro-batches without loss or duplication") {
+    val dir = chunkedTopic(20)
+    val name = "msglog_minpart_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("maxRowsPerTrigger", "8")
+      .option("minPartitions", "4")
+      .load(dir)
+      .select("event_id")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 20L))
+  }
+
   // --- declared payload schema (reference `GetSchema`/`GetOrCreateSchema`,
   // `src/PulsarApi.proto:672-700`) ---------------------------------------
 
