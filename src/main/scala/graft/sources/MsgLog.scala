@@ -134,6 +134,55 @@ object MsgLog {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** One row of the dead-letter inspection surface: the diverted file,
+    * its kind, and the best-effort decoded core fields (None where the
+    * body could not be walked — `decode_error` says why).
+    */
+  case class DeadLetter(
+      dlq_file: String,
+      kind: String,
+      decode_error: Option[String],
+      event_id: Option[Long],
+      ts_us: Option[Long],
+      user_id: Option[Long],
+      event_type: Option[String],
+      value: Option[Double],
+      props: Option[String])
+
+  /** Consume a topic's dead-letter queue (reference DLQ policy,
+    * `src/entity/consumer.rs:71-77` — in Pulsar the DLQ is itself a
+    * consumable topic): every frame `onCorrupt=deadletter` diverted under
+    * `<topic>/.dlq/`, decoded best-effort IGNORING the failed CRC
+    * (single-bit payload corruption usually leaves the body walkable;
+    * `decode_error` carries the reason when not). Chunk `.part` slices
+    * surface as rows of kind `chunk_part` for uuid-keyed reassembly
+    * tooling. Distributed read (binaryFile source + flatMap) — DLQs are
+    * small by nature, but nothing here collects to the driver.
+    */
+  def readDeadLetters(spark: SparkSession, topicDir: String): DataFrame = {
+    import spark.implicits._
+    val dlq = new java.io.File(topicDir, ".dlq")
+    if (!dlq.isDirectory) return spark.emptyDataset[DeadLetter].toDF()
+    spark.read.format("binaryFile").load(dlq.getAbsolutePath)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        if (path.endsWith(".part"))
+          Seq(DeadLetter(path, "chunk_part",
+            Some("chunk slice: reassemble by group uuid"),
+            None, None, None, None, None, None))
+        else MsgLogCodec.decodeFrameLenient(bytes) match {
+          case Left(reason) =>
+            Seq(DeadLetter(path, "frame", Some(reason),
+              None, None, None, None, None, None))
+          case Right(msgs) => msgs.toSeq.map(m =>
+            DeadLetter(path, "frame", None, Some(m.eventId), Some(m.tsUs),
+              Some(m.userId), Some(m.eventType), Some(m.value), Some(m.props)))
+        }
+      }
+      .toDF()
+  }
+
   private val stagedEnv = new ConcurrentHashMap[String, String]()
 
   /** Envelope columns derived DETERMINISTICALLY from the events fixture,

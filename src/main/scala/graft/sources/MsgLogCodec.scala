@@ -767,6 +767,37 @@ object MsgLogCodec {
     } finally in.close()
   }
 
+  /** Best-effort decode of a diverted frame's messages, IGNORING the CRC
+    * verdict — the frame is in the DLQ precisely because verification
+    * failed, but single-bit payload corruption usually leaves the body
+    * structurally decodable (and a flipped checksum leaves it perfectly
+    * intact). For DLQ inspection/repair tooling only; the read path never
+    * uses this. Left(reason) when the body cannot be walked.
+    */
+  def decodeFrameLenient(bytes: Array[Byte]): Either[String, Array[MsgFrame]] =
+    try {
+      if (bytes.length < 9) return Left("truncated frame (shorter than size+crc+flags)")
+      val checked = java.util.Arrays.copyOfRange(bytes, 8, bytes.length)
+      val flags = checked(0) & 0xFF
+      if ((flags & ChunkFlag) != 0)
+        return Left("chunk frame: reassemble from its .part siblings by group uuid")
+      val batched = (flags & BatchFlag) != 0
+      val count =
+        if (batched) {
+          if (checked.length < 5) return Left("truncated batch header")
+          java.nio.ByteBuffer.wrap(checked, 1, 4).getInt
+        } else 1
+      checkCount(count)
+      val headerLen = if (batched) 5 else 1
+      val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
+      val payload = decompress(stored, (flags & CodecMask).toByte)
+      val buf = java.nio.ByteBuffer.wrap(payload)
+      Right(Array.fill(count)(decodeBody(buf, (flags & EnvelopeFlag) != 0)))
+    } catch {
+      case e: Exception =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+
   /** Diagnostic counter of full ledger entry-walks, for asserting that
     * offset computation does NOT re-walk unchanged ledgers per trigger.
     */

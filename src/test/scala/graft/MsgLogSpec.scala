@@ -987,6 +987,35 @@ class MsgLogSpec extends SparkTestBase {
     assert(MsgLogCodec.countEntries(MsgLogSource.ledgerFiles(dir).head) === 5L)
   }
 
+  test("readDeadLetters consumes the DLQ with best-effort decode, ignoring the failed CRC") {
+    // payload-corrupt plain topic: the flipped byte sits inside event_id,
+    // so the frame decodes (wrong id, right everything else)
+    val dir = corruptTopic(10, 3)
+    spark.read.format("graft-msglog").option("onCorrupt", "deadletter")
+      .load(dir).count() // populate the DLQ
+    val dl = MsgLog.readDeadLetters(spark, dir).collect()
+    assert(dl.length === 1)
+    assert(dl.head.getAs[String]("kind") === "frame")
+    assert(dl.head.isNullAt(dl.head.fieldIndex("decode_error")))
+    assert(dl.head.getAs[String]("event_type") === "type-3")
+    assert(dl.head.getAs[String]("props") === """{"k": 3}""")
+
+    // chunked topic: the corrupt frame row + the group's preserved slices
+    val cdir = corruptChunkedTopic(7)
+    spark.read.format("graft-msglog").option("onCorrupt", "deadletter")
+      .load(cdir).count()
+    val cdl = MsgLog.readDeadLetters(spark, cdir).collect()
+    assert(cdl.count(_.getAs[String]("kind") === "chunk_part") === 2)
+    val frameRows = cdl.filter(_.getAs[String]("kind") === "frame")
+    assert(frameRows.length === 1)
+    // the corrupt chunk frame is not decodable as a message — named reason
+    assert(frameRows.head.getAs[String]("decode_error").contains("chunk frame"))
+
+    // a topic with no DLQ reads as an empty, well-typed frame
+    val clean = Files.createTempDirectory("glog_dlq_empty_").toString
+    assert(MsgLog.readDeadLetters(spark, clean).count() === 0)
+  }
+
   test("maxFrameBytes rejects batching and out-of-range values loudly") {
     import spark.implicits._
     val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, "{}"))
