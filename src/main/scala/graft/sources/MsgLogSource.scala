@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -465,7 +465,10 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       readerPredicates, startingCounts, deadLetter, topicEq,
       delayedDelivery = Option(options.get("delayedDelivery")).exists(_.toBoolean),
       nowUsOverride = Option(options.get("delayedDeliveryNowUs")).map(_.toLong),
-      sessionTz = sessionTz, minPartitions = minPartitions)
+      sessionTz = sessionTz, minPartitions = minPartitions,
+      minRowsPerTrigger = Option(options.get("minRowsPerTrigger")).map(_.toLong),
+      maxTriggerDelayMs = Option(options.get("maxTriggerDelayMs")).map(_.toLong)
+        .getOrElse(MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs))
 
   private def readerPredicates: Array[MsgFrame => Boolean] =
     pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate ++ keyHashPredicate
@@ -645,7 +648,9 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     delayedDelivery: Boolean = false,
     nowUsOverride: Option[Long] = None,
     sessionTz: String = "UTC",
-    minPartitions: Option[Int] = None)
+    minPartitions: Option[Int] = None,
+    minRowsPerTrigger: Option[Long] = None,
+    maxTriggerDelayMs: Long = MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -756,57 +761,100 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
 
   override def latestOffset(): Offset = MsgLogOffset(currentTotals.toMap)
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxRowsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  /** The read limit from the subscription's flow-control options:
+    * `maxRowsPerTrigger` (permit budget), `minRowsPerTrigger` +
+    * `maxTriggerDelayMs` (batching floor — hold the trigger until the
+    * backlog is worth a micro-batch, but never longer than the delay;
+    * the Kafka source's minOffsetsPerTrigger/maxTriggerDelay analog), or
+    * their composite.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      minRowsPerTrigger.map(n => ReadLimit.minRows(n, maxTriggerDelayMs)),
+      maxRowsPerTrigger.map(ReadLimit.maxRows)).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Wall-clock (ms) of the last trigger that ADVANCED offsets, for the
+    * `maxTriggerDelayMs` escape of a min-rows gate. Follows the pinned
+    * test clock when one is set.
+    */
+  @volatile private var lastAdvanceMs: Long = clockNowUs() / 1000L
+
+  private def minGateOpen(m: ReadMinRows, from: Map[String, Long],
+      listing: Seq[(String, Long)]): Boolean = {
+    val backlog = listing.map { case (k, t) => math.max(0L, t - from.getOrElse(k, 0L)) }.sum
+    backlog >= m.minRows || (clockNowUs() / 1000L) - lastAdvanceMs >= m.maxTriggerDelayMs
+  }
 
   /** Admission control = the flow-control permit grant: split the row
     * budget across ledgers PROPORTIONALLY to their backlog (remainder in
     * key order), not first-come in key order — greedy allocation would
     * let one continuously-growing ledger (or, in a namespace union, one
     * hot topic) absorb every trigger's budget and starve the rest of the
-    * subscription forever. The result always merges over `start` —
-    * offsets are monotonic, so a transiently empty/unreadable listing
-    * must never regress a committed frontier (that would re-deliver a
-    * ledger from entry 0 once the listing recovers).
+    * subscription forever. A min-rows gate (alone or in a composite)
+    * holds the frontier still until the backlog is worth a batch or the
+    * delay expires. The result always merges over `start` — offsets are
+    * monotonic, so a transiently empty/unreadable listing must never
+    * regress a committed frontier (that would re-deliver a ledger from
+    * entry 0 once the listing recovers).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = MsgLogOffset.parse(start.json()).counts
     val listing = currentTotals
     lastListing = listing
-    val advanced = limit match {
-      case mr: ReadMaxRows =>
-        val budget = mr.maxRows()
-        val backlogs = listing.map { case (key, total) =>
-          (key, math.max(0L, total - from.getOrElse(key, 0L)))
+    val advanced: Seq[(String, Long)] = limit match {
+      case c: CompositeReadLimit =>
+        val ls = c.getReadLimits.toSeq
+        val gated = ls.collectFirst { case m: ReadMinRows => m }
+          .exists(!minGateOpen(_, from, listing))
+        if (gated) Seq.empty
+        else ls.collectFirst { case mr: ReadMaxRows => mr } match {
+          case Some(mr) => grantBudget(from, listing, mr.maxRows())
+          case None => takeAll(from, listing)
         }
-        val totalBacklog = backlogs.map(_._2).sum
-        if (totalBacklog <= budget)
-          listing.map { case (key, total) =>
-            key -> math.max(total, from.getOrElse(key, 0L))
-          }
-        else {
-          // proportional floor grants, then remainder in key order; the
-          // double is a grant heuristic only — clamped to backlog and to
-          // the remaining budget, so no over-grant is possible
-          var remaining = budget
-          val base = backlogs.map { case (key, bl) =>
-            val share = math.min(bl,
-              math.min(remaining, (bl.toDouble * budget / totalBacklog).toLong))
-            remaining -= share
-            (key, bl, share)
-          }
-          val granted = base.map { case (key, bl, share) =>
-            val extra = math.min(remaining, bl - share)
-            remaining -= extra
-            key -> (from.getOrElse(key, 0L) + share + extra)
-          }
-          granted
-        }
-      case _ => listing.map { case (key, total) =>
-        key -> math.max(total, from.getOrElse(key, 0L))
+      case m: ReadMinRows =>
+        if (minGateOpen(m, from, listing)) takeAll(from, listing) else Seq.empty
+      case mr: ReadMaxRows => grantBudget(from, listing, mr.maxRows())
+      case _ => takeAll(from, listing)
+    }
+    if (advanced.exists { case (k, n) => n > from.getOrElse(k, 0L) })
+      lastAdvanceMs = clockNowUs() / 1000L
+    MsgLogOffset(from ++ advanced.toMap)
+  }
+
+  private def takeAll(from: Map[String, Long],
+      listing: Seq[(String, Long)]): Seq[(String, Long)] =
+    listing.map { case (key, total) => key -> math.max(total, from.getOrElse(key, 0L)) }
+
+  private def grantBudget(from: Map[String, Long], listing: Seq[(String, Long)],
+      budget: Long): Seq[(String, Long)] = {
+    val backlogs = listing.map { case (key, total) =>
+      (key, math.max(0L, total - from.getOrElse(key, 0L)))
+    }
+    val totalBacklog = backlogs.map(_._2).sum
+    if (totalBacklog <= budget) takeAll(from, listing)
+    else {
+      // proportional floor grants, then remainder in key order; the
+      // double is a grant heuristic only — clamped to backlog and to
+      // the remaining budget, so no over-grant is possible
+      var remaining = budget
+      val base = backlogs.map { case (key, bl) =>
+        val share = math.min(bl,
+          math.min(remaining, (bl.toDouble * budget / totalBacklog).toLong))
+        remaining -= share
+        (key, bl, share)
+      }
+      base.map { case (key, bl, share) =>
+        val extra = math.min(remaining, bl - share)
+        remaining -= extra
+        key -> (from.getOrElse(key, 0L) + share + extra)
       }
     }
-    MsgLogOffset(from ++ advanced.toMap)
   }
 
   /** Last listing taken by latestOffset this trigger — reusing it here
@@ -851,6 +899,13 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   override def commit(end: Offset): Unit = () // cumulative ack: checkpoint-owned
 
   override def stop(): Unit = ()
+}
+
+object MsgLogMicroBatchStream {
+  /** Default escape hatch of a min-rows gate (the Kafka source's
+    * maxTriggerDelay default): a thin backlog still flushes at least
+    * this often. */
+  val DefaultMaxTriggerDelayMs: Long = 15L * 60 * 1000
 }
 
 /** One ledger slice: entries [startEntry, endEntry) of one file. */

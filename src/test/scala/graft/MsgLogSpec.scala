@@ -1207,6 +1207,51 @@ class MsgLogSpec extends SparkTestBase {
     assert(causeMessages(ex).exists(_.contains("batch-only")), causeMessages(ex).mkString("\n"))
   }
 
+  // --- min-rows admission gate (Kafka minOffsetsPerTrigger analog) ------
+
+  test("minRowsPerTrigger gates the frontier until the backlog is worth a batch") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("glog_minrows_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 5).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
+    out.close()
+    val start = graft.sources.MsgLogOffset(Map.empty)
+    // backlog 5 < min 10, pinned clock → no elapsed delay → hold still
+    val gated = new MsgLogMicroBatchStream(dir.toString, None, None,
+      nowUsOverride = Some(1000000L))
+    assert(gated.latestOffset(start, ReadLimit.minRows(10, 60000L)).json() === "{}")
+    // the delay escape: maxTriggerDelay 0 has always elapsed → take all
+    assert(gated.latestOffset(start, ReadLimit.minRows(10, 0L)).json()
+      === """{"ledger-0000.glog":5}""")
+    // backlog at/above the floor → take all
+    assert(gated.latestOffset(start, ReadLimit.minRows(5, 60000L)).json()
+      === """{"ledger-0000.glog":5}""")
+    // composite min+max: gate first, then the proportional budget
+    val comp = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(4, 60000L), ReadLimit.maxRows(3L)))
+    assert(gated.latestOffset(start, comp).json() === """{"ledger-0000.glog":3}""")
+    val compGated = ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(10, 60000L), ReadLimit.maxRows(3L)))
+    assert(gated.latestOffset(start, compGated).json() === "{}")
+  }
+
+  test("min/max trigger options build the matching default read limit") {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows, ReadMinRows}
+    val dir = Files.createTempDirectory("glog_limit_opts_").toString
+    def stream(min: Option[Long], max: Option[Long]) =
+      new MsgLogMicroBatchStream(dir, None, max, minRowsPerTrigger = min,
+        maxTriggerDelayMs = 1234L)
+    assert(stream(None, None).getDefaultReadLimit.toString.contains("AllAvailable")
+      || stream(None, None).getDefaultReadLimit ===
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(stream(None, Some(7L)).getDefaultReadLimit.asInstanceOf[ReadMaxRows].maxRows() === 7L)
+    val mn = stream(Some(9L), None).getDefaultReadLimit.asInstanceOf[ReadMinRows]
+    assert(mn.minRows() === 9L && mn.maxTriggerDelayMs() === 1234L)
+    val c = stream(Some(9L), Some(7L)).getDefaultReadLimit.asInstanceOf[CompositeReadLimit]
+    assert(c.getReadLimits.length === 2)
+  }
+
   // --- minPartitions slice splitting ------------------------------------
 
   test("planSlices covers each backlog exactly with near-even disjoint slices") {
