@@ -126,6 +126,29 @@ object TextOps {
                 '|')""").as("fingerprint"),
       greatest(length(col("text")) - 7, lit(1)).cast("long").as("n_grams"))
 
+  /** Deterministic train/val/test split — the dataset-management
+    * primitive every training pipeline needs: membership is a pure
+    * function of doc_id (md5-derived bucket in [0, 1000), 80/10/10), so
+    * the split is stable across runs, engines, and re-shards, needs no
+    * stored assignment table, and never leaks documents across splits as
+    * the corpus grows (a new document lands in exactly one split;
+    * existing documents never move). A per-row codegen'd projection plus
+    * one map-side-combined aggregate — no shuffle beyond the 3-group
+    * rollup, the same plan at 10^11 documents.
+    */
+  def docSplitAssign(docs: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") % 1000)
+    val splitLabel = when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    docs.select(splitLabel.as("split"), length(col("text")).as("n_chars"), col("doc_id"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -134,7 +157,8 @@ object TextOps {
     "text_lang_id" -> ((s, d) => textLangId(Fixtures.documents(s, d))),
     "text_quality_score" -> ((s, d) => textQualityScore(Fixtures.documents(s, d))),
     "token_count_bpe" -> ((s, d) => tokenCounts(Fixtures.documents(s, d))),
-    "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))))
+    "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
+    "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))))
 
   private def duckScore(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -184,6 +208,18 @@ object TextOps {
                                              for i in range(1, greatest(length(text) - 7, 1) + 1)])[1:4],
                                   '|') AS fingerprint,
                   CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
-           FROM documents""")
+           FROM documents""",
+      "doc_split_assign" ->
+        """WITH b AS (SELECT doc_id, length(text) AS n_chars,
+                             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               % 1000 AS bucket
+                      FROM documents)
+           SELECT CASE WHEN bucket < 800 THEN 'train'
+                       WHEN bucket < 900 THEN 'val'
+                       ELSE 'test' END AS split,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           FROM b GROUP BY 1""")
   }
 }

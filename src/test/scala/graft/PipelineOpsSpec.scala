@@ -124,6 +124,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("split assignment: deterministic, covering, and roughly 80/10/10") {
+    val agg = TextOps.docSplitAssign(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    assert(agg.values.sum === total) // every document in exactly one split
+    assert(agg.keySet.subsetOf(Set("train", "val", "test")))
+    // hash uniformity at fixture scale: train within [70%, 90%]
+    assert(agg("train").toDouble / total > 0.70 && agg("train").toDouble / total < 0.90, agg)
+    // determinism: recomputation yields the identical assignment
+    val again = TextOps.docSplitAssign(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === agg)
+    // growth stability: adding documents never moves an existing one —
+    // per-split (min_doc, old counts) are preserved under a larger corpus
+    val more = docs.limit(50).withColumn("doc_id", col("doc_id") + 1000000L)
+    val grown = TextOps.docSplitAssign(docs.unionByName(more)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grown.values.sum === total + 50)
+    grown.foreach { case (k, n) => assert(n >= agg.getOrElse(k, 0L), k) }
+  }
+
   test("fingerprint: bottom-4 sketch, stable under duplication") {
     val fp = TextOps.docFingerprint(docs)
     fp.collect().foreach { r =>
