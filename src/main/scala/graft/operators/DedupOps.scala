@@ -266,6 +266,45 @@ object DedupOps {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Benchmark decontamination — the train/test-leakage detector every
+    * training pipeline runs before a data release: flag corpus documents
+    * sharing at least `minShared` character-`DecontaminateGramLen`-gram
+    * hashes with a PROBE set (the benchmark). Grams are 24 characters —
+    * long enough that shared vocabulary alone cannot collide (8-char
+    * grams flag an entire common-vocabulary corpus); a hit means a
+    * verbatim run of 25+ characters, the contamination signal. The probe
+    * side is small by nature (benchmarks are thousands of documents, the
+    * corpus is billions), so its distinct gram set BROADCASTS and the
+    * corpus side streams through a map-side hash join with no shuffle of
+    * corpus grams; per-doc gram sets are deduplicated in-row before the
+    * explode. Here the probe set is `doc_id % probeMod == 0` (a
+    * deterministic stand-in for a benchmark table, so the oracle can
+    * recompute it); production callers pass any probe DataFrame via the
+    * overload.
+    */
+  def docDecontaminate(docs: DataFrame, probe: DataFrame, minShared: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      explode(array_distinct(expr(
+        s"""transform(sequence(1, greatest(length(text) - ${DecontaminateGramLen - 1}, 1)),
+             i -> md5(cast(substr(text, i, $DecontaminateGramLen) as binary)))"""))).as("g"))
+    grams(docs)
+      .join(broadcast(grams(probe).select("g").distinct()), "g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val DecontaminateGramLen = 24
+  val DecontaminateProbeMod = 20L
+  val DecontaminateMinShared = 2
+
+  def docDecontaminate(docs: DataFrame): DataFrame =
+    docDecontaminate(
+      docs.filter(pmod(col("doc_id"), lit(DecontaminateProbeMod)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(DecontaminateProbeMod)) === 0),
+      DecontaminateMinShared)
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -275,7 +314,8 @@ object DedupOps {
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
-    "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))))
+    "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
+    "doc_decontaminate" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
     """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
@@ -361,6 +401,19 @@ object DedupOps {
           JOIN shset sb ON sb.doc_id = c.doc_b
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold""",
+    "doc_decontaminate" ->
+      s"""WITH grams AS (SELECT doc_id,
+                                unnest(list_distinct([md5(substring(text, i, $DecontaminateGramLen))
+                                  for i in range(1, greatest(length(text) - ${DecontaminateGramLen - 1}, 1) + 1)])) AS g
+                         FROM documents),
+          probe AS (SELECT DISTINCT g FROM grams
+                    WHERE doc_id % $DecontaminateProbeMod = 0),
+          corpus AS (SELECT * FROM grams
+                     WHERE doc_id % $DecontaminateProbeMod <> 0)
+          SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+          FROM corpus c JOIN probe p ON c.g = p.g
+          GROUP BY c.doc_id
+          HAVING count(DISTINCT c.g) >= $DecontaminateMinShared""",
     "doc_ngram_jaccard" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

@@ -145,6 +145,24 @@ class PipelineOpsSpec extends SparkTestBase {
     grown.foreach { case (k, n) => assert(n >= agg.getOrElse(k, 0L), k) }
   }
 
+  test("decontamination: a corpus copy of a probe document is flagged; disjoint text is not") {
+    import spark.implicits._
+    val probe = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim leak
+      (2L, "quick brown dog and lazy fox share words but no long run"),
+      (3L, "prefix pad then the quick brown fox jumps over the lazy dog and on")) // embedded leak
+      .toDF("doc_id", "text")
+    val flagged = DedupOps.docDecontaminate(corpus, probe, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L))
+    assert(flagged(1L) > 20) // verbatim copy shares nearly every gram
+    assert(!flagged.contains(2L)) // shared vocabulary alone must not flag
+    assert(flagged.contains(3L)) // a 43-char verbatim run exceeds the threshold
+    assert(flagged(3L) < flagged(1L))
+  }
+
   test("fingerprint: bottom-4 sketch, stable under duplication") {
     val fp = TextOps.docFingerprint(docs)
     fp.collect().foreach { r =>

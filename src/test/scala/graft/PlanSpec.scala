@@ -72,6 +72,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LessThan(user_id,10)"), p)
   }
 
+  test("doc_decontaminate broadcasts the probe grams: no corpus-side shuffle join") {
+    val p = plan("doc_decontaminate")
+    // the benchmark side is small by nature — the corpus must stream
+    // through a broadcast hash join, never sort-merge its gram explosion
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("payloadSchema: the payload column prunes away when not projected") {
     // the JSON decode is the expensive part of a schema-declared scan —
     // a query not touching `payload` must not pay it (the reader builds
