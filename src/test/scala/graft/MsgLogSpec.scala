@@ -1375,6 +1375,64 @@ class MsgLogSpec extends SparkTestBase {
           max(col("k")).as("max_k")))
   }
 
+  test("feature interplay: compressed chunked envelope topic under payloadSchema, " +
+      "minPartitions, keyHashRange and a paced stream") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_kitchen_").toString
+    // envelope + big props (chunked at 1 KiB) + zstd, routed to 2 ledgers
+    (0 until 40).map { i =>
+      (i.toLong, 1704067200000000L + i, i.toLong % 7, s"type-${i % 3}", i * 1.0,
+        s"""{"k": $i, "pad": "${"x" * 2500}"}""", s"p-${i % 2}", i.toLong, s"pk-${i % 5}")
+    }.toDF("event_id", "tsus", "user_id", "event_type", "value", "props",
+        "producer_name", "sequence_id", "partition_key")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(2, col("partition_key"))
+      .write.format("graft-msglog")
+      .option("compression", "zstd").option("maxFrameBytes", "1024")
+      .mode("append").save(dir)
+    // replaying the append under dedup adds nothing, even chunked+compressed
+    (0 until 40).map { i =>
+      (i.toLong, 1704067200000000L + i, i.toLong % 7, s"type-${i % 3}", i * 1.0,
+        s"""{"k": $i, "pad": "${"x" * 2500}"}""", s"p-${i % 2}", i.toLong, s"pk-${i % 5}")
+    }.toDF("event_id", "tsus", "user_id", "event_type", "value", "props",
+        "producer_name", "sequence_id", "partition_key")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      .repartition(2, col("partition_key"))
+      .write.format("graft-msglog")
+      .option("compression", "zstd").option("maxFrameBytes", "1024")
+      .option("dedupOnAppend", "true")
+      .mode("append").save(dir)
+    // batch: typed payload + slice splitting, all rows decoded once each
+    val batch = spark.read.format("graft-msglog")
+      .option("payloadSchema", "k INT")
+      .option("minPartitions", "8")
+      .load(dir)
+    assert(batch.rdd.getNumPartitions >= 8)
+    val rows = batch.select("event_id", "payload.k", "producer_name").collect()
+    assert(rows.length === 40)
+    rows.foreach(r => assert(r.getLong(0) === r.getInt(1).toLong))
+    // keyHashRange halves partition the topic disjointly (batch predicate)
+    val lo = spark.read.format("graft-msglog").option("keyHashRange", "0:32767")
+      .load(dir).select("event_id").collect().map(_.getLong(0)).toSet
+    val hi = spark.read.format("graft-msglog").option("keyHashRange", "32768:65535")
+      .load(dir).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(lo.intersect(hi).isEmpty)
+    assert((lo ++ hi).size === 40)
+    // paced stream with minPartitions over the chunked+compressed topic
+    val name = "msglog_kitchen_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("maxRowsPerTrigger", "12").option("minPartitions", "4")
+      .option("payloadSchema", "k INT")
+      .load(dir)
+      .select("event_id", "payload.k")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect()
+    assert(streamed.length === 40)
+    assert(streamed.map(_.getLong(0)).sorted.toSeq === (0L until 40L))
+  }
+
   test("a topics-scoped stream never lists or walks the rest of the namespace") {
     // Spark does not run filter pushdown for streaming V2 relations, so
     // `topics=` is the streaming pruning lever (EqualTo(topic,…) pruning
