@@ -694,6 +694,45 @@ object MsgLogCodec {
     }
   }
 
+  /** Entries admissible from `fromEntry` within a wire-byte budget: walk
+    * frame headers (no decode, no CRC) summing each frame's on-disk cost
+    * (size prefix + frame) until the budget is exhausted, returning the
+    * new entry frontier. A SOFT limit, like Kafka's maxBytes admission:
+    * at least one frame is granted when any backlog exists (so a frame
+    * larger than the budget still makes progress), and a chunk group is
+    * granted atomically with its chunk 0 (its continuation frames claim
+    * no entries, and the reader reads the whole group for the group's
+    * one entry anyway).
+    */
+  def entriesWithinBytes(path: java.nio.file.Path, fromEntry: Long,
+      byteBudget: Long): Long = {
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
+    try {
+      var entry = seekToEntry(in, fromEntry)
+      var spent = 0L
+      var granted = 0L
+      var more = true
+      while (more) {
+        readFrameHeader(in) match {
+          case None => more = false
+          case Some(h) =>
+            val cost = 4L + h.totalSize
+            // grant the first frame unconditionally (soft limit), then
+            // stop BEFORE the first frame that would overrun; chunk
+            // continuations ride with their chunk 0 (claim 0 entries)
+            if (spent > 0 && spent + cost > byteBudget && !h.isChunkCont) more = false
+            else {
+              skipPayload(in, h)
+              spent += cost
+              granted += h.claimedCount
+            }
+        }
+      }
+      entry + granted
+    } finally in.close()
+  }
+
   /** Decode every message of a ledger in order, reassembling chunk
     * groups; corrupt frames and truncated groups raise. The full-decode
     * walk behind maintenance scans (sequence-frontier recovery, tests) —

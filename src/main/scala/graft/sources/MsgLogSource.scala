@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -468,7 +468,8 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       sessionTz = sessionTz, minPartitions = minPartitions,
       minRowsPerTrigger = Option(options.get("minRowsPerTrigger")).map(_.toLong),
       maxTriggerDelayMs = Option(options.get("maxTriggerDelayMs")).map(_.toLong)
-        .getOrElse(MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs))
+        .getOrElse(MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   private def readerPredicates: Array[MsgFrame => Boolean] =
     pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate ++ keyHashPredicate
@@ -650,7 +651,8 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     sessionTz: String = "UTC",
     minPartitions: Option[Int] = None,
     minRowsPerTrigger: Option[Long] = None,
-    maxTriggerDelayMs: Long = MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs)
+    maxTriggerDelayMs: Long = MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -771,7 +773,8 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   override def getDefaultReadLimit: ReadLimit = {
     val limits = Seq(
       minRowsPerTrigger.map(n => ReadLimit.minRows(n, maxTriggerDelayMs)),
-      maxRowsPerTrigger.map(ReadLimit.maxRows)).flatten
+      maxRowsPerTrigger.map(ReadLimit.maxRows),
+      maxBytesPerTrigger.map(ReadLimit.maxBytes)).flatten
     limits match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -813,13 +816,25 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
         val gated = ls.collectFirst { case m: ReadMinRows => m }
           .exists(!minGateOpen(_, from, listing))
         if (gated) Seq.empty
-        else ls.collectFirst { case mr: ReadMaxRows => mr } match {
-          case Some(mr) => grantBudget(from, listing, mr.maxRows())
-          case None => takeAll(from, listing)
+        else {
+          val rowGrant = ls.collectFirst { case mr: ReadMaxRows => mr }
+            .map(mr => grantBudget(from, listing, mr.maxRows()))
+          val byteGrant = ls.collectFirst { case mb: ReadMaxBytes => mb }
+            .map(mb => grantBytes(from, listing, mb.maxBytes()))
+          (rowGrant, byteGrant) match {
+            case (Some(r), Some(b)) =>
+              // both budgets bind: per-ledger intersection of the grants
+              val bm = b.toMap
+              r.map { case (k, n) => k -> math.min(n, bm.getOrElse(k, n)) }
+            case (Some(r), None) => r
+            case (None, Some(b)) => b
+            case (None, None) => takeAll(from, listing)
+          }
         }
       case m: ReadMinRows =>
         if (minGateOpen(m, from, listing)) takeAll(from, listing) else Seq.empty
       case mr: ReadMaxRows => grantBudget(from, listing, mr.maxRows())
+      case mb: ReadMaxBytes => grantBytes(from, listing, mb.maxBytes())
       case _ => takeAll(from, listing)
     }
     if (advanced.exists { case (k, n) => n > from.getOrElse(k, 0L) })
@@ -830,6 +845,31 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   private def takeAll(from: Map[String, Long],
       listing: Seq[(String, Long)]): Seq[(String, Long)] =
     listing.map { case (key, total) => key -> math.max(total, from.getOrElse(key, 0L)) }
+
+  /** Byte-budget admission (`ReadMaxBytes`, the Kafka maxBytesPerTrigger
+    * analog): the budget splits EVENLY across backlogged ledgers, each
+    * share converted to an entry grant by a header-only walk from that
+    * ledger's frontier ([[MsgLogCodec.entriesWithinBytes]] — O(granted
+    * frames), the same magnitude as the read it admits). A soft limit:
+    * every backlogged ledger advances at least one frame, so a message
+    * larger than its share still makes progress.
+    */
+  private def grantBytes(from: Map[String, Long], listing: Seq[(String, Long)],
+      budget: Long): Seq[(String, Long)] = {
+    val backlogged = listing.filter { case (k, t) => t > from.getOrElse(k, 0L) }
+    if (backlogged.isEmpty) Seq.empty
+    else {
+      val share = math.max(1L, budget / backlogged.size)
+      backlogged.map { case (key, total) =>
+        val f = from.getOrElse(key, 0L)
+        val granted = MsgLogCodec.entriesWithinBytes(
+          MsgLogSource.keyPath(path, key), f, share)
+        // clamp to the offered total (delayed-delivery caps bind) and
+        // never regress the frontier — the max binds last
+        key -> math.max(f, math.min(total, granted))
+      }
+    }
+  }
 
   private def grantBudget(from: Map[String, Long], listing: Seq[(String, Long)],
       budget: Long): Seq[(String, Long)] = {

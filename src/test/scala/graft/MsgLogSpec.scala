@@ -1236,6 +1236,48 @@ class MsgLogSpec extends SparkTestBase {
     assert(gated.latestOffset(start, compGated).json() === "{}")
   }
 
+  test("maxBytesPerTrigger admits by wire bytes: soft per-ledger grants, full drain") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("glog_maxbytes_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 10).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
+    out.close()
+    // frames are near-identical size; one frame's full wire emission
+    // (size prefix + crc + checked) is the admission cost unit
+    val bos = new ByteArrayOutputStream()
+    MsgLogCodec.writeFrame(new DataOutputStream(bos), frame(0L))
+    val frameCost = bos.toByteArray.length
+    val stream = new MsgLogMicroBatchStream(dir.toString, None, None)
+    val start = graft.sources.MsgLogOffset(Map.empty)
+    // budget for exactly 3 frames → 3 entries
+    val g3 = stream.latestOffset(start, ReadLimit.maxBytes(3L * frameCost)).json()
+    assert(g3 === """{"ledger-0000.glog":3}""", s"frameCost=$frameCost got=$g3")
+    // a budget smaller than one frame still grants one (soft limit)
+    assert(stream.latestOffset(start, ReadLimit.maxBytes(1L)).json()
+      === """{"ledger-0000.glog":1}""")
+    // chunked groups grant atomically: budget past chunk 0 pulls the group
+    val cdir = Files.createTempDirectory("glog_maxbytes_chunk_")
+    val cout = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(cdir.resolve("ledger-0000.glog"))))
+    (0 until 3).foreach(i => MsgLogCodec.writeMessageAuto(cout, bigFrame(i.toLong, 2500),
+      MsgLogCodec.CodecNone, 1024))
+    cout.close()
+    val cstream = new MsgLogMicroBatchStream(cdir.toString, None, None)
+    val cg = cstream.latestOffset(start, ReadLimit.maxBytes(1L)).json()
+    assert(cg === """{"ledger-0000.glog":1}""", cg) // one whole group, not a torn slice
+    // end-to-end paced drain under a byte budget loses nothing
+    val name = "msglog_maxbytes_stream_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("maxBytesPerTrigger", (2L * frameCost).toString)
+      .load(dir.toString)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table(name).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 10L))
+  }
+
   test("min/max trigger options build the matching default read limit") {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows, ReadMinRows}
     val dir = Files.createTempDirectory("glog_limit_opts_").toString
