@@ -488,12 +488,30 @@ object MsgLogCodec {
       return ChunkPiece(uuidHi, uuidLo, cid, n, envelope,
         decompress(stored, (flags & CodecMask).toByte))
     }
-    checkCount(rawCount) // CRC holds: an invalid count is a writer bug
+    Entries(decodeCheckedPlain(checked))
+  }
+
+  /** Decode the checked region of a NON-chunk frame (flags byte +
+    * optional batch count + stored payload) into its messages — the ONE
+    * implementation behind the verified read path and the DLQ's lenient
+    * decode, so the two cannot drift on a wire-format change. An invalid
+    * count here is a writer bug or unverified corruption and raises.
+    */
+  private def decodeCheckedPlain(checked: Array[Byte]): Array[MsgFrame] = {
+    val flags = checked(0) & 0xFF
+    val batched = (flags & BatchFlag) != 0
+    val count =
+      if (batched) {
+        if (checked.length < 5)
+          throw new java.io.IOException("graft-msglog: truncated batch header")
+        java.nio.ByteBuffer.wrap(checked, 1, 4).getInt
+      } else 1
+    checkCount(count)
     val headerLen = if (batched) 5 else 1
     val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
     val payload = decompress(stored, (flags & CodecMask).toByte)
     val buf = java.nio.ByteBuffer.wrap(payload)
-    Entries(Array.fill(rawCount)(decodeBody(buf, envelope)))
+    Array.fill(count)(decodeBody(buf, (flags & EnvelopeFlag) != 0))
   }
 
   /** Decode the next frame's messages, verifying the checksum (corrupt
@@ -606,23 +624,36 @@ object MsgLogCodec {
     * stream positioned at its chunk 0. The stream must support
     * mark/reset ([[SeekMarkLimit]]).
     */
-  def seekToEntry(in: DataInputStream, from: Long): Long = {
-    var entry = 0L
+  def seekToEntry(in: DataInputStream, from: Long): Long =
+    seekFrames(in, from, 0L)._1
+
+  /** The seek walk with byte accounting: starting at a frame boundary
+    * whose next entry ordinal is `entry0`, skip frames wholly below
+    * `from`, returning the `(entry, bytesConsumed)` boundary reached —
+    * the resume coordinates byte-budget admission memoizes.
+    */
+  private[sources] def seekFrames(in: DataInputStream, from: Long,
+      entry0: Long): (Long, Long) = {
+    var entry = entry0
+    var bytes = 0L
     var inSkippedGroup = false
     while (true) {
       in.mark(SeekMarkLimit)
       readFrameHeader(in) match {
-        case None => return entry
+        case None => return (entry, bytes)
         case Some(h) =>
-          if (h.isChunkCont && inSkippedGroup) skipPayload(in, h) // claims 0 entries
-          else if (entry < from && entry + h.claimedCount <= from) {
+          if (h.isChunkCont && inSkippedGroup) { // claims 0 entries
             skipPayload(in, h)
+            bytes += 4L + h.totalSize
+          } else if (entry < from && entry + h.claimedCount <= from) {
+            skipPayload(in, h)
+            bytes += 4L + h.totalSize
             entry += h.claimedCount
             inSkippedGroup = h.chunkId == 0
-          } else { in.reset(); return entry }
+          } else { in.reset(); return (entry, bytes) }
       }
     }
-    entry // unreachable
+    (entry, bytes) // unreachable
   }
 
   /** Reassembles chunk groups from consecutive [[ChunkPiece]] frames.
@@ -694,6 +725,14 @@ object MsgLogCodec {
     }
   }
 
+  /** A byte-budget admission walk's result: the granted entry frontier
+    * plus the frame-boundary coordinates reached, which the next walk
+    * can resume from ([[entriesWithinBytes]]'s `resumeEntry`/
+    * `resumeBytes`) so per-trigger cost stays O(granted frames) instead
+    * of re-walking the consumed prefix every trigger.
+    */
+  case class ByteWalk(frontier: Long, resumeEntry: Long, resumeBytes: Long)
+
   /** Entries admissible from `fromEntry` within a wire-byte budget: walk
     * frame headers (no decode, no CRC) summing each frame's on-disk cost
     * (size prefix + frame) until the budget is exhausted, returning the
@@ -702,14 +741,26 @@ object MsgLogCodec {
     * larger than the budget still makes progress), and a chunk group is
     * granted atomically with its chunk 0 (its continuation frames claim
     * no entries, and the reader reads the whole group for the group's
-    * one entry anyway).
+    * one entry anyway). `resumeEntry`/`resumeBytes` — a frame boundary
+    * from a previous walk's [[ByteWalk]], with `resumeEntry <= fromEntry`
+    * — let the walk fast-skip the already-walked prefix in one raw skip.
     */
   def entriesWithinBytes(path: java.nio.file.Path, fromEntry: Long,
-      byteBudget: Long): Long = {
+      byteBudget: Long, resumeEntry: Long = 0L, resumeBytes: Long = 0L): ByteWalk = {
+    require(resumeEntry <= fromEntry,
+      s"entriesWithinBytes: resumeEntry $resumeEntry past fromEntry $fromEntry")
     val in = new DataInputStream(
       new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(path)))
     try {
-      var entry = seekToEntry(in, fromEntry)
+      var toSkip = resumeBytes
+      while (toSkip > 0) {
+        val s = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+        if (s <= 0)
+          throw new java.io.IOException("graft-msglog: truncated ledger (stale resume point)")
+        toSkip -= s
+      }
+      val (entry, seekBytes) = seekFrames(in, fromEntry, resumeEntry)
+      var boundaryBytes = resumeBytes + seekBytes
       var spent = 0L
       var granted = 0L
       var more = true
@@ -725,11 +776,12 @@ object MsgLogCodec {
             else {
               skipPayload(in, h)
               spent += cost
+              boundaryBytes += cost
               granted += h.claimedCount
             }
         }
       }
-      entry + granted
+      ByteWalk(entry + granted, entry + granted, boundaryBytes)
     } finally in.close()
   }
 
@@ -817,21 +869,9 @@ object MsgLogCodec {
     try {
       if (bytes.length < 9) return Left("truncated frame (shorter than size+crc+flags)")
       val checked = java.util.Arrays.copyOfRange(bytes, 8, bytes.length)
-      val flags = checked(0) & 0xFF
-      if ((flags & ChunkFlag) != 0)
+      if ((checked(0) & ChunkFlag) != 0)
         return Left("chunk frame: reassemble from its .part siblings by group uuid")
-      val batched = (flags & BatchFlag) != 0
-      val count =
-        if (batched) {
-          if (checked.length < 5) return Left("truncated batch header")
-          java.nio.ByteBuffer.wrap(checked, 1, 4).getInt
-        } else 1
-      checkCount(count)
-      val headerLen = if (batched) 5 else 1
-      val stored = java.util.Arrays.copyOfRange(checked, headerLen, checked.length)
-      val payload = decompress(stored, (flags & CodecMask).toByte)
-      val buf = java.nio.ByteBuffer.wrap(payload)
-      Right(Array.fill(count)(decodeBody(buf, (flags & EnvelopeFlag) != 0)))
+      Right(decodeCheckedPlain(checked))
     } catch {
       case e: Exception =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName))

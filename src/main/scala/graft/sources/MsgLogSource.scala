@@ -459,17 +459,25 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       MsgLogReaderFactory(required, readerPredicates, deadLetter, sessionTz)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val minRows = MsgLogScan.longOption(options, "minRowsPerTrigger", min = 1L)
+    val delay = MsgLogScan.longOption(options, "maxTriggerDelayMs", min = 0L)
+    // a delay without a min-rows gate is a silent no-op — refuse, like
+    // the Kafka source refuses maxTriggerDelay without minOffsetsPerTrigger
+    if (delay.isDefined && minRows.isEmpty)
+      throw new IllegalArgumentException(
+        "graft-msglog: maxTriggerDelayMs requires minRowsPerTrigger (it is the " +
+          "escape hatch of the min-rows gate and does nothing alone)")
     new MsgLogMicroBatchStream(path, topics,
-      Option(options.get("maxRowsPerTrigger")).map(_.toLong), required,
+      MsgLogScan.longOption(options, "maxRowsPerTrigger", min = 1L), required,
       readerPredicates, startingCounts, deadLetter, topicEq,
       delayedDelivery = Option(options.get("delayedDelivery")).exists(_.toBoolean),
       nowUsOverride = Option(options.get("delayedDeliveryNowUs")).map(_.toLong),
       sessionTz = sessionTz, minPartitions = minPartitions,
-      minRowsPerTrigger = Option(options.get("minRowsPerTrigger")).map(_.toLong),
-      maxTriggerDelayMs = Option(options.get("maxTriggerDelayMs")).map(_.toLong)
-        .getOrElse(MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      minRowsPerTrigger = minRows,
+      maxTriggerDelayMs = delay.getOrElse(MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs),
+      maxBytesPerTrigger = MsgLogScan.longOption(options, "maxBytesPerTrigger", min = 1L))
+  }
 
   private def readerPredicates: Array[MsgFrame => Boolean] =
     pushed.flatMap(MsgLogFilters.compile) ++ seekPredicate ++ keyHashPredicate
@@ -521,6 +529,21 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
 }
 
 object MsgLogScan {
+
+  /** Parse a numeric option loudly: malformed or out-of-range values
+    * name the option instead of surfacing a bare NumberFormatException
+    * (or silently degrading, as an unchecked negative budget would). */
+  private[sources] def longOption(options: CaseInsensitiveStringMap,
+      name: String, min: Long): Option[Long] =
+    Option(options.get(name)).map { s =>
+      val n = try s.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"graft-msglog: invalid $name '$s'")
+      }
+      if (n < min) throw new IllegalArgumentException(
+        s"graft-msglog: $name $n must be >= $min")
+      n
+    }
 
   /** Allocate ~`minPartitions` contiguous entry-range slices over
     * per-ledger backlogs, proportionally to backlog size. Input rows are
@@ -738,6 +761,7 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     val liveKeys = live.iterator.map(_.key).toSet
     countCache.keySet.removeIf(k => !liveKeys.contains(k))
     delayCache.keySet.removeIf(k => !liveKeys.contains(k))
+    byteWalkMemo.keySet.removeIf(k => !liveKeys.contains(k))
     counts
   }
 
@@ -788,8 +812,15 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     */
   @volatile private var lastAdvanceMs: Long = clockNowUs() / 1000L
 
+  /** The min-rows gate NEVER binds under Trigger.AvailableNow (`frozen`
+    * set): an AvailableNow run's contract is "drain the snapshot and
+    * stop", and a closed gate would strand the sub-minimum tail — or the
+    * whole backlog — unread (the Kafka source bypasses
+    * minOffsetsPerTrigger under AvailableNow for the same reason).
+    */
   private def minGateOpen(m: ReadMinRows, from: Map[String, Long],
       listing: Seq[(String, Long)]): Boolean = {
+    if (frozen.isDefined) return true
     val backlog = listing.map { case (k, t) => math.max(0L, t - from.getOrElse(k, 0L)) }.sum
     backlog >= m.minRows || (clockNowUs() / 1000L) - lastAdvanceMs >= m.maxTriggerDelayMs
   }
@@ -854,6 +885,18 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     * every backlogged ledger advances at least one frame, so a message
     * larger than its share still makes progress.
     */
+  /** Per-ledger frame-boundary resume points for byte-budget walks
+    * ((entry, byteOffset) of the last walked boundary): without them
+    * every trigger re-walks the consumed prefix's headers — O(frontier)
+    * per trigger, the same pathology the (size, mtime) count memo
+    * eliminates for offsets. A memo is used only when its entry is at or
+    * behind the trigger's frontier (a composite clamp can move the
+    * frontier below the walked boundary; the next walk then re-walks
+    * once and re-memoizes).
+    */
+  private val byteWalkMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   private def grantBytes(from: Map[String, Long], listing: Seq[(String, Long)],
       budget: Long): Seq[(String, Long)] = {
     val backlogged = listing.filter { case (k, t) => t > from.getOrElse(k, 0L) }
@@ -862,11 +905,14 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
       val share = math.max(1L, budget / backlogged.size)
       backlogged.map { case (key, total) =>
         val f = from.getOrElse(key, 0L)
-        val granted = MsgLogCodec.entriesWithinBytes(
-          MsgLogSource.keyPath(path, key), f, share)
+        val (resumeEntry, resumeBytes) =
+          Option(byteWalkMemo.get(key)).filter(_._1 <= f).getOrElse((0L, 0L))
+        val walk = MsgLogCodec.entriesWithinBytes(
+          MsgLogSource.keyPath(path, key), f, share, resumeEntry, resumeBytes)
+        byteWalkMemo.put(key, (walk.resumeEntry, walk.resumeBytes))
         // clamp to the offered total (delayed-delivery caps bind) and
         // never regress the frontier — the max binds last
-        key -> math.max(f, math.min(total, granted))
+        key -> math.max(f, math.min(total, walk.frontier))
       }
     }
   }

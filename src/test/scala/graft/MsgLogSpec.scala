@@ -1278,6 +1278,76 @@ class MsgLogSpec extends SparkTestBase {
       === (0L until 10L))
   }
 
+  test("minRowsPerTrigger never strands an AvailableNow drain") {
+    // AvailableNow's contract is "drain the snapshot and stop": a closed
+    // min gate must not leave the sub-minimum tail (here: the whole
+    // 5-row backlog) unread — the gate bypasses when the snapshot is
+    // frozen, like the Kafka source under the same trigger
+    val dir = Files.createTempDirectory("glog_minrows_an_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 5).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
+    out.close()
+    val name = "msglog_minrows_an_test"
+    val q = spark.readStream.format("graft-msglog")
+      .option("minRowsPerTrigger", "100") // far above the backlog
+      .load(dir.toString)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow run did not terminate")
+    assert(spark.table(name).count() === 5)
+  }
+
+  test("byte-budget walks resume from the memoized boundary, not file start") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("glog_bytememo_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 9).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
+    out.close()
+    val bos = new ByteArrayOutputStream()
+    MsgLogCodec.writeFrame(new DataOutputStream(bos), frame(0L))
+    val frameCost = bos.toByteArray.length.toLong
+    // direct codec check: a resume point equal to 3 frames skips them raw
+    val w1 = MsgLogCodec.entriesWithinBytes(
+      dir.resolve("ledger-0000.glog"), 0L, 3L * frameCost)
+    assert(w1.frontier === 3L && w1.resumeEntry === 3L && w1.resumeBytes === 3L * frameCost)
+    val w2 = MsgLogCodec.entriesWithinBytes(
+      dir.resolve("ledger-0000.glog"), w1.frontier, 3L * frameCost,
+      w1.resumeEntry, w1.resumeBytes)
+    assert(w2.frontier === 6L && w2.resumeBytes === 6L * frameCost)
+    // stream path: successive triggers advance 3 entries each
+    val stream = new MsgLogMicroBatchStream(dir.toString, None, None)
+    val o1 = stream.latestOffset(
+      graft.sources.MsgLogOffset(Map.empty), ReadLimit.maxBytes(3L * frameCost))
+    assert(o1.json() === """{"ledger-0000.glog":3}""")
+    val o2 = stream.latestOffset(o1, ReadLimit.maxBytes(3L * frameCost))
+    assert(o2.json() === """{"ledger-0000.glog":6}""")
+    val o3 = stream.latestOffset(o2, ReadLimit.maxBytes(3L * frameCost))
+    assert(o3.json() === """{"ledger-0000.glog":9}""")
+  }
+
+  test("trigger options are validated loudly, incl. a delay without its gate") {
+    val dir = Files.createTempDirectory("glog_opt_check_").toString
+    seqBatch(0 until 3).write.format("graft-msglog").mode("append").save(dir)
+    def startWith(opts: (String, String)*): Unit = {
+      var r = spark.readStream.format("graft-msglog")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir).writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val exDelay = intercept[Exception] { startWith("maxTriggerDelayMs" -> "1000") }
+    assert(causeMessages(exDelay).exists(_.contains("requires minRowsPerTrigger")),
+      causeMessages(exDelay).mkString("\n"))
+    val exBad = intercept[Exception] { startWith("minRowsPerTrigger" -> "abc") }
+    assert(causeMessages(exBad).exists(_.contains("invalid minRowsPerTrigger")),
+      causeMessages(exBad).mkString("\n"))
+    val exNeg = intercept[Exception] { startWith("maxBytesPerTrigger" -> "0") }
+    assert(causeMessages(exNeg).exists(_.contains("must be >= 1")),
+      causeMessages(exNeg).mkString("\n"))
+  }
+
   test("min/max trigger options build the matching default read limit") {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows, ReadMinRows}
     val dir = Files.createTempDirectory("glog_limit_opts_").toString
