@@ -145,6 +145,42 @@ class PipelineOpsSpec extends SparkTestBase {
     grown.foreach { case (k, n) => assert(n >= agg.getOrElse(k, 0L), k) }
   }
 
+  test("native cosine_sim is bit-identical to the higher-order reference, incl. edge semantics") {
+    import graft.operators.VectorMath
+    import spark.implicits._
+    // fixture vectors: every pairwise cosine agrees bit-for-bit
+    val pairs = emb.limit(30).select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.limit(30).select(col("vec_id").as("ib"), col("embedding").as("eb")))
+    val both = pairs.select(
+      VectorMath.cosine(col("ea"), col("eb")).as("native"),
+      VectorMath.cosineHof(col("ea"), col("eb")).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // mixed float/double inputs (IVF centroids are double arrays)
+    val mixed = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5, 1.5, 2.5))).toDF("f", "d")
+    val m = mixed.select(
+      VectorMath.cosine(col("f"), col("d")).as("native"),
+      VectorMath.cosineHof(col("f"), col("d")).as("hof")).head()
+    assert(m.getDouble(0) === m.getDouble(1))
+    // zip_with semantics: length mismatch and null elements yield NULL
+    val edges = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)), // mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0))) // null element
+      .toDF("a", "b")
+    val e = edges.select(
+      VectorMath.cosine(col("a"), col("b")).as("native"),
+      VectorMath.cosineHof(col("a"), col("b")).as("hof")).collect()
+    e.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    // SQL surface: the registered function is callable by name
+    graft.functions.CosineSim.register(spark)
+    val viaSql = spark.sql(
+      "SELECT round(cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6)").head().getDouble(0)
+    assert(viaSql === 1.0)
+  }
+
   test("decontamination: a corpus copy of a probe document is flagged; disjoint text is not") {
     import spark.implicits._
     val probe = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
