@@ -91,10 +91,7 @@ object LlmOps {
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
-        round(
-          dot(col("embedding"), col("qe")) /
-            (sqrt(sqnorm(col("embedding"))) * sqrt(sqnorm(col("qe")))),
-          6).as("cosine"))
+        VectorMath.cosine(col("embedding"), col("qe")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

@@ -60,20 +60,34 @@ object SimilarityOps {
 
   /** Sign-bucket of every vector against `numPlanes` deterministic
     * hyperplanes: bit j = [Σ_i w(i,j)·v_i > 0], bucket = Σ bit_j · 2^j.
-    * A pure per-row projection — the plane count is a plan-time
-    * constant, so all `numPlanes` projections fold in-row
-    * (zip_with/aggregate, codegen'd) and the bucket assembles as a sum of
-    * `when`s. No explode, no re-aggregation, no join: the bucket column
-    * costs the scan it rides on.
+    * A pure per-row projection — no explode, no re-aggregation, no join:
+    * the bucket column costs the scan it rides on. Dispatches to the
+    * fused native [[graft.functions.LshBucket]] expression (one codegen'd
+    * dim×planes loop) when a session is active; the higher-order form
+    * below is the sessionless fallback and numerics reference (the
+    * native expression is bit-identical — same per-plane left-to-right
+    * double sums; equivalence asserted in tests).
     */
-  private def withBucket(emb: DataFrame, numPlanes: Int): DataFrame = {
+  private[graft] def bucketColumn(numPlanes: Int): Column = {
     def proj(j: Int): Column = aggregate(
       zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
         (x, i) => ((i * 31 + lit(j) * 17) % 13 - 6).cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    val bucket = (0 until numPlanes)
+    (0 until numPlanes)
       .map(j => when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+  }
+
+  private def withBucket(emb: DataFrame, numPlanes: Int): DataFrame = {
+    val bucket = org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(spark) =>
+        graft.functions.LshBucket.register(spark)
+        // the HOF reference yields 0 (not NULL) for null input — `when`
+        // over a NULL projection falls through to otherwise(0) — so the
+        // native NULL coalesces to 0 to stay bit-compatible
+        coalesce(call_function("lsh_bucket", col("embedding"), lit(numPlanes)), lit(0L))
+      case None => bucketColumn(numPlanes)
+    }
     emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
 

@@ -181,6 +181,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(viaSql === 1.0)
   }
 
+  test("native lsh_bucket matches the higher-order bucket on the fixture, both geometries") {
+    import graft.operators.SimilarityOps
+    graft.functions.LshBucket.register(spark)
+    Seq(8, 16).foreach { planes =>
+      val both = emb.select(
+        coalesce(call_function("lsh_bucket", col("embedding"), lit(planes)), lit(0L))
+          .as("native"),
+        SimilarityOps.bucketColumn(planes).as("hof")).collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getLong(0) === r.getLong(1), s"planes=$planes"))
+    }
+  }
+
   test("decontamination: a corpus copy of a probe document is flagged; disjoint text is not") {
     import spark.implicits._
     val probe = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
