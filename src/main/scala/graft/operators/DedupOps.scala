@@ -283,11 +283,14 @@ object DedupOps {
     * overload.
     */
   def docDecontaminate(docs: DataFrame, probe: DataFrame, minShared: Int): DataFrame = {
+    graft.functions.GramMd5s.register(docs.sparkSession)
+    // gram hashing fused into the native GramMd5s loop — the composable
+    // per-gram md5(substr(...)) chain is CodegenFallback and this is the
+    // whole corpus-side scan cost
     def grams(df: DataFrame): DataFrame = df.select(
       col("doc_id"),
-      explode(array_distinct(expr(
-        s"""transform(sequence(1, greatest(length(text) - ${DecontaminateGramLen - 1}, 1)),
-             i -> md5(cast(substr(text, i, $DecontaminateGramLen) as binary)))"""))).as("g"))
+      explode(array_distinct(
+        call_function("gram_md5s", col("text"), lit(DecontaminateGramLen)))).as("g"))
     grams(docs)
       .join(broadcast(grams(probe).select("g").distinct()), "g")
       .groupBy("doc_id")

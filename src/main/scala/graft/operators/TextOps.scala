@@ -111,20 +111,34 @@ object TextOps {
       size(filter(col("w"), x => x =!= "")).as("ws_tokens"),
       expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""").as("bpe_tokens"))
 
+  /** The composable gram-hash form — the numerics/portability reference
+    * [[graft.functions.GramMd5s]] must match string-for-string (the
+    * native expression is the production path; equivalence is asserted
+    * in tests).
+    */
+  private[graft] def gramMd5sHof(gramLen: Int): org.apache.spark.sql.Column =
+    expr(s"""transform(
+               sequence(1, greatest(length(text) - ${gramLen - 1}, 1)),
+               i -> md5(cast(substr(text, i, $gramLen) as binary)))""")
+
   /** Document fingerprint: bottom-4 sketch of character-8-gram md5s — a
     * winnowing-style locality-sensitive signature (shared low hashes ⇒
-    * shared substrings). In-row transform + sort + slice; the sketch
-    * column is what a corpus-level index would be built on.
+    * shared substrings). The gram hashing runs in the fused native
+    * [[graft.functions.GramMd5s]] loop (the composable per-gram
+    * `md5(substr(...))` chain is CodegenFallback — ~2000 interpreted
+    * evaluations per document); sort + slice ride on the one produced
+    * array. The sketch column is what a corpus-level index would be
+    * built on.
     */
-  def docFingerprint(docs: DataFrame): DataFrame =
+  def docFingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GramMd5s.register(docs.sparkSession)
     docs.select(
       col("doc_id"),
-      expr("""array_join(
-                slice(array_sort(transform(
-                  sequence(1, greatest(length(text) - 7, 1)),
-                  i -> md5(cast(substr(text, i, 8) as binary)))), 1, 4),
-                '|')""").as("fingerprint"),
+      array_join(
+        slice(array_sort(call_function("gram_md5s", col("text"), lit(8))), 1, 4),
+        "|").as("fingerprint"),
       greatest(length(col("text")) - 7, lit(1)).cast("long").as("n_grams"))
+  }
 
   /** Deterministic train/val/test split — the dataset-management
     * primitive every training pipeline needs: membership is a pure

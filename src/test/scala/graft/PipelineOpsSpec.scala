@@ -181,6 +181,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(viaSql === 1.0)
   }
 
+  test("native gram_md5s matches the composable gram hashes, incl. short and empty text") {
+    import graft.operators.TextOps
+    graft.functions.GramMd5s.register(spark)
+    Seq(8, 24).foreach { len =>
+      val both = docs.select(
+        call_function("gram_md5s", col("text"), lit(len)).as("native"),
+        TextOps.gramMd5sHof(len).as("hof")).collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"len=$len")
+      }
+    }
+    import spark.implicits._
+    // shorter-than-gram and empty text: one gram of the whole text
+    val edges = Seq((1L, "abc"), (2L, ""), (3L, "ünïcödé-multibyte-text"))
+      .toDF("doc_id", "text")
+    val e = edges.select(
+      call_function("gram_md5s", col("text"), lit(8)).as("native"),
+      TextOps.gramMd5sHof(8).as("hof")).collect()
+    e.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    assert(e(0).getSeq[String](0).length === 1)
+    assert(e(1).getSeq[String](0).length === 1)
+  }
+
   test("native lsh_bucket matches the higher-order bucket on the fixture, both geometries") {
     import graft.operators.SimilarityOps
     graft.functions.LshBucket.register(spark)
