@@ -24,4 +24,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+
+  /** Register every custom SQL function of the engine in a session's
+    * registry (idempotent). Operators that need one call this with THEIR
+    * DataFrame's session — registering on the thread's active session
+    * would target the wrong registry in a multi-session JVM.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.Crc32C.register(spark)
+    graft.functions.CosineSim.register(spark)
+    graft.functions.LshBucket.register(spark)
+    graft.functions.GramMd5s.register(spark)
+  }
 }

@@ -64,7 +64,9 @@ case class LshBucket(left: Expression, right: Expression) extends BinaryExpressi
         acc += ((i * 31 + j * 17) % 13 - 6).toDouble * xi
         i += 1
       }
-      if (acc > 0) bucket |= 1L << j
+      // Spark SQL orders NaN above every value, so the reference form's
+      // `proj > 0` is TRUE for a NaN projection — mirror it exactly
+      if (acc > 0 || java.lang.Double.isNaN(acc)) bucket |= 1L << j
       j += 1
     }
     bucket
@@ -90,7 +92,7 @@ case class LshBucket(left: Expression, right: Expression) extends BinaryExpressi
          |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) (($i * 31 + $j * 17) % 13 - 6) * ${getter(i)};
          |  }
-         |  if ($acc > 0) $bucket |= 1L << $j;
+         |  if ($acc > 0 || java.lang.Double.isNaN($acc)) $bucket |= 1L << $j;
          |}
          |if (!${ev.isNull}) ${ev.value} = $bucket;
        """.stripMargin

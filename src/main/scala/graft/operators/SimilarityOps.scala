@@ -79,15 +79,15 @@ object SimilarityOps {
   }
 
   private def withBucket(emb: DataFrame, numPlanes: Int): DataFrame = {
-    val bucket = org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(spark) =>
-        graft.functions.LshBucket.register(spark)
-        // the HOF reference yields 0 (not NULL) for null input — `when`
-        // over a NULL projection falls through to otherwise(0) — so the
-        // native NULL coalesces to 0 to stay bit-compatible
-        coalesce(call_function("lsh_bucket", col("embedding"), lit(numPlanes)), lit(0L))
-      case None => bucketColumn(numPlanes)
-    }
+    // registered on the DATAFRAME's session — the active session could be
+    // a different one in a multi-session JVM, whose registry the analyzer
+    // of this plan never consults
+    graft.GraftSession.registerFunctions(emb.sparkSession)
+    // the HOF reference yields 0 (not NULL) for null input — `when` over
+    // a NULL projection falls through to otherwise(0) — so the native
+    // NULL coalesces to 0 to stay bit-compatible
+    val bucket =
+      coalesce(call_function("lsh_bucket", col("embedding"), lit(numPlanes)), lit(0L))
     emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
   }
 
@@ -103,6 +103,7 @@ object SimilarityOps {
   def embeddingNearDup(emb: DataFrame, k: Int, numPlanes: Int = NumPlanes): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62,
       s"embeddingNearDup: numPlanes $numPlanes outside 1..62 (bucket id is a Long bit-sum)")
+    graft.GraftSession.registerFunctions(emb.sparkSession)
     def pairStruct(a: Column, b: Column): Column = struct(
       a.getField("vec_id").as("vec_a"),
       b.getField("vec_id").as("vec_b"),
@@ -174,6 +175,7 @@ object SimilarityOps {
   }
 
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(emb.sparkSession)
     val centroids = lloydCentroids(emb)
     val scored = emb
       .crossJoin(broadcast(centroids))

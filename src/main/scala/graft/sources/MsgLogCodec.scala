@@ -725,13 +725,18 @@ object MsgLogCodec {
     }
   }
 
-  /** A byte-budget admission walk's result: the granted entry frontier
-    * plus the frame-boundary coordinates reached, which the next walk
-    * can resume from ([[entriesWithinBytes]]'s `resumeEntry`/
-    * `resumeBytes`) so per-trigger cost stays O(granted frames) instead
-    * of re-walking the consumed prefix every trigger.
+  /** A byte-budget admission walk's result: the granted entry frontier,
+    * the frame-boundary coordinates REACHED by the walk, and the
+    * boundary coordinates AT the requested start (`seekEntry`/
+    * `seekBytes` ≤ `fromEntry`). The next walk resumes from whichever
+    * boundary is still at/behind its own start — the reached boundary in
+    * the common case, the seek boundary when a tighter co-limit (row
+    * budget, delayed-delivery cap) clamped the committed frontier below
+    * the walked one — so per-trigger cost stays O(granted frames), never
+    * O(consumed prefix).
     */
-  case class ByteWalk(frontier: Long, resumeEntry: Long, resumeBytes: Long)
+  case class ByteWalk(frontier: Long, resumeEntry: Long, resumeBytes: Long,
+      seekEntry: Long, seekBytes: Long)
 
   /** Entries admissible from `fromEntry` within a wire-byte budget: walk
     * frame headers (no decode, no CRC) summing each frame's on-disk cost
@@ -760,7 +765,8 @@ object MsgLogCodec {
         toSkip -= s
       }
       val (entry, seekBytes) = seekFrames(in, fromEntry, resumeEntry)
-      var boundaryBytes = resumeBytes + seekBytes
+      val seekBoundaryBytes = resumeBytes + seekBytes
+      var boundaryBytes = seekBoundaryBytes
       var spent = 0L
       var granted = 0L
       var more = true
@@ -781,7 +787,7 @@ object MsgLogCodec {
             }
         }
       }
-      ByteWalk(entry + granted, entry + granted, boundaryBytes)
+      ByteWalk(entry + granted, entry + granted, boundaryBytes, entry, seekBoundaryBytes)
     } finally in.close()
   }
 

@@ -850,11 +850,18 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
         else {
           val rowGrant = ls.collectFirst { case mr: ReadMaxRows => mr }
             .map(mr => grantBudget(from, listing, mr.maxRows()))
+          // the rows grant caps the byte walk INSIDE grantBytes, so its
+          // resume memo reflects the intersected frontier (memoizing the
+          // unclamped walk would invalidate the memo every trigger when
+          // rows bind tighter — an O(consumed prefix) re-walk each time)
           val byteGrant = ls.collectFirst { case mb: ReadMaxBytes => mb }
-            .map(mb => grantBytes(from, listing, mb.maxBytes()))
+            .map(mb => grantBytes(from, listing, mb.maxBytes(),
+              rowGrant.map(_.toMap).getOrElse(Map.empty)))
           (rowGrant, byteGrant) match {
             case (Some(r), Some(b)) =>
               // both budgets bind: per-ledger intersection of the grants
+              // (byte grants are already rows-capped; keys with no byte
+              // backlog keep the rows grant)
               val bm = b.toMap
               r.map { case (k, n) => k -> math.min(n, bm.getOrElse(k, n)) }
             case (Some(r), None) => r
@@ -898,7 +905,7 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   private def grantBytes(from: Map[String, Long], listing: Seq[(String, Long)],
-      budget: Long): Seq[(String, Long)] = {
+      budget: Long, cap: Map[String, Long] = Map.empty): Seq[(String, Long)] = {
     val backlogged = listing.filter { case (k, t) => t > from.getOrElse(k, 0L) }
     if (backlogged.isEmpty) Seq.empty
     else {
@@ -909,10 +916,21 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
           Option(byteWalkMemo.get(key)).filter(_._1 <= f).getOrElse((0L, 0L))
         val walk = MsgLogCodec.entriesWithinBytes(
           MsgLogSource.keyPath(path, key), f, share, resumeEntry, resumeBytes)
-        byteWalkMemo.put(key, (walk.resumeEntry, walk.resumeBytes))
-        // clamp to the offered total (delayed-delivery caps bind) and
-        // never regress the frontier — the max binds last
-        key -> math.max(f, math.min(total, walk.frontier))
+        // clamp to the offered total (delayed-delivery caps bind) and a
+        // co-limit's per-key cap (the composite rows grant), never
+        // regressing the frontier — the max binds last
+        val ceiling = math.min(total, cap.getOrElse(key, Long.MaxValue))
+        val granted = math.max(f, math.min(ceiling, walk.frontier))
+        // memoize the walked boundary only when the grant actually
+        // reached it; a clamped grant keeps the SEEK boundary (≤ this
+        // trigger's frontier ≤ the next one's), so a persistently
+        // tighter co-limit re-walks one grant's frames per trigger, not
+        // the whole consumed prefix from byte 0
+        if (granted >= walk.resumeEntry)
+          byteWalkMemo.put(key, (walk.resumeEntry, walk.resumeBytes))
+        else
+          byteWalkMemo.put(key, (walk.seekEntry, walk.seekBytes))
+        key -> granted
       }
     }
   }

@@ -1327,6 +1327,30 @@ class MsgLogSpec extends SparkTestBase {
     assert(o3.json() === """{"ledger-0000.glog":9}""")
   }
 
+  test("byte-walk memo survives a tighter co-limit: composite grants stay incremental") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("glog_bytememo_comp_")
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
+    (0 until 9).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
+    out.close()
+    val bos = new ByteArrayOutputStream()
+    MsgLogCodec.writeFrame(new DataOutputStream(bos), frame(0L))
+    val frameCost = bos.toByteArray.length.toLong
+    // rows budget (2) binds tighter than the byte budget (5 frames):
+    // every trigger advances 2 and the memo must track the COMMITTED
+    // frontier, not the over-walked one
+    val comp = ReadLimit.compositeLimit(Array(
+      ReadLimit.maxRows(2L), ReadLimit.maxBytes(5L * frameCost)))
+    val stream = new MsgLogMicroBatchStream(dir.toString, None, None)
+    var off: org.apache.spark.sql.connector.read.streaming.Offset =
+      graft.sources.MsgLogOffset(Map.empty)
+    (1 to 4).foreach { step =>
+      off = stream.latestOffset(off, comp)
+      assert(off.json() === s"""{"ledger-0000.glog":${2 * step}}""", s"step $step")
+    }
+  }
+
   test("trigger options are validated loudly, incl. a delay without its gate") {
     val dir = Files.createTempDirectory("glog_opt_check_").toString
     seqBatch(0 until 3).write.format("graft-msglog").mode("append").save(dir)

@@ -216,6 +216,15 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(both.nonEmpty)
       both.foreach(r => assert(r.getLong(0) === r.getLong(1), s"planes=$planes"))
     }
+    // NaN projections: Spark SQL orders NaN above zero, so `proj > 0` is
+    // TRUE — the native bit must set identically
+    import spark.implicits._
+    val weird = Seq((1L, Seq(Float.NaN, 1.0f)), (2L, Seq(Float.PositiveInfinity, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val w = weird.select(
+      coalesce(call_function("lsh_bucket", col("embedding"), lit(8)), lit(0L)).as("native"),
+      SimilarityOps.bucketColumn(8).as("hof")).collect()
+    w.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
   }
 
   test("decontamination: a corpus copy of a probe document is flagged; disjoint text is not") {
