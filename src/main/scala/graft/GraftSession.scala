@@ -35,5 +35,7 @@ object GraftSession {
     graft.functions.CosineSim.register(spark)
     graft.functions.LshBucket.register(spark)
     graft.functions.GramMd5s.register(spark)
+    graft.functions.MinhashBands.register(spark)
+    graft.functions.Simhash60.register(spark)
   }
 }

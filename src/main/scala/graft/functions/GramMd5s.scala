@@ -42,7 +42,12 @@ case class GramMd5s(left: Expression, right: Expression) extends BinaryExpressio
         s"gram_md5s requires STRING input, got ${left.dataType.catalogString}")
     else if (right.dataType != IntegerType || !right.foldable)
       TypeCheckResult.TypeCheckFailure("gram_md5s requires a literal INT gram length")
-    else TypeCheckResult.TypeCheckSuccess
+    else right.eval() match {
+      // reject a bad length at ANALYSIS, not mid-query on an executor
+      case l: Int if l < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"gram_md5s: gram length $l must be >= 1")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
 
   override def nullSafeEval(t: Any, l: Any): Any =
     GramMd5s.compute(t.asInstanceOf[UTF8String], l.asInstanceOf[Int])
@@ -61,17 +66,33 @@ object GramMd5s {
 
   def compute(text: UTF8String, gramLen: Int): ArrayData = {
     require(gramLen >= 1, s"gram_md5s: gram length $gramLen must be >= 1")
+    val bytes = text.getBytes
     val n = text.numChars()
     val count = math.max(n - gramLen + 1, 1)
+    // Character start offsets, computed in ONE pass. The first version
+    // located gram i with substringSQL(i+1, L) — a walk from the buffer
+    // start per gram, O(N²) char steps over an N-char document. Gram
+    // positions stay CHARACTER-based (substr()'s semantics, same
+    // numBytesForFirstByte walk), so multi-byte text hashes identically
+    // to the composable form and the DuckDB oracle.
+    val off = new Array[Int](n + 1)
+    var c = 0
+    var b = 0
+    while (c < n) {
+      off(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    off(n) = bytes.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Any](count)
     var i = 0
     while (i < count) {
-      // substringSQL is 1-based and character-counted — substr()'s exact
-      // semantics, so multi-byte text grams match the composable form
-      val gram = text.substringSQL(i + 1, gramLen)
+      val start = off(i)
+      val end = off(math.min(i + gramLen, n))
       md.reset()
-      val digest = md.digest(gram.getBytes)
+      md.update(bytes, start, end - start)
+      val digest = md.digest()
       val hex = new Array[Char](32)
       var j = 0
       while (j < 16) {

@@ -105,27 +105,25 @@ object DedupOps {
 
   /** MinHash + LSH banding: shingle → per-seed min-hash (min-wise over the
     * md5 order, seeded by prefixing the seed) → band signature (md5 of the
-    * band's minhash pair) → candidate pairs within each band bucket. The
-    * plan is explode → map-side-combined min-aggregate → band aggregate →
-    * bucket aggregate → in-row pair enumeration: one linear pipeline,
-    * every shuffle key a uniform hash, no self-join recompute. Output:
-    * (doc_a, doc_b, n_bands) candidate pairs.
+    * band's minhash pair) → candidate pairs within each band bucket.
+    * Output: (doc_a, doc_b, n_bands) candidate pairs.
+    *
+    * Shingling, the 8 seeded minhashes, and the 4 band signatures are all
+    * PER-DOCUMENT arithmetic, so they fuse into one native projection
+    * ([[graft.functions.MinhashBands]], a codegen'd shingles × seeds MD5
+    * loop). The first formulation exploded shingles × 8 seeds through two
+    * aggregation exchanges before bucketing — a 100 TB corpus paid three
+    * shuffles where the data demands one. Here the plan is scan →
+    * project → posexplode(4 sigs) → band-bucket groupBy: the bucket
+    * aggregation is the ONLY corpus-wide exchange (the pair-count groupBy
+    * downstream shuffles candidates, not corpus).
     */
   def docMinhashLsh(docs: DataFrame): DataFrame = {
-    val shingled = tokenized(docs)
-      .select(col("doc_id"), explode(expr(SHINGLES)).as("s"))
-    val minhash = shingled
-      .select(col("doc_id"), explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"), col("s"))
-      .select(
-        col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("s")).cast("binary")).as("h"))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("mh"))
-    val bands = minhash
-      .groupBy(col("doc_id"), expr(s"seed div $RowsPerBand").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
-        "|").cast("binary")).as("sig"))
+    graft.functions.MinhashBands.register(docs.sparkSession)
+    val bands = tokenized(docs)
+      .select(col("doc_id"),
+        posexplode(call_function("minhash_bands",
+          col("w"), lit(NumSeeds), lit(RowsPerBand))).as(Seq("band", "sig")))
     groupMembers(bands, Seq(col("band"), col("sig")), col("doc_id"),
         col("doc_id"), "minhash_bucket_overflow")
       .select(explode(memberPairs(col("m"),
@@ -140,14 +138,26 @@ object DedupOps {
     * candidates come from joining on fingerprint blocks (pigeonhole over
     * hamming distance) — this op emits the fingerprint itself.
     *
-    * Computed entirely IN-ROW: the first formulation exploded
-    * tokens × 60 bit-positions through two shuffled aggregations — a 60×
-    * row blowup of the corpus for what is per-document arithmetic. Here
-    * the token hashes fold into a 60-vote accumulator array and then
-    * into the fingerprint inside one projection: zero shuffles, zero
-    * blowup, identical integer results (the oracle is unchanged).
+    * Computed entirely IN-ROW — zero shuffles, zero row blowup — and
+    * natively: the token-hash + 60-bit vote fold runs as one codegen'd
+    * loop ([[graft.functions.Simhash60]]). The composable higher-order
+    * fold below ([[docSimhashHof]]) is the numerics reference the native
+    * expression matches bit-for-bit (equivalence asserted in tests);
+    * identical integer results, oracle unchanged.
     */
-  def docSimhash(docs: DataFrame): DataFrame =
+  def docSimhash(docs: DataFrame): DataFrame = {
+    graft.functions.Simhash60.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        call_function("simhash60", split(trim(lower(col("text"))), "\\s+")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The composable higher-order formulation of [[docSimhash]] —
+    * CodegenFallback (tokens × 60 interpreted lambda evaluations per
+    * document), kept as the portability/numerics REFERENCE the fused
+    * native expression must match bit-for-bit. */
+  private[graft] def docSimhashHof(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), expr(
         """transform(
@@ -238,14 +248,22 @@ object DedupOps {
     * exact integer ratio (unrounded: identical in every engine).
     *
     * The verify stage reads the corpus ONCE: each candidate pair explodes
-    * into its two doc sides, the (tiny, broadcast) sides join the shingle
-    * sets in one pass, and the pair regroups in a shuffle proportional to
-    * the CANDIDATE count, not the corpus. (The first formulation joined
+    * into its two doc sides, the sides join the shingle sets in one
+    * pass, and the pair regroups in a shuffle proportional to the
+    * CANDIDATE count, not the corpus. (The first formulation joined
     * `shingles` twice — two full tokenize+shingle computations of every
     * document per run.) Jaccard is symmetric, so the collected side
     * order does not matter. At 100 TB you additionally persist/checkpoint
     * `candidates` between the stages — kept stateless here because the
     * driver contract re-runs each query cold.
+    *
+    * The candidate side is deliberately NOT broadcast-hinted: candidate
+    * count is proportional to the corpus's duplicate DENSITY (web corpora
+    * run 30-50% duplicates), so the "small" side is O(corpus) rows at
+    * 100 TB — an unconditional broadcast is a driver/executor OOM waiting
+    * for scale. A plain shuffle join on `doc_id` costs one exchange of
+    * the candidate list either way; AQE may still elect a runtime
+    * broadcast when the measured size is genuinely small.
     */
   def docLshVerifiedDups(docs: DataFrame): DataFrame = {
     val candidates = docMinhashLsh(docs)
@@ -254,7 +272,7 @@ object DedupOps {
       .select(struct(col("doc_a"), col("doc_b"), col("n_bands")).as("pair"))
       .select(col("pair"),
         explode(array(col("pair.doc_a"), col("pair.doc_b"))).as("doc_id"))
-    broadcast(sides).join(shingles, "doc_id")
+    sides.join(shingles, "doc_id")
       .groupBy("pair")
       .agg(collect_list(col("sh")).as("m"))
       .select(

@@ -205,6 +205,61 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(e(1).getSeq[String](0).length === 1)
   }
 
+  test("native minhash_bands matches the composable explode/min-agg/band-agg formulation") {
+    graft.functions.MinhashBands.register(spark)
+    import DedupOps.{NumSeeds, RowsPerBand}
+    import spark.implicits._
+    // multibyte + short-doc edges ride along with the fixture corpus
+    val corpus = docs.select("doc_id", "text").unionByName(Seq(
+      (200001L, "ünïcödé tökens ärrive hère tödäy"),
+      (200002L, "exactly three tokens"),
+      (200003L, "two tokens"), // < 3 tokens: no shingles, no bands
+      (200004L, "a a a a a")) // duplicate shingles: distinct is a min no-op
+      .toDF("doc_id", "text"))
+    val toks = corpus
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+    // the pre-fusion reference: shingle explode → 8× seed explode →
+    // min-aggregate → band aggregate
+    val ref = toks
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(w) - 2, 0)),
+             i -> array_join(slice(w, i, 3), ' ')))""")).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(NumSeeds - 1))).as("seed"), col("s"))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("s")).cast("binary")).as("h"))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"), expr(s"seed div $RowsPerBand").cast("int").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
+        "|").cast("binary")).as("sig"))
+    val native = toks.select(col("doc_id"),
+      posexplode(call_function("minhash_bands", col("w"), lit(NumSeeds), lit(RowsPerBand)))
+        .as(Seq("band", "sig")))
+    assert(native.count() === ref.count())
+    assert(native.count() > 0)
+    assert(native.exceptAll(ref.select(col("doc_id"), col("band"), col("sig"))).count() === 0)
+    // a sub-3-token doc yields an empty band array (explode drops the row)
+    assert(native.filter(col("doc_id") === 200003L).count() === 0)
+  }
+
+  test("native simhash60 matches the higher-order fold, incl. empty and whitespace docs") {
+    val native = DedupOps.docSimhash(docs)
+    val ref = DedupOps.docSimhashHof(docs)
+    assert(native.count() === ref.count())
+    assert(native.count() > 0)
+    assert(native.exceptAll(ref).count() === 0)
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "ünïcödé tökens häre"), (4L, "one"))
+      .toDF("doc_id", "text")
+    val n = DedupOps.docSimhash(edge).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = DedupOps.docSimhashHof(edge).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === r)
+    assert(!n.contains(1L) && !n.contains(2L)) // token-less docs drop in both
+  }
+
   test("native lsh_bucket matches the higher-order bucket on the fixture, both geometries") {
     import graft.operators.SimilarityOps
     graft.functions.LshBucket.register(spark)

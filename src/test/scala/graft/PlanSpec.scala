@@ -72,6 +72,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LessThan(user_id,10)"), p)
   }
 
+  test("doc_minhash_lsh fuses signatures in-row: no join, at most two exchanges") {
+    // the pre-fusion shape exploded shingles × 8 seeds through two extra
+    // aggregation exchanges — the fused plan's only corpus-wide shuffle
+    // is the band-bucket groupBy (the second exchange moves candidates)
+    val p = plan("doc_minhash_lsh")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, p)
+  }
+
+  test("doc_lsh_verified_dups does not broadcast-hint the candidate side") {
+    // candidate count scales with duplicate density — an unconditional
+    // broadcast is O(corpus) at 100 TB; AQE may still elect one at runtime
+    val o = SparkEntry.queries("doc_lsh_verified_dups")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!o.contains("strategy=broadcast"), o)
+  }
+
   test("doc_decontaminate broadcasts the probe grams: no corpus-side shuffle join") {
     val p = plan("doc_decontaminate")
     // the benchmark side is small by nature — the corpus must stream
