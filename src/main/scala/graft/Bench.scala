@@ -38,13 +38,21 @@ object Bench {
         try run()
         catch { case scala.util.control.NonFatal(_) => () } // reported by the timed pass
       }
-      val t0 = System.nanoTime()
-      try run()
-      catch {
-        case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      // Streaming keys swing 2-5× run-to-run even warm (state-store +
+      // AvailableNow setup dominates at fixture scale, r5 verdict #4):
+      // report the MEDIAN of 3 timed runs so cross-round comparisons
+      // measure the plan. Batch keys are stable warm; one run each.
+      val reps = if (name.startsWith("stream_")) 3 else 1
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run()
+        catch {
+          case e: Throwable =>
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply(reps / 2)
     }
     def esc(s: String): String =
       s.flatMap {
@@ -55,6 +63,9 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // r5's recorded BENCH lost its tail to a truncated stdout capture:
+    // flush before the Spark shutdown log burst can interleave
+    System.out.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -561,7 +561,10 @@ object MsgLogScan {
     // proportional floor apportionment — at least one slice per ledger,
     // never more slices than entries
     val n = sizes.map { b =>
-      val quota = if (total == 0) 0L else b * minPartitions / total
+      // quota in floating point: b * minPartitions would overflow Long
+      // for a huge backlog × large partition count, silently degrading
+      // the split to 1 slice via the negative-clamp
+      val quota = if (total == 0) 0L else (b.toDouble * minPartitions / total).toLong
       math.min(math.max(1L, b), math.max(1L, quota))
     }.toArray
     // greedy top-up to the requested parallelism where backlog allows:
@@ -1127,7 +1130,14 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
   }
 
   private def divertToDlq(raw: Array[Byte]): Unit = {
-    val name = s"${Paths.get(p.file).getFileName}-$entry.frame"
+    // CONTENT-addressed name: under minPartitions slicing, a corrupt
+    // frame straddling a slice boundary is re-read by the adjacent
+    // slice's reader under a different reader-local entry ordinal, so an
+    // ordinal-keyed name would divert the same frame twice; hashing the
+    // verbatim bytes collapses duplicate diversions to one file
+    val d = java.security.MessageDigest.getInstance("MD5").digest(raw)
+    val hex = d.take(8).map(b => f"$b%02x").mkString
+    val name = s"${Paths.get(p.file).getFileName}-$hex.frame"
     Files.write(dlqDir().resolve(name), raw)
   }
 

@@ -85,7 +85,17 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val sink = spark.table(name)
+    // The memory sink already holds every batch on the DRIVER (that is
+    // its contract — safe only because these results are small final
+    // aggregates). Re-materializing as a local relation adds no new
+    // driver exposure and lets the sink's temp view DROP immediately:
+    // without this, every run (bench warm-up + timed passes) leaked a
+    // graft_stream_N table holding its rows for the session's lifetime.
+    val local = spark.createDataFrame(sink.collectAsList(), sink.schema)
+    spark.catalog.dropTempView(name)
+    local
   }
 
   /** Tumbling 1-hour event-time window with watermark: the streaming form
