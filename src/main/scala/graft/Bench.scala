@@ -43,26 +43,34 @@ object Bench {
       // report the MEDIAN of 3 timed runs so cross-round comparisons
       // measure the plan. Batch keys are stable warm; one run each.
       val reps = if (name.startsWith("stream_")) 3 else 1
-      val times = (0 until reps).map { _ =>
+      // A failed rep's near-zero elapsed time must not enter the median
+      // (it would understate a partially failing query): keep successful
+      // times only and stop repeating on the first error — the error is
+      // reported and forces exit(1) regardless.
+      val times = Iterator.range(0, reps).map { _ =>
         val t0 = System.nanoTime()
-        try run()
+        try { run(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            None
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.sorted.apply(reps / 2)
+      }.takeWhile(_.isDefined).flatten.toSeq
+      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
     }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    val qs = results.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
+    // ms precision: full nanosecond digits ballooned the line past the
+    // driver's stdout-tail capture (BENCH_r05/r06 both lost their head);
+    // 60 keys at 3 decimals keep the whole line inside the window
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // r5's recorded BENCH lost its tail to a truncated stdout capture:
     // flush before the Spark shutdown log burst can interleave
     System.out.flush()
