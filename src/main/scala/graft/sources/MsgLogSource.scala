@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.DataInputStream
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -53,7 +53,7 @@ class MsgLogSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     MsgLogSource.schemaFor(options.containsKey("topics"),
-      Option(options.get("payloadSchema")))
+      MsgLogSource.effectivePayloadDdl(options))
 
   override def getTable(
       schema: StructType,
@@ -119,6 +119,21 @@ object MsgLogSource {
         StructType(base.fields :+ StructField("payload", st, nullable = true))
     }
   }
+
+  /** The payload DDL a read decodes under: the explicit `payloadSchema`
+    * option, else the topic's REGISTERED schema (`<dir>/.schema`, the
+    * reference consumer's `GetSchema` handshake — a consumer of a
+    * schema'd topic gets the typed `payload` column without restating the
+    * DDL). Registry discovery is single-topic only: a namespace union's
+    * members may disagree, and the reference resolves schemas per topic.
+    */
+  def effectivePayloadDdl(options: CaseInsensitiveStringMap,
+      pathOverride: String = null): Option[String] =
+    Option(options.get("payloadSchema")).orElse {
+      if (options.containsKey("topics")) None
+      else Option(pathOverride).orElse(Option(options.get("path")))
+        .flatMap(MsgLogSchemaRegistry.readDdl)
+    }
 
   /** Stable `ledger` coordinate for a ledger file: a positive 63-bit hash
     * of its offset KEY (topic-qualified name — first 8 bytes of md5).
@@ -200,20 +215,7 @@ object MsgLogSource {
         LedgerRef("", name, p)
       }
     case Some(spec) =>
-      val matchers = splitTopicsSpec(spec).map(p =>
-        java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
-      val base = Paths.get(path)
-      val dirs =
-        if (!Files.isDirectory(base)) Seq.empty
-        else {
-          val stream = Files.list(base)
-          try stream.iterator().asScala.toSeq
-            .filter(Files.isDirectory(_))
-            .filter(d => matchers.exists(_.matches(d.getFileName)))
-            .sortBy(_.getFileName.toString)
-          finally stream.close()
-        }
-      dirs.flatMap { d =>
+      topicDirs(path, spec).flatMap { d =>
         val topic = d.getFileName.toString
         checkKeySafe("topic name", topic)
         ledgerFiles(d.toString).map { p =>
@@ -222,6 +224,22 @@ object MsgLogSource {
           LedgerRef(topic, name, p)
         }
       }
+  }
+
+  /** The namespace dirs a `topics=` spec selects, in name order. */
+  private[sources] def topicDirs(path: String, spec: String): Seq[Path] = {
+    val matchers = splitTopicsSpec(spec).map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$p"))
+    val base = Paths.get(path)
+    if (!Files.isDirectory(base)) Seq.empty
+    else {
+      val stream = Files.list(base)
+      try stream.iterator().asScala.toSeq
+        .filter(Files.isDirectory(_))
+        .filter(d => matchers.exists(_.matches(d.getFileName)))
+        .sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
   }
 
   /** Resolve an offset key back to its ledger file (inverse of
@@ -294,7 +312,7 @@ class MsgLogScanBuilder(path: String, options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters {
   private val multiTopic = options.containsKey("topics")
   private var required: StructType =
-    MsgLogSource.schemaFor(multiTopic, Option(options.get("payloadSchema")))
+    MsgLogSource.schemaFor(multiTopic, MsgLogSource.effectivePayloadDdl(options, path))
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -476,7 +494,8 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
       sessionTz = sessionTz, minPartitions = minPartitions,
       minRowsPerTrigger = minRows,
       maxTriggerDelayMs = delay.getOrElse(MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs),
-      maxBytesPerTrigger = MsgLogScan.longOption(options, "maxBytesPerTrigger", min = 1L))
+      maxBytesPerTrigger = MsgLogScan.longOption(options, "maxBytesPerTrigger", min = 1L),
+      redelivery = Option(options.get("redelivery")).exists(_.toBoolean))
   }
 
   private def readerPredicates: Array[MsgFrame => Boolean] =
@@ -503,29 +522,42 @@ class MsgLogScan(path: String, options: CaseInsensitiveStringMap,
     * Like seek, it is a reader-side predicate: offsets stay dense and a
     * range subscription's checkpoint remains valid for the whole topic.
     *
-    * Documented divergence — STICKY only, no AUTO_SPLIT: the reference
-    * protocol defines two Key_Shared modes (`proto:286-295`),
-    * consumer-declared static ranges (STICKY) and broker-managed dynamic
-    * splitting of the hash space as consumers join and leave
-    * (AUTO_SPLIT). This source implements STICKY. AUTO_SPLIT requires a
-    * live membership arbiter — a broker observing consumer
-    * connect/disconnect and re-assigning sub-ranges in real time — which
-    * a file-backed log deliberately has none of: readers are stateless
-    * Spark tasks whose "membership" is a plan, not a session. The
-    * equivalent elasticity in Spark is declarative — re-run with
-    * different `keyHashRange` splits, or drop the option and let Spark
-    * partition the scan itself (like the ack-set anti-join and
-    * held-frontier delayed-delivery divergences, this trades broker
-    * dynamism for plan determinism).
+    * AUTO_SPLIT (`proto:286-295` mode 2) is DECLARATIVE here:
+    * `keySharedConsumers=N` + `keySharedIndex=i` derive consumer i's
+    * range as the i-th of N equal splits of the 16-bit space — the
+    * steady-state allocation the broker's dynamic splitting converges to
+    * with N live consumers. The divergence from the reference is the
+    * DYNAMICS, not the allocation: the broker halves the largest range
+    * as consumers join/leave in real time (join-order-dependent), while
+    * a file-backed log has no sessions to observe — membership is a
+    * plan, so re-planning with a different N is the rebalance. Mutually
+    * exclusive with an explicit `keyHashRange` (a consumer is STICKY or
+    * AUTO_SPLIT, never both — `KeySharedMeta.keySharedMode` is one
+    * enum).
     */
-  private def keyHashPredicate: Array[MsgFrame => Boolean] =
-    Option(options.get("keyHashRange")).map { spec =>
-      val (lo, hi) = MsgLogScan.parseKeyHashRange(spec)
+  private def keyHashPredicate: Array[MsgFrame => Boolean] = {
+    val explicit = Option(options.get("keyHashRange"))
+    val auto = Option(options.get("keySharedConsumers"))
+    if (explicit.isDefined && auto.isDefined)
+      throw new IllegalArgumentException(
+        "graft-msglog: keyHashRange (STICKY) and keySharedConsumers (AUTO_SPLIT) " +
+          "are mutually exclusive — KeySharedMeta declares one mode per consumer")
+    if (explicit.isEmpty && auto.isEmpty && options.containsKey("keySharedIndex"))
+      throw new IllegalArgumentException(
+        "graft-msglog: keySharedIndex without keySharedConsumers does nothing — " +
+          "declare the consumer-group size")
+    val range = explicit.map(MsgLogScan.parseKeyHashRange).orElse {
+      auto.map { n =>
+        MsgLogScan.autoSplitRange(n, Option(options.get("keySharedIndex")).orNull)
+      }
+    }
+    range.map { case (lo, hi) =>
       Array((m: MsgFrame) => {
         val h = MsgLogScan.keyHash(m)
         h >= lo && h <= hi
       })
     }.getOrElse(Array.empty)
+  }
 }
 
 object MsgLogScan {
@@ -628,6 +660,34 @@ object MsgLogScan {
       s"graft-msglog: invalid keyHashRange '$spec' (expected start:end)")
   }
 
+  /** AUTO_SPLIT allocation: consumer `index` of `consumers` owns the
+    * index-th of N equal contiguous splits of the 16-bit key-hash space.
+    * Floor arithmetic keeps the N ranges disjoint and their union exactly
+    * [0, 65535] for every N (the last range absorbs the remainder) —
+    * the property the MsgLogSpec disjoint-union test locks.
+    */
+  def autoSplitRange(consumersSpec: String, indexSpec: String): (Int, Int) = {
+    def parse(name: String, s: String): Int =
+      try s.trim.toInt catch {
+        case _: NumberFormatException | _: NullPointerException =>
+          throw new IllegalArgumentException(
+            s"graft-msglog: invalid $name '$s' (expected an integer)")
+      }
+    if (indexSpec == null)
+      throw new IllegalArgumentException(
+        "graft-msglog: keySharedConsumers requires keySharedIndex — which of the " +
+          "N consumers is this reader?")
+    val n = parse("keySharedConsumers", consumersSpec)
+    val i = parse("keySharedIndex", indexSpec)
+    if (n < 1) throw new IllegalArgumentException(
+      s"graft-msglog: keySharedConsumers $n must be >= 1")
+    if (i < 0 || i >= n) throw new IllegalArgumentException(
+      s"graft-msglog: keySharedIndex $i outside 0..${n - 1}")
+    val lo = (i.toLong * KeyHashSpace / n).toInt
+    val hi = ((i + 1).toLong * KeyHashSpace / n - 1).toInt
+    (lo, hi)
+  }
+
   def deadLetterOption(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("onCorrupt")) match {
       case Some("deadletter") => true
@@ -665,6 +725,131 @@ object MsgLogOffset {
   }
 }
 
+/** Negative-ack / redelivery journal (reference
+  * `CommandRedeliverUnacknowledgedMessages`, `src/PulsarApi.proto:562-565`;
+  * `unacked_message_redelivery_delay`, `src/entity/consumer.rs:51`): a
+  * consumer nacks message ids — `(ledger, entry)` coordinates, exactly the
+  * reference's `MessageIdData` shape — and the subscription re-delivers
+  * them in a later micro-batch with `redelivery_count` incremented.
+  *
+  * File-backed translation: each [[redeliver]] call appends one immutable
+  * journal file under `<topic>/.nacks/` listing the nacked entries, each
+  * line carrying its delivery generation (1 + how many earlier journal
+  * commands named the same entry — computed at append time, when the
+  * earlier journals are already frozen). A `redelivery=true` streaming
+  * subscription treats each journal as a virtual ledger of redelivery
+  * commands: journal keys (`!nack!<file>`, `topic/!nack!<file>`) ride the
+  * same name-keyed cumulative offsets as ledgers, so a checkpointed
+  * restart never re-delivers a consumed nack and never drops one.
+  * Scope, as in the reference: redelivery is a SUBSCRIPTION concept —
+  * batch scans read the log as data and ignore journals; nacks recorded
+  * before the subscription's first offset are not replayed
+  * (`initialOffset` starts past them).
+  */
+object MsgLogNacks {
+  val DirName = ".nacks"
+  val KeyPrefix = "!nack!"
+
+  def journalDir(topicDir: String): Path = Paths.get(topicDir, DirName)
+
+  /** Journal files in name order (names embed a writer-side sequence, so
+    * name order is append order for a single nacking consumer). */
+  def journalFiles(topicDir: String): Seq[Path] = {
+    val d = journalDir(topicDir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".tsv"))
+        .sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
+  }
+
+  def isNackKey(key: String): Boolean =
+    key.substring(key.indexOf('/') + 1).startsWith(KeyPrefix)
+
+  def keyFor(topic: String, journalName: String): String =
+    if (topic.isEmpty) KeyPrefix + journalName else s"$topic/$KeyPrefix$journalName"
+
+  /** `(journal file, topic dir)` a nack offset key resolves to. */
+  def resolveKey(path: String, key: String): (Path, Path) = {
+    val i = key.indexOf('/')
+    val topicDir = if (i < 0) Paths.get(path) else Paths.get(path, key.substring(0, i))
+    val name = key.substring(i + 1).stripPrefix(KeyPrefix)
+    (journalDir(topicDir.toString).resolve(name), topicDir)
+  }
+
+  /** One redelivery command: deliver `entry` of `ledgerName` again, as
+    * its `bump`-th redelivery. */
+  case class NackCmd(bump: Int, entry: Long, ledgerName: String)
+
+  def readCommands(journal: Path): Seq[NackCmd] =
+    new String(Files.readAllBytes(journal), java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", 3) match {
+          case Array(b, e, name) =>
+            try NackCmd(b.toInt, e.toLong, name)
+            catch {
+              case _: NumberFormatException => throw new java.io.IOException(
+                s"graft-msglog: corrupt nack journal $journal: '$line'")
+            }
+          case _ => throw new java.io.IOException(
+            s"graft-msglog: corrupt nack journal $journal: '$line'")
+        }
+      }.toSeq
+
+  /** Per-topic journal listing for offsets: key → command count. */
+  def listJournals(topicDir: String, topic: String): Seq[(String, Long)] =
+    journalFiles(topicDir).map { j =>
+      keyFor(topic, j.getFileName.toString) -> readCommands(j).length.toLong
+    }
+
+  /** The nack command (§2.1 #8's negative path): record `ids` —
+    * `(ledger, entry)` pairs as read back from the source — for
+    * redelivery. Ids must resolve against the topic's live ledgers and
+    * lie inside them: a nack of a nonexistent message is a caller bug
+    * surfaced loudly, not a journal entry that poisons every later
+    * reader. Returns the journal file written (one atomic append per
+    * call, like every other sidecar).
+    */
+  def redeliver(topicDir: String, ids: Seq[(Long, Long)]): Path = synchronized {
+    require(ids.nonEmpty, "graft-msglog: redeliver of zero message ids")
+    val ledgers = MsgLogSource.ledgerFiles(topicDir)
+    val byId = ledgers.map(p =>
+      MsgLogSource.ledgerId(p.getFileName.toString) -> p).toMap
+    // delivery generation = occurrences across the frozen journals + the
+    // occurrences earlier in THIS call
+    val prior = scala.collection.mutable.Map.empty[(String, Long), Int]
+    journalFiles(topicDir).foreach(j => readCommands(j).foreach { c =>
+      prior((c.ledgerName, c.entry)) = prior.getOrElse((c.ledgerName, c.entry), 0) + 1
+    })
+    val lines = ids.map { case (ledger, entry) =>
+      val p = byId.getOrElse(ledger, throw new IllegalArgumentException(
+        s"graft-msglog: redeliver of unknown ledger id $ledger in $topicDir"))
+      val name = p.getFileName.toString
+      val count = MsgLogCodec.countEntries(p)
+      if (entry < 0 || entry >= count)
+        throw new IllegalArgumentException(
+          s"graft-msglog: redeliver of entry $entry outside ledger $name (0..${count - 1})")
+      val gen = prior.getOrElse((name, entry), 0) + 1
+      prior((name, entry)) = gen
+      s"$gen\t$entry\t$name"
+    }
+    val dir = journalDir(topicDir)
+    Files.createDirectories(dir)
+    val seq = journalFiles(topicDir).size
+    val name = f"nack-$seq%06d-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
+    val target = dir.resolve(name)
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    target
+  }
+}
+
 class MsgLogMicroBatchStream(path: String, topics: Option[String],
     maxRowsPerTrigger: Option[Long],
     required: StructType = MsgLogSource.Schema,
@@ -678,7 +863,8 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     minPartitions: Option[Int] = None,
     minRowsPerTrigger: Option[Long] = None,
     maxTriggerDelayMs: Long = MsgLogMicroBatchStream.DefaultMaxTriggerDelayMs,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    redelivery: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -777,18 +963,45 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     * AvailableNow.)
     */
   @volatile private var frozen: Option[Seq[(String, Long)]] = None
-  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(listCounts())
+  override def prepareForTriggerAvailableNow(): Unit = {
+    frozen = Some(listCounts())
+    frozenNacks = Some(listNacks())
+  }
 
   private def currentTotals: Seq[(String, Long)] = frozen.getOrElse(listCounts())
+
+  /** Pending-redelivery listing (`redelivery=true` only): each journal
+    * under `<topic>/.nacks/` as a virtual-ledger key → command count.
+    * Redeliveries BYPASS admission limits — a nack list is bounded by
+    * what was already delivered and admitted once, so re-admitting it
+    * against the row/byte budget would let a big backlog starve
+    * redeliveries indefinitely (the broker, likewise, re-dispatches
+    * nacked messages through the regular flow without re-charging the
+    * producer-side quotas).
+    */
+  @volatile private var frozenNacks: Option[Seq[(String, Long)]] = None
+  private def listNacks(): Seq[(String, Long)] =
+    if (!redelivery) Seq.empty
+    else topics match {
+      case None => MsgLogNacks.listJournals(path, "")
+      case Some(spec) => MsgLogSource.topicDirs(path, spec).flatMap(d =>
+        MsgLogNacks.listJournals(d.toString, d.getFileName.toString))
+    }
+  private def currentNacks: Seq[(String, Long)] = frozenNacks.getOrElse(listNacks())
 
   /** Subscription start position (`CommandSeek{message_id}`): the
     * `startingOffsets` option, for a FRESH checkpoint only — Spark calls
     * this once and checkpoints the result; restarts resume from the
-    * checkpoint. Absent ledgers start at 0.
+    * checkpoint. Absent ledgers start at 0. With `redelivery=true` the
+    * start position also seals the journals already on disk: nacks belong
+    * to the subscription that issued them, so a NEW subscription starts
+    * past the old ones instead of replaying another consumer's history.
     */
-  override def initialOffset(): Offset = MsgLogOffset(startingCounts)
+  override def initialOffset(): Offset =
+    MsgLogOffset(startingCounts ++ listNacks().toMap)
 
-  override def latestOffset(): Offset = MsgLogOffset(currentTotals.toMap)
+  override def latestOffset(): Offset =
+    MsgLogOffset(currentTotals.toMap ++ currentNacks.toMap)
 
   /** The read limit from the subscription's flow-control options:
     * `maxRowsPerTrigger` (permit budget), `minRowsPerTrigger` +
@@ -878,9 +1091,12 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
       case mb: ReadMaxBytes => grantBytes(from, listing, mb.maxBytes())
       case _ => takeAll(from, listing)
     }
-    if (advanced.exists { case (k, n) => n > from.getOrElse(k, 0L) })
+    // redelivery journals ride every trigger unclamped (see listNacks);
+    // max-merge keeps them monotonic like the ledger frontiers
+    val nacks = currentNacks.map { case (k, n) => k -> math.max(n, from.getOrElse(k, 0L)) }
+    if ((advanced ++ nacks).exists { case (k, n) => n > from.getOrElse(k, 0L) })
       lastAdvanceMs = clockNowUs() / 1000L
-    MsgLogOffset(from ++ advanced.toMap)
+    MsgLogOffset(from ++ advanced.toMap ++ nacks.toMap)
   }
 
   private def takeAll(from: Map[String, Long],
@@ -969,7 +1185,7 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
     */
   @volatile private var lastListing: Seq[(String, Long)] = null
   override def reportLatestOffset(): Offset =
-    MsgLogOffset(Option(lastListing).getOrElse(currentTotals).toMap)
+    MsgLogOffset(Option(lastListing).getOrElse(currentTotals).toMap ++ currentNacks.toMap)
 
   /** A trigger's slices. With `minPartitions=N` the per-ledger deltas are
     * further split (entry counts are already in the offsets — unlike the
@@ -979,19 +1195,28 @@ class MsgLogMicroBatchStream(path: String, topics: Option[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = MsgLogOffset.parse(start.json()).counts
     val e = MsgLogOffset.parse(end.json()).counts
-    val deltas = e.toSeq.sorted.flatMap { case (key, endCount) =>
+    val allDeltas = e.toSeq.sorted.flatMap { case (key, endCount) =>
       val startCount = s.getOrElse(key, 0L)
       if (endCount > startCount) Some((key, startCount, endCount)) else None
     }
+    // nack-journal deltas plan as redelivery partitions, outside the
+    // slice split (a journal is a command list, not an entry range)
+    val (nackDeltas, deltas) = allDeltas.partition(d => MsgLogNacks.isNackKey(d._1))
     val slices = minPartitions match {
       case Some(n) if deltas.nonEmpty => MsgLogScan.planSlices(deltas, n)
       case _ => deltas
     }
-    slices.map { case (key, startCount, endCount) =>
+    val ledgerParts = slices.map { case (key, startCount, endCount) =>
       MsgLogPartition(MsgLogSource.ledgerId(key),
         MsgLogSource.keyPath(path, key).toString, MsgLogSource.keyTopic(key),
         startCount, endCount): InputPartition
-    }.toArray
+    }
+    val nackParts = nackDeltas.map { case (key, startCmd, endCmd) =>
+      val (journal, topicDir) = MsgLogNacks.resolveKey(path, key)
+      MsgLogNackPartition(journal.toString, topicDir.toString,
+        MsgLogSource.keyTopic(key), startCmd, endCmd): InputPartition
+    }
+    (ledgerParts ++ nackParts).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1020,15 +1245,67 @@ case class MsgLogPartition(ledger: Long, file: String, topic: String,
     startEntry: Long, endEntry: Long)
     extends InputPartition
 
+/** Commands [startCmd, endCmd) of one redelivery journal. */
+case class MsgLogNackPartition(journal: String, topicDir: String, topic: String,
+    startCmd: Long, endCmd: Long)
+    extends InputPartition
+
 case class MsgLogReaderFactory(required: StructType,
     preds: Array[MsgFrame => Boolean] = Array.empty,
     deadLetter: Boolean = false,
     sessionTz: String = "UTC")
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[MsgLogPartition]
-    new MsgLogPartitionReader(p, required, preds, deadLetter, sessionTz)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: MsgLogPartition =>
+        new MsgLogPartitionReader(p, required, preds, deadLetter, sessionTz)
+      case p: MsgLogNackPartition =>
+        new MsgLogNackReader(p, required, preds, deadLetter, sessionTz)
+      case other => throw new IllegalArgumentException(
+        s"graft-msglog: unknown partition type $other")
+    }
+}
+
+/** Re-delivers each nacked entry of a journal slice by delegating to a
+  * one-entry [[MsgLogPartitionReader]] per command, with the command's
+  * delivery generation added to `redelivery_count`. The per-command seek
+  * costs a header walk to the entry — proportional to the nack LIST, not
+  * the log, and nacks are exceptional by nature. The subscription's
+  * predicates (pushed filters, seek, Key_Shared range) apply to
+  * redeliveries exactly as to first deliveries — a consumer only ever
+  * sees its own slice of the key space, nacked or not.
+  */
+class MsgLogNackReader(p: MsgLogNackPartition, required: StructType,
+    preds: Array[MsgFrame => Boolean] = Array.empty,
+    deadLetter: Boolean = false,
+    sessionTz: String = "UTC")
+    extends PartitionReader[InternalRow] {
+
+  private val cmds = MsgLogNacks.readCommands(Paths.get(p.journal))
+    .slice(p.startCmd.toInt, p.endCmd.toInt)
+  private var idx = 0
+  private var inner: MsgLogPartitionReader = null
+
+  override def next(): Boolean = {
+    while (true) {
+      if (inner != null) {
+        if (inner.next()) return true
+        inner.close(); inner = null
+      }
+      if (idx >= cmds.length) return false
+      val c = cmds(idx); idx += 1
+      val file = Paths.get(p.topicDir, c.ledgerName)
+      inner = new MsgLogPartitionReader(
+        MsgLogPartition(MsgLogSource.ledgerId(c.ledgerName), file.toString,
+          p.topic, c.entry, c.entry + 1),
+        required, preds, deadLetter, sessionTz, redeliveryBump = c.bump)
+    }
+    false // unreachable
   }
+
+  override def get(): InternalRow = inner.get()
+
+  override def close(): Unit = if (inner != null) inner.close()
 }
 
 /** Sequential frame decoder over one ledger slice; whole frames below the
@@ -1039,7 +1316,9 @@ case class MsgLogReaderFactory(required: StructType,
   * numbering still advances — offsets stay dense, batched or not).
   *
   * `deadLetter=true` diverts a CRC-failed frame verbatim to
-  * `<dir>/.dlq/<ledger>-<entry>.frame` and keeps reading (the frame
+  * `<dir>/.dlq/<ledger>-<md5prefix>.frame` (content-addressed: the same
+  * frame re-read by an adjacent slice's reader diverts to the same
+  * file) and keeps reading (the frame
   * still consumes the entry count its header claims, matching
   * [[MsgLogCodec.countEntries]]); the default re-raises — corruption is
   * an error unless the caller opted into the DLQ policy.
@@ -1047,7 +1326,8 @@ case class MsgLogReaderFactory(required: StructType,
 class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
     preds: Array[MsgFrame => Boolean] = Array.empty,
     deadLetter: Boolean = false,
-    sessionTz: String = "UTC")
+    sessionTz: String = "UTC",
+    redeliveryBump: Int = 0)
     extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(new java.io.BufferedInputStream(
     Files.newInputStream(Paths.get(p.file)), 1 << 16))
@@ -1101,7 +1381,10 @@ class MsgLogPartitionReader(p: MsgLogPartition, required: StructType,
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             kvs.map(kv => UTF8String.fromString(kv._2)).toArray[Any]))
       }
-    case "redelivery_count" => () => java.lang.Integer.valueOf(current.redeliveryCount)
+    case "redelivery_count" =>
+      // + the nack generation on a redelivery read (0 on first delivery):
+      // the broker increments the counter each time it re-dispatches
+      () => java.lang.Integer.valueOf(current.redeliveryCount + redeliveryBump)
     case "deliver_at" => () =>
       if (current.deliverAtUs < 0) null else java.lang.Long.valueOf(current.deliverAtUs)
     case "payload" =>

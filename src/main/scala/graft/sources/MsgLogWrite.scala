@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Produce path of the graft message log as a DataSource V2 writer — the
   * reference's send pipeline (§3.1: serialize → sequence → frame → await
@@ -111,18 +111,115 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
   private val dedupOnAppend: Boolean =
     Option(info.options.get("dedupOnAppend")).exists(_.toBoolean)
 
+  /** Write-side schema declaration + enforcement (reference broker schema
+    * registry: `GetOrCreateSchema`/`IncompatibleSchema`,
+    * `src/PulsarApi.proto:194,672-700`):
+    *
+    *  - `payloadSchema=<DDL>` declares the topic's payload schema at
+    *    write time — registered in the topic's `.schema` file if absent
+    *    (GetOrCreateSchema), rejected loudly if a DIFFERENT schema is
+    *    already registered (IncompatibleSchema), and every row's `props`
+    *    must parse under it or the write fails (the broker validating a
+    *    producer's payloads);
+    *  - `enforceSchema=true` enforces the topic's ALREADY-registered
+    *    schema without re-declaring it — an error if the topic has none.
+    *
+    * Without either option writes stay schema-free, as before: the
+    * read-side `payloadSchema` option remains a consumer-side decode
+    * that NULLs unparseable payloads.
+    */
+  private val declaredSchemaDdl: Option[String] =
+    Option(info.options.get("payloadSchema")).map { ddl =>
+      try StructType.fromDDL(ddl).toDDL // normalize to canonical DDL
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"graft-msglog: invalid payloadSchema DDL '$ddl': ${e.getMessage}", e)
+      }
+    }
+  private val enforceSchema: Boolean =
+    Option(info.options.get("enforceSchema")).exists(_.toBoolean)
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new MsgLogBatchWrite(path, info.schema(), codec, batchSize, maxFrameBytes,
-        dedupOnAppend)
+        dedupOnAppend, declaredSchemaDdl, enforceSchema)
     override def toStreaming: StreamingWrite = {
       if (dedupOnAppend)
         throw new IllegalArgumentException(
           "graft-msglog: dedupOnAppend is batch-only — streaming epochs are " +
             "idempotent by ledger name (an epoch re-commit overwrites its own files)")
       new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec, batchSize,
-        maxFrameBytes)
+        maxFrameBytes, declaredSchemaDdl, enforceSchema)
     }
+  }
+}
+
+/** Topic-level payload-schema registry: `<topic>/.schema` holds the
+  * canonical DDL of the topic's declared payload schema — the file-backed
+  * analog of the broker's schema registry (`CommandGetOrCreateSchema`,
+  * `src/PulsarApi.proto:672-700`). One schema per topic, first declarer
+  * wins; a later producer declaring a semantically different schema is
+  * refused (`IncompatibleSchema`, proto:194) — schema EVOLUTION is out of
+  * scope (the reference client does not implement compatibility
+  * negotiation either; its enum stops at the error code).
+  */
+object MsgLogSchemaRegistry {
+  val FileName = ".schema"
+
+  def file(dir: String): Path = Paths.get(dir, FileName)
+
+  /** The topic's registered payload DDL, if any. */
+  def readDdl(dir: String): Option[String] = {
+    val f = file(dir)
+    if (!Files.isRegularFile(f)) None
+    else Some(new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  /** GetOrCreateSchema: register `ddl` (canonical form) for the topic, or
+    * verify it matches the registered one. Returns the effective DDL.
+    */
+  def getOrCreate(dir: String, ddl: String): String = readDdl(dir) match {
+    case None =>
+      Files.createDirectories(Paths.get(dir))
+      val target = file(dir)
+      val tmp = target.resolveSibling("." + FileName + ".tmp")
+      Files.write(tmp, (ddl + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ddl
+    case Some(registered) =>
+      // field names + types, nullability ignored (all JSON payload
+      // fields are nullable on the wire anyway; DataType.sameType is
+      // private[sql])
+      def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+        dt match {
+          case s: StructType => StructType(s.fields.map(f =>
+            StructField(f.name, norm(f.dataType), nullable = true)))
+          case a: org.apache.spark.sql.types.ArrayType =>
+            a.copy(elementType = norm(a.elementType), containsNull = true)
+          case m: org.apache.spark.sql.types.MapType =>
+            m.copy(keyType = norm(m.keyType), valueType = norm(m.valueType),
+              valueContainsNull = true)
+          case other => other
+        }
+      if (norm(StructType.fromDDL(registered)) != norm(StructType.fromDDL(ddl)))
+        throw new IllegalArgumentException(
+          s"graft-msglog: IncompatibleSchema — topic $dir has registered payload " +
+            s"schema '$registered' but the producer declared '$ddl' " +
+            "(reference error code src/PulsarApi.proto:194)")
+      registered
+  }
+
+  /** The DDL a write under `enforceSchema=true` must honor — an error if
+    * the topic never registered one (there is nothing to enforce, and
+    * silently skipping validation is exactly the failure mode the option
+    * exists to prevent).
+    */
+  def requireDdl(dir: String): String = readDdl(dir).getOrElse {
+    throw new IllegalArgumentException(
+      s"graft-msglog: enforceSchema=true but topic $dir has no registered payload " +
+        "schema — declare one with the payloadSchema write option first")
   }
 }
 
@@ -200,7 +297,8 @@ object MsgLogSeqFrontier {
 case class MsgLogCommit(file: String) extends WriterCommitMessage
 
 class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int,
-    maxFrameBytes: Int = 0, dedupOnAppend: Boolean = false)
+    maxFrameBytes: Int = 0, dedupOnAppend: Boolean = false,
+    schemaDdl: Option[String] = None, enforceSchema: Boolean = false)
     extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
@@ -215,7 +313,12 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
     // session-establish with last_sequence_id, proto:577-579)
     val frontier =
       if (dedupOnAppend) MsgLogSeqFrontier.topicFrontier(path) else Map.empty[String, Long]
-    MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes, frontier)
+    // schema registration/lookup is ALSO driver-side, once per write —
+    // the producer-connect handshake (GetOrCreateSchema) before any task
+    // sends a message; tasks receive the effective DDL to validate under
+    val enforceDdl = MsgLogWriterFactory.resolveSchema(path, schemaDdl, enforceSchema)
+    MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes, frontier,
+      enforceDdl, org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -229,10 +332,14 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
   * keeping an epoch re-commit of the SAME query idempotent.
   */
 class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String,
-    codec: Byte, batchSize: Int, maxFrameBytes: Int = 0)
+    codec: Byte, batchSize: Int, maxFrameBytes: Int = 0,
+    schemaDdl: Option[String] = None, enforceSchema: Boolean = false)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    MsgLogWriterFactory(path, schema, queryId, codec, batchSize, maxFrameBytes)
+    MsgLogWriterFactory(path, schema, queryId, codec, batchSize, maxFrameBytes,
+      Map.empty,
+      MsgLogWriterFactory.resolveSchema(path, schemaDdl, enforceSchema),
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -240,14 +347,26 @@ class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String,
 /** Serializable factory shipped to executors (one writer per task). */
 case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String,
     codec: Byte, batchSize: Int, maxFrameBytes: Int = 0,
-    dedupFrontier: Map[String, Long] = Map.empty)
+    dedupFrontier: Map[String, Long] = Map.empty,
+    enforceDdl: Option[String] = None, sessionTz: String = "UTC")
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId,
-      codec, batchSize, maxFrameBytes, dedupFrontier)
+      codec, batchSize, maxFrameBytes, dedupFrontier, enforceDdl, sessionTz)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId,
-      codec, batchSize, maxFrameBytes)
+      codec, batchSize, maxFrameBytes, enforceDdl = enforceDdl, sessionTz = sessionTz)
+}
+
+object MsgLogWriterFactory {
+  /** Driver-side schema handshake: declared DDL → GetOrCreateSchema;
+    * `enforceSchema=true` alone → the topic's registered DDL (required).
+    * None → schema-free write (the pre-feature behavior).
+    */
+  def resolveSchema(path: String, schemaDdl: Option[String],
+      enforceSchema: Boolean): Option[String] =
+    schemaDdl.map(MsgLogSchemaRegistry.getOrCreate(path, _))
+      .orElse(if (enforceSchema) Some(MsgLogSchemaRegistry.requireDdl(path)) else None)
 }
 
 /** Frames one partition's rows into `<stem>.glog` via a temp file +
@@ -262,8 +381,39 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
   */
 class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
     codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1, maxFrameBytes: Int = 0,
-    dedupFrontier: Map[String, Long] = Map.empty)
+    dedupFrontier: Map[String, Long] = Map.empty,
+    enforceDdl: Option[String] = None, sessionTz: String = "UTC")
     extends DataWriter[InternalRow] {
+
+  /** Schema enforcement (broker payload validation, `IncompatibleSchema`
+    * proto:194): `props` must PARSE under the topic's declared schema —
+    * malformed JSON or a type-mismatched field rejects the row loudly.
+    * Absent fields read as NULL and pass (JSON schema fields are
+    * optional on the wire, matching the read-side decode). Same Jackson
+    * machinery as the read path, so "what enforcement accepted" is
+    * exactly "what the reader will decode non-NULL".
+    */
+  private val validateProps: String => Unit = enforceDdl match {
+    case None => null
+    case Some(ddl) =>
+      val st = StructType.fromDDL(ddl)
+      val parser = new org.apache.spark.sql.catalyst.json.JacksonParser(
+        st,
+        new org.apache.spark.sql.catalyst.json.JSONOptions(
+          Map("mode" -> "FAILFAST"), sessionTz, ""),
+        allowArrayAsStructs = false, Nil)
+      props =>
+        try parser.parse[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.unsafe.types.UTF8String.fromString(props),
+          org.apache.spark.sql.catalyst.json.CreateJacksonParser.utf8String,
+          identity)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"graft-msglog: IncompatibleSchema — props ${props.take(120)} does not " +
+              s"conform to the topic's declared payload schema '$ddl': " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200), e)
+        }
+  }
 
   private val iEvent = schema.fieldIndex("event_id")
   private val iTs = schema.fieldIndex("ts")
@@ -344,6 +494,10 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
       redeliveryCount = if (has(iRedelivery, row)) row.getInt(iRedelivery) else 0,
       deliverAtUs =
         if (has(iDeliverAt, row)) nonNeg("deliver_at", row.getLong(iDeliverAt)) else -1L)
+    // schema validation BEFORE the dedup skip: a bad payload is loud
+    // even when the sequence says replay (the broker checks the payload
+    // before consulting its dedup cursor)
+    if (validateProps != null) validateProps(m.props)
     // broker dedup (proto:577-579): a message at/below the topic's
     // recorded last-sequence frontier for its producer is a replay — skip
     if (m.producerName != null && m.sequenceId >= 0 &&

@@ -377,6 +377,67 @@ class MsgLogSpec extends SparkTestBase {
     assert(got.count() === 2 * ev.count())
   }
 
+  test("redelivery: nacked ids re-deliver with redelivery_count incremented; batch scans ignore nacks") {
+    import graft.sources.MsgLogNacks
+    val ev = Fixtures.events(spark, sfDir).limit(10)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_nack_").toString
+    val ckpt = Files.createTempDirectory("glog_nack_ckpt_").toString
+    val outDir = Files.createTempDirectory("glog_nack_out_").toString
+    ev.repartition(1).write.format("graft-msglog").mode("append").save(topic)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-msglog")
+        .option("redelivery", "true").load(topic)
+        .select("ledger", "entry", "event_id", "redelivery_count")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(outDir).collect()
+    assert(first.length === 10)
+    assert(first.forall(_.getAs[Int]("redelivery_count") === 0))
+    // nack two delivered ids by their (ledger, entry) coordinates
+    val ids = first.filter(r => Set(2L, 5L)(r.getAs[Long]("event_id")))
+      .map(r => r.getAs[Long]("ledger") -> r.getAs[Long]("entry")).toSeq
+    assert(ids.length === 2)
+    MsgLogNacks.redeliver(topic, ids)
+    drain()
+    val second = spark.read.parquet(outDir).collect()
+    assert(second.length === 12, "the next trigger re-delivers exactly the nacked ids")
+    val redelivered = second.diff(first)
+    assert(redelivered.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(2L, 5L))
+    assert(redelivered.forall(_.getAs[Int]("redelivery_count") === 1))
+    // a second nack of the same id bumps the generation again
+    MsgLogNacks.redeliver(topic, ids.take(1))
+    drain()
+    val third = spark.read.parquet(outDir).collect()
+    assert(third.length === 13)
+    assert(third.diff(second).head.getAs[Int]("redelivery_count") === 2)
+    // an idle restart re-delivers nothing (journal frontiers checkpoint)
+    drain()
+    assert(spark.read.parquet(outDir).count() === 13)
+    // batch scans read the log as data: no redelivered duplicates
+    assert(spark.read.format("graft-msglog").load(topic).count() === 10)
+    // a FRESH subscription starts past the existing journals
+    val ckpt2 = Files.createTempDirectory("glog_nack_ckpt2_").toString
+    val outDir2 = Files.createTempDirectory("glog_nack_out2_").toString
+    val q2 = spark.readStream.format("graft-msglog")
+      .option("redelivery", "true").load(topic)
+      .select("event_id", "redelivery_count")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt2).option("path", outDir2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(outDir2).count() === 10,
+      "another subscription's nack history is not replayed")
+    // nacks of nonexistent ids are caller bugs, surfaced at the command
+    intercept[IllegalArgumentException](MsgLogNacks.redeliver(topic, Seq((999L, 0L))))
+    intercept[IllegalArgumentException](
+      MsgLogNacks.redeliver(topic, Seq(ids.head._1 -> 99L)))
+  }
+
   test("batch sink: a second append adds ledgers instead of replacing them") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -590,6 +651,60 @@ class MsgLogSpec extends SparkTestBase {
       graft.sources.MsgLogScan.parseKeyHashRange("0:99999"))
     intercept[IllegalArgumentException](
       graft.sources.MsgLogScan.parseKeyHashRange("abc"))
+  }
+
+  test("AUTO_SPLIT: N auto-derived consumers partition the topic disjointly") {
+    // allocation invariant, every N: ranges disjoint, union = [0, 65535]
+    for (n <- 1 to 7) {
+      val ranges = (0 until n).map(i =>
+        graft.sources.MsgLogScan.autoSplitRange(n.toString, i.toString))
+      assert(ranges.head._1 === 0)
+      assert(ranges.last._2 === 65535)
+      ranges.sliding(2).foreach {
+        case Seq((_, hiA), (loB, _)) => assert(loB === hiA + 1)
+        case _ => ()
+      }
+    }
+    // end-to-end: 3 readers' outputs are disjoint and union to the topic,
+    // each with its own independent offsets (batch reads share none)
+    val dir = MsgLog.stagedEnvelopeLog(spark, sfDir)
+    val full = spark.read.format("graft-msglog").load(dir)
+    val parts = (0 until 3).map { i =>
+      spark.read.format("graft-msglog")
+        .option("keySharedConsumers", "3").option("keySharedIndex", i.toString)
+        .load(dir)
+    }
+    assert(parts.map(_.count()).sum === full.count())
+    for (Seq(a, b) <- parts.combinations(2))
+      assert(a.select("event_id").intersect(b.select("event_id")).count() === 0)
+    assertSameRows(
+      parts.map(_.select("event_id")).reduce(_ union _),
+      full.select("event_id"))
+    // a key's messages never split across consumers
+    for (Seq(a, b) <- parts.combinations(2))
+      assert(a.select("partition_key").distinct()
+        .intersect(b.select("partition_key").distinct()).count() === 0)
+    // invalid declarations fail loud at planning
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-msglog")
+        .option("keySharedConsumers", "3").option("keySharedIndex", "3")
+        .load(dir).count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-msglog")
+        .option("keySharedConsumers", "3").load(dir).count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-msglog")
+        .option("keySharedIndex", "0").load(dir).count()
+    }
+    // STICKY and AUTO_SPLIT are one enum: declaring both is refused
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-msglog")
+        .option("keyHashRange", "0:100")
+        .option("keySharedConsumers", "2").option("keySharedIndex", "0")
+        .load(dir).count()
+    }
   }
 
   test("keyHashRange: ordering_key overrides partition_key for dispatch") {
@@ -808,10 +923,15 @@ class MsgLogSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 10L).filter(_ != 3L))
     val dlq = Files.list(Paths.get(dir, ".dlq")).iterator().asScala.toSeq
     assert(dlq.size === 1)
-    assert(dlq.head.getFileName.toString.endsWith("-3.frame"))
+    // content-addressed name: <ledger>-<md5[0..8) hex>.frame
+    assert(dlq.head.getFileName.toString.matches(".*-[0-9a-f]{16}\\.frame"))
     // diverted bytes are the frame verbatim (re-readable after repair)
     val raw = Files.readAllBytes(dlq.head)
     assert(java.nio.ByteBuffer.wrap(raw, 0, 4).getInt === raw.length - 4)
+    // and the name's hash really is the hash of those bytes
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(raw)
+    val hex = md5.take(8).map(b => f"$b%02x").mkString
+    assert(dlq.head.getFileName.toString.endsWith(s"-$hex.frame"))
     // the DLQ sidecar dir does not pollute subsequent topic listings
     assert(MsgLogSource.ledgerFiles(dir).size === 1)
   }
@@ -1034,6 +1154,101 @@ class MsgLogSpec extends SparkTestBase {
     }
     assert(causeMessages(exRange).exists(_.contains("out of range")),
       causeMessages(exRange).mkString("\n"))
+  }
+
+  test("schema enforcement: a conforming write registers the topic schema and round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_schema_ok_").toString
+    val df = Seq(
+      (1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 7}"""),
+      (2L, 1704067200000001L, 2L, "t", 2.0, """{"k": 8, "extra": "ignored"}"""),
+      (3L, 1704067200000002L, 3L, "t", 3.0, """{}""")) // absent field = NULL, allowed
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    df.write.format("graft-msglog").option("payloadSchema", "k INT")
+      .mode("append").save(dir)
+    // GetOrCreateSchema registered the canonical DDL
+    assert(Files.isRegularFile(graft.sources.MsgLogSchemaRegistry.file(dir)))
+    // GetSchema: a reader WITHOUT the option gets the typed payload column
+    val back = spark.read.format("graft-msglog").load(dir)
+      .select("event_id", "payload.k").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(back === Map(1L -> Some(7), 2L -> Some(8), 3L -> None))
+    // the explicit-option read (the pre-registry surface) still works
+    assert(spark.read.format("graft-msglog").option("payloadSchema", "k INT")
+      .load(dir).where(col("payload.k") === 7).count() === 1)
+  }
+
+  test("schema enforcement: a non-conforming payload fails the write loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_schema_bad_").toString
+    for (badProps <- Seq("""{"k": "not-an-int"}""", """not json at all""")) {
+      val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, badProps))
+        .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+      val ex = intercept[Exception] {
+        df.write.format("graft-msglog").option("payloadSchema", "k INT")
+          .mode("append").save(dir)
+      }
+      assert(causeMessages(ex).exists(_.contains("IncompatibleSchema")),
+        causeMessages(ex).mkString("\n"))
+    }
+    // the failed writes left no visible ledger (task abort cleans the tmp)
+    assert(MsgLogSource.ledgerFiles(dir).isEmpty)
+  }
+
+  test("schema enforcement: re-declaring a different schema is IncompatibleSchema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_schema_redecl_").toString
+    val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    df.write.format("graft-msglog").option("payloadSchema", "k INT")
+      .mode("append").save(dir)
+    // same schema, cosmetically different DDL: accepted (canonical compare)
+    df.write.format("graft-msglog").option("payloadSchema", "  k   integer ")
+      .mode("append").save(dir)
+    // different schema: refused, like the broker's IncompatibleSchema
+    val ex = intercept[Exception] {
+      df.write.format("graft-msglog").option("payloadSchema", "k STRING")
+        .mode("append").save(dir)
+    }
+    assert(causeMessages(ex).exists(_.contains("IncompatibleSchema")),
+      causeMessages(ex).mkString("\n"))
+    assert(MsgLogSource.ledgerFiles(dir).size === 2)
+  }
+
+  test("schema enforcement: enforceSchema=true honors the registered schema, errors without one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("glog_schema_enf_").toString
+    val good = Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    // nothing registered yet: enforcement has nothing to enforce — loud
+    val exNone = intercept[Exception] {
+      good.write.format("graft-msglog").option("enforceSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(causeMessages(exNone).exists(_.contains("no registered payload schema")),
+      causeMessages(exNone).mkString("\n"))
+    good.write.format("graft-msglog").option("payloadSchema", "k INT")
+      .mode("append").save(dir)
+    // now enforcement picks the registered DDL up without restating it
+    val bad = Seq((2L, 1704067200000001L, 2L, "t", 2.0, """{"k": "nope"}"""))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    val exBad = intercept[Exception] {
+      bad.write.format("graft-msglog").option("enforceSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(causeMessages(exBad).exists(_.contains("IncompatibleSchema")),
+      causeMessages(exBad).mkString("\n"))
+    // a schema-FREE write to the same topic still works: enforcement is
+    // opt-in per producer, as in the reference (schema validation rides
+    // the producer's declared schema, not every append)
+    bad.write.format("graft-msglog").mode("append").save(dir)
+    assert(spark.read.format("graft-msglog").load(dir).count() === 2)
   }
 
   test("negative sequence_id / deliver_at are rejected at write, not read back as NULL") {
