@@ -169,14 +169,46 @@ object SimilarityOps {
   private def lloydCentroids(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    lloydRuns.incrementAndGet()
     lloydOnce(emb).collect().toSeq
       .map(r => (r.getAs[Long]("cent_id"), r.getSeq[Double](1).toArray))
       .toDF("cent_id", "ce")
   }
 
-  def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+  /** How many times the Lloyd refinement actually EXECUTED (collected) —
+    * observability for the staging cache, asserted by tests. */
+  val lloydRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The staged IVF index: [[lloydCentroids]] per embeddings TOPIC (its
+    * sf dir), built once and reused by every later IVF query — the
+    * "train offline, serve many" shape of a real vector index
+    * ([[BucketedOps.stagedTables]] is the relational sibling). The cached
+    * artifact is plain doubles (C×dim), valid across sessions — unlike a
+    * catalog table there is nothing session-scoped to re-check. Staleness
+    * caveat: like any staged index, a REWRITTEN corpus under the same
+    * path serves the old centroids until [[dropStagedCentroids]];
+    * assignment and search still score against live data, so results
+    * degrade in recall, never in correctness of the scored cosines.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Double])]]
+
+  def dropStagedCentroids(): Unit = centroidCache.clear()
+
+  def stagedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    centroidCache.getOrElseUpdate(sfDir, {
+      val df = lloydOnce(Fixtures.embeddings(spark, sfDir))
+      lloydRuns.incrementAndGet()
+      df.collect().toSeq
+        .map(r => (r.getAs[Long]("cent_id"), r.getSeq[Double](1).toArray))
+    }).toDF("cent_id", "ce")
+  }
+
+  def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int,
+      index: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.registerFunctions(emb.sparkSession)
-    val centroids = lloydCentroids(emb)
+    val centroids = index.getOrElse(lloydCentroids(emb))
     val scored = emb
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
@@ -221,7 +253,8 @@ object SimilarityOps {
     "embedding_near_dup_p16" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K, AltPlanes)),
     "embedding_ivf_topk" ->
-      ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K)))
+      ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K,
+        index = Some(stagedCentroids(s, d)))))
 
   /** The near-dup oracle, parameterized on the bucket geometry exactly as
     * the operator is. */
