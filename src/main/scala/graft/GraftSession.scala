@@ -37,5 +37,6 @@ object GraftSession {
     graft.functions.GramMd5s.register(spark)
     graft.functions.MinhashBands.register(spark)
     graft.functions.Simhash60.register(spark)
+    graft.functions.WordShingles.register(spark)
   }
 }

@@ -33,10 +33,22 @@ object DedupOps {
     * Catalyst's project-collapse would otherwise inline the split into
     * every lambda element — an O(tokens²) regex blow-up per document.
     */
-  private val SHINGLES =
+  private[graft] val SHINGLES =
     """array_distinct(transform(
          sequence(1, greatest(size(w) - 2, 0)),
          i -> array_join(slice(w, i, 3), ' ')))"""
+
+  /** The 3-shingle set of the token column `w`, as the fused native
+    * [[graft.functions.WordShingles]] expression (one codegen'd loop —
+    * the composable [[SHINGLES]] form is an interpreted `transform`
+    * chain per row, kept as the numerics reference; bit-identical,
+    * equivalence asserted in tests). Registers on the DataFrame's
+    * session like every other native kernel.
+    */
+  private def shinglesOf(docs: DataFrame): Column = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    call_function("word_shingles", col("w"), lit(3))
+  }
 
   /** Tokenized docs with the split materialized as a named alias, which
     * downstream shingle lambdas reference instead of re-splitting.
@@ -223,7 +235,7 @@ object DedupOps {
       col("doc_id"),
       md5(array_join(sort_array(array_distinct(col("w"))), " ")
         .cast("binary")).as("sig"),
-      expr(SHINGLES).as("sh"))
+      shinglesOf(docs).as("sh"))
     def pairStruct(a: Column, b: Column): Column = struct(
       a.getField("doc_id").as("doc_a"),
       b.getField("doc_id").as("doc_b"),
@@ -267,7 +279,7 @@ object DedupOps {
     */
   def docLshVerifiedDups(docs: DataFrame): DataFrame = {
     val candidates = docMinhashLsh(docs)
-    val shingles = tokenized(docs).select(col("doc_id"), expr(SHINGLES).as("sh"))
+    val shingles = tokenized(docs).select(col("doc_id"), shinglesOf(docs).as("sh"))
     val sides = candidates
       .select(struct(col("doc_a"), col("doc_b"), col("n_bands")).as("pair"))
       .select(col("pair"),

@@ -96,6 +96,22 @@ class PipelineOpsSpec extends SparkTestBase {
     ivf.foreach { case (id, c) => assert(brute(id) === c) }
   }
 
+  test("IVF staged index: Lloyd runs once, later queries reuse the centroids") {
+    SimilarityOps.dropStagedCentroids()
+    val before = SimilarityOps.lloydRuns.get()
+    val first = SimilarityOps.embeddingIvfTopK(emb, 0L, 10,
+      index = Some(SimilarityOps.stagedCentroids(spark, sfDir))).collect()
+    assert(SimilarityOps.lloydRuns.get() === before + 1, "first query trains the index")
+    val second = SimilarityOps.embeddingIvfTopK(emb, 0L, 10,
+      index = Some(SimilarityOps.stagedCentroids(spark, sfDir))).collect()
+    assert(SimilarityOps.lloydRuns.get() === before + 1,
+      "second query reuses the staged centroids — no Lloyd re-run")
+    assert(first.map(_.toString).toSeq === second.map(_.toString).toSeq)
+    // the staged result is the same index the unstaged path derives
+    val unstaged = SimilarityOps.embeddingIvfTopK(emb, 0L, 10).collect()
+    assert(unstaged.map(_.toString).toSeq === first.map(_.toString).toSeq)
+  }
+
   // --- text analysis ---------------------------------------------------
 
   test("lang id: deterministic prediction with score in [0,1]") {
@@ -203,6 +219,34 @@ class PipelineOpsSpec extends SparkTestBase {
     e.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
     assert(e(0).getSeq[String](0).length === 1)
     assert(e(1).getSeq[String](0).length === 1)
+  }
+
+  test("native word_shingles matches the composable array_distinct/transform shingles") {
+    graft.functions.WordShingles.register(spark)
+    import spark.implicits._
+    // fixture corpus + multibyte, duplicate-shingle, and exactly-n edges
+    val corpus = docs.select("doc_id", "text").unionByName(Seq(
+      (300001L, "ünïcödé tökens ärrive hère tödäy"),
+      (300002L, "a b c a b c a b c"), // repeating: distinct must dedupe
+      (300003L, "one two three")) // exactly 3 tokens: one shingle
+      .toDF("doc_id", "text"))
+    val toks = corpus
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+    val both = toks.select(
+      call_function("word_shingles", col("w"), lit(3)).as("native"),
+      expr(DedupOps.SHINGLES).as("hof")).collect()
+    assert(both.nonEmpty)
+    // bit-identical: same shingles, same first-occurrence order
+    both.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // fewer-than-n tokens: empty set (call sites filter upstream)
+    val short = Seq((1L, Seq("a", "b"))).toDF("doc_id", "w")
+      .select(call_function("word_shingles", col("w"), lit(3)).as("s")).head()
+    assert(short.getSeq[String](0).isEmpty)
+    // SQL-registry path + analysis-time size check
+    assert(spark.sql("SELECT word_shingles(array('x','y','z'), 3)")
+      .head().getSeq[String](0) === Seq("x y z"))
+    intercept[Exception](spark.sql("SELECT word_shingles(array('x'), 0)").collect())
   }
 
   test("native minhash_bands matches the composable explode/min-agg/band-agg formulation") {
