@@ -38,5 +38,7 @@ object GraftSession {
     graft.functions.MinhashBands.register(spark)
     graft.functions.Simhash60.register(spark)
     graft.functions.WordShingles.register(spark)
+    graft.functions.CountIn.register(spark)
+    graft.functions.SumStrlen.register(spark)
   }
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `count_in(w, words)` — how many elements of the token array `w` are
+  * members of the LITERAL string array `words`:
+  * `count_in(w, words)` ≡ `size(filter(w, x -> array_contains(words, x)))`
+  * — the per-profile stopword count behind language ID and quality
+  * scoring ([[graft.operators.TextOps.textLangId]] scores 5 profiles per
+  * row; [[graft.operators.TextOps.textQualityScore]] one).
+  *
+  * Why native: `filter` (ArrayFilter) is CodegenFallback — each of the
+  * ~5 profiles interprets a lambda per TOKEN, and inside it
+  * `array_contains` walks the 6-word profile per call. This expression
+  * hashes the literal profile ONCE into a set and runs one codegen'd
+  * loop per row: tokens × O(1) lookups instead of tokens × profiles × 6
+  * interpreted comparisons. NULL tokens don't count (the lambda's
+  * `array_contains(words, NULL)` is NULL → dropped by filter).
+  */
+case class CountIn(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "count_in"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      if (!right.foldable)
+        TypeCheckResult.TypeCheckFailure("count_in requires a literal word array")
+      else TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"count_in requires (ARRAY<STRING>, ARRAY<STRING>), got (${l.catalogString}, ${r.catalogString})")
+  }
+
+  /** The literal membership set, built once per expression instance —
+    * codegen references it as a constant object. */
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval().asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(w: Any, wordsIgnored: Any): Any =
+    CountIn.compute(w.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("countInSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.CountIn$$.MODULE$$.compute($w, $setRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountIn =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountIn {
+
+  def compute(w: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    var count = 0
+    var i = 0
+    val n = w.numElements()
+    while (i < n) {
+      if (!w.isNullAt(i) && set.contains(w.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("count_in",
+        exprs => CountIn(exprs.head, exprs(1)), "built-in")
+}
+
+/** `sum_strlen(w)` — the summed character length of a token array:
+  * `sum_strlen(w)` ≡ `aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)`
+  * — the mean-token-length numerator of quality scoring. The composable
+  * form is TWO CodegenFallback HOFs (transform materializes a lengths
+  * array, aggregate folds it interpreted); this is one loop. Integer
+  * arithmetic with Int overflow-wrap, exactly like the `lit(0)` fold.
+  * NULL tokens add nothing (`length(NULL)` is NULL and `a + NULL` nulls
+  * the fold — but tokenizer output never contains NULL; semantics kept
+  * for safety as "skip").
+  */
+case class SumStrlen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "sum_strlen"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sum_strlen requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(w: Any): Any =
+    SumStrlen.compute(w.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.SumStrlen$$.MODULE$$.compute($w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SumStrlen =
+    copy(child = newChild)
+}
+
+object SumStrlen {
+
+  def compute(w: ArrayData): Int = {
+    var sum = 0
+    var i = 0
+    val n = w.numElements()
+    while (i < n) {
+      if (!w.isNullAt(i)) sum += w.getUTF8String(i).numChars()
+      i += 1
+    }
+    sum
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("sum_strlen",
+        exprs => SumStrlen(exprs.head), "built-in")
+}

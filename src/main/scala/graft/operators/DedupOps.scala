@@ -296,6 +296,71 @@ object DedupOps {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Iteration cap for [[docDupGroups]]: min-label propagation needs
+    * one iteration per hop of a component's diameter, and duplicate
+    * clusters are near-cliques (diameter 2-3) — 30 is an order of
+    * magnitude of headroom, and hitting it is a loud error, not a wrong
+    * answer. */
+  val MaxCcIterations = 30
+
+  /** Duplicate CLUSTERS from the verified pairs — the step after pair
+    * verification in every dedup pipeline: transitively connect
+    * confirmed duplicates and elect one canonical document per cluster
+    * (the one kept; the rest are dropped from the training set). A pair
+    * list alone can't do this — A≈B and B≈C must discard two of
+    * {A,B,C}, not two of four pair-sides.
+    *
+    * Connected components by iterative min-label propagation, the
+    * scalable CC shape (GraphX/GraphFrames use the same skeleton): each
+    * iteration is one join + one aggregation over the EDGE list, and
+    * every structure is proportional to the duplicate pairs, never the
+    * corpus. The loop is driver-COORDINATED but not driver-resident: the
+    * only values crossing to the driver are the per-iteration
+    * changed-row count (the fixpoint test) — labels live in executors,
+    * `localCheckpoint` truncating the iterative lineage each round.
+    * Iterations are bounded by cluster diameter (near-cliques: 2-3), so
+    * the loop runs ~3 rounds at any corpus scale; the canonical label is
+    * the component's MIN doc_id — deterministic, engine-independent.
+    */
+  def docDupGroups(docs: DataFrame): DataFrame = {
+    val pairs = docLshVerifiedDups(docs).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < MaxCcIterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
+        .groupBy("doc_a").agg(min(col("nl")).as("nbr_min"))
+        .withColumnRenamed("doc_a", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // labels only ever decrease: changed == 0 is the fixpoint
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).limit(1).count()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    if (!done) throw new IllegalStateException(
+      s"docDupGroups: no fixpoint after $MaxCcIterations iterations — " +
+        "a component's diameter exceeds the cap (raise MaxCcIterations)")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(
+        col("id").as("doc_id"),
+        col("label").as("cluster"),
+        (col("id") === col("label")).cast("int").as("is_canonical"),
+        col("cluster_size"))
+  }
+
   /** Benchmark decontamination — the train/test-leakage detector every
     * training pipeline runs before a data release: flag corpus documents
     * sharing at least `minShared` character-`DecontaminateGramLen`-gram
@@ -348,10 +413,44 @@ object DedupOps {
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
     "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
+    "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
     "doc_decontaminate" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
     """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
+
+  /** The verified-dups pipeline as a reusable CTE chain ending in `dup`
+    * (doc_a, doc_b, n_bands, jaccard ≥ threshold) — the oracle for
+    * `doc_lsh_verified_dups` itself and the input graph of
+    * `doc_dup_groups`. */
+  private def duckVerifiedCtes: String =
+    s"""toks AS (SELECT * FROM (
+                   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                   FROM documents) WHERE len(w) >= 3),
+        shset AS (SELECT doc_id, $DUCK_SHINGLES AS sh FROM toks),
+        sh AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
+               FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
+        bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
+                         md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+                  FROM mh GROUP BY doc_id, seed // $RowsPerBand),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
+                                                ORDER BY doc_id) AS rk
+                   FROM bands),
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(count(*) AS BIGINT) AS n_bands
+                 FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
+                                             AND a.doc_id < b.doc_id
+                                             AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
+                 GROUP BY a.doc_id, b.doc_id),
+        dup AS (SELECT c.doc_a, c.doc_b, c.n_bands,
+                       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                       CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+                FROM cand c
+                JOIN shset sa ON sa.doc_id = c.doc_a
+                JOIN shset sb ON sb.doc_id = c.doc_b
+                WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold)"""
 
   def oracle: Map[String, String] = Map(
     "doc_minhash_lsh" ->
@@ -407,33 +506,27 @@ object DedupOps {
                       AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
     "doc_lsh_verified_dups" ->
-      s"""WITH toks AS (SELECT * FROM (
-                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                          FROM documents) WHERE len(w) >= 3),
-          shset AS (SELECT doc_id, $DUCK_SHINGLES AS sh FROM toks),
-          sh AS (SELECT doc_id, unnest(sh) AS s FROM shset),
-          mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
-                 FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
-          bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
-                           md5(string_agg(mh, '|' ORDER BY seed)) AS sig
-                    FROM mh GROUP BY doc_id, seed // $RowsPerBand),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
-                                                  ORDER BY doc_id) AS rk
-                     FROM bands),
-          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                          CAST(count(*) AS BIGINT) AS n_bands
-                   FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
-                                               AND a.doc_id < b.doc_id
-                                               AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
-                   GROUP BY a.doc_id, b.doc_id)
-          SELECT c.doc_a, c.doc_b, c.n_bands,
-                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
-          FROM cand c
-          JOIN shset sa ON sa.doc_id = c.doc_a
-          JOIN shset sb ON sb.doc_id = c.doc_b
-          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold""",
+      s"""WITH $duckVerifiedCtes
+          SELECT doc_a, doc_b, n_bands, jaccard FROM dup""",
+    "doc_dup_groups" ->
+      // WITH RECURSIVE prefixes the whole CTE list in DuckDB; the
+      // verified-dups chain rides along unchanged, then `reach` closes
+      // the duplicate graph transitively and min(r) is the cluster label
+      s"""WITH RECURSIVE $duckVerifiedCtes,
+          edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+                    UNION ALL SELECT doc_b, doc_a FROM dup),
+          verts AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+          comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+          sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                    FROM comp GROUP BY cluster)
+          SELECT c.id AS doc_id, c.cluster,
+                 CAST(c.id = c.cluster AS INTEGER) AS is_canonical,
+                 s.cluster_size
+          FROM comp c JOIN sizes s USING (cluster)""",
     "doc_decontaminate" ->
       s"""WITH grams AS (SELECT doc_id,
                                 unnest(list_distinct([md5(substring(text, i, $DecontaminateGramLen))

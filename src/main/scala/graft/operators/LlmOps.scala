@@ -121,6 +121,48 @@ object LlmOps {
         round(max(col("l2")), 6).as("max_norm"))
       .orderBy("label")
 
+  /** Quality floor for [[docFilterPipeline]] — the pre-filter threshold a
+    * real pipeline tunes per corpus; 0.4 splits the fixture. */
+  val QualityThreshold = 0.4
+
+  /** The whole curation pipeline as ONE query — what actually runs before
+    * a training data release, composed from the pieces this engine
+    * implements separately: benchmark holdout → contamination →
+    * duplicate-cluster canonicalization → language filter → quality
+    * floor, first matching reason wins. Output is the per-document
+    * verdict (`keep` = survived every stage), the artifact a release
+    * audit reads.
+    *
+    * Shape: language + quality come from [[TextOps.textAnnotations]] —
+    * one corpus pass, NOT a join of the two standalone ops. The
+    * contamination and duplicate lists arrive as left joins keyed on
+    * doc_id and are deliberately NOT broadcast-hinted: both scale with
+    * the corpus's contamination/duplicate density (web corpora run
+    * 30-50% duplicates), the same unbounded-"small"-side trap as the
+    * verified-dups candidate list; AQE may still elect a runtime
+    * broadcast when they measure small.
+    */
+  def docFilterPipeline(docs: DataFrame): DataFrame = {
+    val ann = TextOps.textAnnotations(docs)
+    val dups = DedupOps.docDupGroups(docs)
+      .filter(col("is_canonical") === 0)
+      .select(col("doc_id"), lit(1).as("dup"))
+    val contam = DedupOps.docDecontaminate(docs)
+      .select(col("doc_id"), lit(1).as("contam"))
+    ann
+      .join(contam, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(DedupOps.DecontaminateProbeMod)) === 0, "benchmark")
+          .when(col("contam").isNotNull, "contaminated")
+          .when(col("dup").isNotNull, "duplicate")
+          .when(col("pred_lang") =!= "en", "language")
+          .when(col("quality") < QualityThreshold, "quality")
+          .otherwise("keep").as("verdict"))
+      .withColumn("keep", (col("verdict") === "keep").cast("int"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -137,9 +179,32 @@ object LlmOps {
     "embedding_topk_cosine" ->
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
     "multimodal_width_stats" ->
-      ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))))
+      ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
+    "doc_filter_pipeline" ->
+      ((s, d) => docFilterPipeline(Fixtures.documents(s, d))))
+
+  /** The pipeline oracle composes the component oracles as parenthesized
+    * subqueries (each carries its own WITH chain — the dup-groups one its
+    * own WITH RECURSIVE), mirroring exactly how the Spark side composes
+    * the operators. */
+  private def filterPipelineOracle: String =
+    s"""SELECT doc_id, verdict, CAST(verdict = 'keep' AS INTEGER) AS keep
+        FROM (
+          SELECT l.doc_id,
+                 CASE WHEN l.doc_id % ${DedupOps.DecontaminateProbeMod} = 0 THEN 'benchmark'
+                      WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                      WHEN g.doc_id IS NOT NULL THEN 'duplicate'
+                      WHEN l.pred_lang <> 'en' THEN 'language'
+                      WHEN q.quality < $QualityThreshold THEN 'quality'
+                      ELSE 'keep' END AS verdict
+          FROM (${TextOps.oracle("text_lang_id")}) l
+          JOIN (${TextOps.oracle("text_quality_score")}) q USING (doc_id)
+          LEFT JOIN (${DedupOps.oracle("doc_decontaminate")}) c ON c.doc_id = l.doc_id
+          LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("doc_dup_groups")})
+                     WHERE is_canonical = 0) g ON g.doc_id = l.doc_id)"""
 
   def oracle: Map[String, String] = Map(
+    "doc_filter_pipeline" -> filterPipelineOracle,
     "text_tokenize_counts" ->
       s"""SELECT word, CAST(count(*) AS BIGINT) AS n
           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word

@@ -40,13 +40,23 @@ object TextOps {
       col("doc_id"), col("text"),
       split(trim(lower(col("text"))), "\\s+").as("w"))
 
-  /** `array_contains` against one literal array, not `isin` — In(6)
-    * expands to six codegen'd comparisons per element per profile, and at
-    * 5 profiles the whole-stage-codegen compile dominated the query at
-    * small scale (BENCH_r02: 7.6 s for 500 rows). One ArrayContains call
-    * per element keeps the generated method small; same semantics.
+  /** Stopword-hit ratio against one profile, via the fused native
+    * [[graft.functions.CountIn]] membership count (one codegen'd loop +
+    * hashed profile set). The composable form below is the numerics
+    * reference — `filter` (ArrayFilter) is CodegenFallback, and at 5
+    * profiles the interpreted lambda per token per profile was the whole
+    * query's cost (BENCH_r07: text_lang_id 2.6 s of a 34 s suite).
+    * (Historical: the lambda uses `array_contains`, not `isin` — In(6)
+    * expanded to six codegen'd comparisons per element and the codegen
+    * COMPILE dominated at small scale, BENCH_r02 7.6 s for 500 rows.)
     */
   private def profileScore(words: Seq[String]): Column =
+    call_function("count_in", col("w"), typedlit(words)) /
+      size(col("w")).cast("double")
+
+  /** The composable reference [[graft.functions.CountIn]] must match
+    * count-for-count (equivalence asserted in tests). */
+  private[graft] def profileScoreHof(words: Seq[String]): Column =
     size(filter(col("w"), x => array_contains(typedlit(words), x))) /
       size(col("w")).cast("double")
 
@@ -56,6 +66,7 @@ object TextOps {
     * determinism and shape, not on recovering that label.)
     */
   def textLangId(docs: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
     val scored = withTokens(docs).select(
       col("*") +: Profiles.map { case (lang, words) =>
         profileScore(words).as(s"s_$lang")
@@ -83,13 +94,16 @@ object TextOps {
     * downstream thresholds can re-weight without recomputing.
     */
   def textQualityScore(docs: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
     val en = Profiles.head._2
     withTokens(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(col("w")).as("n_tokens"),
       profileScore(en).as("stop_ratio"),
-      (aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x) /
+      // sum_strlen: fused native fold — aggregate(transform(...)) is two
+      // CodegenFallback HOFs (equivalence asserted in tests)
+      (call_function("sum_strlen", col("w")) /
         size(col("w")).cast("double")).as("avg_wlen"))
       .withColumn("quality",
         // unrounded on purpose: exact ratios through identical IEEE ops
@@ -98,6 +112,34 @@ object TextOps {
         col("stop_ratio") * 0.3 +
           least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
           least(lit(1.0), col("avg_wlen") / 8.0) * 0.3)
+  }
+
+  /** Language + quality in ONE corpus pass — the annotation projection
+    * [[LlmOps.docFilterPipeline]] builds on: `textLangId` and
+    * `textQualityScore` each scan the corpus, and a pipeline that joined
+    * their outputs would pay two scans plus a corpus-sized 1:1 join for
+    * columns that are pure per-row functions of the same tokenization.
+    * Same column builders as the standalone ops, so values are
+    * bit-identical to them (and to their oracles).
+    */
+  def textAnnotations(docs: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val scored = withTokens(docs).select(
+      col("*") +: Profiles.map { case (lang, words) =>
+        profileScore(words).as(s"s_$lang")
+      }: _*)
+    val best = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
+      when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(elseExpr)
+    }
+    scored.select(
+      col("doc_id"),
+      pred.as("pred_lang"),
+      (col("s_en") * 0.3 +
+        least(lit(1.0), size(col("w")) / 100.0) * 0.4 +
+        least(lit(1.0),
+          (call_function("sum_strlen", col("w")) / size(col("w")).cast("double")) / 8.0)
+          * 0.3).as("quality"))
   }
 
   /** Token counting: whitespace segmentation vs a BPE-ish regex
@@ -163,6 +205,48 @@ object TextOps {
         max(col("doc_id")).as("max_doc"))
   }
 
+  /** Context-window budget for [[docPackBins]] and the shard fan-out the
+    * packing runs under. */
+  val PackBudget = 512L
+  val PackShards = 8L
+
+  /** Token-budget sequence packing — the batch-assembly step of a
+    * training pipeline: assign documents to fixed-token-budget bins
+    * (context windows) so downstream training reads one bin per sample.
+    * Documents first land in one of [[PackShards]] deterministic shards
+    * (same md5 discipline as [[docSplitAssign]] — stable across runs,
+    * engines, and re-shards), then pack greedily in doc_id order by
+    * RUNNING token count: bin = floor(exclusive-prefix-sum / budget).
+    * A document straddling a boundary closes the bin — the streaming
+    * "approximate packing" rule, which needs only a prefix sum instead
+    * of bin-packing's sequential state.
+    *
+    * Scale shape: one window aggregation PARTITIONED BY shard (never a
+    * global, single-reducer window), over a per-row codegen'd
+    * projection. Packing within shards is how it runs in production
+    * anyway — each training worker packs its own shard; more workers =
+    * raise [[PackShards]], the plan is unchanged.
+    */
+  def docPackBins(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""")
+        .cast("long").as("n_tokens"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long") % PackShards).as("shard"))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(byShard))
+      .select(
+        col("doc_id"), col("shard"),
+        floor((col("cum") - col("n_tokens")).cast("double") / PackBudget)
+          .cast("long").as("bin"),
+        col("n_tokens"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -172,7 +256,8 @@ object TextOps {
     "text_quality_score" -> ((s, d) => textQualityScore(Fixtures.documents(s, d))),
     "token_count_bpe" -> ((s, d) => tokenCounts(Fixtures.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
-    "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))))
+    "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
+    "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))))
 
   private def duckScore(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -234,6 +319,19 @@ object TextOps {
                   CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
-           FROM b GROUP BY 1""")
+           FROM b GROUP BY 1""",
+      "doc_pack_bins" ->
+        s"""WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % $PackShards AS shard
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING)
+                               - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
+                   n_tokens
+            FROM toks""")
   }
 }

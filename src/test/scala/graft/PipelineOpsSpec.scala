@@ -76,6 +76,83 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(j(0).getAs[Double]("jaccard") === 1.0)
   }
 
+  test("dup groups: clusters are the transitive closure of verified pairs, canonical = min id") {
+    // chain A≈B≈C via copies of one document: 7 ≈ 100007 ≈ 200007 must
+    // land in ONE cluster of 3, canonical the smallest id
+    val d1 = docs.filter(col("doc_id") === 7L).withColumn("doc_id", lit(100007L))
+    val d2 = docs.filter(col("doc_id") === 7L).withColumn("doc_id", lit(200007L))
+    val corpus = docs.unionByName(d1).unionByName(d2)
+    val groups = DedupOps.docDupGroups(corpus).collect()
+    assert(groups.nonEmpty)
+    val chain = groups.filter(r => Set(7L, 100007L, 200007L)(r.getAs[Long]("doc_id")))
+    assert(chain.length === 3, "all three copies clustered")
+    assert(chain.forall(_.getAs[Long]("cluster") === 7L), "cluster label = min doc_id")
+    assert(chain.forall(_.getAs[Long]("cluster_size") >= 3L))
+    assert(chain.count(_.getAs[Int]("is_canonical") === 1) === 1)
+    assert(chain.find(_.getAs[Long]("doc_id") === 7L)
+      .get.getAs[Int]("is_canonical") === 1)
+    // every cluster elects exactly one canonical member, the min id
+    groups.groupBy(_.getAs[Long]("cluster")).foreach { case (c, members) =>
+      assert(members.count(_.getAs[Int]("is_canonical") === 1) === 1)
+      assert(members.map(_.getAs[Long]("doc_id")).min === c)
+      assert(members.forall(_.getAs[Long]("cluster_size") === members.length.toLong))
+    }
+    // membership matches the pair graph: every verified pair co-clusters
+    val byDoc = groups.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    DedupOps.docLshVerifiedDups(corpus).collect().foreach { r =>
+      assert(byDoc(r.getAs[Long]("doc_a")) === byDoc(r.getAs[Long]("doc_b")))
+    }
+  }
+
+  test("filter pipeline: one verdict per doc, precedence holds, keep = survived all stages") {
+    import graft.operators.{LlmOps, TextOps}
+    val verdicts = LlmOps.docFilterPipeline(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"), r.getAs[Int]("keep")))
+    assert(verdicts.length === docs.count())
+    // keep is exactly "verdict == keep"
+    verdicts.foreach { case (_, v, k) => assert((k === 1) === (v === "keep")) }
+    // benchmark holdout wins over everything
+    verdicts.filter(_._1 % 20 == 0).foreach { case (_, v, _) => assert(v === "benchmark") }
+    // contaminated docs (that are not benchmark) carry that verdict
+    val contaminated = DedupOps.docDecontaminate(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    verdicts.filter(t => contaminated(t._1) && t._1 % 20 != 0)
+      .foreach { case (_, v, _) => assert(v === "contaminated") }
+    // non-canonical dups not contaminated/benchmark are 'duplicate'
+    val dups = DedupOps.docDupGroups(docs).collect()
+      .filter(_.getAs[Int]("is_canonical") === 0).map(_.getAs[Long]("doc_id")).toSet
+    verdicts.filter(t => dups(t._1) && !contaminated(t._1) && t._1 % 20 != 0)
+      .foreach { case (_, v, _) => assert(v === "duplicate") }
+    // the fixture exercises several stages and keeps something
+    val kinds = verdicts.map(_._2).distinct.toSet
+    assert(kinds.contains("keep"), s"nothing survived: $kinds")
+    assert(kinds.size >= 3, s"pipeline degenerate on fixture: $kinds")
+  }
+
+  test("pack bins: per-shard running fill respects the budget rule, deterministic") {
+    import graft.operators.TextOps
+    val a = TextOps.docPackBins(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_tokens")))
+    assert(a.length === docs.count())
+    // deterministic: a second run assigns identically
+    val b = TextOps.docPackBins(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_tokens")))
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+    // bin = floor(exclusive prefix sum / budget) within each shard, in
+    // doc_id order — recompute per shard and compare
+    a.groupBy(_._2).foreach { case (_, members) =>
+      var cum = 0L
+      members.sortBy(_._1).foreach { case (_, _, bin, n) =>
+        assert(bin === cum / TextOps.PackBudget)
+        cum += n
+      }
+    }
+    // shards actually fan out on the fixture
+    assert(a.map(_._2).distinct.length > 1)
+  }
+
   // --- similarity ------------------------------------------------------
 
   test("embedding near-dup: top pairs match brute-force where buckets agree") {
@@ -219,6 +296,35 @@ class PipelineOpsSpec extends SparkTestBase {
     e.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
     assert(e(0).getSeq[String](0).length === 1)
     assert(e(1).getSeq[String](0).length === 1)
+  }
+
+  test("native count_in / sum_strlen match the composable filter / aggregate folds") {
+    import graft.operators.TextOps
+    graft.functions.CountIn.register(spark)
+    graft.functions.SumStrlen.register(spark)
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text").unionByName(Seq(
+      (400001L, "the of and the is to the"), // repeats: count occurrences, not distinct
+      (400002L, "ünïcödé wörds önly"),
+      (400003L, "")) // empty text → [""] after split
+      .toDF("doc_id", "text"))
+    val toks = corpus.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+    TextOps.Profiles.foreach { case (lang, words) =>
+      val both = toks.select(
+        call_function("count_in", col("w"), typedlit(words)).as("native"),
+        size(filter(col("w"), x => array_contains(typedlit(words), x))).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getInt(0) === r.getInt(1), s"profile=$lang"))
+    }
+    val sums = toks.select(
+      call_function("sum_strlen", col("w")).as("native"),
+      aggregate(transform(col("w"), x => length(x)), lit(0), (a, x) => a + x).as("hof"))
+      .collect()
+    sums.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // SQL-registry path
+    assert(spark.sql("SELECT count_in(array('a','b','a'), array('a'))").head().getInt(0) === 2)
+    assert(spark.sql("SELECT sum_strlen(array('ab','c'))").head().getInt(0) === 3)
   }
 
   test("native word_shingles matches the composable array_distinct/transform shingles") {
