@@ -40,5 +40,6 @@ object GraftSession {
     graft.functions.WordShingles.register(spark)
     graft.functions.CountIn.register(spark)
     graft.functions.SumStrlen.register(spark)
+    graft.functions.JaccardDistinct.register(spark)
   }
 }

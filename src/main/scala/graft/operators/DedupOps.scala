@@ -239,8 +239,10 @@ object DedupOps {
     def pairStruct(a: Column, b: Column): Column = struct(
       a.getField("doc_id").as("doc_a"),
       b.getField("doc_id").as("doc_b"),
-      (size(array_intersect(a.getField("sh"), b.getField("sh"))).cast("double") /
-        size(array_distinct(concat(a.getField("sh"), b.getField("sh")))).cast("double"))
+      // fused one-pass set Jaccard — the composable intersect/concat/
+      // distinct chain allocates three arrays per pair and a capped
+      // bucket enumerates up to ~131k pairs (equivalence-tested)
+      call_function("jaccard_distinct", a.getField("sh"), b.getField("sh"))
         .as("jaccard"))
     groupMembers(sig, Seq(col("sig")),
         struct(col("doc_id"), col("sh")), col("doc_id"),
@@ -290,9 +292,8 @@ object DedupOps {
       .select(
         col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
         col("pair.n_bands").as("n_bands"),
-        (size(array_intersect(element_at(col("m"), 1), element_at(col("m"), 2))).cast("double") /
-          size(array_distinct(concat(element_at(col("m"), 1), element_at(col("m"), 2)))).cast("double"))
-          .as("jaccard"))
+        call_function("jaccard_distinct",
+          element_at(col("m"), 1), element_at(col("m"), 2)).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 

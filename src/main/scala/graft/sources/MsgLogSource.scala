@@ -816,8 +816,16 @@ object MsgLogNacks {
   def redeliver(topicDir: String, ids: Seq[(Long, Long)]): Path = synchronized {
     require(ids.nonEmpty, "graft-msglog: redeliver of zero message ids")
     val ledgers = MsgLogSource.ledgerFiles(topicDir)
-    val byId = ledgers.map(p =>
-      MsgLogSource.ledgerId(p.getFileName.toString) -> p).toMap
+    // a message's `ledger` coordinate hashes the OFFSET KEY, which is
+    // topic-qualified under a multi-topic subscription (`topic/name`)
+    // and bare under a single-topic one — accept ids from either mode,
+    // the consumer nacks whatever coordinate it read
+    val topicName = Paths.get(topicDir).getFileName.toString
+    val byId = ledgers.flatMap { p =>
+      val name = p.getFileName.toString
+      Seq(MsgLogSource.ledgerId(name) -> p,
+        MsgLogSource.ledgerId(s"$topicName/$name") -> p)
+    }.toMap
     // delivery generation = occurrences across the frozen journals + the
     // occurrences earlier in THIS call
     val prior = scala.collection.mutable.Map.empty[(String, Long), Int]
@@ -1295,8 +1303,12 @@ class MsgLogNackReader(p: MsgLogNackPartition, required: StructType,
       if (idx >= cmds.length) return false
       val c = cmds(idx); idx += 1
       val file = Paths.get(p.topicDir, c.ledgerName)
+      // the redelivered row must carry the ORIGINAL ledger coordinate:
+      // hash the topic-qualified offset key exactly as the first
+      // delivery's partition planning did
+      val key = if (p.topic.isEmpty) c.ledgerName else s"${p.topic}/${c.ledgerName}"
       inner = new MsgLogPartitionReader(
-        MsgLogPartition(MsgLogSource.ledgerId(c.ledgerName), file.toString,
+        MsgLogPartition(MsgLogSource.ledgerId(key), file.toString,
           p.topic, c.entry, c.entry + 1),
         required, preds, deadLetter, sessionTz, redeliveryBump = c.bump)
     }

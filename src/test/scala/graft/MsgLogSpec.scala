@@ -438,6 +438,48 @@ class MsgLogSpec extends SparkTestBase {
       MsgLogNacks.redeliver(topic, Seq(ids.head._1 -> 99L)))
   }
 
+  test("redelivery: multi-topic subscription re-delivers each topic's nacks under its own key") {
+    import graft.sources.MsgLogNacks
+    val ev = Fixtures.events(spark, sfDir).limit(6)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ns = Files.createTempDirectory("glog_nack_ns_").toString
+    ev.limit(3).repartition(1).write.format("graft-msglog").mode("append").save(s"$ns/t-a")
+    ev.repartition(1).write.format("graft-msglog").mode("append").save(s"$ns/t-b")
+    val ckpt = Files.createTempDirectory("glog_nack_ns_ckpt_").toString
+    val outDir = Files.createTempDirectory("glog_nack_ns_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-msglog")
+        .option("topics", "*").option("redelivery", "true").load(ns)
+        .select("topic", "ledger", "entry", "event_id", "redelivery_count")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(outDir).collect()
+    assert(first.length === 9)
+    // nack one message in each topic by its (ledger, entry) id
+    val idA = first.filter(_.getAs[String]("topic") == "t-a").head
+    val idB = first.filter(_.getAs[String]("topic") == "t-b").head
+    MsgLogNacks.redeliver(s"$ns/t-a",
+      Seq(idA.getAs[Long]("ledger") -> idA.getAs[Long]("entry")))
+    MsgLogNacks.redeliver(s"$ns/t-b",
+      Seq(idB.getAs[Long]("ledger") -> idB.getAs[Long]("entry")))
+    drain()
+    val second = spark.read.parquet(outDir).collect()
+    assert(second.length === 11)
+    val redelivered = second.diff(first)
+    assert(redelivered.map(_.getAs[String]("topic")).sorted.toSeq === Seq("t-a", "t-b"))
+    redelivered.foreach { r =>
+      assert(r.getAs[Int]("redelivery_count") === 1)
+      val orig = first.find(o => o.getAs[String]("topic") == r.getAs[String]("topic") &&
+        o.getAs[Long]("entry") == r.getAs[Long]("entry"))
+      assert(orig.isDefined, "redelivered id was delivered before")
+      assert(orig.get.getAs[Long]("event_id") === r.getAs[Long]("event_id"))
+    }
+  }
+
   test("batch sink: a second append adds ledgers instead of replacing them") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -327,6 +327,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(spark.sql("SELECT sum_strlen(array('ab','c'))").head().getInt(0) === 3)
   }
 
+  test("native jaccard_distinct matches the composable intersect/concat/distinct chain") {
+    graft.functions.JaccardDistinct.register(spark)
+    import spark.implicits._
+    def hof = size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_distinct(concat(col("a"), col("b")))).cast("double")
+    // fixture shingle sets, pairwise
+    val sh = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(DedupOps.SHINGLES).as("sh"))
+      .limit(40).collect().map(_.getSeq[String](1))
+    val pairs = (for (a <- sh.take(20); b <- sh.take(20)) yield (a, b)).toSeq
+      .toDF("a", "b")
+    val both = pairs.select(
+      call_function("jaccard_distinct", col("a"), col("b")).as("native"),
+      hof.as("hofv")).collect()
+    both.foreach { r =>
+      val (n, h) = (r.getDouble(0), r.getDouble(1))
+      assert(n === h || (n.isNaN && h.isNaN))
+    }
+    // duplicate elements within a side collapse
+    val edges = Seq(
+      (Seq("x", "x", "y"), Seq("x", "z", "z")),
+      (Seq("x"), Seq.empty[String])).toDF("a", "b")
+    edges.select(
+      call_function("jaccard_distinct", col("a"), col("b")).as("native"),
+      hof.as("hofv")).collect().foreach { r =>
+      val (n, h) = (r.getDouble(0), r.getDouble(1))
+      assert(n === h || (n.isNaN && h.isNaN))
+    }
+    val withNulls = spark.sql(
+      """SELECT jaccard_distinct(array('x', NULL, 'y'), array(NULL, 'z')) AS n,
+                size(array_intersect(array('x', NULL, 'y'), array(NULL, 'z'))) /
+                CAST(size(array_distinct(concat(array('x', NULL, 'y'), array(NULL, 'z')))) AS DOUBLE) AS h
+      """).head()
+    assert(withNulls.getDouble(0) === withNulls.getDouble(1))
+    // 0/0: the kernel is TOTAL (NaN) where the ANSI double division
+    // raises DIVIDE_BY_ZERO — call sites filter to >= 3 tokens so the
+    // case never reaches either form in the operators
+    assert(spark.sql(
+      "SELECT jaccard_distinct(cast(array() AS ARRAY<STRING>), cast(array() AS ARRAY<STRING>))")
+      .head().getDouble(0).isNaN)
+  }
+
   test("native word_shingles matches the composable array_distinct/transform shingles") {
     graft.functions.WordShingles.register(spark)
     import spark.implicits._

@@ -112,6 +112,23 @@ class PlanSpec extends SparkTestBase {
     assert(withPayload.contains("cols=[event_id,payload]"), withPayload)
   }
 
+  test("doc_pack_bins window is partitioned by shard, never a global single-reducer window") {
+    val p = plan("doc_pack_bins")
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(shard"), p)
+  }
+
+  test("doc_filter_pipeline adds no broadcast hints beyond the probe-gram one") {
+    // dup/contamination lists scale with the corpus's duplicate and
+    // contamination density — hinting them is the unbounded-"small"-side
+    // trap (r5 verdict #1). The one legitimate hint in the tree is the
+    // decontamination probe-gram set (small by nature).
+    val analyzed = SparkEntry.queries("doc_filter_pipeline")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints === 1, s"expected only the probe-gram broadcast hint, got $hints\n$analyzed")
+  }
+
   test("no operator collects to the driver") {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)
@@ -119,7 +136,8 @@ class PlanSpec extends SparkTestBase {
       .filterNot(Set("round_robin_balance", "msglog_roundtrip_scan",
         "msglog_multi_topic_scan", "bucketed_join_colocate",
         "doc_lsh_verified_dups",
-        "embedding_ivf_topk")) // staging writes / C×dim centroid index
+        "embedding_ivf_topk", // staging writes / C×dim centroid index
+        "doc_dup_groups", "doc_filter_pipeline")) // CC fixpoint loop runs bounded jobs
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
         assert(df.queryExecution.logical != null)
