@@ -247,6 +247,46 @@ object TextOps {
         col("n_tokens"))
   }
 
+  /** Mixture weight tiers for [[docMixtureSample]]'s fixture wiring —
+    * exercises down-sampling (<1), identity (1), and fractional
+    * up-sampling (>1): tier = numeric source suffix mod 4. Real callers
+    * pass their own per-source weight column. */
+  val MixtureTiers = Seq(0.25, 0.5, 1.0, 2.5)
+
+  /** Dataset-mixture sampling — the source re-weighting step of corpus
+    * assembly (up-sample curated sources, down-sample the crawl): each
+    * document replicates `floor(w)` times plus one more with probability
+    * `frac(w)`, decided by the SAME md5-bucket discipline as
+    * [[docSplitAssign]] — so the sample is a pure function of
+    * (doc_id, weight): stable across runs/engines/re-shards, no RNG
+    * state, and a re-run with a changed weight moves only the documents
+    * whose bucket crosses the new threshold. Output is the REPLICATED
+    * stream (`epoch` = which repetition), exactly what a training reader
+    * consumes; documents sampled out vanish. A per-row projection +
+    * bounded explode — no shuffle at any corpus size.
+    */
+  def docMixtureSample(docs: DataFrame, weight: Column): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") % 1000
+    // frac(w)*1000 rounded ONCE so the threshold is an exact integer —
+    // comparing the bucket against a float frac would hinge on fp dust
+    val copies = (floor(weight).cast("long") +
+      when(bucket < round((weight - floor(weight)) * 1000).cast("long"), 1L)
+        .otherwise(0L)).as("copies")
+    docs.select(col("doc_id"), col("source"), copies)
+      .filter(col("copies") >= 1) // explicit: sequence(1,0) would DESCEND
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+  }
+
+  /** Fixture weight column: tier by the source's numeric suffix. */
+  private def fixtureWeight: Column = {
+    val tier = substring(col("source"), 4, 10).cast("int") % MixtureTiers.size
+    MixtureTiers.zipWithIndex.foldLeft(lit(MixtureTiers.head)) {
+      case (acc, (w, i)) => when(tier === i, lit(w)).otherwise(acc)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -257,7 +297,9 @@ object TextOps {
     "token_count_bpe" -> ((s, d) => tokenCounts(Fixtures.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
-    "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))))
+    "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
+    "doc_mixture_sample" ->
+      ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)))
 
   private def duckScore(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -272,6 +314,8 @@ object TextOps {
       s"CASE WHEN s_$lang = best AND best > 0 THEN '$lang' ELSE $elseE END"
     }
     val en = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    val tierCase = MixtureTiers.zipWithIndex
+      .map { case (w, i) => s"WHEN $i THEN $w" }.mkString(" ")
     Map(
       "text_lang_id" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -332,6 +376,22 @@ object TextOps {
                                                    ROWS UNBOUNDED PRECEDING)
                                - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
                    n_tokens
-            FROM toks""")
+            FROM toks""",
+      "doc_mixture_sample" ->
+        s"""WITH w AS (
+              SELECT doc_id, source,
+                     CASE CAST(substring(source, 4) AS INT) % ${MixtureTiers.size}
+                       $tierCase END AS wt,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000 AS bucket
+              FROM documents),
+            c AS (SELECT doc_id, source,
+                         CAST(floor(wt) AS BIGINT)
+                           + CASE WHEN bucket < CAST(round((wt - floor(wt)) * 1000) AS BIGINT)
+                                  THEN 1 ELSE 0 END AS copies
+                  FROM w)
+            SELECT doc_id, source,
+                   CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
+            FROM c""")
   }
 }

@@ -129,6 +129,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kinds.size >= 3, s"pipeline degenerate on fixture: $kinds")
   }
 
+  test("mixture sample: replication follows floor(w) + bucket-fraction, per source") {
+    import graft.operators.TextOps
+    import spark.implicits._
+    // explicit weights across the tiers: drop-most, half, keep, up-sample
+    val weights = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 2.5)
+    val weightCol = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("source") === s, lit(w)).otherwise(acc)
+    }
+    val subset = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+    val out = TextOps.docMixtureSample(subset, weightCol).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("epoch")))
+    val bySource = out.groupBy(_._2)
+    val nPerSource = subset.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep-all source: exactly one epoch per doc
+    assert(bySource("src2").length === nPerSource("src2"))
+    assert(bySource("src2").forall(_._3 === 1L))
+    // up-sampled source: every doc at least twice, some three times
+    val s3 = bySource("src3").groupBy(_._1).map(_._2.length)
+    assert(s3.forall(n => n == 2 || n == 3))
+    assert(s3.exists(_ == 3), "fractional up-sample never fired")
+    // down-sampled sources: strict subset, no repetitions
+    assert(bySource("src0").length < nPerSource("src0"))
+    assert(bySource("src0").forall(_._3 === 1L))
+    assert(bySource.get("src1").forall(g => g.length < nPerSource("src1")))
+    // determinism: same input, same sample
+    val again = TextOps.docMixtureSample(subset, weightCol).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("epoch")))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("pack bins: per-shard running fill respects the budget rule, deterministic") {
     import graft.operators.TextOps
     val a = TextOps.docPackBins(docs).collect()
