@@ -323,10 +323,20 @@ object DedupOps {
     * the loop runs ~3 rounds at any corpus scale; the canonical label is
     * the component's MIN doc_id — deterministic, engine-independent.
     */
-  def docDupGroups(docs: DataFrame): DataFrame = {
-    val pairs = docLshVerifiedDups(docs).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  def docDupGroups(docs: DataFrame): DataFrame =
+    clusterPairs(docLshVerifiedDups(docs).select(col("doc_a"), col("doc_b")))
+      .withColumnRenamed("id", "doc_id")
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)`
+    * — the shared clustering engine behind [[docDupGroups]] and
+    * [[SimilarityOps.embeddingDupGroups]]. Returns `(id, cluster,
+    * is_canonical, cluster_size)` with cluster = the component's min id.
+    * See [[docDupGroups]] for the scale analysis.
+    */
+  private[operators] def clusterPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .union(pairs.toDF("doc_a", "doc_b")
+        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -351,12 +361,12 @@ object DedupOps {
     }
     edges.unpersist()
     if (!done) throw new IllegalStateException(
-      s"docDupGroups: no fixpoint after $MaxCcIterations iterations — " +
+      s"clusterPairs: no fixpoint after $MaxCcIterations iterations — " +
         "a component's diameter exceeds the cap (raise MaxCcIterations)")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(
-        col("id").as("doc_id"),
+        col("id"),
         col("label").as("cluster"),
         (col("id") === col("label")).cast("int").as("is_canonical"),
         col("cluster_size"))

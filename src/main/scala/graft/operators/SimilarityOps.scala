@@ -118,6 +118,17 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Near-duplicate CLUSTERS in embedding space — [[DedupOps.clusterPairs]]
+    * (min-label connected components) over the [[embeddingNearDup]] pair
+    * graph: semantic dedup's group step, electing one canonical vector
+    * per near-dup component the way [[DedupOps.docDupGroups]] does for
+    * lexical duplicates. Same scale story: every structure ∝ the pair
+    * list, never the corpus.
+    */
+  def embeddingDupGroups(emb: DataFrame, k: Int, numPlanes: Int = NumPlanes): DataFrame =
+    DedupOps.clusterPairs(embeddingNearDup(emb, k, numPlanes).select(col("vec_a"), col("vec_b")))
+      .withColumnRenamed("id", "vec_id")
+
   /** One deterministic Lloyd (k-means) refinement over the first-`C`
     * seed: assign every vector to its max-cosine seed centroid, then
     * recompute each centroid as the dimension-wise mean of its cell.
@@ -254,7 +265,9 @@ object SimilarityOps {
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K, AltPlanes)),
     "embedding_ivf_topk" ->
       ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K,
-        index = Some(stagedCentroids(s, d)))))
+        index = Some(stagedCentroids(s, d)))),
+    "embedding_dup_groups" ->
+      ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)))
 
   /** The near-dup oracle, parameterized on the bucket geometry exactly as
     * the operator is. */
@@ -290,6 +303,24 @@ object SimilarityOps {
   def oracle: Map[String, String] = Map(
     "embedding_near_dup" -> nearDupOracle(NumPlanes, NEAR_DUP_K),
     "embedding_near_dup_p16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
+    "embedding_dup_groups" ->
+      // the near-dup pair query (its own WITH chain) nests as the `dup`
+      // CTE; `reach` closes it transitively, min(r) labels the component
+      s"""WITH RECURSIVE dup AS (${nearDupOracle(NumPlanes, NEAR_DUP_K)}),
+          edges AS (SELECT vec_a AS a, vec_b AS b FROM dup
+                    UNION ALL SELECT vec_b, vec_a FROM dup),
+          verts AS (SELECT DISTINCT a AS id FROM edges),
+          reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+          comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+          sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                    FROM comp GROUP BY cluster)
+          SELECT c.id AS vec_id, c.cluster,
+                 CAST(c.id = c.cluster AS INTEGER) AS is_canonical,
+                 s.cluster_size
+          FROM comp c JOIN sizes s USING (cluster)""",
     "embedding_ivf_topk" ->
       s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
                          WHERE vec_id < $NumCentroids),

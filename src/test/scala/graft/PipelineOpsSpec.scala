@@ -204,6 +204,24 @@ class PipelineOpsSpec extends SparkTestBase {
     ivf.foreach { case (id, c) => assert(brute(id) === c) }
   }
 
+  test("embedding dup groups: clusters cover the near-dup pair graph, canonical = min id") {
+    val pairs = SimilarityOps.embeddingNearDup(emb, 20).collect()
+      .map(r => r.getAs[Long]("vec_a") -> r.getAs[Long]("vec_b"))
+    val groups = SimilarityOps.embeddingDupGroups(emb, 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Int]("is_canonical"), r.getAs[Long]("cluster_size")))
+    val byVec = groups.map(g => g._1 -> g._2).toMap
+    assert(groups.nonEmpty)
+    // every paired vector is clustered, pairs co-cluster
+    pairs.foreach { case (a, b) => assert(byVec(a) === byVec(b)) }
+    // one canonical (= min id) per cluster, sizes consistent
+    groups.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.count(_._3 === 1) === 1)
+      assert(members.map(_._1).min === c)
+      assert(members.forall(_._4 === members.length.toLong))
+    }
+  }
+
   test("IVF staged index: Lloyd runs once, later queries reuse the centroids") {
     SimilarityOps.dropStagedCentroids()
     val before = SimilarityOps.lloydRuns.get()

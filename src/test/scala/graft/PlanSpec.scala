@@ -137,7 +137,8 @@ class PlanSpec extends SparkTestBase {
         "msglog_multi_topic_scan", "bucketed_join_colocate",
         "doc_lsh_verified_dups",
         "embedding_ivf_topk", // staging writes / C×dim centroid index
-        "doc_dup_groups", "doc_filter_pipeline")) // CC fixpoint loop runs bounded jobs
+        "doc_dup_groups", "doc_filter_pipeline",
+        "embedding_dup_groups")) // CC fixpoint loop runs bounded jobs
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
         assert(df.queryExecution.logical != null)
