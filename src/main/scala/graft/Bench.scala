@@ -66,7 +66,10 @@ object Bench {
     // ms precision: full nanosecond digits ballooned the line past the
     // driver's stdout-tail capture (BENCH_r05/r06 both lost their head);
     // 60 keys at 3 decimals keep the whole line inside the window
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"$v%.3f" follows the JVM default locale, and a
+    // comma-decimal locale would print 1,234 — invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

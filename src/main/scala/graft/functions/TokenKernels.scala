@@ -33,6 +33,10 @@ case class CountIn(left: Expression, right: Expression) extends BinaryExpression
     case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
       if (!right.foldable)
         TypeCheckResult.TypeCheckFailure("count_in requires a literal word array")
+      // a NULL literal would NPE building the membership set at codegen
+      // — refuse at ANALYSIS with the cause named
+      else if (right.eval() == null)
+        TypeCheckResult.TypeCheckFailure("count_in requires a non-null literal word array")
       else TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"count_in requires (ARRAY<STRING>, ARRAY<STRING>), got (${l.catalogString}, ${r.catalogString})")

@@ -355,6 +355,11 @@ object DedupOps {
       // labels only ever decrease: changed == 0 is the fixpoint
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).limit(1).count()
+      // drop the superseded checkpoint's storage blocks — without this
+      // every pipeline run leaks (iterations+1) cached label snapshots
+      // for the application's lifetime (the FINAL labels stays cached:
+      // the returned plan reads from it)
+      labels.unpersist()
       labels = next
       done = changed == 0L
       iter += 1

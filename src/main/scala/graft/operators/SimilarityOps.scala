@@ -177,13 +177,18 @@ object SimilarityOps {
     * relation that broadcasts for free. This is the one deliberate
     * driver materialization in the engine, bounded by NumCentroids.
     */
-  private def lloydCentroids(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+  /** Run the refinement and collect the C×dim index rows — the one
+    * shared trainer behind the staged and unstaged paths. */
+  private def collectCentroids(emb: DataFrame): Seq[(Long, Array[Double])] = {
     lloydRuns.incrementAndGet()
     lloydOnce(emb).collect().toSeq
       .map(r => (r.getAs[Long]("cent_id"), r.getSeq[Double](1).toArray))
-      .toDF("cent_id", "ce")
+  }
+
+  private def lloydCentroids(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    collectCentroids(emb).toDF("cent_id", "ce")
   }
 
   /** How many times the Lloyd refinement actually EXECUTED (collected) —
@@ -208,12 +213,8 @@ object SimilarityOps {
 
   def stagedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    centroidCache.getOrElseUpdate(sfDir, {
-      val df = lloydOnce(Fixtures.embeddings(spark, sfDir))
-      lloydRuns.incrementAndGet()
-      df.collect().toSeq
-        .map(r => (r.getAs[Long]("cent_id"), r.getSeq[Double](1).toArray))
-    }).toDF("cent_id", "ce")
+    centroidCache.getOrElseUpdate(sfDir,
+      collectCentroids(Fixtures.embeddings(spark, sfDir))).toDF("cent_id", "ce")
   }
 
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int,

@@ -60,33 +60,54 @@ object TextOps {
     size(filter(col("w"), x => array_contains(typedlit(words), x))) /
       size(col("w")).cast("double")
 
+  /** `withTokens` plus one `s_<lang>` score column per profile — the
+    * shared front of language ID, quality, and the pipeline
+    * annotations. */
+  private def scoredTokens(docs: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    withTokens(docs).select(
+      col("*") +: Profiles.map { case (lang, words) =>
+        profileScore(words).as(s"s_$lang")
+      }: _*)
+  }
+
+  /** Argmax over the `s_<lang>` columns, fixed profile order for ties;
+    * all-zero scores predict "und". SHARED between [[textLangId]] and
+    * [[textAnnotations]] — duplicating it once desynced the pipeline
+    * from the standalone op's oracle in review. */
+  private def bestScore: Column = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
+  private def predLang: Column =
+    Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
+      when(col(s"s_$lang") === bestScore && bestScore > 0, lit(lang)).otherwise(elseExpr)
+    }
+
+  /** Mean token length off the fused [[graft.functions.SumStrlen]] fold
+    * (the composable aggregate(transform(...)) pair is two
+    * CodegenFallback HOFs; equivalence asserted in tests). */
+  private def avgWlen: Column =
+    call_function("sum_strlen", col("w")) / size(col("w")).cast("double")
+
+  /** The 0.3/0.4/0.3 quality composite over its three components —
+    * unrounded on purpose: exact ratios through identical IEEE ops are
+    * bit-identical across engines, while round() itself DIVERGES on
+    * decimal-midpoint values (Spark rounds the exact binary value,
+    * DuckDB rounds via float arithmetic; observed at sf0.1). */
+  private def qualityOf(stopRatio: Column, nTokens: Column, meanWlen: Column): Column =
+    stopRatio * 0.3 +
+      least(lit(1.0), nTokens / 100.0) * 0.4 +
+      least(lit(1.0), meanWlen / 8.0) * 0.3
+
   /** Language ID: stopword-hit ratio per profile, argmax with a fixed
     * profile order for ties. (The fixture's `lang` column is a synthetic
     * label over a shared vocabulary — the heuristic is graded on
     * determinism and shape, not on recovering that label.)
     */
-  def textLangId(docs: DataFrame): DataFrame = {
-    graft.GraftSession.registerFunctions(docs.sparkSession)
-    val scored = withTokens(docs).select(
-      col("*") +: Profiles.map { case (lang, words) =>
-        profileScore(words).as(s"s_$lang")
-      }: _*)
-    val scoreCols = Profiles.map { case (l, _) => s"s_$l" }
-    val best = greatest(scoreCols.map(col): _*)
-    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
-      when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(elseExpr)
-    }
-    // raw double, deliberately unrounded: both engines derive the score
-    // from identical integer counts through identical IEEE ops, so the
-    // bits match exactly — while round() itself DIVERGES between engines
-    // when a tidy rational lands exactly on a decimal midpoint (Spark
-    // rounds the exact binary value, DuckDB rounds via float arithmetic;
-    // observed at sf0.1)
-    scored.select(
+  def textLangId(docs: DataFrame): DataFrame =
+    // raw double score, deliberately unrounded — see [[qualityOf]]
+    scoredTokens(docs).select(
       col("doc_id"),
-      pred.as("pred_lang"),
-      best.as("score"))
-  }
+      predLang.as("pred_lang"),
+      bestScore.as("score"))
 
   /** Quality score: composite of stopword ratio, length saturation, and
     * mean token length — the standard cheap pre-filter before expensive
@@ -101,17 +122,9 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(col("w")).as("n_tokens"),
       profileScore(en).as("stop_ratio"),
-      // sum_strlen: fused native fold — aggregate(transform(...)) is two
-      // CodegenFallback HOFs (equivalence asserted in tests)
-      (call_function("sum_strlen", col("w")) /
-        size(col("w")).cast("double")).as("avg_wlen"))
+      avgWlen.as("avg_wlen"))
       .withColumn("quality",
-        // unrounded on purpose: exact ratios through identical IEEE ops
-        // are bit-identical across engines; round() is what diverges on
-        // decimal-midpoint values (see textLangId)
-        col("stop_ratio") * 0.3 +
-          least(lit(1.0), col("n_tokens") / 100.0) * 0.4 +
-          least(lit(1.0), col("avg_wlen") / 8.0) * 0.3)
+        qualityOf(col("stop_ratio"), col("n_tokens"), col("avg_wlen")))
   }
 
   /** Language + quality in ONE corpus pass — the annotation projection
@@ -119,28 +132,14 @@ object TextOps {
     * `textQualityScore` each scan the corpus, and a pipeline that joined
     * their outputs would pay two scans plus a corpus-sized 1:1 join for
     * columns that are pure per-row functions of the same tokenization.
-    * Same column builders as the standalone ops, so values are
-    * bit-identical to them (and to their oracles).
+    * Built from the SAME column builders as the standalone ops, so
+    * values are bit-identical to them (and to their oracles).
     */
-  def textAnnotations(docs: DataFrame): DataFrame = {
-    graft.GraftSession.registerFunctions(docs.sparkSession)
-    val scored = withTokens(docs).select(
-      col("*") +: Profiles.map { case (lang, words) =>
-        profileScore(words).as(s"s_$lang")
-      }: _*)
-    val best = greatest(Profiles.map { case (l, _) => col(s"s_$l") }: _*)
-    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
-      when(col(s"s_$lang") === best && best > 0, lit(lang)).otherwise(elseExpr)
-    }
-    scored.select(
+  def textAnnotations(docs: DataFrame): DataFrame =
+    scoredTokens(docs).select(
       col("doc_id"),
-      pred.as("pred_lang"),
-      (col("s_en") * 0.3 +
-        least(lit(1.0), size(col("w")) / 100.0) * 0.4 +
-        least(lit(1.0),
-          (call_function("sum_strlen", col("w")) / size(col("w")).cast("double")) / 8.0)
-          * 0.3).as("quality"))
-  }
+      predLang.as("pred_lang"),
+      qualityOf(col("s_en"), size(col("w")), avgWlen).as("quality"))
 
   /** Token counting: whitespace segmentation vs a BPE-ish regex
     * (letter-runs | digit-runs | single non-space symbol) — the cheap

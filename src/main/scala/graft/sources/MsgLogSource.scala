@@ -799,10 +799,21 @@ object MsgLogNacks {
         }
       }.toSeq
 
+  /** Journal command counts memoized by absolute path: journal files are
+    * IMMUTABLE once atomically renamed in, so a count never changes —
+    * without the memo every trigger's several offset calls re-read and
+    * re-parse the topic's whole nack history (the pathology
+    * `countCache` solves for ledger walks). Unbounded only by the
+    * journal count; entries for deleted journals are harmless bytes.
+    */
+  private val countMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   /** Per-topic journal listing for offsets: key → command count. */
   def listJournals(topicDir: String, topic: String): Seq[(String, Long)] =
     journalFiles(topicDir).map { j =>
-      keyFor(topic, j.getFileName.toString) -> readCommands(j).length.toLong
+      val count = countMemo.computeIfAbsent(j.toAbsolutePath.toString,
+        _ => readCommands(j).length.toLong)
+      keyFor(topic, j.getFileName.toString) -> count
     }
 
   /** The nack command (§2.1 #8's negative path): record `ids` —
@@ -812,6 +823,16 @@ object MsgLogNacks {
     * surfaced loudly, not a journal entry that poisons every later
     * reader. Returns the journal file written (one atomic append per
     * call, like every other sidecar).
+    *
+    * Single-nacker-per-subscription assumption (same stance as the
+    * `dedupOnAppend` frontier): generation numbers and the journal name
+    * sequence are derived from the journals visible at CALL time, and
+    * `synchronized` serializes only within this JVM — two PROCESSES
+    * nacking the same topic concurrently can mint the same generation
+    * for one entry (it then redelivers twice at count+1 instead of +1
+    * and +2). The reference has the matching property: nacks ride one
+    * consumer's connection, and the broker serializes per subscription
+    * — a subscription has one nack issuer here too.
     */
   def redeliver(topicDir: String, ids: Seq[(Long, Long)]): Path = synchronized {
     require(ids.nonEmpty, "graft-msglog: redeliver of zero message ids")
@@ -1307,10 +1328,18 @@ class MsgLogNackReader(p: MsgLogNackPartition, required: StructType,
       // hash the topic-qualified offset key exactly as the first
       // delivery's partition planning did
       val key = if (p.topic.isEmpty) c.ledgerName else s"${p.topic}/${c.ledgerName}"
+      // reader-side predicates must see the BUMPED redelivery_count (the
+      // value the output row will carry): a pushed
+      // `redelivery_count >= 1` filter — the DLQ-routing use case this
+      // feature exists for — evaluated against the stored frame's count
+      // would reject every redelivery before the bump applies, and a
+      // reader-dropped row is gone no matter what the residual re-checks
+      val bumpedPreds = preds.map(pred => (m: MsgFrame) =>
+        pred(m.copy(redeliveryCount = m.redeliveryCount + c.bump)))
       inner = new MsgLogPartitionReader(
         MsgLogPartition(MsgLogSource.ledgerId(key), file.toString,
           p.topic, c.entry, c.entry + 1),
-        required, preds, deadLetter, sessionTz, redeliveryBump = c.bump)
+        required, bumpedPreds, deadLetter, sessionTz, redeliveryBump = c.bump)
     }
     false // unreachable
   }

@@ -438,6 +438,32 @@ class MsgLogSpec extends SparkTestBase {
       MsgLogNacks.redeliver(topic, Seq(ids.head._1 -> 99L)))
   }
 
+  test("redelivery: reader-side predicates see the BUMPED redelivery_count") {
+    // the DLQ-routing pred `redelivery_count >= 1` must match a
+    // redelivered row: evaluated against the stored frame (count 0) it
+    // would drop every redelivery before the bump applies
+    import graft.sources.{MsgLogNackPartition, MsgLogNackReader, MsgLogNacks}
+    val ev = Fixtures.events(spark, sfDir).limit(3)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_nack_pred_").toString
+    ev.repartition(1).write.format("graft-msglog").mode("append").save(topic)
+    val ledger = MsgLogSource.ledgerFiles(topic).head.getFileName.toString
+    val journal = MsgLogNacks.redeliver(topic, Seq(MsgLogSource.ledgerId(ledger) -> 1L))
+    val part = MsgLogNackPartition(journal.toString, topic, "", 0L, 1L)
+    def readEntries(preds: Array[graft.sources.MsgFrame => Boolean]): Seq[Long] = {
+      val r = new MsgLogNackReader(part,
+        MsgLogSource.Schema, preds)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) out += r.get().getLong(MsgLogSource.Schema.fieldIndex("entry"))
+      r.close()
+      out.toSeq
+    }
+    // stored redelivery_count is 0; the bump makes it 1 — the pred must match
+    assert(readEntries(Array(m => m.redeliveryCount >= 1)) === Seq(1L))
+    // and a pred the bumped value fails still filters
+    assert(readEntries(Array(m => m.redeliveryCount >= 2)) === Seq.empty)
+  }
+
   test("redelivery: multi-topic subscription re-delivers each topic's nacks under its own key") {
     import graft.sources.MsgLogNacks
     val ev = Fixtures.events(spark, sfDir).limit(6)
