@@ -99,6 +99,24 @@ object MsgLog {
     topics.toSeq.toDF("topic", "n_partitions", "n_messages")
   }
 
+  /** Per-ledger last message id (reference `CommandGetLastMessageId`,
+    * `src/PulsarApi.proto:610-620`): the public probe a consumer uses to
+    * know "am I caught up" — `(ledger, last_entry, n_entries)` per
+    * ledger of the topic, the same coordinates rows carry
+    * (`MessageIdData`). Empty ledgers report `last_entry = -1`, like the
+    * broker's empty-topic response. Header-walk only (no decode), one
+    * row per ledger — the driver-side cost the streaming `latestOffset`
+    * pays per trigger, exposed as a one-shot catalog surface.
+    */
+  def lastMessageIds(spark: SparkSession, topicDir: String): DataFrame = {
+    import spark.implicits._
+    MsgLogSource.ledgerFiles(topicDir).map { p =>
+      val name = p.getFileName.toString
+      val n = MsgLogCodec.countEntries(p)
+      (MsgLogSource.ledgerId(name), name, n - 1, n)
+    }.toDF("ledger", "ledger_file", "last_entry", "n_entries")
+  }
+
   private val stagedNs = new ConcurrentHashMap[String, String]()
 
   /** Stage the events fixture as a 2-topic NAMESPACE once per sf dir:

@@ -506,6 +506,25 @@ class MsgLogSpec extends SparkTestBase {
     }
   }
 
+  test("lastMessageIds reports per-ledger frontiers matching the read coordinates") {
+    val ev = Fixtures.events(spark, sfDir).limit(10)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_lastid_").toString
+    ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
+    val ids = MsgLog.lastMessageIds(spark, dir).collect()
+      .map(r => r.getAs[Long]("ledger") -> (r.getAs[Long]("last_entry"), r.getAs[Long]("n_entries")))
+      .toMap
+    assert(ids.size === 2)
+    // the probe's frontier equals the max entry actually readable
+    val observed = spark.read.format("graft-msglog").load(dir)
+      .groupBy("ledger").agg(max(col("entry")).as("m"), count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("ledger") -> (r.getAs[Long]("m"), r.getAs[Long]("n"))).toMap
+    assert(ids === observed)
+    // empty topic: no rows, not an error
+    val empty = Files.createTempDirectory("glog_lastid_empty_").toString
+    assert(MsgLog.lastMessageIds(spark, empty).count() === 0)
+  }
+
   test("batch sink: a second append adds ledgers instead of replacing them") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
