@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +117,51 @@ object MsgLog {
       val n = MsgLogCodec.countEntries(p)
       (MsgLogSource.ledgerId(name), name, n - 1, n)
     }.toDF("ledger", "ledger_file", "last_entry", "n_entries")
+  }
+
+  /** Subscription backlog (reference `CommandConsumerStats` /
+    * `msgBacklog`, `src/PulsarApi.proto:621-640`): compare a streaming
+    * query's CHECKPOINTED frontier (its cumulative ack position) with
+    * the topic's live per-ledger entry counts — per ledger: entries
+    * committed, entries available, backlog. The ops probe behind "is
+    * this consumer keeping up", computed without touching the
+    * subscription (the checkpoint is the broker-side cursor here).
+    * Ledgers the checkpoint has never seen report committed 0;
+    * redelivery-journal keys (`!nack!…`) are a delivery mechanism, not
+    * data backlog, and are excluded.
+    */
+  def subscriptionStats(spark: SparkSession, topicDir: String,
+      checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val offsetsDir = java.nio.file.Paths.get(checkpointDir, "offsets")
+    val latestBatch: Option[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(offsetsDir)) None
+      else {
+        val s = java.nio.file.Files.list(offsetsDir)
+        try s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.matches("\\d+"))
+          .sortBy(_.getFileName.toString.toLong).lastOption
+        finally s.close()
+      }
+    // OffsetSeqLog v1 layout: "v1" header, metadata JSON, then one
+    // offset line per source ("-" for sources without one); ours is the
+    // name-keyed MsgLogOffset JSON — parse loud, like deserializeOffset
+    val committed: Map[String, Long] = latestBatch match {
+      case None => Map.empty
+      case Some(f) =>
+        java.nio.file.Files.readAllLines(f).asScala.toSeq
+          .drop(2).filter(l => l.nonEmpty && l != "-")
+          .map(l => MsgLogOffset.parse(l).counts)
+          .foldLeft(Map.empty[String, Long])(_ ++ _)
+          .filterNot { case (k, _) => MsgLogNacks.isNackKey(k) }
+    }
+    val rows = MsgLogSource.ledgerFiles(topicDir).map { p =>
+      val name = p.getFileName.toString
+      val available = MsgLogCodec.countEntries(p)
+      val done = math.min(available, committed.getOrElse(name, 0L))
+      (name, done, available, available - done)
+    }
+    rows.toDF("ledger_file", "committed_entries", "available_entries", "backlog")
   }
 
   private val stagedNs = new ConcurrentHashMap[String, String]()

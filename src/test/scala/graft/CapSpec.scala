@@ -74,6 +74,18 @@ class CapSpec extends SparkTestBase {
     assert(overflow === (ClusterSize - Cap).toLong)
   }
 
+  test("dup-group clustering digests a capped mega-clique in few iterations") {
+    // the verified-dup graph of a mega-cluster is a Cap-member CLIQUE
+    // (~131k edges): clusterPairs must converge in 2-3 min-label rounds
+    // (diameter 1), produce ONE cluster labeled by the min id, and elect
+    // exactly one canonical — the adversarial shape for the CC engine
+    val groups = DedupOps.docDupGroups(megaDocs).collect()
+    assert(groups.length === Cap)
+    assert(groups.forall(_.getAs[Long]("cluster") === 0L))
+    assert(groups.forall(_.getAs[Long]("cluster_size") === Cap.toLong))
+    assert(groups.count(_.getAs[Int]("is_canonical") === 1) === 1)
+  }
+
   test("embedding near-dup caps a mega-cluster of identical vectors") {
     val mega = (0L until ClusterSize.toLong)
       .map(i => (i, Seq.fill(64)(0.5f)))

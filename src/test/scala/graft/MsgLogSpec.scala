@@ -506,6 +506,36 @@ class MsgLogSpec extends SparkTestBase {
     }
   }
 
+  test("subscriptionStats: checkpoint frontier vs live topic = per-ledger backlog") {
+    val ev = Fixtures.events(spark, sfDir).limit(10)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_stats_").toString
+    val ckpt = Files.createTempDirectory("glog_stats_ckpt_").toString
+    val outDir = Files.createTempDirectory("glog_stats_out_").toString
+    ev.repartition(1).write.format("graft-msglog").mode("append").save(topic)
+    val q = spark.readStream.format("graft-msglog").load(topic)
+      .select("event_id")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // fully drained: zero backlog everywhere
+    val drained = MsgLog.subscriptionStats(spark, topic, ckpt).collect()
+    assert(drained.length === 1)
+    assert(drained.head.getAs[Long]("committed_entries") === 10L)
+    assert(drained.head.getAs[Long]("backlog") === 0L)
+    // new data after the last trigger = visible backlog, committed intact
+    ev.limit(4).repartition(1).write.format("graft-msglog").mode("append").save(topic)
+    val grown = MsgLog.subscriptionStats(spark, topic, ckpt).collect()
+      .map(r => r.getAs[Long]("committed_entries") -> r.getAs[Long]("backlog")).sorted
+    assert(grown.toSeq === Seq(0L -> 4L, 10L -> 0L))
+    // no checkpoint yet: everything is backlog
+    val fresh = MsgLog.subscriptionStats(spark, topic,
+      Files.createTempDirectory("glog_stats_empty_").toString).collect()
+    assert(fresh.map(_.getAs[Long]("backlog")).sum === 14L)
+    assert(fresh.forall(_.getAs[Long]("committed_entries") === 0L))
+  }
+
   test("lastMessageIds reports per-ledger frontiers matching the read coordinates") {
     val ev = Fixtures.events(spark, sfDir).limit(10)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -738,6 +768,22 @@ class MsgLogSpec extends SparkTestBase {
       graft.sources.MsgLogScan.parseKeyHashRange("0:99999"))
     intercept[IllegalArgumentException](
       graft.sources.MsgLogScan.parseKeyHashRange("abc"))
+  }
+
+  test("AUTO_SPLIT: allocation invariant holds for arbitrary group sizes (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(Gen.choose(1, 2048)) { n =>
+      val ranges = (0 until n).map(i =>
+        graft.sources.MsgLogScan.autoSplitRange(n.toString, i.toString))
+      ranges.head._1 == 0 && ranges.last._2 == 65535 &&
+        ranges.forall { case (lo, hi) => lo <= hi } &&
+        ranges.sliding(2).forall {
+          case Seq((_, hiA), (loB, _)) => loB == hiA + 1
+          case _ => true
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("AUTO_SPLIT: N auto-derived consumers partition the topic disjointly") {
