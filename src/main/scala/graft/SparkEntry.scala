@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.MultimodalOps
-import graft.operators.{BucketedOps, DedupOps, LlmOps, MessageOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{BucketedOps, DedupOps, LlmOps, MessageOps, RelationalOps, SimilarityOps, TemporalOps, TextOps}
 import graft.sources.MsgLog
 import graft.streaming.StreamOps
 
@@ -36,7 +36,7 @@ object SparkEntry {
     MessageOps.queries ++ RelationalOps.queries ++ LlmOps.queries ++
       StreamOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MsgLog.queries ++
-      BucketedOps.queries
+      BucketedOps.queries ++ TemporalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -45,5 +45,5 @@ object SparkEntry {
     MessageOps.oracle ++ RelationalOps.oracle ++ LlmOps.oracle ++
       DedupOps.oracle ++ SimilarityOps.oracle ++ TextOps.oracle ++
       MultimodalOps.oracle ++ MsgLog.oracle ++ StreamOps.oracle ++
-      BucketedOps.oracle
+      BucketedOps.oracle ++ TemporalOps.oracle
 }

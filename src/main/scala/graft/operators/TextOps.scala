@@ -246,6 +246,93 @@ object TextOps {
         col("n_tokens"))
   }
 
+  /** Word n-gram instance array (1-based positions, space-joined), empty
+    * when the document is shorter than `n` tokens — `sequence(1, 0)`
+    * would DESCEND, hence the explicit guard. */
+  private def wordGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Duplicate-instance fraction of an array: occurrences beyond each
+    * value's first, over total — integer/integer, so bit-identical
+    * across engines. */
+  private def dupFrac(a: Column): Column =
+    when(size(a) > 0,
+      (size(a) - size(array_distinct(a))) / size(a).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Repetition thresholds for the [[textRepetition]] keep verdict
+    * (Gopher-style repetition filtering; the exact cutoffs are data-tuned
+    * parameters, these exercise both verdicts on the fixture). */
+  val DupWordMax = 0.6
+  val Dup2GramMax = 0.1
+
+  /** Repetition signals — the Gopher-family quality filter: fraction of
+    * duplicate word instances, duplicate 2-gram instances, and duplicate
+    * 5-gram instances per document, plus the keep/drop verdict. Repeated
+    * n-grams are the strongest single predictor of low-quality generated
+    * or boilerplate text.
+    *
+    * Everything is an in-row projection over one tokenization — per-doc
+    * frequency work NEVER leaves the row (the explode-and-count rewrite
+    * shuffles the entire token stream of the corpus; this shuffles
+    * nothing). Linear per document via sort-based `array_distinct`.
+    */
+  def textRepetition(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"), size(col("w")).as("n_tokens"),
+      dupFrac(col("w")).as("dup_word_frac"),
+      dupFrac(wordGrams(col("w"), 2)).as("dup_2gram_frac"),
+      dupFrac(wordGrams(col("w"), 5)).as("dup_5gram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= DupWordMax && col("dup_2gram_frac") <= Dup2GramMax)
+
+  /** Boilerplate detection thresholds: a 3-gram is boilerplate when it
+    * appears in more than 1% of documents AND at least [[BpDfMin]] — the
+    * absolute floor keeps tiny corpora from flagging noise. */
+  val BpDfMin = 3L
+
+  /** Corpus-level boilerplate marking — the C4-style cleanup step: word
+    * 3-grams whose DOCUMENT frequency exceeds 1% of the corpus are
+    * boilerplate (navigation chrome, license footers, template text);
+    * each document reports how much of it is boilerplate.
+    *
+    * Scale shape: document frequency is a corpus statistic, so one
+    * explode→count aggregation is irreducible — but it is map-side
+    * combined (distinct grams per partition ≪ gram instances) and the
+    * HEAVY set it yields is provably bounded: Σ df ≤ total instances and
+    * each heavy gram has df > N/100, so |heavy| ≤ 100 × avg grams/doc —
+    * a constant in corpus size. That bound is what makes `broadcast
+    * (heavy)` safe at 100 TB (same argument as the IVF centroid index),
+    * and the per-doc count is then a broadcast hash join + one keyed
+    * aggregate. Nothing quadratic, nothing driver-side beyond the
+    * bounded heavy set.
+    */
+  def docBoilerplate(docs: DataFrame): DataFrame = {
+    val grams = withTokens(docs)
+      .select(col("doc_id"), wordGrams(col("w"), 3).as("g3"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = grams.select(explode(array_distinct(col("g3"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    // integer threshold (df·100 > N), never a float product of N
+    val heavy = df.crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 > col("n_docs") && col("df") >= BpDfMin)
+      .select("gram")
+    val bp = grams.select(col("doc_id"), explode(col("g3")).as("gram"))
+      .join(broadcast(heavy), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("bp"))
+    grams.select(col("doc_id"), size(col("g3")).cast("long").as("n_grams"))
+      .join(bp, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams"),
+        coalesce(col("bp"), lit(0L)).as("bp_grams"),
+        when(col("n_grams") > 0,
+          coalesce(col("bp"), lit(0L)) / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("bp_frac"))
+  }
+
   /** Mixture weight tiers for [[docMixtureSample]]'s fixture wiring —
     * exercises down-sampling (<1), identity (1), and fractional
     * up-sampling (>1): tier = numeric source suffix mod 4. Real callers
@@ -297,6 +384,8 @@ object TextOps {
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
+    "text_repetition_scores" -> ((s, d) => textRepetition(Fixtures.documents(s, d))),
+    "doc_boilerplate_df" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
     "doc_mixture_sample" ->
       ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)))
 
@@ -376,6 +465,53 @@ object TextOps {
                                - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
                    n_tokens
             FROM toks""",
+      "text_repetition_scores" ->
+        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents),
+              g AS (SELECT doc_id, w,
+                      CASE WHEN len(w) >= 2
+                           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                           ELSE [] END AS g2,
+                      CASE WHEN len(w) >= 5
+                           THEN list_transform(range(1, len(w) - 3),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+                           ELSE [] END AS g5
+                    FROM toks),
+              f AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+                      CASE WHEN len(w) > 0
+                           THEN (len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE)
+                           ELSE 0.0 END AS dup_word_frac,
+                      CASE WHEN len(g2) > 0
+                           THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+                           ELSE 0.0 END AS dup_2gram_frac,
+                      CASE WHEN len(g5) > 0
+                           THEN (len(g5) - len(list_distinct(g5))) / CAST(len(g5) AS DOUBLE)
+                           ELSE 0.0 END AS dup_5gram_frac
+                    FROM g)
+            SELECT *, dup_word_frac <= $DupWordMax AND dup_2gram_frac <= $Dup2GramMax AS keep
+            FROM f""",
+      "doc_boilerplate_df" ->
+        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents),
+              g AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                           ELSE [] END AS g3
+                    FROM toks),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              df AS (SELECT gram, count(*) AS df
+                     FROM (SELECT doc_id, unnest(list_distinct(g3)) AS gram FROM g)
+                     GROUP BY 1),
+              heavy AS (SELECT gram FROM df, n WHERE df * 100 > n_docs AND df >= $BpDfMin),
+              inst AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+              bp AS (SELECT doc_id, count(*) AS bp FROM inst JOIN heavy USING (gram) GROUP BY 1)
+            SELECT g.doc_id, CAST(len(g.g3) AS BIGINT) AS n_grams,
+                   CAST(coalesce(bp.bp, 0) AS BIGINT) AS bp_grams,
+                   CASE WHEN len(g.g3) > 0
+                        THEN coalesce(bp.bp, 0) / CAST(len(g.g3) AS DOUBLE)
+                        ELSE 0.0 END AS bp_frac
+            FROM g LEFT JOIN bp USING (doc_id)""",
       "doc_mixture_sample" ->
         s"""WITH w AS (
               SELECT doc_id, source,

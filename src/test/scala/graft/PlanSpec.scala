@@ -129,6 +129,43 @@ class PlanSpec extends SparkTestBase {
     assert(hints === 1, s"expected only the probe-gram broadcast hint, got $hints\n$analyzed")
   }
 
+  test("events_asof_join is one shuffle: union + carry-forward window, no join, no dedup exchange") {
+    // the range-join rewrite would be O(n·m); a pre-dedup groupBy on the
+    // right side would add a second corpus-wide exchange — the sort order
+    // (ts, side, event_id) subsumes both
+    val p = plan("events_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, p)
+  }
+
+  test("session_assign is one shuffle: both windows share the sort, the groupBy reuses it") {
+    // grouping by (user_id, sid) is clustered by the window's user_id
+    // partitioning — a second exchange here means the reuse regressed
+    val p = plan("session_assign")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, p)
+  }
+
+  test("text_repetition_scores is a pure projection: no exchange at all") {
+    // per-doc n-gram frequency work must never leave the row (the
+    // explode-and-count rewrite shuffles the corpus's entire token
+    // stream)
+    val p = plan("text_repetition_scores")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("doc_boilerplate_df joins instances against the bounded heavy set by broadcast") {
+    // |heavy| <= 100 × avg grams/doc (df > N/100 each, Σdf <= instances)
+    // — the gram-keyed exchange below the df aggregate is the one
+    // irreducible corpus statistic; the instance join must not add one
+    val p = plan("doc_boilerplate_df")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val gramExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(p).size
+    assert(gramExchanges === 1, p)
+  }
+
   test("no operator collects to the driver") {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)

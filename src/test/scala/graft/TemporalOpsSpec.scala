@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Fixtures
+import graft.operators.{TemporalOps, TextOps}
+
+/** Temporal analytics (as-of join, sessionization, funnel, retention) and
+  * the round-7 text-curation additions (repetition signals, boilerplate
+  * document frequency).
+  */
+class TemporalOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def evUs(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+
+  private lazy val events = evUs(Fixtures.events(spark, sfDir))
+
+  // --- as-of join ------------------------------------------------------
+
+  /** (event_id, user_id, event_type, ts_us) */
+  private def mkEvents(rows: (Long, Long, String, Long)*): DataFrame =
+    rows.toDF("event_id", "user_id", "event_type", "ts_us")
+
+  test("asof join picks the newest right row at or before each left row") {
+    val e = mkEvents(
+      (1L, 7L, "click", 100L), (2L, 7L, "click", 200L), (3L, 7L, "click", 350L),
+      (10L, 7L, "purchase", 300L), (11L, 7L, "purchase", 50L),
+      (12L, 8L, "purchase", 500L))
+    val out = TemporalOps.asofJoin(
+      e.filter($"event_type" === "purchase"), e.filter($"event_type" === "click"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(out(10L) === (Some(2L), Some(100L))) // newest click <= 300 is ts 200
+    assert(out(11L) === (None, None))           // no click at or before 50
+    assert(out(12L) === (None, None))           // other user: no clicks at all
+  }
+
+  test("asof join is inclusive at equal timestamps and dedups right-side ties by max id") {
+    val e = mkEvents(
+      (1L, 7L, "click", 300L), (2L, 7L, "click", 300L), // tie: keep id 2
+      (10L, 7L, "purchase", 300L))
+    val row = TemporalOps.asofJoin(
+      e.filter($"event_type" === "purchase"), e.filter($"event_type" === "click"))
+      .collect().head
+    assert(row.getAs[Long]("asof_event_id") === 2L)
+    assert(row.getAs[Long]("gap_us") === 0L)
+  }
+
+  test("asof join on the fixture: one row per left event, gaps non-negative") {
+    val left = events.filter($"event_type" === "purchase")
+    val out = TemporalOps.asofJoin(left, events.filter($"event_type" === "click"))
+    assert(out.count() === left.count())
+    assert(out.filter($"gap_us" < 0).count() === 0)
+    assert(out.filter($"asof_us" > $"ts_us").count() === 0)
+  }
+
+  // --- sessionization --------------------------------------------------
+
+  test("session_assign matches the built-in session_window aggregation") {
+    // three-way anchor: the streaming op is tied to the batch built-in in
+    // StreamOpsSpec; tying the lag/cumsum rewrite to the same built-in
+    // locks all three forms together (and this one has a DuckDB oracle)
+    val builtin = Fixtures.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n"))
+    assertSameRows(TemporalOps.sessionAssign(events), builtin)
+  }
+
+  test("session_assign boundary: a gap of exactly the threshold starts a new session") {
+    val gap = TemporalOps.SessionGapUs
+    val e = mkEvents(
+      (1L, 7L, "view", 0L), (2L, 7L, "view", gap - 1), // same session
+      (3L, 7L, "view", (gap - 1) + gap))               // exactly gap later: new
+    val out = TemporalOps.sessionAssign(e).orderBy("session_start_ms").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n") === 2L)
+    assert(out(1).getAs[Long]("n") === 1L)
+    // end = last event + gap, in ms
+    assert(out(0).getAs[Long]("session_end_ms") === (gap - 1) / 1000 + gap / 1000)
+  }
+
+  // --- funnel ----------------------------------------------------------
+
+  test("funnel stages are ordered: events before the prior stage don't count") {
+    val e = mkEvents(
+      // user 1 completes in order: view@10 click@20 purchase@30
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L), (3L, 1L, "purchase", 30L),
+      // user 2 clicks BEFORE viewing: click must not count
+      (4L, 2L, "click", 5L), (5L, 2L, "view", 10L),
+      // user 3 purchases before clicking: purchase must not count
+      (6L, 3L, "view", 10L), (7L, 3L, "purchase", 15L), (8L, 3L, "click", 20L))
+    val out = TemporalOps.funnelConversion(e, TemporalOps.FunnelStages)
+      .collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel counts are monotone non-increasing on the fixture") {
+    val ns = TemporalOps.funnelConversion(events, TemporalOps.FunnelStages)
+      .orderBy("stage").collect().map(_.getAs[Long]("n_users"))
+    assert(ns.length === 3)
+    assert(ns.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  // --- retention -------------------------------------------------------
+
+  test("retention cohort: offset 0 counts every cohort member; offsets non-negative") {
+    val out = TemporalOps.retentionCohort(events)
+    assert(out.filter($"day_offset" < 0).count() === 0)
+    val day0 = out.filter($"day_offset" === 0)
+      .agg(sum("n_users")).collect().head.getLong(0)
+    assert(day0 === events.select("user_id").distinct().count())
+  }
+
+  test("retention cohort on a constructed timeline") {
+    val day = 86400000000L
+    val e = mkEvents(
+      (1L, 1L, "view", 0L), (2L, 1L, "view", day + 1), (3L, 1L, "view", 3 * day),
+      (4L, 2L, "view", day), (5L, 2L, "view", day + 5)) // two events, one day
+    val out = TemporalOps.retentionCohort(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_users")).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  // --- repetition signals ----------------------------------------------
+
+  private def mkDocs(rows: (Long, String)*): DataFrame =
+    rows.map { case (id, t) => (id, t, "und", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("repetition fractions on constructed docs") {
+    val out = TextOps.textRepetition(mkDocs(
+      (1L, "a a a a a"),          // 5 tokens, 4 dup words; 4 2-grams all "a a" -> 3 dup; 1 5-gram
+      (2L, "b c d e f"),          // all distinct
+      (3L, "x")))                 // single token: no 2-grams, no 5-grams
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Double]("dup_word_frac") === 0.8)
+    assert(r1.getAs[Double]("dup_2gram_frac") === 0.75)
+    assert(r1.getAs[Double]("dup_5gram_frac") === 0.0)
+    assert(!r1.getAs[Boolean]("keep"))
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("dup_word_frac") === 0.0)
+    assert(r2.getAs[Boolean]("keep"))
+    val r3 = out(3L)
+    assert(r3.getAs[Int]("n_tokens") === 1)
+    assert(r3.getAs[Double]("dup_2gram_frac") === 0.0)
+  }
+
+  test("repetition on the fixture: fractions in [0,1], both verdicts occur") {
+    val out = TextOps.textRepetition(Fixtures.documents(spark, sfDir))
+    for (c <- Seq("dup_word_frac", "dup_2gram_frac", "dup_5gram_frac"))
+      assert(out.filter(col(c) < 0 || col(c) > 1).count() === 0, c)
+    assert(out.filter($"keep").count() > 0)
+    assert(out.filter(!$"keep").count() > 0)
+  }
+
+  // --- boilerplate -----------------------------------------------------
+
+  test("boilerplate: a gram present in every doc is flagged, rare grams are not") {
+    // 10 docs sharing the prefix "the quick fox", each with a unique tail
+    val docs = mkDocs((1L to 10L).map(i =>
+      i -> s"the quick fox tail$i more$i words$i here$i"): _*)
+    val out = TextOps.docBoilerplate(docs).collect()
+    assert(out.length === 10)
+    // every doc contains the shared 3-gram exactly once -> bp_grams >= 1
+    out.foreach { r =>
+      assert(r.getAs[Long]("bp_grams") >= 1L, r)
+      assert(r.getAs[Double]("bp_frac") > 0.0)
+      assert(r.getAs[Double]("bp_frac") <= 1.0)
+    }
+  }
+
+  test("boilerplate: df floor keeps a 2-doc overlap unflagged") {
+    val docs = mkDocs(
+      (1L, "shared triple here unique1 a b"),
+      (2L, "shared triple here unique2 c d"),
+      (3L, "totally different words x y z"))
+    // "shared triple here" has df=2 < BpDfMin=3 -> nothing flagged
+    val out = TextOps.docBoilerplate(docs)
+    assert(out.filter($"bp_grams" > 0).count() === 0)
+  }
+
+  test("boilerplate on the fixture: fractions bounded, some docs flagged") {
+    val out = TextOps.docBoilerplate(Fixtures.documents(spark, sfDir))
+    assert(out.count() === Fixtures.documents(spark, sfDir).count())
+    assert(out.filter($"bp_frac" < 0 || $"bp_frac" > 1).count() === 0)
+    assert(out.filter($"bp_grams" > $"n_grams").count() === 0)
+  }
+}
