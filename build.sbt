@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the LAST 2000 chars of a run's stdout; sbt's
+// "[success] Total time ..." banner printed after graft.Bench's one-line
+// JSON ate ~76 chars of that window, truncating the line's head
+// (BENCH_r05/r06 both unparseable). Exit status still reports success.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,17 +63,25 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    // ms precision: full nanosecond digits ballooned the line past the
-    // driver's stdout-tail capture (BENCH_r05/r06 both lost their head);
-    // 60 keys at 3 decimals keep the whole line inside the window
-    // Locale.ROOT: f"$v%.3f" follows the JVM default locale, and a
-    // comma-decimal locale would print 1,234 — invalid JSON
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // The driver's stdout-tail capture is 2000 chars and the line must fit
+    // it WHOLE (BENCH_r05/r06 lost their heads): 10 ms precision with
+    // trailing zeros trimmed keeps 71 keys at ~1950 chars, and
+    // `showSuccess := false` (build.sbt) keeps sbt from printing after us.
+    // Locale.ROOT: f"$v%.2f" follows the JVM default locale, and a
+    // comma-decimal locale would print 1,23 — invalid JSON
+    def fmt(v: Double): String = {
+      if (v < 0) return "-1"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
+    // errors key present only when non-empty: 13 chars of window otherwise
+    val errs = if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+        .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
     // r5's recorded BENCH lost its tail to a truncated stdout capture:
     // flush before the Spark shutdown log burst can interleave
     System.out.flush()
