@@ -41,5 +41,6 @@ object GraftSession {
     graft.functions.CountIn.register(spark)
     graft.functions.SumStrlen.register(spark)
     graft.functions.JaccardDistinct.register(spark)
+    graft.functions.DupFracs.register(spark)
   }
 }

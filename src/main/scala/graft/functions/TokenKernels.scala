@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `count_in(w, words)` — how many elements of the token array `w` are
@@ -139,4 +140,99 @@ object SumStrlen {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("sum_strlen",
         exprs => SumStrlen(exprs.head), "built-in")
+}
+
+/** `dup_fracs(w)` — all three Gopher-family repetition signals of a token
+  * array in one pass: `struct(n_tokens, dup_word_frac, dup_2gram_frac,
+  * dup_5gram_frac)` where each fraction is
+  * `(instances - distinct) / instances` over words, word-2-grams, and
+  * word-5-grams ([[graft.operators.TextOps.textRepetition]]; composable
+  * reference `textRepetitionHof`, equivalence asserted in tests).
+  *
+  * Why native: the composable form materializes two gram ARRAYS per row
+  * (`transform` over a `sequence`, both CodegenFallback) and sorts three
+  * arrays through `array_distinct` — ~6 interpreted passes over every
+  * token of the corpus. This is one generated-code-resident loop per
+  * n-gram size with O(1) hash-set membership, no materialized grams.
+  * Gram identity is the token TUPLE (tokens come from a `\s+` split, so
+  * they contain no whitespace and tuple identity ≡ the joined-string
+  * identity the oracle uses); null tokens are skipped inside a gram,
+  * matching `concat_ws`.
+  */
+case class DupFracs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DupFracs.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "dup_fracs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dup_fracs requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(w: Any): Any =
+    DupFracs.compute(w.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.DupFracs$$.MODULE$$.compute($w)")
+
+  override protected def withNewChildInternal(newChild: Expression): DupFracs =
+    copy(child = newChild)
+}
+
+object DupFracs {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("dup_5gram_frac", DoubleType, nullable = false)))
+
+  /** Duplicate-instance fraction of the token array's `len`-grams: one
+    * sliding window, gram keys interned in a hash set. `len == 1`
+    * mirrors `array_distinct` (a null token is one distinct value);
+    * longer grams skip null members like `concat_ws`. */
+  private def gramDupFrac(w: ArrayData, len: Int): Double = {
+    val n = w.numElements()
+    val m = n - len + 1
+    if (m <= 0 || n < len) return 0.0
+    val seen = new java.util.HashSet[AnyRef](m * 2)
+    var distinct = 0
+    var i = 0
+    while (i < m) {
+      val key: AnyRef =
+        if (len == 1) {
+          if (w.isNullAt(i)) DupFracs.NullToken else w.getUTF8String(i)
+        } else {
+          val parts = new java.util.ArrayList[UTF8String](len)
+          var k = 0
+          while (k < len) {
+            if (!w.isNullAt(i + k)) parts.add(w.getUTF8String(i + k))
+            k += 1
+          }
+          parts
+        }
+      if (seen.add(key)) distinct += 1
+      i += 1
+    }
+    (m - distinct).toDouble / m
+  }
+
+  private object NullToken
+
+  def compute(w: ArrayData): InternalRow = {
+    val n = w.numElements()
+    new GenericInternalRow(Array[Any](
+      n,
+      gramDupFrac(w, 1),
+      gramDupFrac(w, 2),
+      gramDupFrac(w, 5)))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("dup_fracs",
+        exprs => DupFracs(exprs.head), "built-in")
 }

@@ -338,8 +338,12 @@ object DedupOps {
       .union(pairs.toDF("doc_a", "doc_b")
         .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = edges.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // the identity-label first round is folded into initialization:
+    // label₀ = min(id, min neighbor) comes from ONE aggregation over the
+    // symmetric edge list (no join against an identity table), dropping a
+    // full join+checkpoint+fixpoint-check cycle from every clustering run
+    var labels = edges.groupBy(col("doc_a").as("id"))
+      .agg(least(col("id"), min(col("doc_b"))).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var done = false

@@ -278,9 +278,28 @@ object TextOps {
     * Everything is an in-row projection over one tokenization — per-doc
     * frequency work NEVER leaves the row (the explode-and-count rewrite
     * shuffles the entire token stream of the corpus; this shuffles
-    * nothing). Linear per document via sort-based `array_distinct`.
+    * nothing). All three signals come from the fused native
+    * [[graft.functions.DupFracs]] pass (the composable
+    * [[textRepetitionHof]] chain is ~6 CodegenFallback array passes per
+    * row and was the 4th-priciest key at sf0.1: 1.5 s of a 40 s suite).
     */
-  def textRepetition(docs: DataFrame): DataFrame =
+  def textRepetition(docs: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    withTokens(docs)
+      .select(col("doc_id"), call_function("dup_fracs", col("w")).as("f"))
+      .select(
+        col("doc_id"), col("f.n_tokens").as("n_tokens"),
+        col("f.dup_word_frac").as("dup_word_frac"),
+        col("f.dup_2gram_frac").as("dup_2gram_frac"),
+        col("f.dup_5gram_frac").as("dup_5gram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= DupWordMax && col("dup_2gram_frac") <= Dup2GramMax)
+  }
+
+  /** The composable HOF reference form of [[textRepetition]] — the
+    * numerics/portability reference [[graft.functions.DupFracs]] must
+    * match value-for-value (equivalence asserted in tests). */
+  private[graft] def textRepetitionHof(docs: DataFrame): DataFrame =
     withTokens(docs).select(
       col("doc_id"), size(col("w")).as("n_tokens"),
       dupFrac(col("w")).as("dup_word_frac"),

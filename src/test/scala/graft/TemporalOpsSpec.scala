@@ -156,6 +156,16 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(r3.getAs[Double]("dup_2gram_frac") === 0.0)
   }
 
+  test("repetition: the native dup_fracs kernel matches the composable HOF form") {
+    // value-for-value on fixture docs PLUS constructed edges (empty-ish,
+    // single-token, all-identical) — the kernel is the production path,
+    // the HOF chain is the numerics reference
+    val docs = Fixtures.documents(spark, sfDir)
+      .unionByName(mkDocs((900001L, "z"), (900002L, "q q q q q q q"),
+        (900003L, "one two one two one two one")))
+    assertSameRows(TextOps.textRepetition(docs), TextOps.textRepetitionHof(docs))
+  }
+
   test("repetition on the fixture: fractions in [0,1], both verdicts occur") {
     val out = TextOps.textRepetition(Fixtures.documents(spark, sfDir))
     for (c <- Seq("dup_word_frac", "dup_2gram_frac", "dup_5gram_frac"))
