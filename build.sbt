@@ -16,6 +16,7 @@ run / fork := true
 // JSON ate ~76 chars of that window, truncating the line's head
 // (BENCH_r05/r06 both unparseable). Exit status still reports success.
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -69,9 +69,13 @@ object Bench {
     // `showSuccess := false` (build.sbt) keeps sbt from printing after us.
     // Locale.ROOT: f"$v%.2f" follows the JVM default locale, and a
     // comma-decimal locale would print 1,23 — invalid JSON
+    // values >= 1 s get 1 decimal: their run-to-run noise exceeds 100 ms
+    // (stream_* keys swing 2-5x warm), so the hundredths digit carried no
+    // information and 73 keys need the chars
     def fmt(v: Double): String = {
       if (v < 0) return "-1"
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val pat = if (v >= 1.0) "%.1f" else "%.2f"
+      val s = String.format(java.util.Locale.ROOT, pat, Double.box(v))
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       if (t.isEmpty) "0" else t
     }
@@ -81,7 +85,10 @@ object Bench {
       else errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
+    // sf as the basename: the full fixture path is 15 chars of window for
+    // information the scale tag already carries
+    val sfTag = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfTag"}""")
     // r5's recorded BENCH lost its tail to a truncated stdout capture:
     // flush before the Spark shutdown log burst can interleave
     System.out.flush()

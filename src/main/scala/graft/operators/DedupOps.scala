@@ -297,6 +297,74 @@ object DedupOps {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Increment share for [[docIncrementalDedup]]'s fixture wiring: docs
+    * whose md5 bucket (of 1000) falls below this are the "new batch"
+    * (~10%). Real callers pass their own increment predicate — ingestion
+    * date, source partition, etc. */
+  val IncrementPermille = 100
+
+  /** md5-bucket increment membership — same derivation discipline as
+    * [[TextOps.docSplitAssign]]: stable across runs/engines/re-shards. */
+  private def isNewDoc: Column =
+    (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") % 1000) < IncrementPermille
+
+  /** INCREMENTAL near-dedup — the production ingestion shape: dedupe a
+    * new batch AGAINST the existing corpus without re-clustering
+    * everything. Only cross pairs (one new doc × one base doc) are
+    * candidates; new×new dedup belongs to the batch's own
+    * [[docLshVerifiedDups]] run and base×base is already settled.
+    * Output: (new_doc, base_doc, n_bands, jaccard) — the verified
+    * duplicates an ingest job would drop (or link) before appending.
+    *
+    * Plan shape: identical skeleton to the full pipeline — fused in-row
+    * band signatures, ONE corpus-wide bucket exchange, capped
+    * enumeration — but pair explosion keeps only cross pairs, so the
+    * verify stage is bounded by the increment's duplicate density, not
+    * the corpus's. At 100 TB the base side's band signatures come from
+    * the staged signature index (they are pure per-doc projections —
+    * compute once, store 4 × 16 bytes/doc); re-derived here because the
+    * driver contract runs each query cold.
+    */
+  def docIncrementalDedup(docs: DataFrame): DataFrame = {
+    graft.functions.MinhashBands.register(docs.sparkSession)
+    val toks = tokenized(docs)
+    val bands = toks
+      .select(col("doc_id"), isNewDoc.as("is_new"),
+        posexplode(call_function("minhash_bands",
+          col("w"), lit(NumSeeds), lit(RowsPerBand))).as(Seq("band", "sig")))
+    def pairStruct(a: Column, b: Column): Column = struct(
+      when(a.getField("is_new"), a.getField("doc_id"))
+        .otherwise(b.getField("doc_id")).as("new_doc"),
+      when(a.getField("is_new"), b.getField("doc_id"))
+        .otherwise(a.getField("doc_id")).as("base_doc"),
+      (a.getField("is_new") =!= b.getField("is_new")).as("cross"))
+    val cand = groupMembers(bands, Seq(col("band"), col("sig")),
+        struct(col("doc_id"), col("is_new")), col("doc_id"),
+        "incremental_bucket_overflow")
+      .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
+      .filter(col("p.cross"))
+      .groupBy(col("p.new_doc").as("new_doc"), col("p.base_doc").as("base_doc"))
+      .agg(count(lit(1)).as("n_bands"))
+    // verify: one corpus read for the shingle sets, shuffle ∝ candidates
+    // (same shape as docLshVerifiedDups; jaccard is symmetric so the
+    // collected side order is irrelevant)
+    val shingles = toks.select(col("doc_id"), shinglesOf(docs).as("sh"))
+    val sides = cand
+      .select(struct(col("new_doc"), col("base_doc"), col("n_bands")).as("pair"))
+      .select(col("pair"),
+        explode(array(col("pair.new_doc"), col("pair.base_doc"))).as("doc_id"))
+    sides.join(shingles, "doc_id")
+      .groupBy("pair")
+      .agg(collect_list(col("sh")).as("m"))
+      .select(
+        col("pair.new_doc").as("new_doc"), col("pair.base_doc").as("base_doc"),
+        col("pair.n_bands").as("n_bands"),
+        call_function("jaccard_distinct",
+          element_at(col("m"), 1), element_at(col("m"), 2)).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
   /** Iteration cap for [[docDupGroups]]: min-label propagation needs
     * one iteration per hop of a component's diameter, and duplicate
     * clusters are near-cliques (diameter 2-3) — 30 is an order of
@@ -434,7 +502,8 @@ object DedupOps {
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
     "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
-    "doc_decontaminate" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))))
+    "doc_decontaminate" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))),
+    "doc_incremental_dedup" -> ((s, d) => docIncrementalDedup(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
     """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
@@ -560,6 +629,42 @@ object DedupOps {
           FROM corpus c JOIN probe p ON c.g = p.g
           GROUP BY c.doc_id
           HAVING count(DISTINCT c.g) >= $DecontaminateMinShared""",
+    "doc_incremental_dedup" ->
+      s"""WITH toks AS (SELECT * FROM (
+                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents) WHERE len(w) >= 3),
+          flag AS (SELECT doc_id,
+                          (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000) < $IncrementPermille AS is_new
+                   FROM toks),
+          shset AS (SELECT doc_id, $DUCK_SHINGLES AS sh FROM toks),
+          sh AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+          mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
+                 FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
+          bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
+                           md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+                    FROM mh GROUP BY doc_id, seed // $RowsPerBand),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
+                                                  ORDER BY doc_id) AS rk
+                     FROM bands),
+          cand AS (SELECT CASE WHEN fa.is_new THEN a.doc_id ELSE b.doc_id END AS new_doc,
+                          CASE WHEN fa.is_new THEN b.doc_id ELSE a.doc_id END AS base_doc,
+                          CAST(count(*) AS BIGINT) AS n_bands
+                   FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
+                                               AND a.doc_id < b.doc_id
+                                               AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
+                   JOIN flag fa ON fa.doc_id = a.doc_id
+                   JOIN flag fb ON fb.doc_id = b.doc_id
+                   WHERE fa.is_new <> fb.is_new
+                   GROUP BY 1, 2)
+          SELECT c.new_doc, c.base_doc, c.n_bands,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+          FROM cand c
+          JOIN shset sa ON sa.doc_id = c.new_doc
+          JOIN shset sb ON sb.doc_id = c.base_doc
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold""",
     "doc_ngram_jaccard" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

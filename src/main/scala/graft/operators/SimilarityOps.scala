@@ -245,6 +245,37 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization — the storage-compression
+    * step of an embedding index (4× memory vs float32; what an IVF cell
+    * or HNSW layer actually holds at 10^10 vectors): `scale = max|x|/127`,
+    * `q_i = round(x_i / scale)` ∈ [-127, 127], plus the per-vector
+    * reconstruction MSE so a pipeline can gate on quantization loss.
+    *
+    * A pure per-row projection — zero shuffle at any corpus size.
+    * Numerics discipline: elements are widened float→double FIRST (exact),
+    * every subsequent op is double IEEE arithmetic identical in DuckDB
+    * (max is order-free; the MSE fold is a SEQUENTIAL left fold in both
+    * engines — `aggregate` here, `list_reduce` in the oracle — because a
+    * reduction-tree sum of doubles would differ in final ulps).
+    * round() is half-away-from-zero in both engines; a max-magnitude
+    * element maps to exactly ±127, so no clamp is needed. Zero vectors
+    * take scale = 1 and quantize to all-zeros with MSE 0.
+    */
+  def embeddingQuantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"),
+        transform(col("embedding"), e => e.cast("double")).as("x"))
+      .withColumn("mx", aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))))
+      .withColumn("scale", when(col("mx") > 0, col("mx") / 127.0).otherwise(lit(1.0)))
+      .withColumn("qvec", transform(col("x"), v => round(v / col("scale")).cast("int")))
+      .withColumn("mse",
+        aggregate(
+          zip_with(col("x"), col("qvec"), (a, q) => {
+            val d = a - q * col("scale"); d * d
+          }),
+          lit(0.0), (acc, v) => acc + v) / size(col("x")))
+      .select(col("vec_id"), col("scale"), col("qvec"), col("mse"))
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -268,7 +299,9 @@ object SimilarityOps {
       ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K,
         index = Some(stagedCentroids(s, d)))),
     "embedding_dup_groups" ->
-      ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)))
+      ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)),
+    "embedding_quantize_int8" ->
+      ((s, d) => embeddingQuantizeInt8(Fixtures.embeddings(s, d))))
 
   /** The near-dup oracle, parameterized on the bucket geometry exactly as
     * the operator is. */
@@ -302,6 +335,26 @@ object SimilarityOps {
 
   /** Shared DuckDB scaffolding: per-(pair) cosine via positional sums. */
   def oracle: Map[String, String] = Map(
+    "embedding_quantize_int8" ->
+      """WITH x AS (SELECT vec_id,
+                           list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+                    FROM embeddings),
+          s AS (SELECT vec_id, x,
+                       list_max(list_transform(x, v -> abs(v))) AS mx
+                FROM x),
+          sc AS (SELECT vec_id, x,
+                        CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale
+                 FROM s),
+          q AS (SELECT vec_id, x, scale,
+                       list_transform(x, v -> CAST(round(v / scale) AS INTEGER)) AS qvec
+                FROM sc)
+          SELECT vec_id, scale, qvec,
+                 list_reduce(
+                   list_prepend(0.0,
+                     list_transform(range(1, len(x) + 1),
+                       i -> (x[i] - qvec[i] * scale) * (x[i] - qvec[i] * scale))),
+                   (a, v) -> a + v) / len(x) AS mse
+          FROM q""",
     "embedding_near_dup" -> nearDupOracle(NumPlanes, NEAR_DUP_K),
     "embedding_near_dup_p16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
     "embedding_dup_groups" ->

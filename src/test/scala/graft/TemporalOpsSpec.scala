@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.model.Fixtures
-import graft.operators.{TemporalOps, TextOps}
+import graft.operators.{DedupOps, SimilarityOps, TemporalOps, TextOps}
 
 /** Temporal analytics (as-of join, sessionization, funnel, retention) and
   * the round-7 text-curation additions (repetition signals, boilerplate
@@ -174,6 +174,63 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out.filter(!$"keep").count() > 0)
   }
 
+  test("dup_fracs kernel matches a plain-Scala reference on arbitrary token arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop}
+    def ref(w: Seq[String], len: Int): Double = {
+      val m = w.size - len + 1
+      if (m <= 0) 0.0
+      else (m - w.sliding(len).filter(_.size == len).toSeq.distinct.size).toDouble / m
+    }
+    // tiny alphabet on purpose: maximizes duplicate n-grams
+    val arrGen = Gen.listOf(Gen.oneOf("a", "b", "c", "aa", "x1", ""))
+    val prop = Prop.forAll(arrGen) { w =>
+      val row = graft.functions.DupFracs.compute(
+        new GenericArrayData(w.map(UTF8String.fromString).toArray[Any]))
+      row.getInt(0) == w.size &&
+        row.getDouble(1) == ref(w, 1) &&
+        row.getDouble(2) == ref(w, 2) &&
+        row.getDouble(3) == ref(w, 5)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asof join matches a naive reference on seeded random data with ts collisions") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 400L).map { id =>
+      (id, (rnd.nextInt(8) + 1).toLong,
+        if (rnd.nextBoolean()) "purchase" else "click", rnd.nextInt(50).toLong)
+    }
+    val df = mkEvents(rows: _*)
+    val out = TemporalOps.asofJoin(
+      df.filter($"event_type" === "purchase"), df.filter($"event_type" === "click"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val clicks = rows.filter(_._3 == "click")
+    for ((id, u, t, ts) <- rows if t == "purchase") {
+      val cands = clicks.filter(c => c._2 == u && c._4 <= ts)
+      val expected =
+        if (cands.isEmpty) None
+        else {
+          val maxTs = cands.map(_._4).max
+          Some(cands.filter(_._4 == maxTs).map(_._1).max)
+        }
+      assert(out(id) === expected, s"purchase $id")
+    }
+  }
+
+  test("repetition digests a 100k-token adversarial document (linear, not quadratic)") {
+    val text = Seq.tabulate(100000)(i => s"w${i % 37}").mkString(" ")
+    val row = TextOps.textRepetition(mkDocs((1L, text))).collect().head
+    assert(row.getAs[Int]("n_tokens") === 100000)
+    assert(row.getAs[Double]("dup_word_frac") === (100000 - 37).toDouble / 100000)
+    // 5-grams of a period-37 sequence: all windows starting at the same
+    // residue are identical -> distinct = 37
+    assert(row.getAs[Double]("dup_5gram_frac") === (99996 - 37).toDouble / 99996)
+  }
+
   // --- boilerplate -----------------------------------------------------
 
   test("boilerplate: a gram present in every doc is flagged, rare grams are not") {
@@ -205,5 +262,70 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out.count() === Fixtures.documents(spark, sfDir).count())
     assert(out.filter($"bp_frac" < 0 || $"bp_frac" > 1).count() === 0)
     assert(out.filter($"bp_grams" > $"n_grams").count() === 0)
+  }
+
+  // --- incremental dedup -----------------------------------------------
+
+  /** md5-bucket of a doc_id, mirroring the operator's increment rule. */
+  private def bucketOf(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000
+  }
+
+  test("incremental dedup: a planted new-batch duplicate of a base doc is found") {
+    // find ids beyond the fixture range on both sides of the bucket rule
+    val newId = Iterator.from(1000000).map(_.toLong)
+      .find(bucketOf(_) < DedupOps.IncrementPermille).get
+    val base = Fixtures.documents(spark, sfDir)
+      .filter(col("doc_id") === 3L).collect().head.getAs[String]("text")
+    val docs = Fixtures.documents(spark, sfDir)
+      .unionByName(mkDocs((newId, base))) // exact copy of doc 3 as a new doc
+    val out = DedupOps.docIncrementalDedup(docs)
+    val planted = out.filter($"new_doc" === newId).collect()
+    // doc 3 must appear among its base-side dups (bucket side depends on
+    // doc 3's own bucket — assert on the planted doc's pairing with it)
+    if (bucketOf(3L) >= DedupOps.IncrementPermille) {
+      assert(planted.exists(r => r.getAs[Long]("base_doc") === 3L &&
+        r.getAs[Double]("jaccard") === 1.0), planted.mkString(","))
+    }
+    // every pair is strictly cross: new side in the increment, base side not
+    out.collect().foreach { r =>
+      assert(bucketOf(r.getAs[Long]("new_doc")) < DedupOps.IncrementPermille, r)
+      assert(bucketOf(r.getAs[Long]("base_doc")) >= DedupOps.IncrementPermille, r)
+      assert(r.getAs[Double]("jaccard") >= DedupOps.JaccardThreshold)
+    }
+  }
+
+  test("incremental dedup emits no new-new or base-base pairs on the fixture") {
+    val out = DedupOps.docIncrementalDedup(Fixtures.documents(spark, sfDir)).collect()
+    out.foreach { r =>
+      assert(bucketOf(r.getAs[Long]("new_doc")) < DedupOps.IncrementPermille)
+      assert(bucketOf(r.getAs[Long]("base_doc")) >= DedupOps.IncrementPermille)
+    }
+  }
+
+  // --- int8 quantization -----------------------------------------------
+
+  test("int8 quantization: max element hits ±127, error bounded by scale/2, zero vector safe") {
+    val emb = Fixtures.embeddings(spark, sfDir)
+      .unionByName(Seq((999999L, Seq.fill(64)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val out = SimilarityOps.embeddingQuantizeInt8(emb).collect()
+    assert(out.length === emb.count())
+    out.foreach { r =>
+      val q: Seq[Int] = r.getSeq[Int](r.fieldIndex("qvec"))
+      val scale = r.getAs[Double]("scale")
+      val mse = r.getAs[Double]("mse")
+      assert(q.forall(v => v >= -127 && v <= 127), r)
+      if (r.getAs[Long]("vec_id") == 999999L) {
+        assert(scale === 1.0 && q.forall(_ == 0) && mse === 0.0)
+      } else {
+        assert(q.exists(v => math.abs(v) == 127), r) // max-magnitude dim saturates
+        // round() guarantees per-element error <= scale/2
+        assert(mse <= scale * scale / 4 + 1e-12, r)
+      }
+    }
   }
 }
