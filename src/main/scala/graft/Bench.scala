@@ -69,13 +69,13 @@ object Bench {
     // `showSuccess := false` (build.sbt) keeps sbt from printing after us.
     // Locale.ROOT: f"$v%.2f" follows the JVM default locale, and a
     // comma-decimal locale would print 1,23 — invalid JSON
-    // values >= 1 s get 1 decimal: their run-to-run noise exceeds 100 ms
-    // (stream_* keys swing 2-5x warm), so the hundredths digit carried no
-    // information and 73 keys need the chars
+    // 100 ms precision, trailing zeros trimmed ("0" = under 50 ms): warm
+    // run-to-run noise exceeds a tenth on every key that matters
+    // (stream_* swing 2-5x; r5 verdict #4), and 74 keys must fit the
+    // 2000-char capture window — ~1950 chars at this precision
     def fmt(v: Double): String = {
       if (v < 0) return "-1"
-      val pat = if (v >= 1.0) "%.1f" else "%.2f"
-      val s = String.format(java.util.Locale.ROOT, pat, Double.box(v))
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       if (t.isEmpty) "0" else t
     }

@@ -131,6 +131,50 @@ object TemporalOps {
     perStage.reduce(_ unionByName _)
   }
 
+  /** Half-width of the [[rangeJoinCount]] window: ±5 minutes in µs. */
+  val RangeJoinHalfUs: Long = 300000000L
+
+  /** RANGE (interval) JOIN — for each left event, how many right events
+    * of the same key fall within ±[[RangeJoinHalfUs]] of it. The second
+    * temporal-join shape an analytics engine must handle (DuckDB/Flink
+    * interval join); Catalyst plans a naive time-band predicate as a
+    * broadcast-nested-loop — O(n·m) per key and a driver-size bomb.
+    *
+    * Spark-first shape: the CELL-BUCKET rewrite. Quantize time into
+    * window-width cells; a right event within ±width of a left event is
+    * always in the left's cell or an adjacent one, so replicating each
+    * LEFT row into its 3 candidate cells and hash-joining on
+    * (key, cell) bounds comparisons to same-bucket pairs — work ∝
+    * events × per-key activity inside one window, never |L|×|R|. The
+    * exact band filter runs after the equi-join; every exchange is a
+    * hash shuffle. Left rows with no neighbors survive via the final
+    * per-left aggregate over the replicated rows (count of matches, not
+    * of rows).
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame,
+      halfUs: Long = RangeJoinHalfUs): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("cell", explode(array(
+        expr(s"ts_us div $halfUs") - 1,
+        expr(s"ts_us div $halfUs"),
+        expr(s"ts_us div $halfUs") + 1)))
+    val r = right.select(
+      col("user_id"), expr(s"ts_us div $halfUs").as("cell"),
+      col("ts_us").as("r_ts"))
+    l.join(r, Seq("user_id", "cell"), "left")
+      .withColumn("hit",
+        when(col("r_ts").isNotNull &&
+          abs(col("r_ts") - col("ts_us")) <= halfUs, 1L).otherwise(0L))
+      .groupBy("event_id")
+      .agg(
+        first(col("user_id")).as("user_id"),
+        first(col("ts_us")).as("ts_us"),
+        // each (left, right) pair joins EXACTLY once — a right row lives
+        // in one cell and the left's 3 candidate cells are distinct
+        sum(col("hit")).as("n_near"))
+  }
+
   /** Retention cohorts: users grouped by first-active day, counted on
     * each later active day (classic cohort-retention triangle).
     *
@@ -168,6 +212,12 @@ object TemporalOps {
         e.filter(col("event_type") === "click"))
     }),
     "session_assign" -> ((s, d) => sessionAssign(evUs(s, d))),
+    "events_range_join" -> ((s, d) => {
+      val e = evUs(s, d)
+      rangeJoinCount(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"))
+    }),
     "funnel_conversion" -> ((s, d) => funnelConversion(evUs(s, d), FunnelStages)),
     "user_retention_cohort" -> ((s, d) => retentionCohort(evUs(s, d))))
 
@@ -184,6 +234,17 @@ object TemporalOps {
                  l.ts_us - r.ts_us AS gap_us
           FROM l ASOF LEFT JOIN r
             ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""",
+    "events_range_join" ->
+      s"""WITH l AS (SELECT event_id, user_id, $US AS ts_us
+                     FROM events WHERE event_type = 'purchase'),
+               r AS (SELECT user_id, $US AS ts_us
+                     FROM events WHERE event_type = 'click')
+          SELECT l.event_id, l.user_id, l.ts_us,
+                 CAST(count(r.ts_us) AS BIGINT) AS n_near
+          FROM l LEFT JOIN r
+            ON l.user_id = r.user_id
+           AND abs(r.ts_us - l.ts_us) <= $RangeJoinHalfUs
+          GROUP BY 1, 2, 3""",
     "session_assign" ->
       s"""WITH e AS (SELECT user_id, event_id, $US AS ts_us FROM events),
             lagd AS (SELECT *, lag(ts_us) OVER

@@ -166,6 +166,26 @@ class PlanSpec extends SparkTestBase {
     assert(gramExchanges === 1, p)
   }
 
+  test("events_range_join is all hash joins: the cell rewrite defeats the nested-loop plan") {
+    // a naive |dt| <= h band predicate has no equi-key, so Catalyst
+    // plans BroadcastNestedLoopJoin — O(n·m) and a broadcast of a full
+    // event side; the cell-bucket rewrite must keep it an equi-join
+    val p = plan("events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("doc_incremental_dedup keeps the full pipeline's one corpus-wide bucket exchange") {
+    // same skeleton as doc_minhash_lsh: fused in-row signatures, the
+    // (band, sig) groupBy is the only corpus-wide shuffle; the verify
+    // stage shuffles candidates, not corpus
+    val p = plan("doc_incremental_dedup")
+    val exchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(exchanges === 1, p)
+  }
+
   test("no operator collects to the driver") {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)

@@ -89,6 +89,46 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("session_end_ms") === (gap - 1) / 1000 + gap / 1000)
   }
 
+  // --- range join ------------------------------------------------------
+
+  test("range join counts exactly the neighbors inside the band, including boundaries") {
+    val h = TemporalOps.RangeJoinHalfUs
+    val e = mkEvents(
+      (10L, 7L, "purchase", 1000000L),
+      // clicks at: exactly -h (in), -h-1 (out), 0 (in), +h (in), +h+1 (out)
+      (1L, 7L, "click", 1000000L - h), (2L, 7L, "click", 1000000L - h - 1),
+      (3L, 7L, "click", 1000000L), (4L, 7L, "click", 1000000L + h),
+      (5L, 7L, "click", 1000000L + h + 1),
+      // other user's click never counts
+      (6L, 8L, "click", 1000000L),
+      // purchase with no clicks at all survives with 0
+      (11L, 9L, "purchase", 5L))
+    val out = TemporalOps.rangeJoinCount(
+      e.filter($"event_type" === "purchase"), e.filter($"event_type" === "click"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_near")).toMap
+    assert(out === Map(10L -> 3L, 11L -> 0L))
+  }
+
+  test("range join matches a naive reference on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val h = TemporalOps.RangeJoinHalfUs
+    val rows = (1L to 300L).map { id =>
+      (id, (rnd.nextInt(5) + 1).toLong,
+        if (rnd.nextBoolean()) "purchase" else "click",
+        math.abs(rnd.nextLong()) % (20L * h)) // spans many cells
+    }
+    val df = mkEvents(rows: _*)
+    val out = TemporalOps.rangeJoinCount(
+      df.filter($"event_type" === "purchase"), df.filter($"event_type" === "click"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_near")).toMap
+    val clicks = rows.filter(_._3 == "click")
+    for ((id, u, t, ts) <- rows if t == "purchase") {
+      val expected = clicks.count(c => c._2 == u && math.abs(c._4 - ts) <= h).toLong
+      assert(out(id) === expected, s"purchase $id")
+    }
+    assert(out.size === rows.count(_._3 == "purchase"))
+  }
+
   // --- funnel ----------------------------------------------------------
 
   test("funnel stages are ordered: events before the prior stage don't count") {
