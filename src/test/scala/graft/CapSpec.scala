@@ -58,6 +58,29 @@ class CapSpec extends SparkTestBase {
       (ClusterSize - Cap).toLong * (DedupOps.NumSeeds / DedupOps.RowsPerBand))
   }
 
+  test("incremental dedup caps a mega-cluster and keeps only cross pairs") {
+    // the same identical-text clique, spanning the increment boundary:
+    // cap discipline must hold and no new-new/base-base pair may leak
+    val (rows, overflow) = observedMetric("incremental_bucket_overflow") {
+      DedupOps.docIncrementalDedup(megaDocs).agg(
+        count(lit(1)), min(col("jaccard"))).head()
+    }
+    // capped bucket keeps the first Cap ids; pairs = new-side × base-side
+    // within them (identical docs ⇒ jaccard exactly 1)
+    val kept = (0L until Cap.toLong)
+    def isNew(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000 < DedupOps.IncrementPermille
+    }
+    val nNew = kept.count(isNew)
+    assert(rows.getLong(0) === nNew.toLong * (Cap - nNew))
+    assert(rows.getDouble(1) === 1.0)
+    assert(overflow ===
+      (ClusterSize - Cap).toLong * (DedupOps.NumSeeds / DedupOps.RowsPerBand))
+  }
+
   test("simhash pair banding caps a mega-cluster") {
     val (n, overflow) = observedMetric("simhash_block_overflow") {
       DedupOps.docSimhashPairs(megaDocs).count()
