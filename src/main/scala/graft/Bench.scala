@@ -64,21 +64,16 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
     // The driver's stdout-tail capture is 2000 chars and the line must fit
-    // it WHOLE (BENCH_r05/r06 lost their heads): 10 ms precision with
-    // trailing zeros trimmed keeps 71 keys at ~1950 chars, and
-    // `showSuccess := false` (build.sbt) keeps sbt from printing after us.
-    // Locale.ROOT: f"$v%.2f" follows the JVM default locale, and a
-    // comma-decimal locale would print 1,23 — invalid JSON
-    // 100 ms precision, trailing zeros trimmed ("0" = under 50 ms): warm
-    // run-to-run noise exceeds a tenth on every key that matters
-    // (stream_* swing 2-5x; r5 verdict #4), and 74 keys must fit the
-    // 2000-char capture window — ~1950 chars at this precision
-    def fmt(v: Double): String = {
-      if (v < 0) return "-1"
-      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      if (t.isEmpty) "0" else t
-    }
+    // it WHOLE (BENCH_r05/r06 lost their heads); `showSuccess := false`
+    // (build.sbt) keeps sbt from printing after us. 100 ms precision with
+    // ".0" trimmed ("0" = under 50 ms) holds 74 keys at ~1950 chars, and
+    // warm run-to-run noise exceeds a tenth on every key that matters
+    // (stream_* swing 2-5x; r5 verdict #4). Locale.ROOT because %f follows
+    // the JVM default locale and a comma decimal would break the JSON.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+        .stripSuffix(".0")
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
     // errors key present only when non-empty: 13 chars of window otherwise
     val errs = if (errors.isEmpty) ""

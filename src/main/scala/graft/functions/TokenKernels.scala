@@ -196,7 +196,7 @@ object DupFracs {
   private def gramDupFrac(w: ArrayData, len: Int): Double = {
     val n = w.numElements()
     val m = n - len + 1
-    if (m <= 0 || n < len) return 0.0
+    if (m <= 0) return 0.0
     val seen = new java.util.HashSet[AnyRef](m * 2)
     var distinct = 0
     var i = 0

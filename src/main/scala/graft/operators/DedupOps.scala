@@ -303,11 +303,10 @@ object DedupOps {
     * date, source partition, etc. */
   val IncrementPermille = 100
 
-  /** md5-bucket increment membership — same derivation discipline as
-    * [[TextOps.docSplitAssign]]: stable across runs/engines/re-shards. */
+  /** md5-bucket increment membership — the shared [[Hashing.md5Bucket]]
+    * discipline: stable across runs/engines/re-shards. */
   private def isNewDoc: Column =
-    (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long") % 1000) < IncrementPermille
+    Hashing.md5Bucket(col("doc_id"), 1000) < IncrementPermille
 
   /** INCREMENTAL near-dedup — the production ingestion shape: dedupe a
     * new batch AGAINST the existing corpus without re-clustering

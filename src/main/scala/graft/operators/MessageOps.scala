@@ -390,7 +390,9 @@ object MessageOps {
     "sql_top_producers" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
     "payload_integrity_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
-  private val US = "epoch_us(CAST(ts AS TIMESTAMP))"
+  /** The oracle-side epoch-µs projection of `ts` — the ns→µs cast
+    * discipline every events oracle shares (also used by TemporalOps). */
+  private[operators] val US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
   def oracle: Map[String, String] = Map(
     "scan_events_envelope" ->

@@ -47,19 +47,18 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
     val tagged = left
-      .select(col("user_id"), col("ts_us"), col("event_id"),
-        col("event_id").as("l_id"), lit(1).as("side"))
-      .unionByName(right.select(col("user_id"), col("ts_us"), col("event_id"),
-        lit(null).cast("long").as("l_id"), lit(0).as("side")))
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("side"))
+      .unionByName(right
+        .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("side")))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "side", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof",
         last(when(col("side") === 0, struct(col("ts_us").as("ts"), col("event_id").as("id"))),
           ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
+      .filter(col("side") === 1) // survivors are exactly the left rows
       .select(
-        col("l_id").as("event_id"),
+        col("event_id"),
         col("user_id"),
         col("ts_us"),
         col("asof.id").as("asof_event_id"),
@@ -221,7 +220,7 @@ object TemporalOps {
     "funnel_conversion" -> ((s, d) => funnelConversion(evUs(s, d), FunnelStages)),
     "user_retention_cohort" -> ((s, d) => retentionCohort(evUs(s, d))))
 
-  private val US = "epoch_us(CAST(ts AS TIMESTAMP))"
+  private val US = MessageOps.US // shared ns→µs oracle cast discipline
 
   def oracle: Map[String, String] = Map(
     "events_asof_join" ->

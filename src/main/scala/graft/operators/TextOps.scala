@@ -192,8 +192,7 @@ object TextOps {
     * rollup, the same plan at 10^11 documents.
     */
   def docSplitAssign(docs: DataFrame): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long") % 1000)
+    val bucket = Hashing.md5Bucket(col("doc_id"), 1000)
     val splitLabel = when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
     docs.select(splitLabel.as("split"), length(col("text")).as("n_chars"), col("doc_id"))
       .groupBy("split")
@@ -231,8 +230,7 @@ object TextOps {
       col("doc_id"),
       expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""")
         .cast("long").as("n_tokens"),
-      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-        16, 10).cast("long") % PackShards).as("shard"))
+      Hashing.md5Bucket(col("doc_id"), PackShards).as("shard"))
     val byShard = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -339,16 +337,21 @@ object TextOps {
     val heavy = df.crossJoin(broadcast(nDocs))
       .filter(col("df") * 100 > col("n_docs") && col("df") >= BpDfMin)
       .select("gram")
-    val bp = grams.select(col("doc_id"), explode(col("g3")).as("gram"))
-      .join(broadcast(heavy), Seq("gram"))
-      .groupBy("doc_id").agg(count(lit(1)).as("bp"))
-    grams.select(col("doc_id"), size(col("g3")).cast("long").as("n_grams"))
-      .join(bp, Seq("doc_id"), "left")
+    // instance count and per-doc totals in ONE pass: explode_outer keeps
+    // gram-less docs alive, the heavy join marks hits, and the doc_id
+    // aggregate carries n_grams through first() — the join-back-on-doc_id
+    // formulation scanned (and re-shingled) the corpus a third time
+    grams
+      .select(col("doc_id"), size(col("g3")).cast("long").as("n_grams"),
+        explode_outer(col("g3")).as("gram"))
+      .join(broadcast(heavy.withColumn("hit", lit(1L))), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("bp_grams"))
       .select(
-        col("doc_id"), col("n_grams"),
-        coalesce(col("bp"), lit(0L)).as("bp_grams"),
+        col("doc_id"), col("n_grams"), col("bp_grams"),
         when(col("n_grams") > 0,
-          coalesce(col("bp"), lit(0L)) / col("n_grams").cast("double"))
+          col("bp_grams") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)).as("bp_frac"))
   }
 
@@ -371,8 +374,7 @@ object TextOps {
     * bounded explode — no shuffle at any corpus size.
     */
   def docMixtureSample(docs: DataFrame, weight: Column): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long") % 1000
+    val bucket = Hashing.md5Bucket(col("doc_id"), 1000)
     // frac(w)*1000 rounded ONCE so the threshold is an exact integer —
     // comparing the bucket against a float frac would hinge on fp dust
     val copies = (floor(weight).cast("long") +
