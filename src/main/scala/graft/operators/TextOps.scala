@@ -355,6 +355,54 @@ object TextOps {
           .otherwise(lit(0.0)).as("bp_frac"))
   }
 
+  /** Vocabulary cap for [[textLmPerplexity]] — the CCNet discipline: a
+    * FIXED-SIZE vocabulary (theirs: a 64k SentencePiece model) is what
+    * makes the scoring table a bounded, broadcastable artifact at any
+    * corpus size; everything out-of-vocabulary scores the floor. */
+  val LmVocabSize = 10000
+
+  /** Unigram-LM perplexity scoring — the CCNet-style quality filter: fit
+    * a unigram language model on the corpus itself (top-[[LmVocabSize]]
+    * tokens by frequency), score every document by its mean token
+    * log-probability. Low-probability-dense documents are gibberish or
+    * boilerplate; real pipelines bucket the corpus by this score
+    * (head/middle/tail) before expensive stages.
+    *
+    * Scale shape: the LM is TWO bounded driver artifacts (total count +
+    * the top-V scoring table — the IVF-centroid-index precedent), and
+    * scoring is a pure in-row lookup fold: no per-document shuffle, no
+    * token-stream join. The vocabulary aggregation is the one
+    * corpus-wide exchange, map-side combined. Numerics: log-probs are
+    * rounded to 6 decimals BEFORE scoring (both engines round the same
+    * doubles; ln differs by at most 1 ulp, far inside the rounding), and
+    * the per-doc mean is a SEQUENTIAL in-row fold, then rounded — so the
+    * doubles hash-match the oracle.
+    */
+  def textLmPerplexity(docs: DataFrame): DataFrame = {
+    val toks = withTokens(docs)
+    val counts = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c")).collect()(0).getLong(0)
+    val vocab = counts
+      .orderBy(col("c").desc, col("t")) // deterministic ties
+      .limit(LmVocabSize)
+      .select(col("t"), round(log(col("c").cast("double") / total), 6).as("logp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // OOV floor: half a count's probability mass, same rounding rule
+    // (BigDecimal HALF_UP == Spark round() == DuckDB round for these)
+    val floorLogp = BigDecimal(math.log(0.5 / total))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mp = typedlit(vocab)
+    toks.select(
+      col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      round(
+        aggregate(
+          transform(col("w"), t => coalesce(element_at(mp, t), lit(floorLogp))),
+          lit(0.0), (a, v) => a + v) / size(col("w")).cast("double"),
+        6).as("avg_logp"))
+  }
+
   /** Mixture weight tiers for [[docMixtureSample]]'s fixture wiring —
     * exercises down-sampling (<1), identity (1), and fractional
     * up-sampling (>1): tier = numeric source suffix mod 4. Real callers
@@ -406,6 +454,7 @@ object TextOps {
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
     "text_repetition_scores" -> ((s, d) => textRepetition(Fixtures.documents(s, d))),
+    "text_lm_perplexity" -> ((s, d) => textLmPerplexity(Fixtures.documents(s, d))),
     "doc_boilerplate_df" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
     "doc_mixture_sample" ->
       ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)))
@@ -486,6 +535,24 @@ object TextOps {
                                - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
                    n_tokens
             FROM toks""",
+      "text_lm_perplexity" ->
+        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents),
+              tok AS (SELECT unnest(w) AS t FROM toks),
+              counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+              tot AS (SELECT sum(c) AS total FROM counts),
+              vocab AS (SELECT t, round(ln(c / total), 6) AS logp
+                        FROM counts, tot
+                        ORDER BY c DESC, t LIMIT $LmVocabSize),
+              m AS (SELECT map(list(t ORDER BY t), list(logp ORDER BY t)) AS mp
+                    FROM vocab),
+              flo AS (SELECT round(ln(0.5 / total), 6) AS floor_logp FROM tot)
+            SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+                   round(list_reduce(
+                           list_prepend(0.0,
+                             list_transform(w, t -> coalesce(mp[t][1], floor_logp))),
+                           (a, v) -> a + v) / len(w), 6) AS avg_logp
+            FROM toks, m, flo""",
       "text_repetition_scores" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),

@@ -195,7 +195,8 @@ class PlanSpec extends SparkTestBase {
         "doc_lsh_verified_dups",
         "embedding_ivf_topk", // staging writes / C×dim centroid index
         "doc_dup_groups", "doc_filter_pipeline",
-        "embedding_dup_groups")) // CC fixpoint loop runs bounded jobs
+        "embedding_dup_groups", // CC fixpoint loop runs bounded jobs
+        "text_lm_perplexity")) // bounded LM artifacts (total + top-V table)
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
         assert(df.queryExecution.logical != null)

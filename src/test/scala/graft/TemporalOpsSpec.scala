@@ -271,6 +271,33 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(row.getAs[Double]("dup_5gram_frac") === (99996 - 37).toDouble / 99996)
   }
 
+  // --- LM perplexity ---------------------------------------------------
+
+  test("LM perplexity: frequent-token docs score higher than rare/OOV docs") {
+    // corpus: "common" dominates; doc 2 is all common tokens, doc 3 all
+    // singletons — the unigram LM must rank 2 above 3; a doc of tokens
+    // never in the top-V vocabulary floors below both
+    val docs = mkDocs(
+      (1L, Seq.fill(50)("common").mkString(" ")),
+      (2L, "common common common common"),
+      (3L, "rare1 rare2 rare3 rare4"))
+    val out = TextOps.textLmPerplexity(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(out(2L) > out(3L))
+    // all scores are finite negatives
+    out.values.foreach(v => assert(v < 0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("LM perplexity on the fixture: one score per doc, vocabulary covers the corpus") {
+    val docs = Fixtures.documents(spark, sfDir)
+    val out = TextOps.textLmPerplexity(docs)
+    assert(out.count() === docs.count())
+    // 31-word fixture vocabulary is far under the cap: no OOV floor hits,
+    // so every score is bounded by the best and worst in-vocab log-prob
+    val scores = out.select("avg_logp").collect().map(_.getDouble(0))
+    assert(scores.forall(s => s > -20 && s < 0))
+  }
+
   // --- boilerplate -----------------------------------------------------
 
   test("boilerplate: a gram present in every doc is flagged, rare grams are not") {
