@@ -66,7 +66,7 @@ object Bench {
     // The driver's stdout-tail capture is 2000 chars and the line must fit
     // it WHOLE (BENCH_r05/r06 lost their heads); `showSuccess := false`
     // (build.sbt) keeps sbt from printing after us. 100 ms precision with
-    // ".0" trimmed ("0" = under 50 ms) holds 74 keys at ~1950 chars, and
+    // ".0" trimmed ("0" = under 50 ms) holds 75 keys at ~1980 chars, and
     // warm run-to-run noise exceeds a tenth on every key that matters
     // (stream_* swing 2-5x; r5 verdict #4). Locale.ROOT because %f follows
     // the JVM default locale and a comma decimal would break the JSON.

@@ -42,5 +42,6 @@ object GraftSession {
     graft.functions.SumStrlen.register(spark)
     graft.functions.JaccardDistinct.register(spark)
     graft.functions.DupFracs.register(spark)
+    graft.functions.LogpSum.register(spark)
   }
 }

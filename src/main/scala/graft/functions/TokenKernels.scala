@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `count_in(w, words)` — how many elements of the token array `w` are
@@ -140,6 +140,93 @@ object SumStrlen {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("sum_strlen",
         exprs => SumStrlen(exprs.head), "built-in")
+}
+
+/** `logp_sum(w, logp_map, floor)` — the summed log-probability of a token
+  * array under a LITERAL scoring map, out-of-vocabulary tokens scoring
+  * `floor`: ≡ `aggregate(transform(w, t -> coalesce(element_at(m, t),
+  * floor)), 0.0, (a, v) -> a + v)` — the per-document scoring fold of
+  * [[graft.operators.TextOps.textLmPerplexity]].
+  *
+  * Why native: Spark's `element_at` on a map LITERAL (GetMapValue) is a
+  * LINEAR key scan — with a 10k-entry vocabulary a 500-token document
+  * costs ~5M string comparisons, which would dominate the corpus scan at
+  * scale. This hashes the literal map ONCE ([[CountIn]]'s pattern) and
+  * runs one codegen'd loop: tokens × O(1) lookups, summed sequentially
+  * in array order (the determinism the oracle comparison needs). NULL
+  * tokens score the floor, matching `coalesce`.
+  */
+case class LogpSum(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "logp_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), MapType(StringType, DoubleType, _), DoubleType) =>
+        if (!second.foldable || !third.foldable)
+          TypeCheckResult.TypeCheckFailure("logp_sum requires literal map and floor")
+        else if (second.eval() == null || third.eval() == null)
+          TypeCheckResult.TypeCheckFailure("logp_sum requires non-null literal map and floor")
+        else TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"logp_sum requires (ARRAY<STRING>, MAP<STRING,DOUBLE>, DOUBLE), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  /** The literal scoring table as a real hash map, built once —
+    * codegen references it as a constant object. */
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double]()
+    val md = second.eval().asInstanceOf[MapData]
+    val ks = md.keyArray()
+    val vs = md.valueArray()
+    var i = 0
+    while (i < md.numElements()) {
+      m.put(ks.getUTF8String(i).clone(), vs.getDouble(i))
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val floor: Double = third.eval().asInstanceOf[Double]
+
+  override def nullSafeEval(w: Any, mIgnored: Any, fIgnored: Any): Any =
+    LogpSum.compute(w.asInstanceOf[ArrayData], table, floor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("logpTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (w, _, _) =>
+      s"${ev.value} = graft.functions.LogpSum$$.MODULE$$.compute($w, $tableRef, $floor);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LogpSum =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LogpSum {
+
+  def compute(w: ArrayData, table: java.util.HashMap[UTF8String, java.lang.Double],
+      floor: Double): Double = {
+    var sum = 0.0
+    var i = 0
+    val n = w.numElements()
+    while (i < n) {
+      val v = if (w.isNullAt(i)) null else table.get(w.getUTF8String(i))
+      sum += (if (v == null) floor else v.doubleValue())
+      i += 1
+    }
+    sum
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("logp_sum",
+        exprs => LogpSum(exprs.head, exprs(1), exprs(2)), "built-in")
 }
 
 /** `dup_fracs(w)` — all three Gopher-family repetition signals of a token

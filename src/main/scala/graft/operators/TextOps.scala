@@ -378,28 +378,34 @@ object TextOps {
     * the per-doc mean is a SEQUENTIAL in-row fold, then rounded — so the
     * doubles hash-match the oracle.
     */
-  def textLmPerplexity(docs: DataFrame): DataFrame = {
+  def textLmPerplexity(docs: DataFrame, vocabSize: Int = LmVocabSize): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
     val toks = withTokens(docs)
-    val counts = toks.select(explode(col("w")).as("t"))
+    // token-instance total WITHOUT a token-level shuffle (one scan, a
+    // scalar aggregate); an empty corpus sums to NULL — score against a
+    // 1-token phantom so the (never-evaluated) projection stays well-formed
+    val total = Option(
+      toks.agg(sum(size(col("w")))).collect()(0).getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(1L)
+    val vocab = toks.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c")).collect()(0).getLong(0)
-    val vocab = counts
       .orderBy(col("c").desc, col("t")) // deterministic ties
-      .limit(LmVocabSize)
+      .limit(vocabSize)
       .select(col("t"), round(log(col("c").cast("double") / total), 6).as("logp"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     // OOV floor: half a count's probability mass, same rounding rule
     // (BigDecimal HALF_UP == Spark round() == DuckDB round for these)
     val floorLogp = BigDecimal(math.log(0.5 / total))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val mp = typedlit(vocab)
+    // fused native fold: element_at on a map LITERAL is a LINEAR key scan
+    // (GetMapValue), and vocab × tokens comparisons would dominate the
+    // corpus scan — logp_sum holds a real hash table (see LogpSum)
     toks.select(
       col("doc_id"),
       size(col("w")).as("n_tokens"),
       round(
-        aggregate(
-          transform(col("w"), t => coalesce(element_at(mp, t), lit(floorLogp))),
-          lit(0.0), (a, v) => a + v) / size(col("w")).cast("double"),
+        call_function("logp_sum", col("w"), typedlit(vocab), lit(floorLogp)) /
+          size(col("w")).cast("double"),
         6).as("avg_logp"))
   }
 
@@ -544,13 +550,14 @@ object TextOps {
               vocab AS (SELECT t, round(ln(c / total), 6) AS logp
                         FROM counts, tot
                         ORDER BY c DESC, t LIMIT $LmVocabSize),
-              m AS (SELECT map(list(t ORDER BY t), list(logp ORDER BY t)) AS mp
+              m AS (SELECT list(t ORDER BY t) AS ks, list(logp ORDER BY t) AS vs
                     FROM vocab),
               flo AS (SELECT round(ln(0.5 / total), 6) AS floor_logp FROM tot)
             SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
                    round(list_reduce(
                            list_prepend(0.0,
-                             list_transform(w, t -> coalesce(mp[t][1], floor_logp))),
+                             list_transform(w,
+                               t -> coalesce(vs[list_position(ks, t)], floor_logp))),
                            (a, v) -> a + v) / len(w), 6) AS avg_logp
             FROM toks, m, flo""",
       "text_repetition_scores" ->

@@ -288,6 +288,37 @@ class TemporalOpsSpec extends SparkTestBase {
     out.values.foreach(v => assert(v < 0 && !v.isNaN && !v.isInfinite))
   }
 
+  test("LM perplexity: out-of-vocabulary tokens score exactly the floor") {
+    // vocabSize=2 forces OOV: counts a=3, b=3, z=2 -> vocab {a, b}; the
+    // all-"z" doc must score the floor
+    val docs = mkDocs((1L, "a a a b b b"), (2L, "z z"))
+    val total = 8L // token instances across both docs
+    val floor = BigDecimal(math.log(0.5 / total))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextOps.textLmPerplexity(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(out(2L) === floor) // all-OOV doc: mean of 3 floors = floor
+    assert(out(1L) > floor)   // in-vocab tokens lift doc 1 above it
+  }
+
+  test("LM perplexity: native logp_sum kernel matches the composable HOF fold") {
+    import org.scalacheck.{Gen, Prop}
+    val docs = Fixtures.documents(spark, sfDir).limit(50)
+    val toks = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+    // a small scoring map over the fixture vocabulary + a floor
+    val mp = Map("key" -> -1.25, "table" -> -2.5, "row" -> -0.75)
+    val floor = -9.123456
+    graft.GraftSession.registerFunctions(spark)
+    val fused = toks.select(col("doc_id"),
+      call_function("logp_sum", col("w"), typedlit(mp), lit(floor)).as("s"))
+    val hof = toks.select(col("doc_id"),
+      aggregate(
+        transform(col("w"), t => coalesce(element_at(typedlit(mp), t), lit(floor))),
+        lit(0.0), (a, v) => a + v).as("s"))
+    assertSameRows(fused, hof)
+  }
+
   test("LM perplexity on the fixture: one score per doc, vocabulary covers the corpus") {
     val docs = Fixtures.documents(spark, sfDir)
     val out = TextOps.textLmPerplexity(docs)
