@@ -186,6 +186,16 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 1, p)
   }
 
+  test("text_lm_perplexity scoring is a pure projection: the returned plan has no exchange") {
+    // the LM (total + top-V table) is built by bounded driver jobs at
+    // construction; the SCORING plan the caller runs over the corpus
+    // must stay an in-row lookup fold — an exchange here means scoring
+    // regressed to a token-stream join
+    val p = plan("text_lm_perplexity")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("logp_sum"), p)
+  }
+
   test("no operator collects to the driver") {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)
