@@ -1,0 +1,83 @@
+package graft
+
+/** Every native kernel must be reachable from the `spark.sql` surface
+  * after `GraftSession.registerFunctions` — a SQL user of the library
+  * gets the same fused expressions the Column API uses. One probe per
+  * registered function with a known-answer assertion, so a registration
+  * or arity regression fails loudly here instead of deep inside an
+  * operator.
+  */
+class FunctionRegistrySpec extends SparkTestBase {
+
+  private lazy val sql = {
+    GraftSession.registerFunctions(spark)
+    (q: String) => spark.sql(q).collect().head
+  }
+
+  test("crc32c") {
+    // RFC 3720-style vector: crc32c of 32 zero bytes
+    val r = sql("SELECT crc32c(cast(repeat(chr(0), 32) as binary)) AS c")
+    assert(r.getLong(0) === 0x8A9136AAL)
+  }
+
+  test("cosine_sim") {
+    val r = sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+    assert(r.getDouble(0) === 1.0)
+  }
+
+  test("lsh_bucket") {
+    // bucket of any vector is an integer in [0, 2^planes)
+    val r = sql("SELECT lsh_bucket(array(0.5F, -0.25F), 4, 12) AS b")
+    val b = r.getLong(0)
+    assert(b >= 0 && b < 16)
+  }
+
+  test("gram_md5s") {
+    val r = sql("SELECT gram_md5s('abcd', 3) AS g")
+    val g = r.getSeq[String](0)
+    assert(g === Seq("abc", "bcd").map(s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString))
+  }
+
+  test("minhash_bands") {
+    val r = sql("SELECT minhash_bands(array('a','b','c','d','e'), 8, 2) AS m")
+    assert(r.getSeq[String](0).length === 4) // 8 seeds / 2 rows = 4 bands
+  }
+
+  test("simhash60") {
+    val r = sql("SELECT simhash60(array('x','y')) AS s")
+    val s = r.getLong(0)
+    assert(s >= 0 && s < (1L << 60))
+  }
+
+  test("word_shingles") {
+    val r = sql("SELECT word_shingles(array('a','b','c','b','c'), 3) AS s")
+    assert(r.getSeq[String](0).sorted === Seq("a b c", "b c b", "c b c").sorted)
+  }
+
+  test("count_in") {
+    val r = sql("SELECT count_in(array('a','b','a','z'), array('a','b')) AS c")
+    assert(r.getInt(0) === 3)
+  }
+
+  test("sum_strlen") {
+    val r = sql("SELECT sum_strlen(array('ab','cde')) AS s")
+    assert(r.getInt(0) === 5)
+  }
+
+  test("jaccard_distinct") {
+    val r = sql("SELECT jaccard_distinct(array('a','b'), array('b','c')) AS j")
+    assert(r.getDouble(0) === 1.0 / 3.0)
+  }
+
+  test("dup_fracs") {
+    val r = sql("SELECT dup_fracs(array('a','a','b')).dup_word_frac AS f")
+    assert(r.getDouble(0) === 1.0 / 3.0)
+  }
+
+  test("logp_sum") {
+    val r = sql("SELECT logp_sum(array('a','zz'), map('a', -1.5D), -4.0D) AS s")
+    assert(r.getDouble(0) === -5.5)
+  }
+}
