@@ -89,6 +89,63 @@ class TemporalOpsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("session_end_ms") === (gap - 1) / 1000 + gap / 1000)
   }
 
+  test("session_assign matches a naive reference on seeded random data with boundary gaps") {
+    val gap = TemporalOps.SessionGapUs
+    val rnd = new scala.util.Random(13)
+    // gaps drawn AROUND the threshold so exact-boundary splits occur
+    val rows = (1 to 6).flatMap { u =>
+      var ts = 0L
+      (1 to 40).map { i =>
+        ts += (rnd.nextInt(5) match {
+          case 0 => gap // exactly the threshold: must split
+          case 1 => gap + rnd.nextInt(1000)
+          case _ => rnd.nextInt(1000) + 1
+        })
+        ((u * 100 + i).toLong, u.toLong, "view", ts)
+      }
+    }
+    val out = TemporalOps.sessionAssign(mkEvents(rows: _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("session_start_ms"),
+        r.getAs[Long]("session_end_ms"), r.getAs[Long]("n")))
+      .toSet
+    // naive: walk each user's sorted timeline, split at diff >= gap
+    val expected = rows.groupBy(_._2).flatMap { case (u, es) =>
+      val ts = es.map(_._4).sorted
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head >= gap) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }
+      sessions.map { s =>
+        (u, s.min / 1000, s.max / 1000 + gap / 1000, s.size.toLong)
+      }
+    }.toSet
+    assert(out === expected)
+  }
+
+  test("funnel matches a naive reference on seeded random data") {
+    val rnd = new scala.util.Random(99)
+    val stages = TemporalOps.FunnelStages
+    val rows = (1L to 500L).map { id =>
+      (id, (rnd.nextInt(12) + 1).toLong, stages(rnd.nextInt(3)), rnd.nextInt(100).toLong)
+    }
+    val out = TemporalOps.funnelConversion(mkEvents(rows: _*), stages)
+      .collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    // naive fold: earliest completion frontier per stage
+    var frontier: Map[Long, Long] = rows.filter(_._3 == stages.head)
+      .groupBy(_._2).view.mapValues(_.map(_._4).min).toMap
+    val expected = scala.collection.mutable.Map(1 -> frontier.size.toLong)
+    for ((st, i) <- stages.zipWithIndex.drop(1)) {
+      frontier = rows.filter(_._3 == st)
+        .flatMap { case (_, u, _, ts) =>
+          frontier.get(u).filter(ts >= _).map(_ => u -> ts)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      expected(i + 1) = frontier.size.toLong
+    }
+    assert(out === expected.toMap)
+  }
+
   // --- range join ------------------------------------------------------
 
   test("range join counts exactly the neighbors inside the band, including boundaries") {
