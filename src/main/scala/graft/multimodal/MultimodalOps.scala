@@ -143,7 +143,6 @@ object MultimodalOps {
         max("n_frames").as("max_frames"),
         sum("byte_len").as("total_bytes"),
         round(avg(col("feat_sum") / 8.0), 6).as("avg_feat_mean"))
-      .orderBy("kind")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -54,7 +54,6 @@ object BucketedOps {
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("user_total")), 2).as("sum_user_totals"))
-      .orderBy("event_type")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

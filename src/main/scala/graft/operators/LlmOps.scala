@@ -119,7 +119,6 @@ object LlmOps {
         round(avg(col("l2")), 6).as("avg_norm"),
         round(min(col("l2")), 6).as("min_norm"),
         round(max(col("l2")), 6).as("max_norm"))
-      .orderBy("label")
 
   /** Quality floor for [[docFilterPipeline]] — the pre-filter threshold a
     * real pipeline tunes per corpus; 0.4 splits the fixture. */

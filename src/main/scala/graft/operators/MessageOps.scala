@@ -78,7 +78,6 @@ object MessageOps {
   def routeByPartitionKey(ev: DataFrame): DataFrame =
     ev.groupBy((col("user_id") % P).cast("int").as("part"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
-      .orderBy("part")
 
   /** Round-robin distribution (`rotate_left(1)` per send): slot `i` of `N`
     * messages over `s` slots holds exactly `⌊(N - i + s - 1) / s⌋` — the
@@ -95,7 +94,6 @@ object MessageOps {
       .select(
         col("slot").cast("long").as("slot"),
         expr(s"(total - slot + ${slots - 1}) div $slots").as("n"))
-      .orderBy("slot")
 
   /** Key_Shared hash-range assignment (proto:286-295): portable hash of the
     * key into [0, 256), bucketed into 4 sticky ranges.
@@ -106,7 +104,6 @@ object MessageOps {
     ev.select(range.as("range_id"), col("user_id"))
       .groupBy("range_id")
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_keys"))
-      .orderBy("range_id")
   }
 
   // ---------------------------------------------------------------------
@@ -167,7 +164,6 @@ object MessageOps {
     ev.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .orderBy("user_id", "event_type")
 
   /** Dead-letter divert: groups exceeding max_redeliver_count go to the DLQ
     * branch (reference DeadLetterPolicy). Same aggregate as above with the
@@ -177,7 +173,6 @@ object MessageOps {
     ev.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxRedeliver)
-      .orderBy("user_id", "event_type")
 
   // ---------------------------------------------------------------------
   // Cursors (Seek proto:537-543; GetLastMessageId proto:646-654;
@@ -209,7 +204,6 @@ object MessageOps {
     withPart.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("part"), col("event_id").as("last_event_id"), col("publish_us").as("last_us"))
-      .orderBy("part")
   }
 
   /** Compacted-topic read: latest value per key (read_compacted). The
@@ -223,7 +217,6 @@ object MessageOps {
       .select(
         col("user_id"), col("event_id"), col("event_type"),
         col("value"), publishUs(col("ts")).as("publish_us"))
-      .orderBy("user_id")
   }
 
   // ---------------------------------------------------------------------
@@ -266,7 +259,6 @@ object MessageOps {
             x => x.getField("chunk")),
           "").as("reassembled"))
       .select(col("doc_id"), col("n_chunks"), length(col("reassembled")).cast("long").as("len_out"))
-      .orderBy("doc_id")
   }
 
   /** Throughput per tumbling hour (consumer stats msgRateOut proto:609-613
@@ -284,7 +276,6 @@ object MessageOps {
       "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
       * 3600000).as("hour_ms"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .orderBy("hour_ms")
 
   /** Backlog by subscription type (msgBacklog proto:642-643) with a rollup
     * grand-total row — grouping-sets coverage on the stream table.
@@ -292,7 +283,6 @@ object MessageOps {
   def backlogByType(ev: DataFrame): DataFrame =
     ev.rollup("event_type")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("backlog"))
-      .orderBy(col("event_type").asc_nulls_first)
 
   /** Delayed-delivery eligibility (deliver_at_time proto:125-126):
     * messages whose deliver-at (publish + delay) has passed `nowEpochUs`.
@@ -339,7 +329,7 @@ object MessageOps {
                   dense_rank() OVER (PARTITION BY event_type
                     ORDER BY count(*) DESC, user_id) AS rnk
            FROM graft_events GROUP BY event_type, user_id)
-         WHERE rnk <= 3 ORDER BY event_type, rnk, user_id""")
+         WHERE rnk <= 3""")
   }
 
   /** Payload integrity: CRC32C (Castagnoli) checksum per message, summed
@@ -355,7 +345,6 @@ object MessageOps {
       Crc32C.crc32c(ev.sparkSession, "cast(props as binary)").as("crc"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("crc")).as("crc_sum"))
-      .orderBy("event_type")
 
   // ---------------------------------------------------------------------
   // Driver-contract wiring
@@ -494,5 +483,5 @@ object MessageOps {
                   dense_rank() OVER (PARTITION BY event_type
                     ORDER BY count(*) DESC, user_id) AS rnk
            FROM events GROUP BY event_type, user_id)
-         WHERE rnk <= 3 ORDER BY event_type, rnk, user_id""")
+         WHERE rnk <= 3""")
 }

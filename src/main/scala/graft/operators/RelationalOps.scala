@@ -44,7 +44,6 @@ object RelationalOps {
         count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 10000)
           .cast("long").as("revenue_x10k"))
-      .orderBy("r_name", "n_name")
   }
 
   /** Grouping-sets coverage: CUBE over (status, priority) with counts and
@@ -56,7 +55,6 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** Set-operation coverage: segment customers split into those with at
     * least one order (INTERSECT) and those with none (EXCEPT). Both set ops
@@ -69,7 +67,6 @@ object RelationalOps {
     val withOrders = orders.select(col("o_custkey").as("custkey")).distinct()
     seg.intersect(withOrders).withColumn("tag", lit("with_orders"))
       .union(seg.except(withOrders).withColumn("tag", lit("no_orders")))
-      .orderBy("tag", "custkey")
   }
 
   /** Scalar-function coverage: string/date/math built-ins over orders.
@@ -135,7 +132,6 @@ object RelationalOps {
     saltedJoin(ev, dim, "user_id", "event_id", 8)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("n_types")).as("sum_types"))
-      .orderBy("event_type")
   }
 
   /** Exact interpolated percentiles of message values per topic — the
@@ -156,7 +152,6 @@ object RelationalOps {
         col("pcts").getItem(1).as("p50"),
         col("pcts").getItem(2).as("p75"),
         col("pcts").getItem(3).as("p95"))
-      .orderBy("event_type")
 
   // ---------------------------------------------------------------------
   // Driver-contract wiring

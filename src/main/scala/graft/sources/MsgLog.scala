@@ -54,7 +54,6 @@ object MsgLog {
         count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("sum_value"),
         count_distinct(col("user_id")).as("n_users"))
-      .orderBy("event_type")
   }
 
   /** Topic compaction (reference `read_compacted`,

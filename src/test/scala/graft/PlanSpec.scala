@@ -196,6 +196,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("logp_sum"), p)
   }
 
+  test("no batch query plans a cartesian, an unsanctioned nested-loop join, or a global sort") {
+    // Output order is NOT part of the contract (the comparator sorts rows
+    // before hashing), so a rangepartitioning exchange is always a wasted
+    // corpus-wide sort; cartesians never belong; BNLJ only where the
+    // build side is a provably tiny broadcast (1-row query vector /
+    // 1-row corpus count / bounded centroid set).
+    val bnljSanctioned = Set(
+      "embedding_topk_cosine", // 1-row query vector cross
+      "embedding_ivf_topk", // 1-row query vector + bounded centroid cross
+      "doc_boilerplate_df") // 1-row corpus-count cross for the df threshold
+    // construction-time jobs are exercised elsewhere; skip the heavy ones
+    val skip = Set("doc_dup_groups", "doc_filter_pipeline", "embedding_dup_groups",
+      "doc_lsh_verified_dups", "embedding_ivf_topk", "bucketed_join_colocate",
+      "msglog_roundtrip_scan", "msglog_multi_topic_scan", "round_robin_balance",
+      "text_lm_perplexity")
+    SparkEntry.queries.keys
+      .filterNot(_.startsWith("stream_")).filterNot(skip)
+      .toSeq.sorted.foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
+        if (!bnljSanctioned(k))
+          assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a BNLJ:\n$p")
+        assert(!p.contains("Exchange rangepartitioning"), s"$k pays a global sort:\n$p")
+      }
+  }
+
   test("no operator collects to the driver") {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)
