@@ -132,5 +132,5 @@ object CosineSim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim",
-        exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+        exprs => { val a = Arity.checked("cosine_sim", 2, exprs); CosineSim(a.head, a(1)) }, "built-in")
 }

@@ -84,7 +84,7 @@ object Crc32C {
   def register(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("crc32c", exprs => Crc32C(exprs.head), "built-in")
+      .createOrReplaceTempFunction("crc32c", exprs => Crc32C(Arity.checked("crc32c", 1, exprs).head), "built-in")
 
   /** Column-level entry point: `crc32c(spark, "cast(props as binary)")` →
     * unsigned 32-bit LONG column.

@@ -113,5 +113,5 @@ object GramMd5s {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("gram_md5s",
-        exprs => GramMd5s(exprs.head, exprs(1)), "built-in")
+        exprs => { val a = Arity.checked("gram_md5s", 2, exprs); GramMd5s(a.head, a(1)) }, "built-in")
 }

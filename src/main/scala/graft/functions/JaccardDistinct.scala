@@ -94,5 +94,5 @@ object JaccardDistinct {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("jaccard_distinct",
-        exprs => JaccardDistinct(exprs.head, exprs(1)), "built-in")
+        exprs => { val a = Arity.checked("jaccard_distinct", 2, exprs); JaccardDistinct(a.head, a(1)) }, "built-in")
 }

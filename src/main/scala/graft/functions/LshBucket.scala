@@ -112,5 +112,5 @@ object LshBucket {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("lsh_bucket",
-        exprs => LshBucket(exprs.head, exprs(1)), "built-in")
+        exprs => { val a = Arity.checked("lsh_bucket", 2, exprs); LshBucket(a.head, a(1)) }, "built-in")
 }

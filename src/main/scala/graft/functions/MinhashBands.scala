@@ -180,5 +180,5 @@ object MinhashBands {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("minhash_bands",
-        exprs => MinhashBands(exprs.head, exprs(1), exprs(2)), "built-in")
+        exprs => { val a = Arity.checked("minhash_bands", 3, exprs); MinhashBands(a.head, a(1), a(2)) }, "built-in")
 }

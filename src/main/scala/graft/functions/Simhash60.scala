@@ -112,5 +112,5 @@ object Simhash60 {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash60",
-        exprs => Simhash60(exprs.head), "built-in")
+        exprs => Simhash60(Arity.checked("simhash60", 1, exprs).head), "built-in")
 }

@@ -87,7 +87,7 @@ object CountIn {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("count_in",
-        exprs => CountIn(exprs.head, exprs(1)), "built-in")
+        exprs => { val a = Arity.checked("count_in", 2, exprs); CountIn(a.head, a(1)) }, "built-in")
 }
 
 /** `sum_strlen(w)` — the summed character length of a token array:
@@ -139,7 +139,7 @@ object SumStrlen {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("sum_strlen",
-        exprs => SumStrlen(exprs.head), "built-in")
+        exprs => SumStrlen(Arity.checked("sum_strlen", 1, exprs).head), "built-in")
 }
 
 /** `logp_sum(w, logp_map, floor)` — the summed log-probability of a token
@@ -176,8 +176,10 @@ case class LogpSum(first: Expression, second: Expression, third: Expression)
           s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
     }
 
-  /** The literal scoring table as a real hash map, built once —
-    * codegen references it as a constant object. */
+  /** The literal scoring table as a real hash map, built once — codegen
+    * references it as a constant object. NULL-valued entries are SKIPPED
+    * so their keys score the floor, exactly like the composable
+    * `coalesce(element_at(m, t), floor)` (element_at → NULL → floor). */
   @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
     val m = new java.util.HashMap[UTF8String, java.lang.Double]()
     val md = second.eval().asInstanceOf[MapData]
@@ -185,7 +187,7 @@ case class LogpSum(first: Expression, second: Expression, third: Expression)
     val vs = md.valueArray()
     var i = 0
     while (i < md.numElements()) {
-      m.put(ks.getUTF8String(i).clone(), vs.getDouble(i))
+      if (!vs.isNullAt(i)) m.put(ks.getUTF8String(i).clone(), vs.getDouble(i))
       i += 1
     }
     m
@@ -198,8 +200,12 @@ case class LogpSum(first: Expression, second: Expression, third: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("logpTable", table, "java.util.HashMap")
+    // the floor rides as a boxed reference, never a source-text splice —
+    // a non-finite literal ("Infinity") would not be valid Java source
+    val floorRef = ctx.addReferenceObj("logpFloor", Double.box(floor), "java.lang.Double")
     nullSafeCodeGen(ctx, ev, (w, _, _) =>
-      s"${ev.value} = graft.functions.LogpSum$$.MODULE$$.compute($w, $tableRef, $floor);")
+      s"${ev.value} = graft.functions.LogpSum$$.MODULE$$.compute($w, $tableRef, " +
+        s"$floorRef.doubleValue());")
   }
 
   override protected def withNewChildrenInternal(
@@ -226,7 +232,7 @@ object LogpSum {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("logp_sum",
-        exprs => LogpSum(exprs.head, exprs(1), exprs(2)), "built-in")
+        exprs => { val a = Arity.checked("logp_sum", 3, exprs); LogpSum(a.head, a(1), a(2)) }, "built-in")
 }
 
 /** `dup_fracs(w)` — all three Gopher-family repetition signals of a token
@@ -321,5 +327,5 @@ object DupFracs {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("dup_fracs",
-        exprs => DupFracs(exprs.head), "built-in")
+        exprs => DupFracs(Arity.checked("dup_fracs", 1, exprs).head), "built-in")
 }

@@ -93,5 +93,5 @@ object WordShingles {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("word_shingles",
-        exprs => WordShingles(exprs.head, exprs(1)), "built-in")
+        exprs => { val a = Arity.checked("word_shingles", 2, exprs); WordShingles(a.head, a(1)) }, "built-in")
 }

@@ -27,9 +27,20 @@ class FunctionRegistrySpec extends SparkTestBase {
 
   test("lsh_bucket") {
     // bucket of any vector is an integer in [0, 2^planes)
-    val r = sql("SELECT lsh_bucket(array(0.5F, -0.25F), 4, 12) AS b")
+    val r = sql("SELECT lsh_bucket(array(0.5F, -0.25F), 4) AS b")
     val b = r.getLong(0)
     assert(b >= 0 && b < 16)
+  }
+
+  test("wrong arity fails loudly instead of silently dropping arguments") {
+    // pre-guard, lsh_bucket(v, 4, 12) computed a 4-plane bucket and
+    // DISCARDED the 12 — a wrong-answer factory for SQL users
+    val e = intercept[Exception] {
+      sql("SELECT lsh_bucket(array(0.5F), 4, 12) AS b")
+    }
+    assert(e.getMessage.contains("expects 2 argument"), e.getMessage)
+    val e1 = intercept[Exception] { sql("SELECT crc32c() AS c") }
+    assert(e1.getMessage.contains("expects 1 argument"), e1.getMessage)
   }
 
   test("gram_md5s") {

@@ -359,7 +359,6 @@ class TemporalOpsSpec extends SparkTestBase {
   }
 
   test("LM perplexity: native logp_sum kernel matches the composable HOF fold") {
-    import org.scalacheck.{Gen, Prop}
     val docs = Fixtures.documents(spark, sfDir).limit(50)
     val toks = docs.select(col("doc_id"),
       split(trim(lower(col("text"))), "\\s+").as("w"))
