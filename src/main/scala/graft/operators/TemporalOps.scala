@@ -152,6 +152,8 @@ object TemporalOps {
     */
   def rangeJoinCount(left: DataFrame, right: DataFrame,
       halfUs: Long = RangeJoinHalfUs): DataFrame = {
+    // div 0 would NULL every cell and silently report zero neighbors
+    require(halfUs > 0, s"rangeJoinCount: half-width must be positive, got $halfUs")
     val l = left
       .select(col("user_id"), col("ts_us"), col("event_id"))
       .withColumn("cell", explode(array(
@@ -165,13 +167,13 @@ object TemporalOps {
       .withColumn("hit",
         when(col("r_ts").isNotNull &&
           abs(col("r_ts") - col("ts_us")) <= halfUs, 1L).otherwise(0L))
-      .groupBy("event_id")
-      .agg(
-        first(col("user_id")).as("user_id"),
-        first(col("ts_us")).as("ts_us"),
-        // each (left, right) pair joins EXACTLY once — a right row lives
-        // in one cell and the left's 3 candidate cells are distinct
-        sum(col("hit")).as("n_near"))
+      // group by ALL left columns (same shuffle — event_id is the key's
+      // superset): duplicate left event_ids then stay separate rows like
+      // the oracle's GROUP BY 1,2,3, with no nondeterministic first()
+      .groupBy("event_id", "user_id", "ts_us")
+      // each (left, right) pair joins EXACTLY once — a right row lives
+      // in one cell and the left's 3 candidate cells are distinct
+      .agg(sum(col("hit")).as("n_near"))
   }
 
   /** Retention cohorts: users grouped by first-active day, counted on

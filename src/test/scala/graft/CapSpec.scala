@@ -68,13 +68,7 @@ class CapSpec extends SparkTestBase {
     // capped bucket keeps the first Cap ids; pairs = new-side × base-side
     // within them (identical docs ⇒ jaccard exactly 1)
     val kept = (0L until Cap.toLong)
-    def isNew(id: Long): Boolean = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % 1000 < DedupOps.IncrementPermille
-    }
-    val nNew = kept.count(isNew)
+    val nNew = kept.count(md5BucketOf(_) < DedupOps.IncrementPermille)
     assert(rows.getLong(0) === nNew.toLong * (Cap - nNew))
     assert(rows.getDouble(1) === 1.0)
     assert(overflow ===

@@ -26,6 +26,17 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def assertSameRows(a: DataFrame, b: DataFrame): Unit =
     assert(canon(a) == canon(b))
+
+  /** Test-side replica of the engine's md5-permille bucket
+    * (`graft.operators.Hashing.md5Bucket`) — kept as an INDEPENDENT JVM
+    * implementation so tests verify the Spark expression rather than
+    * echo it; shared here so the replica exists exactly once. */
+  def md5BucketOf(id: Long, mod: Long = 1000L): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
 }
 
 object SparkTestBase {

@@ -420,18 +420,11 @@ class TemporalOpsSpec extends SparkTestBase {
 
   // --- incremental dedup -----------------------------------------------
 
-  /** md5-bucket of a doc_id, mirroring the operator's increment rule. */
-  private def bucketOf(id: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(id.toString.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16) % 1000
-  }
 
   test("incremental dedup: a planted new-batch duplicate of a base doc is found") {
     // find ids beyond the fixture range on both sides of the bucket rule
     val newId = Iterator.from(1000000).map(_.toLong)
-      .find(bucketOf(_) < DedupOps.IncrementPermille).get
+      .find(md5BucketOf(_) < DedupOps.IncrementPermille).get
     val base = Fixtures.documents(spark, sfDir)
       .filter(col("doc_id") === 3L).collect().head.getAs[String]("text")
     val docs = Fixtures.documents(spark, sfDir)
@@ -440,14 +433,14 @@ class TemporalOpsSpec extends SparkTestBase {
     val planted = out.filter($"new_doc" === newId).collect()
     // doc 3 must appear among its base-side dups (bucket side depends on
     // doc 3's own bucket — assert on the planted doc's pairing with it)
-    if (bucketOf(3L) >= DedupOps.IncrementPermille) {
+    if (md5BucketOf(3L) >= DedupOps.IncrementPermille) {
       assert(planted.exists(r => r.getAs[Long]("base_doc") === 3L &&
         r.getAs[Double]("jaccard") === 1.0), planted.mkString(","))
     }
     // every pair is strictly cross: new side in the increment, base side not
     out.collect().foreach { r =>
-      assert(bucketOf(r.getAs[Long]("new_doc")) < DedupOps.IncrementPermille, r)
-      assert(bucketOf(r.getAs[Long]("base_doc")) >= DedupOps.IncrementPermille, r)
+      assert(md5BucketOf(r.getAs[Long]("new_doc")) < DedupOps.IncrementPermille, r)
+      assert(md5BucketOf(r.getAs[Long]("base_doc")) >= DedupOps.IncrementPermille, r)
       assert(r.getAs[Double]("jaccard") >= DedupOps.JaccardThreshold)
     }
   }
@@ -455,8 +448,8 @@ class TemporalOpsSpec extends SparkTestBase {
   test("incremental dedup emits no new-new or base-base pairs on the fixture") {
     val out = DedupOps.docIncrementalDedup(Fixtures.documents(spark, sfDir)).collect()
     out.foreach { r =>
-      assert(bucketOf(r.getAs[Long]("new_doc")) < DedupOps.IncrementPermille)
-      assert(bucketOf(r.getAs[Long]("base_doc")) >= DedupOps.IncrementPermille)
+      assert(md5BucketOf(r.getAs[Long]("new_doc")) < DedupOps.IncrementPermille)
+      assert(md5BucketOf(r.getAs[Long]("base_doc")) >= DedupOps.IncrementPermille)
     }
   }
 
