@@ -140,13 +140,21 @@ object LlmOps {
     * 30-50% duplicates), the same unbounded-"small"-side trap as the
     * verified-dups candidate list; AQE may still elect a runtime
     * broadcast when they measure small.
+    *
+    * At 100 TB the dup-cluster and contamination stages are staged
+    * artifacts recomputed on their own cadence, not per pipeline run —
+    * pass them via `dupGroups`/`contamination` (the
+    * [[SimilarityOps.embeddingIvfTopK]] staged-index precedent); omitted,
+    * each derives from `docs` (the driver contract runs cold).
     */
-  def docFilterPipeline(docs: DataFrame): DataFrame = {
+  def docFilterPipeline(docs: DataFrame,
+      dupGroups: Option[DataFrame] = None,
+      contamination: Option[DataFrame] = None): DataFrame = {
     val ann = TextOps.textAnnotations(docs)
-    val dups = DedupOps.docDupGroups(docs)
+    val dups = dupGroups.getOrElse(DedupOps.docDupGroups(docs))
       .filter(col("is_canonical") === 0)
       .select(col("doc_id"), lit(1).as("dup"))
-    val contam = DedupOps.docDecontaminate(docs)
+    val contam = contamination.getOrElse(DedupOps.docDecontaminate(docs))
       .select(col("doc_id"), lit(1).as("contam"))
     ann
       .join(contam, Seq("doc_id"), "left")

@@ -129,6 +129,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kinds.size >= 3, s"pipeline degenerate on fixture: $kinds")
   }
 
+  test("filter pipeline: staged dup/contamination inputs give identical verdicts") {
+    import graft.operators.LlmOps
+    // production shape: clusters + contamination are staged artifacts
+    // recomputed on their own cadence — passing them in must change
+    // nothing but the work
+    val staged = LlmOps.docFilterPipeline(docs,
+      dupGroups = Some(DedupOps.docDupGroups(docs)),
+      contamination = Some(DedupOps.docDecontaminate(docs)))
+    assertSameRows(staged, LlmOps.docFilterPipeline(docs))
+  }
+
   test("mixture sample: replication follows floor(w) + bucket-fraction, per source") {
     import graft.operators.TextOps
     import spark.implicits._
