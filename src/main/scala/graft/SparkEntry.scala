@@ -14,10 +14,12 @@ import graft.streaming.StreamOps
   * oracle-checkable key. Column names/types are aligned pairwise — the
   * driver hash-compares after sorting columns by name. Keys without an
   * oracle entry (four `stream_*` keys whose results live in streaming
-  * state, and `payload_integrity_crc` — no castagnoli in DuckDB) are the
-  * SURVEY §7.3 sanctioned omissions, locked down by the ScalaTest suite
-  * instead; `stream_dlq_split` DOES carry an oracle because its result is
-  * read back from the sink files.
+  * state) are the SURVEY §7.3 sanctioned omissions, locked down by the
+  * ScalaTest suite instead; `stream_dlq_split` DOES carry an oracle
+  * because its result is read back from the sink files, and
+  * `payload_integrity_crc` carries one since round 7 — the oracle
+  * implements CRC32C in pure SQL (recursive table derivation + per-byte
+  * fold), closing the "no castagnoli in DuckDB" exemption.
   */
 object SparkEntry {
 

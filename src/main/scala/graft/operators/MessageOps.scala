@@ -336,8 +336,14 @@ object MessageOps {
     * per topic — the read-side verification the reference left as a TODO
     * (`codec.rs:185`; write-side `codec.rs:139-149`). Uses the native
     * `Crc32C` expression (codegen'd; Spark's `crc32` is the wrong
-    * polynomial). No DuckDB oracle exists for castagnoli → driver records
-    * rows-only; exactness is locked by Crc32CSpec's known-answer vectors.
+    * polynomial). DuckDB has no castagnoli builtin, so the oracle
+    * IMPLEMENTS it in pure SQL: a recursive CTE derives the 256-entry
+    * reflected table from the 0x82F63B78 polynomial, a per-byte
+    * recursive fold runs the standard table-driven update, per-row.
+    * `ord(substring(...))` equals the payload byte because `props` is
+    * ASCII JSON (the fixture generator's contract) — the one assumption,
+    * stated here because a non-ASCII payload would diverge from the
+    * byte-wise Spark CRC. Known-answer vectors stay in Crc32CSpec.
     */
   def payloadIntegrityCrc(ev: DataFrame): DataFrame =
     ev.select(
@@ -384,6 +390,30 @@ object MessageOps {
   private[operators] val US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
   def oracle: Map[String, String] = Map(
+    "payload_integrity_crc" ->
+      """WITH RECURSIVE
+         tbl(i, j, v) AS (
+           SELECT i, 0, i FROM range(0, 256) t(i)
+           UNION ALL
+           SELECT i, j + 1,
+                  CASE WHEN v & 1 = 1 THEN xor(v >> 1, 2197175160) ELSE v >> 1 END
+           FROM tbl WHERE j < 8),
+         crctab AS (SELECT i, v FROM tbl WHERE j = 8),
+         rows_in AS (SELECT event_id, event_type, props FROM events),
+         fold(event_id, event_type, pos, len, crc) AS (
+           SELECT event_id, event_type, 0, length(props), 4294967295 FROM rows_in
+           UNION ALL
+           SELECT f.event_id, f.event_type, f.pos + 1, f.len,
+                  xor(t.v, f.crc >> 8)
+           FROM fold f
+           JOIN rows_in r ON r.event_id = f.event_id
+           JOIN crctab t ON t.i = xor(f.crc & 255, ord(substring(r.props, f.pos + 1, 1)))
+           WHERE f.pos < f.len),
+         final AS (SELECT event_id, event_type, xor(crc, 4294967295) AS crc
+                   FROM fold WHERE pos = len)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(crc) AS BIGINT) AS crc_sum
+         FROM final GROUP BY 1""",
     "scan_events_envelope" ->
       s"""SELECT event_id AS entry_id, CAST(user_id % $P AS INTEGER) AS partition,
           user_id AS partition_key, epoch_ms(CAST(ts AS TIMESTAMP)) AS publish_ms,
