@@ -12,14 +12,14 @@ import graft.streaming.StreamOps
   * `queries` aggregates every operator group's declared query inventory
   * (SURVEY §2.3); `oracleSql` carries the DuckDB-equivalent SQL for each
   * oracle-checkable key. Column names/types are aligned pairwise — the
-  * driver hash-compares after sorting columns by name. Keys without an
-  * oracle entry (four `stream_*` keys whose results live in streaming
-  * state) are the SURVEY §7.3 sanctioned omissions, locked down by the
-  * ScalaTest suite instead; `stream_dlq_split` DOES carry an oracle
-  * because its result is read back from the sink files, and
-  * `payload_integrity_crc` carries one since round 7 — the oracle
-  * implements CRC32C in pure SQL (recursive table derivation + per-byte
-  * fold), closing the "no castagnoli in DuckDB" exemption.
+  * driver hash-compares after sorting columns by name. ONE key remains
+  * without an oracle — `stream_redelivery_tracker`, whose
+  * flatMapGroupsWithState emissions are per-batch increments a batch SQL
+  * cannot replay (locked by its stream-vs-batch suite instead). Round 7
+  * closed every other exemption: `payload_integrity_crc` gets a
+  * pure-SQL castagnoli (recursive table + per-byte fold), and the
+  * deterministic streaming keys (complete-mode window finals,
+  * single-batch watermark dedup) get their batch-equivalent SQL.
   */
 object SparkEntry {
 
