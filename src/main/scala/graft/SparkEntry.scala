@@ -12,14 +12,14 @@ import graft.streaming.StreamOps
   * `queries` aggregates every operator group's declared query inventory
   * (SURVEY §2.3); `oracleSql` carries the DuckDB-equivalent SQL for each
   * oracle-checkable key. Column names/types are aligned pairwise — the
-  * driver hash-compares after sorting columns by name. ONE key remains
-  * without an oracle — `stream_redelivery_tracker`, whose
-  * flatMapGroupsWithState emissions are per-batch increments a batch SQL
-  * cannot replay (locked by its stream-vs-batch suite instead). Round 7
-  * closed every other exemption: `payload_integrity_crc` gets a
-  * pure-SQL castagnoli (recursive table + per-byte fold), and the
-  * deterministic streaming keys (complete-mode window finals,
-  * single-batch watermark dedup) get their batch-equivalent SQL.
+  * driver hash-compares after sorting columns by name. As of round 7
+  * EVERY key carries an oracle — the former exemptions closed:
+  * `payload_integrity_crc` gets a pure-SQL castagnoli (recursive table +
+  * per-byte fold) and the streaming keys get their batch-equivalent SQL
+  * (complete-mode window finals, single-batch watermark dedup, and the
+  * redelivery tracker whose cumulative-count emissions max-aggregate to
+  * the plain per-key count). The stream-vs-batch equivalence suite
+  * remains the second, independent lock on the streaming semantics.
   */
 object SparkEntry {
 

@@ -285,20 +285,25 @@ object StreamOps {
     * driver and locked by the stream-vs-batch equivalence suite.
     */
   def oracle: Map[String, String] = Map(
-    // Round 7: three of the four formerly-sanctioned no-oracle keys now
-    // carry batch-equivalent oracles. The staged input is ONE file, so
+    // Round 7: every formerly-sanctioned no-oracle key now carries a
+    // batch-equivalent oracle. The staged input is ONE file, so
     // AvailableNow drives each query in a single micro-batch: the
-    // complete-mode window finals ARE the batch aggregation, and
-    // watermark dedup evicts no state mid-batch, so its append output is
-    // exactly the distinct key set. `stream_redelivery_tracker` stays
-    // rows-only: its flatMapGroupsWithState emissions are per-batch
-    // increments, which a batch SQL cannot replay.
+    // complete-mode window finals ARE the batch aggregation, watermark
+    // dedup evicts no state mid-batch (append output = the distinct key
+    // set), and the redelivery tracker's per-batch emissions are
+    // CUMULATIVE counts whose max-per-key post-aggregate equals the
+    // plain per-key count — batch-split-independent as long as no state
+    // timeout fires mid-stream (single batch: none can).
     "stream_tumbling_window" ->
       graft.operators.MessageOps.oracle("throughput_tumbling"),
     "stream_session_window" ->
       graft.operators.TemporalOps.oracle("session_assign"),
     "stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_id % 256 AS seq FROM events""",
+    "stream_redelivery_tracker" ->
+      """SELECT user_id, event_id % 256 AS seq,
+                CAST(count(*) AS BIGINT) AS n_deliveries
+         FROM events GROUP BY 1, 2""",
     "stream_enrich_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value
