@@ -7,12 +7,34 @@ import graft.streaming.StreamOps
 
 /** Stream-vs-batch equivalence: the Structured Streaming guarantee (same
   * declarative query → same result on the same input) checked over the
-  * events fixture, per SURVEY §5 — streams have no DuckDB oracle, this
-  * suite is their correctness gate.
+  * events fixture, per SURVEY §5 — one of the streaming keys' TWO
+  * independent locks (the round-7 batch-equivalent DuckDB oracles are
+  * the other).
   */
 class StreamOpsSpec extends SparkTestBase {
 
   private lazy val ev = Fixtures.events(spark, sfDir)
+
+  test("staged stream input is a single file (the oracles' one-batch premise)") {
+    // the batch-equivalent oracles for watermark dedup and the
+    // redelivery tracker are valid because AvailableNow processes the
+    // staged input in ONE micro-batch — which holds while the staging
+    // dir contains exactly one file; splitting it invalidates the
+    // determinism argument (see StreamOps.oracle), so fail loudly here
+    StreamOps.eventsStream(spark, sfDir) // force staging
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    import scala.jdk.CollectionConverters._
+    val staged = dirs.asScala
+      .filter(_.getFileName.toString.startsWith("graft_stream_events_"))
+      .toSeq
+    assert(staged.nonEmpty)
+    staged.foreach { d =>
+      val files = java.nio.file.Files.list(d).iterator().asScala.toSeq
+      assert(files.size === 1, s"staging dir $d must hold exactly one file: $files")
+    }
+  }
 
   test("stream_tumbling_window equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
