@@ -279,18 +279,30 @@ object DedupOps {
     * the candidate list either way; AQE may still elect a runtime
     * broadcast when the measured size is genuinely small.
     */
-  def docLshVerifiedDups(docs: DataFrame): DataFrame = {
-    val candidates = docMinhashLsh(docs)
+  def docLshVerifiedDups(docs: DataFrame): DataFrame =
+    verifyPairsJaccard(docMinhashLsh(docs), docs, "doc_a", "doc_b")
+
+  /** The SHARED exact-Jaccard verify stage: candidate pairs `(aCol, bCol,
+    * n_bands)` → pairs with their shingle-set Jaccard, thresholded. One
+    * corpus read for the shingle sets, shuffle ∝ candidates (each pair
+    * explodes into its two doc sides, the sides join the shingle sets in
+    * one pass, the pair regroups); Jaccard is symmetric, so the collected
+    * side order is irrelevant. Used by [[docLshVerifiedDups]] and
+    * [[docIncrementalDedup]] — one definition so a verify-discipline fix
+    * can never half-apply.
+    */
+  private def verifyPairsJaccard(candidates: DataFrame, docs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
     val shingles = tokenized(docs).select(col("doc_id"), shinglesOf(docs).as("sh"))
     val sides = candidates
-      .select(struct(col("doc_a"), col("doc_b"), col("n_bands")).as("pair"))
+      .select(struct(col(aCol), col(bCol), col("n_bands")).as("pair"))
       .select(col("pair"),
-        explode(array(col("pair.doc_a"), col("pair.doc_b"))).as("doc_id"))
+        explode(array(col(s"pair.$aCol"), col(s"pair.$bCol"))).as("doc_id"))
     sides.join(shingles, "doc_id")
       .groupBy("pair")
       .agg(collect_list(col("sh")).as("m"))
       .select(
-        col("pair.doc_a").as("doc_a"), col("pair.doc_b").as("doc_b"),
+        col(s"pair.$aCol").as(aCol), col(s"pair.$bCol").as(bCol),
         col("pair.n_bands").as("n_bands"),
         call_function("jaccard_distinct",
           element_at(col("m"), 1), element_at(col("m"), 2)).as("jaccard"))
@@ -345,23 +357,7 @@ object DedupOps {
       .filter(col("p.cross"))
       .groupBy(col("p.new_doc").as("new_doc"), col("p.base_doc").as("base_doc"))
       .agg(count(lit(1)).as("n_bands"))
-    // verify: one corpus read for the shingle sets, shuffle ∝ candidates
-    // (same shape as docLshVerifiedDups; jaccard is symmetric so the
-    // collected side order is irrelevant)
-    val shingles = toks.select(col("doc_id"), shinglesOf(docs).as("sh"))
-    val sides = cand
-      .select(struct(col("new_doc"), col("base_doc"), col("n_bands")).as("pair"))
-      .select(col("pair"),
-        explode(array(col("pair.new_doc"), col("pair.base_doc"))).as("doc_id"))
-    sides.join(shingles, "doc_id")
-      .groupBy("pair")
-      .agg(collect_list(col("sh")).as("m"))
-      .select(
-        col("pair.new_doc").as("new_doc"), col("pair.base_doc").as("base_doc"),
-        col("pair.n_bands").as("n_bands"),
-        call_function("jaccard_distinct",
-          element_at(col("m"), 1), element_at(col("m"), 2)).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    verifyPairsJaccard(cand, docs, "new_doc", "base_doc")
   }
 
   /** Iteration cap for [[docDupGroups]]: min-label propagation needs

@@ -343,7 +343,9 @@ object MessageOps {
     * `ord(substring(...))` equals the payload byte because `props` is
     * ASCII JSON (the fixture generator's contract) — the one assumption,
     * stated here because a non-ASCII payload would diverge from the
-    * byte-wise Spark CRC. Known-answer vectors stay in Crc32CSpec.
+    * byte-wise Spark CRC. A NULL payload coalesces to '' on the oracle
+    * side (CRC 0), matching Spark's count-the-row / NULL-crc-adds-nothing
+    * aggregation. Known-answer vectors stay in Crc32CSpec.
     */
   def payloadIntegrityCrc(ev: DataFrame): DataFrame =
     ev.select(
@@ -399,7 +401,8 @@ object MessageOps {
                   CASE WHEN v & 1 = 1 THEN xor(v >> 1, 2197175160) ELSE v >> 1 END
            FROM tbl WHERE j < 8),
          crctab AS (SELECT i, v FROM tbl WHERE j = 8),
-         rows_in AS (SELECT event_id, event_type, props FROM events),
+         rows_in AS (SELECT event_id, event_type, coalesce(props, '') AS props
+                     FROM events),
          fold(event_id, event_type, pos, len, crc) AS (
            SELECT event_id, event_type, 0, length(props), 4294967295 FROM rows_in
            UNION ALL

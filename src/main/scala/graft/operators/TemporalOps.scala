@@ -82,6 +82,11 @@ object TemporalOps {
     * the partition key needs no second exchange).
     */
   def sessionAssign(ev: DataFrame, gapUs: Long = SessionGapUs): DataFrame = {
+    // session_end_ms = last div 1000 + gapUs/1000 only equals the
+    // built-in session_window's unix_millis(last + gap) when the gap is
+    // whole milliseconds — a sub-ms gap would silently floor
+    require(gapUs > 0 && gapUs % 1000 == 0,
+      s"sessionAssign: gap must be a positive whole number of ms in µs, got $gapUs")
     val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.select(col("user_id"), col("event_id"), col("ts_us"))

@@ -283,10 +283,18 @@ object TextOps {
     */
   def textRepetition(docs: DataFrame): DataFrame = {
     graft.GraftSession.registerFunctions(docs.sparkSession)
+    // NULL text: the HOF/oracle forms give (NULL n_tokens, 0.0 fractions,
+    // keep) because every `when(size(NULL) > 0, ...)` falls to its 0.0
+    // branch — the kernel would instead null the whole struct, so feed it
+    // an empty array and restore n_tokens' NULL separately
     withTokens(docs)
-      .select(col("doc_id"), call_function("dup_fracs", col("w")).as("f"))
+      .select(col("doc_id"), col("w"),
+        call_function("dup_fracs",
+          coalesce(col("w"), array().cast("array<string>"))).as("f"))
       .select(
-        col("doc_id"), col("f.n_tokens").as("n_tokens"),
+        col("doc_id"),
+        when(col("w").isNull, lit(null).cast("int"))
+          .otherwise(col("f.n_tokens")).as("n_tokens"),
         col("f.dup_word_frac").as("dup_word_frac"),
         col("f.dup_2gram_frac").as("dup_2gram_frac"),
         col("f.dup_5gram_frac").as("dup_5gram_frac"))

@@ -37,9 +37,9 @@ case class Delivery(user_id: Long, seq: Long, n_deliveries: Long)
   * run continuously against a real source with checkpointed offsets —
   * stream/batch equivalence is the Structured Streaming contract the unit
   * tests assert. Since round 7 that equivalence also carries DuckDB
-  * oracles for the deterministic keys (complete-mode finals, watermark
-  * dedup over the single-batch staged input — see `oracle`); only the
-  * per-batch-incremental redelivery tracker remains rows-only.
+  * oracles for EVERY stream key (complete-mode finals, watermark dedup,
+  * and the redelivery tracker's max-of-cumulative-counts — all
+  * deterministic over the single-batch staged input; see `oracle`).
   */
 object StreamOps {
 
@@ -69,6 +69,11 @@ object StreamOps {
 
   private val stagingDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** The staging dir backing [[eventsStream]] for `sfDir`, if staged —
+    * test-only visibility for the one-batch-premise guard. */
+  private[graft] def stagedEventsDir(sfDir: String): Option[java.nio.file.Path] =
+    Option(stagingDirs.get(sfDir))
 
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return its final content as a batch DataFrame.
@@ -266,8 +271,8 @@ object StreamOps {
   }
 
   // ---------------------------------------------------------------------
-  // Driver-contract wiring (no-oracle keys: validated by the ScalaTest
-  // stream-vs-batch equivalence suite; driver records rows-only)
+  // Driver-contract wiring (every key oracle-backed since round 7; the
+  // stream-vs-batch equivalence suite is the second, independent lock)
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,11 +283,10 @@ object StreamOps {
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
     "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)))
 
-  /** The two oracle-backed streaming keys: `stream_dlq_split` is compared
-    * via its sink files (covering the full foreachBatch fan-out rather
-    * than in-flight state) and `stream_enrich_join` via its final joined
-    * aggregate; the other four streaming keys are rows-only for the
-    * driver and locked by the stream-vs-batch equivalence suite.
+  /** All six streaming keys are oracle-backed: `stream_dlq_split` via
+    * its sink files (covering the full foreachBatch fan-out),
+    * `stream_enrich_join` via its final joined aggregate, and the four
+    * state keys via the batch-equivalent SQL justified below.
     */
   def oracle: Map[String, String] = Map(
     // Round 7: every formerly-sanctioned no-oracle key now carries a

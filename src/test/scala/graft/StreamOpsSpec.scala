@@ -22,18 +22,14 @@ class StreamOpsSpec extends SparkTestBase {
     // dir contains exactly one file; splitting it invalidates the
     // determinism argument (see StreamOps.oracle), so fail loudly here
     StreamOps.eventsStream(spark, sfDir) // force staging
-    val dirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    import scala.jdk.CollectionConverters._
-    val staged = dirs.asScala
-      .filter(_.getFileName.toString.startsWith("graft_stream_events_"))
-      .toSeq
-    assert(staged.nonEmpty)
-    staged.foreach { d =>
-      val files = java.nio.file.Files.list(d).iterator().asScala.toSeq
-      assert(files.size === 1, s"staging dir $d must hold exactly one file: $files")
-    }
+    val dir = StreamOps.stagedEventsDir(sfDir)
+      .getOrElse(fail("eventsStream did not register a staging dir"))
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val files = listing.iterator().asScala.toSeq
+      assert(files.size === 1, s"staging dir $dir must hold exactly one file: $files")
+    } finally listing.close()
   }
 
   test("stream_tumbling_window equals the batch window aggregation") {
