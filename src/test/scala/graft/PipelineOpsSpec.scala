@@ -249,6 +249,77 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(unstaged.map(_.toString).toSeq === first.map(_.toString).toSeq)
   }
 
+  // --- product quantization --------------------------------------------
+
+  /** Independent JVM replica of the PQ encode/ADC math (raw doubles,
+    * sequential folds — no rounding anywhere, matching the operator), so
+    * the tests verify the Spark expressions rather than echo them. */
+  private def pqReplica(): (Map[Long, Array[Double]], Seq[Array[Double]], Map[Long, (Long, Array[Int], Array[Double])]) = {
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    val cb = vecs.toSeq.filter(_._1 < SimilarityOps.PqCodes).sortBy(_._1).map(_._2)
+    val enc = vecs.map { case (id, x) =>
+      val perSub = (0 until SimilarityOps.PqSubspaces).map { s =>
+        val dists = cb.map { row =>
+          (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
+            val d = x(s * 8 + i) - row(s * 8 + i); acc + d * d
+          }
+        }
+        val md = dists.min
+        (dists.indexOf(md), md) // indexOf = first match = lowest code
+      }
+      val code = perSub.zipWithIndex.map { case ((c, _), s) => c.toLong << (4 * s) }.sum
+      id -> (code, perSub.map(_._1).toArray, perSub.map(_._2).toArray)
+    }
+    (vecs, cb, enc)
+  }
+
+  test("pq encode: replica-exact codes and mse; codebook vectors reconstruct exactly") {
+    val (_, _, repl) = pqReplica()
+    val out = SimilarityOps.pqEncode(emb, SimilarityOps.stagedPqCodebook(spark, sfDir))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pq_code"),
+        r.getAs[Double]("mse"))).toSeq
+    assert(out.length === repl.size)
+    out.foreach { case (id, code, mse) =>
+      val (rcode, _, rmds) = repl(id)
+      assert(code === rcode, s"vec $id code")
+      assert(mse === rmds.foldLeft(0.0)(_ + _) / 64.0, s"vec $id mse")
+      assert(code >= 0L && code < (1L << 32))
+      assert(mse >= 0.0)
+      // a codebook member is its own nearest entry in every subspace
+      if (id < SimilarityOps.PqCodes) assert(mse === 0.0, s"seed $id mse")
+    }
+  }
+
+  test("pq topk: matches the replica's asymmetric-distance ranking") {
+    val (vecs, cb, repl) = pqReplica()
+    val q = vecs(0L)
+    val qd = (0 until SimilarityOps.PqSubspaces).map { s =>
+      cb.map { row =>
+        (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
+          val d = q(s * 8 + i) - row(s * 8 + i); acc + d * d
+        }
+      }
+    }
+    val want = repl.toSeq.filter(_._1 != 0L).map { case (id, (_, codes, _)) =>
+      id -> codes.zipWithIndex.foldLeft(0.0) { case (acc, (c, s)) => acc + qd(s)(c) }
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    val got = SimilarityOps.pqTopK(emb, SimilarityOps.stagedPqCodebook(spark, sfDir), 0L, 10)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adist")).toSeq
+    assert(got === want)
+    assert(got.map(_._2).forall(_ >= 0.0))
+  }
+
+  test("pq staged codebook: collected once, cached per sf dir") {
+    SimilarityOps.dropStagedPqCodebook()
+    val first = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val second = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    assert(first eq second, "second call must return the cached artifact")
+    assert(first.length === SimilarityOps.PqCodes)
+    assert(first.forall(_.length === 64))
+  }
+
   // --- text analysis ---------------------------------------------------
 
   test("lang id: deterministic prediction with score in [0,1]") {

@@ -196,6 +196,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("logp_sum"), p)
   }
 
+  test("pq_encode is a pure projection: no exchange, no join") {
+    // the codebook is a staged bounded artifact (PqCodes×dim doubles);
+    // the ENCODE plan over the corpus must stay map-only — an exchange
+    // or join here means encoding 10^10 vectors stopped being map-only
+    val p = plan("pq_encode")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("pq_topk is encode + broadcast query cross + TakeOrdered") {
+    val p = plan("pq_topk")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("no batch query plans a cartesian, an unsanctioned nested-loop join, or a global sort") {
     // Output order is NOT part of the contract (the comparator sorts rows
     // before hashing), so a rangepartitioning exchange is always a wasted
@@ -204,6 +219,7 @@ class PlanSpec extends SparkTestBase {
     // 1-row corpus count / bounded centroid set).
     val bnljSanctioned = Set(
       "embedding_topk_cosine", // 1-row query vector cross
+      "pq_topk", // 1-row query vector cross for the ADC lookup table
       "doc_boilerplate_df") // 1-row corpus-count cross for the df threshold
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
@@ -233,6 +249,7 @@ class PlanSpec extends SparkTestBase {
         "embedding_ivf_topk", // staging writes / C×dim centroid index
         "doc_dup_groups", "doc_filter_pipeline",
         "embedding_dup_groups", // CC fixpoint loop runs bounded jobs
+        "pq_encode", "pq_topk", // staged PqCodes×dim codebook artifact
         "text_lm_perplexity")) // bounded LM artifacts (total + top-V table)
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
