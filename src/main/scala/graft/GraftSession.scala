@@ -43,5 +43,7 @@ object GraftSession {
     graft.functions.JaccardDistinct.register(spark)
     graft.functions.DupFracs.register(spark)
     graft.functions.LogpSum.register(spark)
+    graft.functions.PqEnc.register(spark)
+    graft.functions.PqAdc.register(spark)
   }
 }

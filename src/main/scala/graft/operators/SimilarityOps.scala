@@ -285,8 +285,8 @@ object SimilarityOps {
     * PQ8x4 shape), so a 64-dim float vector compresses to one 32-bit
     * code — 64× smaller than float32. 16 codes per subspace keeps the
     * asymmetric-distance lookup table at 128 doubles. */
-  val PqSubspaces = 8
-  val PqCodes = 16
+  val PqSubspaces: Int = graft.functions.PqKernels.Subs
+  val PqCodes: Int = graft.functions.PqKernels.Codes
   val PqSubDim = 8
 
   /** The staged PQ codebook for an embeddings topic: the first
@@ -331,19 +331,41 @@ object SimilarityOps {
       lit(0.0), (acc, v) => acc + v)
   }
 
+  /** The flattened `[code][dim]` codebook literal both kernels take. */
+  private def cbLit(codebook: Seq[Array[Double]]): Column = {
+    require(codebook.length == PqCodes, s"PQ codebook needs $PqCodes rows")
+    typedLit(codebook.flatMap(_.toSeq))
+  }
+
   /** PQ-encode every vector against a staged codebook: per subspace,
-    * the argmin-distance code (ties → lowest code, via `array_position`'s
-    * first-match semantics), packed into one BIGINT (4 bits per
-    * subspace), plus the reconstruction MSE for quality gating.
+    * the argmin-distance code (ties → lowest code), packed into one
+    * BIGINT (4 bits per subspace), plus the reconstruction MSE for
+    * quality gating.
     *
     * A PURE PROJECTION — zero shuffle, zero join: encoding 10^10
     * vectors is map-only, the shape PQ must have at scale (the codebook
-    * rides into the closure as literals, the per-row cost is the fixed
-    * 8×16×8 distance loop). Compare [[embeddingQuantizeInt8]]: same
-    * scale story, finer-grained codes.
+    * rides into the plan as one literal, embedded as a primitive array
+    * reference in generated code). Dispatches to the native fused
+    * [[graft.functions.PqEnc]] kernel — one code-resident dim×codes
+    * loop; [[pqEncodeRef]] is the bit-identical higher-order reference
+    * form the equivalence tests hold it to. Compare
+    * [[embeddingQuantizeInt8]]: same scale story, finer-grained codes.
     */
   def pqEncode(emb: DataFrame, codebook: Seq[Array[Double]]): DataFrame = {
-    require(codebook.length == PqCodes, s"pqEncode: codebook needs $PqCodes rows")
+    graft.GraftSession.registerFunctions(emb.sparkSession)
+    emb
+      .select(col("vec_id"), col("embedding"),
+        call_function("pq_enc", col("embedding"), cbLit(codebook)).as("k"))
+      .select(col("vec_id"),
+        element_at(col("k"), 1).cast("long").as("pq_code"),
+        (element_at(col("k"), 2) / size(col("embedding"))).as("mse"))
+  }
+
+  /** Higher-order reference form of [[pqEncode]] — the numerics spec the
+    * native kernel is equivalence-tested against (`array_position`
+    * first-match ≡ the kernel's strict-< first-min argmin). */
+  private[graft] def pqEncodeRef(emb: DataFrame, codebook: Seq[Array[Double]]): DataFrame = {
+    require(codebook.length == PqCodes, s"pqEncodeRef: codebook needs $PqCodes rows")
     val x = transform(col("embedding"), e => e.cast("double"))
     val perSub = (0 until PqSubspaces).map { s =>
       val dists = array((0 until PqCodes).map(c => pqSubDist(x, codebook(c), s)): _*)
@@ -361,11 +383,28 @@ object SimilarityOps {
   /** PQ top-k via asymmetric distance computation (ADC): the query stays
     * uncompressed; each database vector's distance is approximated by
     * summing, per subspace, the query↔codebook-entry distance of the
-    * vector's stored code. The 8×16 lookup table is an expression over
-    * the broadcast query row and the literal codebook — so the search is
-    * encode (pure projection) + one broadcast join + TakeOrdered: no
-    * shuffle of the corpus at any scale. */
+    * vector's stored code. The lookup runs in the native
+    * [[graft.functions.PqAdc]] kernel over the broadcast query row and
+    * the literal codebook — so the search is encode (pure projection) +
+    * one broadcast join + TakeOrdered: no shuffle of the corpus at any
+    * scale. [[pqTopKRef]] is the higher-order reference form. */
   def pqTopK(emb: DataFrame, codebook: Seq[Array[Double]], queryId: Long, k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(emb.sparkSession)
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    pqEncode(emb, codebook)
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        call_function("pq_adc", col("qe"), col("pq_code"), cbLit(codebook)).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Higher-order reference form of [[pqTopK]] for the equivalence
+    * tests. */
+  private[graft] def pqTopKRef(emb: DataFrame, codebook: Seq[Array[Double]],
+      queryId: Long, k: Int): DataFrame = {
     val query = emb.filter(col("vec_id") === queryId)
       .select(transform(col("embedding"), e => e.cast("double")).as("qe"))
     val adist = (0 until PqSubspaces).map { s =>
@@ -373,7 +412,7 @@ object SimilarityOps {
       val code = shiftright(col("pq_code"), 4 * s).bitwiseAND(lit(15L))
       element_at(qdists, code.cast("int") + 1)
     }.reduce(_ + _)
-    pqEncode(emb, codebook)
+    pqEncodeRef(emb, codebook)
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(query))
       .select(col("vec_id"), adist.as("adist"))

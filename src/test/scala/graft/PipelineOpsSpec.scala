@@ -311,6 +311,13 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.map(_._2).forall(_ >= 0.0))
   }
 
+  test("pq native kernels are bit-identical to the higher-order reference forms") {
+    val cb = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    assertSameRows(SimilarityOps.pqEncode(emb, cb), SimilarityOps.pqEncodeRef(emb, cb))
+    assertSameRows(SimilarityOps.pqTopK(emb, cb, 0L, 10),
+      SimilarityOps.pqTopKRef(emb, cb, 0L, 10))
+  }
+
   test("pq staged codebook: collected once, cached per sf dir") {
     SimilarityOps.dropStagedPqCodebook()
     val first = SimilarityOps.stagedPqCodebook(spark, sfDir)

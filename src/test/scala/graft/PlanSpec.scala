@@ -203,12 +203,14 @@ class PlanSpec extends SparkTestBase {
     val p = plan("pq_encode")
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
+    assert(p.contains("pq_enc"), p) // native kernel, not the interpreted HOF chain
   }
 
   test("pq_topk is encode + broadcast query cross + TakeOrdered") {
     val p = plan("pq_topk")
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("pq_adc"), p)
   }
 
   test("no batch query plans a cartesian, an unsanctioned nested-loop join, or a global sort") {
