@@ -10,6 +10,12 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The four stream-state keys carry batch-equivalent oracles that are
+    // exact ONLY while the staged input is a single file (one
+    // AvailableNow micro-batch): fail loud at the gate if a fixture
+    // change breaks that premise, instead of subtly at the hash compare.
+    if (SparkEntry.queries.keys.exists(_.startsWith("stream_")))
+      graft.streaming.StreamOps.assertOneBatchPremise(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -32,6 +38,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Bucket-cap overflow observations from the dedup/ANN generators:
+    // 0 on the fixtures; a non-zero value here means a capped bucket
+    // TRUNCATED candidates on this input — visible in round artifacts
+    // instead of only inside CapSpec.
+    val observed = ObservedMetrics.awaitQuiescent()
+    Files.writeString(Paths.get(s"$outDir/observed_metrics.json"),
+      observed.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

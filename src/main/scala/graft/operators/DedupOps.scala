@@ -99,6 +99,7 @@ object DedupOps {
   private[operators] def groupMembers(
       df: DataFrame, keys: Seq[Column], member: Column, order: Column,
       metric: String): DataFrame = {
+    graft.ObservedMetrics.install(df.sparkSession)
     val w = Window.partitionBy(keys: _*).orderBy(order)
     df.withColumn("rk", row_number().over(w))
       .observe(metric, sum(when(col("rk") > MaxBucketMembers, 1L).otherwise(0L))

@@ -17,6 +17,13 @@ import graft.model.Fixtures
   * hash shuffles on that key — never a range join, never a driver
   * materialization, never an all-pairs structure. Event times are epoch
   * integers end-to-end (SURVEY §7.3 portability discipline).
+  *
+  * FIXTURE CONTRACT — non-negative event times: the cell/day/session
+  * bucketings use Spark integer `div` (truncate toward zero) where the
+  * DuckDB oracles use `//` (floor); the two agree only for ts_us ≥ 0.
+  * Pre-1970 event times would bucket one cell high here and diverge
+  * from the oracle. `TemporalOpsSpec` pins the premise on the fixture;
+  * a caller feeding historical pre-epoch data must pre-shift times.
   */
 object TemporalOps {
 
@@ -115,6 +122,18 @@ object TemporalOps {
     * the stage-k event volume. No per-user event lists are ever
     * collected (the collect-sorted-events rewrite dies on power users
     * with 10^6 events; this one doesn't).
+    *
+    * STAGE-COUNT CEILING: the per-stage fold is lazy, so stage k's
+    * frontier plan re-derives stages 1..k — the physical plan scans the
+    * events source stages·(stages+1)/2 times (6 scans at the contract's
+    * 3 stages; PlanSpec pins this). Fine for short product funnels; a
+    * 20-stage funnel would pay 210 scans. The scale path past ~5 stages
+    * is either (a) materializing each frontier (persist/checkpoint —
+    * linear scans, at the cost of cache residency), or (b) the
+    * single-pass rewrite: one groupBy(user_id) over stage-tagged events
+    * with a sorted conditional-aggregation fold computing every stage's
+    * frontier time in-row. Not built until a caller needs deep funnels —
+    * the rewrite's per-user sorted fold is strictly worse at 3 stages.
     */
   def funnelConversion(ev: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

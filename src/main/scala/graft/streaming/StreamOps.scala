@@ -70,10 +70,44 @@ object StreamOps {
   private val stagingDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  private val dlqDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** The staging dir backing [[eventsStream]] for `sfDir`, if staged —
     * test-only visibility for the one-batch-premise guard. */
   private[graft] def stagedEventsDir(sfDir: String): Option[java.nio.file.Path] =
     Option(stagingDirs.get(sfDir))
+
+  /** The DLQ sink tree for `sfDir`, if one exists — test-only visibility
+    * for the reuse guard. */
+  private[graft] def stagedDlqDir(sfDir: String): Option[java.nio.file.Path] =
+    Option(dlqDirs.get(sfDir))
+
+  /** Assert the ONE-micro-batch staging premise the four stream-state
+    * oracles rely on (one staged file + no maxFilesPerTrigger ⇒ a single
+    * AvailableNow batch ⇒ batch-equivalent SQL is exact). `Verify` calls
+    * this before dumping `stream_*` keys so a future fixture split fails
+    * LOUD at the gate instead of subtly at the driver's hash compare;
+    * `StreamOpsSpec` holds the same guard suite-side. */
+  def assertOneBatchPremise(spark: SparkSession, sfDir: String): Unit = {
+    val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+    require(java.nio.file.Files.isRegularFile(src),
+      s"stream oracle premise: $src must be a single parquet FILE, found a " +
+        "directory — the stream-state oracles' single-batch equivalence no longer holds")
+    eventsStream(spark, sfDir) // force staging
+    val dir = stagedEventsDir(sfDir).get
+    val files = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[java.nio.file.Path]
+        while (it.hasNext) b += it.next()
+        b.result()
+      } finally s.close()
+    }
+    require(files.size == 1,
+      s"stream oracle premise: staged dir $dir must hold exactly one file, found $files")
+  }
 
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return its final content as a batch DataFrame.
@@ -221,8 +255,16 @@ object StreamOps {
     // predicate is never NULL and main ∪ dlq = everything (a NULL here
     // would drop the row from BOTH branches under three-valued filters)
     val poison = col("value").isNull || col("props").isNull || col("value") > 250.0
-    val base = java.nio.file.Files.createTempDirectory("graft_dlq_")
-    base.toFile.deleteOnExit()
+    // one sink tree per (sfDir, JVM), like eventsStream's staging dir: a
+    // fresh tree per invocation left 4 trees per bench run (warm-up + 3
+    // timed reps) until JVM exit. Epoch-keyed overwrite keeps re-runs
+    // idempotent — each AvailableNow run restarts at epoch 0 and
+    // replaces its own output.
+    val base = dlqDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_dlq_")
+      d.toFile.deleteOnExit()
+      d
+    })
     val (mainDir, dlqDir) = (s"$base/main", s"$base/dlq")
     val q = eventsStream(spark, sfDir)
       .writeStream

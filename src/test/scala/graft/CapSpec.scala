@@ -58,6 +58,16 @@ class CapSpec extends SparkTestBase {
       (ClusterSize - Cap).toLong * (DedupOps.NumSeeds / DedupOps.RowsPerBand))
   }
 
+  test("ObservedMetrics collector surfaces overflow JVM-wide (the Verify artifact path)") {
+    // the engine's own collector (not this suite's ad-hoc listener) must
+    // see the truncation, because that is what Verify dumps into round
+    // artifacts as observed_metrics.json
+    DedupOps.docMinhashLsh(megaDocs).count()
+    val snap = graft.ObservedMetrics.awaitQuiescent()
+    val v = snap.get("minhash_bucket_overflow")
+    assert(v.exists(_ > 0L), s"collector missed the mega-cluster overflow: $snap")
+  }
+
   test("incremental dedup caps a mega-cluster and keeps only cross pairs") {
     // the same identical-text clique, spanning the increment boundary:
     // cap discipline must hold and no new-new/base-base pair may leak

@@ -54,4 +54,19 @@ class Crc32CSpec extends AnyFunSuite {
     assert(rows("") === 0L)
     assert(rows("abc") === crc("abc"))
   }
+
+  test("fixture props are pure ASCII at every scale (the SQL oracle's byte=char premise)") {
+    // payload_integrity_crc's DuckDB oracle folds bytes via
+    // ord(substring(props, i, 1)) — per CHARACTER. It matches Spark's
+    // byte-wise CRC only while props holds no code point above 0x7F; a
+    // fixture change introducing non-ASCII would silently flip the key
+    // to hash-mismatch, so enforce the premise here at all three scales.
+    val spark = SparkTestBase.session
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val nonAscii = graft.model.Fixtures.events(spark, s"/root/testdata/$sf")
+        .filter(org.apache.spark.sql.functions.col("props").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(nonAscii === 0L, s"$sf: $nonAscii rows with non-ASCII props")
+    }
+  }
 }

@@ -196,6 +196,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("logp_sum"), p)
   }
 
+  test("funnel_conversion scan count stays triangular in the (short) stage count") {
+    // the lazy per-stage fold re-derives prior stages: s(s+1)/2 source
+    // scans — the deliberate trade at 3 stages (see funnelConversion's
+    // STAGE-COUNT CEILING note). This pin fails if the contract funnel
+    // grows past the shape's comfort zone, forcing the linear-scan or
+    // single-pass rewrite decision instead of silently paying O(s²).
+    val s = graft.operators.TemporalOps.FunnelStages.length
+    assert(s <= 5, s"funnel has $s stages: triangular scans no longer acceptable")
+    val scans = "Scan parquet".r.findAllIn(plan("funnel_conversion")).size
+    assert(scans === s * (s + 1) / 2, plan("funnel_conversion"))
+  }
+
   test("pq_encode is a pure projection: no exchange, no join") {
     // the codebook is a staged bounded artifact (PqCodes×dim doubles);
     // the ENCODE plan over the corpus must stay map-only — an exchange

@@ -32,6 +32,20 @@ class StreamOpsSpec extends SparkTestBase {
     } finally listing.close()
   }
 
+  test("assertOneBatchPremise passes on the fixture (the gate-side premise guard)") {
+    StreamOps.assertOneBatchPremise(spark, sfDir)
+  }
+
+  test("dlq split reuses one sink tree per sf dir and re-runs are idempotent") {
+    val c1 = canon(StreamOps.streamDeadLetterSplit(spark, sfDir))
+    val d1 = StreamOps.stagedDlqDir(sfDir)
+      .getOrElse(fail("dlq split did not register a sink tree"))
+    val c2 = canon(StreamOps.streamDeadLetterSplit(spark, sfDir))
+    val d2 = StreamOps.stagedDlqDir(sfDir).get
+    assert(d1 === d2, "second run must reuse the first run's sink tree")
+    assert(c1 === c2, "epoch-overwrite must make re-runs idempotent")
+  }
+
   test("stream_tumbling_window equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
     val batch = ev

@@ -20,6 +20,17 @@ class TemporalOpsSpec extends SparkTestBase {
 
   private lazy val events = evUs(Fixtures.events(spark, sfDir))
 
+  test("fixture event times are non-negative at every scale (div==floor oracle premise)") {
+    // the cell/day/session bucketings use Spark `div` (truncate toward
+    // zero) where the oracles use DuckDB `//` (floor) — equal only for
+    // ts_us >= 0; a pre-1970 fixture timestamp would silently diverge
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val negatives = evUs(Fixtures.events(spark, s"/root/testdata/$sf"))
+        .filter(col("ts_us") < 0).count()
+      assert(negatives === 0L, s"$sf: $negatives pre-epoch event times")
+    }
+  }
+
   // --- as-of join ------------------------------------------------------
 
   /** (event_id, user_id, event_type, ts_us) */
