@@ -438,6 +438,57 @@ class MsgLogSpec extends SparkTestBase {
       MsgLogNacks.redeliver(topic, Seq(ids.head._1 -> 99L)))
   }
 
+  test("shared subscription: competing consumers drain disjointly; unacked entries redeliver") {
+    import graft.sources.MsgLogShared
+    val ev = Fixtures.events(spark, sfDir).limit(20)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_shared_").toString
+    ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
+    val sub = "workers"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ledger", "entry", "event_id", "redelivery_count").collect()
+    def idsOf(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // two competing consumers alternately receive: 6+6+6+2 drains 20
+    val a1 = rows(MsgLogShared.receive(spark, topic, sub, 6))
+    val b1 = rows(MsgLogShared.receive(spark, topic, sub, 6))
+    val a2 = rows(MsgLogShared.receive(spark, topic, sub, 6))
+    val b2 = rows(MsgLogShared.receive(spark, topic, sub, 6))
+    val all = a1 ++ b1 ++ a2 ++ b2
+    assert(Seq(a1.length, b1.length, a2.length, b2.length) === Seq(6, 6, 6, 2))
+    // disjoint (each message delivered to exactly one consumer)…
+    assert(idsOf(all).distinct.length === 20)
+    // …and the union is exactly the topic
+    assert(all.map(_.getLong(2)).sorted.toSeq ===
+      ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(all.forall(_.getInt(3) === 0), "first deliveries carry redelivery_count 0")
+    // everything is in flight: nothing left to receive
+    assert(MsgLogShared.receive(spark, topic, sub, 6).isEmpty)
+
+    // consumer A acks its deliveries; B "crashed" without acking —
+    // redeliverUnacknowledged returns B's messages to the subscription
+    MsgLogShared.ack(topic, sub, idsOf(a1 ++ a2))
+    assert(MsgLogShared.redeliverUnacknowledged(topic, sub) === (b1 ++ b2).length)
+    val re = rows(MsgLogShared.receive(spark, topic, sub, 20))
+    assert(re.map(_.getLong(2)).sorted.toSeq ===
+      (b1 ++ b2).map(_.getLong(2)).sorted.toSeq)
+    assert(re.forall(_.getInt(3) === 1), "redelivery increments redelivery_count")
+    val (acked, inflight, avail) = MsgLogShared.stats(topic, sub)
+    assert((acked, inflight, avail) === ((12L, 8L, 0L)))
+    MsgLogShared.ack(topic, sub, idsOf(re))
+    assert(MsgLogShared.stats(topic, sub) === ((20L, 0L, 0L)))
+
+    // subscriptions are independent cursors; the journal sidecar is
+    // invisible to plain scans and other subscriptions
+    assert(spark.read.format("graft-msglog").load(topic).count() === 20)
+    assert(MsgLogShared.receive(spark, topic, "audit", 50).count() === 20)
+    // bad acks are caller bugs, surfaced at the command
+    intercept[IllegalArgumentException](MsgLogShared.ack(topic, sub, Seq((999L, 0L))))
+    intercept[IllegalArgumentException](
+      MsgLogShared.ack(topic, sub, Seq(idsOf(a1).head._1 -> 999L)))
+  }
+
   test("redelivery: reader-side predicates see the BUMPED redelivery_count") {
     // the DLQ-routing pred `redelivery_count >= 1` must match a
     // redelivered row: evaluated against the stored frame (count 0) it
