@@ -325,9 +325,13 @@ object SimilarityOps {
     * cosine keys round because their group-by sums are order-dependent;
     * these folds are not. */
   private def pqSubDist(x: Column, cbRow: Array[Double], s: Int): Column = {
-    val sub = array(cbRow.slice(s * PqSubDim, (s + 1) * PqSubDim).toIndexedSeq.map(lit): _*)
+    // sub-dimension derives from the codebook row (dim / 8), exactly as
+    // the native kernel derives it from the data — PqSubDim is only the
+    // FIXTURE's instance of it (64/8, what the oracle SQL hardcodes)
+    val subDim = cbRow.length / PqSubspaces
+    val sub = array(cbRow.slice(s * subDim, (s + 1) * subDim).toIndexedSeq.map(lit): _*)
     aggregate(
-      zip_with(slice(x, s * PqSubDim + 1, PqSubDim), sub, (a, b) => (a - b) * (a - b)),
+      zip_with(slice(x, s * subDim + 1, subDim), sub, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, v) => acc + v)
   }
 

@@ -318,6 +318,24 @@ class PipelineOpsSpec extends SparkTestBase {
       SimilarityOps.pqTopKRef(emb, cb, 0L, 10))
   }
 
+  test("pq kernels hold at another geometry: dim 16, synthetic corpus, native == reference") {
+    // the kernels derive subDim from the data (dim/8) — prove the
+    // equivalence is not an artifact of the fixture's dim-64 shape
+    import spark.implicits._
+    val dim = 16
+    val synth = (0L until 64L).map { id =>
+      (id, (0 until dim).map(i =>
+        (((id * 31 + i * 17) % 13) - 6).toFloat / (i + 1)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cb = synth.filter(col("vec_id") < SimilarityOps.PqCodes)
+      .orderBy("vec_id")
+      .select(transform(col("embedding"), e => e.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    assertSameRows(SimilarityOps.pqEncode(synth, cb), SimilarityOps.pqEncodeRef(synth, cb))
+    assertSameRows(SimilarityOps.pqTopK(synth, cb, 3L, 10),
+      SimilarityOps.pqTopKRef(synth, cb, 3L, 10))
+  }
+
   test("pq staged codebook: collected once, cached per sf dir") {
     SimilarityOps.dropStagedPqCodebook()
     val first = SimilarityOps.stagedPqCodebook(spark, sfDir)
