@@ -130,21 +130,37 @@ object MsgLogShared {
         }
       }.toSeq
 
+  /** Parsed journal contents memoized by absolute path: journal files
+    * are IMMUTABLE once atomically renamed in (the [[MsgLogNacks]]
+    * `countMemo` precedent), so a long-lived subscription's state
+    * reconstruction re-parses only files it has never seen — without
+    * this every receive/ack re-reads the subscription's whole delivery
+    * history. */
+  private val parse2Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
+  private val parse3Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, String)]]()
+
   /** Reconstruct per-entry state from the journals (one driver pass,
-    * bounded by the subscription's delivery history). */
+    * bounded by the subscription's delivery history; parses each
+    * immutable file once per JVM). */
   private def readState(dir: Path): Map[(String, Long), EntryState] = {
     val state = scala.collection.mutable.Map.empty[(String, Long), EntryState]
-    journalFiles(dir, "claim").foreach(parse3(_).foreach { case (g, e, name) =>
+    def memo3(p: Path): Seq[(Int, Long, String)] =
+      parse3Memo.computeIfAbsent(p.toAbsolutePath.toString, _ => parse3(p))
+    def memo2(p: Path): Seq[(Long, String)] =
+      parse2Memo.computeIfAbsent(p.toAbsolutePath.toString, _ => parse2(p))
+    journalFiles(dir, "claim").foreach(memo3(_).foreach { case (g, e, name) =>
       val k = (name, e)
       val s = state.getOrElse(k, EntryState(0, 0, acked = false))
       state(k) = s.copy(gen = math.max(s.gen, g))
     })
-    journalFiles(dir, "rel").foreach(parse3(_).foreach { case (g, e, name) =>
+    journalFiles(dir, "rel").foreach(memo3(_).foreach { case (g, e, name) =>
       val k = (name, e)
       val s = state.getOrElse(k, EntryState(0, 0, acked = false))
       state(k) = s.copy(released = math.max(s.released, g))
     })
-    journalFiles(dir, "ack").foreach(parse2(_).foreach { case (e, name) =>
+    journalFiles(dir, "ack").foreach(memo2(_).foreach { case (e, name) =>
       val k = (name, e)
       val s = state.getOrElse(k, EntryState(0, 0, acked = false))
       state(k) = s.copy(acked = true)
