@@ -336,6 +336,23 @@ class PipelineOpsSpec extends SparkTestBase {
       SimilarityOps.pqTopKRef(synth, cb, 3L, 10))
   }
 
+  test("IVF+PQ: candidates are the IVF probe set, ranked by the PQ asymmetric distance") {
+    val cb = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val idx = Some(SimilarityOps.stagedCentroids(spark, sfDir))
+    // an oversized k reveals each path's full candidate set
+    val probeSet = SimilarityOps.embeddingIvfTopK(emb, 0L, 100000, idx).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val adcAll = SimilarityOps.pqTopK(emb, cb, 0L, 100000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adist")).toMap
+    val got = SimilarityOps.ivfPqTopK(emb, 0L, 10, idx, cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
+    assert(got.length === math.min(10, probeSet.size))
+    // exactly the corpus-wide PQ ranking restricted to the probed cells
+    val want = adcAll.toSeq.filter { case (id, _) => probeSet(id) }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got === want)
+  }
+
   test("pq staged codebook: collected once, cached per sf dir") {
     SimilarityOps.dropStagedPqCodebook()
     val first = SimilarityOps.stagedPqCodebook(spark, sfDir)
