@@ -514,7 +514,7 @@ object SimilarityOps {
       ((s, d) => embeddingQuantizeInt8Scalar(Fixtures.embeddings(s, d))),
     // short key names by necessity: the one-line bench JSON must fit the
     // driver's 2000-char stdout-tail capture ([[graft.Bench]])
-    "pq_encode" ->
+    "pq_enc" ->
       ((s, d) => pqEncode(Fixtures.embeddings(s, d), stagedPqCodebook(s, d))),
     "pq_topk" ->
       ((s, d) => pqTopK(Fixtures.embeddings(s, d), stagedPqCodebook(s, d),
@@ -611,7 +611,7 @@ object SimilarityOps {
                        i -> (x[i] - qvec[i] * scale) * (x[i] - qvec[i] * scale))),
                    (a, v) -> a + v) / len(x) AS mse
           FROM q""",
-    "pq_encode" -> s"$pqEncodeCte SELECT vec_id, pq_code, mse FROM pq_enc",
+    "pq_enc" -> s"$pqEncodeCte SELECT vec_id, pq_code, mse FROM pq_enc",
     "pq_topk" ->
       s"""$pqEncodeCte,
           q AS (SELECT x AS qx FROM x WHERE vec_id = $QUERY_VEC),

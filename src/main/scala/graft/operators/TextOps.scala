@@ -457,6 +457,92 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // Lexical retrieval
+  // ---------------------------------------------------------------------
+
+  /** Fixed query for the contract key — terms present in the fixture
+    * vocabulary; real callers pass their own. */
+  val Bm25Terms: Seq[String] = Seq("spark", "window", "hash")
+
+  /** Contract-key result size. */
+  val Bm25K = 15
+
+  /** BM25 lexical retrieval — keyword top-k over the corpus, the lexical
+    * complement of the embedding ANN stack (SimilarityOps): a curation
+    * pipeline uses it for targeted audits ("show me the docs about X")
+    * and benchmark-decontamination triage where exact grams are too
+    * strict and embeddings too fuzzy. Okapi BM25, k1=1.2, b=0.75,
+    * idf = ln(1 + (N - df + ½)/(df + ½)) (the Lucene form: never
+    * negative).
+    *
+    * Scale shape: per-document term frequencies and length fold INSIDE
+    * the row (native `count_in` per query term — the query is a handful
+    * of terms, so this is q bounded codegen'd loops, no token explode);
+    * the corpus statistics (N, Σdl, per-term df) are ONE scalar
+    * aggregate — a single 1-row artifact broadcast back — and scoring is
+    * a pure projection feeding TakeOrdered. No token-level shuffle, no
+    * posting-list join: at 100 TB this is one scan + one scalar exchange,
+    * the correct brute-force plan (an inverted index is a different
+    * storage bet, not a better plan for ad-hoc scans).
+    *
+    * Numerics (SURVEY §7.3): every input to the double math is an exact
+    * integer (tf, dl, N, Σdl, df), the expression tree is written
+    * identically on both engines, and the one engine-sensitive op — ln,
+    * correct only to 1 ulp in the JVM — is absorbed by rounding the score
+    * to 6 decimals (the cosine-key precedent).
+    */
+  def docBm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
+              k: Int = Bm25K): DataFrame = {
+    val base = bm25Base(docs, terms)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
+    base.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(bm25Score(terms.indices), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The summed per-term BM25 expression, written in the exact shape the
+    * DuckDB oracle spells so the IEEE op order is pinned on both sides. */
+  private def bm25Score(termIdx: Seq[Int]): Column =
+    termIdx.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i")
+      val idf = log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      val norm = lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") * col("n_docs") / col("sum_dl"))
+      idf * (tf * lit(2.2) / (tf + lit(1.2) * norm))
+    }.reduce(_ + _)
+
+  /** Per-row BM25 inputs — `tf` per query term and the real-token length
+    * `dl` — folded inside the row by the native `count_in` kernel. */
+  private[graft] def bm25Base(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val tfs = terms.indices.map { i =>
+      call_function("count_in", col("w"), typedlit(Seq(terms(i))))
+        .as(s"tf$i")
+    }
+    // dl counts real tokens: splitting an all-whitespace text yields [""]
+    val dl = (size(col("w")) -
+      call_function("count_in", col("w"), typedlit(Seq("")))).as("dl")
+    withTokens(docs).select(col("doc_id") +: tfs :+ dl: _*)
+  }
+
+  /** The composable HOF reference form of the [[docBm25]] per-row stats —
+    * equivalence asserted in tests (native `count_in` vs ArrayFilter). */
+  private[graft] def bm25BaseHof(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val tfs = terms.indices.map { i =>
+      size(filter(col("w"), x => x === lit(terms(i)))).as(s"tf$i")
+    }
+    val dl = size(filter(col("w"), x => x =!= lit(""))).as("dl")
+    withTokens(docs).select(col("doc_id") +: tfs :+ dl: _*)
+  }
+
+  // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
 
@@ -471,7 +557,8 @@ object TextOps {
     "text_lm_perplexity" -> ((s, d) => textLmPerplexity(Fixtures.documents(s, d))),
     "doc_boilerplate_df" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
     "doc_mixture_sample" ->
-      ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)))
+      ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)),
+    "bm25" -> ((s, d) => docBm25(Fixtures.documents(s, d))))
 
   private def duckScore(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -630,6 +717,36 @@ object TextOps {
                   FROM w)
             SELECT doc_id, source,
                    CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
-            FROM c""")
+            FROM c""",
+      "bm25" -> bm25Oracle)
+  }
+
+  /** DuckDB mirror of [[docBm25]]: the per-term score expression is
+    * spelled in the exact IEEE op order [[bm25Score]] uses, so every
+    * double is bit-identical before the final round(…, 6) absorbs the
+    * engines' 1-ulp ln difference. */
+  private def bm25Oracle: String = {
+    val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n                             ")
+    val dfSel = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Bm25Terms.indices.map(i =>
+      s"""ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0)
+                     * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl))))""")
+      .mkString("\n                   + ")
+    val anyTf = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                      FROM documents),
+          base AS (SELECT doc_id, $tfSel,
+                             len(list_filter(w, x -> x <> '')) AS dl
+                   FROM toks),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfSel
+                    FROM base)
+        SELECT doc_id,
+               round($score, 6) AS score
+        FROM base, stats
+        WHERE $anyTf
+        ORDER BY score DESC, doc_id LIMIT $Bm25K"""
   }
 }

@@ -390,6 +390,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25: native per-row stats match the higher-order reference form") {
+    assertSameRows(
+      TextOps.bm25Base(docs, TextOps.Bm25Terms),
+      TextOps.bm25BaseHof(docs, TextOps.Bm25Terms))
+  }
+
+  test("bm25: top-k matches an independent JVM replica of the Okapi formula") {
+    val terms = TextOps.Bm25Terms
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+    val tf = toks.map { case (id, w) => id -> terms.map(t => w.count(_ == t)) }.toMap
+    val dl = toks.map { case (id, w) => id -> w.count(_.nonEmpty) }.toMap
+    val nDocs = toks.length
+    val sumDl = dl.values.map(_.toLong).sum
+    val df = terms.indices.map(i => tf.values.count(_(i) > 0))
+    def score(id: Long): Double = terms.indices.map { i =>
+      val f = tf(id)(i).toDouble
+      val idf = math.log((nDocs - df(i) + 0.5) / (df(i) + 0.5) + 1.0)
+      idf * (f * 2.2 / (f + 1.2 * (0.25 + 0.75 * (dl(id).toDouble * nDocs / sumDl))))
+    }.sum
+    val expected = toks.map(_._1).filter(id => tf(id).exists(_ > 0))
+      .map(id => id -> BigDecimal(score(id))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .sortBy { case (id, s) => (-s, id) }.take(TextOps.Bm25K).toSeq
+    val got = TextOps.docBm25(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got === expected)
+  }
+
   test("split assignment: deterministic, covering, and roughly 80/10/10") {
     val agg = TextOps.docSplitAssign(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -56,6 +56,17 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 1, p)
   }
 
+  test("bm25 folds tf in-row: no token explode, scalar-stats cross, top-k") {
+    val p = plan("bm25")
+    // tf/dl fold inside the row — a Generate (explode) would shuffle one
+    // row per token instance, the 100 TB killer for a 3-term query
+    assert(!p.contains("Generate"), p)
+    // corpus stats are ONE 1-row broadcast artifact; top-k never sorts
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("embedding_topk_cosine broadcasts the query vector and takes ordered") {
     val p = plan("embedding_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
@@ -212,7 +223,7 @@ class PlanSpec extends SparkTestBase {
     // the codebook is a staged bounded artifact (PqCodes×dim doubles);
     // the ENCODE plan over the corpus must stay map-only — an exchange
     // or join here means encoding 10^10 vectors stopped being map-only
-    val p = plan("pq_encode")
+    val p = plan("pq_enc")
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
     assert(p.contains("pq_enc"), p) // native kernel, not the interpreted HOF chain
@@ -234,7 +245,8 @@ class PlanSpec extends SparkTestBase {
     val bnljSanctioned = Set(
       "embedding_topk_cosine", // 1-row query vector cross
       "pq_topk", // 1-row query vector cross for the ADC lookup table
-      "doc_boilerplate_df") // 1-row corpus-count cross for the df threshold
+      "doc_boilerplate_df", // 1-row corpus-count cross for the df threshold
+      "bm25") // 1-row corpus-stats cross (N, Σdl, per-term df)
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
@@ -263,7 +275,7 @@ class PlanSpec extends SparkTestBase {
         "embedding_ivf_topk", // staging writes / C×dim centroid index
         "doc_dup_groups", "doc_filter_pipeline",
         "embedding_dup_groups", // CC fixpoint loop runs bounded jobs
-        "pq_encode", "pq_topk", // staged PqCodes×dim codebook artifact
+        "pq_enc", "pq_topk", // staged PqCodes×dim codebook artifact
         "text_lm_perplexity")) // bounded LM artifacts (total + top-V table)
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
