@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** FAILOVER subscription over a msglog topic (reference
+  * `CommandSubscribe.SubType.Failover`,
+  * `/root/reference/src/PulsarApi.proto:301`, with `priority_level`
+  * `proto:311` and the active-consumer-change notification
+  * `CommandActiveConsumerChange`, `proto:518-521`): N consumers attach
+  * to ONE named subscription; exactly one — the head of the
+  * (priority asc, name asc) order, the broker's election rule — is
+  * ACTIVE and receives everything; the rest are parked standbys. When
+  * the active consumer goes away, its unacked in-flight deliveries
+  * return to the subscription and the next consumer in the same total
+  * order takes over, re-receiving them with `redelivery_count` bumped —
+  * the failover handoff.
+  *
+  * What is faithful to the broker: the deterministic election, standby
+  * parking (a standby's receive returns an empty batch, not an error),
+  * preemption (a joining consumer that sorts ahead of the current
+  * active takes over, and the displaced consumer's in-flight deliveries
+  * are redelivered — the broker emits `CommandActiveConsumerChange` for
+  * exactly this), and takeover redelivery on departure. What is NOT:
+  * crash DETECTION — the broker notices a dead TCP session; a
+  * file-backed journal has no liveness signal, so handoff happens at
+  * the explicit [[unregister]] (deploy orchestration made an API verb).
+  * That narrowing is the recorded divergence (SURVEY §2.5).
+  *
+  * Storage: a consumer-registry journal `reg-*.tsv` (rows
+  * `action \t priority \t consumer`, action 1 = join / 0 = leave) in
+  * the SAME subscription sidecar as the Shared claim/ack/release
+  * journals — Failover reuses [[MsgLogShared]]'s delivery machinery
+  * wholesale (claims, individual acks, releases), gating receive on
+  * being the active consumer. One cursor format, two subscription
+  * types, same single-issuer concurrency stance.
+  */
+object MsgLogFailover {
+
+  private val Join = 1
+  private val Leave = 0
+
+  /** Register a consumer on the subscription; returns true iff it is now
+    * the ACTIVE consumer. A join that sorts ahead of the current active
+    * consumer PREEMPTS it: the displaced consumer's in-flight deliveries
+    * are released for the new active to re-receive. Re-registering a
+    * live name is a caller bug (the broker rejects duplicate consumer
+    * names on a subscription). */
+  def register(topicDir: String, subscription: String, consumer: String,
+      priority: Int = 0): Boolean = synchronized {
+    require(consumer.nonEmpty && !consumer.contains('\t') &&
+      !consumer.contains('\n'),
+      s"graft-msglog: invalid consumer name '$consumer'")
+    require(priority >= 0, s"graft-msglog: negative priority $priority")
+    val dir = MsgLogShared.subDir(topicDir, subscription)
+    if (registrants(dir).exists(_._1 == consumer))
+      throw new IllegalArgumentException(
+        s"graft-msglog: consumer '$consumer' already registered on '$subscription'")
+    releaseOnActiveChange(topicDir, subscription) {
+      MsgLogShared.appendJournal(dir, "reg", Seq(s"$Join\t$priority\t$consumer"))
+    }
+    active(topicDir, subscription).contains(consumer)
+  }
+
+  /** Unregister a consumer. If it was the active one, its in-flight
+    * deliveries are released back to the subscription (the takeover
+    * redelivery) and the next consumer in order becomes active; returns
+    * the released count (0 for a standby departure). */
+  def unregister(topicDir: String, subscription: String,
+      consumer: String): Int = synchronized {
+    val dir = MsgLogShared.subDir(topicDir, subscription)
+    if (!registrants(dir).exists(_._1 == consumer))
+      throw new IllegalArgumentException(
+        s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
+    releaseOnActiveChange(topicDir, subscription) {
+      MsgLogShared.appendJournal(dir, "reg", Seq(s"$Leave\t0\t$consumer"))
+    }
+  }
+
+  /** Live consumers in takeover order — (priority asc, name asc); the
+    * head is the active consumer. */
+  def consumers(topicDir: String, subscription: String): Seq[(String, Int)] =
+    registrants(MsgLogShared.subDir(topicDir, subscription))
+      .sortBy { case (name, pri) => (pri, name) }
+
+  /** The consumer currently receiving deliveries, if any. */
+  def active(topicDir: String, subscription: String): Option[String] =
+    consumers(topicDir, subscription).headOption.map(_._1)
+
+  /** Receive as `consumer`: the active consumer claims exactly like a
+    * Shared receive (in-order, `redelivery_count = gen − 1`); a standby
+    * gets an empty batch of the delivery schema — the broker parks
+    * standbys, it does not error them. An unregistered name is a caller
+    * bug. */
+  def receive(spark: SparkSession, topicDir: String, subscription: String,
+      consumer: String, max: Int): DataFrame = synchronized {
+    if (!registrants(MsgLogShared.subDir(topicDir, subscription))
+        .exists(_._1 == consumer))
+      throw new IllegalArgumentException(
+        s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
+    if (active(topicDir, subscription).contains(consumer))
+      MsgLogShared.receive(spark, topicDir, subscription, max)
+    else
+      MsgLogShared.deliver(spark, topicDir, Seq.empty)
+  }
+
+  /** Run a registry mutation; if it changed WHO is active away from a
+    * previously-active consumer, release that consumer's in-flight
+    * deliveries (the broker redelivers unacked messages on every active
+    * consumer change). Returns the released count. */
+  private def releaseOnActiveChange(topicDir: String, subscription: String)(
+      mutate: => Any): Int = {
+    val before = active(topicDir, subscription)
+    mutate
+    val after = active(topicDir, subscription)
+    if (before.isDefined && before != after)
+      MsgLogShared.redeliverUnacknowledged(topicDir, subscription)
+    else 0
+  }
+
+  /** Replay the registry journal to the current registrant set, in join
+    * order. */
+  private def registrants(dir: Path): Seq[(String, Int)] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    MsgLogShared.readJournal3(dir, "reg").foreach {
+      case (Join, pri, name) => live(name) = pri.toInt
+      case (Leave, _, name) => live.remove(name)
+      case (a, _, name) => throw new java.io.IOException(
+        s"graft-msglog: corrupt registry action $a for '$name' in $dir")
+    }
+    live.toSeq
+  }
+}

@@ -51,15 +51,13 @@ import org.apache.spark.sql.functions._
   * cost); row delivery is a broadcast semi-join of the claimed id batch
   * (≤ `max` rows) against the topic scan — the corpus is never collected.
   *
-  * Deliberate divergence, recorded: `Failover` (`proto:301`) is not
-  * implemented — with file-backed topics and no live connections there
-  * is no failure detector to elect the active consumer; a Failover
-  * consumer here is an Exclusive reader whose ownership handoff is the
-  * caller's deploy orchestration. No `subscriptionMode` SCAN OPTION
-  * exists either, deliberately: a Spark `Scan` can be planned and
-  * re-planned any number of times per query, so a side-effecting
-  * claim-on-scan would double-claim; receive/ack are imperative consumer
-  * verbs, matching the reference's command surface.
+  * `Failover` (`proto:301`) builds on this same sidecar — a consumer
+  * registry journal plus deterministic election, see [[MsgLogFailover]].
+  * No `subscriptionMode` SCAN OPTION exists for either type,
+  * deliberately: a Spark `Scan` can be planned and re-planned any number
+  * of times per query, so a side-effecting claim-on-scan would
+  * double-claim; receive/ack are imperative consumer verbs, matching the
+  * reference's command surface.
   */
 object MsgLogShared {
 
@@ -78,7 +76,7 @@ object MsgLogShared {
     def available: Boolean = !acked && released >= gen
   }
 
-  private def journalFiles(dir: Path, prefix: String): Seq[Path] =
+  private[sources] def journalFiles(dir: Path, prefix: String): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
@@ -91,7 +89,7 @@ object MsgLogShared {
       finally s.close()
     }
 
-  private def appendJournal(dir: Path, prefix: String, lines: Seq[String]): Path = {
+  private[sources] def appendJournal(dir: Path, prefix: String, lines: Seq[String]): Path = {
     Files.createDirectories(dir)
     val seq = journalFiles(dir, prefix).size
     val name = f"$prefix-$seq%06d-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
@@ -141,30 +139,36 @@ object MsgLogShared {
   private val parse3Memo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, String)]]()
 
+  /** All rows of a 3-column journal family in file order (memoized per
+    * immutable file). Shared with [[MsgLogFailover]]'s registry. */
+  private[sources] def readJournal3(dir: Path, prefix: String): Seq[(Int, Long, String)] =
+    journalFiles(dir, prefix).flatMap(p =>
+      parse3Memo.computeIfAbsent(p.toAbsolutePath.toString, _ => parse3(p)))
+
+  private def readJournal2(dir: Path, prefix: String): Seq[(Long, String)] =
+    journalFiles(dir, prefix).flatMap(p =>
+      parse2Memo.computeIfAbsent(p.toAbsolutePath.toString, _ => parse2(p)))
+
   /** Reconstruct per-entry state from the journals (one driver pass,
     * bounded by the subscription's delivery history; parses each
     * immutable file once per JVM). */
   private def readState(dir: Path): Map[(String, Long), EntryState] = {
     val state = scala.collection.mutable.Map.empty[(String, Long), EntryState]
-    def memo3(p: Path): Seq[(Int, Long, String)] =
-      parse3Memo.computeIfAbsent(p.toAbsolutePath.toString, _ => parse3(p))
-    def memo2(p: Path): Seq[(Long, String)] =
-      parse2Memo.computeIfAbsent(p.toAbsolutePath.toString, _ => parse2(p))
-    journalFiles(dir, "claim").foreach(memo3(_).foreach { case (g, e, name) =>
+    readJournal3(dir, "claim").foreach { case (g, e, name) =>
       val k = (name, e)
       val s = state.getOrElse(k, EntryState(0, 0, acked = false))
       state(k) = s.copy(gen = math.max(s.gen, g))
-    })
-    journalFiles(dir, "rel").foreach(memo3(_).foreach { case (g, e, name) =>
+    }
+    readJournal3(dir, "rel").foreach { case (g, e, name) =>
       val k = (name, e)
       val s = state.getOrElse(k, EntryState(0, 0, acked = false))
       state(k) = s.copy(released = math.max(s.released, g))
-    })
-    journalFiles(dir, "ack").foreach(memo2(_).foreach { case (e, name) =>
+    }
+    readJournal2(dir, "ack").foreach { case (e, name) =>
       val k = (name, e)
       val s = state.getOrElse(k, EntryState(0, 0, acked = false))
       state(k) = s.copy(acked = true)
-    })
+    }
     state.toMap
   }
 
@@ -196,7 +200,7 @@ object MsgLogShared {
     * (≤ max)-row id list against the topic scan, `redelivery_count`
     * overridden to the claim's `gen − 1` (the scan's own column counts
     * nack-journal redeliveries, a different mechanism). */
-  private def deliver(spark: SparkSession, topicDir: String,
+  private[sources] def deliver(spark: SparkSession, topicDir: String,
       claims: Seq[(Int, Long, String)]): DataFrame = {
     import spark.implicits._
     val scan = spark.read.format("graft-msglog").load(topicDir)

@@ -489,6 +489,62 @@ class MsgLogSpec extends SparkTestBase {
       MsgLogShared.ack(topic, sub, Seq(idsOf(a1).head._1 -> 999L)))
   }
 
+  test("failover subscription: one active consumer, deterministic takeover with redelivery") {
+    import graft.sources.{MsgLogFailover, MsgLogShared}
+    val ev = Fixtures.events(spark, sfDir).limit(12)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_failover_").toString
+    ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
+    val sub = "ha"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ledger", "entry", "event_id", "redelivery_count").collect()
+    def idsOf(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // first registrant is active; an equal-priority later name parks
+    assert(MsgLogFailover.register(topic, sub, "w1") === true)
+    assert(MsgLogFailover.register(topic, sub, "w2") === false)
+    assert(MsgLogFailover.consumers(topic, sub) === Seq("w1" -> 0, "w2" -> 0))
+    // only the active consumer receives; the standby gets an empty batch
+    val d1 = rows(MsgLogFailover.receive(spark, topic, sub, "w1", 8))
+    assert(d1.length === 8 && d1.forall(_.getInt(3) === 0))
+    assert(MsgLogFailover.receive(spark, topic, sub, "w2", 8).isEmpty)
+
+    // active acks half and leaves: its 4 in-flight release to the next
+    // consumer in order, which re-receives them with redelivery_count 1
+    MsgLogShared.ack(topic, sub, idsOf(d1.take(4)))
+    assert(MsgLogFailover.unregister(topic, sub, "w1") === 4)
+    assert(MsgLogFailover.active(topic, sub) === Some("w2"))
+    val d2 = rows(MsgLogFailover.receive(spark, topic, sub, "w2", 20))
+    assert(d2.length === 8) // 4 released + 4 never claimed
+    assert(d2.count(_.getInt(3) === 1) === 4 && d2.count(_.getInt(3) === 0) === 4)
+    assert(d2.filter(_.getInt(3) === 1).map(_.getLong(2)).sorted.toSeq ===
+      d1.drop(4).map(_.getLong(2)).sorted.toSeq)
+
+    // a joining name that sorts ahead PREEMPTS: the displaced consumer's
+    // in-flight deliveries redeliver to the new active, bumped again
+    assert(MsgLogFailover.register(topic, sub, "a0") === true)
+    val d3 = rows(MsgLogFailover.receive(spark, topic, sub, "a0", 20))
+    assert(d3.length === 8)
+    assert(d3.count(_.getInt(3) === 2) === 4 && d3.count(_.getInt(3) === 1) === 4)
+    assert(MsgLogFailover.receive(spark, topic, sub, "w2", 20).isEmpty)
+
+    // priority beats name order
+    val sub2 = "ha2"
+    assert(MsgLogFailover.register(topic, sub2, "slow", priority = 5) === true)
+    assert(MsgLogFailover.register(topic, sub2, "fast", priority = 0) === true)
+    assert(MsgLogFailover.active(topic, sub2) === Some("fast"))
+    assert(MsgLogFailover.consumers(topic, sub2) === Seq("fast" -> 0, "slow" -> 5))
+
+    // registry misuse is a caller bug, surfaced at the command
+    intercept[IllegalArgumentException](MsgLogFailover.register(topic, sub, "a0"))
+    intercept[IllegalArgumentException](MsgLogFailover.unregister(topic, sub, "ghost"))
+    intercept[IllegalArgumentException](
+      MsgLogFailover.receive(spark, topic, sub, "ghost", 1))
+    // the sidecar stays invisible to plain scans
+    assert(spark.read.format("graft-msglog").load(topic).count() === 12)
+  }
+
   test("redelivery: reader-side predicates see the BUMPED redelivery_count") {
     // the DLQ-routing pred `redelivery_count >= 1` must match a
     // redelivered row: evaluated against the stored frame (count 0) it
