@@ -97,6 +97,56 @@ object LlmOps {
       .limit(k)
   }
 
+  /** RRF discount constant — the standard 60 (Cormack/Clarke/Buettcher's
+    * reciprocal-rank-fusion paper; every production hybrid search ships
+    * this default). */
+  val RrfK = 60
+
+  /** Contract-key result size for [[hybridRrfTopK]]. */
+  val HybridK = 10
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion of the LEXICAL ranking
+    * ([[TextOps.docBm25]]) and the VECTOR ranking
+    * ([[embeddingTopKCosine]]): `rrf = Σ 1/(60 + rank)`, a document
+    * absent from a ranking contributing zero. This is the standard
+    * hybrid-search shape (BM25 recalls exact keywords the embedding
+    * blurs; the embedding recalls paraphrases BM25 misses; RRF needs no
+    * score calibration between the two, which is why it won).
+    *
+    * Scale shape: each side is its own bounded top-N (corpus scan →
+    * TakeOrdered, the component plans); everything after — rank windows,
+    * the full-outer fusion join, the final top-k — runs on ≤ N+N rows.
+    * The rank window is a single-partition sort of N rows, NOT a corpus
+    * sort. Numerics: ranks are exact integers and `1.0/(60+r)` divides
+    * identically in both engines, summed in pinned order — no rounding
+    * needed (the component cosine is already rounded at its groupBy
+    * boundary).
+    */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
+      terms: Seq[String] = TextOps.Bm25Terms, queryId: Long = 0L,
+      k: Int = HybridK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextOps.docBm25(docs, terms)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("long").as("rl"))
+    val vec = embeddingTopKCosine(emb, queryId, TOP_K_VECS)
+      .select(col("vec_id").as("doc_id"), row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+        .cast("long").as("rv"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("rl"), lit(0L)).as("lex_rank"),
+        coalesce(col("rv"), lit(0L)).as("vec_rank"),
+        (when(col("rl").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(RrfK) + col("rl"))) +
+         when(col("rv").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(RrfK) + col("rv")))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------------
   // Multimodal columns
   // ---------------------------------------------------------------------
@@ -188,7 +238,10 @@ object LlmOps {
     "multimodal_width_stats" ->
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
     "doc_filter_pipeline" ->
-      ((s, d) => docFilterPipeline(Fixtures.documents(s, d))))
+      ((s, d) => docFilterPipeline(Fixtures.documents(s, d))),
+    "rrf" -> ((s, d) => hybridRrfTopK(
+      Fixtures.documents(s, d), Fixtures.embeddings(s, d),
+      TextOps.Bm25Terms, QUERY_VEC, HybridK)))
 
   /** The pipeline oracle composes the component oracles as parenthesized
     * subqueries (each carries its own WITH chain — the dup-groups one its
@@ -210,6 +263,37 @@ object LlmOps {
           LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("doc_dup_groups")})
                      WHERE is_canonical = 0) g ON g.doc_id = l.doc_id)"""
 
+  private def cosineOracle: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QUERY_VEC),
+        p AS (SELECT e.vec_id,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS dot,
+                     sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS n1,
+                     sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS n2
+              FROM embeddings e, q, range(1, 65) t(i)
+              WHERE e.vec_id <> $QUERY_VEC
+              GROUP BY e.vec_id)
+        SELECT vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
+        FROM p ORDER BY cosine DESC, vec_id LIMIT $TOP_K_VECS"""
+
+  /** RRF oracle — composes the two component oracles as parenthesized
+    * subqueries (the [[filterPipelineOracle]] precedent), ranks each with
+    * the same (score desc, id) order the Spark side uses, fuses with the
+    * identical CASE arithmetic. */
+  private def rrfOracle: String =
+    s"""WITH lex AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+                     FROM (${TextOps.oracle("bm25")})),
+          vec AS (SELECT vec_id AS doc_id,
+                         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rv
+                  FROM ($cosineOracle))
+        SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+               CAST(coalesce(rl, 0) AS BIGINT) AS lex_rank,
+               CAST(coalesce(rv, 0) AS BIGINT) AS vec_rank,
+               (CASE WHEN rl IS NULL THEN 0.0 ELSE 1.0 / ($RrfK + rl) END
+                + CASE WHEN rv IS NULL THEN 0.0 ELSE 1.0 / ($RrfK + rv) END) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT $HybridK"""
+
   def oracle: Map[String, String] = Map(
     "doc_filter_pipeline" -> filterPipelineOracle,
     "text_tokenize_counts" ->
@@ -223,17 +307,8 @@ object LlmOps {
                  regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS sig,
                 min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY 1""",
-    "embedding_topk_cosine" ->
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QUERY_VEC),
-          p AS (SELECT e.vec_id,
-                       sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS dot,
-                       sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS n1,
-                       sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS n2
-                FROM embeddings e, q, range(1, 65) t(i)
-                WHERE e.vec_id <> $QUERY_VEC
-                GROUP BY e.vec_id)
-          SELECT vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
-          FROM p ORDER BY cosine DESC, vec_id LIMIT $TOP_K_VECS""",
+    "embedding_topk_cosine" -> cosineOracle,
+    "rrf" -> rrfOracle,
     "multimodal_width_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
                 CAST(min(len(embedding)) AS INTEGER) AS min_w,

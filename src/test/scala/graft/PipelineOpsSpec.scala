@@ -419,6 +419,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("rrf hybrid fusion: ranks fuse by 1/(60+r), absences contribute zero") {
+    // independent fusion of the two component rankings' collected orders
+    val lexIds = TextOps.docBm25(docs).collect().map(_.getLong(0))
+    val vecIds = LlmOps.embeddingTopKCosine(emb, 0L, 20).collect().map(_.getLong(0))
+    val rl = lexIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val rv = vecIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (rl.keySet ++ rv.keySet).toSeq.map { id =>
+      (id, rl.getOrElse(id, 0L), rv.getOrElse(id, 0L),
+        rl.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rv.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(LlmOps.HybridK)
+    val got = LlmOps.hybridRrfTopK(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // both sources genuinely contribute to the fixture's fused set
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0))
+  }
+
   test("split assignment: deterministic, covering, and roughly 80/10/10") {
     val agg = TextOps.docSplitAssign(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -246,7 +246,8 @@ class PlanSpec extends SparkTestBase {
       "embedding_topk_cosine", // 1-row query vector cross
       "pq_topk", // 1-row query vector cross for the ADC lookup table
       "doc_boilerplate_df", // 1-row corpus-count cross for the df threshold
-      "bm25") // 1-row corpus-stats cross (N, Σdl, per-term df)
+      "bm25", // 1-row corpus-stats cross (N, Σdl, per-term df)
+      "rrf") // composes bm25 + embedding_topk_cosine, inheriting their crosses
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
