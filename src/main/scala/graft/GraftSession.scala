@@ -28,22 +28,10 @@ object GraftSession {
   /** Register every custom SQL function of the engine in a session's
     * registry (idempotent). Operators that need one call this with THEIR
     * DataFrame's session — registering on the thread's active session
-    * would target the wrong registry in a multi-session JVM.
+    * would target the wrong registry in a multi-session JVM. Drives off
+    * the single [[graft.functions.GraftFunctions.all]] table — the same
+    * one [[GraftExtensions]] injects, so the two paths cannot drift.
     */
-  def registerFunctions(spark: SparkSession): Unit = {
-    graft.functions.Crc32C.register(spark)
-    graft.functions.CosineSim.register(spark)
-    graft.functions.LshBucket.register(spark)
-    graft.functions.GramMd5s.register(spark)
-    graft.functions.MinhashBands.register(spark)
-    graft.functions.Simhash60.register(spark)
-    graft.functions.WordShingles.register(spark)
-    graft.functions.CountIn.register(spark)
-    graft.functions.SumStrlen.register(spark)
-    graft.functions.JaccardDistinct.register(spark)
-    graft.functions.DupFracs.register(spark)
-    graft.functions.LogpSum.register(spark)
-    graft.functions.PqEnc.register(spark)
-    graft.functions.PqAdc.register(spark)
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.registerAll(spark)
 }

@@ -111,4 +111,33 @@ class FunctionRegistrySpec extends SparkTestBase {
       s"SELECT pq_adc($pqX, ${0x33333333}L, $pqCb) AS a, element_at(pq_enc($pqX, $pqCb), 2) AS m")
     assert(r.getDouble(0) === r.getDouble(1))
   }
+
+  test("GraftExtensions injects the whole function table into an extensions-built session") {
+    import org.apache.spark.sql.SparkSession
+    // a second session over the same context, built the way a
+    // spark-submit user configures it (spark.sql.extensions); clear the
+    // defaults so getOrCreate constructs instead of returning the shared
+    // session (suites run serially in the forked test JVM)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      // no registerFunctions call anywhere on this session: the
+      // injection alone must make every kernel resolvable
+      val r = s2.sql("SELECT crc32c(cast(repeat(chr(0), 32) as binary)) AS c").collect().head
+      assert(r.getLong(0) === 0x8A9136AAL)
+      graft.functions.GraftFunctions.all.foreach { case (name, _, _) =>
+        assert(s2.catalog.functionExists(name), s"$name not injected")
+      }
+      // injected builders keep the arity guard
+      val e = intercept[Exception] {
+        s2.sql("SELECT lsh_bucket(array(0.5F), 4, 12) AS b").collect()
+      }
+      assert(e.getMessage.contains("expects 2 argument"), e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
