@@ -129,8 +129,5 @@ object CosineSim {
     * from `spark.sql("... cosine_sim(a, b) ...")`.
     */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("cosine_sim",
-        exprs => { val a = Arity.checked("cosine_sim", 2, exprs); CosineSim(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "cosine_sim")
 }

@@ -82,9 +82,7 @@ object Crc32C {
     * the function available to `spark.sql("... crc32c(x) ...")` users.
     */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("crc32c", exprs => Crc32C(Arity.checked("crc32c", 1, exprs).head), "built-in")
+    GraftFunctions.registerOne(spark, "crc32c")
 
   /** Column-level entry point: `crc32c(spark, "cast(props as binary)")` →
     * unsigned 32-bit LONG column.

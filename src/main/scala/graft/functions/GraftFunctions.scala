@@ -43,9 +43,19 @@ object GraftFunctions {
 
   /** Register every kernel in a session's registry (idempotent). */
   def registerAll(spark: SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
-    }
+    all.foreach { case (name, _, builder) => registerOne(spark, name, builder) }
+
+  /** Register a single kernel by table name — what each kernel object's
+    * `register(spark)` delegates to, so selective registration uses the
+    * same builder as the bulk and extensions paths. */
+  def registerOne(spark: SparkSession, name: String): Unit = {
+    val (_, _, builder) = all.find(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown graft function '$name'"))
+    registerOne(spark, name, builder)
+  }
+
+  private def registerOne(spark: SparkSession, name: String, builder: Builder): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -110,8 +110,5 @@ object GramMd5s {
     * (idempotent) — the public Expression→Column path, also usable from
     * `spark.sql`. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("gram_md5s",
-        exprs => { val a = Arity.checked("gram_md5s", 2, exprs); GramMd5s(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "gram_md5s")
 }

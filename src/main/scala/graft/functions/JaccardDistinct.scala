@@ -91,8 +91,5 @@ object JaccardDistinct {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("jaccard_distinct",
-        exprs => { val a = Arity.checked("jaccard_distinct", 2, exprs); JaccardDistinct(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "jaccard_distinct")
 }

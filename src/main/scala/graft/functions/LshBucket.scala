@@ -109,8 +109,5 @@ object LshBucket {
     * (idempotent) — the public Expression→Column path, also usable from
     * `spark.sql`. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("lsh_bucket",
-        exprs => { val a = Arity.checked("lsh_bucket", 2, exprs); LshBucket(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "lsh_bucket")
 }

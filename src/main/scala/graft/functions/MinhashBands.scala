@@ -177,8 +177,5 @@ object MinhashBands {
     * (idempotent) — the public Expression→Column path, also usable from
     * `spark.sql`. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("minhash_bands",
-        exprs => { val a = Arity.checked("minhash_bands", 3, exprs); MinhashBands(a.head, a(1), a(2)) }, "built-in")
+    GraftFunctions.registerOne(spark, "minhash_bands")
 }

@@ -183,10 +183,7 @@ case class PqEnc(left: Expression, right: Expression) extends BinaryExpression {
 
 object PqEnc {
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("pq_enc",
-        exprs => { val a = Arity.checked("pq_enc", 2, exprs); PqEnc(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "pq_enc")
 }
 
 /** `pq_adc(query, pqCode, codebookFlat)` → `DOUBLE` asymmetric distance. */
@@ -234,8 +231,5 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
 
 object PqAdc {
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("pq_adc",
-        exprs => { val a = Arity.checked("pq_adc", 3, exprs); PqAdc(a.head, a(1), a(2)) }, "built-in")
+    GraftFunctions.registerOne(spark, "pq_adc")
 }

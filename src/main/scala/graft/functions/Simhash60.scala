@@ -109,8 +109,5 @@ object Simhash60 {
     * (idempotent) — the public Expression→Column path, also usable from
     * `spark.sql`. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("simhash60",
-        exprs => Simhash60(Arity.checked("simhash60", 1, exprs).head), "built-in")
+    GraftFunctions.registerOne(spark, "simhash60")
 }

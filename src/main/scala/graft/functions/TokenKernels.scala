@@ -84,10 +84,7 @@ object CountIn {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("count_in",
-        exprs => { val a = Arity.checked("count_in", 2, exprs); CountIn(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "count_in")
 }
 
 /** `sum_strlen(w)` — the summed character length of a token array:
@@ -136,10 +133,7 @@ object SumStrlen {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("sum_strlen",
-        exprs => SumStrlen(Arity.checked("sum_strlen", 1, exprs).head), "built-in")
+    GraftFunctions.registerOne(spark, "sum_strlen")
 }
 
 /** `logp_sum(w, logp_map, floor)` — the summed log-probability of a token
@@ -229,10 +223,7 @@ object LogpSum {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("logp_sum",
-        exprs => { val a = Arity.checked("logp_sum", 3, exprs); LogpSum(a.head, a(1), a(2)) }, "built-in")
+    GraftFunctions.registerOne(spark, "logp_sum")
 }
 
 /** `dup_fracs(w)` — all three Gopher-family repetition signals of a token
@@ -324,8 +315,5 @@ object DupFracs {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("dup_fracs",
-        exprs => DupFracs(Arity.checked("dup_fracs", 1, exprs).head), "built-in")
+    GraftFunctions.registerOne(spark, "dup_fracs")
 }

@@ -90,8 +90,5 @@ object WordShingles {
     * (idempotent) — the public Expression→Column path, also usable from
     * `spark.sql`. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("word_shingles",
-        exprs => { val a = Arity.checked("word_shingles", 2, exprs); WordShingles(a.head, a(1)) }, "built-in")
+    GraftFunctions.registerOne(spark, "word_shingles")
 }

@@ -419,6 +419,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("bm25: a query term absent from the corpus contributes zero, never NaN") {
+    // df=0 -> idf = ln(2N+2) is finite; tf=0 -> the term's score is 0
+    val withGhost = TextOps.docBm25(docs, Seq("zzz_not_in_corpus", "spark")).collect()
+    val alone = TextOps.docBm25(docs, Seq("spark")).collect()
+    assert(withGhost.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      alone.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(withGhost.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
+  }
+
   test("rrf hybrid fusion: ranks fuse by 1/(60+r), absences contribute zero") {
     // independent fusion of the two component rankings' collected orders
     val lexIds = TextOps.docBm25(docs).collect().map(_.getLong(0))
