@@ -123,7 +123,7 @@ object LlmOps {
     * boundary).
     */
   def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
-      terms: Seq[String] = TextOps.Bm25Terms, queryId: Long = 0L,
+      terms: Seq[String] = TextOps.Bm25Terms, queryId: Long = QUERY_VEC,
       k: Int = HybridK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = TextOps.docBm25(docs, terms)

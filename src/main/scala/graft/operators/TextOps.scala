@@ -493,6 +493,7 @@ object TextOps {
     */
   def docBm25(docs: DataFrame, terms: Seq[String] = Bm25Terms,
               k: Int = Bm25K): DataFrame = {
+    require(terms.nonEmpty, "docBm25: query terms must be non-empty")
     val base = bm25Base(docs, terms)
     val stats = base.agg(
       count(lit(1)).as("n_docs"),

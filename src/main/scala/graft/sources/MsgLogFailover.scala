@@ -101,8 +101,19 @@ object MsgLogFailover {
         s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
     if (active(topicDir, subscription).contains(consumer))
       MsgLogShared.receive(spark, topicDir, subscription, max)
-    else
-      MsgLogShared.deliver(spark, topicDir, Seq.empty)
+    else {
+      // parked standby: an empty batch of the delivery schema, built
+      // WITHOUT touching the topic — N−1 standbys polling in a loop must
+      // not each pay a ledger listing + scan for a guaranteed-empty
+      // result. Delivery schema = scan schema with redelivery_count
+      // moved last (the claim's gen override position in `deliver`).
+      val base = MsgLogSource.Schema
+      val delivery = org.apache.spark.sql.types.StructType(
+        base.fields.filterNot(_.name == "redelivery_count") :+
+          base("redelivery_count"))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), delivery)
+    }
   }
 
   /** Run a registry mutation; if it changed WHO is active away from a

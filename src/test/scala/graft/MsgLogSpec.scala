@@ -506,9 +506,13 @@ class MsgLogSpec extends SparkTestBase {
     assert(MsgLogFailover.register(topic, sub, "w2") === false)
     assert(MsgLogFailover.consumers(topic, sub) === Seq("w1" -> 0, "w2" -> 0))
     // only the active consumer receives; the standby gets an empty batch
-    val d1 = rows(MsgLogFailover.receive(spark, topic, sub, "w1", 8))
+    // of the SAME delivery schema (built without touching the topic)
+    val d1df = MsgLogFailover.receive(spark, topic, sub, "w1", 8)
+    val d1 = rows(d1df)
     assert(d1.length === 8 && d1.forall(_.getInt(3) === 0))
-    assert(MsgLogFailover.receive(spark, topic, sub, "w2", 8).isEmpty)
+    val parked = MsgLogFailover.receive(spark, topic, sub, "w2", 8)
+    assert(parked.isEmpty)
+    assert(parked.columns.toSeq === d1df.columns.toSeq)
 
     // active acks half and leaves: its 4 in-flight release to the next
     // consumer in order, which re-receives them with redelivery_count 1
