@@ -252,6 +252,29 @@ object MsgLogShared {
     inflight.size
   }
 
+  /** `CommandUnsubscribe` (reference `proto:531-536`): drop the
+    * subscription's cursor — the journal sidecar is deleted, so the name
+    * becomes a FRESH subscription whose next receive sees the whole
+    * topic again at `redelivery_count` 0. Refused while Failover
+    * consumers are registered on it (the broker refuses unsubscribe on a
+    * subscription with connected consumers); Shared receives carry no
+    * registration, matching the reference where unsubscribe is issued by
+    * the last detaching consumer. Memoized journal parses stay valid:
+    * a recreated subscription's files get fresh uuid-suffixed names, so
+    * no stale memo entry can be keyed by a new file's path. */
+  def unsubscribe(topicDir: String, subscription: String): Unit = synchronized {
+    val dir = subDir(topicDir, subscription)
+    if (!Files.isDirectory(dir))
+      throw new IllegalArgumentException(
+        s"graft-msglog: unknown subscription '$subscription' on $topicDir")
+    if (MsgLogFailover.consumers(topicDir, subscription).nonEmpty)
+      throw new IllegalStateException(
+        s"graft-msglog: subscription '$subscription' still has registered consumers")
+    val s = Files.list(dir)
+    try s.iterator().asScala.foreach(Files.delete) finally s.close()
+    Files.delete(dir)
+  }
+
   /** Subscription backlog probe (the `CommandConsumerStats.msgBacklog`
     * analog for a shared subscription): (acked, in-flight, available)
     * entry counts against the topic's live ledgers. */

@@ -547,6 +547,17 @@ class MsgLogSpec extends SparkTestBase {
       MsgLogFailover.receive(spark, topic, sub, "ghost", 1))
     // the sidecar stays invisible to plain scans
     assert(spark.read.format("graft-msglog").load(topic).count() === 12)
+
+    // unsubscribe is refused while consumers are registered; after the
+    // last one leaves it drops the cursor — the name becomes a FRESH
+    // subscription that sees the whole topic again at redelivery_count 0
+    intercept[IllegalStateException](MsgLogShared.unsubscribe(topic, sub))
+    MsgLogFailover.unregister(topic, sub, "a0")
+    MsgLogFailover.unregister(topic, sub, "w2")
+    MsgLogShared.unsubscribe(topic, sub)
+    intercept[IllegalArgumentException](MsgLogShared.unsubscribe(topic, sub))
+    val fresh = rows(MsgLogShared.receive(spark, topic, sub, 20))
+    assert(fresh.length === 12 && fresh.forall(_.getInt(3) === 0))
   }
 
   test("redelivery: reader-side predicates see the BUMPED redelivery_count") {

@@ -219,7 +219,7 @@ class PlanSpec extends SparkTestBase {
     assert(scans === s * (s + 1) / 2, plan("funnel_conversion"))
   }
 
-  test("pq_encode is a pure projection: no exchange, no join") {
+  test("pq_enc is a pure projection: no exchange, no join") {
     // the codebook is a staged bounded artifact (PqCodes×dim doubles);
     // the ENCODE plan over the corpus must stay map-only — an exchange
     // or join here means encoding 10^10 vectors stopped being map-only
