@@ -533,6 +533,56 @@ object TextOps {
     withTokens(docs).select(col("doc_id") +: tfs :+ dl: _*)
   }
 
+  /** Staged BM25 corpus statistics — the "build once, query many" index
+    * artifact: document count, total length, and document frequency for
+    * the top-`vocabSize` tokens. Like the LM scoring table and the IVF
+    * centroid index, it is a BOUNDED driver artifact (V entries at any
+    * corpus size), recomputed on the corpus's snapshot cadence, not per
+    * query. */
+  case class Bm25Index(nDocs: Long, sumDl: Long, df: Map[String, Long])
+
+  /** Build a [[Bm25Index]]: one scalar aggregate (N, Σdl) + one
+    * map-side-combined token df aggregate capped at the top-V vocabulary
+    * by (df desc, token) — the [[textLmPerplexity]] bounded-artifact
+    * discipline. A query term outside the vocabulary scores with df = 0
+    * (idf overestimated toward the rare-term ceiling — the standard
+    * capped-index approximation; raise `vocabSize` to taste). */
+  def bm25Index(docs: DataFrame, vocabSize: Int = LmVocabSize): Bm25Index = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val toks = withTokens(docs)
+    val dl = size(col("w")) - call_function("count_in", col("w"), typedlit(Seq("")))
+    val head = toks.agg(count(lit(1)).as("n"), sum(dl).cast("long").as("s")).collect()(0)
+    val df = toks.select(explode(array_distinct(col("w"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t"))
+      .limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Index(head.getLong(0), Option(head.get(1)).map(_ => head.getLong(1)).getOrElse(0L), df)
+  }
+
+  /** [[docBm25]] against a STAGED index: the per-query corpus-stats
+    * aggregate (and its broadcast-back cross) disappears — scoring is a
+    * pure projection feeding TakeOrdered, the only corpus touch is the
+    * scan. Values are bit-identical to the self-computing form for
+    * in-vocabulary terms (same exact integers through the same
+    * expression tree; asserted in tests). */
+  def docBm25Indexed(docs: DataFrame, index: Bm25Index,
+      terms: Seq[String] = Bm25Terms, k: Int = Bm25K): DataFrame = {
+    require(terms.nonEmpty, "docBm25Indexed: query terms must be non-empty")
+    val base = bm25Base(docs, terms)
+      .withColumn("n_docs", lit(index.nDocs))
+      .withColumn("sum_dl", lit(index.sumDl))
+    val withDf = terms.indices.foldLeft(base) { (d, i) =>
+      d.withColumn(s"df$i", lit(index.df.getOrElse(terms(i), 0L)))
+    }
+    withDf
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(bm25Score(terms.indices), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The composable HOF reference form of the [[docBm25]] per-row stats —
     * equivalence asserted in tests (native `count_in` vs ArrayFilter). */
   private[graft] def bm25BaseHof(docs: DataFrame, terms: Seq[String]): DataFrame = {

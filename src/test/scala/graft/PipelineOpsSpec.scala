@@ -428,6 +428,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(withGhost.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
   }
 
+  test("bm25 staged index: indexed scoring is bit-identical and aggregate-free") {
+    val idx = TextOps.bm25Index(docs)
+    val indexed = TextOps.docBm25Indexed(docs, idx)
+    assertSameRows(indexed, TextOps.docBm25(docs))
+    // the staged artifact removes the per-query stats exchange: the plan
+    // is scan → project → filter → TakeOrdered, no aggregate, no join
+    val p = indexed.queryExecution.executedPlan.toString
+    assert(!p.contains("Aggregate") && !p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // an out-of-vocabulary query term scores with df = 0: finite, no NaN
+    val oov = TextOps.docBm25Indexed(docs, idx, Seq("zzz_oov", "spark")).collect()
+    assert(oov.nonEmpty && oov.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("rrf hybrid fusion: ranks fuse by 1/(60+r), absences contribute zero") {
     // independent fusion of the two component rankings' collected orders
     val lexIds = TextOps.docBm25(docs).collect().map(_.getLong(0))
