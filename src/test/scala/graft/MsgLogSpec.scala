@@ -560,6 +560,33 @@ class MsgLogSpec extends SparkTestBase {
     assert(fresh.length === 12 && fresh.forall(_.getInt(3) === 0))
   }
 
+  test("failover election: random join/leave sequences match an in-memory replica") {
+    import graft.sources.MsgLogFailover
+    val ev = Fixtures.events(spark, sfDir).limit(2)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_failover_prop_").toString
+    ev.write.format("graft-msglog").mode("append").save(topic)
+    val sub = "elect"
+    val rng = new scala.util.Random(42)
+    val names = (0 until 6).map(i => s"c$i")
+    // replica: live set as name -> priority; election = min (pri, name)
+    var live = Map.empty[String, Int]
+    (0 until 60).foreach { _ =>
+      val name = names(rng.nextInt(names.length))
+      if (live.contains(name)) {
+        MsgLogFailover.unregister(topic, sub, name)
+        live -= name
+      } else {
+        val pri = rng.nextInt(3)
+        MsgLogFailover.register(topic, sub, name, pri)
+        live += name -> pri
+      }
+      val expected = live.toSeq.sortBy { case (n, p) => (p, n) }
+      assert(MsgLogFailover.consumers(topic, sub) === expected)
+      assert(MsgLogFailover.active(topic, sub) === expected.headOption.map(_._1))
+    }
+  }
+
   test("redelivery: reader-side predicates see the BUMPED redelivery_count") {
     // the DLQ-routing pred `redelivery_count >= 1` must match a
     // redelivered row: evaluated against the stored frame (count 0) it
