@@ -151,6 +151,22 @@ class CapSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 index stays a bounded artifact under an adversarial vocabulary") {
+    import graft.operators.TextOps
+    // every token unique across the corpus: the df aggregate sees
+    // n_docs × tokens-per-doc distinct terms, far past any cap
+    val uniqueVocab = (0L until 200L)
+      .map(i => (i, (0 until 20).map(j => s"tok_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val idx = TextOps.bm25Index(uniqueVocab, vocabSize = 64)
+    assert(idx.df.size === 64, "df table must cap at the declared vocabulary")
+    assert(idx.nDocs === 200L && idx.sumDl === 4000L)
+    // scoring against the capped index stays total: OOV terms fall to
+    // df = 0 instead of failing
+    val scored = TextOps.docBm25Indexed(uniqueVocab, idx, Seq("tok_0_0"), 5).collect()
+    assert(scored.length === 1 && scored(0).getLong(0) === 0L)
+  }
+
   test("defaultNumPlanes sizes the bucket geometry to the corpus") {
     import SimilarityOps.{defaultNumPlanes, MinPlanes, MaxPlanes}
     // mean bucket ≈ target: 1M vectors / 256-target → 2^12 buckets
