@@ -561,6 +561,22 @@ object TextOps {
     Bm25Index(head.getLong(0), Option(head.get(1)).map(_ => head.getLong(1)).getOrElse(0L), df)
   }
 
+  /** Merge two [[Bm25Index]]es built over DISJOINT corpus shards — the
+    * index-refresh shape: index the new shard, merge, never re-scan the
+    * base corpus (the [[DedupOps.docIncrementalDedup]] sibling for
+    * retrieval). Counts add; the df table re-caps at `vocabSize` by
+    * (df desc, token). EXACT when neither input's vocabulary was capped
+    * (asserted in tests); with capped inputs a token that fell below one
+    * shard's cap is undercounted — the standard capped-sketch
+    * approximation, the same direction as the OOV df = 0 fallback. */
+  def mergeBm25Indexes(a: Bm25Index, b: Bm25Index,
+      vocabSize: Int = LmVocabSize): Bm25Index = {
+    val df = (a.df.keySet ++ b.df.keySet).iterator
+      .map(t => t -> (a.df.getOrElse(t, 0L) + b.df.getOrElse(t, 0L))).toSeq
+      .sortBy { case (t, d) => (-d, t) }.take(vocabSize).toMap
+    Bm25Index(a.nDocs + b.nDocs, a.sumDl + b.sumDl, df)
+  }
+
   /** [[docBm25]] against a STAGED index: the per-query corpus-stats
     * aggregate (and its broadcast-back cross) disappears — scoring is a
     * pure projection feeding TakeOrdered, the only corpus touch is the

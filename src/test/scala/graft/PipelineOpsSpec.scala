@@ -443,6 +443,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(oov.nonEmpty && oov.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("bm25 index merge: two disjoint shards merge to the full corpus index") {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val merged = TextOps.mergeBm25Indexes(
+      TextOps.bm25Index(even), TextOps.bm25Index(odd))
+    val full = TextOps.bm25Index(docs)
+    assert(merged === full) // exact while the vocabulary is uncapped
+    // and scoring against the merged index matches the one-shot form
+    assertSameRows(
+      TextOps.docBm25Indexed(docs, merged), TextOps.docBm25(docs))
+  }
+
   test("rrf hybrid fusion: ranks fuse by 1/(60+r), absences contribute zero") {
     // independent fusion of the two component rankings' collected orders
     val lexIds = TextOps.docBm25(docs).collect().map(_.getLong(0))
