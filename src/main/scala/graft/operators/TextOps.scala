@@ -586,6 +586,10 @@ object TextOps {
   def docBm25Indexed(docs: DataFrame, index: Bm25Index,
       terms: Seq[String] = Bm25Terms, k: Int = Bm25K): DataFrame = {
     require(terms.nonEmpty, "docBm25Indexed: query terms must be non-empty")
+    // a degenerate index would score every row NaN (dl·N/0) — and NaN
+    // sorts FIRST under desc, silently topping the result; fail loudly
+    require(index.nDocs > 0 && index.sumDl > 0,
+      s"docBm25Indexed: degenerate index (nDocs=${index.nDocs}, sumDl=${index.sumDl})")
     val base = bm25Base(docs, terms)
       .withColumn("n_docs", lit(index.nDocs))
       .withColumn("sum_dl", lit(index.sumDl))

@@ -34,7 +34,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * journals — Failover reuses [[MsgLogShared]]'s delivery machinery
   * wholesale (claims, individual acks, releases), gating receive on
   * being the active consumer. One cursor format, two subscription
-  * types, same single-issuer concurrency stance.
+  * types, same single-issuer concurrency stance — and ONE monitor:
+  * registry mutations synchronize on `MsgLogShared` (whose receive/ack/
+  * unsubscribe already do), so a register racing an unsubscribe in the
+  * same JVM serializes instead of check-then-act interleaving.
   */
 object MsgLogFailover {
 
@@ -48,7 +51,7 @@ object MsgLogFailover {
     * live name is a caller bug (the broker rejects duplicate consumer
     * names on a subscription). */
   def register(topicDir: String, subscription: String, consumer: String,
-      priority: Int = 0): Boolean = synchronized {
+      priority: Int = 0): Boolean = MsgLogShared.synchronized {
     require(consumer.nonEmpty && !consumer.contains('\t') &&
       !consumer.contains('\n'),
       s"graft-msglog: invalid consumer name '$consumer'")
@@ -68,7 +71,7 @@ object MsgLogFailover {
     * redelivery) and the next consumer in order becomes active; returns
     * the released count (0 for a standby departure). */
   def unregister(topicDir: String, subscription: String,
-      consumer: String): Int = synchronized {
+      consumer: String): Int = MsgLogShared.synchronized {
     val dir = MsgLogShared.subDir(topicDir, subscription)
     if (!registrants(dir).exists(_._1 == consumer))
       throw new IllegalArgumentException(
@@ -94,7 +97,7 @@ object MsgLogFailover {
     * standbys, it does not error them. An unregistered name is a caller
     * bug. */
   def receive(spark: SparkSession, topicDir: String, subscription: String,
-      consumer: String, max: Int): DataFrame = synchronized {
+      consumer: String, max: Int): DataFrame = MsgLogShared.synchronized {
     if (!registrants(MsgLogShared.subDir(topicDir, subscription))
         .exists(_._1 == consumer))
       throw new IllegalArgumentException(
@@ -102,12 +105,15 @@ object MsgLogFailover {
     if (active(topicDir, subscription).contains(consumer))
       MsgLogShared.receive(spark, topicDir, subscription, max)
     else {
-      // parked standby: an empty batch of the delivery schema, built
-      // WITHOUT touching the topic — N−1 standbys polling in a loop must
-      // not each pay a ledger listing + scan for a guaranteed-empty
-      // result. Delivery schema = scan schema with redelivery_count
-      // moved last (the claim's gen override position in `deliver`).
-      val base = MsgLogSource.Schema
+      // parked standby: an empty LOCAL batch of the delivery schema —
+      // N−1 standbys polling in a loop must not each pay a topic scan
+      // for a guaranteed-empty result. The schema comes from the reader
+      // (metadata only, no job), NOT the static envelope: a topic with a
+      // registered `.schema` carries the typed `payload` column, and the
+      // standby's batch must stay union-compatible with the active
+      // consumer's deliveries. redelivery_count moves last — the claim's
+      // gen override position in `deliver`.
+      val base = spark.read.format("graft-msglog").load(topicDir).schema
       val delivery = org.apache.spark.sql.types.StructType(
         base.fields.filterNot(_.name == "redelivery_count") :+
           base("redelivery_count"))

@@ -271,7 +271,15 @@ object MsgLogShared {
       throw new IllegalStateException(
         s"graft-msglog: subscription '$subscription' still has registered consumers")
     val s = Files.list(dir)
-    try s.iterator().asScala.foreach(Files.delete) finally s.close()
+    try s.iterator().asScala.foreach { p =>
+      // evict the parsed-journal memo entries with the files — a driver
+      // cycling subscribe→consume→unsubscribe must not retain the parsed
+      // history of every deleted subscription for the JVM's lifetime
+      val key = p.toAbsolutePath.toString
+      parse2Memo.remove(key)
+      parse3Memo.remove(key)
+      Files.delete(p)
+    } finally s.close()
     Files.delete(dir)
   }
 

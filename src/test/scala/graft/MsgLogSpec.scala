@@ -560,6 +560,28 @@ class MsgLogSpec extends SparkTestBase {
     assert(fresh.length === 12 && fresh.forall(_.getInt(3) === 0))
   }
 
+  test("failover standby batch carries the registered payload schema") {
+    import graft.sources.MsgLogFailover
+    // a topic with a REGISTERED schema attaches a typed payload column
+    // to every plain read — the standby's empty batch must stay
+    // union-compatible with the active consumer's deliveries
+    val ev = Fixtures.events(spark, sfDir).limit(4)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_failover_schema_").toString
+    ev.write.format("graft-msglog").option("payloadSchema", "k INT")
+      .mode("append").save(topic)
+    val sub = "typed"
+    MsgLogFailover.register(topic, sub, "act")
+    MsgLogFailover.register(topic, sub, "sby")
+    val activeBatch = MsgLogFailover.receive(spark, topic, sub, "act", 2)
+    val standbyBatch = MsgLogFailover.receive(spark, topic, sub, "sby", 2)
+    assert(standbyBatch.isEmpty)
+    assert(standbyBatch.columns.toSeq === activeBatch.columns.toSeq)
+    assert(standbyBatch.columns.contains("payload"))
+    // and the union a polling loop builds is analyzable
+    assert(standbyBatch.unionByName(activeBatch).count() === 2)
+  }
+
   test("failover election: random join/leave sequences match an in-memory replica") {
     import graft.sources.MsgLogFailover
     val ev = Fixtures.events(spark, sfDir).limit(2)

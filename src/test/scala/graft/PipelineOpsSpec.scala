@@ -441,6 +441,10 @@ class PipelineOpsSpec extends SparkTestBase {
     // an out-of-vocabulary query term scores with df = 0: finite, no NaN
     val oov = TextOps.docBm25Indexed(docs, idx, Seq("zzz_oov", "spark")).collect()
     assert(oov.nonEmpty && oov.forall(r => !r.getDouble(1).isNaN))
+    // a degenerate index (empty shard) is a premise violation, refused
+    // loudly — its NaN scores would silently sort to the top
+    val empty = TextOps.bm25Index(docs.filter(col("doc_id") < 0))
+    intercept[IllegalArgumentException](TextOps.docBm25Indexed(docs, empty))
   }
 
   test("bm25 index merge: two disjoint shards merge to the full corpus index") {
