@@ -33,7 +33,14 @@ def _norm(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
+        # The DRIVER's comparator sorts rows via pandas and dies on
+        # array cells ("unhashable type: numpy.ndarray") — round 7 lost
+        # its only red row to this gate DIVERGENCE: the local replica
+        # tuple-ized lists and passed while the driver errored. Mirror
+        # the driver: an array-typed output column is a FAIL here too.
+        raise TypeError(
+            "array-typed output column (driver comparator cannot sort "
+            "arrays; project to scalar columns)")
     return v
 
 
