@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // ~80 query keys x (warm-up + timed reps) of whole-stage codegen JIT a
+  // lot of generated classes in one JVM. An instrumented sweep
+  // (-Xlog:codecache,gc) showed the default 240 MB cache NOT flushing
+  // and GC healthy (~1.8 s pauses / 172 s run, zero full GCs), so the
+  // cross-round "phantom regression" variance is environmental, not a
+  // JVM-resource cliff — headroom here is cheap insurance (virtual
+  // memory only), not a measured fix.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -32,7 +32,14 @@ object Bench {
     graft.model.Fixtures.events(spark, sfDir).count()
 
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset filter (SPARK_GRAFT_BENCH_ONLY=k1,k2): time a few
+    // keys in isolation while iterating. The driver never sets it, so
+    // the recorded line always covers the full inventory.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (0 until warmup).foreach { _ =>
         try run()
@@ -96,7 +103,9 @@ object Bench {
     // (the judge reads the line), "value" alone carries the headline
     // total, and the driver records sf out-of-band (it sets
     // SPARK_GRAFT_SF_DIR itself).
-    val line = s"""{"value":${fmt(total)},"queries":$qs$errs}"""
+    // headline total rounds to whole seconds: run-to-run noise dwarfs a
+    // tenth, and the two chars stay inside the 2000-char tail window
+    val line = s"""{"value":${total.round},"queries":$qs$errs}"""
     // Hard guard on the 2000-char capture: nothing left to shed — warn so
     // the overflow is visible in the round log before keys are added.
     val budget = 1990

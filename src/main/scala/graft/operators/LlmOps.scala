@@ -46,6 +46,33 @@ object LlmOps {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Corpus-level bigram frequency top-k — the n-gram statistics pass an
+    * LM-data pipeline runs for vocabulary analysis, boilerplate survey,
+    * and n-gram-LM estimation (the unigram analog feeds
+    * `text_lm_perplexity`). The bigram list is built IN-ROW from the
+    * token array (two aligned `slice`s fused by `zip_with`, all inside
+    * whole-stage codegen — no self-join of an exploded token table, which
+    * at 100 TB would shuffle one row per token²-ish pair); only then does
+    * the single explode → map-side-combined groupBy → TakeOrdered run,
+    * the exact `textTokenizeCounts` skeleton with the same skew-free
+    * aggregate shape (distinct bigrams per partition, not token count,
+    * crosses the one exchange).
+    */
+  def corpusBigramTopK(docs: DataFrame, k: Int): DataFrame = {
+    val w = tokens(col("text"))
+    // one-token (or empty) docs produce zero bigrams: slice length is
+    // clamped at 0 — greatest() keeps slice()'s non-negative-length
+    // contract rather than relying on it to tolerate -1
+    val n = greatest(size(w) - 1, lit(0))
+    val bg = zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(explode(bg).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------------
   // Deduplication
   // ---------------------------------------------------------------------
@@ -231,6 +258,8 @@ object LlmOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokenize_counts" ->
       ((s, d) => textTokenizeCounts(Fixtures.documents(s, d), TOP_K_WORDS)),
+    "bigrams" ->
+      ((s, d) => corpusBigramTopK(Fixtures.documents(s, d), TOP_K_WORDS)),
     "doc_near_dedup" ->
       ((s, d) => docNearDedup(Fixtures.documents(s, d))),
     "embedding_topk_cosine" ->
@@ -302,6 +331,16 @@ object LlmOps {
                 FROM documents)
           WHERE word <> '' GROUP BY word
           ORDER BY n DESC, word LIMIT $TOP_K_WORDS""",
+    // range(1, len) is empty for one-token docs, mirroring the Spark
+    // side's clamped slices; ws is 1-indexed in DuckDB like slice() is
+    // in Spark, so ws[i] || ' ' || ws[i+1] walks the same pairs
+    "bigrams" ->
+      s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+                FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                      FROM documents))
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT $TOP_K_WORDS""",
     "doc_near_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
                  regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS sig,

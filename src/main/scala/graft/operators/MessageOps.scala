@@ -376,7 +376,7 @@ object MessageOps {
     "dead_letter_split" -> ((s, d) => deadLetterSplit(Fixtures.events(s, d), 16)),
     "seek_by_time_topk" -> ((s, d) => seekByTimeTopK(Fixtures.events(s, d), T0_US, 100)),
     "last_message_per_partition" -> ((s, d) => lastMessagePerPartition(Fixtures.events(s, d))),
-    "read_compacted_last_per_key" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
+    "read_compacted" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
     "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
     "chunk_reassembly" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
     "throughput_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
@@ -476,7 +476,7 @@ object MessageOps {
                   row_number() OVER (PARTITION BY user_id % $P
                     ORDER BY $US DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY part""",
-    "read_compacted_last_per_key" ->
+    "read_compacted" ->
       s"""SELECT user_id, event_id, event_type, value, publish_us FROM
           (SELECT user_id, event_id, event_type, value, $US AS publish_us,
                   row_number() OVER (PARTITION BY user_id

@@ -59,7 +59,7 @@ object MsgLog {
   /** Topic compaction (reference `read_compacted`,
     * `src/PulsarApi.proto:325`): rewrite a topic keeping only the latest
     * message per partition key — the broker-side compaction job whose
-    * *read* form is the `read_compacted_last_per_key` query. Latest =
+    * *read* form is the `read_compacted` query. Latest =
     * max (publish time, event_id); output is routed/framed like any
     * produce, so a compacted topic is itself a valid topic.
     */

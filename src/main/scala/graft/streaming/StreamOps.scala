@@ -294,6 +294,42 @@ object StreamOps {
     main.unionByName(dlq).select("topic", "n", "sum_value").orderBy("topic")
   }
 
+  /** Watermarked stream-stream self-join — purchase attribution: each
+    * purchase joins every click by the same user in the preceding 30
+    * minutes (the reply/request correlation a messaging consumer runs
+    * across two topics; here both legs read the one events topic). This
+    * is the canonical Structured Streaming stream-stream inner join: both
+    * sides carry a watermark and the join predicate carries an event-time
+    * range, so the state store holds only rows inside the watermark ∪
+    * range horizon — clicks evict once `buy_ts` can no longer reach them,
+    * which is the 100 TB-safe shape (unbounded-state joins without a time
+    * bound are rejected by the engine outright). The per-user aggregate
+    * runs batch-side on the joined output: chaining a second stateful
+    * aggregate after a stream-stream join is restricted, and the memory
+    * sink's contract (small final rows) is met by aggregating the
+    * collected join output, not by widening the stream state.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"), col("value"))
+      .withWatermark("buy_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
+    runToTable(joined, "append")
+      .select(col("c_user").as("user_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Stream-static enrichment join: the in-flight message stream joins a
     * broadcast dimension (customer metadata keyed by the partition key) —
     * the lookup-enrichment every consumer pipeline performs (topic
@@ -321,9 +357,13 @@ object StreamOps {
     "stream_tumbling_window" -> ((s, d) => streamTumblingWindow(s, d)),
     "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
     "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)),
-    "stream_redelivery_tracker" -> ((s, d) => streamRedeliveryTracker(s, d)),
+    "stream_redelivery" -> ((s, d) => streamRedeliveryTracker(s, d)),
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
-    "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)))
+    "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)),
+    // "ss_join" = stream-stream join; short by design — the bench JSON
+    // line must fit the driver's 2000-char stdout tail whole (Bench
+    // scaladoc), the pq_enc precedent
+    "ss_join" -> ((s, d) => streamStreamJoin(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -346,7 +386,7 @@ object StreamOps {
       graft.operators.TemporalOps.oracle("session_assign"),
     "stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_id % 256 AS seq FROM events""",
-    "stream_redelivery_tracker" ->
+    "stream_redelivery" ->
       """SELECT user_id, event_id % 256 AS seq,
                 CAST(count(*) AS BIGINT) AS n_deliveries
          FROM events GROUP BY 1, 2""",
@@ -355,6 +395,18 @@ object StreamOps {
                 round(sum(value), 2) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment""",
+    // single-batch premise: every click/purchase pair is co-present in
+    // the one micro-batch, so no click can be evicted before a matching
+    // purchase arrives — the streaming inner join emits exactly the
+    // batch join's rows
+    "ss_join" ->
+      """SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+                round(sum(b.value), 2) AS sum_value
+         FROM events a JOIN events b
+           ON b.user_id = a.user_id
+          AND a.event_type = 'click' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+         GROUP BY a.user_id""",
     "stream_dlq_split" ->
       """SELECT topic, CAST(n AS BIGINT) AS n, sum_value FROM (
            SELECT 'main' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -21,6 +21,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ns.sum <= totalTokens)
   }
 
+  test("corpusBigramTopK: counts match an exploded-pairs reference; edge docs yield none") {
+    val rows = LlmOps.corpusBigramTopK(docs, 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse))
+    // reference form: self-zip via posexplode of the token array — the
+    // shape the in-row zip_with must be equivalent to
+    val toks = docs.select(posexplode(
+      split(trim(lower(col("text"))), "\\s+")).as(Seq("i", "w")),
+      col("doc_id"))
+    val ref = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.i") === col("a.i") + 1)
+      .select(concat(col("a.w"), lit(" "), col("b.w")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(50)
+    assertSameRows(LlmOps.corpusBigramTopK(docs, 50), ref)
+    // one-token and empty docs contribute zero bigrams, not a crash
+    import spark.implicits._
+    val edge = Seq((1L, "solo"), (2L, ""), (3L, "  "), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val eb = LlmOps.corpusBigramTopK(edge, 10).collect()
+    assert(eb.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("a b", 1L)))
+  }
+
   test("docNearDedup: groups partition the corpus; survivors are group minima") {
     val d = LlmOps.docNearDedup(docs)
     assert(d.agg(sum("n_dups")).collect()(0).getLong(0) === docs.count())

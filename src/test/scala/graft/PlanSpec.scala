@@ -67,6 +67,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("bigrams builds pairs in-row: one explode, one exchange, top-k") {
+    val p = plan("bigrams")
+    // the pair list forms inside the row (zip_with over aligned slices);
+    // a posexplode self-join shape would shuffle one row per TOKEN and
+    // join on (doc, position) — the 100 TB killer this guards against
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, p)
+    assert(p.contains("partial_count"), p) // map-side combine before it
+  }
+
   test("embedding_topk_cosine broadcasts the query vector and takes ordered") {
     val p = plan("embedding_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)

@@ -70,7 +70,7 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
-  test("stream_redelivery_tracker equals the batch per-key delivery count") {
+  test("stream_redelivery equals the batch per-key delivery count") {
     val stream = StreamOps.streamRedeliveryTracker(spark, sfDir)
     val batch = ev
       .groupBy(col("user_id"), (col("event_id") % 256).as("seq"))
@@ -85,6 +85,23 @@ class StreamOpsSpec extends SparkTestBase {
     val batch = ev.join(dim, "user_id")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assertSameRows(stream, batch)
+  }
+
+  test("ss_join equals the batch self-join attribution aggregate") {
+    val stream = StreamOps.streamStreamJoin(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"), col("value"))
+    val batch = clicks.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        round(sum(col("value")), 2).as("sum_value"))
+    assert(stream.count() > 0, "attribution join must match at least one pair")
     assertSameRows(stream, batch)
   }
 
