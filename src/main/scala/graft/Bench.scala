@@ -106,8 +106,14 @@ object Bench {
     // headline total rounds to whole seconds: run-to-run noise dwarfs a
     // tenth, and the two chars stay inside the 2000-char tail window
     val line = s"""{"value":${total.round},"queries":$qs$errs}"""
-    // Hard guard on the 2000-char capture: nothing left to shed — warn so
-    // the overflow is visible in the round log before keys are added.
+    // Guard on the 2000-char capture. True cap: the tail holds the last
+    // 2000 stdout chars, so the LINE survives whole at length ≤ 1999
+    // (its trailing newline takes one). 1990 leaves slack for value
+    // drift (keys crossing 10 s print one extra char each). Reclaims
+    // spent, in order: "unit"/"metric"/"sf" fields, integer total, key
+    // renames (read_compacted, stream_redelivery, bucketed_join), short
+    // new-key names (pq_enc, bigrams, ss_join, pii). Next reclaim if
+    // needed: last_message_per_partition → last_msg_per_partition.
     val budget = 1990
     val out = line
     if (out.length > budget)

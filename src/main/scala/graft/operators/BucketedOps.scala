@@ -57,10 +57,10 @@ object BucketedOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bucketed_join_colocate" -> ((s, d) => bucketedJoinColocate(s, d)))
+    "bucketed_join" -> ((s, d) => bucketedJoinColocate(s, d)))
 
   def oracle: Map[String, String] = Map(
-    "bucketed_join_colocate" ->
+    "bucketed_join" ->
       """WITH totals AS (SELECT user_id, round(sum(value), 2) AS user_total
                          FROM events GROUP BY user_id)
          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,

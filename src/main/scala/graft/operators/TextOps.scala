@@ -162,6 +162,51 @@ object TextOps {
                sequence(1, greatest(length(text) - ${gramLen - 1}, 1)),
                i -> md5(cast(substr(text, i, $gramLen) as binary)))""")
 
+  /** PII patterns for [[docPiiScrub]], applied in this order. Restricted
+    * to the regex subset Java (Spark) and RE2 (DuckDB) agree on —
+    * character classes, bounded counts, alternation; no lookaround, no
+    * backreferences — so the oracle can run the IDENTICAL pattern text.
+    * Email first (its local part would otherwise feed the phone run),
+    * then dotted-quad IPs (their octets likewise), then phone-ish digit
+    * runs.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>"))
+
+  /** PII masking (the C4/Dolma/FineWeb-style scrub every public-web
+    * curation pipeline runs before training): emails, dotted-quad IPs,
+    * and phone-shaped digit runs replace with typed placeholders. Counts
+    * are taken per kind on the progressively-scrubbed text (mirroring
+    * the replacement cascade, so an email's digits are never also
+    * counted as a phone), and the scrubbed text is emitted as an md5 so
+    * the contract row stays scalar (the comparator cannot sort raw-text
+    * columns of arbitrary size; library callers use [[piiScrubText]]
+    * for the scrubbed column itself). Pure per-row projection — zero
+    * exchanges, the identical plan at 10^11 documents. The fixtures
+    * contain no PII, so fixture counts are all zero and `scrub_md5 =
+    * md5(text)` — the regex semantics are locked cross-engine by the
+    * oracle and the real redaction path by the synthetic-row spec.
+    */
+  def docPiiScrub(docs: DataFrame): DataFrame = {
+    val stages = PiiPatterns.scanLeft(col("text")) {
+      case (t, (_, re, repl)) => regexp_replace(t, lit(re), lit(repl))
+    }
+    val counts = PiiPatterns.zip(stages.init).map {
+      case ((kind, re, _), t) => regexp_count(t, lit(re)).as(s"n_$kind")
+    }
+    docs.select(col("doc_id") +: counts :+
+      md5(stages.last.cast("binary")).as("scrub_md5"): _*)
+  }
+
+  /** The scrubbed text itself, for library composition (the contract key
+    * hashes it — see [[docPiiScrub]]). */
+  def piiScrubText(text: Column): Column =
+    PiiPatterns.foldLeft(text) {
+      case (t, (_, re, repl)) => regexp_replace(t, lit(re), lit(repl))
+    }
+
   /** Document fingerprint: bottom-4 sketch of character-8-gram md5s — a
     * winnowing-style locality-sensitive signature (shared low hashes ⇒
     * shared substrings). The gram hashing runs in the fused native
@@ -629,7 +674,30 @@ object TextOps {
     "doc_boilerplate_df" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
     "doc_mixture_sample" ->
       ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)),
-    "bm25" -> ((s, d) => docBm25(Fixtures.documents(s, d))))
+    "bm25" -> ((s, d) => docBm25(Fixtures.documents(s, d))),
+    // "pii" — short by design (bench line budget, the pq_enc precedent)
+    "pii" -> ((s, d) => docPiiScrub(Fixtures.documents(s, d))))
+
+  /** The PII oracle is GENERATED from [[PiiPatterns]] so the pattern
+    * text cannot drift between the Spark cascade and the SQL one; the
+    * 'g' flag mirrors Spark's replace-all default, and counts run on the
+    * same progressively-scrubbed stages. */
+  private def piiOracle: String = {
+    val stages = PiiPatterns.zipWithIndex.map {
+      case (((_, re, repl)), i) =>
+        s"s${i + 1} AS (SELECT *, regexp_replace(t$i, '$re', '$repl', 'g') AS t${i + 1} FROM s$i)"
+    }.mkString(",\n            ")
+    val counts = PiiPatterns.zipWithIndex.map {
+      case ((kind, re, _), i) =>
+        s"CAST(len(regexp_extract_all(t$i, '$re')) AS INTEGER) AS n_$kind"
+    }.mkString(",\n                   ")
+    s"""WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+            $stages
+        SELECT doc_id,
+                   $counts,
+                   md5(t${PiiPatterns.size}) AS scrub_md5
+        FROM s${PiiPatterns.size}"""
+  }
 
   private def duckScore(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -647,6 +715,7 @@ object TextOps {
     val tierCase = MixtureTiers.zipWithIndex
       .map { case (w, i) => s"WHEN $i THEN $w" }.mkString(" ")
     Map(
+      "pii" -> piiOracle,
       "text_lang_id" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),

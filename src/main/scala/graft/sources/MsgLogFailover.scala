@@ -22,11 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * preemption (a joining consumer that sorts ahead of the current
   * active takes over, and the displaced consumer's in-flight deliveries
   * are redelivered — the broker emits `CommandActiveConsumerChange` for
-  * exactly this), and takeover redelivery on departure. What is NOT:
-  * crash DETECTION — the broker notices a dead TCP session; a
-  * file-backed journal has no liveness signal, so handoff happens at
-  * the explicit [[unregister]] (deploy orchestration made an API verb).
-  * That narrowing is the recorded divergence (SURVEY §2.5).
+  * exactly this), and takeover redelivery on departure. Crash
+  * DETECTION — the broker notices a dead TCP session — maps to an
+  * optional liveness LEASE (`register(..., leaseMs)`): a leased
+  * consumer must [[heartbeat]] within every lease window (the
+  * keep-alive the reference runs over its connection,
+  * `src/netflow/connection.rs:516-558`) or the next verb on the
+  * subscription reaps it exactly like an [[unregister]] — journaled
+  * leave, takeover redelivery, next consumer in order activates.
+  * Consumers registered WITHOUT a lease keep the explicit-unregister
+  * contract (deploy orchestration made an API verb).
   *
   * Storage: a consumer-registry journal `reg-*.tsv` (rows
   * `action \t priority \t consumer`, action 1 = join / 0 = leave) in
@@ -49,22 +54,86 @@ object MsgLogFailover {
     * consumer PREEMPTS it: the displaced consumer's in-flight deliveries
     * are released for the new active to re-receive. Re-registering a
     * live name is a caller bug (the broker rejects duplicate consumer
-    * names on a subscription). */
+    * names on a subscription).
+    *
+    * `leaseMs > 0` attaches a LIVENESS LEASE (the file analog of the
+    * broker's TCP-session death signal, closing the crash-detection
+    * divergence the journal design recorded): the consumer must
+    * [[heartbeat]] within every `leaseMs` window or any later verb on
+    * the subscription reaps it — journaled as an ordinary leave, with
+    * the same takeover redelivery as an explicit [[unregister]]. 0 (the
+    * default) keeps the explicit-unregister-only behavior for deploy
+    * orchestration that prefers it. */
   def register(topicDir: String, subscription: String, consumer: String,
-      priority: Int = 0): Boolean = MsgLogShared.synchronized {
+      priority: Int = 0, leaseMs: Long = 0L): Boolean = MsgLogShared.synchronized {
     require(consumer.nonEmpty && !consumer.contains('\t') &&
       !consumer.contains('\n'),
       s"graft-msglog: invalid consumer name '$consumer'")
     require(priority >= 0, s"graft-msglog: negative priority $priority")
+    require(leaseMs >= 0, s"graft-msglog: negative leaseMs $leaseMs")
+    require(leaseMs == 0 || !consumer.contains('/'),
+      s"graft-msglog: a leased consumer name may not contain '/': '$consumer'")
+    reapExpired(topicDir, subscription)
     val dir = MsgLogShared.subDir(topicDir, subscription)
     if (registrants(dir).exists(_._1 == consumer))
       throw new IllegalArgumentException(
         s"graft-msglog: consumer '$consumer' already registered on '$subscription'")
     releaseOnActiveChange(topicDir, subscription) {
       MsgLogShared.appendJournal(dir, "reg", Seq(s"$Join\t$priority\t$consumer"))
+      if (leaseMs > 0) {
+        val f = leasePath(dir, consumer)
+        java.nio.file.Files.write(f, leaseMs.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      } else java.nio.file.Files.deleteIfExists(leasePath(dir, consumer))
     }
     active(topicDir, subscription).contains(consumer)
   }
+
+  /** Refresh `consumer`'s liveness lease (the keep-alive ping,
+    * reference `CommandPing`/`CommandPong` keep-alive,
+    * `src/netflow/connection.rs:516-558`). A caller bug on a consumer
+    * without a lease or not registered. */
+  def heartbeat(topicDir: String, subscription: String,
+      consumer: String): Unit = MsgLogShared.synchronized {
+    val dir = MsgLogShared.subDir(topicDir, subscription)
+    val f = leasePath(dir, consumer)
+    if (!registrants(dir).exists(_._1 == consumer) ||
+        !java.nio.file.Files.exists(f))
+      throw new IllegalArgumentException(
+        s"graft-msglog: consumer '$consumer' holds no lease on '$subscription'")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+  }
+
+  /** Reap every leased registrant whose lease has expired: each is
+    * journaled as a leave (durable — replays identically), with
+    * takeover redelivery if it was the active consumer. Runs at the head
+    * of every public verb (the broker notices a dead session when it
+    * next matters) and may be called directly by a watchdog. Returns the
+    * reaped consumer names. */
+  def reapExpired(topicDir: String, subscription: String): Seq[String] =
+    MsgLogShared.synchronized {
+      val dir = MsgLogShared.subDir(topicDir, subscription)
+      val now = System.currentTimeMillis()
+      val expired = registrants(dir).map(_._1).filter { name =>
+        val f = leasePath(dir, name)
+        java.nio.file.Files.exists(f) && {
+          val lease = new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          now - java.nio.file.Files.getLastModifiedTime(f).toMillis > lease
+        }
+      }
+      expired.foreach { name =>
+        releaseOnActiveChange(topicDir, subscription) {
+          MsgLogShared.appendJournal(dir, "reg", Seq(s"$Leave\t0\t$name"))
+        }
+        java.nio.file.Files.deleteIfExists(leasePath(dir, name))
+      }
+      expired
+    }
+
+  private def leasePath(dir: Path, consumer: String): Path =
+    dir.resolve(s"lease-$consumer")
 
   /** Unregister a consumer. If it was the active one, its in-flight
     * deliveries are released back to the subscription (the takeover
@@ -72,7 +141,9 @@ object MsgLogFailover {
     * the released count (0 for a standby departure). */
   def unregister(topicDir: String, subscription: String,
       consumer: String): Int = MsgLogShared.synchronized {
+    reapExpired(topicDir, subscription)
     val dir = MsgLogShared.subDir(topicDir, subscription)
+    java.nio.file.Files.deleteIfExists(leasePath(dir, consumer))
     if (!registrants(dir).exists(_._1 == consumer))
       throw new IllegalArgumentException(
         s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
@@ -98,6 +169,7 @@ object MsgLogFailover {
     * bug. */
   def receive(spark: SparkSession, topicDir: String, subscription: String,
       consumer: String, max: Int): DataFrame = MsgLogShared.synchronized {
+    reapExpired(topicDir, subscription)
     if (!registrants(MsgLogShared.subDir(topicDir, subscription))
         .exists(_._1 == consumer))
       throw new IllegalArgumentException(

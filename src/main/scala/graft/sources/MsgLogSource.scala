@@ -151,15 +151,28 @@ object MsgLogSource {
     java.nio.ByteBuffer.wrap(d).getLong & 0x7FFFFFFFFFFFFFFFL
   }
 
+  /** All VISIBLE ledgers of a topic, sorted by name. Transactional
+    * ledgers (`txn-<id>-*.glog`, [[MsgLogTxn]]) are visible only once
+    * their transaction's commit marker exists — the read-side half of
+    * the EndTxn(COMMIT) contract (`src/PulsarApi.proto:702-802`): every
+    * scan, frontier walk, stats probe, and subscription path resolves
+    * ledgers through here, so an uncommitted or aborted transaction is
+    * invisible to ALL of them at once.
+    */
   def ledgerFiles(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val stream = Files.list(d)
-      try stream.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(MsgLogCodec.Extension))
-        .sortBy(_.getFileName.toString)
-      finally stream.close() // Files.list holds a directory fd until closed
+      try {
+        val entries = stream.iterator().asScala.toSeq.map(_.getFileName.toString)
+        val committed = entries.flatMap(MsgLogTxn.committedTxnId).toSet
+        entries
+          .filter(_.endsWith(MsgLogCodec.Extension))
+          .filter(n => MsgLogTxn.txnIdOf(n).forall(committed.contains))
+          .sorted
+          .map(d.resolve)
+      } finally stream.close() // Files.list holds a directory fd until closed
     }
   }
 

@@ -139,15 +139,27 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
   private val enforceSchema: Boolean =
     Option(info.options.get("enforceSchema")).exists(_.toBoolean)
 
+  /** Transactional batch produce (`transactional=true`): all the write's
+    * ledgers become visible atomically at job commit, or never — see
+    * [[MsgLogTxn]]. Batch-only: streaming epochs already carry
+    * exactly-once visibility by idempotent epoch-keyed ledger names.
+    */
+  private val transactional: Boolean =
+    Option(info.options.get("transactional")).exists(_.toBoolean)
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new MsgLogBatchWrite(path, info.schema(), codec, batchSize, maxFrameBytes,
-        dedupOnAppend, declaredSchemaDdl, enforceSchema)
+        dedupOnAppend, declaredSchemaDdl, enforceSchema, transactional)
     override def toStreaming: StreamingWrite = {
       if (dedupOnAppend)
         throw new IllegalArgumentException(
           "graft-msglog: dedupOnAppend is batch-only — streaming epochs are " +
             "idempotent by ledger name (an epoch re-commit overwrites its own files)")
+      if (transactional)
+        throw new IllegalArgumentException(
+          "graft-msglog: transactional is batch-only — streaming epochs are " +
+            "already atomic per epoch (idempotent epoch-keyed ledgers)")
       new MsgLogStreamingWrite(path, info.schema(), info.queryId(), codec, batchSize,
         maxFrameBytes, declaredSchemaDdl, enforceSchema)
     }
@@ -296,9 +308,123 @@ object MsgLogSeqFrontier {
 
 case class MsgLogCommit(file: String) extends WriterCommitMessage
 
+/** Transactional produce (reference transaction protocol,
+  * `src/PulsarApi.proto:702-802` — `NewTxn` / `AddPartitionToTxn` /
+  * `EndTxn` COMMIT/ABORT; defined in the proto, unused by the reference
+  * client): atomic all-or-nothing visibility for a multi-partition batch
+  * append.
+  *
+  * File protocol: a transactional write's task ledgers are named
+  * `txn-<id>-<partition>.glog` (NewTxn = the write's id;
+  * AddPartitionToTxn = each task adopting the prefix) and are INVISIBLE
+  * to every reader until `txn-<id>.commit` exists in the topic dir
+  * ([[MsgLogSource.ledgerFiles]] is the single resolution point). Job
+  * commit writes that marker with a tmp + atomic rename — the one
+  * EndTxn(COMMIT) instant at which all the transaction's ledgers appear
+  * together; job abort (or a crash before commit — see [[vacuum]])
+  * leaves no marker, so nothing ever appears. The marker records the
+  * committed ledger names, one per line, so integrity is auditable.
+  *
+  * At scale the marker is one tiny file per transaction and visibility
+  * filtering is a name-prefix check against the directory listing the
+  * scan already performs — no per-frame cost anywhere.
+  *
+  * Scope: produce-side only. `AddSubscriptionToTxn` /
+  * `EndTxnOnSubscription` (acking consumed messages atomically with the
+  * produce — the consume-transform-produce loop) is NOT implemented:
+  * acks live in a different sidecar, and one atomic rename cannot span
+  * two directories; the engine's answer to that loop is Structured
+  * Streaming's checkpointed `foreachBatch` (idempotent epoch re-commit),
+  * which subsumes it. The reference client never exercises any of the
+  * transaction commands either (proto-only).
+  */
+object MsgLogTxn {
+  private val LedgerRe = "^txn-([0-9a-f]{8})-.*".r
+  private val MarkerRe = "^txn-([0-9a-f]{8})\\.commit$".r
+
+  /** Transaction id of a LEDGER file name, if it is transactional. */
+  def txnIdOf(fileName: String): Option[String] = fileName match {
+    case LedgerRe(id) => Some(id)
+    case _ => None
+  }
+
+  /** Transaction id of a COMMIT-MARKER file name, if it is one. */
+  def committedTxnId(fileName: String): Option[String] = fileName match {
+    case MarkerRe(id) => Some(id)
+    case _ => None
+  }
+
+  def markerPath(dir: String, txnId: String): Path =
+    Paths.get(dir, s"txn-$txnId.commit")
+
+  /** EndTxn(COMMIT): atomically publish every ledger of `txnId`. */
+  def commit(dir: String, txnId: String, ledgerNames: Seq[String]): Unit = {
+    val tmp = Paths.get(dir, s".txn-$txnId.commit.tmp")
+    Files.write(tmp, ledgerNames.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath(dir, txnId), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** EndTxn(ABORT): delete every staged ledger (and sidecar) of `txnId`.
+    * Only legal while no commit marker exists — a committed transaction
+    * is immutable history.
+    */
+  def abort(dir: String, txnId: String): Unit = {
+    require(!Files.exists(markerPath(dir, txnId)),
+      s"graft-msglog: transaction $txnId is committed; it cannot be aborted")
+    staged(dir, txnId).foreach { p =>
+      Files.deleteIfExists(MsgLogSeqFrontier.sidecarPath(p))
+      Files.deleteIfExists(p)
+    }
+  }
+
+  /** Staged (not-necessarily-committed) ledger files of one txn. */
+  private def staged(dir: String, txnId: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(MsgLogCodec.Extension) && txnIdOf(n).contains(txnId)
+      }
+    } finally stream.close()
+  }
+
+  /** Garbage-collect ledgers of transactions that never committed (a
+    * driver crash between task commits and the marker write — the
+    * broker's transaction-timeout reaper). Returns the deleted paths.
+    * Safe at any time: committed transactions are untouched.
+    */
+  def vacuum(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val stream = Files.list(d)
+    val entries = try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq
+    } finally stream.close()
+    val names = entries.map(_.getFileName.toString)
+    val committed = names.flatMap(committedTxnId).toSet
+    val orphans = entries.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(MsgLogCodec.Extension) &&
+        txnIdOf(n).exists(!committed.contains(_))
+    }
+    orphans.foreach { p =>
+      Files.deleteIfExists(MsgLogSeqFrontier.sidecarPath(p))
+      Files.deleteIfExists(p)
+    }
+    orphans
+  }
+}
+
 class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int,
     maxFrameBytes: Int = 0, dedupOnAppend: Boolean = false,
-    schemaDdl: Option[String] = None, enforceSchema: Boolean = false)
+    schemaDdl: Option[String] = None, enforceSchema: Boolean = false,
+    transactional: Boolean = false)
     extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
@@ -318,10 +444,29 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
     // sends a message; tasks receive the effective DDL to validate under
     val enforceDdl = MsgLogWriterFactory.resolveSchema(path, schemaDdl, enforceSchema)
     MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes, frontier,
-      enforceDdl, org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      enforceDdl, org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
+      txn = transactional)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** Non-transactional commit is a no-op (task renames already published
+    * each ledger); transactional commit is the EndTxn(COMMIT) instant —
+    * one atomic marker rename makes every task's ledger visible together.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (transactional) {
+      val names = messages.collect {
+        case MsgLogCommit(f) if f.nonEmpty => Paths.get(f).getFileName.toString
+      }
+      MsgLogTxn.commit(path, writeId, names.toSeq)
+    }
+
+  /** Transactional abort = EndTxn(ABORT): staged ledgers are deleted and
+    * were never visible. (Non-transactional: committed tasks' ledgers
+    * are already public — the pre-transaction behavior callers opt out
+    * of with `transactional=true`.)
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    if (transactional) MsgLogTxn.abort(path, writeId)
 }
 
 /** Streaming ledger names carry the QUERY id (stable across restarts of
@@ -348,11 +493,13 @@ class MsgLogStreamingWrite(path: String, schema: StructType, queryId: String,
 case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String,
     codec: Byte, batchSize: Int, maxFrameBytes: Int = 0,
     dedupFrontier: Map[String, Long] = Map.empty,
-    enforceDdl: Option[String] = None, sessionTz: String = "UTC")
+    enforceDdl: Option[String] = None, sessionTz: String = "UTC",
+    txn: Boolean = false)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MsgLogDataWriter(path, schema, f"ledger-$writeId-$partitionId%04d", taskId,
-      codec, batchSize, maxFrameBytes, dedupFrontier, enforceDdl, sessionTz)
+    new MsgLogDataWriter(path, schema,
+      if (txn) f"txn-$writeId-$partitionId%04d" else f"ledger-$writeId-$partitionId%04d",
+      taskId, codec, batchSize, maxFrameBytes, dedupFrontier, enforceDdl, sessionTz)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId,
       codec, batchSize, maxFrameBytes, enforceDdl = enforceDdl, sessionTz = sessionTz)

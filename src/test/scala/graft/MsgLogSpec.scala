@@ -560,6 +560,48 @@ class MsgLogSpec extends SparkTestBase {
     assert(fresh.length === 12 && fresh.forall(_.getInt(3) === 0))
   }
 
+  test("failover lease: an expired active consumer is reaped with takeover redelivery") {
+    import graft.sources.{MsgLogFailover, MsgLogShared}
+    val ev = Fixtures.events(spark, sfDir).limit(10)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_lease_").toString
+    ev.write.format("graft-msglog").mode("append").save(topic)
+    val sub = "leased"
+    // w1 active with a 1h lease; w2 standby without one
+    assert(MsgLogFailover.register(topic, sub, "w1", priority = 0, leaseMs = 3600000L))
+    assert(!MsgLogFailover.register(topic, sub, "w2"))
+    val d1 = MsgLogFailover.receive(spark, topic, sub, "w1", 4)
+      .select("ledger", "entry", "event_id", "redelivery_count").collect()
+    assert(d1.length === 4)
+    // a live lease survives verbs; heartbeat refreshes it
+    MsgLogFailover.heartbeat(topic, sub, "w1")
+    assert(MsgLogFailover.active(topic, sub) === Some("w1"))
+    assert(MsgLogFailover.reapExpired(topic, sub).isEmpty)
+    // age the lease past its window: the next verb reaps w1 — journaled
+    // leave, takeover redelivery of its 4 in-flight to w2
+    val lease = java.nio.file.Paths.get(topic, ".subs", sub, "lease-w1")
+    assert(java.nio.file.Files.exists(lease))
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val d2 = MsgLogFailover.receive(spark, topic, sub, "w2", 20)
+      .select("ledger", "entry", "event_id", "redelivery_count").collect()
+    assert(MsgLogFailover.consumers(topic, sub) === Seq("w2" -> 0))
+    assert(d2.length === 10)
+    assert(d2.count(_.getInt(3) === 1) === 4, "w1's in-flight redelivers bumped")
+    assert(d2.filter(_.getInt(3) === 1).map(_.getLong(2)).sorted.toSeq ===
+      d1.map(_.getLong(2)).sorted.toSeq)
+    assert(!java.nio.file.Files.exists(lease), "reaping collects the lease file")
+    // a dead consumer's verbs fail loud; the name can re-register fresh
+    intercept[IllegalArgumentException] {
+      MsgLogFailover.heartbeat(topic, sub, "w1")
+    }
+    assert(!MsgLogFailover.register(topic, sub, "w1", priority = 1, leaseMs = 3600000L))
+    // an unleased consumer never expires
+    assert(MsgLogFailover.reapExpired(topic, sub).isEmpty)
+    assert(MsgLogFailover.active(topic, sub) === Some("w2"))
+  }
+
   test("failover standby batch carries the registered payload schema") {
     import graft.sources.MsgLogFailover
     // a topic with a REGISTERED schema attaches a typed payload column
@@ -733,6 +775,102 @@ class MsgLogSpec extends SparkTestBase {
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     assert(spark.read.format("graft-msglog").load(dir).count() === 2 * ev.count())
+  }
+
+  test("transactional produce: commit is atomic, uncommitted ledgers are invisible everywhere") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_txn_").toString
+    ev.repartition(3, col("user_id")).write.format("graft-msglog")
+      .option("transactional", "true").mode("append").save(dir)
+    // committed: everything visible, under txn- names, with one marker
+    assert(spark.read.format("graft-msglog").load(dir).count() === ev.count())
+    val ledgers = graft.sources.MsgLogSource.ledgerFiles(dir)
+    assert(ledgers.nonEmpty &&
+      ledgers.forall(p => graft.sources.MsgLogTxn.txnIdOf(p.getFileName.toString).isDefined))
+    val markers = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    import scala.jdk.CollectionConverters._
+    val markerNames = markers.asScala.map(_.getFileName.toString)
+      .flatMap(n => graft.sources.MsgLogTxn.committedTxnId(n)).toSeq
+    assert(markerNames.size === 1)
+    // the marker records exactly the committed ledger names
+    val recorded = new String(java.nio.file.Files.readAllBytes(
+      graft.sources.MsgLogTxn.markerPath(dir, markerNames.head)), "UTF-8")
+      .split("\n").toSeq.sorted
+    assert(recorded === ledgers.map(_.getFileName.toString).sorted)
+    // withdraw the marker: the WHOLE transaction disappears from every
+    // reader at once (scan, stats, frontier) — the atomicity claim
+    val marker = graft.sources.MsgLogTxn.markerPath(dir, markerNames.head)
+    val hidden = java.nio.file.Paths.get(dir, ".hidden-marker")
+    java.nio.file.Files.move(marker, hidden)
+    assert(spark.read.format("graft-msglog").load(dir).count() === 0)
+    assert(graft.sources.MsgLogSource.ledgerFiles(dir).isEmpty)
+    // restore: everything reappears together
+    java.nio.file.Files.move(hidden, marker)
+    assert(spark.read.format("graft-msglog").load(dir).count() === ev.count())
+  }
+
+  test("transactional produce: a mid-job task failure publishes NOTHING") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("glog_txn_abort_").toString
+    // poison exactly one partition: other tasks commit their ledgers
+    // first, then the job fails and EndTxn(ABORT) must retract them
+    val poisoned = ev.repartition(4, col("user_id"))
+      .withColumn("value", expr(
+        "CASE WHEN spark_partition_id() = 3 AND value IS NOT NULL " +
+          "THEN assert_true(value < -1e18) ELSE value END").cast("double"))
+    intercept[Exception] {
+      poisoned.write.format("graft-msglog")
+        .option("transactional", "true").mode("append").save(dir)
+    }
+    assert(spark.read.format("graft-msglog").load(dir).count() === 0,
+      "an aborted transaction must publish nothing")
+    assert(graft.sources.MsgLogSource.ledgerFiles(dir).isEmpty)
+    // and a later vacuum finds nothing left to collect
+    assert(graft.sources.MsgLogTxn.vacuum(dir).isEmpty)
+  }
+
+  test("transactional vacuum reaps only uncommitted transactions") {
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .limit(100)
+    val dir = Files.createTempDirectory("glog_txn_vac_").toString
+    ev.write.format("graft-msglog")
+      .option("transactional", "true").mode("append").save(dir)
+    val n = spark.read.format("graft-msglog").load(dir).count()
+    // fake a crashed in-flight transaction next to the committed one
+    val orphan = java.nio.file.Paths.get(dir, "txn-deadbeef-0000.glog")
+    java.nio.file.Files.copy(
+      graft.sources.MsgLogSource.ledgerFiles(dir).head, orphan)
+    assert(spark.read.format("graft-msglog").load(dir).count() === n,
+      "the orphan must not be visible before vacuum either")
+    val reaped = graft.sources.MsgLogTxn.vacuum(dir)
+    assert(reaped.map(_.getFileName.toString) === Seq("txn-deadbeef-0000.glog"))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(spark.read.format("graft-msglog").load(dir).count() === n)
+    // a committed transaction cannot be aborted
+    val committedId = graft.sources.MsgLogSource.ledgerFiles(dir).head.getFileName.toString
+    val id = graft.sources.MsgLogTxn.txnIdOf(committedId).get
+    intercept[IllegalArgumentException] {
+      graft.sources.MsgLogTxn.abort(dir, id)
+    }
+  }
+
+  test("transactional is rejected on the streaming sink") {
+    val srcDir = MsgLog.stagedEventsLog(spark, sfDir)
+    val outDir = Files.createTempDirectory("glog_txn_stream_").toString
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-msglog").load(srcDir)
+        .writeStream.format("graft-msglog")
+        .option("transactional", "true")
+        .option("checkpointLocation",
+          Files.createTempDirectory("glog_txn_stream_ckpt_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(outDir)
+      q.awaitTermination()
+    }
+    assert(causeMessages(e).exists(_.contains("transactional is batch-only")))
   }
 
   test("streaming sink: paced stream -> msglog epochs -> batch read round-trips") {

@@ -14,6 +14,37 @@ class PipelineOpsSpec extends SparkTestBase {
   private lazy val docs = Fixtures.documents(spark, sfDir)
   private lazy val emb = Fixtures.embeddings(spark, sfDir)
 
+  test("pii scrub: synthetic PII redacts with typed placeholders and exact counts") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or at work"),
+      (2L, "server 10.0.255.3 and backup 192.168.1.1 are down"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "a@b.io pinged 8.8.8.8 then dialed 555-867-5309 twice"),
+      (5L, "no personal data here at all")).toDF("doc_id", "text")
+    val out = TextOps.docPiiScrub(rows).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((1, 0, 0), (0, 2, 0), (0, 0, 1), (1, 1, 1), (0, 0, 0)))
+    // the scrubbed text really carries the placeholders, not the PII
+    val scrubbed = rows.select(col("doc_id"),
+      TextOps.piiScrubText(col("text")).as("t")).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(scrubbed(0) === "contact me at <EMAIL> or at work")
+    assert(scrubbed(1) === "server <IP> and backup <IP> are down")
+    assert(scrubbed(2) === "call <PHONE> now")
+    assert(scrubbed(3) === "<EMAIL> pinged <IP> then dialed <PHONE> twice")
+    assert(scrubbed(4) === "no personal data here at all")
+    // md5 in the contract row is the md5 of exactly that scrubbed text
+    val viaOp = out.map(_.getString(4))
+    val direct = rows
+      .select(col("doc_id"), md5(TextOps.piiScrubText(col("text")).cast("binary")))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(viaOp.toSeq === direct.toSeq)
+    // clean fixture corpus: no matches, scrub is the identity
+    val fx = TextOps.docPiiScrub(docs)
+    assert(fx.filter(col("n_email") + col("n_ip") + col("n_phone") > 0).count() === 0)
+  }
+
   // --- dedup family ----------------------------------------------------
 
   test("minhash LSH: candidate pairs are symmetric-free, band counts bounded") {

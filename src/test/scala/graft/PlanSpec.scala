@@ -79,6 +79,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p) // map-side combine before it
   }
 
+  test("pii scrub is a pure projection: no exchange at all") {
+    val p = plan("pii")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("embedding_topk_cosine broadcasts the query vector and takes ordered") {
     val p = plan("embedding_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
@@ -264,7 +270,7 @@ class PlanSpec extends SparkTestBase {
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
     val skip = Set("doc_dup_groups", "doc_filter_pipeline", "embedding_dup_groups",
-      "doc_lsh_verified_dups", "embedding_ivf_topk", "bucketed_join_colocate",
+      "doc_lsh_verified_dups", "embedding_ivf_topk", "bucketed_join",
       "msglog_roundtrip_scan", "msglog_multi_topic_scan", "round_robin_balance",
       "text_lm_perplexity")
     SparkEntry.queries.keys
@@ -283,7 +289,7 @@ class PlanSpec extends SparkTestBase {
     // plan must not run a job (closed-form ops may run their one count)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
       .filterNot(Set("round_robin_balance", "msglog_roundtrip_scan",
-        "msglog_multi_topic_scan", "bucketed_join_colocate",
+        "msglog_multi_topic_scan", "bucketed_join",
         "doc_lsh_verified_dups",
         "embedding_ivf_topk", // staging writes / C×dim centroid index
         "doc_dup_groups", "doc_filter_pipeline",
