@@ -395,10 +395,17 @@ object MsgLogTxn {
 
   /** Garbage-collect ledgers of transactions that never committed (a
     * driver crash between task commits and the marker write — the
-    * broker's transaction-timeout reaper). Returns the deleted paths.
-    * Safe at any time: committed transactions are untouched.
+    * broker's transaction-timeout reaper, and like it, gated on AGE):
+    * only uncommitted txn ledgers whose last modification is older than
+    * `olderThanMs` are reaped, so a vacuum racing an IN-FLIGHT write
+    * (tasks committed, job commit marker not yet renamed) cannot delete
+    * ledgers the imminent marker will reference. Pick `olderThanMs`
+    * comfortably above the longest write job, as the broker's
+    * transaction timeout must exceed the longest transaction. Committed
+    * transactions are never touched. Returns the deleted paths.
     */
-  def vacuum(dir: String): Seq[Path] = {
+  def vacuum(dir: String, olderThanMs: Long = 3600000L): Seq[Path] = {
+    require(olderThanMs >= 0, s"graft-msglog: negative olderThanMs $olderThanMs")
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
     val stream = Files.list(d)
@@ -408,10 +415,12 @@ object MsgLogTxn {
     } finally stream.close()
     val names = entries.map(_.getFileName.toString)
     val committed = names.flatMap(committedTxnId).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = entries.filter { p =>
       val n = p.getFileName.toString
       n.endsWith(MsgLogCodec.Extension) &&
-        txnIdOf(n).exists(!committed.contains(_))
+        txnIdOf(n).exists(!committed.contains(_)) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff
     }
     orphans.foreach { p =>
       Files.deleteIfExists(MsgLogSeqFrontier.sidecarPath(p))

@@ -845,6 +845,15 @@ class MsgLogSpec extends SparkTestBase {
       graft.sources.MsgLogSource.ledgerFiles(dir).head, orphan)
     assert(spark.read.format("graft-msglog").load(dir).count() === n,
       "the orphan must not be visible before vacuum either")
+    // a YOUNG uncommitted ledger is an in-flight transaction: the age
+    // gate must protect it from a concurrent vacuum
+    assert(graft.sources.MsgLogTxn.vacuum(dir).isEmpty,
+      "vacuum must not reap ledgers younger than its age gate")
+    assert(java.nio.file.Files.exists(orphan))
+    // age it past the gate: now it is a crashed transaction's debris
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
     val reaped = graft.sources.MsgLogTxn.vacuum(dir)
     assert(reaped.map(_.getFileName.toString) === Seq("txn-deadbeef-0000.glog"))
     assert(!java.nio.file.Files.exists(orphan))
