@@ -1,6 +1,8 @@
 package graft.sources
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -25,13 +27,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly this), and takeover redelivery on departure. Crash
   * DETECTION — the broker notices a dead TCP session — maps to an
   * optional liveness LEASE (`register(..., leaseMs)`): a leased
-  * consumer must [[heartbeat]] within every lease window (the
-  * keep-alive the reference runs over its connection,
-  * `src/netflow/connection.rs:516-558`) or the next verb on the
-  * subscription reaps it exactly like an [[unregister]] — journaled
-  * leave, takeover redelivery, next consumer in order activates.
-  * Consumers registered WITHOUT a lease keep the explicit-unregister
-  * contract (deploy orchestration made an API verb).
+  * consumer must check in within every lease window — an explicit
+  * [[heartbeat]], or any verb it issues (traffic on the connection IS
+  * the keep-alive, reference `src/netflow/connection.rs:516-558`) — or
+  * any verb on the subscription reaps it exactly like an
+  * [[unregister]]: journaled leave, takeover redelivery, next consumer
+  * in order activates. Consumers registered WITHOUT a lease keep the
+  * explicit-unregister contract (deploy orchestration made an API
+  * verb).
   *
   * Storage: a consumer-registry journal `reg-*.tsv` (rows
   * `action \t priority \t consumer`, action 1 = join / 0 = leave) in
@@ -57,22 +60,22 @@ object MsgLogFailover {
     * names on a subscription).
     *
     * `leaseMs > 0` attaches a LIVENESS LEASE (the file analog of the
-    * broker's TCP-session death signal, closing the crash-detection
-    * divergence the journal design recorded): the consumer must
-    * [[heartbeat]] within every `leaseMs` window or any later verb on
-    * the subscription reaps it — journaled as an ordinary leave, with
-    * the same takeover redelivery as an explicit [[unregister]]. 0 (the
+    * broker's TCP-session death signal): the consumer must check in
+    * within every `leaseMs` window — [[heartbeat]], or any verb it
+    * issues — or any later verb on the subscription reaps it, with the
+    * same takeover redelivery as an explicit [[unregister]]. 0 (the
     * default) keeps the explicit-unregister-only behavior for deploy
     * orchestration that prefers it. */
   def register(topicDir: String, subscription: String, consumer: String,
       priority: Int = 0, leaseMs: Long = 0L): Boolean = MsgLogShared.synchronized {
-    require(consumer.nonEmpty && !consumer.contains('\t') &&
-      !consumer.contains('\n'),
+    // '/' and '\' are banned unconditionally: the name becomes a lease
+    // FILE name, and a path separator would let `lease-<name>` resolve
+    // outside the subscription sidecar (delete/touch of foreign files)
+    require(consumer.nonEmpty && !consumer.exists(c =>
+        c == '\t' || c == '\n' || c == '/' || c == '\\'),
       s"graft-msglog: invalid consumer name '$consumer'")
     require(priority >= 0, s"graft-msglog: negative priority $priority")
     require(leaseMs >= 0, s"graft-msglog: negative leaseMs $leaseMs")
-    require(leaseMs == 0 || !consumer.contains('/'),
-      s"graft-msglog: a leased consumer name may not contain '/': '$consumer'")
     reapExpired(topicDir, subscription)
     val dir = MsgLogShared.subDir(topicDir, subscription)
     if (registrants(dir).exists(_._1 == consumer))
@@ -81,12 +84,15 @@ object MsgLogFailover {
     releaseOnActiveChange(topicDir, subscription) {
       MsgLogShared.appendJournal(dir, "reg", Seq(s"$Join\t$priority\t$consumer"))
       if (leaseMs > 0) {
-        val f = leasePath(dir, consumer)
-        java.nio.file.Files.write(f, leaseMs.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-      } else java.nio.file.Files.deleteIfExists(leasePath(dir, consumer))
+        // tmp + atomic rename, like every other file this source
+        // writes: a crash mid-write must not leave a truncated lease
+        val tmp = dir.resolve(s".lease-$consumer.tmp")
+        Files.write(tmp, leaseMs.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, leasePath(dir, consumer),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } else Files.deleteIfExists(leasePath(dir, consumer))
     }
-    active(topicDir, subscription).contains(consumer)
+    activeRaw(dir).contains(consumer)
   }
 
   /** Refresh `consumer`'s liveness lease (the keep-alive ping,
@@ -97,37 +103,41 @@ object MsgLogFailover {
       consumer: String): Unit = MsgLogShared.synchronized {
     val dir = MsgLogShared.subDir(topicDir, subscription)
     val f = leasePath(dir, consumer)
-    if (!registrants(dir).exists(_._1 == consumer) ||
-        !java.nio.file.Files.exists(f))
+    if (!registrants(dir).exists(_._1 == consumer) || !Files.exists(f))
       throw new IllegalArgumentException(
         s"graft-msglog: consumer '$consumer' holds no lease on '$subscription'")
-    java.nio.file.Files.setLastModifiedTime(f,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    touchLease(dir, consumer)
   }
 
-  /** Reap every leased registrant whose lease has expired: each is
+  /** Reap every leased registrant whose lease has expired — each is
     * journaled as a leave (durable — replays identically), with
-    * takeover redelivery if it was the active consumer. Runs at the head
-    * of every public verb (the broker notices a dead session when it
-    * next matters) and may be called directly by a watchdog. Returns the
-    * reaped consumer names. */
-  def reapExpired(topicDir: String, subscription: String): Seq[String] =
+    * takeover redelivery if it was the active consumer. An unreadable
+    * lease file (crash debris) counts as expired: reaping it is the
+    * self-healing path, and the consumer re-registers fresh. Runs at
+    * the head of every public verb (the broker notices a dead session
+    * when it next matters) and may be called directly by a watchdog;
+    * `exempt` shields the consumer currently EXECUTING a verb (its
+    * activity is the liveness proof). Returns the reaped names. */
+  def reapExpired(topicDir: String, subscription: String,
+      exempt: Option[String] = None): Seq[String] =
     MsgLogShared.synchronized {
       val dir = MsgLogShared.subDir(topicDir, subscription)
       val now = System.currentTimeMillis()
-      val expired = registrants(dir).map(_._1).filter { name =>
-        val f = leasePath(dir, name)
-        java.nio.file.Files.exists(f) && {
-          val lease = new String(java.nio.file.Files.readAllBytes(f),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          now - java.nio.file.Files.getLastModifiedTime(f).toMillis > lease
+      val expired = registrants(dir).map(_._1)
+        .filterNot(exempt.contains)
+        .filter { name =>
+          val f = leasePath(dir, name)
+          Files.exists(f) && {
+            val lease = new String(Files.readAllBytes(f),
+              StandardCharsets.UTF_8).trim.toLongOption
+            lease.forall(now - Files.getLastModifiedTime(f).toMillis > _)
+          }
         }
-      }
       expired.foreach { name =>
         releaseOnActiveChange(topicDir, subscription) {
           MsgLogShared.appendJournal(dir, "reg", Seq(s"$Leave\t0\t$name"))
         }
-        java.nio.file.Files.deleteIfExists(leasePath(dir, name))
+        Files.deleteIfExists(leasePath(dir, name))
       }
       expired
     }
@@ -135,46 +145,74 @@ object MsgLogFailover {
   private def leasePath(dir: Path, consumer: String): Path =
     dir.resolve(s"lease-$consumer")
 
+  /** A verb from the consumer is itself a liveness signal: refresh its
+    * lease timestamp if it holds one (content, even if corrupt, is left
+    * for the reaper to judge — only the clock moves). */
+  private def touchLease(dir: Path, consumer: String): Unit = {
+    val f = leasePath(dir, consumer)
+    if (Files.exists(f))
+      Files.setLastModifiedTime(f,
+        FileTime.fromMillis(System.currentTimeMillis()))
+  }
+
   /** Unregister a consumer. If it was the active one, its in-flight
     * deliveries are released back to the subscription (the takeover
     * redelivery) and the next consumer in order becomes active; returns
-    * the released count (0 for a standby departure). */
+    * the released count (0 for a standby departure). The caller is
+    * exempt from the entry reap — a graceful leave must complete even
+    * if its own lease just lapsed. */
   def unregister(topicDir: String, subscription: String,
       consumer: String): Int = MsgLogShared.synchronized {
-    reapExpired(topicDir, subscription)
+    reapExpired(topicDir, subscription, exempt = Some(consumer))
     val dir = MsgLogShared.subDir(topicDir, subscription)
-    java.nio.file.Files.deleteIfExists(leasePath(dir, consumer))
     if (!registrants(dir).exists(_._1 == consumer))
       throw new IllegalArgumentException(
         s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
-    releaseOnActiveChange(topicDir, subscription) {
+    val released = releaseOnActiveChange(topicDir, subscription) {
       MsgLogShared.appendJournal(dir, "reg", Seq(s"$Leave\t0\t$consumer"))
     }
+    Files.deleteIfExists(leasePath(dir, consumer))
+    released
   }
 
   /** Live consumers in takeover order — (priority asc, name asc); the
-    * head is the active consumer. */
+    * head is the active consumer. Reaps expired leases first, so a
+    * crashed leased consumer never blocks the view (or
+    * `MsgLogShared.unsubscribe`, which consults it). */
   def consumers(topicDir: String, subscription: String): Seq[(String, Int)] =
-    registrants(MsgLogShared.subDir(topicDir, subscription))
-      .sortBy { case (name, pri) => (pri, name) }
+    MsgLogShared.synchronized {
+      reapExpired(topicDir, subscription)
+      consumersRaw(MsgLogShared.subDir(topicDir, subscription))
+    }
 
   /** The consumer currently receiving deliveries, if any. */
   def active(topicDir: String, subscription: String): Option[String] =
-    consumers(topicDir, subscription).headOption.map(_._1)
+    MsgLogShared.synchronized {
+      reapExpired(topicDir, subscription)
+      activeRaw(MsgLogShared.subDir(topicDir, subscription))
+    }
+
+  private def consumersRaw(dir: Path): Seq[(String, Int)] =
+    registrants(dir).sortBy { case (name, pri) => (pri, name) }
+
+  private def activeRaw(dir: Path): Option[String] =
+    consumersRaw(dir).headOption.map(_._1)
 
   /** Receive as `consumer`: the active consumer claims exactly like a
     * Shared receive (in-order, `redelivery_count = gen − 1`); a standby
     * gets an empty batch of the delivery schema — the broker parks
     * standbys, it does not error them. An unregistered name is a caller
-    * bug. */
+    * bug. Receiving refreshes the caller's own lease (activity =
+    * liveness) before expired peers are reaped. */
   def receive(spark: SparkSession, topicDir: String, subscription: String,
       consumer: String, max: Int): DataFrame = MsgLogShared.synchronized {
-    reapExpired(topicDir, subscription)
-    if (!registrants(MsgLogShared.subDir(topicDir, subscription))
-        .exists(_._1 == consumer))
+    val dir = MsgLogShared.subDir(topicDir, subscription)
+    touchLease(dir, consumer)
+    reapExpired(topicDir, subscription, exempt = Some(consumer))
+    if (!registrants(dir).exists(_._1 == consumer))
       throw new IllegalArgumentException(
         s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
-    if (active(topicDir, subscription).contains(consumer))
+    if (activeRaw(dir).contains(consumer))
       MsgLogShared.receive(spark, topicDir, subscription, max)
     else {
       // parked standby: an empty LOCAL batch of the delivery schema —
@@ -200,9 +238,10 @@ object MsgLogFailover {
     * consumer change). Returns the released count. */
   private def releaseOnActiveChange(topicDir: String, subscription: String)(
       mutate: => Any): Int = {
-    val before = active(topicDir, subscription)
+    val dir = MsgLogShared.subDir(topicDir, subscription)
+    val before = activeRaw(dir)
     mutate
-    val after = active(topicDir, subscription)
+    val after = activeRaw(dir)
     if (before.isDefined && before != after)
       MsgLogShared.redeliverUnacknowledged(topicDir, subscription)
     else 0

@@ -426,8 +426,18 @@ object MsgLogTxn {
       Files.deleteIfExists(MsgLogSeqFrontier.sidecarPath(p))
       Files.deleteIfExists(p)
     }
-    orphans
+    // a crash BETWEEN writing .txn-<id>.commit.tmp and its rename leaves
+    // a tmp marker no other path ever touches — same age gate (a live
+    // commit's tmp exists for microseconds)
+    val staleTmp = entries.filter { p =>
+      MarkerTmpRe.matches(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff
+    }
+    staleTmp.foreach(Files.deleteIfExists(_))
+    orphans ++ staleTmp
   }
+
+  private val MarkerTmpRe = "^\\.txn-[0-9a-f]{8}\\.commit\\.tmp$".r
 }
 
 class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int,

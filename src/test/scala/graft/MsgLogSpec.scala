@@ -602,6 +602,48 @@ class MsgLogSpec extends SparkTestBase {
     assert(MsgLogFailover.active(topic, sub) === Some("w2"))
   }
 
+  test("failover lease: self-healing edges — crashed-consumer unsubscribe, corrupt lease, own-verb liveness") {
+    import graft.sources.{MsgLogFailover, MsgLogShared}
+    val ev = Fixtures.events(spark, sfDir).limit(6)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val topic = Files.createTempDirectory("glog_lease_edge_").toString
+    ev.write.format("graft-msglog").mode("append").save(topic)
+    def agePast(sub: String, name: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(topic, ".subs", sub, s"lease-$name"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+
+    // a consumer's OWN receive refreshes its lease: an aged lease plus
+    // activity must NOT reap the caller mid-verb
+    MsgLogFailover.register(topic, "own", "solo", leaseMs = 3600000L)
+    agePast("own", "solo")
+    assert(MsgLogFailover.receive(spark, topic, "own", "solo", 2).count() === 2)
+    assert(MsgLogFailover.consumers(topic, "own") === Seq("solo" -> 0))
+    // and a graceful unregister completes even with a lapsed lease
+    agePast("own", "solo")
+    MsgLogFailover.unregister(topic, "own", "solo")
+
+    // a CRASHED leased consumer must not block unsubscribe forever
+    MsgLogFailover.register(topic, "gone", "dead", leaseMs = 1000L)
+    agePast("gone", "dead")
+    MsgLogShared.unsubscribe(topic, "gone") // reaps via consumers(), then drops
+
+    // corrupt lease debris counts as expired: the subscription heals
+    // instead of throwing on every verb
+    MsgLogFailover.register(topic, "bad", "c1", leaseMs = 3600000L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(topic, ".subs", "bad", "lease-c1"),
+      "not-a-number".getBytes("UTF-8"))
+    assert(MsgLogFailover.reapExpired(topic, "bad") === Seq("c1"))
+    assert(MsgLogFailover.consumers(topic, "bad").isEmpty)
+
+    // path-separator names are rejected before any file path is built
+    intercept[IllegalArgumentException] {
+      MsgLogFailover.register(topic, "esc", "x/../lease-w1")
+    }
+  }
+
   test("failover standby batch carries the registered payload schema") {
     import graft.sources.MsgLogFailover
     // a topic with a REGISTERED schema attaches a typed payload column
@@ -854,9 +896,18 @@ class MsgLogSpec extends SparkTestBase {
     java.nio.file.Files.setLastModifiedTime(orphan,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 7200000L))
+    // a crash between marker tmp-write and rename leaves tmp debris the
+    // same age-gated vacuum collects
+    val tmpMarker = java.nio.file.Paths.get(dir, ".txn-deadbeef.commit.tmp")
+    java.nio.file.Files.write(tmpMarker, Array.emptyByteArray)
+    java.nio.file.Files.setLastModifiedTime(tmpMarker,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
     val reaped = graft.sources.MsgLogTxn.vacuum(dir)
-    assert(reaped.map(_.getFileName.toString) === Seq("txn-deadbeef-0000.glog"))
+    assert(reaped.map(_.getFileName.toString).sorted ===
+      Seq(".txn-deadbeef.commit.tmp", "txn-deadbeef-0000.glog"))
     assert(!java.nio.file.Files.exists(orphan))
+    assert(!java.nio.file.Files.exists(tmpMarker))
     assert(spark.read.format("graft-msglog").load(dir).count() === n)
     // a committed transaction cannot be aborted
     val committedId = graft.sources.MsgLogSource.ledgerFiles(dir).head.getFileName.toString
