@@ -167,13 +167,13 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
 }
 
 /** Topic-level payload-schema registry: `<topic>/.schema` holds the
-  * canonical DDL of the topic's declared payload schema — the file-backed
+  * canonical DDL of the topic's CURRENT payload schema — the file-backed
   * analog of the broker's schema registry (`CommandGetOrCreateSchema`,
-  * `src/PulsarApi.proto:672-700`). One schema per topic, first declarer
-  * wins; a later producer declaring a semantically different schema is
-  * refused (`IncompatibleSchema`, proto:194) — schema EVOLUTION is out of
-  * scope (the reference client does not implement compatibility
-  * negotiation either; its enum stops at the error code).
+  * `src/PulsarApi.proto:672-700`). One current schema per topic, with
+  * BACKWARD-compatible evolution: a producer declaring a strictly wider
+  * schema (only added fields) advances it, one declaring an older
+  * narrower version keeps writing under it, and anything else is
+  * refused (`IncompatibleSchema`, proto:194) — see [[getOrCreate]].
   */
 object MsgLogSchemaRegistry {
   val FileName = ".schema"
@@ -188,39 +188,77 @@ object MsgLogSchemaRegistry {
       java.nio.charset.StandardCharsets.UTF_8).trim)
   }
 
-  /** GetOrCreateSchema: register `ddl` (canonical form) for the topic, or
-    * verify it matches the registered one. Returns the effective DDL.
+  /** GetOrCreateSchema with BACKWARD-compatible evolution (the broker's
+    * schema-compatibility check on upload, `src/PulsarApi.proto:672-700`;
+    * the reference client stops at the error enum): register `ddl`
+    * (canonical form) for the topic, or reconcile it with the registered
+    * one. Compatibility is ADDITIVE field widening, checked recursively
+    * through structs/arrays/maps — new fields decode as NULL on old
+    * payloads (the Jackson decode treats absent JSON fields as null), so
+    * the one current reader schema serves every ledger ever written:
+    *
+    *  - declared == registered (up to nullability): no change;
+    *  - declared ⊃ registered (adds fields, keeps every existing one at
+    *    its type): the registry EVOLVES to the wider declared schema —
+    *    the broker accepting a new schema version;
+    *  - declared ⊂ registered: an old producer still on a previous
+    *    version — accepted, validated under what it declares, registry
+    *    unchanged;
+    *  - anything else (type change, field removal + addition):
+    *    `IncompatibleSchema`.
+    *
+    * Returns the DDL the WRITE validates under (the declared one), which
+    * is by construction ⊆ the registered reader schema.
     */
   def getOrCreate(dir: String, ddl: String): String = readDdl(dir) match {
     case None =>
-      Files.createDirectories(Paths.get(dir))
-      val target = file(dir)
-      val tmp = target.resolveSibling("." + FileName + ".tmp")
-      Files.write(tmp, (ddl + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
+      writeRegistry(dir, ddl)
       ddl
     case Some(registered) =>
-      // field names + types, nullability ignored (all JSON payload
-      // fields are nullable on the wire anyway; DataType.sameType is
-      // private[sql])
-      def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
-        dt match {
-          case s: StructType => StructType(s.fields.map(f =>
-            StructField(f.name, norm(f.dataType), nullable = true)))
-          case a: org.apache.spark.sql.types.ArrayType =>
-            a.copy(elementType = norm(a.elementType), containsNull = true)
-          case m: org.apache.spark.sql.types.MapType =>
-            m.copy(keyType = norm(m.keyType), valueType = norm(m.valueType),
-              valueContainsNull = true)
-          case other => other
-        }
-      if (norm(StructType.fromDDL(registered)) != norm(StructType.fromDDL(ddl)))
-        throw new IllegalArgumentException(
-          s"graft-msglog: IncompatibleSchema — topic $dir has registered payload " +
-            s"schema '$registered' but the producer declared '$ddl' " +
-            "(reference error code src/PulsarApi.proto:194)")
-      registered
+      val reg = StructType.fromDDL(registered)
+      val dec = StructType.fromDDL(ddl)
+      if (additive(dec, reg)) ddl // equal or an old producer's narrower view
+      else if (additive(reg, dec)) { // strictly wider: evolve the registry
+        writeRegistry(dir, ddl)
+        ddl
+      } else throw new IllegalArgumentException(
+        s"graft-msglog: IncompatibleSchema — topic $dir has registered payload " +
+          s"schema '$registered' and the producer declared '$ddl', which neither " +
+          "matches it nor only adds fields (reference error code " +
+          "src/PulsarApi.proto:194)")
+  }
+
+  private def writeRegistry(dir: String, ddl: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val target = file(dir)
+    val tmp = target.resolveSibling("." + FileName + ".tmp")
+    Files.write(tmp, (ddl + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** True iff every field of `narrow` exists in `wide` at the same
+    * (normalized) type, recursively — i.e. `wide` is `narrow` plus zero
+    * or more added fields. Nullability is ignored throughout: all JSON
+    * payload fields are nullable on the wire.
+    */
+  private def additive(narrow: StructType, wide: StructType): Boolean =
+    narrow.fields.forall { nf =>
+      wide.fields.find(_.name == nf.name).exists(wf =>
+        compatibleType(nf.dataType, wf.dataType))
+    }
+
+  private def compatibleType(n: org.apache.spark.sql.types.DataType,
+      w: org.apache.spark.sql.types.DataType): Boolean = (n, w) match {
+    case (ns: StructType, ws: StructType) => additive(ns, ws)
+    case (na: org.apache.spark.sql.types.ArrayType,
+          wa: org.apache.spark.sql.types.ArrayType) =>
+      compatibleType(na.elementType, wa.elementType)
+    case (nm: org.apache.spark.sql.types.MapType,
+          wm: org.apache.spark.sql.types.MapType) =>
+      compatibleType(nm.keyType, wm.keyType) &&
+        compatibleType(nm.valueType, wm.valueType)
+    case _ => n == w
   }
 
   /** The DDL a write under `enforceSchema=true` must honor — an error if

@@ -1721,6 +1721,45 @@ class MsgLogSpec extends SparkTestBase {
     assert(MsgLogSource.ledgerFiles(dir).size === 2)
   }
 
+  test("schema evolution: additive widening evolves the registry; old producers keep writing") {
+    import spark.implicits._
+    import graft.sources.MsgLogSchemaRegistry
+    val dir = Files.createTempDirectory("glog_schema_evo_").toString
+    def row(id: Long, props: String) =
+      Seq((id, 1704067200000000L + id, id, "t", 1.0, props))
+        .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    row(1, """{"k": 1}""").write.format("graft-msglog")
+      .option("payloadSchema", "k INT").mode("append").save(dir)
+    // additive widening: accepted, registry evolves to the wider schema
+    row(2, """{"k": 2, "v": "b"}""").write.format("graft-msglog")
+      .option("payloadSchema", "k INT, v STRING").mode("append").save(dir)
+    assert(MsgLogSchemaRegistry.readDdl(dir) ===
+      Some(org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING").toDDL))
+    // one reader schema serves every ledger: the old row's new field is NULL
+    val back = spark.read.format("graft-msglog").load(dir)
+      .select(col("event_id"), col("payload.k"), col("payload.v"))
+      .orderBy("event_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)))).toSeq ===
+      Seq((1L, 1, None), (2L, 2, Some("b"))))
+    // an old producer still declaring the NARROW schema is accepted
+    // (validated under what it declares; the registry stays wide)
+    row(3, """{"k": 3}""").write.format("graft-msglog")
+      .option("payloadSchema", "k INT").mode("append").save(dir)
+    assert(MsgLogSchemaRegistry.readDdl(dir) ===
+      Some(org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING").toDDL))
+    // neither-direction changes stay IncompatibleSchema: a type change,
+    // and a removal+addition
+    for (bad <- Seq("k STRING, v STRING", "x INT")) {
+      val ex = intercept[Exception] {
+        row(9, """{"x": 9}""").write.format("graft-msglog")
+          .option("payloadSchema", bad).mode("append").save(dir)
+      }
+      assert(causeMessages(ex).exists(_.contains("IncompatibleSchema")), bad)
+    }
+    assert(spark.read.format("graft-msglog").load(dir).count() === 3)
+  }
+
   test("schema enforcement: enforceSchema=true honors the registered schema, errors without one") {
     import spark.implicits._
     val dir = Files.createTempDirectory("glog_schema_enf_").toString
