@@ -111,9 +111,11 @@ object Bench {
     // (its trailing newline takes one). 1990 leaves slack for value
     // drift (keys crossing 10 s print one extra char each). Reclaims
     // spent, in order: "unit"/"metric"/"sf" fields, integer total, key
-    // renames (read_compacted, stream_redelivery, bucketed_join), short
-    // new-key names (pq_enc, bigrams, ss_join, pii). Next reclaim if
-    // needed: last_message_per_partition → last_msg_per_partition.
+    // renames (read_compacted, stream_redelivery, bucketed_join, then
+    // the embedding_* → emb_* / multimodal_* → mm_* prefix sweep that
+    // funded doc_substr_dups), short new-key names (pq_enc, bigrams,
+    // ss_join, pii). Next reclaim if needed:
+    // last_message_per_partition → last_msg_per_partition.
     val budget = 1990
     val out = line
     if (out.length > budget)

@@ -39,7 +39,8 @@ object GraftFunctions {
     entry("dup_fracs", 1, classOf[DupFracs])(a => DupFracs(a.head)),
     entry("logp_sum", 3, classOf[LogpSum])(a => LogpSum(a.head, a(1), a(2))),
     entry("pq_enc", 2, classOf[PqEnc])(a => PqEnc(a.head, a(1))),
-    entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))))
+    entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))),
+    entry("substr_fps", 3, classOf[SubstrFps])(a => SubstrFps(a.head, a(1), a(2))))
 
   /** Register every kernel in a session's registry (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -146,7 +146,7 @@ object MultimodalOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_decode_stats" ->
+    "mm_decode_stats" ->
       ((s, d) => multimodalDecodeStats(Fixtures.documents(s, d))))
 
   /** The stub decode re-expressed in SQL: length/first-byte arithmetic.
@@ -154,7 +154,7 @@ object MultimodalOps {
     * reproduces them with an explicit float cast before the double sum.
     */
   def oracle: Map[String, String] = Map(
-    "multimodal_decode_stats" ->
+    "mm_decode_stats" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
                   ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,

@@ -145,6 +145,56 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  val SubstrWindow = 8 // tokens per window
+  val SubstrModP = 4 // keep windows whose hash ≡ 0 (mod P): 1/4 sampling
+  val SubstrMinShared = 2 // pairs must share ≥2 selected fingerprints
+
+  /** Exact-substring duplicate candidates — the dedup modality MinHash
+    * misses: two documents sharing one long VERBATIM passage (a quoted
+    * article, boilerplate license text) at low overall Jaccard. Every
+    * [[SubstrWindow]]-token window is hashed and windows whose hash ≡ 0
+    * (mod [[SubstrModP]]) are kept (Manber's 0-mod-p anchor selection —
+    * deterministic, position-independent, so any sufficiently long
+    * shared run yields shared selections in BOTH documents); documents
+    * sharing ≥ [[SubstrMinShared]] selected fingerprints are candidate
+    * pairs, `n_windows` counting the shared selections (∝ shared
+    * verbatim length).
+    *
+    * Scale: window hashing + selection fuse into one per-row codegen'd
+    * loop ([[graft.functions.SubstrFps]]); the fingerprint-bucket
+    * groupBy is the ONLY corpus-wide exchange and moves `tokens/modP`
+    * rows, with [[groupMembers]]' bucket cap + observed overflow
+    * bounding any boilerplate mega-cluster (a license text shared by
+    * millions of docs) exactly like the other candidate generators.
+    */
+  def docSubstrDups(docs: DataFrame): DataFrame = {
+    graft.functions.SubstrFps.register(docs.sparkSession)
+    val fps = tokenized(docs)
+      .filter(size(col("w")) >= SubstrWindow)
+      .select(col("doc_id"),
+        explode(call_function("substr_fps",
+          col("w"), lit(SubstrWindow), lit(SubstrModP))).as("fp"))
+    groupMembers(fps, Seq(col("fp")), col("doc_id"),
+        col("doc_id"), "substr_fp_overflow")
+      .select(explode(memberPairs(col("m"),
+        (a, b) => struct(a.as("doc_a"), b.as("doc_b")))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= SubstrMinShared)
+  }
+
+  /** The composable higher-order formulation of [[SubstrFps]] —
+    * CodegenFallback (windows × a five-expression interpreted chain per
+    * document), kept as the portability/numerics REFERENCE the fused
+    * native expression must match string-for-string. Callers must
+    * pre-filter `size(w) >= windowTokens` (Spark's `sequence(1, k)`
+    * DESCENDS for k < 1). */
+  private[graft] def docSubstrFpsHof(w: Column, windowTokens: Int, modP: Int): Column =
+    array_distinct(filter(
+      transform(sequence(lit(1), size(w) - (windowTokens - 1)),
+        i => md5(concat_ws(" ", slice(w, i, lit(windowTokens))).cast("binary"))),
+      h => conv(substring(h, 1, 15), 16, 10).cast("long") % modP === 0))
+
   /** SimHash: frequency-weighted 60-bit fingerprint. Each token hashes to
     * 60 bits (md5 prefix → integer); fingerprint bit j is the sign of the
     * ±1 vote sum over all tokens. Near-dups differ in few bits; at scale
@@ -493,6 +543,7 @@ object DedupOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_minhash_lsh" -> ((s, d) => docMinhashLsh(Fixtures.documents(s, d))),
+    "doc_substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
@@ -556,6 +607,24 @@ object DedupOps {
                                       AND a.doc_id < b.doc_id
                                       AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
           GROUP BY a.doc_id, b.doc_id""",
+    "doc_substr_dups" ->
+      s"""WITH toks AS (SELECT * FROM (
+                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents) WHERE len(w) >= $SubstrWindow),
+          wins AS (SELECT doc_id,
+                          unnest([md5(array_to_string(w[i:i+${SubstrWindow - 1}], ' '))
+                                  for i in range(1, len(w) - ${SubstrWindow - 2})]) AS fp
+                   FROM toks),
+          sel AS (SELECT DISTINCT doc_id, fp FROM wins
+                  WHERE ('0x' || substring(fp, 1, 15))::BIGINT % $SubstrModP = 0),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY fp
+                                                  ORDER BY doc_id) AS rk
+                     FROM sel)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_windows
+          FROM ranked a JOIN ranked b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
+          GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $SubstrMinShared""",
     "doc_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
                        FROM documents),

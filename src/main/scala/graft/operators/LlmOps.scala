@@ -262,9 +262,9 @@ object LlmOps {
       ((s, d) => corpusBigramTopK(Fixtures.documents(s, d), TOP_K_WORDS)),
     "doc_near_dedup" ->
       ((s, d) => docNearDedup(Fixtures.documents(s, d))),
-    "embedding_topk_cosine" ->
+    "emb_topk_cosine" ->
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
-    "multimodal_width_stats" ->
+    "mm_width_stats" ->
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
     "doc_filter_pipeline" ->
       ((s, d) => docFilterPipeline(Fixtures.documents(s, d))),
@@ -346,9 +346,9 @@ object LlmOps {
                  regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS sig,
                 min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY 1""",
-    "embedding_topk_cosine" -> cosineOracle,
+    "emb_topk_cosine" -> cosineOracle,
     "rrf" -> rrfOracle,
-    "multimodal_width_stats" ->
+    "mm_width_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
                 CAST(min(len(embedding)) AS INTEGER) AS min_w,
                 CAST(max(len(embedding)) AS INTEGER) AS max_w,

@@ -501,16 +501,16 @@ object SimilarityOps {
   private val AltPlanes = 16
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embedding_near_dup" ->
+    "emb_near_dup" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K)),
-    "embedding_near_dup_p16" ->
+    "emb_near_dup_p16" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K, AltPlanes)),
-    "embedding_ivf_topk" ->
+    "emb_ivf_topk" ->
       ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K,
         index = Some(stagedCentroids(s, d)))),
-    "embedding_dup_groups" ->
+    "emb_dup_groups" ->
       ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)),
-    "embedding_quantize_int8" ->
+    "emb_quantize_int8" ->
       ((s, d) => embeddingQuantizeInt8Scalar(Fixtures.embeddings(s, d))),
     // short key names by necessity: the one-line bench JSON must fit the
     // driver's 2000-char stdout-tail capture ([[graft.Bench]])
@@ -587,7 +587,7 @@ object SimilarityOps {
 
   /** Shared DuckDB scaffolding: per-(pair) cosine via positional sums. */
   def oracle: Map[String, String] = Map(
-    "embedding_quantize_int8" ->
+    "emb_quantize_int8" ->
       """WITH x AS (SELECT vec_id,
                            list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
                     FROM embeddings),
@@ -626,9 +626,9 @@ object SimilarityOps {
                                      (a, b) -> a + b) AS adist
                   FROM ad GROUP BY vec_id)
           SELECT vec_id, adist FROM agg ORDER BY adist, vec_id LIMIT $IVF_K""",
-    "embedding_near_dup" -> nearDupOracle(NumPlanes, NEAR_DUP_K),
-    "embedding_near_dup_p16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
-    "embedding_dup_groups" ->
+    "emb_near_dup" -> nearDupOracle(NumPlanes, NEAR_DUP_K),
+    "emb_near_dup_p16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
+    "emb_dup_groups" ->
       // the near-dup pair query (its own WITH chain) nests as the `dup`
       // CTE; `reach` closes it transitively, min(r) labels the component
       s"""WITH RECURSIVE dup AS (${nearDupOracle(NumPlanes, NEAR_DUP_K)}),
@@ -646,7 +646,7 @@ object SimilarityOps {
                  CAST(c.id = c.cluster AS INTEGER) AS is_canonical,
                  s.cluster_size
           FROM comp c JOIN sizes s USING (cluster)""",
-    "embedding_ivf_topk" ->
+    "emb_ivf_topk" ->
       s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
                          WHERE vec_id < $NumCentroids),
           seed_scored AS (

@@ -68,6 +68,26 @@ class CapSpec extends SparkTestBase {
     assert(v.exists(_ > 0L), s"collector missed the mega-cluster overflow: $snap")
   }
 
+  test("substr fingerprint bucketing caps a mega-cluster") {
+    // 26 tokens → 3 selected 0-mod-p fingerprints (deterministic), each
+    // bucket identical across the cluster — the boilerplate-license shape
+    val text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+      "eiusmod tempor incididunt ut labore et dolore magna aliqua enim ad " +
+      "minim veniam quis nostrud"
+    val cluster = (0L until ClusterSize.toLong).map(i => (i, text))
+      .toDF("doc_id", "text")
+    val (rows, overflow) = observedMetric("substr_fp_overflow") {
+      DedupOps.docSubstrDups(cluster).agg(
+        count(lit(1)), max(col("n_windows")), min(col("n_windows"))).head()
+    }
+    // each fp bucket keeps the first Cap doc_ids → one capped pair set
+    // shared by all 3 fingerprints
+    assert(rows.getLong(0) === Cap.toLong * (Cap - 1) / 2)
+    assert(rows.getLong(1) === 3L)
+    assert(rows.getLong(2) === 3L)
+    assert(overflow === (ClusterSize - Cap).toLong * 3)
+  }
+
   test("incremental dedup caps a mega-cluster and keeps only cross pairs") {
     // the same identical-text clique, spanning the increment boundary:
     // cap discipline must hold and no new-new/base-base pair may leak

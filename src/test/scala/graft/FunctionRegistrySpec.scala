@@ -99,6 +99,13 @@ class FunctionRegistrySpec extends SparkTestBase {
     (0 until 16).flatMap(c => Seq.fill(8)(s"$c.0D")).mkString("array(", ",", ")")
   private val pqX = "array(" + Seq.fill(8)("2.9F").mkString(",") + ")"
 
+  test("substr_fps") {
+    // modP=1 keeps every window: the two 2-token windows of a 3-token doc
+    val r = sql("SELECT substr_fps(array('a','b','c'), 2, 1) = " +
+      "array(md5(cast('a b' as binary)), md5(cast('b c' as binary))) AS ok")
+    assert(r.getBoolean(0))
+  }
+
   test("pq_enc") {
     val r = sql(s"SELECT pq_enc($pqX, $pqCb) AS k")
     val k = r.getSeq[Double](0)

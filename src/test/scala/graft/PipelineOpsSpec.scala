@@ -730,6 +730,52 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(native.filter(col("doc_id") === 200003L).count() === 0)
   }
 
+  test("native substr_fps matches the composable transform/filter/distinct formulation") {
+    graft.functions.SubstrFps.register(spark)
+    import DedupOps.{SubstrModP, SubstrWindow}
+    import spark.implicits._
+    // multibyte, exactly-W-token, and repeated-window edges ride along
+    // with the fixture corpus
+    val corpus = docs.select("doc_id", "text").unionByName(Seq(
+      (300001L, "ünïcödé tökens ärrive hère tödäy änd ägäin tömörröw müch läter"),
+      (300002L, "exactly eight whitespace tokens sit right here now"),
+      (300003L, "rep rep rep rep rep rep rep rep rep rep rep rep")) // all windows identical
+      .toDF("doc_id", "text"))
+    val toks = corpus
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= SubstrWindow)
+    val both = toks.select(
+      call_function("substr_fps", col("w"), lit(SubstrWindow), lit(SubstrModP)).as("n"),
+      DedupOps.docSubstrFpsHof(col("w"), SubstrWindow, SubstrModP).as("r")).collect()
+    assert(both.nonEmpty)
+    // string-identical including first-occurrence order
+    both.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // fewer-than-W tokens: empty array (call sites filter upstream)
+    val short = Seq((1L, Seq("a", "b"))).toDF("doc_id", "w")
+      .select(call_function("substr_fps", col("w"), lit(SubstrWindow), lit(SubstrModP)).as("f"))
+      .head()
+    assert(short.getSeq[String](0).isEmpty)
+    // analysis-time parameter checks
+    intercept[Exception](spark.sql("SELECT substr_fps(array('x'), 0, 4)").collect())
+    intercept[Exception](spark.sql("SELECT substr_fps(array('x'), 8, 0)").collect())
+  }
+
+  test("substr dups: a long verbatim passage links docs MinHash-style Jaccard would miss") {
+    import spark.implicits._
+    // 40-token shared passage behind DIFFERENT preambles: overall token
+    // overlap is low but the verbatim run yields shared selected
+    // fingerprints in both docs (11 of them — deterministic, md5-pinned)
+    val shared = (0 until 20).map(i => s"shared$i passage$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "alpha unique opening words about cooking recipes today " + shared),
+      (2L, "totally different preamble concerning astronomy stars tonight " + shared),
+      (3L, "unrelated third document with completely independent content everywhere always"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.docSubstrDups(corpus).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs.head.getLong(2) === 11L)
+  }
+
   test("native simhash60 matches the higher-order fold, incl. empty and whitespace docs") {
     val native = DedupOps.docSimhash(docs)
     val ref = DedupOps.docSimhashHof(docs)

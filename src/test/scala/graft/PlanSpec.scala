@@ -46,8 +46,8 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
-  test("embedding_near_dup groups buckets once: no self-join, one shuffle to enumerate") {
-    val p = plan("embedding_near_dup")
+  test("emb_near_dup groups buckets once: no self-join, one shuffle to enumerate") {
+    val p = plan("emb_near_dup")
     // the r2 shape self-joined the bucket pipeline, computing the
     // projection/bucketing twice; the skeleton shape computes it once
     assert(!p.contains("Join"), p)
@@ -85,8 +85,8 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
-  test("embedding_topk_cosine broadcasts the query vector and takes ordered") {
-    val p = plan("embedding_topk_cosine")
+  test("emb_topk_cosine broadcasts the query vector and takes ordered") {
+    val p = plan("emb_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
@@ -261,7 +261,7 @@ class PlanSpec extends SparkTestBase {
     // build side is a provably tiny broadcast (1-row query vector /
     // 1-row corpus count / bounded centroid set).
     val bnljSanctioned = Set(
-      "embedding_topk_cosine", // 1-row query vector cross
+      "emb_topk_cosine", // 1-row query vector cross
       "pq_topk", // 1-row query vector cross for the ADC lookup table
       "doc_boilerplate_df", // 1-row corpus-count cross for the df threshold
       "bm25", // 1-row corpus-stats cross (N, Σdl, per-term df)
@@ -269,8 +269,8 @@ class PlanSpec extends SparkTestBase {
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
-    val skip = Set("doc_dup_groups", "doc_filter_pipeline", "embedding_dup_groups",
-      "doc_lsh_verified_dups", "embedding_ivf_topk", "bucketed_join",
+    val skip = Set("doc_dup_groups", "doc_filter_pipeline", "emb_dup_groups",
+      "doc_lsh_verified_dups", "emb_ivf_topk", "bucketed_join",
       "msglog_roundtrip_scan", "msglog_multi_topic_scan", "round_robin_balance",
       "text_lm_perplexity")
     SparkEntry.queries.keys
@@ -291,9 +291,9 @@ class PlanSpec extends SparkTestBase {
       .filterNot(Set("round_robin_balance", "msglog_roundtrip_scan",
         "msglog_multi_topic_scan", "bucketed_join",
         "doc_lsh_verified_dups",
-        "embedding_ivf_topk", // staging writes / C×dim centroid index
+        "emb_ivf_topk", // staging writes / C×dim centroid index
         "doc_dup_groups", "doc_filter_pipeline",
-        "embedding_dup_groups", // CC fixpoint loop runs bounded jobs
+        "emb_dup_groups", // CC fixpoint loop runs bounded jobs
         "pq_enc", "pq_topk", // staged PqCodes×dim codebook artifact
         "text_lm_perplexity")) // bounded LM artifacts (total + top-V table)
       .foreach { k =>
