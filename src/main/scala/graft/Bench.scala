@@ -114,8 +114,9 @@ object Bench {
     // renames (read_compacted, stream_redelivery, bucketed_join, then
     // the embedding_* → emb_* / multimodal_* → mm_* prefix sweep that
     // funded doc_substr_dups), short new-key names (pq_enc, bigrams,
-    // ss_join, pii). Next reclaim if needed:
-    // last_message_per_partition → last_msg_per_partition.
+    // ss_join, pii; last_message_per_partition → last_msg_per_partition,
+    // which funded quality_lr + keep_best). Next reclaim if needed:
+    // cumulative_ack_frontier → ack_frontier.
     val budget = 1990
     val out = line
     if (out.length > budget)

@@ -317,3 +317,97 @@ object DupFracs {
   def register(spark: SparkSession): Unit =
     GraftFunctions.registerOne(spark, "dup_fracs")
 }
+
+/** `hash_weight_sum(w, weights)` — feature-hashing linear-model inference:
+  * the summed weight of a token array under a LITERAL bucket-weight
+  * vector, where each token hashes to bucket
+  * `md5_15hex(token) % len(weights)` (the engine-portable
+  * [[graft.operators.Hashing.md5Bucket]] scheme, here applied to token
+  * TEXT rather than a numeric id). This is the scoring pass of a
+  * hashing-trick linear classifier (fastText-style quality filters): the
+  * trained model ships as one bounded weight vector, inference is a
+  * per-row fold — no join, no shuffle, no vocabulary table
+  * ([[graft.operators.TextOps.qualityClassifier]]; composable reference
+  * `hashWeightSumHof`, equivalence asserted in tests).
+  *
+  * Why native: the composable form is `aggregate(transform(w, t ->
+  * element_at(W, conv(substring(md5(t), …)) % D + 1)), 0d, +)` — two
+  * CodegenFallback HOFs interpreting a 6-node expression tree per token
+  * (the exact shape the round-7 kernel sweep removed elsewhere). Here it
+  * is one codegen-resident loop: md5 → first-8-bytes >>> 4 (≡ the
+  * 15-hex-char prefix `conv` parses) → mod → array load. Null tokens add
+  * 0.0, matching the reference's `coalesce(element_at(W, NULL), 0d)`.
+  */
+case class HashWeightSum(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "hash_weight_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(DoubleType, _)) =>
+      if (!right.foldable)
+        TypeCheckResult.TypeCheckFailure("hash_weight_sum requires a literal weight array")
+      else {
+        val arr = right.eval()
+        if (arr == null || arr.asInstanceOf[ArrayData].numElements() == 0)
+          TypeCheckResult.TypeCheckFailure(
+            "hash_weight_sum requires a non-null, non-empty literal weight array")
+        else if ((0 until arr.asInstanceOf[ArrayData].numElements())
+            .exists(arr.asInstanceOf[ArrayData].isNullAt))
+          // a null weight would poison the fold — refuse at ANALYSIS
+          TypeCheckResult.TypeCheckFailure(
+            "hash_weight_sum requires a weight array with no null elements")
+        else TypeCheckResult.TypeCheckSuccess
+      }
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hash_weight_sum requires (ARRAY<STRING>, ARRAY<DOUBLE>), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  /** The literal weight vector as a flat array, built once — codegen
+    * references it as a constant object. */
+  @transient private lazy val weights: Array[Double] =
+    right.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override def nullSafeEval(w: Any, wIgnored: Any): Any =
+    HashWeightSum.compute(w.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hwsWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.functions.HashWeightSum$$.MODULE$$.compute($w, $wRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashWeightSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object HashWeightSum {
+
+  def compute(w: ArrayData, weights: Array[Double]): Double = {
+    val d = weights.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var sum = 0.0
+    var i = 0
+    val n = w.numElements()
+    while (i < n) {
+      if (!w.isNullAt(i)) {
+        md.reset()
+        val digest = md.digest(w.getUTF8String(i).getBytes)
+        // big-endian first 8 bytes >>> 4 == the value conv() parses from
+        // the first 15 hex chars: a 60-bit non-negative bucket key
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (digest(j) & 0xFFL); j += 1 }
+        sum += weights(((v >>> 4) % d).toInt)
+      }
+      i += 1
+    }
+    sum
+  }
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerOne(spark, "hash_weight_sum")
+}

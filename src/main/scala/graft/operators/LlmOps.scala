@@ -247,6 +247,38 @@ object LlmOps {
       .withColumn("keep", (col("verdict") === "keep").cast("int"))
   }
 
+  /** Quality-aware canonical election — the refinement of
+    * [[DedupOps.docDupGroups]]' min-id canonical that production dedup
+    * actually ships: within each duplicate cluster KEEP the
+    * highest-quality member (ties by min doc_id), drop the rest. Min-id
+    * election is arbitrary — when a cluster holds a clean page and its
+    * ad-mangled mirror, the kept one should be chosen by the quality
+    * signal the pipeline already computes, not by crawl order.
+    *
+    * Scale shape: quality is computed corpus-wide as a pure per-row
+    * projection and joined to the cluster assignment on doc_id — the
+    * join ships ONE double per document, never text (joining raw docs to
+    * clusters and scoring after would shuffle the corpus's text bytes).
+    * The cluster side is duplicate-density-unbounded, so no broadcast
+    * hint (the verified-dups discipline; AQE may still elect one at
+    * runtime). The election window partitions by cluster — structures ∝
+    * duplicate documents, never the corpus. Pass a staged `dupGroups`
+    * artifact in production (the [[docFilterPipeline]] parameter
+    * precedent); omitted, clusters derive from `docs` cold.
+    */
+  def docKeepBest(docs: DataFrame,
+      dupGroups: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = dupGroups.getOrElse(DedupOps.docDupGroups(docs))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+    val quality = TextOps.textQualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val election = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    groups.join(quality, Seq("doc_id"))
+      .withColumn("keep", (row_number().over(election) === 1).cast("int"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring
   // ---------------------------------------------------------------------
@@ -268,6 +300,9 @@ object LlmOps {
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
     "doc_filter_pipeline" ->
       ((s, d) => docFilterPipeline(Fixtures.documents(s, d))),
+    // "keep_best" — short by design (bench line budget, the pq_enc precedent)
+    "keep_best" ->
+      ((s, d) => docKeepBest(Fixtures.documents(s, d))),
     "rrf" -> ((s, d) => hybridRrfTopK(
       Fixtures.documents(s, d), Fixtures.embeddings(s, d),
       TextOps.Bm25Terms, QUERY_VEC, HybridK)))
@@ -291,6 +326,17 @@ object LlmOps {
           LEFT JOIN (${DedupOps.oracle("doc_decontaminate")}) c ON c.doc_id = l.doc_id
           LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("doc_dup_groups")})
                      WHERE is_canonical = 0) g ON g.doc_id = l.doc_id)"""
+
+  /** Keep-best oracle — composes the dup-groups (WITH RECURSIVE) and
+    * quality oracles as parenthesized subqueries, electing with the same
+    * (quality desc, doc_id) window order the Spark side uses. */
+  private def keepBestOracle: String =
+    s"""SELECT g.doc_id, g.cluster, g.cluster_size, q.quality,
+               CAST(row_number() OVER (PARTITION BY g.cluster
+                                       ORDER BY q.quality DESC, g.doc_id) = 1
+                    AS INTEGER) AS keep
+        FROM (${DedupOps.oracle("doc_dup_groups")}) g
+        JOIN (${TextOps.oracle("text_quality_score")}) q ON g.doc_id = q.doc_id"""
 
   private def cosineOracle: String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QUERY_VEC),
@@ -325,6 +371,7 @@ object LlmOps {
 
   def oracle: Map[String, String] = Map(
     "doc_filter_pipeline" -> filterPipelineOracle,
+    "keep_best" -> keepBestOracle,
     "text_tokenize_counts" ->
       s"""SELECT word, CAST(count(*) AS BIGINT) AS n
           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word

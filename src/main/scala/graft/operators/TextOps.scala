@@ -462,6 +462,77 @@ object TextOps {
         6).as("avg_logp"))
   }
 
+  /** Bucket count for [[qualityClassifier]] — the hashing-trick feature
+    * dimension. Tiny on purpose (real quality filters use 2^20+): the
+    * operator shape — hash → bounded weight vector → in-row fold — is
+    * what scales; the vector stays a broadcast-sized model artifact at
+    * ANY corpus size precisely because its length is fixed up front. */
+  val QlrBuckets = 64
+
+  /** First-15-hex-chars-of-md5 value of a STRING — the driver-side twin
+    * of [[Hashing.md5Bucket]]'s column form, used to derive the stand-in
+    * model weights deterministically (the PQ-codebook discipline:
+    * md5-derived artifacts are reproducible in both engines and across
+    * rounds without RNG state). */
+  private def md5Prefix60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+    v >>> 4
+  }
+
+  /** Stand-in trained weights for [[qualityClassifier]]: bucket i weighs
+    * `(md5Bucket("w"+i, 2049) - 1024) / 1024` ∈ [-1, 1] — every value an
+    * exact binary fraction, so the decimal literals the oracle embeds
+    * round-trip bit-identically (the int8/PQ numerics discipline). A
+    * real deployment swaps in its trained vector; nothing else moves. */
+  val QlrWeights: Seq[Double] =
+    (0 until QlrBuckets).map(i => (md5Prefix60("w" + i) % 2049L - 1024L) / 1024.0)
+
+  /** Decision bias for [[qualityClassifier]] — exact binary fraction. */
+  val QlrBias = 0.0625
+
+  /** Hashing-trick linear quality classifier — inference for the
+    * fastText-style model that production curation stacks run corpus-wide
+    * (CCNet/RefinedWeb-family "is this page worth keeping" filters):
+    * `score = bias + (Σ_t weights[md5(t) % D]) / n_tokens`, keep when
+    * positive. The model is ONE fixed-length weight vector riding into
+    * the expression as a literal (broadcast-by-construction, the
+    * LM-vocab/IVF-centroid artifact precedent); scoring is a single
+    * codegen-resident fold per row ([[graft.functions.HashWeightSum]]) —
+    * no vocabulary join, no shuffle, nothing corpus-sized anywhere, so
+    * the plan is a pure projection at any scale. Distinct from
+    * [[textLmPerplexity]] in both artifact and shape: the LM is FIT on
+    * the corpus (an aggregation pass), while this scores under an
+    * EXTERNAL model — the two stages real pipelines chain.
+    */
+  def qualityClassifier(docs: DataFrame, weights: Seq[Double] = QlrWeights,
+      bias: Double = QlrBias): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    withTokens(docs).select(
+      col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      (lit(bias) +
+        call_function("hash_weight_sum", col("w"), typedlit(weights)) /
+          size(col("w")).cast("double")).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
+  /** The composable reference form of [[qualityClassifier]]'s fold — the
+    * numerics spec [[graft.functions.HashWeightSum]] must match
+    * sum-for-sum (equivalence asserted in tests): element weights fold in
+    * array order, a null token contributes 0 (md5(NULL) → NULL index →
+    * NULL element_at → coalesce). */
+  private[graft] def hashWeightSumHof(weights: Seq[Double]): Column =
+    aggregate(col("w"), lit(0.0), (acc, t) =>
+      acc + coalesce(
+        element_at(typedlit(weights),
+          ((conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+            % weights.length) + 1).cast("int")),
+        lit(0.0)))
+
   /** Mixture weight tiers for [[docMixtureSample]]'s fixture wiring —
     * exercises down-sampling (<1), identity (1), and fractional
     * up-sampling (>1): tier = numeric source suffix mod 4. Real callers
@@ -676,7 +747,9 @@ object TextOps {
       ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)),
     "bm25" -> ((s, d) => docBm25(Fixtures.documents(s, d))),
     // "pii" — short by design (bench line budget, the pq_enc precedent)
-    "pii" -> ((s, d) => docPiiScrub(Fixtures.documents(s, d))))
+    "pii" -> ((s, d) => docPiiScrub(Fixtures.documents(s, d))),
+    // "quality_lr" — hashing-trick linear classifier inference
+    "quality_lr" -> ((s, d) => qualityClassifier(Fixtures.documents(s, d))))
 
   /** The PII oracle is GENERATED from [[PiiPatterns]] so the pattern
     * text cannot drift between the Spark cascade and the SQL one; the
@@ -716,6 +789,22 @@ object TextOps {
       .map { case (w, i) => s"WHEN $i THEN $w" }.mkString(" ")
     Map(
       "pii" -> piiOracle,
+      // weights/bias interpolate from the SAME Scala values the Spark
+      // expression uses (the PII-oracle no-drift discipline); every
+      // weight is an exact binary fraction so the decimal round-trips
+      "quality_lr" ->
+        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                          FROM documents),
+            scored AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+                              $QlrBias + list_reduce(
+                                  list_prepend(CAST(0 AS DOUBLE),
+                                    list_transform(w, t ->
+                                      ([${QlrWeights.mkString(", ")}])[
+                                        CAST(('0x' || substring(md5(t), 1, 15))::BIGINT
+                                             % $QlrBuckets AS INTEGER) + 1])),
+                                  (a, x) -> a + x) / CAST(len(w) AS DOUBLE) AS score
+                       FROM toks)
+            SELECT doc_id, n_tokens, score, score > 0 AS keep FROM scored""",
       "text_lang_id" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),

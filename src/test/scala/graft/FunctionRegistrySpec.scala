@@ -92,6 +92,20 @@ class FunctionRegistrySpec extends SparkTestBase {
     assert(r.getDouble(0) === -5.5)
   }
 
+  test("hash_weight_sum") {
+    // D=1 pins the fold: every token hits bucket 0, null tokens add 0
+    val r = sql("SELECT hash_weight_sum(array('a','b',NULL), array(2.5D)) AS s")
+    assert(r.getDouble(0) === 5.0)
+    // D=4 pins the BUCKETING against the engine-portable hash the
+    // oracles use: conv(first 15 md5 hex chars) % D picks the element
+    val r2 = sql(
+      """SELECT hash_weight_sum(array('a'), array(10.0D, 20.0D, 30.0D, 40.0D)) =
+        |  element_at(array(10.0D, 20.0D, 30.0D, 40.0D),
+        |    cast(conv(substring(md5(cast('a' as binary)), 1, 15), 16, 10) % 4 + 1 as int))
+        |  AS ok""".stripMargin)
+    assert(r2.getBoolean(0))
+  }
+
   // PQ8x4 probe geometry: dim 8 → 8 subspaces of 1 dim; codebook row c
   // is [c,c,...,c], so a vector of all 2.9 takes code 3 in every
   // subspace (|2.9−3| < |2.9−2|) → packed 0x33333333

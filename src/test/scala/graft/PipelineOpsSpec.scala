@@ -160,6 +160,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kinds.size >= 3, s"pipeline degenerate on fixture: $kinds")
   }
 
+  test("keep-best: exactly one kept member per cluster, and it is the quality argmax") {
+    import graft.operators.{LlmOps, TextOps}
+    val out = LlmOps.docKeepBest(docs).collect()
+    assert(out.nonEmpty)
+    // one row per dup-group member, same membership as the cluster op
+    assert(out.length === DedupOps.docDupGroups(docs).count())
+    val byCluster = out.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_.getAs[Int]("keep") === 1) === 1, s"cluster $c")
+      val kept = members.find(_.getAs[Int]("keep") === 1).get
+      // argmax by (quality desc, doc_id asc)
+      val best = members.minBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      assert(kept.getAs[Long]("doc_id") === best.getAs[Long]("doc_id"), s"cluster $c")
+    }
+    // a staged cluster artifact changes nothing but the work
+    assertSameRows(
+      LlmOps.docKeepBest(docs, dupGroups = Some(DedupOps.docDupGroups(docs))),
+      LlmOps.docKeepBest(docs))
+  }
+
   test("filter pipeline: staged dup/contamination inputs give identical verdicts") {
     import graft.operators.LlmOps
     // production shape: clusters + contamination are staged artifacts

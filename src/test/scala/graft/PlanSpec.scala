@@ -225,6 +225,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("logp_sum"), p)
   }
 
+  test("quality_lr scoring is a pure projection: no exchange, fused kernel in plan") {
+    // the model rides as a literal weight vector inside the expression —
+    // an exchange or join here means inference regressed to a
+    // vocabulary-table join
+    val p = plan("quality_lr")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("hash_weight_sum"), p)
+  }
+
   test("funnel_conversion scan count stays triangular in the (short) stage count") {
     // the lazy per-stage fold re-derives prior stages: s(s+1)/2 source
     // scans — the deliberate trade at 3 stages (see funnelConversion's

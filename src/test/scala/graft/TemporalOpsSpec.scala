@@ -386,6 +386,28 @@ class TemporalOpsSpec extends SparkTestBase {
     assertSameRows(fused, hof)
   }
 
+  test("quality classifier: native hash_weight_sum matches the composable HOF fold") {
+    val docs = Fixtures.documents(spark, sfDir).limit(50)
+    graft.GraftSession.registerFunctions(spark)
+    val toks = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+    val w = TextOps.QlrWeights
+    val fused = toks.select(col("doc_id"),
+      call_function("hash_weight_sum", col("w"), typedlit(w)).as("s"))
+    val hof = toks.select(col("doc_id"), TextOps.hashWeightSumHof(w).as("s"))
+    assertSameRows(fused, hof)
+  }
+
+  test("quality classifier on the fixture: one verdict per doc, both classes present") {
+    val docs = Fixtures.documents(spark, sfDir)
+    val out = TextOps.qualityClassifier(docs)
+    assert(out.count() === docs.count())
+    // centered stand-in weights split the fixture: a one-sided verdict
+    // would mean the score or threshold degenerated
+    val keeps = out.filter(col("keep")).count()
+    assert(keeps > 0 && keeps < out.count(), s"keeps=$keeps")
+  }
+
   test("LM perplexity on the fixture: one score per doc, vocabulary covers the corpus") {
     val docs = Fixtures.documents(spark, sfDir)
     val out = TextOps.textLmPerplexity(docs)
