@@ -115,8 +115,13 @@ object Bench {
     // the embedding_* → emb_* / multimodal_* → mm_* prefix sweep that
     // funded doc_substr_dups), short new-key names (pq_enc, bigrams,
     // ss_join, pii; last_message_per_partition → last_msg_per_partition,
-    // which funded quality_lr + keep_best). Next reclaim if needed:
-    // cumulative_ack_frontier → ack_frontier.
+    // which funded quality_lr + keep_best; the round-8 sweep
+    // cumulative_ack_frontier → ack_frontier, user_retention_cohort →
+    // retention, payload_integrity_crc → payload_crc,
+    // round_robin_balance → rr_balance, seek_by_time_topk → seek_topk,
+    // string_date_math_funcs → str_date_funcs, which funded src_stats +
+    // emb_protos + shards). Next reclaim if needed:
+    // inter_arrival_gaps → arrival_gaps.
     val budget = 1990
     val out = line
     if (out.length > budget)

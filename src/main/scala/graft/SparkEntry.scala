@@ -14,7 +14,7 @@ import graft.streaming.StreamOps
   * oracle-checkable key. Column names/types are aligned pairwise — the
   * driver hash-compares after sorting columns by name. As of round 7
   * EVERY key carries an oracle — the former exemptions closed:
-  * `payload_integrity_crc` gets a pure-SQL castagnoli (recursive table +
+  * `payload_crc` gets a pure-SQL castagnoli (recursive table +
   * per-byte fold) and the streaming keys get their batch-equivalent SQL
   * (complete-mode window finals, single-batch watermark dedup, and the
   * redelivery tracker whose cumulative-count emissions max-aggregate to
@@ -28,7 +28,7 @@ object SparkEntry {
     * predicate → TakeOrderedAndProject.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("seek_by_time_topk")(spark, "/root/testdata/sf0.001")
+    queries("seek_topk")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2.3, plus the
     * extended training-data-pipeline inventory (dedup family, similarity

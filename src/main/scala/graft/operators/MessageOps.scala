@@ -367,14 +367,14 @@ object MessageOps {
     "filter_events_type" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
     "decode_props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
     "route_partition_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
-    "round_robin_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
+    "rr_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
     "key_shared_ranges" -> ((s, d) => keySharedRanges(Fixtures.events(s, d))),
     "dedup_by_sequence" -> ((s, d) => dedupBySequence(Fixtures.events(s, d))),
-    "cumulative_ack_frontier" -> ((s, d) => cumulativeAckFrontier(Fixtures.events(s, d))),
+    "ack_frontier" -> ((s, d) => cumulativeAckFrontier(Fixtures.events(s, d))),
     "ack_backlog_anti_join" -> ((s, d) => ackBacklogAntiJoin(Fixtures.events(s, d))),
     "redelivery_counts" -> ((s, d) => redeliveryCounts(Fixtures.events(s, d))),
     "dead_letter_split" -> ((s, d) => deadLetterSplit(Fixtures.events(s, d), 16)),
-    "seek_by_time_topk" -> ((s, d) => seekByTimeTopK(Fixtures.events(s, d), T0_US, 100)),
+    "seek_topk" -> ((s, d) => seekByTimeTopK(Fixtures.events(s, d), T0_US, 100)),
     "last_msg_per_partition" -> ((s, d) => lastMessagePerPartition(Fixtures.events(s, d))),
     "read_compacted" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
     "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
@@ -385,14 +385,14 @@ object MessageOps {
     "rate_limit_window" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
     "inter_arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
     "sql_top_producers" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
-    "payload_integrity_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
+    "payload_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
   /** The oracle-side epoch-µs projection of `ts` — the ns→µs cast
     * discipline every events oracle shares (also used by TemporalOps). */
   private[operators] val US = "epoch_us(CAST(ts AS TIMESTAMP))"
 
   def oracle: Map[String, String] = Map(
-    "payload_integrity_crc" ->
+    "payload_crc" ->
       """WITH RECURSIVE
          tbl(i, j, v) AS (
            SELECT i, 0, i FROM range(0, 256) t(i)
@@ -431,7 +431,7 @@ object MessageOps {
       s"""SELECT CAST(user_id % $P AS INTEGER) AS part, CAST(count(*) AS BIGINT) AS n,
           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
           FROM events GROUP BY 1 ORDER BY part""",
-    "round_robin_balance" ->
+    "rr_balance" ->
       """SELECT CAST(t.slot AS BIGINT) AS slot,
                 CAST((c.total - t.slot + 3) // 4 AS BIGINT) AS n
          FROM (SELECT count(*) AS total FROM events) c,
@@ -449,7 +449,7 @@ object MessageOps {
          (SELECT user_id, event_id % 256 AS seq, event_id,
                  row_number() OVER (PARTITION BY user_id, event_id % 256 ORDER BY event_id) AS rn
           FROM events) WHERE rn = 1 ORDER BY user_id, seq""",
-    "cumulative_ack_frontier" ->
+    "ack_frontier" ->
       s"""SELECT user_id, event_id,
           max($US) OVER (PARTITION BY user_id ORDER BY event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frontier_us
@@ -467,7 +467,7 @@ object MessageOps {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events
          GROUP BY user_id, event_type HAVING count(*) > 16
          ORDER BY user_id, event_type""",
-    "seek_by_time_topk" ->
+    "seek_topk" ->
       s"""SELECT event_id, user_id, event_type, $US AS publish_us FROM events
           WHERE $US >= $T0_US ORDER BY publish_us, event_id LIMIT 100""",
     "last_msg_per_partition" ->

@@ -166,7 +166,7 @@ object RelationalOps {
     "orders_rollup_cube" -> ((s, d) => ordersRollupCube(Fixtures.orders(s, d))),
     "set_ops_returnflag" -> ((s, d) => setOpsSegment(
       Fixtures.customer(s, d), Fixtures.orders(s, d), SEGMENT)),
-    "string_date_math_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
+    "str_date_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
     "approx_distinct_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
     "salted_join_skew" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))),
     "value_percentiles" -> ((s, d) => valuePercentiles(Fixtures.events(s, d))))
@@ -195,7 +195,7 @@ object RelationalOps {
            (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             EXCEPT SELECT o_custkey FROM orders)
          ORDER BY tag, custkey""",
-    "string_date_math_funcs" ->
+    "str_date_funcs" ->
       """SELECT o_orderkey,
                 upper(substring(o_orderpriority, 1, 4)) AS prio4,
                 concat_ws('-', o_orderstatus, lower(o_orderpriority)) AS status_prio,

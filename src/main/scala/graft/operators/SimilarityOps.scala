@@ -28,6 +28,15 @@ object SimilarityOps {
   val NumCentroids = 8
   val NumProbe = 2
 
+  /** Prototypes kept per IVF cell by [[embeddingCellPrototypes]]. */
+  val ProtoK = 8
+
+  /** Salt fan-out for the pre-prune stage of [[embeddingCellPrototypes]]
+    * — sized like a shuffle-partition count in production (so each
+    * (cell, salt) slice fits one task); 8 suffices to exercise the
+    * two-stage shape on the fixture. */
+  val ProtoSalts = 8L
+
   /** Plane-count bounds for [[defaultNumPlanes]]: at least 4 (16 buckets
     * — below that LSH degenerates to near-all-pairs), at most 24 (16M
     * buckets — the bucket id stays a small Long sum and recall loss from
@@ -243,6 +252,51 @@ object SimilarityOps {
       .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Per-cell prototype election — the curation read of an IVF index
+    * (SemDeDup/prototype-sampling family): within each cell keep the `p`
+    * vectors most cosine-similar to their centroid. Prototypes seed
+    * semantic stratified sampling, per-cluster labeling, and the
+    * "representative exemplars" audits an embedding pipeline ships next
+    * to the index.
+    *
+    * Scale shape, in order: (1) centroid scoring is a broadcast of the
+    * bounded staged index; (2) per-vector argmax runs as `min_by` — a
+    * partial-combinable AGGREGATE, not a window, so the C-per-vector
+    * scored rows collapse map-side before the one vec_id exchange (the
+    * window form would shuffle C× corpus rows); (3) the per-cell top-p
+    * is TWO-STAGE — rank within (cell, md5-salt of vec_id) first, keep ≤
+    * p, then rank the ≤ cells × salts × p survivors per cell — because a
+    * single per-cell window keys the whole corpus into |cells|
+    * partitions, the classic low-cardinality-window parallelism collapse
+    * at 10^10 vectors. The salted pre-prune is semantics-free: a global
+    * top-p row ranks ≤ p inside any subset containing it (ties total-
+    * ordered by vec_id), so stage 2 sees every survivor. Only scalars
+    * (vec_id, cell, ccos) cross either exchange; embeddings never leave
+    * stage 1.
+    */
+  def embeddingCellPrototypes(emb: DataFrame, p: Int = ProtoK,
+      index: Option[DataFrame] = None): DataFrame = {
+    graft.GraftSession.registerFunctions(emb.sparkSession)
+    val centroids = index.getOrElse(lloydCentroids(emb))
+    val best = struct(col("cent_id"), col("ccos"))
+    val byScore = struct(negate(col("ccos")), col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("embedding"), col("ce")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(min_by(best, byScore).as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cell"), col("b.ccos").as("ccos"))
+    val pre = Window
+      .partitionBy(col("cell"), Hashing.md5Bucket(col("vec_id"), ProtoSalts))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    val fin = Window.partitionBy(col("cell"))
+      .orderBy(col("ccos").desc, col("vec_id"))
+    assigned
+      .withColumn("pr", row_number().over(pre)).filter(col("pr") <= p).drop("pr")
+      .withColumn("proto_rank", row_number().over(fin))
+      .filter(col("proto_rank") <= p)
   }
 
   /** Symmetric per-vector int8 quantization — the storage-compression
@@ -508,6 +562,9 @@ object SimilarityOps {
     "emb_ivf_topk" ->
       ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K,
         index = Some(stagedCentroids(s, d)))),
+    "emb_protos" ->
+      ((s, d) => embeddingCellPrototypes(Fixtures.embeddings(s, d),
+        index = Some(stagedCentroids(s, d)))),
     "emb_dup_groups" ->
       ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)),
     "emb_quantize_int8" ->
@@ -586,6 +643,43 @@ object SimilarityOps {
         ORDER BY cosine DESC, vec_a, vec_b LIMIT $k"""
 
   /** Shared DuckDB scaffolding: per-(pair) cosine via positional sums. */
+  /** The IVF index derivation as a WITH-chain BODY (caller supplies the
+    * `WITH `): seed pick → seed assignment → one Lloyd refinement with
+    * dimension means rounded to 6 decimals (the staged-index numerics) →
+    * full per-(vector, centroid) rounded cosine in `scored`. Factored so
+    * `emb_ivf_topk` and `emb_protos` check the SAME index text — the
+    * qualityScoreOracle no-drift discipline. */
+  private def ivfScoredCte: String =
+    s"""seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                  WHERE vec_id < $NumCentroids),
+        seed_scored AS (
+          SELECT e.vec_id, c.cent_id,
+                 round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
+                       / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                          * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
+          FROM embeddings e, seeds c, range(1, 65) t(i)
+          GROUP BY e.vec_id, c.cent_id),
+        seed_assign AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+            FROM seed_scored) WHERE rn = 1),
+        cent_dims AS (
+          SELECT a.cell AS cent_id, t.i,
+                 round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS cx
+          FROM seed_assign a JOIN embeddings e ON e.vec_id = a.vec_id,
+               range(1, 65) t(i)
+          GROUP BY a.cell, t.i),
+        cents AS (SELECT cent_id, list(cx ORDER BY i) AS ce
+                  FROM cent_dims GROUP BY cent_id),
+        scored AS (
+          SELECT e.vec_id, c.cent_id,
+                 round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
+                       / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                          * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
+          FROM embeddings e, cents c, range(1, 65) t(i)
+          GROUP BY e.vec_id, c.cent_id)"""
+
   def oracle: Map[String, String] = Map(
     "emb_quantize_int8" ->
       """WITH x AS (SELECT vec_id,
@@ -646,36 +740,22 @@ object SimilarityOps {
                  CAST(c.id = c.cluster AS INTEGER) AS is_canonical,
                  s.cluster_size
           FROM comp c JOIN sizes s USING (cluster)""",
-    "emb_ivf_topk" ->
-      s"""WITH seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-                         WHERE vec_id < $NumCentroids),
-          seed_scored AS (
-            SELECT e.vec_id, c.cent_id,
-                   round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
-                         / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
-                            * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
-            FROM embeddings e, seeds c, range(1, 65) t(i)
-            GROUP BY e.vec_id, c.cent_id),
-          seed_assign AS (
-            SELECT vec_id, cent_id AS cell FROM (
-              SELECT vec_id, cent_id,
+    "emb_protos" ->
+      // the SAME index text as emb_ivf_topk ([[ivfScoredCte]]); the
+      // final window mirrors the operator's (ccos DESC, vec_id) order
+      s"""WITH $ivfScoredCte,
+          assigned AS (
+            SELECT vec_id, cent_id AS cell, ccos FROM (
+              SELECT vec_id, cent_id, ccos,
                      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-              FROM seed_scored) WHERE rn = 1),
-          cent_dims AS (
-            SELECT a.cell AS cent_id, t.i,
-                   round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS cx
-            FROM seed_assign a JOIN embeddings e ON e.vec_id = a.vec_id,
-                 range(1, 65) t(i)
-            GROUP BY a.cell, t.i),
-          cents AS (SELECT cent_id, list(cx ORDER BY i) AS ce
-                    FROM cent_dims GROUP BY cent_id),
-          scored AS (
-            SELECT e.vec_id, c.cent_id,
-                   round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
-                         / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
-                            * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
-            FROM embeddings e, cents c, range(1, 65) t(i)
-            GROUP BY e.vec_id, c.cent_id),
+              FROM scored) WHERE rn = 1)
+          SELECT vec_id, cell, ccos, proto_rank FROM (
+            SELECT vec_id, cell, ccos,
+                   CAST(row_number() OVER (PARTITION BY cell
+                                           ORDER BY ccos DESC, vec_id) AS INTEGER) AS proto_rank
+            FROM assigned) WHERE proto_rank <= $ProtoK""",
+    "emb_ivf_topk" ->
+      s"""WITH $ivfScoredCte,
           assigned AS (
             SELECT vec_id, cent_id AS cell FROM (
               SELECT vec_id, cent_id,

@@ -244,7 +244,7 @@ object TemporalOps {
         e.filter(col("event_type") === "click"))
     }),
     "funnel_conversion" -> ((s, d) => funnelConversion(evUs(s, d), FunnelStages)),
-    "user_retention_cohort" -> ((s, d) => retentionCohort(evUs(s, d))))
+    "retention" -> ((s, d) => retentionCohort(evUs(s, d))))
 
   private val US = MessageOps.US // shared ns→µs oracle cast discipline
 
@@ -300,7 +300,7 @@ object TemporalOps {
             SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3)""",
-    "user_retention_cohort" ->
+    "retention" ->
       s"""WITH e AS (SELECT DISTINCT user_id, $US // 86400000000 AS day FROM events),
             cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
           SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users

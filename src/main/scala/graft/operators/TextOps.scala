@@ -289,6 +289,33 @@ object TextOps {
         col("n_tokens"))
   }
 
+  /** Pack-efficiency audit of [[docPackBins]] — the manifest a training
+    * job reads before consuming the packed output: per-shard bin count,
+    * document/token totals, and the min/max bin fill (max > [[PackBudget]]
+    * happens exactly when one document exceeds the budget; min far below
+    * it on a closed bin means padding waste). This is the accounting step
+    * real packing pipelines ship next to the shards — training throughput
+    * is fill ratio, and an unaudited packer silently burns step time on
+    * pad tokens.
+    *
+    * Scale shape: composes the pack assignment (already per-shard
+    * windowed, never a global sort) and rolls up through TWO map-side
+    * combined hash aggregations — (shard, bin) then shard — each output
+    * bounded by bin/shard counts, never document count. Every aggregate
+    * is an exact integer (SURVEY §7.3).
+    */
+  def packStats(docs: DataFrame): DataFrame =
+    docPackBins(docs)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("bd"), sum(col("n_tokens")).as("bt"))
+      .groupBy("shard")
+      .agg(
+        (max(col("bin")) + 1L).as("n_bins"),
+        sum(col("bd")).as("n_docs"),
+        sum(col("bt")).as("n_tokens"),
+        min(col("bt")).as("min_bin_tokens"),
+        max(col("bt")).as("max_bin_tokens"))
+
   /** Word n-gram instance array (1-based positions, space-joined), empty
     * when the document is shorter than `n` tokens — `sequence(1, 0)`
     * would DESCEND, hence the explicit guard. */
@@ -533,6 +560,56 @@ object TextOps {
             % weights.length) + 1).cast("int")),
         lit(0.0)))
 
+  /** Per-source curation scorecard — the decision table behind
+    * source-level filtering (the C4/RefinedWeb/Gopher pattern: sources
+    * are kept, down-weighted, or dropped WHOLESALE on aggregate signals
+    * before any per-document work ships): for each `source`, document /
+    * token / byte volume, exact-duplicate incidence (documents sharing a
+    * normalized token-set signature — `docNearDedup`'s sig, restated
+    * here so the per-doc flag stays joinable), and the keep rates of the
+    * two per-document quality gates this engine implements (the
+    * heuristic composite over [[LlmOps.QualityThreshold]], and the
+    * [[qualityClassifier]] verdict).
+    *
+    * Scale shape: ONE corpus scan computes every per-document signal as
+    * a pure projection (tokens materialized once, the `withTokens`
+    * alias discipline); the duplicate flag is a count-over-sig window —
+    * one exchange on an md5 key (uniform by construction, partitions
+    * bounded by duplicate-family size); the rollup is a map-side
+    * combined aggregation to |sources| rows. Nothing corpus-sized
+    * crosses to the driver and no text bytes move after the projection
+    * (the window input carries only scalars). Every emitted aggregate is
+    * an exact integer, so the oracle hash-compare is exact (the
+    * avg-of-doubles divergence class is designed out, not rounded away).
+    */
+  def sourceCurationStats(docs: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val en = Profiles.head._2
+    val toks = docs.select(
+      col("doc_id"), col("source"), length(col("text")).as("n_chars"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+    val perDoc = toks.select(
+      col("doc_id"), col("source"), col("n_chars"),
+      md5(array_join(sort_array(array_distinct(col("w"))), " ")
+        .cast("binary")).as("sig"),
+      size(col("w")).as("n_tokens"),
+      qualityOf(profileScore(en), size(col("w")), avgWlen).as("quality"),
+      (lit(QlrBias) +
+        call_function("hash_weight_sum", col("w"), typedlit(QlrWeights)) /
+          size(col("w")).cast("double")).as("lr_score"))
+    val bySig = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    perDoc
+      .withColumn("is_dup", (count(lit(1)).over(bySig) > 1).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars").cast("long")).as("n_bytes"),
+        sum(col("is_dup")).as("dup_docs"),
+        sum((col("quality") > LlmOps.QualityThreshold).cast("long")).as("q_keep"),
+        sum((col("lr_score") > 0).cast("long")).as("lr_keep"))
+  }
+
   /** Mixture weight tiers for [[docMixtureSample]]'s fixture wiring —
     * exercises down-sampling (<1), identity (1), and fractional
     * up-sampling (>1): tier = numeric source suffix mod 4. Real callers
@@ -749,7 +826,100 @@ object TextOps {
     // "pii" — short by design (bench line budget, the pq_enc precedent)
     "pii" -> ((s, d) => docPiiScrub(Fixtures.documents(s, d))),
     // "quality_lr" — hashing-trick linear classifier inference
-    "quality_lr" -> ((s, d) => qualityClassifier(Fixtures.documents(s, d))))
+    "quality_lr" -> ((s, d) => qualityClassifier(Fixtures.documents(s, d))),
+    // short names by necessity (bench line budget, the pq_enc precedent)
+    "src_stats" -> ((s, d) => sourceCurationStats(Fixtures.documents(s, d))),
+    "pack_stats" -> ((s, d) => packStats(Fixtures.documents(s, d))))
+
+  /** The quality-score derivation as a standalone string so composites
+    * ([[sourceStatsOracle]]) reuse the EXACT text the standalone key
+    * checks — the no-drift discipline the PII oracle established. */
+  private def qualityScoreOracle: String = {
+    val en = Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+                             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                      FROM documents),
+        base AS (SELECT doc_id,
+                        CAST(n_chars AS INTEGER) AS n_chars,
+                        CAST(len(w) AS INTEGER) AS n_tokens,
+                        len(list_filter(w, x -> x IN ($en))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+                        list_sum(list_transform(w, x -> CAST(length(x) AS INTEGER))) / CAST(len(w) AS DOUBLE) AS avg_wlen
+                 FROM toks)
+        SELECT *, stop_ratio * 0.3 + least(1.0, n_tokens / 100.0) * 0.4
+                  + least(1.0, avg_wlen / 8.0) * 0.3 AS quality
+        FROM base"""
+  }
+
+  /** The classifier-inference derivation, factored for the same reason. */
+  private def qualityLrOracle: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                      FROM documents),
+        scored AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+                          $QlrBias + list_reduce(
+                              list_prepend(CAST(0 AS DOUBLE),
+                                list_transform(w, t ->
+                                  ([${QlrWeights.mkString(", ")}])[
+                                    CAST(('0x' || substring(md5(t), 1, 15))::BIGINT
+                                         % $QlrBuckets AS INTEGER) + 1])),
+                              (a, x) -> a + x) / CAST(len(w) AS DOUBLE) AS score
+                   FROM toks)
+        SELECT doc_id, n_tokens, score, score > 0 AS keep FROM scored"""
+
+  /** The pack-bin assignment derivation, factored so [[packStatsOracle]]
+    * audits the EXACT assignment the standalone key checks. */
+  private def packBinsOracle: String =
+    s"""WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % $PackShards AS shard
+          FROM documents)
+        SELECT doc_id, shard,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
+               n_tokens
+        FROM toks"""
+
+  /** Per-(shard, bin) fill then per-shard rollup — every aggregate an
+    * exact integer, composed over [[packBinsOracle]] verbatim. */
+  private def packStatsOracle: String =
+    s"""WITH bins AS (SELECT shard, bin,
+                             CAST(count(*) AS BIGINT) AS bd,
+                             CAST(sum(n_tokens) AS BIGINT) AS bt
+                      FROM ($packBinsOracle) pb
+                      GROUP BY shard, bin)
+        SELECT shard,
+               CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+               CAST(sum(bd) AS BIGINT) AS n_docs,
+               CAST(sum(bt) AS BIGINT) AS n_tokens,
+               min(bt) AS min_bin_tokens,
+               max(bt) AS max_bin_tokens
+        FROM bins GROUP BY shard"""
+
+  /** Source rollup composed from the quality, classifier, and
+    * exact-dup-signature derivations (the sig text restates
+    * `doc_near_dedup`'s, see [[sourceCurationStats]]); every aggregate
+    * an exact integer so the hash compare is exact. */
+  private def sourceStatsOracle: String =
+    s"""WITH sig AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'))), ' ')) AS sig
+                     FROM documents),
+        sz AS (SELECT sig, count(*) AS n FROM sig GROUP BY 1)
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(length(d.text)) AS BIGINT) AS n_bytes,
+               CAST(sum(CASE WHEN z.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+               CAST(sum(CASE WHEN q.quality > ${graft.operators.LlmOps.QualityThreshold}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS q_keep,
+               CAST(sum(CASE WHEN lr.keep THEN 1 ELSE 0 END) AS BIGINT) AS lr_keep
+        FROM documents d
+        JOIN ($qualityScoreOracle) q USING (doc_id)
+        JOIN ($qualityLrOracle) lr USING (doc_id)
+        JOIN sig s USING (doc_id)
+        JOIN sz z USING (sig)
+        GROUP BY d.source"""
 
   /** The PII oracle is GENERATED from [[PiiPatterns]] so the pattern
     * text cannot drift between the Spark cascade and the SQL one; the
@@ -792,19 +962,9 @@ object TextOps {
       // weights/bias interpolate from the SAME Scala values the Spark
       // expression uses (the PII-oracle no-drift discipline); every
       // weight is an exact binary fraction so the decimal round-trips
-      "quality_lr" ->
-        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                          FROM documents),
-            scored AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
-                              $QlrBias + list_reduce(
-                                  list_prepend(CAST(0 AS DOUBLE),
-                                    list_transform(w, t ->
-                                      ([${QlrWeights.mkString(", ")}])[
-                                        CAST(('0x' || substring(md5(t), 1, 15))::BIGINT
-                                             % $QlrBuckets AS INTEGER) + 1])),
-                                  (a, x) -> a + x) / CAST(len(w) AS DOUBLE) AS score
-                       FROM toks)
-            SELECT doc_id, n_tokens, score, score > 0 AS keep FROM scored""",
+      "quality_lr" -> qualityLrOracle,
+      "src_stats" -> sourceStatsOracle,
+      "pack_stats" -> packStatsOracle,
       "text_lang_id" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),
@@ -814,19 +974,7 @@ object TextOps {
             withbest AS (SELECT *, $bestExpr AS best FROM scored)
             SELECT doc_id, $predExpr AS pred_lang, best AS score
             FROM withbest""",
-      "text_quality_score" ->
-        s"""WITH toks AS (SELECT doc_id, length(text) AS n_chars,
-                                 regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                          FROM documents),
-            base AS (SELECT doc_id,
-                            CAST(n_chars AS INTEGER) AS n_chars,
-                            CAST(len(w) AS INTEGER) AS n_tokens,
-                            len(list_filter(w, x -> x IN ($en))) / CAST(len(w) AS DOUBLE) AS stop_ratio,
-                            list_sum(list_transform(w, x -> CAST(length(x) AS INTEGER))) / CAST(len(w) AS DOUBLE) AS avg_wlen
-                     FROM toks)
-            SELECT *, stop_ratio * 0.3 + least(1.0, n_tokens / 100.0) * 0.4
-                      + least(1.0, avg_wlen / 8.0) * 0.3 AS quality
-            FROM base""",
+      "text_quality_score" -> qualityScoreOracle,
       "token_count_bpe" ->
         """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
                   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -852,19 +1000,7 @@ object TextOps {
                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
            FROM b GROUP BY 1""",
-      "doc_pack_bins" ->
-        s"""WITH toks AS (
-              SELECT doc_id,
-                     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
-                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                       % $PackShards AS shard
-              FROM documents)
-            SELECT doc_id, shard,
-                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                                   ROWS UNBOUNDED PRECEDING)
-                               - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
-                   n_tokens
-            FROM toks""",
+      "doc_pack_bins" -> packBinsOracle,
       "text_lm_perplexity" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),

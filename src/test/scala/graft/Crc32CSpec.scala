@@ -56,7 +56,7 @@ class Crc32CSpec extends AnyFunSuite {
   }
 
   test("fixture props are pure ASCII at every scale (the SQL oracle's byte=char premise)") {
-    // payload_integrity_crc's DuckDB oracle folds bytes via
+    // payload_crc's DuckDB oracle folds bytes via
     // ord(substring(props, i, 1)) — per CHARACTER. It matches Spark's
     // byte-wise CRC only while props holds no code point above 0x7F; a
     // fixture change introducing non-ASCII would silently flip the key

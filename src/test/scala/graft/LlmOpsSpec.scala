@@ -77,6 +77,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(cos.sameElements(cos.sorted.reverse))
   }
 
+  test("emb prototypes: the salted two-stage top-p equals the unpruned ranking's head") {
+    import graft.operators.SimilarityOps
+    val cents = SimilarityOps.stagedCentroids(spark, sfDir)
+    val out = SimilarityOps.embeddingCellPrototypes(emb, index = Some(cents))
+    // p = corpus size disables both prunes: the full per-cell ranking.
+    // Its head IS the dominance property (every kept ccos outranks every
+    // dropped one in the cell) AND the salted-prune equivalence.
+    val full = SimilarityOps.embeddingCellPrototypes(
+      emb, p = Int.MaxValue, index = Some(cents))
+    assertSameRows(out, full.filter(col("proto_rank") <= SimilarityOps.ProtoK))
+    val perCell = out.groupBy("cell")
+      .agg(count(lit(1)).as("n"), max(col("proto_rank")).as("mx"),
+        min(col("proto_rank")).as("mn"))
+      .collect()
+    assert(perCell.nonEmpty)
+    perCell.foreach { r =>
+      assert(r.getAs[Long]("n") <= SimilarityOps.ProtoK)
+      // ranks are contiguous from 1: count == max, min == 1
+      assert(r.getAs[Int]("mn") === 1, r)
+      assert(r.getAs[Int]("mx").toLong === r.getAs[Long]("n"), r)
+    }
+    // every vector is assigned somewhere: prototypes never exceed corpus
+    assert(out.count() <= emb.count())
+  }
+
   test("embeddingTopKCosine: self-query scores 1.0 at the top") {
     // querying against vec 0 including itself would yield cosine 1; emulate
     // by duplicating vec 0 under a new id and confirming it ranks first

@@ -222,6 +222,61 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("pack stats: the rollup ties out to the assignment it audits") {
+    import graft.operators.TextOps
+    val bins = TextOps.docPackBins(docs).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"), r.getAs[Long]("n_tokens")))
+    val stats = TextOps.packStats(docs).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("min_bin_tokens"), r.getAs[Long]("max_bin_tokens"))).toMap
+    val byShard = bins.groupBy(_._1)
+    assert(stats.keySet === byShard.keySet)
+    byShard.foreach { case (shard, members) =>
+      val (nBins, nDocs, nToks, mn, mx) = stats(shard)
+      assert(nBins === members.map(_._2).max + 1, s"shard $shard")
+      assert(nDocs === members.length.toLong, s"shard $shard")
+      assert(nToks === members.map(_._3).sum, s"shard $shard")
+      val fills = members.groupBy(_._2).values.map(_.map(_._3).sum)
+      assert(mn === fills.min && mx === fills.max, s"shard $shard")
+    }
+    // docs counted exactly once across the manifest
+    assert(stats.values.map(_._2).sum === docs.count())
+  }
+
+  test("source stats: rollup agrees with the standalone quality/dup/classifier ops") {
+    import graft.operators.TextOps
+    val out = TextOps.sourceCurationStats(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_docs"),
+          r.getAs[Long]("q_keep"), r.getAs[Long]("lr_keep"))).toMap
+    // every source present, docs partitioned exactly
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === bySource.keySet)
+    out.foreach { case (s, (n, _, dup, qk, lk)) =>
+      assert(n === bySource(s), s)
+      assert(dup >= 0 && dup <= n, s)
+      assert(qk >= 0 && qk <= n, s)
+      assert(lk >= 0 && lk <= n, s)
+    }
+    // corpus-level cross-checks against the ops the rollup composes
+    assert(out.values.map(_._3).sum ===
+      LlmOps.docNearDedup(docs).filter(col("n_dups") > 1)
+        .agg(sum(col("n_dups"))).collect()(0).getLong(0))
+    val qKeepExpected = TextOps.textQualityScore(docs)
+      .filter(col("quality") > LlmOps.QualityThreshold).count()
+    assert(out.values.map(_._4).sum === qKeepExpected)
+    val lrKeepExpected = TextOps.qualityClassifier(docs)
+      .filter(col("keep")).count()
+    assert(out.values.map(_._5).sum === lrKeepExpected)
+    // both quality gates discriminate on the fixture (a degenerate
+    // all-keep/all-drop rollup would hide a broken signal)
+    val totals = (out.values.map(_._4).sum, out.values.map(_._5).sum)
+    assert(totals._1 > 0 && totals._1 < docs.count(), totals)
+    assert(totals._2 > 0 && totals._2 < docs.count(), totals)
+  }
+
   test("pack bins: per-shard running fill respects the budget rule, deterministic") {
     import graft.operators.TextOps
     val a = TextOps.docPackBins(docs).collect()

@@ -24,8 +24,8 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"), p)
   }
 
-  test("seek_by_time_topk plans as TakeOrderedAndProject, not a global sort") {
-    val p = plan("seek_by_time_topk")
+  test("seek_topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("seek_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
@@ -41,8 +41,8 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
-  test("round_robin_balance has no window operator") {
-    val p = plan("round_robin_balance")
+  test("rr_balance has no window operator") {
+    val p = plan("rr_balance")
     assert(!p.contains("Window"), p)
   }
 
@@ -234,6 +234,41 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hash_weight_sum"), p)
   }
 
+  test("src_stats: join-free (window dup flag), two exchanges, map-side rollup") {
+    // a join-based dup flag would shuffle the per-doc signals twice and
+    // re-derive the sig projection; the window form pays ONE sig
+    // exchange, then one source exchange with a partial aggregate
+    val p = plan("src_stats")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 2, p)
+  }
+
+  test("pack_stats rolls up through partial aggregates, no join, no extra pass") {
+    // the audit composes the pack assignment (one shard window) and two
+    // hash aggregations; a join or a second corpus scan means the
+    // composition regressed to re-deriving its stages
+    val p = plan("pack_stats")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("emb_protos: argmax is a partial min_by aggregate, no window over the corpus assignment") {
+    // the per-vector argmax MUST be an aggregate (map-side combinable):
+    // a window form shuffles |centroids| x corpus rows; the per-cell
+    // top-p must keep its two-stage shape (salted pre-rank) so no single
+    // window keys the corpus into |cells| partitions
+    val p = plan("emb_protos")
+    assert(p.contains("partial_min_by") || p.contains("partial_finalmerge_min_by")
+      || p.contains("min_by"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // two ranking windows (salted pre-prune + final), not one
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("funnel_conversion scan count stays triangular in the (short) stage count") {
     // the lazy per-stage fold re-derives prior stages: s(s+1)/2 source
     // scans — the deliberate trade at 3 stages (see funnelConversion's
@@ -274,13 +309,14 @@ class PlanSpec extends SparkTestBase {
       "pq_topk", // 1-row query vector cross for the ADC lookup table
       "doc_boilerplate_df", // 1-row corpus-count cross for the df threshold
       "bm25", // 1-row corpus-stats cross (N, Σdl, per-term df)
-      "rrf") // composes bm25 + embedding_topk_cosine, inheriting their crosses
+      "rrf", // composes bm25 + embedding_topk_cosine, inheriting their crosses
+      "emb_protos") // bounded staged-centroid-set cross (NumCentroids rows)
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
     val skip = Set("doc_dup_groups", "doc_filter_pipeline", "emb_dup_groups",
       "doc_lsh_verified_dups", "emb_ivf_topk", "bucketed_join",
-      "msglog_roundtrip_scan", "msglog_multi_topic_scan", "round_robin_balance",
+      "msglog_roundtrip_scan", "msglog_multi_topic_scan", "rr_balance",
       "text_lm_perplexity")
     SparkEntry.queries.keys
       .filterNot(_.startsWith("stream_")).filterNot(skip)
@@ -297,7 +333,7 @@ class PlanSpec extends SparkTestBase {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
-      .filterNot(Set("round_robin_balance", "msglog_roundtrip_scan",
+      .filterNot(Set("rr_balance", "msglog_roundtrip_scan",
         "msglog_multi_topic_scan", "bucketed_join",
         "doc_lsh_verified_dups",
         "emb_ivf_topk", // staging writes / C×dim centroid index
