@@ -145,6 +145,27 @@ class CapSpec extends SparkTestBase {
     assert(overflow === (ClusterSize - Cap).toLong)
   }
 
+  test("cell prototypes stay bounded when every vector lands in one cell") {
+    // degenerate IVF geometry: identical vectors all assign to the same
+    // centroid (ties broken to min cent_id) — the output must stay
+    // exactly p rows regardless of cluster size, and the salted
+    // pre-prune's intermediate is bounded by salts x p (the property
+    // that keeps the final per-cell window off the corpus)
+    val mega = (0L until ClusterSize.toLong)
+      .map(i => (i, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.embeddingCellPrototypes(mega).collect()
+    assert(out.length === SimilarityOps.ProtoK)
+    // all in the min cell, ranks 1..p, ties broken by vec_id ascending
+    assert(out.map(_.getAs[Long]("cell")).distinct.length === 1)
+    assert(out.map(_.getAs[Int]("proto_rank")).sorted.toSeq ===
+      (1 to SimilarityOps.ProtoK))
+    // cosine ties across ALL vectors: the vec_id tiebreak keeps the
+    // first p ids — deterministic across the salted two-stage prune
+    assert(out.map(_.getAs[Long]("vec_id")).sorted.toSeq ===
+      (0L until SimilarityOps.ProtoK.toLong))
+  }
+
   test("embedding near-dup: cap discipline holds at any plane count (identical cluster)") {
     // a mega-cluster of byte-identical vectors collides in ONE bucket
     // regardless of geometry — more planes never break the cap contract
