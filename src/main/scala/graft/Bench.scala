@@ -120,8 +120,9 @@ object Bench {
     // retention, payload_integrity_crc → payload_crc,
     // round_robin_balance → rr_balance, seek_by_time_topk → seek_topk,
     // string_date_math_funcs → str_date_funcs, which funded src_stats +
-    // emb_protos + shards). Next reclaim if needed:
-    // inter_arrival_gaps → arrival_gaps.
+    // emb_protos + pack_stats; inter_arrival_gaps → arrival_gaps, which
+    // funded lr_fit). Next reclaim if needed:
+    // doc_incremental_dedup → incr_dedup.
     val budget = 1990
     val out = line
     if (out.length > budget)

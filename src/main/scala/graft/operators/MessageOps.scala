@@ -383,7 +383,7 @@ object MessageOps {
     "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
     "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
     "rate_limit_window" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
-    "inter_arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
+    "arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
     "sql_top_producers" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
     "payload_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
@@ -504,7 +504,7 @@ object MessageOps {
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS n_last_hour
           FROM events""",
-    "inter_arrival_gaps" ->
+    "arrival_gaps" ->
       s"""SELECT user_id, event_id, publish_us, gap_us FROM (
             SELECT user_id, event_id, $US AS publish_us,
                    $US - lag($US, 1) OVER (PARTITION BY user_id

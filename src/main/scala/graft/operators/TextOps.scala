@@ -560,6 +560,81 @@ object TextOps {
             % weights.length) + 1).cast("int")),
         lit(0.0)))
 
+  /** Gradient steps taken by [[qualityLrFit]] — two is enough to
+    * exercise the fit loop's whole state machine (a zero-init first step
+    * whose scores are exactly 0.5 in every engine, then a step whose
+    * scores flow through the previous step's fitted weights). */
+  val LrFitSteps = 2
+
+  /** Learning rate for [[qualityLrFit]] — a power of two, so the weight
+    * update `w - eta * g` is EXACT double arithmetic on the 6-decimal
+    * gradients and the engines cannot drift between steps. Descent is
+    * GUARANTEED, not tuned: the gradient is the per-document MEAN and
+    * the features are L1-normalized token fractions (`||x||₂ ≤ 1`), so
+    * the logistic loss is (1/4)-smooth and any step below 1/L = 4
+    * descends — at every corpus size, which is what makes a fixed
+    * constant valid at 100 TB. */
+  val LrFitEta = 2.0
+
+  /** In-engine training of the hashing-trick quality classifier — the
+    * FIT that produces the weight vector [[qualityClassifier]] consumes
+    * (the standard distillation loop: cheap heuristic labels →
+    * logistic-regression filter, the fastText-style quality-model
+    * recipe): full-batch gradient descent on logistic loss over hashed
+    * bag-of-tokens features `x_b = count_b / n_tokens`, labels
+    * `y = [quality > threshold]` from the SAME heuristic composite the
+    * engine already computes. Returns the fitted `(bucket, weight)`
+    * model table.
+    *
+    * Scale shape (the Lloyd/LM-artifact discipline): each step is ONE
+    * corpus pass — scores fold in-row through the native
+    * `hash_weight_sum` kernel under the CURRENT weights (a literal, so
+    * scoring is a pure projection), then the gradient aggregates
+    * per-bucket with a map-side combine (the token explode collapses to
+    * ≤ D rows per partition before the exchange). Only the D-row
+    * gradient crosses to the driver per step — a bounded artifact like
+    * the IVF centroids; weights never exist as a distributed structure.
+    *
+    * Numerics discipline: labels and features are exact; zero-init makes
+    * step 1's sigmoid exactly 0.5 in every engine; each gradient is
+    * rounded to 6 decimals AT the aggregation boundary (the Lloyd
+    * centroid precedent) so cross-engine summation-order noise cannot
+    * propagate; the `eta` update is exact, so both engines enter every
+    * step with bit-identical weights.
+    */
+  def qualityLrFit(docs: DataFrame, steps: Int = LrFitSteps,
+      eta: Double = LrFitEta): DataFrame = {
+    val spark = docs.sparkSession
+    graft.GraftSession.registerFunctions(spark)
+    val en = Profiles.head._2
+    val toks = docs.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+    val labeled = toks.select(
+      col("w"),
+      (qualityOf(profileScore(en), size(col("w")), avgWlen) >
+        LlmOps.QualityThreshold).cast("double").as("y"),
+      size(col("w")).cast("double").as("n"))
+    val bucketOf = (conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % QlrBuckets).cast("int")
+    // the per-document MEAN gradient needs the exact corpus count once —
+    // a driver scalar (long → double is exact below 2^53)
+    val nDocs = docs.count().toDouble
+    var weights: IndexedSeq[Double] = IndexedSeq.fill(QlrBuckets)(0.0)
+    (0 until steps).foreach { _ =>
+      val s = call_function("hash_weight_sum", col("w"), typedlit(weights)) / col("n")
+      val p = lit(1.0) / (lit(1.0) + exp(negate(s)))
+      val grad = labeled
+        .select(explode(col("w")).as("t"), ((p - col("y")) / col("n")).as("e"))
+        .select(bucketOf.as("b"), col("e"))
+        .groupBy("b")
+        .agg(round(sum(col("e")) / nDocs, 6).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      weights = IndexedSeq.tabulate(QlrBuckets)(b =>
+        weights(b) - eta * grad.getOrElse(b, 0.0))
+    }
+    import spark.implicits._
+    weights.zipWithIndex.map { case (w, b) => (b, w) }.toDF("bucket", "weight")
+  }
+
   /** Per-source curation scorecard — the decision table behind
     * source-level filtering (the C4/RefinedWeb/Gopher pattern: sources
     * are kept, down-weighted, or dropped WHOLESALE on aggregate signals
@@ -829,7 +904,8 @@ object TextOps {
     "quality_lr" -> ((s, d) => qualityClassifier(Fixtures.documents(s, d))),
     // short names by necessity (bench line budget, the pq_enc precedent)
     "src_stats" -> ((s, d) => sourceCurationStats(Fixtures.documents(s, d))),
-    "pack_stats" -> ((s, d) => packStats(Fixtures.documents(s, d))))
+    "pack_stats" -> ((s, d) => packStats(Fixtures.documents(s, d))),
+    "lr_fit" -> ((s, d) => qualityLrFit(Fixtures.documents(s, d))))
 
   /** The quality-score derivation as a standalone string so composites
     * ([[sourceStatsOracle]]) reuse the EXACT text the standalone key
@@ -897,6 +973,46 @@ object TextOps {
                max(bt) AS max_bin_tokens
         FROM bins GROUP BY shard"""
 
+  /** The fit loop of [[qualityLrFit]] unrolled for [[LrFitSteps]] = 2:
+    * labels come from the composed [[qualityScoreOracle]] (no drift with
+    * the Spark side's heuristic), step 1's sigmoid is the exact 0.5 of
+    * zero-init, each gradient rounds to 6 decimals at its aggregation,
+    * and the weight updates are the same exact `- eta * g` arithmetic.
+    * Buckets untouched by any token keep weight 0 via the range()
+    * left joins. */
+  private def qualityLrFitOracle: String =
+    s"""WITH lab AS (
+          SELECT t.doc_id, regexp_split_to_array(trim(lower(t.text)), '\\s+') AS w,
+                 CAST(len(regexp_split_to_array(trim(lower(t.text)), '\\s+')) AS DOUBLE) AS n,
+                 CASE WHEN q.quality > ${graft.operators.LlmOps.QualityThreshold}
+                      THEN 1.0 ELSE 0.0 END AS y
+          FROM documents t JOIN ($qualityScoreOracle) q USING (doc_id)),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        tok1 AS (SELECT unnest(w) AS t, (0.5 - y) / n AS e FROM lab),
+        g1 AS (SELECT CAST(('0x' || substring(md5(t), 1, 15))::BIGINT
+                           % $QlrBuckets AS INTEGER) AS b,
+                      round(sum(e) / any_value(m.nd), 6) AS g
+               FROM tok1, nd m GROUP BY 1),
+        w1 AS (SELECT list(COALESCE(-$LrFitEta * g1.g, 0.0) ORDER BY r.b) AS wv
+               FROM range(0, $QlrBuckets) r(b) LEFT JOIN g1 ON g1.b = r.b),
+        s2 AS (SELECT l.doc_id, l.w, l.n, l.y,
+                      list_reduce(list_prepend(0.0,
+                        list_transform(l.w, t ->
+                          m.wv[CAST(('0x' || substring(md5(t), 1, 15))::BIGINT
+                                    % $QlrBuckets AS INTEGER) + 1])),
+                        (a, x) -> a + x) / l.n AS s
+               FROM lab l, w1 m),
+        tok2 AS (SELECT unnest(w) AS t, (1.0 / (1.0 + exp(-s)) - y) / n AS e FROM s2),
+        g2 AS (SELECT CAST(('0x' || substring(md5(t), 1, 15))::BIGINT
+                           % $QlrBuckets AS INTEGER) AS b,
+                      round(sum(e) / any_value(m.nd), 6) AS g
+               FROM tok2, nd m GROUP BY 1)
+        SELECT CAST(r.b AS INTEGER) AS bucket,
+               m.wv[r.b + 1] - $LrFitEta * COALESCE(g2.g, 0.0) AS weight
+        FROM range(0, $QlrBuckets) r(b)
+        LEFT JOIN g2 ON g2.b = r.b
+        CROSS JOIN w1 m"""
+
   /** Source rollup composed from the quality, classifier, and
     * exact-dup-signature derivations (the sig text restates
     * `doc_near_dedup`'s, see [[sourceCurationStats]]); every aggregate
@@ -963,6 +1079,7 @@ object TextOps {
       // expression uses (the PII-oracle no-drift discipline); every
       // weight is an exact binary fraction so the decimal round-trips
       "quality_lr" -> qualityLrOracle,
+      "lr_fit" -> qualityLrFitOracle,
       "src_stats" -> sourceStatsOracle,
       "pack_stats" -> packStatsOracle,
       "text_lang_id" ->

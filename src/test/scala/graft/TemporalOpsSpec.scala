@@ -398,6 +398,40 @@ class TemporalOpsSpec extends SparkTestBase {
     assertSameRows(fused, hof)
   }
 
+  test("lr_fit: full model table, deterministic, and gradient descent actually descends") {
+    val docs = Fixtures.documents(spark, sfDir)
+    graft.GraftSession.registerFunctions(spark)
+    val fit = TextOps.qualityLrFit(docs).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Double]("weight")).toMap
+    assert(fit.keySet === (0 until TextOps.QlrBuckets).toSet)
+    assert(fit.values.exists(_ != 0.0), "fit never moved off zero-init")
+    // deterministic: refit is identical (md5 features, exact updates)
+    val again = TextOps.qualityLrFit(docs).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Double]("weight")).toMap
+    assert(fit === again)
+    // full-batch logistic loss under the fitted weights beats zero-init
+    // (zero weights score p = 0.5 everywhere: loss exactly ln 2)
+    // L = ln(1 + e^-s) + (1-y)s, the algebraic form of
+    // -[y ln p + (1-y) ln(1-p)] with p = sigmoid(s)
+    def loss(w: Seq[Double]): Double = {
+      val tokCol = split(trim(lower(col("text"))), "\\s+")
+      val withQ = TextOps.textQualityScore(docs).select(
+        (col("quality") > graft.operators.LlmOps.QualityThreshold)
+          .cast("double").as("y"), col("doc_id"))
+      val s = call_function("hash_weight_sum", tokCol, typedlit(w)) /
+        size(tokCol).cast("double")
+      docs.select(col("doc_id"), s.as("s")).join(withQ, "doc_id")
+        .select((log(lit(1.0) + exp(negate(col("s")))) +
+          (lit(1.0) - col("y")) * col("s")).as("l"))
+        .agg(avg(col("l"))).collect()(0).getDouble(0)
+    }
+    val w = (0 until TextOps.QlrBuckets).map(fit)
+    val l0 = loss(Seq.fill(TextOps.QlrBuckets)(0.0))
+    val l2 = loss(w)
+    assert(math.abs(l0 - math.log(2.0)) < 1e-9, s"zero-init loss $l0")
+    assert(l2 < l0, s"fit did not descend: $l2 >= $l0")
+  }
+
   test("quality classifier on the fixture: one verdict per doc, both classes present") {
     val docs = Fixtures.documents(spark, sfDir)
     val out = TextOps.qualityClassifier(docs)
