@@ -121,8 +121,9 @@ object Bench {
     // round_robin_balance → rr_balance, seek_by_time_topk → seek_topk,
     // string_date_math_funcs → str_date_funcs, which funded src_stats +
     // emb_protos + pack_stats; inter_arrival_gaps → arrival_gaps, which
-    // funded lr_fit). Next reclaim if needed:
-    // doc_incremental_dedup → incr_dedup.
+    // funded lr_fit; doc_incremental_dedup → incr_dedup, which funded
+    // ccnet). Next reclaim if needed:
+    // msglog_multi_topic_scan → msglog_multi_scan.
     val budget = 1990
     val out = line
     if (out.length > budget)

@@ -550,7 +550,7 @@ object DedupOps {
     "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
     "doc_decontaminate" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))),
-    "doc_incremental_dedup" -> ((s, d) => docIncrementalDedup(Fixtures.documents(s, d))))
+    "incr_dedup" -> ((s, d) => docIncrementalDedup(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
     """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
@@ -694,7 +694,7 @@ object DedupOps {
           FROM corpus c JOIN probe p ON c.g = p.g
           GROUP BY c.doc_id
           HAVING count(DISTINCT c.g) >= $DecontaminateMinShared""",
-    "doc_incremental_dedup" ->
+    "incr_dedup" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents) WHERE len(w) >= 3),

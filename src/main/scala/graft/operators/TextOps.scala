@@ -489,6 +489,37 @@ object TextOps {
         6).as("avg_logp"))
   }
 
+  /** CCNet's perplexity partitioning — the step the CCNet pipeline is
+    * named for: bucket every document into the `head` / `middle` / `tail`
+    * tercile of the corpus LM-score distribution (head = least
+    * perplexing third, the slice most pretraining recipes keep or
+    * up-weight; `avg_logp` is a NEGATED perplexity proxy, so head is the
+    * HIGH end). Composes [[textLmPerplexity]] verbatim.
+    *
+    * Scale shape: scoring is the LM pass (in-row fold, bounded vocab
+    * artifact); the cut-offs are ONE 2-value aggregate crossed back as a
+    * 1-row broadcast (the bm25 corpus-stats precedent); labeling is a
+    * pure projection. Exact interpolated `percentile` matches DuckDB's
+    * `quantile_cont` over the same rounded doubles (the
+    * `value_percentiles` parity precedent) — at 100 TB the cut-off
+    * aggregate becomes `approx_percentile` (t-digest, mergeable sketch),
+    * same plan shape, and the oracle premise is what changes, not the
+    * operator.
+    */
+  def ccnetTiers(docs: DataFrame): DataFrame = {
+    val ppl = textLmPerplexity(docs)
+    val cuts = ppl.agg(
+      expr("percentile(avg_logp, array(cast(1 as double)/3, cast(2 as double)/3))")
+        .as("c"))
+      .select(col("c").getItem(0).as("t1"), col("c").getItem(1).as("t2"))
+    ppl.crossJoin(broadcast(cuts))
+      .select(
+        col("doc_id"), col("n_tokens"), col("avg_logp"),
+        when(col("avg_logp") >= col("t2"), "head")
+          .when(col("avg_logp") >= col("t1"), "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   /** Bucket count for [[qualityClassifier]] — the hashing-trick feature
     * dimension. Tiny on purpose (real quality filters use 2^20+): the
     * operator shape — hash → bounded weight vector → in-row fold — is
@@ -905,7 +936,8 @@ object TextOps {
     // short names by necessity (bench line budget, the pq_enc precedent)
     "src_stats" -> ((s, d) => sourceCurationStats(Fixtures.documents(s, d))),
     "pack_stats" -> ((s, d) => packStats(Fixtures.documents(s, d))),
-    "lr_fit" -> ((s, d) => qualityLrFit(Fixtures.documents(s, d))))
+    "lr_fit" -> ((s, d) => qualityLrFit(Fixtures.documents(s, d))),
+    "ccnet" -> ((s, d) => ccnetTiers(Fixtures.documents(s, d))))
 
   /** The quality-score derivation as a standalone string so composites
     * ([[sourceStatsOracle]]) reuse the EXACT text the standalone key
@@ -972,6 +1004,43 @@ object TextOps {
                min(bt) AS min_bin_tokens,
                max(bt) AS max_bin_tokens
         FROM bins GROUP BY shard"""
+
+  /** The LM-scoring derivation, factored so [[ccnetOracle]] partitions
+    * the EXACT per-doc scores the standalone key checks. */
+  private def lmPerplexityOracle: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                      FROM documents),
+          tok AS (SELECT unnest(w) AS t FROM toks),
+          counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+          tot AS (SELECT sum(c) AS total FROM counts),
+          vocab AS (SELECT t, round(ln(c / total), 6) AS logp
+                    FROM counts, tot
+                    ORDER BY c DESC, t LIMIT $LmVocabSize),
+          m AS (SELECT list(t ORDER BY t) AS ks, list(logp ORDER BY t) AS vs
+                FROM vocab),
+          flo AS (SELECT round(ln(0.5 / total), 6) AS floor_logp FROM tot)
+        SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+               round(list_reduce(
+                       list_prepend(0.0,
+                         list_transform(w,
+                           t -> coalesce(vs[list_position(ks, t)], floor_logp))),
+                       (a, v) -> a + v) / len(w), 6) AS avg_logp
+        FROM toks, m, flo"""
+
+  /** Tercile cut-offs + labeling over the composed LM scores; the
+    * interpolated-quantile parity with Spark's `percentile` is the
+    * `value_percentiles` precedent, and both engines derive 1/3 by the
+    * same IEEE division. */
+  private def ccnetOracle: String =
+    s"""WITH ppl AS (${lmPerplexityOracle}),
+        cuts AS (SELECT quantile_cont(avg_logp, CAST(1 AS DOUBLE) / 3) AS t1,
+                        quantile_cont(avg_logp, CAST(2 AS DOUBLE) / 3) AS t2
+                 FROM ppl)
+        SELECT doc_id, n_tokens, avg_logp,
+               CASE WHEN avg_logp >= t2 THEN 'head'
+                    WHEN avg_logp >= t1 THEN 'middle'
+                    ELSE 'tail' END AS tier
+        FROM ppl, cuts"""
 
   /** The fit loop of [[qualityLrFit]] unrolled for [[LrFitSteps]] = 2:
     * labels come from the composed [[qualityScoreOracle]] (no drift with
@@ -1118,25 +1187,8 @@ object TextOps {
                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
            FROM b GROUP BY 1""",
       "doc_pack_bins" -> packBinsOracle,
-      "text_lm_perplexity" ->
-        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                          FROM documents),
-              tok AS (SELECT unnest(w) AS t FROM toks),
-              counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
-              tot AS (SELECT sum(c) AS total FROM counts),
-              vocab AS (SELECT t, round(ln(c / total), 6) AS logp
-                        FROM counts, tot
-                        ORDER BY c DESC, t LIMIT $LmVocabSize),
-              m AS (SELECT list(t ORDER BY t) AS ks, list(logp ORDER BY t) AS vs
-                    FROM vocab),
-              flo AS (SELECT round(ln(0.5 / total), 6) AS floor_logp FROM tot)
-            SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
-                   round(list_reduce(
-                           list_prepend(0.0,
-                             list_transform(w,
-                               t -> coalesce(vs[list_position(ks, t)], floor_logp))),
-                           (a, v) -> a + v) / len(w), 6) AS avg_logp
-            FROM toks, m, flo""",
+      "text_lm_perplexity" -> lmPerplexityOracle,
+      "ccnet" -> ccnetOracle,
       "text_repetition_scores" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),

@@ -206,11 +206,11 @@ class PlanSpec extends SparkTestBase {
       || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("doc_incremental_dedup keeps the full pipeline's one corpus-wide bucket exchange") {
+  test("incr_dedup keeps the full pipeline's one corpus-wide bucket exchange") {
     // same skeleton as doc_minhash_lsh: fused in-row signatures, the
     // (band, sig) groupBy is the only corpus-wide shuffle; the verify
     // stage shuffles candidates, not corpus
-    val p = plan("doc_incremental_dedup")
+    val p = plan("incr_dedup")
     val exchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
     assert(exchanges === 1, p)
   }
@@ -310,7 +310,8 @@ class PlanSpec extends SparkTestBase {
       "doc_boilerplate_df", // 1-row corpus-count cross for the df threshold
       "bm25", // 1-row corpus-stats cross (N, Σdl, per-term df)
       "rrf", // composes bm25 + embedding_topk_cosine, inheriting their crosses
-      "emb_protos") // bounded staged-centroid-set cross (NumCentroids rows)
+      "emb_protos", // bounded staged-centroid-set cross (NumCentroids rows)
+      "ccnet") // 1-row tercile-cutoff cross
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones

@@ -398,6 +398,22 @@ class TemporalOpsSpec extends SparkTestBase {
     assertSameRows(fused, hof)
   }
 
+  test("ccnet: tiers partition the corpus and order strictly by LM score") {
+    val docs = Fixtures.documents(spark, sfDir)
+    val out = TextOps.ccnetTiers(docs).collect()
+      .map(r => r.getAs[String]("tier") -> r.getAs[Double]("avg_logp"))
+    assert(out.length === docs.count())
+    val byTier = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byTier.keySet === Set("head", "middle", "tail"))
+    // threshold labeling means tier value-ranges cannot interleave
+    assert(byTier("head").min >= byTier("middle").max)
+    assert(byTier("middle").min >= byTier("tail").max)
+    // terciles: each tier holds roughly a third (ties can skew a little)
+    val n = out.length.toDouble
+    byTier.values.foreach(v => assert(v.length > n / 6 && v.length < n / 2,
+      byTier.view.mapValues(_.length).toMap))
+  }
+
   test("lr_fit: full model table, deterministic, and gradient descent actually descends") {
     val docs = Fixtures.documents(spark, sfDir)
     graft.GraftSession.registerFunctions(spark)
