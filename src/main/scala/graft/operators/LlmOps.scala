@@ -261,22 +261,29 @@ object LlmOps {
     * clusters and scoring after would shuffle the corpus's text bytes).
     * The cluster side is duplicate-density-unbounded, so no broadcast
     * hint (the verified-dups discipline; AQE may still elect one at
-    * runtime). The election window partitions by cluster — structures ∝
-    * duplicate documents, never the corpus. Pass a staged `dupGroups`
-    * artifact in production (the [[docFilterPipeline]] parameter
-    * precedent); omitted, clusters derive from `docs` cold.
+    * runtime). The election itself is a partial-combinable `min_by`
+    * AGGREGATE — each cluster's winner reduces map-side — and the
+    * winner flags back through a cluster-keyed JOIN, which AQE can
+    * skew-split; the obvious rank-1 window would sort each cluster in
+    * ONE task, un-splittable for the mega-cluster (identical
+    * boilerplate) case. Pass a staged `dupGroups` artifact in
+    * production (the [[docFilterPipeline]] parameter precedent);
+    * omitted, clusters derive from `docs` cold.
     */
   def docKeepBest(docs: DataFrame,
       dupGroups: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val groups = dupGroups.getOrElse(DedupOps.docDupGroups(docs))
       .select(col("doc_id"), col("cluster"), col("cluster_size"))
     val quality = TextOps.textQualityScore(docs)
       .select(col("doc_id"), col("quality"))
-    val election = Window.partitionBy(col("cluster"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    groups.join(quality, Seq("doc_id"))
-      .withColumn("keep", (row_number().over(election) === 1).cast("int"))
+    val members = groups.join(quality, Seq("doc_id"))
+    val winners = members
+      .groupBy("cluster")
+      .agg(min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
+        .as("keep_id"))
+    members.join(winners, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
+        (col("doc_id") === col("keep_id")).cast("int").as("keep"))
   }
 
   // ---------------------------------------------------------------------

@@ -677,16 +677,21 @@ object TextOps {
     * heuristic composite over [[LlmOps.QualityThreshold]], and the
     * [[qualityClassifier]] verdict).
     *
-    * Scale shape: ONE corpus scan computes every per-document signal as
-    * a pure projection (tokens materialized once, the `withTokens`
-    * alias discipline); the duplicate flag is a count-over-sig window —
-    * one exchange on an md5 key (uniform by construction, partitions
-    * bounded by duplicate-family size); the rollup is a map-side
-    * combined aggregation to |sources| rows. Nothing corpus-sized
-    * crosses to the driver and no text bytes move after the projection
-    * (the window input carries only scalars). Every emitted aggregate is
-    * an exact integer, so the oracle hash-compare is exact (the
-    * avg-of-doubles divergence class is designed out, not rounded away).
+    * Scale shape — SKEW-IMMUNE by construction: the signal branch is one
+    * corpus scan of pure projections rolled up map-side to |sources|
+    * rows; the duplicate branch never keys a per-DOCUMENT operation by
+    * sig at all — it aggregates to per-(sig, source) counts FIRST
+    * (map-side combined, one row per key however large the duplicate
+    * family), joins those aggregates to per-sig totals, and rolls up.
+    * A count-over-sig window (the obvious form) would concentrate a
+    * mega-family of identical boilerplate docs into ONE task — and
+    * window partitions, unlike skewed joins, are something AQE cannot
+    * split. The price is a second tokenizing map pass, which scales
+    * linearly; hot partitions don't. Nothing corpus-sized crosses to
+    * the driver and no text bytes move past the projections. Every
+    * emitted aggregate is an exact integer, so the oracle hash-compare
+    * is exact (the avg-of-doubles divergence class is designed out, not
+    * rounded away).
     */
   def sourceCurationStats(docs: DataFrame): DataFrame = {
     graft.GraftSession.registerFunctions(docs.sparkSession)
@@ -694,26 +699,36 @@ object TextOps {
     val toks = docs.select(
       col("doc_id"), col("source"), length(col("text")).as("n_chars"),
       split(trim(lower(col("text"))), "\\s+").as("w"))
-    val perDoc = toks.select(
-      col("doc_id"), col("source"), col("n_chars"),
-      md5(array_join(sort_array(array_distinct(col("w"))), " ")
-        .cast("binary")).as("sig"),
+    val signals = toks.select(
+      col("source"), col("n_chars"),
       size(col("w")).as("n_tokens"),
       qualityOf(profileScore(en), size(col("w")), avgWlen).as("quality"),
       (lit(QlrBias) +
         call_function("hash_weight_sum", col("w"), typedlit(QlrWeights)) /
           size(col("w")).cast("double")).as("lr_score"))
-    val bySig = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
-    perDoc
-      .withColumn("is_dup", (count(lit(1)).over(bySig) > 1).cast("long"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars").cast("long")).as("n_bytes"),
-        sum(col("is_dup")).as("dup_docs"),
         sum((col("quality") > LlmOps.QualityThreshold).cast("long")).as("q_keep"),
         sum((col("lr_score") > 0).cast("long")).as("lr_keep"))
+    val sigCounts = toks.select(
+      col("source"),
+      md5(array_join(sort_array(array_distinct(col("w"))), " ")
+        .cast("binary")).as("sig"))
+      .groupBy("sig", "source")
+      .agg(count(lit(1)).as("cnt"))
+    val sigTotals = sigCounts.groupBy("sig").agg(sum(col("cnt")).as("tot"))
+    val dups = sigCounts.join(sigTotals, "sig")
+      .filter(col("tot") > 1)
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("dup_docs"))
+    signals.join(dups, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        col("q_keep"), col("lr_keep"))
   }
 
   /** Mixture weight tiers for [[docMixtureSample]]'s fixture wiring —

@@ -234,15 +234,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hash_weight_sum"), p)
   }
 
-  test("src_stats: join-free (window dup flag), two exchanges, map-side rollup") {
-    // a join-based dup flag would shuffle the per-doc signals twice and
-    // re-derive the sig projection; the window form pays ONE sig
-    // exchange, then one source exchange with a partial aggregate
+  test("src_stats: dup incidence aggregates before any sig-keyed join, no window") {
+    // a count-over-sig WINDOW would concentrate a mega-duplicate-family
+    // into one un-splittable task (AQE splits skewed joins, not window
+    // partitions); the aggregate-first shape keys per-doc work by sig
+    // NOWHERE — only one-row-per-(sig, source) aggregates meet the join
     val p = plan("src_stats")
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
     assert(p.contains("partial_count"), p)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 2, p)
+    assert(!p.contains("SortMergeJoin") || p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("keep_best: election is a partial min_by aggregate, not a per-cluster window") {
+    // rank-1-window election sorts each cluster in one task; the
+    // aggregate winner reduces map-side and the flag join is
+    // AQE-skew-splittable
+    val p = plan("keep_best")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("min_by"), p)
   }
 
   test("pack_stats rolls up through partial aggregates, no join, no extra pass") {
