@@ -245,6 +245,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") || p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("rank-1 windows pre-prune map-side: WindowGroupLimit Partial before the exchange") {
+    // last_msg_per_partition keys the corpus into P window partitions —
+    // survivable ONLY because the rank<=1 filter compiles to a partial
+    // group limit that keeps one row per group per input partition
+    // before anything shuffles; an orderBy/filter refactor that breaks
+    // the rewrite turns this into P un-splittable sort tasks
+    Seq("last_msg_per_partition", "read_compacted").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("row_number(), 1, Partial"), s"$k lost its partial group limit:\n$p")
+    }
+  }
+
   test("keep_best: election is a partial min_by aggregate, not a per-cluster window") {
     // rank-1-window election sorts each cluster in one task; the
     // aggregate winner reduces map-side and the flag join is
