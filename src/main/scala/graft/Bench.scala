@@ -122,8 +122,9 @@ object Bench {
     // string_date_math_funcs → str_date_funcs, which funded src_stats +
     // emb_protos + pack_stats; inter_arrival_gaps → arrival_gaps, which
     // funded lr_fit; doc_incremental_dedup → incr_dedup, which funded
-    // ccnet). Next reclaim if needed:
-    // msglog_multi_topic_scan → msglog_multi_scan.
+    // ccnet; msglog_multi_topic_scan → msglog_multi_scan +
+    // doc_boilerplate_df → boilerplate, which funded lm2). Next reclaim
+    // if needed: text_repetition_scores → repetition.
     val budget = 1990
     val out = line
     if (out.length > budget)

@@ -38,6 +38,7 @@ object GraftFunctions {
     entry("jaccard_distinct", 2, classOf[JaccardDistinct])(a => JaccardDistinct(a.head, a(1))),
     entry("dup_fracs", 1, classOf[DupFracs])(a => DupFracs(a.head)),
     entry("logp_sum", 3, classOf[LogpSum])(a => LogpSum(a.head, a(1), a(2))),
+    entry("backoff_sum", 4, classOf[BackoffSum])(a => BackoffSum(a.head, a(1), a(2), a(3))),
     entry("hash_weight_sum", 2, classOf[HashWeightSum])(a => HashWeightSum(a.head, a(1))),
     entry("pq_enc", 2, classOf[PqEnc])(a => PqEnc(a.head, a(1))),
     entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))),

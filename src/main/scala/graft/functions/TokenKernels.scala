@@ -226,6 +226,115 @@ object LogpSum {
     GraftFunctions.registerOne(spark, "logp_sum")
 }
 
+/** `backoff_sum(w, bigrams, unigrams, floor)` — the Stupid Backoff
+  * (Brants et al. 2007) bigram scoring fold: over every adjacent token
+  * pair of `w`, sum `bigrams["w1 w2"]` when the bigram is in the LITERAL
+  * bigram table, else back off to `unigrams[w2]` (the caller folds the
+  * backoff penalty `ln α` into the unigram values), else `floor` (the
+  * penalty-folded OOV floor). The bigram string is formed INSIDE the
+  * loop (`w1 + ' ' + w2` — tokens come from a `\s+` split so the joined
+  * form is injective), so no per-row gram array ever materializes.
+  * A null token at either position scores the floor.
+  *
+  * Why native: the composable form builds the gram array
+  * (`transform` over `sequence`, CodegenFallback), then runs a
+  * two-level `coalesce(element_at…)` lambda per gram — and `element_at`
+  * on a map LITERAL is a LINEAR key scan. This is one codegen-resident
+  * loop with two real hash tables
+  * ([[graft.operators.TextOps.textLm2Score]]; composable reference
+  * `lm2Hof`, equivalence asserted in tests).
+  */
+case class BackoffSum(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "backoff_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(StringType, _), MapType(StringType, DoubleType, _),
+          MapType(StringType, DoubleType, _), DoubleType) =>
+        if (!second.foldable || !third.foldable || !fourth.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "backoff_sum requires literal bigram/unigram maps and floor")
+        else if (second.eval() == null || third.eval() == null || fourth.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            "backoff_sum requires non-null literal maps and floor")
+        else TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"backoff_sum requires (ARRAY<STRING>, MAP<STRING,DOUBLE>, " +
+          s"MAP<STRING,DOUBLE>, DOUBLE), got (${a.catalogString}, " +
+          s"${b.catalogString}, ${c.catalogString}, ${d.catalogString})")
+    }
+
+  private def toTable(e: Expression): java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double]()
+    val md = e.eval().asInstanceOf[MapData]
+    val ks = md.keyArray()
+    val vs = md.valueArray()
+    var i = 0
+    while (i < md.numElements()) {
+      if (!vs.isNullAt(i)) m.put(ks.getUTF8String(i).clone(), vs.getDouble(i))
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val bigrams = toTable(second)
+  @transient private lazy val unigrams = toTable(third)
+  @transient private lazy val floor: Double = fourth.eval().asInstanceOf[Double]
+
+  override def nullSafeEval(w: Any, b: Any, u: Any, f: Any): Any =
+    BackoffSum.compute(w.asInstanceOf[ArrayData], bigrams, unigrams, floor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("backoffBigrams", bigrams, "java.util.HashMap")
+    val uRef = ctx.addReferenceObj("backoffUnigrams", unigrams, "java.util.HashMap")
+    val fRef = ctx.addReferenceObj("backoffFloor", Double.box(floor), "java.lang.Double")
+    nullSafeCodeGen(ctx, ev, (w, _, _, _) =>
+      s"${ev.value} = graft.functions.BackoffSum$$.MODULE$$.compute($w, $bRef, " +
+        s"$uRef, $fRef.doubleValue());")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): BackoffSum =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+object BackoffSum {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(w: ArrayData,
+      bigrams: java.util.HashMap[UTF8String, java.lang.Double],
+      unigrams: java.util.HashMap[UTF8String, java.lang.Double],
+      floor: Double): Double = {
+    var sum = 0.0
+    val n = w.numElements()
+    var i = 0
+    while (i < n - 1) {
+      if (w.isNullAt(i) || w.isNullAt(i + 1)) sum += floor
+      else {
+        val w2 = w.getUTF8String(i + 1)
+        val bv = bigrams.get(UTF8String.concat(w.getUTF8String(i), Space, w2))
+        if (bv != null) sum += bv.doubleValue()
+        else {
+          val uv = unigrams.get(w2)
+          sum += (if (uv == null) floor else uv.doubleValue())
+        }
+      }
+      i += 1
+    }
+    sum
+  }
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerOne(spark, "backoff_sum")
+}
+
 /** `dup_fracs(w)` — all three Gopher-family repetition signals of a token
   * array in one pass: `struct(n_tokens, dup_word_frac, dup_2gram_frac,
   * dup_5gram_frac)` where each fraction is

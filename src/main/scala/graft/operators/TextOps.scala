@@ -489,6 +489,78 @@ object TextOps {
         6).as("avg_logp"))
   }
 
+  /** Backoff penalty `ln 0.4` of Stupid Backoff (Brants et al. 2007),
+    * pinned as the ROUNDED 6-decimal literal so both engines add the
+    * identical constant (computing-then-rounding ln(0.4) at runtime
+    * would invite the decimal-midpoint round() divergence class). */
+  val Lm2Alpha: Double = -0.916291
+
+  /** Bigram LM scoring with Stupid Backoff — the step up from
+    * [[textLmPerplexity]]'s unigram model that web-scale LM filtering
+    * actually runs (Brants et al. 2007: no discounting, no
+    * normalization — score `P(w2|w1) = c(w1 w2)/c(w1)` when the bigram
+    * is in the table, else `α · P(w2)`, with the same half-count OOV
+    * floor): `avg_logp2 = mean over adjacent pairs of ln S`, 0 for
+    * documents shorter than 2 tokens.
+    *
+    * Artifact discipline (the [[textLmPerplexity]] shape, one level up):
+    * the model is THREE bounded driver artifacts — top-K bigram
+    * conditionals (denominators joined from the exact unigram counts),
+    * top-K penalty-folded unigram log-probs, and the penalty-folded
+    * floor. Scoring is a single in-row codegen fold
+    * ([[graft.functions.BackoffSum]] — bigrams form INSIDE the loop, no
+    * gram array materializes; composable reference [[lm2Hof]],
+    * equivalence asserted in tests). Fit cost is two token-level
+    * aggregations (map-side combined) + one bounded join; nothing
+    * corpus-sized crosses to the driver.
+    */
+  def textLm2Score(docs: DataFrame, vocabSize: Int = LmVocabSize): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val toks = withTokens(docs)
+    val total = Option(
+      toks.agg(sum(size(col("w")))).collect()(0).getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(1L)
+    val uniCounts = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    // penalty folded into the unigram values and the floor ONCE, here —
+    // the kernel then needs no branch-specific constant
+    val uv2 = uniCounts
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), round(log(col("c").cast("double") / total), 6).as("logp"))
+      .collect().map(r => r.getString(0) -> (Lm2Alpha + r.getDouble(1))).toMap
+    val floor2 = Lm2Alpha + BigDecimal(math.log(0.5 / total))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bv = toks.select(explode(wordGrams(col("w"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("g")).limit(vocabSize)
+      .join(uniCounts.select(col("t").as("w1"), col("c").as("c1")),
+        substring_index(col("g"), " ", 1) === col("w1"))
+      .select(col("g"),
+        round(log(col("c12").cast("double") / col("c1")), 6).as("logp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    toks.select(
+      col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      when(size(col("w")) < 2, lit(0.0))
+        .otherwise(round(
+          call_function("backoff_sum", col("w"), typedlit(bv), typedlit(uv2),
+            lit(floor2)) / (size(col("w")) - 1).cast("double"),
+          6)).as("avg_logp2"))
+  }
+
+  /** The composable reference form of [[textLm2Score]]'s fold — the
+    * numerics spec [[graft.functions.BackoffSum]] must match sum-for-sum:
+    * grams materialize via [[wordGrams]], the second level keys on the
+    * gram's last token (`substring_index(g, ' ', -1)` — tokens carry no
+    * spaces). */
+  private[graft] def lm2Hof(bv: Map[String, Double], uv2: Map[String, Double],
+      floor2: Double): Column =
+    aggregate(wordGrams(col("w"), 2), lit(0.0), (acc, g) =>
+      acc + coalesce(
+        element_at(typedlit(bv), g),
+        element_at(typedlit(uv2), substring_index(g, " ", -1)),
+        lit(floor2)))
+
   /** CCNet's perplexity partitioning — the step the CCNet pipeline is
     * named for: bucket every document into the `head` / `middle` / `tail`
     * tercile of the corpus LM-score distribution (head = least
@@ -940,7 +1012,7 @@ object TextOps {
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
     "text_repetition_scores" -> ((s, d) => textRepetition(Fixtures.documents(s, d))),
     "text_lm_perplexity" -> ((s, d) => textLmPerplexity(Fixtures.documents(s, d))),
-    "doc_boilerplate_df" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
+    "boilerplate" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
     "doc_mixture_sample" ->
       ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)),
     "bm25" -> ((s, d) => docBm25(Fixtures.documents(s, d))),
@@ -952,7 +1024,8 @@ object TextOps {
     "src_stats" -> ((s, d) => sourceCurationStats(Fixtures.documents(s, d))),
     "pack_stats" -> ((s, d) => packStats(Fixtures.documents(s, d))),
     "lr_fit" -> ((s, d) => qualityLrFit(Fixtures.documents(s, d))),
-    "ccnet" -> ((s, d) => ccnetTiers(Fixtures.documents(s, d))))
+    "ccnet" -> ((s, d) => ccnetTiers(Fixtures.documents(s, d))),
+    "lm2" -> ((s, d) => textLm2Score(Fixtures.documents(s, d))))
 
   /** The quality-score derivation as a standalone string so composites
     * ([[sourceStatsOracle]]) reuse the EXACT text the standalone key
@@ -1041,6 +1114,47 @@ object TextOps {
                            t -> coalesce(vs[list_position(ks, t)], floor_logp))),
                        (a, v) -> a + v) / len(w), 6) AS avg_logp
         FROM toks, m, flo"""
+
+  /** The Stupid Backoff derivation: the unigram CTEs replicate
+    * [[lmPerplexityOracle]]'s artifact text; the bigram table joins the
+    * exact unigram counts for its conditional denominators
+    * (`split_part(g, ' ', 1)` ≡ Spark's `substring_index` — tokens carry
+    * no spaces); the score fold nests the two lookups exactly as
+    * [[graft.functions.BackoffSum]] does, with the alpha fold applied at
+    * the same places. */
+  private def lm2Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                      FROM documents),
+          tok AS (SELECT unnest(w) AS t FROM toks),
+          counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+          tot AS (SELECT sum(c) AS total FROM counts),
+          vocab AS (SELECT t, round(ln(c / total), 6) AS logp
+                    FROM counts, tot
+                    ORDER BY c DESC, t LIMIT $LmVocabSize),
+          um AS (SELECT list(t ORDER BY t) AS uks,
+                        list($Lm2Alpha + logp ORDER BY t) AS uvs
+                 FROM vocab),
+          bgram AS (SELECT unnest(CASE WHEN len(w) >= 2
+                      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                      ELSE [] END) AS g
+                    FROM toks),
+          bcounts AS (SELECT g, count(*) AS c12 FROM bgram GROUP BY 1),
+          btop AS (SELECT g, c12 FROM bcounts ORDER BY c12 DESC, g LIMIT $LmVocabSize),
+          bg AS (SELECT b.g, round(ln(CAST(b.c12 AS DOUBLE) / c.c), 6) AS logp
+                 FROM btop b JOIN counts c ON c.t = split_part(b.g, ' ', 1)),
+          bm AS (SELECT list(g ORDER BY g) AS bks, list(logp ORDER BY g) AS bvs
+                 FROM bg),
+          flo AS (SELECT $Lm2Alpha + round(ln(0.5 / total), 6) AS floor2 FROM tot)
+        SELECT t.doc_id, CAST(len(t.w) AS INTEGER) AS n_tokens,
+               CASE WHEN len(t.w) < 2 THEN 0.0 ELSE
+                 round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, len(t.w)), i ->
+                     coalesce(bvs[list_position(bks, t.w[i] || ' ' || t.w[i+1])],
+                              uvs[list_position(uks, t.w[i+1])],
+                              floor2))),
+                   (a, v) -> a + v) / (len(t.w) - 1), 6)
+               END AS avg_logp2
+        FROM toks t, um, bm, flo"""
 
   /** Tercile cut-offs + labeling over the composed LM scores; the
     * interpolated-quantile parity with Spark's `percentile` is the
@@ -1204,6 +1318,7 @@ object TextOps {
       "doc_pack_bins" -> packBinsOracle,
       "text_lm_perplexity" -> lmPerplexityOracle,
       "ccnet" -> ccnetOracle,
+      "lm2" -> lm2Oracle,
       "text_repetition_scores" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),
@@ -1229,7 +1344,7 @@ object TextOps {
                     FROM g)
             SELECT *, dup_word_frac <= $DupWordMax AND dup_2gram_frac <= $Dup2GramMax AS keep
             FROM f""",
-      "doc_boilerplate_df" ->
+      "boilerplate" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),
               g AS (SELECT doc_id,

@@ -92,6 +92,18 @@ class FunctionRegistrySpec extends SparkTestBase {
     assert(r.getDouble(0) === -5.5)
   }
 
+  test("backoff_sum") {
+    // three adjacent pairs, one per branch: 'a b' hits the bigram table
+    // (-1.0), 'b c' misses it and backs off to unigram c (-2.0),
+    // 'c zz' misses both and floors (-4.0)
+    val r = sql("""SELECT backoff_sum(array('a','b','c','zz'),
+                     map('a b', -1.0D), map('c', -2.0D), -4.0D) AS s""")
+    assert(r.getDouble(0) === -7.0)
+    // under 2 tokens: no pairs, sum 0
+    val r1 = sql("SELECT backoff_sum(array('a'), map('x y', -1.0D), map('x', -2.0D), -4.0D) AS s")
+    assert(r1.getDouble(0) === 0.0)
+  }
+
   test("hash_weight_sum") {
     // D=1 pins the fold: every token hits bucket 0, null tokens add 0
     val r = sql("SELECT hash_weight_sum(array('a','b',NULL), array(2.5D)) AS s")

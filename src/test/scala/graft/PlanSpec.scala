@@ -185,11 +185,11 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("doc_boilerplate_df joins instances against the bounded heavy set by broadcast") {
+  test("boilerplate joins instances against the bounded heavy set by broadcast") {
     // |heavy| <= 100 × avg grams/doc (df > N/100 each, Σdf <= instances)
     // — the gram-keyed exchange below the df aggregate is the one
     // irreducible corpus statistic; the instance join must not add one
-    val p = plan("doc_boilerplate_df")
+    val p = plan("boilerplate")
     assert(p.contains("BroadcastHashJoin"), p)
     val gramExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(p).size
     assert(gramExchanges === 1, p)
@@ -328,7 +328,7 @@ class PlanSpec extends SparkTestBase {
     val bnljSanctioned = Set(
       "emb_topk_cosine", // 1-row query vector cross
       "pq_topk", // 1-row query vector cross for the ADC lookup table
-      "doc_boilerplate_df", // 1-row corpus-count cross for the df threshold
+      "boilerplate", // 1-row corpus-count cross for the df threshold
       "bm25", // 1-row corpus-stats cross (N, Σdl, per-term df)
       "rrf", // composes bm25 + embedding_topk_cosine, inheriting their crosses
       "emb_protos", // bounded staged-centroid-set cross (NumCentroids rows)
@@ -338,7 +338,7 @@ class PlanSpec extends SparkTestBase {
     // construction-time jobs are exercised elsewhere; skip the heavy ones
     val skip = Set("doc_dup_groups", "doc_filter_pipeline", "emb_dup_groups",
       "doc_lsh_verified_dups", "emb_ivf_topk", "bucketed_join",
-      "msglog_roundtrip_scan", "msglog_multi_topic_scan", "rr_balance",
+      "msglog_roundtrip_scan", "msglog_multi_scan", "rr_balance",
       "text_lm_perplexity")
     SparkEntry.queries.keys
       .filterNot(_.startsWith("stream_")).filterNot(skip)
@@ -356,7 +356,7 @@ class PlanSpec extends SparkTestBase {
     // plan must not run a job (closed-form ops may run their one count)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
       .filterNot(Set("rr_balance", "msglog_roundtrip_scan",
-        "msglog_multi_topic_scan", "bucketed_join",
+        "msglog_multi_scan", "bucketed_join",
         "doc_lsh_verified_dups",
         "emb_ivf_topk", // staging writes / C×dim centroid index
         "doc_dup_groups", "doc_filter_pipeline",

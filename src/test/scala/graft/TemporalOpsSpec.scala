@@ -398,6 +398,42 @@ class TemporalOpsSpec extends SparkTestBase {
     assertSameRows(fused, hof)
   }
 
+  test("lm2: native backoff_sum matches the composable two-level HOF fold") {
+    val docs = Fixtures.documents(spark, sfDir).limit(50)
+    graft.GraftSession.registerFunctions(spark)
+    val toks = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("w"))
+    // small synthetic model exercising all three branches on real text
+    val bv = Map("the big" -> -1.25, "a small" -> -0.5)
+    val uv2 = Map("query" -> -2.25, "the" -> -1.5)
+    val floor2 = -5.75
+    val fused = toks.select(col("doc_id"),
+      call_function("backoff_sum", col("w"), typedlit(bv), typedlit(uv2),
+        lit(floor2)).as("s"))
+    val hof = toks.select(col("doc_id"), TextOps.lm2Hof(bv, uv2, floor2).as("s"))
+    assertSameRows(fused, hof)
+  }
+
+  test("lm2 on the fixture: bigram backoff scores every doc, in-vocab pairs beat the floor") {
+    val docs = Fixtures.documents(spark, sfDir)
+    val out = TextOps.textLm2Score(docs).collect()
+    assert(out.length === docs.count())
+    val scores = out.map(_.getAs[Double]("avg_logp2"))
+    assert(scores.forall(s => s <= 0.0), "log-probs must be non-positive")
+    // the fixture's shared vocabulary means top-K bigrams cover real
+    // pairs: scores must spread, not sit at the uniform floor
+    assert(scores.distinct.length > 10, s"degenerate: ${scores.distinct.length}")
+    // the bigram model orders docs differently from the unigram model
+    // somewhere (otherwise the backoff table is dead weight)
+    val uni = TextOps.textLmPerplexity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    val pairs = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("avg_logp2")))
+    val disagree = pairs.combinations(2).take(20000).exists { case Array(a, b) =>
+      (a._2 - b._2) * (uni(a._1) - uni(b._1)) < 0
+    }
+    assert(disagree, "bigram ranking never disagrees with unigram ranking")
+  }
+
   test("ccnet: tiers partition the corpus and order strictly by LM score") {
     val docs = Fixtures.documents(spark, sfDir)
     val out = TextOps.ccnetTiers(docs).collect()
