@@ -711,31 +711,43 @@ object TextOps {
     graft.GraftSession.registerFunctions(spark)
     val en = Profiles.head._2
     val toks = docs.select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
-    val labeled = toks.select(
-      col("w"),
-      (qualityOf(profileScore(en), size(col("w")), avgWlen) >
-        LlmOps.QualityThreshold).cast("double").as("y"),
-      size(col("w")).cast("double").as("n"))
+    // tokenization + labels are step-invariant: cache the projection for
+    // the epoch loop (the MLlib iterative-training pattern — spills to
+    // disk past memory, the right trade when every step re-reads it).
+    // The repartition decouples step parallelism from the input's file
+    // splits (a small fixture reads as ONE split, serializing every
+    // gradient job); its one-time shuffle amortizes over the steps.
+    val labeled = toks
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("w"),
+        (qualityOf(profileScore(en), size(col("w")), avgWlen) >
+          LlmOps.QualityThreshold).cast("double").as("y"),
+        size(col("w")).cast("double").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketOf = (conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
       .cast("long") % QlrBuckets).cast("int")
-    // the per-document MEAN gradient needs the exact corpus count once —
-    // a driver scalar (long → double is exact below 2^53)
-    val nDocs = docs.count().toDouble
-    var weights: IndexedSeq[Double] = IndexedSeq.fill(QlrBuckets)(0.0)
-    (0 until steps).foreach { _ =>
-      val s = call_function("hash_weight_sum", col("w"), typedlit(weights)) / col("n")
-      val p = lit(1.0) / (lit(1.0) + exp(negate(s)))
-      val grad = labeled
-        .select(explode(col("w")).as("t"), ((p - col("y")) / col("n")).as("e"))
-        .select(bucketOf.as("b"), col("e"))
-        .groupBy("b")
-        .agg(round(sum(col("e")) / nDocs, 6).as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      weights = IndexedSeq.tabulate(QlrBuckets)(b =>
-        weights(b) - eta * grad.getOrElse(b, 0.0))
-    }
-    import spark.implicits._
-    weights.zipWithIndex.map { case (w, b) => (b, w) }.toDF("bucket", "weight")
+    try {
+      // the per-document MEAN gradient needs the exact corpus count once
+      // — a driver scalar (long → double is exact below 2^53); counting
+      // `labeled` also materializes the cache before the first step
+      val nDocs = labeled.count().toDouble
+      var weights: IndexedSeq[Double] = IndexedSeq.fill(QlrBuckets)(0.0)
+      (0 until steps).foreach { _ =>
+        val s = call_function("hash_weight_sum", col("w"), typedlit(weights)) / col("n")
+        val p = lit(1.0) / (lit(1.0) + exp(negate(s)))
+        val grad = labeled
+          .select(explode(col("w")).as("t"), ((p - col("y")) / col("n")).as("e"))
+          .select(bucketOf.as("b"), col("e"))
+          .groupBy("b")
+          .agg(round(sum(col("e")) / nDocs, 6).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        weights = IndexedSeq.tabulate(QlrBuckets)(b =>
+          weights(b) - eta * grad.getOrElse(b, 0.0))
+      }
+      import spark.implicits._
+      weights.zipWithIndex.map { case (w, b) => (b, w) }.toDF("bucket", "weight")
+    } finally labeled.unpersist(blocking = false)
   }
 
   /** Per-source curation scorecard — the decision table behind
