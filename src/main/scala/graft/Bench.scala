@@ -123,8 +123,10 @@ object Bench {
     // emb_protos + pack_stats; inter_arrival_gaps → arrival_gaps, which
     // funded lr_fit; doc_incremental_dedup → incr_dedup, which funded
     // ccnet; msglog_multi_topic_scan → msglog_multi_scan +
-    // doc_boilerplate_df → boilerplate, which funded lm2). Next reclaim
-    // if needed: text_repetition_scores → repetition.
+    // doc_boilerplate_df → boilerplate, which funded lm2;
+    // text_repetition_scores → repetition + stream_dedup_watermark →
+    // stream_dedup, which funded ivfpq). Next reclaim if needed:
+    // stream_session_window → stream_session.
     val budget = 1990
     val out = line
     if (out.length > budget)

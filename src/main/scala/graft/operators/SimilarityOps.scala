@@ -226,6 +226,13 @@ object SimilarityOps {
       collectCentroids(Fixtures.embeddings(spark, sfDir))).toDF("cent_id", "ce")
   }
 
+  /** The same staged index as driver data, for operators that fold the
+    * centroids into IN-ROW literals ([[ivfPqTopK]]). */
+  def stagedCentroidIndex(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] =
+    centroidCache.getOrElseUpdate(sfDir,
+      collectCentroids(Fixtures.embeddings(spark, sfDir)))
+      .map { case (id, a) => id -> a.toSeq }
+
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int,
       index: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.registerFunctions(emb.sparkSession)
@@ -506,6 +513,52 @@ object SimilarityOps {
 
   /** Higher-order reference form of [[pqTopK]] for the equivalence
     * tests. */
+  /** The composed IVF+PQ query path — what a production ANN index
+    * actually executes per query (the FAISS `IVFPQ` shape): coarse-probe
+    * the query's [[NumProbe]] best cells, then rank ONLY those cells'
+    * members by PQ asymmetric distance. Composes the two staged
+    * artifacts this engine already maintains (Lloyd centroids, PQ
+    * codebook).
+    *
+    * Scale shape — ZERO corpus exchanges: the cell assignment is an
+    * IN-ROW argmax against the centroid LITERALS (`least` over
+    * (−cosine, id) structs — broadcast-by-construction, like the
+    * classifier weights), the probe-cell set is a driver artifact from
+    * an 8-row job (computed with the SAME engine cosine expression, so
+    * no third numerics implementation exists), the PQ code forms in-row,
+    * and the ADC ranking is a TakeOrdered behind a 1-row query
+    * broadcast. Every per-vector byte stays in its scan task: the whole
+    * read path is scan → project → filter → top-k.
+    */
+  def ivfPqTopK(emb: DataFrame, codebook: Seq[Array[Double]],
+      centroids: Seq[(Long, Seq[Double])], queryId: Long, k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(emb.sparkSession)
+    require(centroids.nonEmpty, "ivfPqTopK needs a non-empty centroid index")
+    import emb.sparkSession.implicits._
+    val centDf = centroids.toDF("cent_id", "ce")
+    val qdf = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val probeCells = centDf.crossJoin(broadcast(qdf))
+      .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cent_id")).limit(NumProbe)
+      .collect().map(_.getLong(0)).toSeq
+    val cell = least(centroids.map { case (id, ce) =>
+      struct(negate(cosine(col("embedding"), typedlit(ce))).as("nc"),
+        lit(id).as("cid"))
+    }: _*).getField("cid")
+    val query = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    emb.filter(col("vec_id") =!= queryId)
+      .withColumn("cell", cell)
+      .filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        call_function("pq_adc", col("qe"),
+          element_at(call_function("pq_enc", col("embedding"), cbLit(codebook)), 1)
+            .cast("long"),
+          cbLit(codebook)).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
   private[graft] def pqTopKRef(emb: DataFrame, codebook: Seq[Array[Double]],
       queryId: Long, k: Int): DataFrame = {
     val query = emb.filter(col("vec_id") === queryId)
@@ -575,7 +628,10 @@ object SimilarityOps {
       ((s, d) => pqEncode(Fixtures.embeddings(s, d), stagedPqCodebook(s, d))),
     "pq_topk" ->
       ((s, d) => pqTopK(Fixtures.embeddings(s, d), stagedPqCodebook(s, d),
-        QUERY_VEC, IVF_K)))
+        QUERY_VEC, IVF_K)),
+    "ivfpq" ->
+      ((s, d) => ivfPqTopK(Fixtures.embeddings(s, d), stagedPqCodebook(s, d),
+        stagedCentroidIndex(s, d), QUERY_VEC, IVF_K)))
 
   /** Per-subspace squared-L2 in DuckDB: the SAME sequential left fold
     * over the same index order as [[pqSubDist]], so doubles agree
@@ -650,14 +706,14 @@ object SimilarityOps {
     * `emb_ivf_topk` and `emb_protos` check the SAME index text — the
     * qualityScoreOracle no-drift discipline. */
   private def ivfScoredCte: String =
-    s"""seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+    s"""ivf_seeds AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
                   WHERE vec_id < $NumCentroids),
         seed_scored AS (
           SELECT e.vec_id, c.cent_id,
                  round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
                        / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
                           * sqrt(sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)))), 6) AS ccos
-          FROM embeddings e, seeds c, range(1, 65) t(i)
+          FROM embeddings e, ivf_seeds c, range(1, 65) t(i)
           GROUP BY e.vec_id, c.cent_id),
         seed_assign AS (
           SELECT vec_id, cent_id AS cell FROM (
@@ -715,6 +771,38 @@ object SimilarityOps {
           ad AS (SELECT b.vec_id, b.sub, qd.qdist
                  FROM best b JOIN qd ON qd.sub = b.sub AND qd.cent_id = b.code
                  WHERE b.vec_id <> $QUERY_VEC),
+          agg AS (SELECT vec_id,
+                         list_reduce(list_prepend(0.0, list(qdist ORDER BY sub)),
+                                     (a, b) -> a + b) AS adist
+                  FROM ad GROUP BY vec_id)
+          SELECT vec_id, adist FROM agg ORDER BY adist, vec_id LIMIT $IVF_K""",
+    "ivfpq" ->
+      // both factored derivations compose flat (disjoint CTE names):
+      // the PQ chain supplies x/seeds/best, the IVF chain supplies
+      // scored; the probe/candidate stages mirror emb_ivf_topk's and
+      // the ADC stages mirror pq_topk's
+      s"""$pqEncodeCte,
+          $ivfScoredCte,
+          assigned AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+              FROM scored) WHERE rn = 1),
+          qcells AS (
+            SELECT cent_id AS cell FROM (
+              SELECT cent_id,
+                     row_number() OVER (ORDER BY ccos DESC, cent_id) AS rn
+              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= $NumProbe),
+          cand AS (SELECT a.vec_id FROM assigned a JOIN qcells USING (cell)
+                   WHERE a.vec_id <> $QUERY_VEC),
+          q AS (SELECT x AS qx FROM x WHERE vec_id = $QUERY_VEC),
+          qd AS (SELECT c.cent_id, s.s AS sub,
+                        ${pqSubDistSql("q.qx", "c.ce")} AS qdist
+                 FROM q, seeds c, range(0, $PqSubspaces) s(s)),
+          ad AS (SELECT b.vec_id, b.sub, qd.qdist
+                 FROM best b
+                 JOIN qd ON qd.sub = b.sub AND qd.cent_id = b.code
+                 JOIN cand ON cand.vec_id = b.vec_id),
           agg AS (SELECT vec_id,
                          list_reduce(list_prepend(0.0, list(qdist ORDER BY sub)),
                                      (a, b) -> a + b) AS adist

@@ -1022,7 +1022,7 @@ object TextOps {
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
-    "text_repetition_scores" -> ((s, d) => textRepetition(Fixtures.documents(s, d))),
+    "repetition" -> ((s, d) => textRepetition(Fixtures.documents(s, d))),
     "text_lm_perplexity" -> ((s, d) => textLmPerplexity(Fixtures.documents(s, d))),
     "boilerplate" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
     "doc_mixture_sample" ->
@@ -1331,7 +1331,7 @@ object TextOps {
       "text_lm_perplexity" -> lmPerplexityOracle,
       "ccnet" -> ccnetOracle,
       "lm2" -> lm2Oracle,
-      "text_repetition_scores" ->
+      "repetition" ->
         s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents),
               g AS (SELECT doc_id, w,

@@ -356,7 +356,7 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> ((s, d) => streamTumblingWindow(s, d)),
     "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
-    "stream_dedup_watermark" -> ((s, d) => streamDedupWatermark(s, d)),
+    "stream_dedup" -> ((s, d) => streamDedupWatermark(s, d)),
     "stream_redelivery" -> ((s, d) => streamRedeliveryTracker(s, d)),
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
     "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)),
@@ -384,7 +384,7 @@ object StreamOps {
       graft.operators.MessageOps.oracle("throughput_tumbling"),
     "stream_session_window" ->
       graft.operators.TemporalOps.oracle("session_assign"),
-    "stream_dedup_watermark" ->
+    "stream_dedup" ->
       """SELECT DISTINCT user_id, event_id % 256 AS seq FROM events""",
     "stream_redelivery" ->
       """SELECT user_id, event_id % 256 AS seq,

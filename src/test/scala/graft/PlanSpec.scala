@@ -177,11 +177,11 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 1, p)
   }
 
-  test("text_repetition_scores is a pure projection: no exchange at all") {
+  test("repetition is a pure projection: no exchange at all") {
     // per-doc n-gram frequency work must never leave the row (the
     // explode-and-count rewrite shuffles the corpus's entire token
     // stream)
-    val p = plan("text_repetition_scores")
+    val p = plan("repetition")
     assert(!p.contains("Exchange"), p)
   }
 

@@ -105,7 +105,7 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
-  test("stream_dedup_watermark equals exact batch dedup on the same keys") {
+  test("stream_dedup equals exact batch dedup on the same keys") {
     val stream = StreamOps.streamDedupWatermark(spark, sfDir)
     val batch = ev
       .select(col("user_id"), (col("event_id") % 256).as("seq"))
