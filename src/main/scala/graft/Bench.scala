@@ -28,8 +28,12 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: JVM + codegen + parquet reader init, untimed.
-    graft.model.Fixtures.events(spark, sfDir).count()
+    // Warm-up + infra canary: JVM + codegen + parquet reader init, untimed.
+    // Never throws (r8: the regenerated events fixture analysis-failed on
+    // this line, which sat outside per-key isolation and erased the whole
+    // round's bench line) — a broken table is named on stderr and its
+    // dependent keys fail per-key in the timed pass below.
+    graft.model.Fixtures.canary(spark, sfDir, "bench")
 
     var errors = Map.empty[String, String]
     // Dev-only subset filter (SPARK_GRAFT_BENCH_ONLY=k1,k2): time a few
@@ -125,8 +129,9 @@ object Bench {
     // ccnet; msglog_multi_topic_scan → msglog_multi_scan +
     // doc_boilerplate_df → boilerplate, which funded lm2;
     // text_repetition_scores → repetition + stream_dedup_watermark →
-    // stream_dedup, which funded ivfpq). Next reclaim if needed:
-    // stream_session_window → stream_session.
+    // stream_dedup, which funded ivfpq; round 9's stream_*_window →
+    // stream_tumbling / stream_session, which funded mm_img). Next
+    // reclaim if needed: doc_decontaminate → decontam.
     val budget = 1990
     val out = line
     if (out.length > budget)

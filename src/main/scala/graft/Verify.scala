@@ -10,14 +10,28 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // The four stream-state keys carry batch-equivalent oracles that are
-    // exact ONLY while the staged input is a single file (one
-    // AvailableNow micro-batch): fail loud at the gate if a fixture
-    // change breaks that premise, instead of subtly at the hash compare.
-    if (SparkEntry.queries.keys.exists(_.startsWith("stream_")))
-      graft.streaming.StreamOps.assertOneBatchPremise(spark, sfDir)
+    // Per-table fixture canary first: a broken loader names its table in
+    // the artifact instead of zeroing the round (r8 postmortem).
+    graft.model.Fixtures.canary(spark, sfDir, "verify")
+    // The stream-state keys carry batch-equivalent oracles that are exact
+    // ONLY while the staged input is a single file (one AvailableNow
+    // micro-batch). A broken premise (or a loader failure inside the
+    // check, as in r8) must fail the stream_* keys loudly — never the
+    // other keys' signal, and never subtly at the hash compare: on check
+    // failure the stream_* dumps are withheld so the driver records them
+    // red by absence.
+    val streamPremiseOk =
+      if (!SparkEntry.queries.keys.exists(_.startsWith("stream_"))) true
+      else try { graft.streaming.StreamOps.assertOneBatchPremise(spark, sfDir); true }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println("[verify] stream one-batch premise check failed " +
+          s"(all stream_* keys withheld): ${e.getMessage}")
+        false
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      if (name.startsWith("stream_") && !streamPremiseOk)
+        System.err.println(s"[verify] $name withheld: one-batch premise check failed")
+      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

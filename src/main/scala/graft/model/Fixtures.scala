@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §B) and
   * the Pulsar-style message-envelope projection from SURVEY.md §1.3.
@@ -27,18 +27,34 @@ object Fixtures {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with `ts` normalized to session-TZ TimestampType (µs). The
-    * fixture stores timestamp[ns], which Spark 4 refuses to read as a
-    * timestamp ([PARQUET_TYPE_ILLEGAL]); we read it as a nanos long
-    * (`nanosAsLong`, set at runtime so any driver-created session works)
-    * and truncate ns → µs with integer `div` — large epoch-nanos do not fit
-    * a double, so float division would corrupt low digits. Matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` truncation.
+  /** `events` with `ts` normalized to session-TZ TimestampType (µs),
+    * adaptive to the fixture's declared type — the driver has regenerated
+    * the table with different physical encodings across rounds:
+    *
+    *  - `timestamp[ns]`: Spark 4 refuses to read parquet nanos as a
+    *    timestamp ([PARQUET_TYPE_ILLEGAL]); we read it as a nanos long
+    *    (`nanosAsLong`, set at runtime so any driver-created session
+    *    works) and truncate ns → µs with integer `div` — large
+    *    epoch-nanos do not fit a double, so float division would corrupt
+    *    low digits. Matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation.
+    *  - `timestamp[us]` (isAdjustedToUTC=false ⇒ TimestampNTZType):
+    *    cast to session-TZ TimestampType — lossless under the pinned-UTC
+    *    sessions every entry point builds.
+    *  - already TimestampType: pass through.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(spark, sfDir, "events"))
+  }
+
+  /** Normalize an `events`-shaped frame's `ts` column to TimestampType,
+    * branching on the schema actually read (see [[events]]). Shared with
+    * the streaming loader so batch and stream stay byte-identical.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType => df
+    case _             => df.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
@@ -50,6 +66,30 @@ object Fixtures {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Per-table fixture-load canary: load one row of every fixture table
+    * (`events` through its normalizing loader) and report ok/FAILED per
+    * table on stderr. Round 8's regenerated `events` fixture
+    * analysis-failed inside Bench's warm-up and Verify's premise check —
+    * both OUTSIDE per-key error isolation — and a single stale loader
+    * assumption zeroed all 92 keys' round signal. The canary names the
+    * broken table in the artifact's stderr, doubles as the untimed
+    * JVM/codegen/parquet warm-up, and never throws: dependent keys fail
+    * per-key downstream while unaffected keys keep their signal.
+    */
+  def canary(spark: SparkSession, sfDir: String, tag: String): Unit =
+    tableNames.foreach { name =>
+      try {
+        val df = if (name == "events") events(spark, sfDir)
+                 else table(spark, sfDir, name)
+        df.limit(1).collect()
+        System.err.println(s"[$tag-canary] $name ok")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[$tag-canary] $name FAILED: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      }
+    }
 
   /** Number of topic partitions modeled for routing queries (reference:
     * partitioned topics fan out to `{topic}-partition-{n}` sub-topics,

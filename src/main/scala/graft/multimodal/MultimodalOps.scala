@@ -29,19 +29,25 @@ case class MediaFeatures(
   * `binary` columns with typed metadata, decoded/feature-extracted in
   * batched executor-side passes.
   *
-  * The decode itself is a STUB — no media codecs exist in this
-  * environment — replaced by a deterministic arithmetic fake
-  * ([[MultimodalOps.stubDecode]]). Everything around it is real and is
-  * what this module demonstrates: the envelope schema, the
-  * `Dataset[MediaRecord] → mapPartitions → Dataset[MediaFeatures]` batch
-  * boundary (the Scala analog of `mapInPandas`: one iterator per
-  * partition, amortizing per-batch decoder setup), the partition-count
-  * preservation, and frame-sampling as a post-decode projection. Swapping
-  * `stubDecode` for a JNI/FFmpeg call changes no plumbing.
+  * IMAGE decode is REAL — `javax.imageio` (JDK built-in PNG/JPEG codecs,
+  * zero new deps): [[MultimodalOps.decodeAny]] sniffs the container magic
+  * and decodes genuine rasters to true dims + per-channel means
+  * ([[MultimodalOps.decodeImage]]); the `mm_img` contract key drives a
+  * full encode → decode round-trip through it. Audio/video (no codecs in
+  * the JDK) keep the deterministic arithmetic stand-in
+  * ([[MultimodalOps.stubDecode]]), which any non-image payload falls
+  * back to. Around either codec, the plumbing this module demonstrates
+  * is the same: the envelope schema, the `Dataset[MediaRecord] →
+  * mapPartitions → Dataset[MediaFeatures]` batch boundary (the Scala
+  * analog of `mapInPandas`: one iterator per partition, amortizing
+  * per-batch decoder setup), the partition-count preservation, and
+  * frame-sampling as a post-decode projection. Swapping the stub for a
+  * JNI/FFmpeg call changes no plumbing.
   *
   * The stub is pure integer arithmetic on (byte length, first byte), so
-  * the whole flow stays DuckDB-expressible and the oracle can check the
-  * executor-side pass end-to-end.
+  * the stub-backed flow stays DuckDB-expressible; the image flow stays
+  * oracle-checkable because the synthesized PNGs' dims/fill derive from
+  * `media_id` and PNG is lossless.
   */
 object MultimodalOps {
 
@@ -86,6 +92,60 @@ object MultimodalOps {
     MediaFeatures(r.media_id, r.kind, width, height, nFrames, r.bytes.length, feature)
   }
 
+  /** PNG/JPEG container sniff. Only magics whose FIRST byte cannot open
+    * well-formed UTF-8 text (0x89 is a continuation byte, 0xFF is
+    * invalid anywhere) — so text-derived payloads can never
+    * false-positive into the image branch. */
+  def isImagePayload(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte))
+
+  /** REAL image decode — `javax.imageio` (JDK built-in, zero new deps):
+    * sniff the container, decode the full raster, emit true
+    * width/height/component-count and exact per-channel means over the
+    * decoded pixels. Feature layout: [r̄, ḡ, b̄, gray, channels, 0, 0, 0]
+    * (means normalized /255; gray = channel-sum mean /3 — divisions
+    * ordered so a constant-fill image reproduces the encoder's color
+    * bit-for-bit, which the oracle states arithmetically). Returns None
+    * when the payload does not decode — `ImageIO.read` signals corrupt
+    * containers inconsistently (null for unknown formats, IIOException
+    * for truncated ones), both normalized here so callers fall back to
+    * [[stubDecode]] rather than poisoning the partition. */
+  def decodeImage(r: MediaRecord): Option[MediaFeatures] =
+    (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        def mean(s: Long): Float = (s / n / 255.0).toFloat
+        val gray = ((rs + gs + bs) / n / 3.0 / 255.0).toFloat
+        val feature = Array(mean(rs), mean(gs), mean(bs), gray,
+          img.getColorModel.getNumComponents.toFloat, 0f, 0f, 0f)
+        MediaFeatures(r.media_id, r.kind, w, h, 1, r.bytes.length, feature)
+      }
+
+  /** Production decode dispatch: payloads carrying a real image
+    * container (PNG/JPEG magic) decode through the genuine
+    * `javax.imageio` codec; everything else — and any corrupt container
+    * — takes the deterministic [[stubDecode]] fallback, so one bad
+    * payload degrades one row, never the partition. */
+  def decodeAny(r: MediaRecord): MediaFeatures =
+    if (isImagePayload(r.bytes)) decodeImage(r).getOrElse(stubDecode(r))
+    else stubDecode(r)
+
   /** Batched decode: one decoder pass per partition (`mapPartitions`), the
     * Scala analog of a pandas-batch UDF. Partitioning is preserved — at
     * 100 TB each executor decodes its partition's payloads with no
@@ -95,7 +155,7 @@ object MultimodalOps {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it => it.map(stubDecode) }
+    media.mapPartitions { it => it.map(decodeAny) }
   }
 
   /** Resize (STUB geometry, real plumbing): letterbox every decoded frame
@@ -145,15 +205,87 @@ object MultimodalOps {
         round(avg(col("feat_sum") / 8.0), 6).as("avg_feat_mean"))
   }
 
+  /** Deterministic tiny-image synthesis through the REAL `javax.imageio`
+    * PNG ENCODER: dims and a constant fill color derive from `media_id`,
+    * so the oracle can state the decoded stats arithmetically while the
+    * engine path genuinely round-trips encode → decode through a
+    * production codec (PNG is lossless, so the constant fill survives
+    * bit-for-bit). */
+  def synthPng(mediaId: Long): Array[Byte] = {
+    val w = 16 + (mediaId % 64).toInt
+    val h = 16 + (mediaId % 48).toInt
+    val rgb = (((mediaId * 37) % 256).toInt << 16) |
+      (((mediaId * 59) % 256).toInt << 8) |
+      ((mediaId * 83) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** An image-payload media table: real PNG bytes per document row,
+    * synthesized executor-side in the same batched `mapPartitions` shape
+    * the decode uses (encode cost stays in the scan task; nothing
+    * corpus-sized crosses an exchange). */
+  def imageTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, source, lang) =>
+        MediaRecord(id, "image", synthPng(id),
+          Map("source" -> source, "lang" -> lang))
+      })
+  }
+
+  /** Contract query: per-image decoded geometry + channel means through
+    * the REAL codec round-trip (synthesize PNG → `javax.imageio` decode
+    * → project). `byte_len` (the encoded PNG size) is deliberately NOT
+    * in the contract — it is codec-version-dependent; the decoded
+    * raster properties are the portable witness. */
+  def multimodalImageDecode(docs: DataFrame): DataFrame =
+    decodeFeatures(imageTable(docs)).toDF()
+      .select(
+        col("media_id"), col("width"), col("height"),
+        element_at(col("feature"), 5).cast("int").as("channels"),
+        element_at(col("feature"), 1).as("r_mean"),
+        element_at(col("feature"), 2).as("g_mean"),
+        element_at(col("feature"), 3).as("b_mean"),
+        element_at(col("feature"), 4).as("gray_mean"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stats" ->
-      ((s, d) => multimodalDecodeStats(Fixtures.documents(s, d))))
+      ((s, d) => multimodalDecodeStats(Fixtures.documents(s, d))),
+    "mm_img" ->
+      ((s, d) => multimodalImageDecode(Fixtures.documents(s, d))))
 
   /** The stub decode re-expressed in SQL: length/first-byte arithmetic.
     * Float feature values are k/97 single-precision quotients; the oracle
     * reproduces them with an explicit float cast before the double sum.
     */
   def oracle: Map[String, String] = Map(
+    // mm_img: the synthesized PNG's dims/fill derive from doc_id, and the
+    // PNG round-trip is lossless, so the decoded raster properties are
+    // stated arithmetically. Division order mirrors the Scala decode
+    // ((sum/n)/3.0/255.0) so the float casts agree bit-for-bit.
+    "mm_img" ->
+      """SELECT doc_id AS media_id,
+                CAST(16 + doc_id % 64 AS INTEGER) AS width,
+                CAST(16 + doc_id % 48 AS INTEGER) AS height,
+                CAST(3 AS INTEGER) AS channels,
+                CAST((doc_id*37 % 256)/255.0 AS FLOAT) AS r_mean,
+                CAST((doc_id*59 % 256)/255.0 AS FLOAT) AS g_mean,
+                CAST((doc_id*83 % 256)/255.0 AS FLOAT) AS b_mean,
+                CAST(((doc_id*37 % 256)+(doc_id*59 % 256)+(doc_id*83 % 256))/3.0/255.0
+                     AS FLOAT) AS gray_mean
+         FROM documents""",
     "mm_decode_stats" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

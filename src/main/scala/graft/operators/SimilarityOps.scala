@@ -396,49 +396,20 @@ object SimilarityOps {
       lit(0.0), (acc, v) => acc + v)
   }
 
-  /** IVF + PQ: the composed serving path of a production vector index —
-    * coarse-probe the query's [[NumProbe]] best cells (staged centroid
-    * index, as [[embeddingIvfTopK]]), then rank the probed cells'
-    * vectors by PQ ASYMMETRIC DISTANCE over their packed codes instead
-    * of exact cosine. At 10^10 vectors this is the memory shape that
-    * actually fits: cells hold 32-bit codes (64× smaller than float32),
-    * the query stays uncompressed, and the scan cost per candidate is
-    * the native [[graft.functions.PqAdc]] lookup. Returns `(vec_id,
-    * adist)` ascending — candidates come from the probed cells only, so
-    * recall characteristics are exactly [[embeddingIvfTopK]]'s while
-    * ranking precision is PQ's (gate on [[pqEncode]]'s `mse` to size
-    * the codebook). Assignment join and query cross are broadcast; no
-    * corpus shuffle beyond the IVF assignment's rank-1 window. */
+  /** [[ivfPqTopK]] taking the centroid index as a DataFrame (the
+    * [[embeddingIvfTopK]]-style call shape). Delegates to the
+    * literal-fold implementation below — ONE serving path, two call
+    * shapes; the index is a bounded staged artifact ([[NumCentroids]]
+    * rows), so collecting it to literals is the same driver-side cost
+    * `stagedCentroidIndex` already pays. Cell-assignment tie-breaks
+    * (highest cosine, then lowest cent_id) are identical by
+    * construction, which `PipelineOpsSpec` asserts across both shapes. */
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int,
       index: Option[DataFrame] = None,
       codebook: Seq[Array[Double]]): DataFrame = {
-    graft.GraftSession.registerFunctions(emb.sparkSession)
-    val centroids = index.getOrElse(lloydCentroids(emb))
-    val scored = emb
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("ce")).as("ccos"))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = scored
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val queryCells = scored.filter(col("vec_id") === queryId)
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") <= NumProbe)
-      .select(col("cent_id").as("cell"))
-    val query = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
-    val candidates = assigned
-      .join(broadcast(queryCells), "cell")
-      .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("embedding"))
-    pqEncode(candidates, codebook)
-      .crossJoin(broadcast(query))
-      .select(col("vec_id"),
-        call_function("pq_adc", col("qe"), col("pq_code"), cbLit(codebook)).as("adist"))
-      .orderBy(col("adist"), col("vec_id"))
-      .limit(k)
+    val cents = index.getOrElse(lloydCentroids(emb)).collect().toSeq
+      .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Double](1))
+    ivfPqTopK(emb, codebook, cents, queryId, k)
   }
 
   /** The flattened `[code][dim]` codebook literal both kernels take. */

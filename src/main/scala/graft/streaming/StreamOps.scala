@@ -45,8 +45,9 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** File-stream read of events.parquet with the same ns→µs timestamp
-    * normalization as the batch loader (`Fixtures.events`). Schema comes
+  /** File-stream read of events.parquet with the same schema-adaptive
+    * `ts` normalization as the batch loader (`Fixtures.events` /
+    * `Fixtures.normalizeEventTs`). Schema comes
     * from a batch read — a streaming file source requires a declared
     * schema (it cannot infer while files keep arriving). The source needs
     * a *directory* to watch (fixtures are single files, and the fixture
@@ -63,8 +64,8 @@ object StreamOps {
       d
     })
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Fixtures.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
   }
 
   private val stagingDirs =
@@ -354,8 +355,8 @@ object StreamOps {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_tumbling_window" -> ((s, d) => streamTumblingWindow(s, d)),
-    "stream_session_window" -> ((s, d) => streamSessionWindow(s, d)),
+    "stream_tumbling" -> ((s, d) => streamTumblingWindow(s, d)),
+    "stream_session" -> ((s, d) => streamSessionWindow(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupWatermark(s, d)),
     "stream_redelivery" -> ((s, d) => streamRedeliveryTracker(s, d)),
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
@@ -380,9 +381,9 @@ object StreamOps {
     // CUMULATIVE counts whose max-per-key post-aggregate equals the
     // plain per-key count — batch-split-independent as long as no state
     // timeout fires mid-stream (single batch: none can).
-    "stream_tumbling_window" ->
+    "stream_tumbling" ->
       graft.operators.MessageOps.oracle("throughput_tumbling"),
-    "stream_session_window" ->
+    "stream_session" ->
       graft.operators.TemporalOps.oracle("session_assign"),
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_id % 256 AS seq FROM events""",

@@ -1155,6 +1155,32 @@ class MsgLogSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("AUTO_SPLIT: rebalance N → N+1 preserves exactly-once coverage (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // The invariant the broker's dynamic range-halving maintains
+    // (reference src/PulsarApi.proto:286-295): at EVERY group size each
+    // key hash has exactly one owner — including across the re-plan
+    // boundary when a consumer joins. The proportional allocator also
+    // bounds churn: an owner index only ever moves by 0 or +1 on a
+    // split (owner(h, n) = ⌈(h+1)·n/S⌉ − 1 is monotone in n with step
+    // ≤ 1 because (h+1)/S ≤ 1), so a join never reshuffles the whole
+    // key→consumer map — the practical half of "exactly-once coverage".
+    val prop = Prop.forAll(
+      Gen.choose(1, 1024), Gen.choose(0, 65535)) { (n, h) =>
+      def owners(c: Int): Seq[Int] =
+        (0 until c).filter { i =>
+          val (lo, hi) = graft.sources.MsgLogScan.autoSplitRange(c.toString, i.toString)
+          lo <= h && h <= hi
+        }
+      val before = owners(n)
+      val after = owners(n + 1)
+      before.size == 1 && after.size == 1 &&
+        (after.head - before.head == 0 || after.head - before.head == 1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("AUTO_SPLIT: N auto-derived consumers partition the topic disjointly") {
     // allocation invariant, every N: ranges disjoint, union = [0, 65535]
     for (n <- 1 to 7) {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.Fixtures
-import graft.multimodal.{MediaRecord, MultimodalOps}
+import graft.multimodal.{MediaFeatures, MediaRecord, MultimodalOps}
 import graft.operators.{DedupOps, LlmOps, SimilarityOps, TextOps}
 
 /** Tests for the extended training-data-pipeline operators: dedup family,
@@ -457,6 +457,24 @@ class PipelineOpsSpec extends SparkTestBase {
     val want = adcAll.toSeq.filter { case (id, _) => probeSet(id) }
       .sortBy { case (id, d) => (d, id) }.take(10)
     assert(got === want)
+    // both call shapes (DataFrame index vs literal centroid index — the
+    // contract key's variant) are one serving path and must agree exactly
+    val contract = SimilarityOps.ivfPqTopK(emb, cb,
+      SimilarityOps.stagedCentroidIndex(spark, sfDir), 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
+    assert(contract === want)
+  }
+
+  test("lm staged model: fit once per sf dir, indexed scoring matches self-fitting form") {
+    TextOps.dropStagedLmModel()
+    val before = TextOps.lmFitRuns.get()
+    val first = TextOps.stagedLmModel(spark, sfDir)
+    val second = TextOps.stagedLmModel(spark, sfDir)
+    assert(first eq second, "second call must return the cached artifact")
+    assert(TextOps.lmFitRuns.get() === before + 1, "fit must execute exactly once")
+    assert(first.vocab.nonEmpty && first.floorLogp < 0)
+    assertSameRows(TextOps.textLmPerplexityIndexed(docs, first),
+      TextOps.textLmPerplexity(docs))
   }
 
   test("pq staged codebook: collected once, cached per sf dir") {
@@ -965,5 +983,47 @@ class PipelineOpsSpec extends SparkTestBase {
     val stats = MultimodalOps.multimodalDecodeStats(docs).collect()
     assert(stats.map(_.getAs[Long]("n")).sum === docs.count())
     assert(stats.map(_.getAs[String]("kind")).sorted.toSeq === Seq("audio", "image", "video"))
+  }
+
+  test("multimodal: real PNG round-trip decodes true dims and channel means") {
+    val id = 123L
+    val bytes = MultimodalOps.synthPng(id)
+    assert(MultimodalOps.isImagePayload(bytes), "synthPng must emit a real PNG container")
+    val f = MultimodalOps.decodeImage(MediaRecord(id, "image", bytes, Map())).get
+    assert(f.width === 16 + (id % 64).toInt)
+    assert(f.height === 16 + (id % 48).toInt)
+    assert(f.feature(4).toInt === 3) // RGB components from the real ColorModel
+    // lossless round-trip: constant fill survives bit-for-bit
+    assert(f.feature(0) === (((id * 37) % 256) / 255.0).toFloat)
+    assert(f.feature(1) === (((id * 59) % 256) / 255.0).toFloat)
+    assert(f.feature(2) === (((id * 83) % 256) / 255.0).toFloat)
+  }
+
+  test("multimodal: decode dispatch — image magic → real codec, text/corrupt → stub") {
+    def same(a: MediaFeatures, b: MediaFeatures): Unit = {
+      assert(a === b.copy(feature = a.feature))
+      assert(a.feature.sameElements(b.feature))
+    }
+    val png = MediaRecord(7L, "image", MultimodalOps.synthPng(7L), Map())
+    same(MultimodalOps.decodeAny(png), MultimodalOps.decodeImage(png).get)
+    val text = MediaRecord(8L, "image", "plain text payload".getBytes("UTF-8"), Map())
+    same(MultimodalOps.decodeAny(text), MultimodalOps.stubDecode(text))
+    // a truncated PNG carries the magic but must fall back, not throw
+    val corrupt = MediaRecord(9L, "image", MultimodalOps.synthPng(9L).take(12), Map())
+    same(MultimodalOps.decodeAny(corrupt), MultimodalOps.stubDecode(corrupt))
+  }
+
+  test("mm_img: decoded geometry matches the id-derived expectation for every row") {
+    val out = MultimodalOps.multimodalImageDecode(docs).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[Int]("width") === 16 + (id % 64).toInt)
+      assert(r.getAs[Int]("height") === 16 + (id % 48).toInt)
+      assert(r.getAs[Int]("channels") === 3)
+      assert(r.getAs[Float]("r_mean") === (((id * 37) % 256) / 255.0).toFloat)
+      assert(r.getAs[Float]("gray_mean") ===
+        ((((id * 37) % 256) + ((id * 59) % 256) + ((id * 83) % 256)) / 3.0 / 255.0).toFloat)
+    }
   }
 }

@@ -46,7 +46,7 @@ class StreamOpsSpec extends SparkTestBase {
     assert(c1 === c2, "epoch-overwrite must make re-runs idempotent")
   }
 
-  test("stream_tumbling_window equals the batch window aggregation") {
+  test("stream_tumbling equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
     val batch = ev
       .groupBy(window(col("ts"), "1 hour"))
@@ -57,7 +57,7 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
-  test("stream_session_window equals the batch session aggregation") {
+  test("stream_session equals the batch session aggregation") {
     val stream = StreamOps.streamSessionWindow(spark, sfDir)
     val batch = ev
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
