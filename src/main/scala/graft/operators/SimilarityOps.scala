@@ -233,6 +233,80 @@ object SimilarityOps {
       collectCentroids(Fixtures.embeddings(spark, sfDir)))
       .map { case (id, a) => id -> a.toSeq }
 
+  /** In-row IVF cell assignment against centroid LITERALS: argmax cosine
+    * with the lowest-cent_id tie-break, as a `least` fold over
+    * (−cosine, id) structs — broadcast-by-construction (the centroids
+    * ride into generated code like the classifier weights), zero
+    * exchanges, and the exact tie-break the windowed rank-1 form uses,
+    * so both assignment shapes agree row-for-row. */
+  private def cellAssignExpr(centroids: Seq[(Long, Seq[Double])]): Column =
+    least(centroids.map { case (id, ce) =>
+      struct(negate(cosine(col("embedding"), typedlit(ce))).as("nc"),
+        lit(id).as("cid"))
+    }: _*).getField("cid")
+
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** How many times the IVF index actually MATERIALIZED — staging
+    * observability for tests (the `lloydRuns` sibling). */
+  val ivfIndexBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def dropStagedIvfIndex(): Unit = ivfIndexDirs.clear()
+
+  /** The IVF index as a CELL-PARTITIONED materialization of the corpus:
+    * `(vec_id, embedding)` written once per corpus dir,
+    * `partitionBy(cell)` — the on-disk shape a production vector index
+    * actually serves from. A probe then reads `cell IN (probed)` and
+    * Spark's partition pruning touches ONLY the probed cells' files
+    * (asserted in PlanSpec): per-query cost scales with cells probed,
+    * never corpus size, and the assignment pass runs ONCE at index
+    * build instead of inside every query ([[embeddingIvfTopK]] /
+    * [[ivfPqTopK]] keep the assignment-per-query form as the
+    * no-index-available path). Same staleness contract as every staged
+    * artifact here: a rewritten corpus under the same path serves the
+    * old index until [[dropStagedIvfIndex]]. */
+  def stagedIvfIndexDir(spark: SparkSession, sfDir: String): String =
+    ivfIndexDirs.computeIfAbsent(sfDir, _ => {
+      graft.GraftSession.registerFunctions(spark)
+      ivfIndexBuilds.incrementAndGet()
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
+      dir.toFile.deleteOnExit()
+      Fixtures.embeddings(spark, sfDir)
+        .withColumn("cell", cellAssignExpr(stagedCentroidIndex(spark, sfDir)))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+      dir
+    }).toString
+
+  /** IVF top-k served FROM the staged cell-partitioned index: probe the
+    * query's [[NumProbe]] best cells (an O(C) driver job against the
+    * staged centroids), then exact-rescore only those cells' members —
+    * read with partition pruning, so the scan's input is the probed
+    * partitions' files, nothing else. Row-identical to
+    * [[embeddingIvfTopK]] over the same centroid index (asserted in
+    * tests): same assignment tie-break, same cosine expression, same
+    * (cosine desc, vec_id) ranking. */
+  def embeddingIvfTopKIndexed(spark: SparkSession, sfDir: String,
+      queryId: Long, k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    val centroids = stagedCentroidIndex(spark, sfDir)
+    val centDf = centroids.toDF("cent_id", "ce")
+    val qdf = Fixtures.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val probeCells = centDf.crossJoin(broadcast(qdf))
+      .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cent_id")).limit(NumProbe)
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qdf))
+      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int,
       index: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.registerFunctions(emb.sparkSession)
@@ -512,13 +586,9 @@ object SimilarityOps {
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
       .orderBy(col("ccos").desc, col("cent_id")).limit(NumProbe)
       .collect().map(_.getLong(0)).toSeq
-    val cell = least(centroids.map { case (id, ce) =>
-      struct(negate(cosine(col("embedding"), typedlit(ce))).as("nc"),
-        lit(id).as("cid"))
-    }: _*).getField("cid")
     val query = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     emb.filter(col("vec_id") =!= queryId)
-      .withColumn("cell", cell)
+      .withColumn("cell", cellAssignExpr(centroids))
       .filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
@@ -583,9 +653,11 @@ object SimilarityOps {
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K)),
     "emb_near_dup_p16" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K, AltPlanes)),
+    // round 9: served from the staged cell-partitioned index (partition
+    // pruning reads only probed cells) — row-identical to the
+    // assignment-per-query form, which remains the library path
     "emb_ivf_topk" ->
-      ((s, d) => embeddingIvfTopK(Fixtures.embeddings(s, d), QUERY_VEC, IVF_K,
-        index = Some(stagedCentroids(s, d)))),
+      ((s, d) => embeddingIvfTopKIndexed(s, d, QUERY_VEC, IVF_K)),
     "emb_protos" ->
       ((s, d) => embeddingCellPrototypes(Fixtures.embeddings(s, d),
         index = Some(stagedCentroids(s, d)))),

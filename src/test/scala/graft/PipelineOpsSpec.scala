@@ -477,6 +477,19 @@ class PipelineOpsSpec extends SparkTestBase {
       TextOps.textLmPerplexity(docs))
   }
 
+  test("IVF staged index: pruned probe equals the assignment-scan path, built once") {
+    SimilarityOps.dropStagedIvfIndex()
+    val before = SimilarityOps.ivfIndexBuilds.get()
+    assertSameRows(
+      SimilarityOps.embeddingIvfTopKIndexed(spark, sfDir, 0L, 10),
+      SimilarityOps.embeddingIvfTopK(emb, 0L, 10,
+        index = Some(SimilarityOps.stagedCentroids(spark, sfDir))))
+    assert(SimilarityOps.ivfIndexBuilds.get() === before + 1)
+    // second probe reuses the materialization — no rebuild
+    SimilarityOps.embeddingIvfTopKIndexed(spark, sfDir, 3L, 5).collect()
+    assert(SimilarityOps.ivfIndexBuilds.get() === before + 1)
+  }
+
   test("pq staged codebook: collected once, cached per sf dir") {
     SimilarityOps.dropStagedPqCodebook()
     val first = SimilarityOps.stagedPqCodebook(spark, sfDir)

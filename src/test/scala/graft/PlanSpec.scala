@@ -318,6 +318,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("pq_enc"), p) // native kernel, not the interpreted HOF chain
   }
 
+  test("emb_ivf_topk probes the staged index with partition pruning") {
+    val p = plan("emb_ivf_topk")
+    // the probe must reach the scan as a PARTITION filter over the staged
+    // cell-partitioned index — only probed cells' files are read; at
+    // 10^10 vectors this (not a corpus-wide assignment scan) is the
+    // query cost model of a served IVF index
+    assert(p.contains("PartitionFilters: [cell#"), p)
+    assert(p.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[cell#\\d+L? IN \\(.*"), p)
+    // and the query-side broadcast, not a shuffle of the probed cells
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("pq_topk is encode + broadcast query cross + TakeOrdered") {
     val p = plan("pq_topk")
     assert(!p.contains("Exchange hashpartitioning"), p)
