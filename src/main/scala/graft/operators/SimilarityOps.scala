@@ -255,25 +255,33 @@ object SimilarityOps {
   def dropStagedIvfIndex(): Unit = ivfIndexDirs.clear()
 
   /** The IVF index as a CELL-PARTITIONED materialization of the corpus:
-    * `(vec_id, embedding)` written once per corpus dir,
+    * `(vec_id, embedding, pq_code)` written once per corpus dir,
     * `partitionBy(cell)` — the on-disk shape a production vector index
     * actually serves from. A probe then reads `cell IN (probed)` and
     * Spark's partition pruning touches ONLY the probed cells' files
     * (asserted in PlanSpec): per-query cost scales with cells probed,
-    * never corpus size, and the assignment pass runs ONCE at index
-    * build instead of inside every query ([[embeddingIvfTopK]] /
-    * [[ivfPqTopK]] keep the assignment-per-query form as the
-    * no-index-available path). Same staleness contract as every staged
-    * artifact here: a rewritten corpus under the same path serves the
-    * old index until [[dropStagedIvfIndex]]. */
+    * never corpus size, and the assignment + PQ-encode passes run ONCE
+    * at index build instead of inside every query
+    * ([[embeddingIvfTopK]] / [[ivfPqTopK]] keep the per-query forms as
+    * the no-index-available path). One artifact serves both read
+    * disciplines through column pruning: exact rescoring reads
+    * `embedding` (IVF-flat), ADC ranking reads only the packed
+    * `pq_code` — the 64×-smaller scan that makes 10^10 vectors fit.
+    * Same staleness contract as every staged artifact here: a rewritten
+    * corpus under the same path serves the old index until
+    * [[dropStagedIvfIndex]]. */
   def stagedIvfIndexDir(spark: SparkSession, sfDir: String): String =
     ivfIndexDirs.computeIfAbsent(sfDir, _ => {
       graft.GraftSession.registerFunctions(spark)
       ivfIndexBuilds.incrementAndGet()
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
       dir.toFile.deleteOnExit()
+      val codebook = stagedPqCodebook(spark, sfDir)
       Fixtures.embeddings(spark, sfDir)
         .withColumn("cell", cellAssignExpr(stagedCentroidIndex(spark, sfDir)))
+        .withColumn("pq_code",
+          element_at(call_function("pq_enc", col("embedding"), cbLit(codebook)), 1)
+            .cast("long"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
       dir
     }).toString
@@ -304,6 +312,35 @@ object SimilarityOps {
       .crossJoin(broadcast(qdf))
       .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF+PQ served FROM the staged index: probe cells, then ADC-rank the
+    * probed partitions' PRECOMPUTED codes — the scan reads only
+    * `(vec_id, pq_code)` (column pruning drops the embedding array;
+    * asserted in PlanSpec), which is the 64×-smaller read a production
+    * IVFPQ index exists for. Row-identical to the per-query
+    * [[ivfPqTopK]] over the same staged artifacts (asserted in tests):
+    * same probe, same codes, same ADC lookup. */
+  def ivfPqTopKIndexed(spark: SparkSession, sfDir: String,
+      queryId: Long, k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    val codebook = stagedPqCodebook(spark, sfDir)
+    val centDf = stagedCentroidIndex(spark, sfDir).toDF("cent_id", "ce")
+    val qdf = Fixtures.embeddings(spark, sfDir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val probeCells = centDf.crossJoin(broadcast(qdf))
+      .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cent_id")).limit(NumProbe)
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qdf))
+      .select(col("vec_id"),
+        call_function("pq_adc", col("qe"), col("pq_code"), cbLit(codebook)).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
       .limit(k)
   }
 
@@ -672,9 +709,10 @@ object SimilarityOps {
     "pq_topk" ->
       ((s, d) => pqTopK(Fixtures.embeddings(s, d), stagedPqCodebook(s, d),
         QUERY_VEC, IVF_K)),
+    // round 9: served from the staged index's precomputed codes (scan
+    // reads vec_id + pq_code only) — row-identical to the per-query form
     "ivfpq" ->
-      ((s, d) => ivfPqTopK(Fixtures.embeddings(s, d), stagedPqCodebook(s, d),
-        stagedCentroidIndex(s, d), QUERY_VEC, IVF_K)))
+      ((s, d) => ivfPqTopKIndexed(s, d, QUERY_VEC, IVF_K)))
 
   /** Per-subspace squared-L2 in DuckDB: the SAME sequential left fold
     * over the same index order as [[pqSubDist]], so doubles agree

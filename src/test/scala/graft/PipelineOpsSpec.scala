@@ -457,12 +457,16 @@ class PipelineOpsSpec extends SparkTestBase {
     val want = adcAll.toSeq.filter { case (id, _) => probeSet(id) }
       .sortBy { case (id, d) => (d, id) }.take(10)
     assert(got === want)
-    // both call shapes (DataFrame index vs literal centroid index — the
-    // contract key's variant) are one serving path and must agree exactly
-    val contract = SimilarityOps.ivfPqTopK(emb, cb,
+    // all three call shapes (DataFrame index, literal centroid index,
+    // staged-index serving — the contract key's variant) are one
+    // semantics and must agree exactly
+    val literal = SimilarityOps.ivfPqTopK(emb, cb,
       SimilarityOps.stagedCentroidIndex(spark, sfDir), 0L, 10).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
-    assert(contract === want)
+    assert(literal === want)
+    val indexed = SimilarityOps.ivfPqTopKIndexed(spark, sfDir, 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
+    assert(indexed === want)
   }
 
   test("lm staged model: fit once per sf dir, indexed scoring matches self-fitting form") {

@@ -331,6 +331,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("ivfpq reads only (vec_id, pq_code) from the pruned staged index") {
+    val p = plan("ivfpq")
+    // partition pruning to the probed cells…
+    assert(p.contains("PartitionFilters: [cell#"), p)
+    // …and column pruning to the packed codes: the embedding array must
+    // NOT be read — the 64×-smaller scan is the point of a served IVFPQ
+    val read = p.linesIterator.filter(_.contains("graft_ivf_index"))
+      .mkString("\n")
+    assert(read.contains("pq_code"), p)
+    assert(!read.contains("embedding:array"), p)
+  }
+
   test("pq_topk is encode + broadcast query cross + TakeOrdered") {
     val p = plan("pq_topk")
     assert(!p.contains("Exchange hashpartitioning"), p)
