@@ -245,13 +245,51 @@ object MultimodalOps {
       })
   }
 
+  private val imageTableDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** How many times the image table actually SYNTHESIZED — staging
+    * observability for tests. */
+  val imageTableBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def dropStagedImageTable(): Unit = imageTableDirs.clear()
+
+  /** The synthesized PNG corpus staged to parquet once per corpus dir —
+    * a real pipeline decodes images that already EXIST in storage, so
+    * the served/benched path must measure decode throughput, not
+    * fixture synthesis. Binary payloads + props land in one parquet
+    * table (the landing-zone shape of a media crawl); repeated reads
+    * scan it like any other fixture. */
+  def stagedImageTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val dir = imageTableDirs.computeIfAbsent(sfDir, _ => {
+      imageTableBuilds.incrementAndGet()
+      val d = java.nio.file.Files.createTempDirectory("graft_media_images_")
+      d.toFile.deleteOnExit()
+      imageTable(Fixtures.documents(spark, sfDir))
+        .write.mode("overwrite").parquet(d.toString)
+      d
+    })
+    spark.read.parquet(dir.toString).as[MediaRecord]
+  }
+
   /** Contract query: per-image decoded geometry + channel means through
     * the REAL codec round-trip (synthesize PNG → `javax.imageio` decode
     * → project). `byte_len` (the encoded PNG size) is deliberately NOT
     * in the contract — it is codec-version-dependent; the decoded
     * raster properties are the portable witness. */
   def multimodalImageDecode(docs: DataFrame): DataFrame =
-    decodeFeatures(imageTable(docs)).toDF()
+    imageDecodeProjection(decodeFeatures(imageTable(docs)))
+
+  /** [[multimodalImageDecode]] against the STAGED image table: synthesis
+    * runs once per corpus dir; every serve/bench pass measures the real
+    * decode over stored payloads. Row-identical (same ids → same PNGs →
+    * same rasters; asserted in tests). */
+  def multimodalImageDecodeStaged(spark: SparkSession, sfDir: String): DataFrame =
+    imageDecodeProjection(decodeFeatures(stagedImageTable(spark, sfDir)))
+
+  private def imageDecodeProjection(decoded: Dataset[MediaFeatures]): DataFrame =
+    decoded.toDF()
       .select(
         col("media_id"), col("width"), col("height"),
         element_at(col("feature"), 5).cast("int").as("channels"),
@@ -263,8 +301,10 @@ object MultimodalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stats" ->
       ((s, d) => multimodalDecodeStats(Fixtures.documents(s, d))),
+    // staged: timed passes measure decode over stored payloads, not
+    // fixture synthesis (the stagedLmModel discipline)
     "mm_img" ->
-      ((s, d) => multimodalImageDecode(Fixtures.documents(s, d))))
+      ((s, d) => multimodalImageDecodeStaged(s, d)))
 
   /** The stub decode re-expressed in SQL: length/first-byte arithmetic.
     * Float feature values are k/97 single-precision quotients; the oracle

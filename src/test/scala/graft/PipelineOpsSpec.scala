@@ -1030,6 +1030,17 @@ class PipelineOpsSpec extends SparkTestBase {
     same(MultimodalOps.decodeAny(corrupt), MultimodalOps.stubDecode(corrupt))
   }
 
+  test("mm_img: staged table built once; staged and direct paths agree") {
+    MultimodalOps.dropStagedImageTable()
+    val before = MultimodalOps.imageTableBuilds.get()
+    assertSameRows(
+      MultimodalOps.multimodalImageDecodeStaged(spark, sfDir),
+      MultimodalOps.multimodalImageDecode(docs))
+    assert(MultimodalOps.imageTableBuilds.get() === before + 1)
+    MultimodalOps.multimodalImageDecodeStaged(spark, sfDir).collect()
+    assert(MultimodalOps.imageTableBuilds.get() === before + 1)
+  }
+
   test("mm_img: decoded geometry matches the id-derived expectation for every row") {
     val out = MultimodalOps.multimodalImageDecode(docs).collect()
     assert(out.length === docs.count())
