@@ -1016,6 +1016,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(f.feature(2) === (((id * 83) % 256) / 255.0).toFloat)
   }
 
+  test("multimodal: JPEG payloads decode through the same real-codec path") {
+    // lossy codec: dims and component count are exact, channel means are
+    // not — assert what the container guarantees
+    val img = new java.awt.image.BufferedImage(
+      40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    assert(MultimodalOps.isImagePayload(bytes), "JPEG magic must be sniffed")
+    val f = MultimodalOps.decodeImage(MediaRecord(1L, "image", bytes, Map())).get
+    assert(f.width === 40 && f.height === 24)
+    assert(f.feature(4).toInt === 3)
+  }
+
   test("multimodal: decode dispatch — image magic → real codec, text/corrupt → stub") {
     def same(a: MediaFeatures, b: MediaFeatures): Unit = {
       assert(a === b.copy(feature = a.feature))
