@@ -494,6 +494,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(SimilarityOps.ivfIndexBuilds.get() === before + 1)
   }
 
+  test("IVF staged index: exactly-once corpus coverage with a code for every vector") {
+    val idx = spark.read.parquet(SimilarityOps.stagedIvfIndexDir(spark, sfDir))
+    val n = emb.count()
+    assert(idx.count() === n, "index must hold the whole corpus")
+    assert(idx.select("vec_id").distinct().count() === n, "no vector in two cells")
+    assert(idx.filter(col("pq_code").isNull).count() === 0, "every row carries its code")
+    val cells = idx.select("cell").distinct().count()
+    assert(cells >= 1 && cells <= SimilarityOps.NumCentroids)
+  }
+
   test("pq staged codebook: collected once, cached per sf dir") {
     SimilarityOps.dropStagedPqCodebook()
     val first = SimilarityOps.stagedPqCodebook(spark, sfDir)
