@@ -113,11 +113,12 @@ object StreamOps {
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return its final content as a batch DataFrame.
     *
-    * The memory sink is the TEST/DRIVER surface only: every result here
-    * is a small final aggregate, which is the one shape a driver-side
-    * sink is safe for. Production egress is foreachBatch fan-out or file
-    * sinks — `streamDeadLetterSplit` (foreachBatch → parquet) and the
-    * `graft-msglog` streaming sink demonstrate both at-scale paths.
+    * The memory sink is reserved for COMPLETE-mode finals — small
+    * bounded aggregates, the one shape a driver-side sink is safe for.
+    * Corpus-proportional streaming output (dedup survivors, joined
+    * pairs, tracker emissions) goes through [[runToFiles]] instead;
+    * `streamDeadLetterSplit` (foreachBatch → parquet) and the
+    * `graft-msglog` streaming sink are the other at-scale egress paths.
     */
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -139,6 +140,53 @@ object StreamOps {
     val local = spark.createDataFrame(sink.collectAsList(), sink.schema)
     spark.catalog.dropTempView(name)
     local
+  }
+
+  /** Run a streaming DataFrame to completion through a FILE sink and
+    * return the written rows as a batch read — the egress for
+    * corpus-proportional streaming output. The memory sink
+    * ([[runToTable]]) holds every emitted row on the driver, which is
+    * safe ONLY for small final aggregates; dedup survivors, joined
+    * pairs, and per-key tracker emissions are corpus-sized, so they land
+    * in executor-written parquet and the driver touches file paths only
+    * (at 100 TB the same declaration writes a real landing dir/topic).
+    * Append-mode streams use the native parquet sink (exactly-once via
+    * its _spark_metadata commit log); update-mode streams — which the
+    * file sink cannot express — go through `foreachBatch` parquet
+    * appends, the same pattern as [[streamDeadLetterSplit]]'s DLQ. A
+    * zero-row stream yields an empty frame on the input schema. */
+  private def runToFiles(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_files_")
+    root.toFile.deleteOnExit()
+    val data = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = mode match {
+      case "append" =>
+        df.writeStream.format("parquet")
+          .option("path", data)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      case "update" =>
+        df.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(data)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      case other =>
+        throw new IllegalArgumentException(
+          s"runToFiles supports append/update, not $other (complete finals are " +
+            "small aggregates — use runToTable)")
+    }
+    q.awaitTermination()
+    if (new java.io.File(data).exists()) spark.read.parquet(data)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
   /** Tumbling 1-hour event-time window with watermark: the streaming form
@@ -190,7 +238,7 @@ object StreamOps {
         col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "seq")
-    runToTable(deduped, "append")
+    runToFiles(deduped, "append")
       .select(col("user_id"), col("seq"))
   }
 
@@ -235,8 +283,8 @@ object StreamOps {
           }
         })
 
-    val emitted = runToTable(tracker.toDF(), "update")
-    // update-mode memory sink appends one row per key per batch; the
+    val emitted = runToFiles(tracker.toDF(), "update")
+    // update mode appends one row per key per batch; the
     // latest (= max) count per key is the tracker's answer.
     emitted.groupBy("user_id", "seq")
       .agg(max(col("n_deliveries")).as("n_deliveries"))
@@ -324,7 +372,9 @@ object StreamOps {
       col("c_user") === col("b_user") &&
         col("buy_ts") >= col("click_ts") &&
         col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
-    runToTable(joined, "append")
+    // joined pairs are corpus-proportional: they land in the file sink
+    // and the per-user rollup runs as a batch aggregate over the files
+    runToFiles(joined, "append")
       .select(col("c_user").as("user_id"), col("value"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_attributed"),
