@@ -239,11 +239,14 @@ object SimilarityOps {
     * ride into generated code like the classifier weights), zero
     * exchanges, and the exact tie-break the windowed rank-1 form uses,
     * so both assignment shapes agree row-for-row. */
-  private def cellAssignExpr(centroids: Seq[(Long, Seq[Double])]): Column =
+  private def cellAssignStruct(centroids: Seq[(Long, Seq[Double])]): Column =
     least(centroids.map { case (id, ce) =>
       struct(negate(cosine(col("embedding"), typedlit(ce))).as("nc"),
         lit(id).as("cid"))
-    }: _*).getField("cid")
+    }: _*)
+
+  private def cellAssignExpr(centroids: Seq[(Long, Seq[Double])]): Column =
+    cellAssignStruct(centroids).getField("cid")
 
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
@@ -263,10 +266,12 @@ object SimilarityOps {
     * never corpus size, and the assignment + PQ-encode passes run ONCE
     * at index build instead of inside every query
     * ([[embeddingIvfTopK]] / [[ivfPqTopK]] keep the per-query forms as
-    * the no-index-available path). One artifact serves both read
+    * the no-index-available path). One artifact serves three read
     * disciplines through column pruning: exact rescoring reads
     * `embedding` (IVF-flat), ADC ranking reads only the packed
-    * `pq_code` — the 64×-smaller scan that makes 10^10 vectors fit.
+    * `pq_code` — the 64×-smaller scan that makes 10^10 vectors fit —
+    * and curation reads (cell prototypes) touch only the scalar
+    * `(vec_id, ccos)` pair.
     * Same staleness contract as every staged artifact here: a rewritten
     * corpus under the same path serves the old index until
     * [[dropStagedIvfIndex]]. */
@@ -278,10 +283,14 @@ object SimilarityOps {
       dir.toFile.deleteOnExit()
       val codebook = stagedPqCodebook(spark, sfDir)
       Fixtures.embeddings(spark, sfDir)
-        .withColumn("cell", cellAssignExpr(stagedCentroidIndex(spark, sfDir)))
-        .withColumn("pq_code",
+        .withColumn("b", cellAssignStruct(stagedCentroidIndex(spark, sfDir)))
+        .select(col("vec_id"), col("embedding"),
+          // ccos: cosine to the OWN centroid (negate of the fold's key —
+          // exact), stored so curation reads (prototypes) never re-score
+          negate(col("b.nc")).as("ccos"),
           element_at(call_function("pq_enc", col("embedding"), cbLit(codebook)), 1)
-            .cast("long"))
+            .cast("long").as("pq_code"),
+          col("b.cid").as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
       dir
     }).toString
@@ -406,6 +415,12 @@ object SimilarityOps {
       .groupBy("vec_id")
       .agg(min_by(best, byScore).as("b"))
       .select(col("vec_id"), col("b.cent_id").as("cell"), col("b.ccos").as("ccos"))
+    protoRank(assigned, p)
+  }
+
+  /** The two-stage salted top-p election over an `(vec_id, cell, ccos)`
+    * assignment (see [[embeddingCellPrototypes]] for why two stages). */
+  private def protoRank(assigned: DataFrame, p: Int): DataFrame = {
     val pre = Window
       .partitionBy(col("cell"), Hashing.md5Bucket(col("vec_id"), ProtoSalts))
       .orderBy(col("ccos").desc, col("vec_id"))
@@ -416,6 +431,19 @@ object SimilarityOps {
       .withColumn("proto_rank", row_number().over(fin))
       .filter(col("proto_rank") <= p)
   }
+
+  /** [[embeddingCellPrototypes]] served FROM the staged index: the
+    * assignment (cell + own-centroid cosine) was stored at build, so the
+    * election reads only the scalar `(vec_id, ccos)` columns + the
+    * `cell` partition key — no embedding bytes, no centroid scoring, no
+    * assignment aggregate; just the two bounded windows over scalars.
+    * Row-identical to the self-assigning form (asserted in tests). */
+  def embeddingCellPrototypesIndexed(spark: SparkSession, sfDir: String,
+      p: Int = ProtoK): DataFrame =
+    protoRank(
+      spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+        .select(col("vec_id"), col("cell"), col("ccos")),
+      p)
 
   /** Symmetric per-vector int8 quantization — the storage-compression
     * step of an embedding index (4× memory vs float32; what an IVF cell
@@ -695,9 +723,10 @@ object SimilarityOps {
     // assignment-per-query form, which remains the library path
     "emb_ivf_topk" ->
       ((s, d) => embeddingIvfTopKIndexed(s, d, QUERY_VEC, IVF_K)),
+    // round 9: served from the staged index's stored assignment — the
+    // election reads scalars only; row-identical to the self-assigning form
     "emb_protos" ->
-      ((s, d) => embeddingCellPrototypes(Fixtures.embeddings(s, d),
-        index = Some(stagedCentroids(s, d)))),
+      ((s, d) => embeddingCellPrototypesIndexed(s, d)),
     "emb_dup_groups" ->
       ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)),
     "emb_quantize_int8" ->

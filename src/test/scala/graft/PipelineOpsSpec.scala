@@ -494,6 +494,13 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(SimilarityOps.ivfIndexBuilds.get() === before + 1)
   }
 
+  test("emb_protos: staged-index election equals the self-assigning form") {
+    assertSameRows(
+      SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir),
+      SimilarityOps.embeddingCellPrototypes(emb,
+        index = Some(SimilarityOps.stagedCentroids(spark, sfDir))))
+  }
+
   test("IVF staged index: exactly-once corpus coverage with a code for every vector") {
     val idx = spark.read.parquet(SimilarityOps.stagedIvfIndexDir(spark, sfDir))
     val n = emb.count()

@@ -281,19 +281,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), p)
   }
 
-  test("emb_protos: argmax is a partial min_by aggregate, no window over the corpus assignment") {
-    // the per-vector argmax MUST be an aggregate (map-side combinable):
-    // a window form shuffles |centroids| x corpus rows; the per-cell
-    // top-p must keep its two-stage shape (salted pre-rank) so no single
-    // window keys the corpus into |cells| partitions
+  test("emb_protos: election reads index scalars only, keeps the two-stage window") {
+    // round 9: the assignment (cell + own-centroid cosine) is stored in
+    // the staged index, so the serving plan has NO centroid scoring, NO
+    // assignment aggregate, and reads no embedding bytes — scalars only;
+    // the per-cell top-p must keep its two-stage shape (salted pre-rank)
+    // so no single window keys the corpus into |cells| partitions
     val p = plan("emb_protos")
-    assert(p.contains("partial_min_by") || p.contains("partial_finalmerge_min_by")
-      || p.contains("min_by"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    val read = p.linesIterator.filter(_.contains("graft_ivf_index")).mkString("\n")
+    assert(read.nonEmpty, p)
+    assert(!read.contains("embedding:array"), p)
+    assert(!p.contains("min_by"), p)
     // two ranking windows (salted pre-prune + final), not one
     val windows = "Window ".r.findAllIn(p).size
     assert(windows === 2, p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the self-assigning library path keeps its aggregate shape
+    val lib = graft.operators.SimilarityOps.embeddingCellPrototypes(
+      graft.model.Fixtures.embeddings(spark, sfDir),
+      index = Some(graft.operators.SimilarityOps.stagedCentroids(spark, sfDir)))
+      .queryExecution.executedPlan.toString
+    assert(lib.contains("min_by"), lib)
   }
 
   test("funnel_conversion scan count stays triangular in the (short) stage count") {
