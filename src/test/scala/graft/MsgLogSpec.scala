@@ -1904,6 +1904,42 @@ class MsgLogSpec extends SparkTestBase {
       .repartition(2, col("producer_name"))
   }
 
+  test("producer handshake: names, epochs, and last_sequence_id resume") {
+    import graft.sources.MsgLogProducers
+    val dir = Files.createTempDirectory("glog_prod_hs_").toString
+    // generated names are unique, marked generated, fresh frontier
+    val g1 = MsgLogProducers.register(dir)
+    val g2 = MsgLogProducers.register(dir)
+    assert(!g1.userProvidedName && !g2.userProvidedName)
+    assert(g1.name !== g2.name)
+    assert(g1.lastSequenceId === -1L && g1.epoch === 0L)
+    // a user name registers at epoch 0; a LIVE duplicate is refused
+    val a0 = MsgLogProducers.register(dir, Some("p-0"))
+    assert(a0.userProvidedName && a0.epoch === 0L && a0.lastSequenceId === -1L)
+    intercept[IllegalStateException](MsgLogProducers.register(dir, Some("p-0")))
+    // produce under the journaled names (p-0 writes seqs 0,2,…,8)
+    seqBatch(0 until 10).write.format("graft-msglog").mode("append").save(dir)
+    // registry sidecar is invisible to scans
+    assert(spark.read.format("graft-msglog").load(dir).count() === 10)
+    // close → re-register: epoch bumps, last_sequence_id serves the
+    // stored frontier — the dedup-resume payload of ProducerSuccess
+    MsgLogProducers.close(dir, "p-0")
+    intercept[IllegalStateException](MsgLogProducers.close(dir, "p-0"))
+    val a1 = MsgLogProducers.register(dir, Some("p-0"))
+    assert(a1.epoch === 1L)
+    assert(a1.lastSequenceId === 8L)
+    // the resumed producer's replayed tail dies at the dedup append;
+    // sequences past the handshake's frontier land
+    seqBatch(8 until 12).write.format("graft-msglog")
+      .option("dedupOnAppend", "true").mode("append").save(dir)
+    val seqs = spark.read.format("graft-msglog").load(dir)
+      .filter(col("producer_name") === "p-0")
+      .select("sequence_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs === Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    assert(MsgLogProducers.active(dir).map(_._1).toSet ===
+      Set(g1.name, g2.name, "p-0"))
+  }
+
   test("dedupOnAppend: replaying the same batch append adds no entries and no ledgers") {
     val dir = Files.createTempDirectory("glog_dedup_rt_").toString
     seqBatch(0 until 20).write.format("graft-msglog").mode("append").save(dir)
