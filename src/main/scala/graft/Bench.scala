@@ -131,7 +131,8 @@ object Bench {
     // text_repetition_scores → repetition + stream_dedup_watermark →
     // stream_dedup, which funded ivfpq; round 9's stream_*_window →
     // stream_tumbling / stream_session, which funded mm_img). Next
-    // reclaim if needed: doc_decontaminate → decontam.
+    // reclaim spent round 9: doc_decontaminate → decontam (funded ann_batch).
+    // Next if needed: orders_rollup_cube → rollup_cube.
     val budget = 1990
     val out = line
     if (out.length > budget)

@@ -549,7 +549,7 @@ object DedupOps {
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
     "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
-    "doc_decontaminate" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))),
+    "decontam" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))),
     "incr_dedup" -> ((s, d) => docIncrementalDedup(Fixtures.documents(s, d))))
 
   private val DUCK_SHINGLES =
@@ -681,7 +681,7 @@ object DedupOps {
                  CAST(c.id = c.cluster AS INTEGER) AS is_canonical,
                  s.cluster_size
           FROM comp c JOIN sizes s USING (cluster)""",
-    "doc_decontaminate" ->
+    "decontam" ->
       s"""WITH grams AS (SELECT doc_id,
                                 unnest(list_distinct([md5(substring(text, i, $DecontaminateGramLen))
                                   for i in range(1, greatest(length(text) - ${DecontaminateGramLen - 1}, 1) + 1)])) AS g

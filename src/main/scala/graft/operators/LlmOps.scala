@@ -330,7 +330,7 @@ object LlmOps {
                       ELSE 'keep' END AS verdict
           FROM (${TextOps.oracle("text_lang_id")}) l
           JOIN (${TextOps.oracle("text_quality_score")}) q USING (doc_id)
-          LEFT JOIN (${DedupOps.oracle("doc_decontaminate")}) c ON c.doc_id = l.doc_id
+          LEFT JOIN (${DedupOps.oracle("decontam")}) c ON c.doc_id = l.doc_id
           LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("doc_dup_groups")})
                      WHERE is_canonical = 0) g ON g.doc_id = l.doc_id)"""
 

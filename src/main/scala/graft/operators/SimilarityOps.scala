@@ -353,6 +353,50 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCHED ANN serving from the staged index — the offline shape that
+    * actually amortizes a vector index (near-dup versus an index,
+    * retrieval-pair mining): ONE pruned scan answers a whole bounded
+    * query batch. Probe staging is a |Q|×C engine-cosine job collected
+    * to a driver artifact (bounded: a serving batch times the centroid
+    * count — the single-query precedent, widened), so the serving plan
+    * is: partition-pruned index scan → broadcast hash join against the
+    * (qid, qe, cell) probe set → in-row cosine → per-query top-k as a
+    * rank window (map-side pre-pruned by WindowGroupLimit; |Q| bounded,
+    * so the per-qid keying never collapses parallelism the way a
+    * corpus-cardinality window would). Per query, rows are identical to
+    * [[embeddingIvfTopK]] (asserted in tests). */
+  def embeddingBatchTopK(spark: SparkSession, sfDir: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    require(queryIds.nonEmpty, "embeddingBatchTopK needs a non-empty query batch")
+    import spark.implicits._
+    val centDf = stagedCentroidIndex(spark, sfDir).toDF("cent_id", "ce")
+    val queries = Fixtures.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val byQ = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    val probeRows = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qe"), col("cent_id"),
+        cosine(col("ce"), col("qe")).as("ccos"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= NumProbe)
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+      .collect()
+    val probes = probeRows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .toDF("qid", "qe", "cell")
+    val cells = probeRows.map(_.getLong(2)).distinct.toSeq
+    val byRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rnk", row_number().over(byRank).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int,
       index: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.registerFunctions(emb.sparkSession)
@@ -707,6 +751,10 @@ object SimilarityOps {
   private val IVF_K = 10
   private val QUERY_VEC = 0L
 
+  /** Query batch for the batched-ANN contract key: ids spread across the
+    * corpus so the probed cell sets differ between queries. */
+  private val QUERY_BATCH = Seq(0L, 7L, 13L)
+
   /** Second pinned plane count for the oracle-checked keys: the geometry
     * [[defaultNumPlanes]] would pick for a ~10M-vector corpus — proving
     * the operator+oracle pair holds across geometries, not just at the
@@ -741,7 +789,11 @@ object SimilarityOps {
     // round 9: served from the staged index's precomputed codes (scan
     // reads vec_id + pq_code only) — row-identical to the per-query form
     "ivfpq" ->
-      ((s, d) => ivfPqTopKIndexed(s, d, QUERY_VEC, IVF_K)))
+      ((s, d) => ivfPqTopKIndexed(s, d, QUERY_VEC, IVF_K)),
+    // round 9: batched ANN — one pruned index scan serves the whole
+    // query batch ("ann_batch" short for the bench line budget)
+    "ann_batch" ->
+      ((s, d) => embeddingBatchTopK(s, d, QUERY_BATCH, IVF_K)))
 
   /** Per-subspace squared-L2 in DuckDB: the SAME sequential left fold
     * over the same index order as [[pqSubDist]], so doubles agree
@@ -976,5 +1028,37 @@ object SimilarityOps {
                (SELECT embedding FROM embeddings WHERE vec_id = $QUERY_VEC) q,
                range(1, 65) t(i)
           GROUP BY e.vec_id
-          ORDER BY cosine DESC, e.vec_id LIMIT $IVF_K""")
+          ORDER BY cosine DESC, e.vec_id LIMIT $IVF_K""",
+    // the multi-query generalization of emb_ivf_topk's oracle: probe
+    // cells and candidate ranking PER query id, same assignment CTEs
+    "ann_batch" ->
+      s"""WITH $ivfScoredCte,
+          assigned AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+              FROM scored) WHERE rn = 1),
+          qcells AS (
+            SELECT vec_id AS qid, cent_id AS cell FROM (
+              SELECT vec_id, cent_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+              FROM scored WHERE vec_id IN (${QUERY_BATCH.mkString(", ")})) WHERE rn <= $NumProbe),
+          cand AS (
+            SELECT q.qid, a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
+            WHERE a.vec_id <> q.qid),
+          pair_scored AS (
+            SELECT c.qid, e.vec_id,
+                   round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE))
+                         / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                            * sqrt(sum(CAST(qe.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE)))), 6) AS cosine
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings qe ON qe.vec_id = c.qid,
+                 range(1, 65) t(i)
+            GROUP BY c.qid, e.vec_id)
+          SELECT qid, vec_id, cosine, rnk FROM (
+            SELECT qid, vec_id, cosine,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+            FROM pair_scored) WHERE rnk <= $IVF_K""")
 }

@@ -494,6 +494,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(SimilarityOps.ivfIndexBuilds.get() === before + 1)
   }
 
+  test("ann_batch: per-query slices equal the single-query serving path") {
+    val qs = Seq(0L, 7L, 13L)
+    val out = SimilarityOps.embeddingBatchTopK(spark, sfDir, qs, 10).collect()
+    qs.foreach { q =>
+      val slice = out.filter(_.getAs[Long]("qid") == q)
+        .sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      val single = SimilarityOps.embeddingIvfTopKIndexed(spark, sfDir, q, 10).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      assert(slice === single, s"query $q")
+    }
+  }
+
   test("emb_protos: staged-index election equals the self-assigning form") {
     assertSameRows(
       SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir),

@@ -125,8 +125,8 @@ class PlanSpec extends SparkTestBase {
     assert(!o.contains("strategy=broadcast"), o)
   }
 
-  test("doc_decontaminate broadcasts the probe grams: no corpus-side shuffle join") {
-    val p = plan("doc_decontaminate")
+  test("decontam broadcasts the probe grams: no corpus-side shuffle join") {
+    val p = plan("decontam")
     // the benchmark side is small by nature — the corpus must stream
     // through a broadcast hash join, never sort-merge its gram explosion
     assert(p.contains("BroadcastHashJoin"), p)
@@ -349,6 +349,19 @@ class PlanSpec extends SparkTestBase {
       .mkString("\n")
     assert(read.contains("pq_code"), p)
     assert(!read.contains("embedding:array"), p)
+  }
+
+  test("ann_batch: one pruned scan, broadcast probe join, no per-query rescan") {
+    val p = plan("ann_batch")
+    // the whole batch is served by ONE partition-pruned index scan…
+    assert(p.contains("PartitionFilters: [cell#"), p)
+    assert("graft_ivf_index".r.findAllIn(p).size === 1, p)
+    // …joined hash-side against the bounded (qid, qe, cell) probe set
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // per-query top-k pre-prunes map-side before the qid exchange
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("pq_topk is encode + broadcast query cross + TakeOrdered") {
