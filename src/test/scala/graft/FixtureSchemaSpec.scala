@@ -65,4 +65,21 @@ class FixtureSchemaSpec extends SparkTestBase {
     val ts = Fixtures.events(spark, sfDir).schema("ts").dataType
     assert(ts === org.apache.spark.sql.types.TimestampType)
   }
+
+  test("both historical ts encodings normalize to the same instants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the same three instants, stored the two ways the driver has
+    // shipped them: epoch-nanos long (r1-r7 under nanosAsLong) and
+    // microsecond timestamp (r8+); µs chosen non-round so the ns
+    // div-1000 truncation is actually exercised
+    val us = Seq(1704067200123456L, 1704067201987654L, 1704070800000001L)
+    val asNs = us.map(_ * 1000 + 999).toDF("ts") // sub-µs tail must truncate
+    val asTs = us.toDF("us").select(timestamp_micros(col("us")).as("ts"))
+    val a = Fixtures.normalizeEventTs(asNs).select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    val b = Fixtures.normalizeEventTs(asTs).select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === us && b === us)
+  }
 }
