@@ -66,6 +66,28 @@ class FixtureSchemaSpec extends SparkTestBase {
     assert(ts === org.apache.spark.sql.types.TimestampType)
   }
 
+  test("fixture canary names broken tables, keeps good ones, never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_canary_")
+    dir.toFile.deleteOnExit()
+    // one healthy table, one corrupt file, everything else missing — the
+    // r8 failure class: the canary must localize, not propagate
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "region.parquet"),
+      dir.resolve("region.parquet"))
+    java.nio.file.Files.write(dir.resolve("events.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    try {
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      Fixtures.canary(spark, dir.toString, "test") // must not throw
+    } finally System.setErr(saved)
+    val out = buf.toString("UTF-8")
+    assert(out.contains("[test-canary] region ok"), out)
+    assert(out.contains("[test-canary] events FAILED"), out)
+    assert(out.contains("[test-canary] lineitem FAILED"), out)
+  }
+
   test("both historical ts encodings normalize to the same instants") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
