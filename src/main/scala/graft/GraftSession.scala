@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Single place for the session shape every entry point needs: UTC
-  * timestamps, ns-as-long parquet reads (the events fixture is
-  * timestamp[ns]), a per-JVM temp warehouse (bucketed tables must not
-  * land in the working directory), right-sized shuffle parallelism.
+  * timestamps, ns-as-long parquet reads (the r1-r7 events fixture was
+  * timestamp[ns]; the loader adapts either way — `Fixtures
+  * .normalizeEventTs`), a per-JVM temp warehouse (bucketed tables must
+  * not land in the working directory), right-sized shuffle parallelism.
   * One builder so a new main cannot forget an invariant.
   */
 object GraftSession {
