@@ -1940,6 +1940,35 @@ class MsgLogSpec extends SparkTestBase {
       Set(g1.name, g2.name, "p-0"))
   }
 
+  test("producer registry: randomized register/close replay matches a replica (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.sources.MsgLogProducers
+    val genOps = Gen.listOfN(40, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf("a", "b", "c")))
+    val prop = Prop.forAll(genOps) { ops =>
+      val dir = Files.createTempDirectory("glog_prodprop_").toString
+      var live = Set.empty[String]
+      var epochs = Map.empty[String, Long]
+      val stepsOk = ops.forall { case (a, n) =>
+        if (a == 1) {
+          if (live(n)) scala.util.Try(MsgLogProducers.register(dir, Some(n))).isFailure
+          else {
+            val s = MsgLogProducers.register(dir, Some(n))
+            val ok = s.epoch == epochs.getOrElse(n, 0L) && s.lastSequenceId == -1L
+            live += n
+            epochs = epochs.updated(n, epochs.getOrElse(n, 0L) + 1)
+            ok
+          }
+        } else {
+          if (!live(n)) scala.util.Try(MsgLogProducers.close(dir, n)).isFailure
+          else { MsgLogProducers.close(dir, n); live -= n; true }
+        }
+      }
+      stepsOk && MsgLogProducers.active(dir).map(_._1).toSet == live
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedupOnAppend: replaying the same batch append adds no entries and no ledgers") {
     val dir = Files.createTempDirectory("glog_dedup_rt_").toString
     seqBatch(0 until 20).write.format("graft-msglog").mode("append").save(dir)
