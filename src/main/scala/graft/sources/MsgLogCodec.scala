@@ -520,7 +520,7 @@ object MsgLogCodec {
   def readEntries(in: DataInputStream): Option[Array[MsgFrame]] =
     readFrameResult(in) match {
       case Entries(msgs) => Some(msgs)
-      case Corrupt(_, _, err) => throw new java.io.IOException(err)
+      case Corrupt(_, _, err) => throw new ChecksumException(err)
       case FrameEof => None
       case _: ChunkPiece => throw new java.io.IOException(
         "graft-msglog: chunk frame in a per-frame read (use foreachEntry or the partition reader)")
@@ -808,7 +808,7 @@ object MsgLogCodec {
           if (!assembler.isEmpty)
             throw new java.io.IOException("graft-msglog: ledger ends mid chunk group")
           more = false
-        case Corrupt(_, _, err) => throw new java.io.IOException(err)
+        case Corrupt(_, _, err) => throw new ChecksumException(err)
         case Entries(msgs) => msgs.foreach(f)
         case c: ChunkPiece => assembler.offer(c).foreach(f)
       }

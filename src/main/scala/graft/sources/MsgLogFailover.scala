@@ -79,7 +79,7 @@ object MsgLogFailover {
     reapExpired(topicDir, subscription)
     val dir = MsgLogShared.subDir(topicDir, subscription)
     if (registrants(dir).exists(_._1 == consumer))
-      throw new IllegalArgumentException(
+      throw new ConsumerBusyException(
         s"graft-msglog: consumer '$consumer' already registered on '$subscription'")
     releaseOnActiveChange(topicDir, subscription) {
       MsgLogShared.appendJournal(dir, "reg", Seq(s"$Join\t$priority\t$consumer"))
@@ -166,7 +166,7 @@ object MsgLogFailover {
     reapExpired(topicDir, subscription, exempt = Some(consumer))
     val dir = MsgLogShared.subDir(topicDir, subscription)
     if (!registrants(dir).exists(_._1 == consumer))
-      throw new IllegalArgumentException(
+      throw new ConsumerNotFoundException(
         s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
     val released = releaseOnActiveChange(topicDir, subscription) {
       MsgLogShared.appendJournal(dir, "reg", Seq(s"$Leave\t0\t$consumer"))
@@ -210,7 +210,7 @@ object MsgLogFailover {
     touchLease(dir, consumer)
     reapExpired(topicDir, subscription, exempt = Some(consumer))
     if (!registrants(dir).exists(_._1 == consumer))
-      throw new IllegalArgumentException(
+      throw new ConsumerNotFoundException(
         s"graft-msglog: consumer '$consumer' is not registered on '$subscription'")
     if (activeRaw(dir).contains(consumer))
       MsgLogShared.receive(spark, topicDir, subscription, max)

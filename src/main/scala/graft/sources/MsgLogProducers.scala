@@ -123,7 +123,7 @@ object MsgLogProducers {
       val (live, epochs) = replay(topicDir)
       val resolved = name match {
         case Some(n) =>
-          if (live(n)) throw new IllegalStateException(
+          if (live(n)) throw new ProducerBusyException(
             s"graft-msglog: producer '$n' is already registered on this topic " +
               "(the broker refuses duplicate producers; close it first)")
           n

@@ -221,7 +221,7 @@ object MsgLogSchemaRegistry {
       else if (additive(reg, dec)) { // strictly wider: evolve the registry
         writeRegistry(dir, ddl)
         ddl
-      } else throw new IllegalArgumentException(
+      } else throw new IncompatibleSchemaException(
         s"graft-msglog: IncompatibleSchema — topic $dir has registered payload " +
           s"schema '$registered' and the producer declared '$ddl', which neither " +
           "matches it nor only adds fields (reference error code " +
@@ -612,7 +612,7 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
           org.apache.spark.sql.catalyst.json.CreateJacksonParser.utf8String,
           identity)
         catch {
-          case e: Exception => throw new IllegalArgumentException(
+          case e: Exception => throw new IncompatibleSchemaException(
             s"graft-msglog: IncompatibleSchema — props ${props.take(120)} does not " +
               s"conform to the topic's declared payload schema '$ddl': " +
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200), e)

@@ -1940,6 +1940,49 @@ class MsgLogSpec extends SparkTestBase {
       Set(g1.name, g2.name, "p-0"))
   }
 
+  test("error taxonomy: raisable failures carry their wire ServerError codes") {
+    import graft.sources._
+    // ChecksumError(9): a flipped payload byte fails the frame read
+    val out = new ByteArrayOutputStream()
+    MsgLogCodec.writeBatch(new DataOutputStream(out),
+      Seq(MsgFrame(1L, 1L, 1L, "t", 1.0, "{}")), MsgLogCodec.CodecNone)
+    val bytes = out.toByteArray
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x1).toByte
+    val e9 = intercept[ChecksumException](
+      MsgLogCodec.readEntries(new DataInputStream(new ByteArrayInputStream(bytes))))
+    assert(e9.code === 9 && e9.codeName === "ChecksumError")
+    assert(e9.isInstanceOf[java.io.IOException]) // generic handlers still work
+    // ProducerBusy(16): duplicate live producer name
+    val dir = Files.createTempDirectory("glog_errors_").toString
+    MsgLogProducers.register(dir, Some("dup"))
+    val e16 = intercept[ProducerBusyException](
+      MsgLogProducers.register(dir, Some("dup")))
+    assert(e16.code === 16 && e16.isInstanceOf[IllegalStateException])
+    // ConsumerBusy(5) / ConsumerNotFound(13): failover registry verbs
+    MsgLogFailover.register(dir, "s", "c1", priority = 0)
+    val e5 = intercept[ConsumerBusyException](
+      MsgLogFailover.register(dir, "s", "c1", priority = 0))
+    assert(e5.code === 5 && e5.isInstanceOf[IllegalArgumentException])
+    val e13 = intercept[ConsumerNotFoundException](
+      MsgLogFailover.unregister(dir, "s", "ghost"))
+    assert(e13.code === 13 && e13.codeName === "ConsumerNotFound")
+    // IncompatibleSchema(18): conflicting re-declaration, via the write
+    // path's wrapper — the typed error survives in the cause chain
+    import spark.implicits._
+    val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
+    df.write.format("graft-msglog").option("payloadSchema", "k INT")
+      .mode("append").save(dir)
+    val raised = intercept[Throwable] {
+      df.write.format("graft-msglog").option("payloadSchema", "zz STRING")
+        .mode("append").save(dir)
+    }
+    val chain = Iterator.iterate(raised)(_.getCause).takeWhile(_ != null).toSeq
+    val e18 = chain.collectFirst { case e: MsgLogServerError => e }
+    assert(e18.exists(_.code === 18), chain.map(_.toString).mkString("\n"))
+  }
+
   test("producer registry: randomized register/close replay matches a replica (scalacheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.sources.MsgLogProducers
