@@ -158,11 +158,52 @@ object MultimodalOps {
     media.mapPartitions { it => it.map(decodeAny) }
   }
 
-  /** Resize (STUB geometry, real plumbing): letterbox every decoded frame
-    * into a target box preserving aspect ratio — the standard pre-model
-    * normalization. Pure integer/double projection over the decoded
-    * metadata; a real implementation swaps the arithmetic for a pixel
-    * kernel inside the same column contract.
+  /** REAL pixel resize (AWT raster kernel): decode, aspect-preserving
+    * scale into the target box with the same floor geometry as
+    * [[resizeStub]], re-encode PNG. Returns None when the payload does
+    * not decode — callers keep the original record rather than fail the
+    * partition (the [[decodeImage]] contract). Bilinear interpolation:
+    * the standard pre-model normalization kernel. */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+     catch { case scala.util.control.NonFatal(_) => None })
+      .map { img =>
+        val scale = math.min(targetW.toDouble / img.getWidth,
+          targetH.toDouble / img.getHeight)
+        val outW = math.max(1, math.floor(img.getWidth * scale).toInt)
+        val outH = math.max(1, math.floor(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, outW, outH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
+  /** Batched REAL resize over a media table: image payloads come back
+    * re-encoded at letterboxed size, everything else passes through
+    * untouched — same `mapPartitions` envelope as the decode, so at
+    * scale each executor resizes its partition with no shuffle. */
+  def resizeMedia(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      if (isImagePayload(r.bytes))
+        resizeImage(r.bytes, targetW, targetH)
+          .map(b => r.copy(bytes = b)).getOrElse(r)
+      else r
+    })
+  }
+
+  /** Resize GEOMETRY as a pure column projection (the arithmetic twin of
+    * [[resizeImage]]'s kernel — same floor semantics, asserted
+    * equivalent in tests): letterbox every decoded frame into a target
+    * box preserving aspect ratio. Useful when only the output dims are
+    * needed (batch-shape planning) — no pixels touched.
     */
   def resizeStub(features: Dataset[MediaFeatures], targetW: Int, targetH: Int): DataFrame =
     features.toDF()

@@ -1060,6 +1060,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(f.feature(4).toInt === 3)
   }
 
+  test("multimodal: real pixel resize matches the stub geometry and keeps the fill") {
+    val id = 57L
+    val bytes = MultimodalOps.synthPng(id)
+    val resized = MultimodalOps.resizeImage(bytes, 224, 224).get
+    val f = MultimodalOps.decodeImage(MediaRecord(id, "image", resized, Map())).get
+    // same floor geometry as resizeStub's arithmetic
+    val (w0, h0) = (16 + (id % 64).toInt, 16 + (id % 48).toInt)
+    val scale = math.min(224.0 / w0, 224.0 / h0)
+    assert(f.width === math.floor(w0 * scale).toInt)
+    assert(f.height === math.floor(h0 * scale).toInt)
+    // bilinear scaling of a constant-fill image stays that constant
+    assert(f.feature(0) === (((id * 37) % 256) / 255.0).toFloat)
+    assert(f.feature(2) === (((id * 83) % 256) / 255.0).toFloat)
+    // the batched form resizes image payloads and passes others through
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(id, "image", bytes, Map()),
+      MediaRecord(1L, "audio", "not an image".getBytes("UTF-8"), Map()))
+      .toDS()
+    val out = MultimodalOps.resizeMedia(media, 224, 224).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(MultimodalOps.decodeImage(out(id)).get.width === f.width)
+    assert(new String(out(1L).bytes, "UTF-8") === "not an image")
+  }
+
   test("multimodal: decode dispatch — image magic → real codec, text/corrupt → stub") {
     def same(a: MediaFeatures, b: MediaFeatures): Unit = {
       assert(a === b.copy(feature = a.feature))
