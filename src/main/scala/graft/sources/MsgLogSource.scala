@@ -151,7 +151,11 @@ object MsgLogSource {
     java.nio.ByteBuffer.wrap(d).getLong & 0x7FFFFFFFFFFFFFFFL
   }
 
-  /** All VISIBLE ledgers of a topic, sorted by name. Transactional
+  /** All VISIBLE ledgers of a topic, sorted by name. A missing topic
+    * directory yields an EMPTY ledger list rather than an error —
+    * deliberately matching the broker's default topic auto-creation
+    * (consuming a topic nobody produced to reads an empty, freshly
+    * created topic, not TopicNotFound). Transactional
     * ledgers (`txn-<id>-*.glog`, [[MsgLogTxn]]) are visible only once
     * their transaction's commit marker exists — the read-side half of
     * the EndTxn(COMMIT) contract (`src/PulsarApi.proto:702-802`): every
