@@ -130,9 +130,11 @@ object Bench {
     // doc_boilerplate_df → boilerplate, which funded lm2;
     // text_repetition_scores → repetition + stream_dedup_watermark →
     // stream_dedup, which funded ivfpq; round 9's stream_*_window →
-    // stream_tumbling / stream_session, which funded mm_img). Next
-    // reclaim spent round 9: doc_decontaminate → decontam (funded ann_batch).
-    // Next if needed: orders_rollup_cube → rollup_cube.
+    // stream_tumbling / stream_session funding mm_img, doc_decontaminate
+    // → decontam funding ann_batch, and orders_rollup_cube → rollup_cube
+    // + approx_distinct_users → approx_users + stream_enrich_join →
+    // stream_enrich funding stream_ann with margin). Next if needed:
+    // doc_filter_pipeline → doc_pipeline.
     val budget = 1990
     val out = line
     if (out.length > budget)

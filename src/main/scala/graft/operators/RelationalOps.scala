@@ -163,11 +163,11 @@ object RelationalOps {
     "topic_join_star" -> ((s, d) => topicJoinStar(
       Fixtures.lineitem(s, d), Fixtures.orders(s, d), Fixtures.customer(s, d),
       Fixtures.nation(s, d), Fixtures.region(s, d))),
-    "orders_rollup_cube" -> ((s, d) => ordersRollupCube(Fixtures.orders(s, d))),
+    "rollup_cube" -> ((s, d) => ordersRollupCube(Fixtures.orders(s, d))),
     "set_ops_returnflag" -> ((s, d) => setOpsSegment(
       Fixtures.customer(s, d), Fixtures.orders(s, d), SEGMENT)),
     "str_date_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
-    "approx_distinct_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
+    "approx_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
     "salted_join_skew" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))),
     "value_percentiles" -> ((s, d) => valuePercentiles(Fixtures.events(s, d))))
 
@@ -181,7 +181,7 @@ object RelationalOps {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
-    "orders_rollup_cube" ->
+    "rollup_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                 round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -222,7 +222,7 @@ object RelationalOps {
                 CAST(sum(d.n_types) AS BIGINT) AS sum_types
          FROM events e JOIN dim d USING (user_id)
          GROUP BY e.event_type ORDER BY e.event_type""",
-    "approx_distinct_users" ->
+    "approx_users" ->
       """SELECT exact_users, n_events,
                 (abs(apx - exact_users) <= exact_users * 0.15) AS approx_ok
          FROM (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

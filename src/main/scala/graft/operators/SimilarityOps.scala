@@ -1031,34 +1031,39 @@ object SimilarityOps {
           ORDER BY cosine DESC, e.vec_id LIMIT $IVF_K""",
     // the multi-query generalization of emb_ivf_topk's oracle: probe
     // cells and candidate ranking PER query id, same assignment CTEs
-    "ann_batch" ->
-      s"""WITH $ivfScoredCte,
-          assigned AS (
-            SELECT vec_id, cent_id AS cell FROM (
-              SELECT vec_id, cent_id,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-              FROM scored) WHERE rn = 1),
-          qcells AS (
-            SELECT vec_id AS qid, cent_id AS cell FROM (
-              SELECT vec_id, cent_id,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-              FROM scored WHERE vec_id IN (${QUERY_BATCH.mkString(", ")})) WHERE rn <= $NumProbe),
-          cand AS (
-            SELECT q.qid, a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
-            WHERE a.vec_id <> q.qid),
-          pair_scored AS (
-            SELECT c.qid, e.vec_id,
-                   round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE))
-                         / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
-                            * sqrt(sum(CAST(qe.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE)))), 6) AS cosine
-            FROM cand c
-            JOIN embeddings e ON e.vec_id = c.vec_id
-            JOIN embeddings qe ON qe.vec_id = c.qid,
-                 range(1, 65) t(i)
-            GROUP BY c.qid, e.vec_id)
-          SELECT qid, vec_id, cosine, rnk FROM (
-            SELECT qid, vec_id, cosine,
-                   CAST(row_number() OVER (PARTITION BY qid
-                                           ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
-            FROM pair_scored) WHERE rnk <= $IVF_K""")
+    "ann_batch" -> annBatchOracleSql(s"vec_id IN (${QUERY_BATCH.mkString(", ")})", IVF_K))
+
+  /** The batched-ANN oracle, parameterized on the query-id predicate and
+    * k — shared verbatim by `ann_batch` and the streaming `stream_ann`
+    * key (whose id window is a range), so the two cannot drift. */
+  def annBatchOracleSql(qidPredicate: String, k: Int): String =
+    s"""WITH $ivfScoredCte,
+        assigned AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+            FROM scored) WHERE rn = 1),
+        qcells AS (
+          SELECT vec_id AS qid, cent_id AS cell FROM (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+            FROM scored WHERE $qidPredicate) WHERE rn <= $NumProbe),
+        cand AS (
+          SELECT q.qid, a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
+          WHERE a.vec_id <> q.qid),
+        pair_scored AS (
+          SELECT c.qid, e.vec_id,
+                 round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE))
+                       / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                          * sqrt(sum(CAST(qe.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE)))), 6) AS cosine
+          FROM cand c
+          JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN embeddings qe ON qe.vec_id = c.qid,
+               range(1, 65) t(i)
+          GROUP BY c.qid, e.vec_id)
+        SELECT qid, vec_id, cosine, rnk FROM (
+          SELECT qid, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, vec_id) AS INTEGER) AS rnk
+          FROM pair_scored) WHERE rnk <= $k"""
 }

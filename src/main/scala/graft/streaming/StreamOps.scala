@@ -399,6 +399,68 @@ object StreamOps {
       .select(col("c_mktsegment"), col("n"), col("sum_value"))
   }
 
+  /** File-stream read of the embeddings fixture — the query-vector
+    * stream for [[streamAnnTopK]]; same staging discipline as
+    * [[eventsStream]]. */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+    val dir = embStagingDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_emb_")
+      java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
+      d.toFile.deleteOnExit()
+      d
+    })
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  private val embStagingDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** STREAMING ANN: serve a stream of query vectors against the staged
+    * cell-partitioned vector index — the continuous form of the
+    * ingestion-time retrieval/dedup a training-data pipeline runs
+    * (every arriving document embedding is checked against the corpus
+    * index). Per micro-batch the arrived query ids (a bounded admission
+    * window) go through [[graft.operators.SimilarityOps
+    * .embeddingBatchTopK]] — ONE pruned index scan per batch, the
+    * amortized serving shape — and results append to an executor-written
+    * file sink (the [[runToFiles]] stance: per-query top-k rows are
+    * corpus-independent but unbounded over the stream's lifetime, so
+    * they never accumulate on the driver).
+    *
+    * Deterministic WITHOUT the one-batch premise: each query id arrives
+    * exactly once, and its top-k depends only on the staged index — any
+    * micro-batch split yields the same union of results (asserted
+    * against [[graft.operators.SimilarityOps.embeddingBatchTopK]] in
+    * tests; the oracle is the batch key's SQL restricted to the same id
+    * window).
+    */
+  def streamAnnTopK(spark: SparkSession, sfDir: String,
+      maxQueryId: Long = 4L, k: Int = 5): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
+    root.toFile.deleteOnExit()
+    val data = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = embeddingsStream(spark, sfDir)
+      .filter(col("vec_id") <= maxQueryId)
+      .select("vec_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty)
+          graft.operators.SimilarityOps
+            .embeddingBatchTopK(spark, sfDir, ids, k)
+            .write.mode("append").parquet(data)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (new java.io.File(data).exists()) spark.read.parquet(data)
+    else spark.emptyDataFrame
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring (every key oracle-backed since round 7; the
   // stream-vs-batch equivalence suite is the second, independent lock)
@@ -410,15 +472,17 @@ object StreamOps {
     "stream_dedup" -> ((s, d) => streamDedupWatermark(s, d)),
     "stream_redelivery" -> ((s, d) => streamRedeliveryTracker(s, d)),
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
-    "stream_enrich_join" -> ((s, d) => streamEnrichJoin(s, d)),
+    "stream_enrich" -> ((s, d) => streamEnrichJoin(s, d)),
     // "ss_join" = stream-stream join; short by design — the bench JSON
     // line must fit the driver's 2000-char stdout tail whole (Bench
     // scaladoc), the pq_enc precedent
-    "ss_join" -> ((s, d) => streamStreamJoin(s, d)))
+    "ss_join" -> ((s, d) => streamStreamJoin(s, d)),
+    // streaming ANN against the staged vector index (round 9)
+    "stream_ann" -> ((s, d) => streamAnnTopK(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
-    * `stream_enrich_join` via its final joined aggregate, and the four
+    * `stream_enrich` via its final joined aggregate, and the four
     * state keys via the batch-equivalent SQL justified below.
     */
   def oracle: Map[String, String] = Map(
@@ -441,7 +505,7 @@ object StreamOps {
       """SELECT user_id, event_id % 256 AS seq,
                 CAST(count(*) AS BIGINT) AS n_deliveries
          FROM events GROUP BY 1, 2""",
-    "stream_enrich_join" ->
+    "stream_enrich" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
@@ -465,5 +529,11 @@ object StreamOps {
            UNION ALL
            SELECT 'dlq' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
            FROM events WHERE value IS NULL OR props IS NULL OR value > 250.0)
-         ORDER BY topic""")
+         ORDER BY topic""",
+    // stream_ann: micro-batch-split-INDEPENDENT (each query id arrives
+    // once; its top-k depends only on the staged index), so the oracle
+    // is the batch key's SQL restricted to the same id window — shared
+    // builder, zero drift
+    "stream_ann" ->
+      graft.operators.SimilarityOps.annBatchOracleSql("vec_id <= 4", 5))
 }

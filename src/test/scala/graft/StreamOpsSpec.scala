@@ -46,6 +46,13 @@ class StreamOpsSpec extends SparkTestBase {
     assert(c1 === c2, "epoch-overwrite must make re-runs idempotent")
   }
 
+  test("stream_ann equals the batched index serving over the same id window") {
+    val stream = StreamOps.streamAnnTopK(spark, sfDir, maxQueryId = 4L, k = 5)
+    val batch = graft.operators.SimilarityOps
+      .embeddingBatchTopK(spark, sfDir, Seq(0L, 1L, 2L, 3L, 4L), 5)
+    assertSameRows(stream, batch)
+  }
+
   test("stream_tumbling equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
     val batch = ev
@@ -78,7 +85,7 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
-  test("stream_enrich_join equals the batch join-aggregate") {
+  test("stream_enrich equals the batch join-aggregate") {
     val stream = StreamOps.streamEnrichJoin(spark, sfDir)
     val dim = Fixtures.customer(spark, sfDir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
