@@ -370,9 +370,13 @@ object SimilarityOps {
     graft.GraftSession.registerFunctions(spark)
     require(queryIds.nonEmpty, "embeddingBatchTopK needs a non-empty query batch")
     import spark.implicits._
+    // a repeated id must not rank twice (duplicate probe rows would put
+    // the same candidate at two ranks); ids absent from the corpus have
+    // no vector to probe with and drop out here
+    val ids = queryIds.distinct
     val centDf = stagedCentroidIndex(spark, sfDir).toDF("cent_id", "ce")
     val queries = Fixtures.embeddings(spark, sfDir)
-      .filter(col("vec_id").isin(queryIds: _*))
+      .filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val byQ = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
     val probeRows = queries.crossJoin(broadcast(centDf))

@@ -458,7 +458,10 @@ object StreamOps {
       .start()
     q.awaitTermination()
     if (new java.io.File(data).exists()) spark.read.parquet(data)
-    else spark.emptyDataFrame
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "qid BIGINT, vec_id BIGINT, cosine DOUBLE, rnk INT"))
   }
 
   // ---------------------------------------------------------------------

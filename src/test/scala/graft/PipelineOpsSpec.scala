@@ -507,6 +507,19 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ann_batch: duplicate and unknown query ids are harmless") {
+    val clean = SimilarityOps.embeddingBatchTopK(spark, sfDir, Seq(0L, 7L), 5).collect()
+    // a repeated id must not duplicate ranks; an id with no corpus vector
+    // has nothing to probe with and is absent from the output
+    val dirty = SimilarityOps
+      .embeddingBatchTopK(spark, sfDir, Seq(0L, 0L, 7L, -999L), 5).collect()
+    def canonRows(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("vec_id")))
+        .sorted.toSeq
+    assert(canonRows(dirty) === canonRows(clean))
+    assert(!dirty.exists(_.getAs[Long]("qid") == -999L))
+  }
+
   test("emb_protos: staged-index election equals the self-assigning form") {
     assertSameRows(
       SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir),
