@@ -520,6 +520,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!dirty.exists(_.getAs[Long]("qid") == -999L))
   }
 
+  test("ann_batch is batch-split independent (stream_ann's oracle premise)") {
+    // the streaming key's oracle needs no one-batch premise BECAUSE any
+    // partition of the id window serves the same union — assert the
+    // mathematical core directly
+    def rows(ids: Seq[Long]) =
+      SimilarityOps.embeddingBatchTopK(spark, sfDir, ids, 5).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cosine"))).sorted.toSeq
+    val whole = rows(Seq(0L, 1L, 2L, 3L, 4L))
+    val split = (rows(Seq(0L, 1L)) ++ rows(Seq(2L, 3L, 4L))).sorted
+    assert(split === whole)
+  }
+
   test("emb_protos: staged-index election equals the self-assigning form") {
     assertSameRows(
       SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir),
