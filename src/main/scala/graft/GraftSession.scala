@@ -13,7 +13,7 @@ object GraftSession {
 
   private lazy val warehouseDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_wh_")
-    d.toFile.deleteOnExit()
+    graft.util.TempDirs.track(d)
     d.toString
   }
 

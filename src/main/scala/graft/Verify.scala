@@ -13,23 +13,25 @@ object Verify {
     // Per-table fixture canary first: a broken loader names its table in
     // the artifact instead of zeroing the round (r8 postmortem).
     graft.model.Fixtures.canary(spark, sfDir, "verify")
-    // The stream-state keys carry batch-equivalent oracles that are exact
+    // The stream-STATE keys carry batch-equivalent oracles that are exact
     // ONLY while the staged input is a single file (one AvailableNow
     // micro-batch). A broken premise (or a loader failure inside the
-    // check, as in r8) must fail the stream_* keys loudly — never the
-    // other keys' signal, and never subtly at the hash compare: on check
-    // failure the stream_* dumps are withheld so the driver records them
-    // red by absence.
+    // check, as in r8) must fail exactly those keys loudly — never any
+    // other key's signal (stream_dlq_split/stream_enrich/stream_ann's
+    // oracles hold under any batch split), and never subtly at the hash
+    // compare: on check failure the premise-dependent dumps are withheld
+    // so the driver records them red by absence.
+    val premiseKeys = graft.streaming.StreamOps.oneBatchPremiseKeys
     val streamPremiseOk =
-      if (!SparkEntry.queries.keys.exists(_.startsWith("stream_"))) true
+      if (!SparkEntry.queries.keys.exists(premiseKeys)) true
       else try { graft.streaming.StreamOps.assertOneBatchPremise(spark, sfDir); true }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println("[verify] stream one-batch premise check failed " +
-          s"(all stream_* keys withheld): ${e.getMessage}")
+          s"(${premiseKeys.toSeq.sorted.mkString(", ")} withheld): ${e.getMessage}")
         false
       }
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (name.startsWith("stream_") && !streamPremiseOk)
+      if (premiseKeys(name) && !streamPremiseOk)
         System.err.println(s"[verify] $name withheld: one-batch premise check failed")
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

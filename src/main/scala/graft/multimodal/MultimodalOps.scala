@@ -119,11 +119,17 @@ object MultimodalOps {
         val w = img.getWidth
         val h = img.getHeight
         var rs = 0L; var gs = 0L; var bs = 0L
+        // bulk raster copy: per-pixel getRGB(x, y) pays a ColorModel
+        // conversion per CALL — 12M virtual dispatches on a 4000×3000
+        // crawl image; one row-batch copy per row bounds the buffer at
+        // O(width) while keeping the conversion vectorized
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val p = img.getRGB(x, y)
+            val p = row(x)
             rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
             x += 1
           }
@@ -253,11 +259,15 @@ object MultimodalOps {
     * production codec (PNG is lossless, so the constant fill survives
     * bit-for-bit). */
   def synthPng(mediaId: Long): Array[Byte] = {
-    val w = 16 + (mediaId % 64).toInt
-    val h = 16 + (mediaId % 48).toInt
-    val rgb = (((mediaId * 37) % 256).toInt << 16) |
-      (((mediaId * 59) % 256).toInt << 8) |
-      ((mediaId * 83) % 256).toInt
+    // floorMod: a negative id must not produce a non-positive dimension
+    // (BufferedImage would throw and fail the whole partition); fixture
+    // ids are non-negative, so the oracle's sign-following % agrees on
+    // every id it ever sees
+    val w = 16 + Math.floorMod(mediaId, 64).toInt
+    val h = 16 + Math.floorMod(mediaId, 48).toInt
+    val rgb = (Math.floorMod(mediaId * 37, 256).toInt << 16) |
+      (Math.floorMod(mediaId * 59, 256).toInt << 8) |
+      Math.floorMod(mediaId * 83, 256).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -306,7 +316,7 @@ object MultimodalOps {
     val dir = imageTableDirs.computeIfAbsent(sfDir, _ => {
       imageTableBuilds.incrementAndGet()
       val d = java.nio.file.Files.createTempDirectory("graft_media_images_")
-      d.toFile.deleteOnExit()
+      graft.util.TempDirs.track(d)
       imageTable(Fixtures.documents(spark, sfDir))
         .write.mode("overwrite").parquet(d.toString)
       d

@@ -280,7 +280,7 @@ object SimilarityOps {
       graft.GraftSession.registerFunctions(spark)
       ivfIndexBuilds.incrementAndGet()
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
-      dir.toFile.deleteOnExit()
+      graft.util.TempDirs.track(dir)
       val codebook = stagedPqCodebook(spark, sfDir)
       Fixtures.embeddings(spark, sfDir)
         .withColumn("b", cellAssignStruct(stagedCentroidIndex(spark, sfDir)))

@@ -34,7 +34,7 @@ object MsgLog {
   def stagedEventsLog(spark: SparkSession, sfDir: String): String =
     staged.computeIfAbsent(sfDir, _ => {
       val dir = Files.createTempDirectory("graft_msglog_")
-      dir.toFile.deleteOnExit()
+      graft.util.TempDirs.track(dir)
       writeEvents(Fixtures.events(spark, sfDir), dir.toString, NumLedgers)
       dir.toString
     })
@@ -173,7 +173,7 @@ object MsgLog {
   def stagedNamespace(spark: SparkSession, sfDir: String): String =
     stagedNs.computeIfAbsent(sfDir, _ => {
       val dir = Files.createTempDirectory("graft_msglog_ns_")
-      dir.toFile.deleteOnExit()
+      graft.util.TempDirs.track(dir)
       val ev = Fixtures.events(spark, sfDir)
       writeEvents(ev.filter(pmod(col("user_id"), lit(2)) === 0),
         dir.resolve("topic-even").toString, 2)
@@ -280,7 +280,7 @@ object MsgLog {
   def stagedEnvelopeLog(spark: SparkSession, sfDir: String): String =
     stagedEnv.computeIfAbsent(sfDir, _ => {
       val dir = Files.createTempDirectory("graft_msglog_env_")
-      dir.toFile.deleteOnExit()
+      graft.util.TempDirs.track(dir)
       withEnvelope(Fixtures.events(spark, sfDir))
         .repartition(NumLedgers, col("partition_key"))
         .write.format("graft-msglog").mode("append").save(dir.toString)

@@ -12,9 +12,11 @@ import java.nio.charset.StandardCharsets
   *
   *  - name assignment: a caller-supplied name is used as-is
   *    (`user_provided_producer_name`, proto:441-443); without one a
-  *    unique name is GENERATED (proto:427-429) — `graft-prod-<n>` off
-  *    the journal's own generated-count, collision-free across sessions
-  *    because the journal is the counter.
+  *    unique name is GENERATED (proto:427-429) — the smallest
+  *    `graft-prod-<n>` never opened under any session, so generated
+  *    names are collision-free across sessions AND against
+  *    user-supplied names in the same prefix space (the journal is the
+  *    allocator).
   *  - reconnect epoch: re-registering a name after a close bumps
   *    `epoch` (proto:438-440) — the count of this name's prior sessions
   *    in the journal. Registering a name that is still LIVE is refused,
@@ -66,10 +68,15 @@ object MsgLogProducers {
           }
           b.result()
         }
+        // file order = event order: count-based sequence names (see
+        // append) sort correctly across JVM restarts — a wall/boot-clock
+        // component would not
         files.sortBy(_.getFileName.toString).flatMap { p =>
           new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
             .linesIterator.filter(_.nonEmpty).map { line =>
               val i = line.indexOf('\t')
+              if (i < 0) throw new java.io.IOException(
+                s"graft-msglog: corrupt producer journal $p: '$line'")
               (line.substring(0, i).toInt, line.substring(i + 1))
             }
         }
@@ -77,19 +84,13 @@ object MsgLogProducers {
     }
   }
 
-  private val eventCounter = new java.util.concurrent.atomic.AtomicLong(0)
-
   private def append(topicDir: String, action: Int, name: String): Unit = {
     require(!name.exists(c => c == '\n' || c == '\r' || c == '\t'),
       s"graft-msglog: producer name must not contain tabs/newlines: '$name'")
-    val dir = registryDir(topicDir)
-    Files.createDirectories(dir)
-    val body = s"$action\t$name\n".getBytes(StandardCharsets.UTF_8)
-    val id = f"${System.nanoTime()}%020d-${eventCounter.incrementAndGet()}%06d"
-    val target = dir.resolve(s"reg-$id.tsv")
-    val tmp = dir.resolve(s".reg-$id.tsv.tmp")
-    Files.write(tmp, body)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // MsgLogShared's journal writer: count-based sequence prefix (replay
+    // order survives restarts/reboots, unlike nanoTime names) + tmp +
+    // atomic rename — one journal discipline across all sidecars
+    MsgLogShared.appendJournal(registryDir(topicDir), "reg", Seq(s"$action\t$name"))
   }
 
   /** Currently-live producer names with their current epoch (session
@@ -113,9 +114,6 @@ object MsgLogProducers {
     (live, epochs)
   }
 
-  private def generatedCount(topicDir: String): Long =
-    journal(topicDir).count { case (a, n) => a == Open && n.startsWith("graft-prod-") }
-
   /** The handshake: journal the session and return what the broker's
     * `ProducerSuccess` would carry. `name = None` → generated name. */
   def register(topicDir: String, name: Option[String] = None): ProducerSession =
@@ -127,7 +125,12 @@ object MsgLogProducers {
             s"graft-msglog: producer '$n' is already registered on this topic " +
               "(the broker refuses duplicate producers; close it first)")
           n
-        case None => s"graft-prod-${generatedCount(topicDir)}"
+        case None =>
+          // smallest id never opened under ANY session — a user-supplied
+          // "graft-prod-<k>" (e.g. resuming a generated name explicitly)
+          // can neither collide with nor inflate the generator
+          Iterator.from(0).map(i => s"graft-prod-$i")
+            .find(c => !epochs.contains(c)).get
       }
       append(topicDir, Open, resolved)
       ProducerSession(

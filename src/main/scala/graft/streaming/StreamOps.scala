@@ -60,7 +60,7 @@ object StreamOps {
     val dir = stagingDirs.computeIfAbsent(sfDir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_events_")
       java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-      d.toFile.deleteOnExit()
+      graft.util.TempDirs.track(d)
       d
     })
     val schema = spark.read.parquet(src.toString).schema
@@ -84,12 +84,26 @@ object StreamOps {
   private[graft] def stagedDlqDir(sfDir: String): Option[java.nio.file.Path] =
     Option(dlqDirs.get(sfDir))
 
-  /** Assert the ONE-micro-batch staging premise the four stream-state
-    * oracles rely on (one staged file + no maxFilesPerTrigger ⇒ a single
-    * AvailableNow batch ⇒ batch-equivalent SQL is exact). `Verify` calls
-    * this before dumping `stream_*` keys so a future fixture split fails
-    * LOUD at the gate instead of subtly at the driver's hash compare;
-    * `StreamOpsSpec` holds the same guard suite-side. */
+  /** The keys whose ORACLES rely on the one-micro-batch staging premise
+    * (state could evict/timeout mid-stream under a batch split,
+    * invalidating the batch-equivalent SQL). NOT premise-dependent:
+    * `stream_dlq_split` (epoch-idempotent foreachBatch partition),
+    * `stream_enrich` (complete-mode final), and `stream_ann`
+    * (micro-batch-split independent BY construction, and it streams
+    * embeddings, not events). `Verify` withholds exactly this set on a
+    * premise failure — a split fixture must not erase keys whose
+    * oracles never needed the premise. */
+  val oneBatchPremiseKeys: Set[String] =
+    Set("stream_tumbling", "stream_session", "stream_dedup",
+      "stream_redelivery", "ss_join")
+
+  /** Assert the ONE-micro-batch staging premise the
+    * [[oneBatchPremiseKeys]] oracles rely on (one staged file + no
+    * maxFilesPerTrigger ⇒ a single AvailableNow batch ⇒ batch-equivalent
+    * SQL is exact). `Verify` calls this before dumping those keys so a
+    * future fixture split fails LOUD at the gate instead of subtly at
+    * the driver's hash compare; `StreamOpsSpec` holds the same guard
+    * suite-side. */
   def assertOneBatchPremise(spark: SparkSession, sfDir: String): Unit = {
     val src = java.nio.file.Paths.get(sfDir, "events.parquet")
     require(java.nio.file.Files.isRegularFile(src),
@@ -158,7 +172,7 @@ object StreamOps {
   private def runToFiles(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_stream_files_")
-    root.toFile.deleteOnExit()
+    graft.util.TempDirs.track(root)
     val data = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
     val q = mode match {
@@ -184,7 +198,13 @@ object StreamOps {
             "small aggregates — use runToTable)")
     }
     q.awaitTermination()
-    if (new java.io.File(data).exists()) spark.read.parquet(data)
+    // The append sink creates <data>/_spark_metadata EAGERLY, so dir
+    // existence cannot discriminate an empty stream — and reading a
+    // zero-file metadata log fails schema inference. Look for actual
+    // data files (the update path writes plain part files, same check).
+    val wroteData = Option(new java.io.File(data).listFiles()).exists(
+      _.exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    if (wroteData) spark.read.parquet(data)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
@@ -311,7 +331,7 @@ object StreamOps {
     // replaces its own output.
     val base = dlqDirs.computeIfAbsent(sfDir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_dlq_")
-      d.toFile.deleteOnExit()
+      graft.util.TempDirs.track(d)
       d
     })
     val (mainDir, dlqDir) = (s"$base/main", s"$base/dlq")
@@ -407,7 +427,7 @@ object StreamOps {
     val dir = embStagingDirs.computeIfAbsent(sfDir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft_stream_emb_")
       java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
-      d.toFile.deleteOnExit()
+      graft.util.TempDirs.track(d)
       d
     })
     val schema = spark.read.parquet(src.toString).schema
@@ -439,7 +459,7 @@ object StreamOps {
   def streamAnnTopK(spark: SparkSession, sfDir: String,
       maxQueryId: Long = 4L, k: Int = 5): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
-    root.toFile.deleteOnExit()
+    graft.util.TempDirs.track(root)
     val data = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
     val q = embeddingsStream(spark, sfDir)
