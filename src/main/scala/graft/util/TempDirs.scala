@@ -21,6 +21,9 @@ object TempDirs {
   /** Register a temp root for recursive deletion at JVM exit. */
   def track(p: Path): Path = { dirs.add(p); p }
 
+  /** Test-only: the hook's deletion pass on one untracked tree. */
+  private[graft] def deleteNow(p: Path): Unit = deleteRecursively(p)
+
   private def deleteRecursively(root: Path): Unit =
     try {
       if (Files.exists(root)) {

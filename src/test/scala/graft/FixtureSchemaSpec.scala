@@ -88,6 +88,15 @@ class FixtureSchemaSpec extends SparkTestBase {
     assert(out.contains("[test-canary] lineitem FAILED"), out)
   }
 
+  test("temp-dir cleanup deletes a filled tree (File.deleteOnExit could not)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cleanup_test_")
+    val sub = java.nio.file.Files.createDirectories(root.resolve("a/b"))
+    java.nio.file.Files.write(sub.resolve("f.bin"), Array.fill(64)(7.toByte))
+    java.nio.file.Files.write(root.resolve("top.txt"), "x".getBytes("UTF-8"))
+    graft.util.TempDirs.deleteNow(root)
+    assert(!java.nio.file.Files.exists(root))
+  }
+
   test("both historical ts encodings normalize to the same instants") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
