@@ -401,6 +401,61 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-micro-batch admission bound for driver-staged ANN probe lists
+    * ([[embeddingBatchTopK]]'s collect): past this many query ids the
+    * id list no longer counts as a bounded serving batch and callers
+    * must route through [[embeddingBatchTopKFrame]], which never ships
+    * ids to the driver. 64 ids × NumProbe cells × (id, vector) rows is
+    * a few KB of probe artifact — comfortably a driver constant. */
+  val MaxDriverProbeIds = 64
+
+  /** How many batches served through the JOIN-based (no driver id list)
+    * path — observability for the admission-cap tests. */
+  val annJoinServes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[embeddingBatchTopK]] for UNBOUNDED query batches: the ids stay a
+    * DataFrame end-to-end — dedup by `distinct`, query vectors by inner
+    * join (ids absent from the corpus drop out, as in the collect form),
+    * probe rows per query by the same rank window — so nothing
+    * batch-sized ever crosses the driver. The one collect left is the
+    * DISTINCT PROBED CELLS list (bounded by the centroid count, an
+    * index-sized constant) that drives partition pruning on the staged
+    * index scan. Join strategy is left to AQE: a small probe set still
+    * broadcasts at runtime; an oversized one shuffles instead of
+    * OOM-ing the driver — exactly the degradation a serving tier wants.
+    * Row-identical to [[embeddingBatchTopK]] on the same ids (asserted
+    * in tests). */
+  def embeddingBatchTopKFrame(spark: SparkSession, sfDir: String,
+      queryIds: DataFrame, k: Int): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    annJoinServes.incrementAndGet()
+    import spark.implicits._
+    val centDf = stagedCentroidIndex(spark, sfDir).toDF("cent_id", "ce")
+    val ids = queryIds
+      .select(col(queryIds.columns.head).cast("long").as("qid")).distinct()
+    val queries = Fixtures.embeddings(spark, sfDir)
+      .join(ids, col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qe"))
+    val byQ = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qe"), col("cent_id"),
+        cosine(col("ce"), col("qe")).as("ccos"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= NumProbe)
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val byRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      .filter(col("cell").isin(cells: _*))
+      .join(probes, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rnk", row_number().over(byRank).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   def embeddingIvfTopK(emb: DataFrame, queryId: Long, k: Int,
       index: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.registerFunctions(emb.sparkSession)
@@ -490,7 +545,11 @@ object SimilarityOps {
       p: Int = ProtoK): DataFrame =
     protoRank(
       spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
-        .select(col("vec_id"), col("cell"), col("ccos")),
+        // partition-column type inference reads `cell` back as INT (the
+        // values fit); the self-assigning form emits BIGINT from cent_id
+        // — cast so both serving shapes return the SAME schema, not just
+        // the same values
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("ccos")),
       p)
 
   /** Symmetric per-vector int8 quantization — the storage-compression
@@ -595,7 +654,10 @@ object SimilarityOps {
       index: Option[DataFrame] = None,
       codebook: Seq[Array[Double]]): DataFrame = {
     val cents = index.getOrElse(lloydCentroids(emb)).collect().toSeq
-      .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Double](1))
+      // by NAME on both fields: a caller-supplied index frame with
+      // reordered/extra columns must resolve or error, never silently
+      // read the wrong column as the centroid vector
+      .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Double](r.fieldIndex("ce")))
     ivfPqTopK(emb, codebook, cents, queryId, k)
   }
 

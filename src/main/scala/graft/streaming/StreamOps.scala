@@ -166,8 +166,11 @@ object StreamOps {
     * (at 100 TB the same declaration writes a real landing dir/topic).
     * Append-mode streams use the native parquet sink (exactly-once via
     * its _spark_metadata commit log); update-mode streams — which the
-    * file sink cannot express — go through `foreachBatch` parquet
-    * appends, the same pattern as [[streamDeadLetterSplit]]'s DLQ. A
+    * file sink cannot express — go through `foreachBatch` writing an
+    * epoch-keyed partition dir with OVERWRITE (the
+    * [[streamDeadLetterSplit]] discipline): a retried/restarted
+    * micro-batch replaces its own epoch's output instead of
+    * double-appending, which a blind `mode(append)` cannot guarantee. A
     * zero-row stream yields an empty frame on the input schema. */
   private def runToFiles(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
@@ -185,8 +188,9 @@ object StreamOps {
           .start()
       case "update" =>
         df.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(data)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+            ()
           }
           .option("checkpointLocation", ckpt)
           .outputMode("update")
@@ -198,15 +202,27 @@ object StreamOps {
             "small aggregates — use runToTable)")
     }
     q.awaitTermination()
-    // The append sink creates <data>/_spark_metadata EAGERLY, so dir
-    // existence cannot discriminate an empty stream — and reading a
-    // zero-file metadata log fails schema inference. Look for actual
-    // data files (the update path writes plain part files, same check).
-    val wroteData = Option(new java.io.File(data).listFiles()).exists(
-      _.exists(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
-    if (wroteData) spark.read.parquet(data)
+    readEpochSink(spark, data, df.schema)
+  }
+
+  /** Batch-read a (possibly epoch-partitioned) stream sink tree, or an
+    * empty frame on `schema` when the stream emitted nothing. The append
+    * sink creates `_spark_metadata` EAGERLY, so dir existence cannot
+    * discriminate an empty stream — and reading a zero-file metadata log
+    * fails schema inference; look for actual data files, one level of
+    * `epoch=N` subdirs included. The inferred `epoch` partition column
+    * (foreachBatch bookkeeping, not stream output) is dropped. */
+  private def readEpochSink(spark: SparkSession, data: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def dataFiles(d: java.io.File): Boolean =
+      Option(d.listFiles()).exists(_.exists { f =>
+        val hidden = f.getName.startsWith("_") || f.getName.startsWith(".")
+        (f.isFile && !hidden) || (f.isDirectory && !hidden && dataFiles(f))
+      })
+    if (dataFiles(new java.io.File(data)))
+      spark.read.parquet(data).drop("epoch")
     else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Tumbling 1-hour event-time window with watermark: the streaming form
@@ -455,9 +471,24 @@ object StreamOps {
     * against [[graft.operators.SimilarityOps.embeddingBatchTopK]] in
     * tests; the oracle is the batch key's SQL restricted to the same id
     * window).
+    *
+    * The driver hop is CAPPED: a micro-batch of at most `maxDriverIds`
+    * query ids stages its probe list through the driver (the bounded
+    * serving-batch shape, [[graft.operators.SimilarityOps
+    * .MaxDriverProbeIds]]); a larger batch — a trigger with no admission
+    * window admitting arbitrarily many ids — routes through the
+    * join-based [[graft.operators.SimilarityOps.embeddingBatchTopKFrame]]
+    * instead, which keeps the ids distributed end-to-end. Without the
+    * cap an oversized batch turns straight into a driver collect and an
+    * `isin`-literal probe list — at real scale the difference between a
+    * serving tier and a driver OOM. Each micro-batch writes its results
+    * to an epoch-keyed partition dir with overwrite (the
+    * [[streamDeadLetterSplit]] discipline), so a retried epoch replaces
+    * its own output rather than double-appending.
     */
   def streamAnnTopK(spark: SparkSession, sfDir: String,
-      maxQueryId: Long = 4L, k: Int = 5): DataFrame = {
+      maxQueryId: Long = 4L, k: Int = 5,
+      maxDriverIds: Int = graft.operators.SimilarityOps.MaxDriverProbeIds): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("data").toString
@@ -466,20 +497,28 @@ object StreamOps {
       .filter(col("vec_id") <= maxQueryId)
       .select("vec_id")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
-        if (ids.nonEmpty)
-          graft.operators.SimilarityOps
-            .embeddingBatchTopK(spark, sfDir, ids, k)
-            .write.mode("append").parquet(data)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        try {
+          val n = batch.count()
+          if (n > 0) {
+            val result =
+              if (n <= maxDriverIds) {
+                val ids = batch.collect().map(_.getLong(0)).toSeq
+                graft.operators.SimilarityOps
+                  .embeddingBatchTopK(spark, sfDir, ids, k)
+              } else graft.operators.SimilarityOps
+                .embeddingBatchTopKFrame(spark, sfDir, batch, k)
+            result.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+          }
+        } finally batch.unpersist()
+        ()
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (new java.io.File(data).exists()) spark.read.parquet(data)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    readEpochSink(spark, data,
       org.apache.spark.sql.types.StructType.fromDDL(
         "qid BIGINT, vec_id BIGINT, cosine DOUBLE, rnk INT"))
   }

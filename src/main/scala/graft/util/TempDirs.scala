@@ -9,14 +9,23 @@ import java.nio.file.{Files, Path}
   * per bench/verify/test JVM, accumulating across runs. One shutdown
   * hook walks each tracked root deepest-first and deletes best-effort
   * (a busy file must not block the rest of the cleanup).
+  *
+  * Registered through Hadoop's `ShutdownHookManager` (the registry
+  * Spark's own exit hooks live in) at a priority below every Spark
+  * hook, so the recursive delete runs strictly AFTER Spark teardown —
+  * a raw `Runtime` hook would race Spark's hooks with unspecified
+  * ordering (tracked trees include the session warehouse Spark may
+  * still be touching while stopping).
   */
 object TempDirs {
 
   private val dirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
 
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    dirs.forEach(deleteRecursively(_)), "graft-tempdirs-cleanup"))
+  // Hadoop runs hooks in DECREASING priority; Spark registers its own at
+  // 25..50 (temp-dir and context teardown) — 1 sequences this pass last.
+  org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+    () => dirs.forEach(deleteRecursively(_)), 1)
 
   /** Register a temp root for recursive deletion at JVM exit. */
   def track(p: Path): Path = { dirs.add(p); p }

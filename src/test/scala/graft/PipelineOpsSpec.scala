@@ -534,10 +534,26 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("emb_protos: staged-index election equals the self-assigning form") {
-    assertSameRows(
-      SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir),
-      SimilarityOps.embeddingCellPrototypes(emb,
-        index = Some(SimilarityOps.stagedCentroids(spark, sfDir))))
+    val indexed = SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir)
+    val self = SimilarityOps.embeddingCellPrototypes(emb,
+      index = Some(SimilarityOps.stagedCentroids(spark, sfDir)))
+    // identical SCHEMA too: partition-column inference reads `cell` back
+    // as INT; the serving path casts it so both shapes agree at the type
+    // level, not just on stringified values
+    assert(indexed.schema === self.schema)
+    assertSameRows(indexed, self)
+  }
+
+  test("ann_batch: the join-based frame path equals the driver-staged path") {
+    val qs = Seq(0L, 7L, 13L)
+    import spark.implicits._
+    val before = SimilarityOps.annJoinServes.get()
+    // dup + unknown ids ride along: the frame path must drop them the
+    // same way the collect path does
+    val frame = SimilarityOps.embeddingBatchTopKFrame(spark, sfDir,
+      (qs ++ Seq(0L, -999L)).toDF("vec_id"), 10)
+    assert(SimilarityOps.annJoinServes.get() === before + 1)
+    assertSameRows(frame, SimilarityOps.embeddingBatchTopK(spark, sfDir, qs, 10))
   }
 
   test("IVF staged index: exactly-once corpus coverage with a code for every vector") {

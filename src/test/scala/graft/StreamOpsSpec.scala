@@ -53,6 +53,20 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
+  test("stream_ann: an over-cap micro-batch serves through the join path, same rows") {
+    // 5 ids arrive in one AvailableNow batch; a cap of 2 forces the
+    // no-driver-id-list fallback — the admission guard that keeps an
+    // uncapped trigger from collecting an arbitrary batch to the driver
+    val before = graft.operators.SimilarityOps.annJoinServes.get()
+    val stream = StreamOps.streamAnnTopK(spark, sfDir, maxQueryId = 4L, k = 5,
+      maxDriverIds = 2)
+    assert(graft.operators.SimilarityOps.annJoinServes.get() > before,
+      "over-cap batch must route through embeddingBatchTopKFrame")
+    val batch = graft.operators.SimilarityOps
+      .embeddingBatchTopK(spark, sfDir, Seq(0L, 1L, 2L, 3L, 4L), 5)
+    assertSameRows(stream, batch)
+  }
+
   test("stream_tumbling equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
     val batch = ev
