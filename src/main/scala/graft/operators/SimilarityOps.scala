@@ -209,27 +209,27 @@ object SimilarityOps {
     * "train offline, serve many" shape of a real vector index
     * ([[BucketedOps.stagedTables]] is the relational sibling). The cached
     * artifact is plain doubles (C×dim), valid across sessions — unlike a
-    * catalog table there is nothing session-scoped to re-check. Staleness
-    * caveat: like any staged index, a REWRITTEN corpus under the same
-    * path serves the old centroids until [[dropStagedCentroids]];
-    * assignment and search still score against live data, so results
-    * degrade in recall, never in correctness of the scored cosines.
+    * catalog table there is nothing session-scoped to re-check.
+    * Staleness: memo is keyed by the corpus files' (size, mtime) stamp
+    * ([[graft.util.StampedMemo]]), so a corpus rewritten in place
+    * rebuilds the centroids on next access; [[dropStagedCentroids]]
+    * stays as the explicit flush.
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Array[Double])]]
+    new graft.util.StampedMemo[Seq[(Long, Array[Double])]]("embeddings")
 
   def dropStagedCentroids(): Unit = centroidCache.clear()
 
   def stagedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    centroidCache.getOrElseUpdate(sfDir,
+    centroidCache.get(sfDir)(
       collectCentroids(Fixtures.embeddings(spark, sfDir))).toDF("cent_id", "ce")
   }
 
   /** The same staged index as driver data, for operators that fold the
     * centroids into IN-ROW literals ([[ivfPqTopK]]). */
   def stagedCentroidIndex(spark: SparkSession, sfDir: String): Seq[(Long, Seq[Double])] =
-    centroidCache.getOrElseUpdate(sfDir,
+    centroidCache.get(sfDir)(
       collectCentroids(Fixtures.embeddings(spark, sfDir)))
       .map { case (id, a) => id -> a.toSeq }
 
@@ -249,7 +249,7 @@ object SimilarityOps {
     cellAssignStruct(centroids).getField("cid")
 
   private val ivfIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new graft.util.StampedMemo[java.nio.file.Path]("embeddings")
 
   /** How many times the IVF index actually MATERIALIZED — staging
     * observability for tests (the `lloydRuns` sibling). */
@@ -272,11 +272,10 @@ object SimilarityOps {
     * `pq_code` — the 64×-smaller scan that makes 10^10 vectors fit —
     * and curation reads (cell prototypes) touch only the scalar
     * `(vec_id, ccos)` pair.
-    * Same staleness contract as every staged artifact here: a rewritten
-    * corpus under the same path serves the old index until
-    * [[dropStagedIvfIndex]]. */
+    * Staleness: (size, mtime)-stamped like every staged artifact here —
+    * a corpus rewritten in place rebuilds the index on next access. */
   def stagedIvfIndexDir(spark: SparkSession, sfDir: String): String =
-    ivfIndexDirs.computeIfAbsent(sfDir, _ => {
+    ivfIndexDirs.get(sfDir)({
       graft.GraftSession.registerFunctions(spark)
       ivfIndexBuilds.incrementAndGet()
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
@@ -604,10 +603,10 @@ object SimilarityOps {
     * oracle re-derives the same codebook from the table). The artifact
     * is PqCodes×dim doubles — an INDEX, bounded by design. */
   private val pqCodebookCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Array[Double]]]
+    new graft.util.StampedMemo[Seq[Array[Double]]]("embeddings")
 
   def stagedPqCodebook(spark: SparkSession, sfDir: String): Seq[Array[Double]] =
-    pqCodebookCache.getOrElseUpdate(sfDir, {
+    pqCodebookCache.get(sfDir)({
       val rows = Fixtures.embeddings(spark, sfDir)
         .filter(col("vec_id") < PqCodes)
         .orderBy(col("vec_id"))

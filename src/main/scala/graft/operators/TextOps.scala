@@ -494,18 +494,18 @@ object TextOps {
     * staging cache, asserted by tests (the `lloydRuns` sibling). */
   val lmFitRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private val lmCache = scala.collection.concurrent.TrieMap.empty[String, LmModel]
+  private val lmCache = new graft.util.StampedMemo[LmModel]("documents")
 
   def dropStagedLmModel(): Unit = lmCache.clear()
 
   /** The corpus LM as a staged per-sfDir artifact (the
     * `stagedPqCodebook`/[[bm25Index]] memo discipline): fit once per
-    * corpus snapshot, scored-against many times. Same staleness caveat
-    * as every staged index — a rewritten corpus under the same path
-    * serves the old table until [[dropStagedLmModel]]; scores stay
-    * well-formed, the model just lags the snapshot. */
+    * corpus SNAPSHOT — the memo is (size, mtime)-stamped on the
+    * documents table ([[graft.util.StampedMemo]]), so a corpus
+    * rewritten in place refits on next access instead of serving the
+    * stale model; [[dropStagedLmModel]] stays as the explicit flush. */
   def stagedLmModel(spark: SparkSession, sfDir: String): LmModel =
-    lmCache.getOrElseUpdate(sfDir,
+    lmCache.get(sfDir)(
       fitLmModel(graft.model.Fixtures.documents(spark, sfDir)))
 
   /** Score against a staged [[LmModel]]: a PURE in-row projection — the

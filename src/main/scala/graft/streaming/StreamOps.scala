@@ -57,7 +57,7 @@ object StreamOps {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(sfDir, "events.parquet")
-    val dir = stagingDirs.computeIfAbsent(sfDir, _ => {
+    val dir = stagingDirs.get(sfDir)({
       val d = java.nio.file.Files.createTempDirectory("graft_stream_events_")
       java.nio.file.Files.copy(src, d.resolve("events.parquet"))
       graft.util.TempDirs.track(d)
@@ -68,8 +68,10 @@ object StreamOps {
       spark.readStream.schema(schema).parquet(dir.toString))
   }
 
+  // (size, mtime)-stamped on the source table: a fixture regenerated in
+  // place re-stages instead of streaming the stale copy
   private val stagingDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new graft.util.StampedMemo[java.nio.file.Path]("events")
 
   private val dlqDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
@@ -77,7 +79,7 @@ object StreamOps {
   /** The staging dir backing [[eventsStream]] for `sfDir`, if staged —
     * test-only visibility for the one-batch-premise guard. */
   private[graft] def stagedEventsDir(sfDir: String): Option[java.nio.file.Path] =
-    Option(stagingDirs.get(sfDir))
+    stagingDirs.peek(sfDir)
 
   /** The DLQ sink tree for `sfDir`, if one exists — test-only visibility
     * for the reuse guard. */
@@ -440,7 +442,7 @@ object StreamOps {
     * [[eventsStream]]. */
   def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
-    val dir = embStagingDirs.computeIfAbsent(sfDir, _ => {
+    val dir = embStagingDirs.get(sfDir)({
       val d = java.nio.file.Files.createTempDirectory("graft_stream_emb_")
       java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
       graft.util.TempDirs.track(d)
@@ -451,7 +453,7 @@ object StreamOps {
   }
 
   private val embStagingDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    new graft.util.StampedMemo[java.nio.file.Path]("embeddings")
 
   /** STREAMING ANN: serve a stream of query vectors against the staged
     * cell-partitioned vector index — the continuous form of the

@@ -544,6 +544,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assertSameRows(indexed, self)
   }
 
+  test("staged artifacts rebuild when the corpus is rewritten in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stamp_corpus_")
+    graft.util.TempDirs.track(dir)
+    def writeDocs(n: Int): Unit =
+      (0 until n).map(i => (i.toLong, s"alpha beta gamma doc $i text", "web", "en"))
+        .toDF("doc_id", "text", "source", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def writeEmb(shift: Int): Unit =
+      (0 until 30).map(i => (i.toLong,
+        Array.tabulate(64)(j => (((i + shift) * 31 + j * 7) % 13 - 6).toFloat / 7f)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeDocs(20); writeEmb(0)
+    val sf = dir.toString
+
+    // LM memo: build once while the stamp holds, refit after an in-place
+    // rewrite (the round-9 staleness caveat, now a non-event)
+    val lmBefore = TextOps.lmFitRuns.get()
+    TextOps.stagedLmModel(spark, sf)
+    TextOps.stagedLmModel(spark, sf)
+    assert(TextOps.lmFitRuns.get() === lmBefore + 1)
+    writeDocs(25)
+    TextOps.stagedLmModel(spark, sf)
+    assert(TextOps.lmFitRuns.get() === lmBefore + 2)
+
+    // IVF index memo: same contract, and the explicit drop still works
+    val ivfBefore = SimilarityOps.ivfIndexBuilds.get()
+    val d1 = SimilarityOps.stagedIvfIndexDir(spark, sf)
+    assert(SimilarityOps.stagedIvfIndexDir(spark, sf) === d1)
+    assert(SimilarityOps.ivfIndexBuilds.get() === ivfBefore + 1)
+    writeEmb(1)
+    val d2 = SimilarityOps.stagedIvfIndexDir(spark, sf)
+    assert(d2 !== d1, "a rewritten corpus must materialize a fresh index dir")
+    assert(SimilarityOps.ivfIndexBuilds.get() === ivfBefore + 2)
+    SimilarityOps.dropStagedIvfIndex()
+    SimilarityOps.stagedIvfIndexDir(spark, sf)
+    assert(SimilarityOps.ivfIndexBuilds.get() === ivfBefore + 3)
+  }
+
   test("ann_batch: the join-based frame path equals the driver-staged path") {
     val qs = Seq(0L, 7L, 13L)
     import spark.implicits._
@@ -1139,6 +1179,63 @@ class PipelineOpsSpec extends SparkTestBase {
     // a truncated PNG carries the magic but must fall back, not throw
     val corrupt = MediaRecord(9L, "image", MultimodalOps.synthPng(9L).take(12), Map())
     same(MultimodalOps.decodeAny(corrupt), MultimodalOps.stubDecode(corrupt))
+  }
+
+  test("multimodal: real WAV round-trip decodes rate/channels/frames and exact amplitude") {
+    val id = 123L
+    val bytes = MultimodalOps.synthWav(id)
+    assert(MultimodalOps.isWavPayload(bytes), "synthWav must emit a real RIFF/WAVE container")
+    val f = MultimodalOps.decodeAudio(MediaRecord(id, "audio", bytes, Map())).get
+    assert(f.width === Array(8000, 16000, 22050, 44100)((id % 4).toInt)) // sample rate
+    assert(f.height === 1 + (id % 2).toInt) // channels
+    assert(f.n_frames === 100 + 2 * (id % 200).toInt) // PCM frames
+    // ±amp square wave over an even frame count: mean |s| is exactly amp
+    assert(f.feature(0) === (((id * 13) % 30000) / 32768.0).toFloat)
+    assert(f.feature(1) === (1 + (id % 2)).toFloat)
+  }
+
+  test("multimodal: real GIF round-trip decodes frame count and cross-frame means") {
+    val id = 41L // id % 3 == 2: the video kind
+    val bytes = MultimodalOps.synthGif(id)
+    assert(MultimodalOps.isGifPayload(bytes), "synthGif must emit a real GIF container")
+    val f = MultimodalOps.decodeVideo(MediaRecord(id, "video", bytes, Map())).get
+    assert(f.width === 8 + (id % 24).toInt)
+    assert(f.height === 8 + (id % 16).toInt)
+    val n = 1 + (id % 8).toInt
+    assert(f.n_frames === n, "every frame of the animated container must be walked")
+    // indexed-palette frames are lossless: cross-frame channel means are
+    // exactly the per-frame fill average
+    def mean(mul: Long, step: Long): Float =
+      ((0 until n).map(fr => (id * mul + fr * step) % 256).sum.toDouble / n / 255.0).toFloat
+    assert(f.feature(0) === mean(37L, 11L))
+    assert(f.feature(1) === mean(59L, 17L))
+    assert(f.feature(2) === mean(83L, 23L))
+  }
+
+  test("multimodal: corrupt WAV/GIF containers fall back per-row; intact ones dispatch real") {
+    def same(a: MediaFeatures, b: MediaFeatures): Unit = {
+      assert(a === b.copy(feature = a.feature))
+      assert(a.feature.sameElements(b.feature))
+    }
+    val badWav = MediaRecord(10L, "audio", MultimodalOps.synthWav(10L).take(20), Map())
+    same(MultimodalOps.decodeAny(badWav), MultimodalOps.stubDecode(badWav))
+    val badGif = MediaRecord(11L, "video", MultimodalOps.synthGif(11L).take(10), Map())
+    same(MultimodalOps.decodeAny(badGif), MultimodalOps.stubDecode(badGif))
+    val wav = MediaRecord(10L, "audio", MultimodalOps.synthWav(10L), Map())
+    same(MultimodalOps.decodeAny(wav), MultimodalOps.decodeAudio(wav).get)
+    val gif = MediaRecord(11L, "video", MultimodalOps.synthGif(11L), Map())
+    same(MultimodalOps.decodeAny(gif), MultimodalOps.decodeVideo(gif).get)
+  }
+
+  test("mm_decode_stats: staged media table built once; staged and direct paths agree") {
+    MultimodalOps.dropStagedMediaTable()
+    val before = MultimodalOps.mediaTableBuilds.get()
+    assertSameRows(
+      MultimodalOps.multimodalDecodeStatsStaged(spark, sfDir),
+      MultimodalOps.multimodalDecodeStats(docs))
+    assert(MultimodalOps.mediaTableBuilds.get() === before + 1)
+    MultimodalOps.multimodalDecodeStatsStaged(spark, sfDir).collect()
+    assert(MultimodalOps.mediaTableBuilds.get() === before + 1)
   }
 
   test("mm_img: staged table built once; staged and direct paths agree") {
