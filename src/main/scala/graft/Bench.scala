@@ -133,8 +133,10 @@ object Bench {
     // stream_tumbling / stream_session funding mm_img, doc_decontaminate
     // → decontam funding ann_batch, and orders_rollup_cube → rollup_cube
     // + approx_distinct_users → approx_users + stream_enrich_join →
-    // stream_enrich funding stream_ann with margin). Next if needed:
-    // doc_filter_pipeline → doc_pipeline.
+    // stream_enrich funding stream_ann with margin; round 10's
+    // doc_lsh_verified_dups → lsh_dups + doc_filter_pipeline →
+    // filter_pipe + msglog_envelope_scan → msglog_env, banked as
+    // headroom). Next if needed: scan_events_envelope → scan_env.
     val budget = 1990
     val out = line
     if (out.length > budget)

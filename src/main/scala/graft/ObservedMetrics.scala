@@ -49,6 +49,15 @@ object ObservedMetrics {
 
   def snapshot: Map[String, Long] = last.toMap
 
+  // Driver-recorded GAUGES (e.g. ANN serving recall@k): quality metrics
+  // computed over bounded driver artifacts, surfaced next to the
+  // overflow counters in Verify's observed_metrics.json.
+  private val gauges = scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  def recordGauge(name: String, value: Double): Unit = gauges.put(name, value)
+
+  def gaugeSnapshot: Map[String, Double] = gauges.toMap
+
   /** Wait (bounded) until the listener bus has drained: the snapshot is
     * considered settled once it stops changing for `quietMs`. */
   def awaitQuiescent(quietMs: Long = 500, timeoutMs: Long = 10000): Map[String, Long] = {

@@ -54,14 +54,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ANN serving-quality gauges (recall@10 of the iterated-Lloyd IVF
+    // probe / IVF+PQ ADC vs the exact top-k, plus the 1-step-seed
+    // baseline): bounded driver-artifact comparisons, recorded so index
+    // QUALITY is a round artifact alongside hash correctness.
+    try graft.operators.SimilarityOps.recordIvfRecall(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] recall gauges failed: ${e.getMessage}")
+    }
     // Bucket-cap overflow observations from the dedup/ANN generators:
     // 0 on the fixtures; a non-zero value here means a capped bucket
     // TRUNCATED candidates on this input — visible in round artifacts
     // instead of only inside CapSpec.
     val observed = ObservedMetrics.awaitQuiescent()
+    val metricLines =
+      observed.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: $v" } ++
+      ObservedMetrics.gaugeSnapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: $v" }
     Files.writeString(Paths.get(s"$outDir/observed_metrics.json"),
-      observed.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
+      metricLines.mkString("{", ",", "}"))
     spark.stop()
   }
 }

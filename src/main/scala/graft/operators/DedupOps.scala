@@ -547,7 +547,7 @@ object DedupOps {
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
-    "doc_lsh_verified_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
+    "lsh_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
     "decontam" -> ((s, d) => docDecontaminate(Fixtures.documents(s, d))),
     "incr_dedup" -> ((s, d) => docIncrementalDedup(Fixtures.documents(s, d))))
@@ -557,7 +557,7 @@ object DedupOps {
 
   /** The verified-dups pipeline as a reusable CTE chain ending in `dup`
     * (doc_a, doc_b, n_bands, jaccard ≥ threshold) — the oracle for
-    * `doc_lsh_verified_dups` itself and the input graph of
+    * `lsh_dups` itself and the input graph of
     * `doc_dup_groups`. */
   private def duckVerifiedCtes: String =
     s"""toks AS (SELECT * FROM (
@@ -659,7 +659,7 @@ object DedupOps {
                       ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
                       AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
-    "doc_lsh_verified_dups" ->
+    "lsh_dups" ->
       s"""WITH $duckVerifiedCtes
           SELECT doc_a, doc_b, n_bands, jaccard FROM dup""",
     "doc_dup_groups" ->

@@ -305,7 +305,7 @@ object LlmOps {
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
     "mm_width_stats" ->
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
-    "doc_filter_pipeline" ->
+    "filter_pipe" ->
       ((s, d) => docFilterPipeline(Fixtures.documents(s, d))),
     // "keep_best" — short by design (bench line budget, the pq_enc precedent)
     "keep_best" ->
@@ -377,7 +377,7 @@ object LlmOps {
         ORDER BY rrf DESC, doc_id LIMIT $HybridK"""
 
   def oracle: Map[String, String] = Map(
-    "doc_filter_pipeline" -> filterPipelineOracle,
+    "filter_pipe" -> filterPipelineOracle,
     "keep_best" -> keepBestOracle,
     "text_tokenize_counts" ->
       s"""SELECT word, CAST(count(*) AS BIGINT) AS n

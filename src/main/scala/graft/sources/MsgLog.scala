@@ -335,7 +335,7 @@ object MsgLog {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)),
     "msglog_multi_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
-    "msglog_envelope_scan" -> ((s, d) => msglogEnvelopeScan(s, d)),
+    "msglog_env" -> ((s, d) => msglogEnvelopeScan(s, d)),
     "msglog_schema_scan" -> ((s, d) => msglogSchemaScan(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -355,7 +355,7 @@ object MsgLog {
                 round(sum(value), 2) AS sum_value,
                 max(CAST(props->>'k' AS INTEGER)) AS max_k
          FROM events GROUP BY 1""",
-    "msglog_envelope_scan" ->
+    "msglog_env" ->
       """SELECT CASE WHEN user_id % 3 = 0 THEN 'gold'
                      WHEN user_id % 3 = 1 THEN 'silver'
                      ELSE 'bronze' END AS tier,

@@ -1181,6 +1181,45 @@ class MsgLogSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("AUTO_SPLIT: invariants hold across arbitrary churn sequences (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // A churn PATH, not a single re-plan: consumers join and leave in any
+    // order (random walk over group sizes). The invariant of the broker's
+    // dynamic range-halving (reference src/PulsarApi.proto:286-295) must
+    // hold at EVERY re-plan point — full [0, 65535] coverage, contiguity
+    // (⇒ disjointness), exactly one owner per key hash — and across each
+    // consecutive re-plan a key's owner INDEX moves by at most the group
+    // delta (the step-≤1-per-increment lemma of the N → N+1 property,
+    // composed along the walk), so churn never reshuffles the key map.
+    val prop = Prop.forAll(
+      Gen.choose(1, 64),
+      Gen.listOfN(12, Gen.choose(-3, 5)),
+      Gen.choose(0, 65535)) { (n0, steps, h) =>
+      val sizes = steps.scanLeft(n0)((n, d) => math.max(1, math.min(2048, n + d)))
+      def ranges(n: Int): Seq[(Int, Int)] = (0 until n).map(i =>
+        graft.sources.MsgLogScan.autoSplitRange(n.toString, i.toString))
+      def owner(rs: Seq[(Int, Int)]): Int =
+        rs.indexWhere { case (lo, hi) => lo <= h && h <= hi }
+      val planOk = sizes.forall { n =>
+        val rs = ranges(n)
+        rs.head._1 == 0 && rs.last._2 == 65535 &&
+          rs.sliding(2).forall {
+            case Seq((_, hiA), (loB, _)) => loB == hiA + 1
+            case _ => true
+          } &&
+          rs.count { case (lo, hi) => lo <= h && h <= hi } == 1
+      }
+      val churnBounded = sizes.sliding(2).forall {
+        case Seq(a, b) =>
+          math.abs(owner(ranges(b)) - owner(ranges(a))) <= math.abs(b - a)
+        case _ => true
+      }
+      planOk && churnBounded
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("AUTO_SPLIT: N auto-derived consumers partition the topic disjointly") {
     // allocation invariant, every N: ranges disjoint, union = [0, 65535]
     for (n <- 1 to 7) {

@@ -533,6 +533,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(split === whole)
   }
 
+  test("IVF centroids: iterated Lloyd improves probe recall over the seed") {
+    // quality gauge, not a hash check: the iterated index must cover at
+    // least as much of the true neighborhood as the baselines it replaced
+    // (measured 0.48 seed → 0.53 one-step → 0.55 at LloydIters=3)
+    val r3 = SimilarityOps.ivfRecallAtK(spark, sfDir)
+    val r1 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 1)
+    val r0 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 0)
+    assert(r3 >= r1, s"iterated recall $r3 must not regress the 1-step $r1")
+    assert(r3 > r0, s"iterated recall $r3 must beat the raw seed $r0")
+    assert(r3 > 0.3 && r3 <= 1.0, s"recall $r3 out of the plausible band")
+    val rpq = SimilarityOps.ivfPqRecallAtK(spark, sfDir)
+    assert(rpq > 0.0 && rpq <= 1.0, s"ivfpq recall $rpq out of band")
+    SimilarityOps.recordIvfRecall(spark, sfDir)
+    assert(ObservedMetrics.gaugeSnapshot.keySet ===
+      Set("ann.ivf_recall_at10", "ann.ivf_recall_at10_1step", "ann.ivfpq_recall_at10"))
+  }
+
   test("emb_protos: staged-index election equals the self-assigning form") {
     val indexed = SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir)
     val self = SimilarityOps.embeddingCellPrototypes(emb,

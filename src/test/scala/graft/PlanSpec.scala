@@ -117,10 +117,10 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, p)
   }
 
-  test("doc_lsh_verified_dups does not broadcast-hint the candidate side") {
+  test("lsh_dups does not broadcast-hint the candidate side") {
     // candidate count scales with duplicate density — an unconditional
     // broadcast is O(corpus) at 100 TB; AQE may still elect one at runtime
-    val o = SparkEntry.queries("doc_lsh_verified_dups")(spark, sfDir)
+    val o = SparkEntry.queries("lsh_dups")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
     assert(!o.contains("strategy=broadcast"), o)
   }
@@ -153,12 +153,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("windowspecdefinition(shard"), p)
   }
 
-  test("doc_filter_pipeline adds no broadcast hints beyond the probe-gram one") {
+  test("filter_pipe adds no broadcast hints beyond the probe-gram one") {
     // dup/contamination lists scale with the corpus's duplicate and
     // contamination density — hinting them is the unbounded-"small"-side
     // trap (r5 verdict #1). The one legitimate hint in the tree is the
     // decontamination probe-gram set (small by nature).
-    val analyzed = SparkEntry.queries("doc_filter_pipeline")(spark, sfDir)
+    val analyzed = SparkEntry.queries("filter_pipe")(spark, sfDir)
       .queryExecution.analyzed.toString
     val hints = "ResolvedHint".r.findAllIn(analyzed).size
     assert(hints === 1, s"expected only the probe-gram broadcast hint, got $hints\n$analyzed")
@@ -389,8 +389,8 @@ class PlanSpec extends SparkTestBase {
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
-    val skip = Set("doc_dup_groups", "doc_filter_pipeline", "emb_dup_groups",
-      "doc_lsh_verified_dups", "emb_ivf_topk", "bucketed_join",
+    val skip = Set("doc_dup_groups", "filter_pipe", "emb_dup_groups",
+      "lsh_dups", "emb_ivf_topk", "bucketed_join",
       "msglog_roundtrip_scan", "msglog_multi_scan", "rr_balance",
       "text_lm_perplexity")
     SparkEntry.queries.keys
@@ -410,9 +410,9 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
       .filterNot(Set("rr_balance", "msglog_roundtrip_scan",
         "msglog_multi_scan", "bucketed_join",
-        "doc_lsh_verified_dups",
+        "lsh_dups",
         "emb_ivf_topk", // staging writes / C×dim centroid index
-        "doc_dup_groups", "doc_filter_pipeline",
+        "doc_dup_groups", "filter_pipe",
         "emb_dup_groups", // CC fixpoint loop runs bounded jobs
         "pq_enc", "pq_topk", // staged PqCodes×dim codebook artifact
         "text_lm_perplexity")) // bounded LM artifacts (total + top-V table)
