@@ -395,8 +395,20 @@ object StreamOps {
     * aggregate after a stream-stream join is restricted, and the memory
     * sink's contract (small final rows) is met by aggregating the
     * collected join output, not by widening the stream state.
-    */
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    *
+    * `statePartitions` sizes the STATEFUL stage: a stream-stream join
+    * materializes four state-store instances per shuffle partition (two
+    * sides × key/index stores), the engine cannot AQE-coalesce a
+    * stateful exchange, and the count is pinned into the checkpoint — so
+    * partitioning state is an explicit capacity decision, exactly as in
+    * production (size it to key cardinality × throughput; at 100 TB
+    * that's hundreds). The round-10 floor measurement (BASELINE.md):
+    * the session default of 32 partitions spent 5.4 s instantiating
+    * ~128 stores around ~1.5 s of join work on the fixture's ~1k state
+    * rows — 8 partitions serve the same rows at 2.7 s total against a
+    * 0.8 s stateless-streaming floor. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String,
+      statePartitions: Int = SsJoinStatePartitions): DataFrame = {
     val ev = eventsStream(spark, sfDir)
     val clicks = ev
       .filter(col("event_type") === "click")
@@ -410,14 +422,27 @@ object StreamOps {
       col("c_user") === col("b_user") &&
         col("buy_ts") >= col("click_ts") &&
         col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
-    // joined pairs are corpus-proportional: they land in the file sink
-    // and the per-user rollup runs as a batch aggregate over the files
-    runToFiles(joined, "append")
+    // the shuffle-partition conf is read at stream START (and pinned by
+    // the fresh per-run checkpoint), so the override scopes to exactly
+    // this query; the batch rollup below runs at the restored default
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val files =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        // joined pairs are corpus-proportional: they land in the file sink
+        // and the per-user rollup runs as a batch aggregate over the files
+        runToFiles(joined, "append")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    files
       .select(col("c_user").as("user_id"), col("value"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_attributed"),
         round(sum(col("value")), 2).as("sum_value"))
   }
+
+  /** Fixture-scale state sizing for [[streamStreamJoin]]'s stateful
+    * stage (see its scaladoc for the measured floor breakdown). */
+  val SsJoinStatePartitions = 8
 
   /** Stream-static enrichment join: the in-flight message stream joins a
     * broadcast dimension (customer metadata keyed by the partition key) —
