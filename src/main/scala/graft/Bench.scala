@@ -136,7 +136,8 @@ object Bench {
     // stream_enrich funding stream_ann with margin; round 10's
     // doc_lsh_verified_dups → lsh_dups + doc_filter_pipeline →
     // filter_pipe + msglog_envelope_scan → msglog_env, banked as
-    // headroom). Next if needed: scan_events_envelope → scan_env.
+    // headroom, and scan_events_envelope → scan_env). Next if needed:
+    // throughput_tumbling → thru_tumbling.
     val budget = 1990
     val out = line
     if (out.length > budget)

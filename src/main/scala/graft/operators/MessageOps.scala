@@ -363,7 +363,7 @@ object MessageOps {
   private val HOUR_US = 3600000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "scan_events_envelope" -> ((s, d) => scanEnvelope(Fixtures.events(s, d))),
+    "scan_env" -> ((s, d) => scanEnvelope(Fixtures.events(s, d))),
     "filter_events_type" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
     "decode_props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
     "route_partition_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
@@ -417,7 +417,7 @@ object MessageOps {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(crc) AS BIGINT) AS crc_sum
          FROM final GROUP BY 1""",
-    "scan_events_envelope" ->
+    "scan_env" ->
       s"""SELECT event_id AS entry_id, CAST(user_id % $P AS INTEGER) AS partition,
           user_id AS partition_key, epoch_ms(CAST(ts AS TIMESTAMP)) AS publish_ms,
           event_type AS topic, value, props FROM events ORDER BY entry_id""",

@@ -16,8 +16,8 @@ class PlanSpec extends SparkTestBase {
       "EqualTo(event_type,purchase), GreaterThan(value,50.0)]"), p)
   }
 
-  test("scan_events_envelope prunes the scan to the projected columns") {
-    val p = plan("scan_events_envelope")
+  test("scan_env prunes the scan to the projected columns") {
+    val p = plan("scan_env")
     // Assert the pruned column SET, not the rendered ReadSchema string —
     // the fixture's physical ts type has churned across driver rounds
     // (timestamp[ns] read as bigint, then timestamp[us]); column coverage
