@@ -227,18 +227,44 @@ object StreamOps {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Fixture-scale state sizing for the single-store stateful streaming
+    * operators (windowed/session aggregates, watermark dedup, the
+    * keyed-state tracker): one state-store instance materializes per
+    * shuffle partition, the engine cannot AQE-coalesce a stateful
+    * exchange, and the count is pinned into the checkpoint — so it is an
+    * explicit capacity decision, not a tuning afterthought. The round-10
+    * `ss_join` floor measurement (BASELINE.md) applies: 32 stores for
+    * ~1k state rows is mostly instantiation; 8 serves the same rows in a
+    * fraction of the setup. At 100 TB size it to key cardinality ×
+    * throughput — the declaration doesn't change. */
+  val StreamStatePartitions = 8
+
+  /** Run `body` (which starts and drains one streaming query) with the
+    * session's shuffle-partition conf pinned to `n`: the conf is read at
+    * stream START and pinned by the per-run checkpoint, so the override
+    * scopes to exactly that query; callers' batch stages run at the
+    * restored default. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      body
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 1-hour event-time window with watermark: the streaming form
     * of per-bucket throughput (consumer stats msgRateOut,
     * `src/PulsarApi.proto:609-613`). Complete mode: AvailableNow processes
     * the backlog in few batches and append would hold back windows the
     * watermark has not passed; complete emits the final state.
     */
-  def streamTumblingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamTumblingWindow(spark: SparkSession, sfDir: String,
+      statePartitions: Int = StreamStatePartitions): DataFrame = {
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    runToTable(agg, "complete")
+    withStatePartitions(spark, statePartitions)(runToTable(agg, "complete"))
       .select(
         unix_millis(col("window.start")).as("hour_ms"),
         col("n"), col("sum_value"))
@@ -248,12 +274,13 @@ object StreamOps {
     * sessions; consumer keep-alive/idle semantics,
     * `src/netflow/connection.rs:516-558`).
     */
-  def streamSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamSessionWindow(spark: SparkSession, sfDir: String,
+      statePartitions: Int = StreamStatePartitions): DataFrame = {
     val agg = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    runToTable(agg, "complete")
+    withStatePartitions(spark, statePartitions)(runToTable(agg, "complete"))
       .select(
         col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),
@@ -268,7 +295,8 @@ object StreamOps {
     * — the 100 TB-safe form of streaming dedup. Output projects only the
     * key (the surviving row's other fields depend on arrival order).
     */
-  def streamDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamDedupWatermark(spark: SparkSession, sfDir: String,
+      statePartitions: Int = StreamStatePartitions): DataFrame = {
     val deduped = eventsStream(spark, sfDir)
       .select(
         col("user_id"),
@@ -276,7 +304,7 @@ object StreamOps {
         col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "seq")
-    runToFiles(deduped, "append")
+    withStatePartitions(spark, statePartitions)(runToFiles(deduped, "append"))
       .select(col("user_id"), col("seq"))
   }
 
@@ -291,7 +319,8 @@ object StreamOps {
     * `dropDuplicatesWithinWatermark`'s store, so a 100 TB/day stream
     * holds state only for the watermark horizon.
     */
-  def streamRedeliveryTracker(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamRedeliveryTracker(spark: SparkSession, sfDir: String,
+      statePartitions: Int = StreamStatePartitions): DataFrame = {
     import spark.implicits._
     val src = eventsStream(spark, sfDir)
       .select(
@@ -321,7 +350,8 @@ object StreamOps {
           }
         })
 
-    val emitted = runToFiles(tracker.toDF(), "update")
+    val emitted = withStatePartitions(spark, statePartitions)(
+      runToFiles(tracker.toDF(), "update"))
     // update mode appends one row per key per batch; the
     // latest (= max) count per key is the tracker's answer.
     emitted.groupBy("user_id", "seq")
@@ -422,18 +452,11 @@ object StreamOps {
       col("c_user") === col("b_user") &&
         col("buy_ts") >= col("click_ts") &&
         col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
-    // the shuffle-partition conf is read at stream START (and pinned by
-    // the fresh per-run checkpoint), so the override scopes to exactly
-    // this query; the batch rollup below runs at the restored default
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val files =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-        // joined pairs are corpus-proportional: they land in the file sink
-        // and the per-user rollup runs as a batch aggregate over the files
-        runToFiles(joined, "append")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    files
+    // joined pairs are corpus-proportional: they land in the file sink
+    // and the per-user rollup runs as a batch aggregate over the files
+    // (at the restored session default — the override scopes to the
+    // streaming query, see withStatePartitions)
+    withStatePartitions(spark, statePartitions)(runToFiles(joined, "append"))
       .select(col("c_user").as("user_id"), col("value"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_attributed"),
@@ -451,14 +474,15 @@ object StreamOps {
     * The static side is planned once and broadcast to every micro-batch;
     * no stream state is held for the join itself.
     */
-  def streamEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamEnrichJoin(spark: SparkSession, sfDir: String,
+      statePartitions: Int = StreamStatePartitions): DataFrame = {
     val dim = Fixtures.customer(spark, sfDir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val enriched = eventsStream(spark, sfDir)
       .join(broadcast(dim), "user_id")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    runToTable(enriched, "complete")
+    withStatePartitions(spark, statePartitions)(runToTable(enriched, "complete"))
       .select(col("c_mktsegment"), col("n"), col("sum_value"))
   }
 
