@@ -364,6 +364,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("ann frame path: over-cap serving still prunes partitions, ids never isin-literal") {
+    import spark.implicits._
+    val p = graft.operators.SimilarityOps
+      .embeddingBatchTopKFrame(spark, sfDir, Seq(0L, 7L, 13L).toDF("vec_id"), 10)
+      .queryExecution.executedPlan.toString
+    // the admission-cap fallback must keep the served-index cost model:
+    // one partition-pruned scan of the staged index (cells stay a bounded
+    // driver list even when the id batch is unbounded)…
+    assert(p.contains("PartitionFilters: [cell#"), p)
+    assert("graft_ivf_index".r.findAllIn(p).size === 1, p)
+    // …and the query ids must flow as a JOIN, never an isin literal list
+    // (the literal list is exactly the driver-size hazard the cap guards)
+    assert(!p.replaceAll("\\s+", " ").matches("(?s).*vec_id#\\d+L? IN \\(.*"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("pq_topk is encode + broadcast query cross + TakeOrdered") {
     val p = plan("pq_topk")
     assert(!p.contains("Exchange hashpartitioning"), p)
