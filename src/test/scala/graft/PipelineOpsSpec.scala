@@ -550,6 +550,28 @@ class PipelineOpsSpec extends SparkTestBase {
       Set("ann.ivf_recall_at10", "ann.ivf_recall_at10_1step", "ann.ivfpq_recall_at10"))
   }
 
+  test("PQ training: iteration 0 reproduces the untrained first-16 codebook") {
+    val old = emb.filter(col("vec_id") < SimilarityOps.PqCodes)
+      .orderBy(col("vec_id"))
+      .select(transform(col("embedding"), e => e.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray).toSeq
+    val it0 = SimilarityOps.trainPqCodebook(emb, 0)
+    assert(old.length === SimilarityOps.PqCodes)
+    assert(old.zip(it0).forall { case (a, b) => a.sameElements(b) },
+      "per-subspace seed slices must reassemble to the historical rows bit-for-bit")
+  }
+
+  test("PQ training: trained codebook reduces reconstruction MSE, not recall") {
+    def mse(cb: Seq[Array[Double]]): Double =
+      SimilarityOps.pqEncode(emb, cb).agg(avg(col("mse"))).collect()(0).getDouble(0)
+    val untrained = SimilarityOps.trainPqCodebook(emb, 0)
+    val trained = SimilarityOps.trainPqCodebook(emb, SimilarityOps.PqIters)
+    assert(mse(trained) < mse(untrained),
+      "per-subspace k-means must reduce mean reconstruction error")
+    val r0 = SimilarityOps.ivfPqRecallAtK(spark, sfDir, iters = SimilarityOps.LloydIters)
+    assert(r0 > 0.0 && r0 <= 1.0)
+  }
+
   test("emb_protos: staged-index election equals the self-assigning form") {
     val indexed = SimilarityOps.embeddingCellPrototypesIndexed(spark, sfDir)
     val self = SimilarityOps.embeddingCellPrototypes(emb,
