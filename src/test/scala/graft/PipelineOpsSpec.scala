@@ -358,13 +358,14 @@ class PipelineOpsSpec extends SparkTestBase {
   // --- product quantization --------------------------------------------
 
   /** Independent JVM replica of the PQ encode/ADC math (raw doubles,
-    * sequential folds — no rounding anywhere, matching the operator), so
-    * the tests verify the Spark expressions rather than echo them. */
-  private def pqReplica(): (Map[Long, Array[Double]], Seq[Array[Double]], Map[Long, (Long, Array[Int], Array[Double])]) = {
+    * sequential folds — no rounding anywhere, matching the operator)
+    * against a CALLER-SUPPLIED codebook — since round 10 the staged
+    * codebook is trained, so the replica verifies the Spark expressions
+    * over whatever artifact serves, rather than re-deriving one. */
+  private def pqReplica(cb: Seq[Array[Double]]): (Map[Long, Array[Double]], Map[Long, (Long, Array[Int], Array[Double])]) = {
     val vecs = emb.collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
-    val cb = vecs.toSeq.filter(_._1 < SimilarityOps.PqCodes).sortBy(_._1).map(_._2)
     val enc = vecs.map { case (id, x) =>
       val perSub = (0 until SimilarityOps.PqSubspaces).map { s =>
         val dists = cb.map { row =>
@@ -378,12 +379,13 @@ class PipelineOpsSpec extends SparkTestBase {
       val code = perSub.zipWithIndex.map { case ((c, _), s) => c.toLong << (4 * s) }.sum
       id -> (code, perSub.map(_._1).toArray, perSub.map(_._2).toArray)
     }
-    (vecs, cb, enc)
+    (vecs, enc)
   }
 
-  test("pq encode: replica-exact codes and mse; codebook vectors reconstruct exactly") {
-    val (_, _, repl) = pqReplica()
-    val out = SimilarityOps.pqEncode(emb, SimilarityOps.stagedPqCodebook(spark, sfDir))
+  test("pq encode: replica-exact codes and mse; seed-codebook members reconstruct exactly") {
+    val staged = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val (_, repl) = pqReplica(staged)
+    val out = SimilarityOps.pqEncode(emb, staged)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pq_code"),
         r.getAs[Double]("mse"))).toSeq
     assert(out.length === repl.size)
@@ -393,16 +395,23 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(mse === rmds.foldLeft(0.0)(_ + _) / 64.0, s"vec $id mse")
       assert(code >= 0L && code < (1L << 32))
       assert(mse >= 0.0)
-      // a codebook member is its own nearest entry in every subspace
-      if (id < SimilarityOps.PqCodes) assert(mse === 0.0, s"seed $id mse")
     }
+    // against the UNTRAINED seed codebook (= its first-16 rows), a
+    // codebook member is its own nearest entry in every subspace — the
+    // exact-reconstruction property of the encode expression
+    SimilarityOps.pqEncode(emb, SimilarityOps.trainPqCodebook(emb, 0))
+      .filter(col("vec_id") < SimilarityOps.PqCodes)
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("mse") === 0.0, s"seed ${r.getAs[Long]("vec_id")} mse")
+      }
   }
 
   test("pq topk: matches the replica's asymmetric-distance ranking") {
-    val (vecs, cb, repl) = pqReplica()
+    val staged = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val (vecs, repl) = pqReplica(staged)
     val q = vecs(0L)
     val qd = (0 until SimilarityOps.PqSubspaces).map { s =>
-      cb.map { row =>
+      staged.map { row =>
         (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
           val d = q(s * 8 + i) - row(s * 8 + i); acc + d * d
         }
@@ -411,7 +420,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val want = repl.toSeq.filter(_._1 != 0L).map { case (id, (_, codes, _)) =>
       id -> codes.zipWithIndex.foldLeft(0.0) { case (acc, (c, s)) => acc + qd(s)(c) }
     }.sortBy { case (id, d) => (d, id) }.take(10)
-    val got = SimilarityOps.pqTopK(emb, SimilarityOps.stagedPqCodebook(spark, sfDir), 0L, 10)
+    val got = SimilarityOps.pqTopK(emb, staged, 0L, 10)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adist")).toSeq
     assert(got === want)
     assert(got.map(_._2).forall(_ >= 0.0))
@@ -547,7 +556,8 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rpq > 0.0 && rpq <= 1.0, s"ivfpq recall $rpq out of band")
     SimilarityOps.recordIvfRecall(spark, sfDir)
     assert(ObservedMetrics.gaugeSnapshot.keySet ===
-      Set("ann.ivf_recall_at10", "ann.ivf_recall_at10_1step", "ann.ivfpq_recall_at10"))
+      Set("ann.ivf_recall_at10", "ann.ivf_recall_at10_1step",
+        "ann.ivfpq_recall_at10", "ann.pq_train_mse"))
   }
 
   test("PQ training: iteration 0 reproduces the untrained first-16 codebook") {
