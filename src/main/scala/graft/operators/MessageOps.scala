@@ -379,7 +379,7 @@ object MessageOps {
     "read_compacted" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
     "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
     "chunk_reassembly" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
-    "throughput_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
+    "thru_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
     "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
     "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
     "rate_limit_window" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
@@ -488,7 +488,7 @@ object MessageOps {
     "chunk_reassembly" ->
       """SELECT doc_id, CAST(greatest(ceil(length(text) / 40.0), 1) AS BIGINT) AS n_chunks,
          CAST(length(text) AS BIGINT) AS len_out FROM documents ORDER BY doc_id""",
-    "throughput_tumbling" ->
+    "thru_tumbling" ->
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000 AS hour_ms,
          CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",

@@ -609,7 +609,7 @@ object StreamOps {
     // plain per-key count — batch-split-independent as long as no state
     // timeout fires mid-stream (single batch: none can).
     "stream_tumbling" ->
-      graft.operators.MessageOps.oracle("throughput_tumbling"),
+      graft.operators.MessageOps.oracle("thru_tumbling"),
     "stream_session" ->
       graft.operators.TemporalOps.oracle("session_assign"),
     "stream_dedup" ->
