@@ -539,7 +539,8 @@ object StreamOps {
     */
   def streamAnnTopK(spark: SparkSession, sfDir: String,
       maxQueryId: Long = 4L, k: Int = 5,
-      maxDriverIds: Int = graft.operators.SimilarityOps.MaxDriverProbeIds): DataFrame = {
+      maxDriverIds: Int = graft.operators.SimilarityOps.MaxDriverProbeIds,
+      numProbe: Int = graft.operators.SimilarityOps.NumProbe): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("data").toString
@@ -557,9 +558,9 @@ object StreamOps {
               if (n <= maxDriverIds) {
                 val ids = batch.collect().map(_.getLong(0)).toSeq
                 graft.operators.SimilarityOps
-                  .embeddingBatchTopK(spark, sfDir, ids, k)
+                  .embeddingBatchTopK(spark, sfDir, ids, k, numProbe)
               } else graft.operators.SimilarityOps
-                .embeddingBatchTopKFrame(spark, sfDir, batch, k)
+                .embeddingBatchTopKFrame(spark, sfDir, batch, k, numProbe)
             result.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
           }
         } finally batch.unpersist()

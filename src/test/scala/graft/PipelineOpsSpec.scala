@@ -359,14 +359,12 @@ class PipelineOpsSpec extends SparkTestBase {
 
   /** Independent JVM replica of the PQ encode/ADC math (raw doubles,
     * sequential folds — no rounding anywhere, matching the operator)
-    * against a CALLER-SUPPLIED codebook — since round 10 the staged
-    * codebook is trained, so the replica verifies the Spark expressions
-    * over whatever artifact serves, rather than re-deriving one. */
-  private def pqReplica(cb: Seq[Array[Double]]): (Map[Long, Array[Double]], Map[Long, (Long, Array[Int], Array[Double])]) = {
-    val vecs = emb.collect()
-      .map(r => r.getAs[Long]("vec_id") ->
-        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
-    val enc = vecs.map { case (id, x) =>
+    * against a CALLER-SUPPLIED codebook and vector set — since round 11
+    * the serving paths encode RESIDUALS, so callers feed whichever
+    * vector framing (raw or residual) the path under test consumes. */
+  private def pqReplica(cb: Seq[Array[Double]],
+      vecs: Map[Long, Array[Double]]): Map[Long, (Long, Array[Int], Array[Double])] =
+    vecs.map { case (id, x) =>
       val perSub = (0 until SimilarityOps.PqSubspaces).map { s =>
         val dists = cb.map { row =>
           (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
@@ -379,13 +377,34 @@ class PipelineOpsSpec extends SparkTestBase {
       val code = perSub.zipWithIndex.map { case ((c, _), s) => c.toLong << (4 * s) }.sum
       id -> (code, perSub.map(_._1).toArray, perSub.map(_._2).toArray)
     }
-    (vecs, enc)
+
+  private def rawVecs: Map[Long, Array[Double]] =
+    emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+
+  /** Driver replica of the residual framing: cells read back from the
+    * staged index (its assignment is exactly-once-verified elsewhere),
+    * residual = raw − staged centroid of the own cell. */
+  private def residualReplica: (Map[Long, Long], Map[Long, Array[Double]]) = {
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+      .map { case (id, ce) => id -> ce.toArray }.toMap
+    val cells = spark.read.parquet(SimilarityOps.stagedIvfIndexDir(spark, sfDir))
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = rawVecs.map { case (id, x) =>
+      val ce = cents(cells(id))
+      id -> x.indices.map(i => x(i) - ce(i)).toArray
+    }
+    (cells, res)
   }
 
-  test("pq encode: replica-exact codes and mse; seed-codebook members reconstruct exactly") {
+  test("pq encode: replica-exact residual codes and mse; seed members reconstruct exactly") {
     val staged = SimilarityOps.stagedPqCodebook(spark, sfDir)
-    val (_, repl) = pqReplica(staged)
-    val out = SimilarityOps.pqEncode(emb, staged)
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val (_, resVecs) = residualReplica
+    val repl = pqReplica(staged, resVecs)
+    val out = SimilarityOps.pqEncodeResidual(emb, staged, cents)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pq_code"),
         r.getAs[Double]("mse"))).toSeq
     assert(out.length === repl.size)
@@ -396,31 +415,42 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(code >= 0L && code < (1L << 32))
       assert(mse >= 0.0)
     }
-    // against the UNTRAINED seed codebook (= its first-16 rows), a
-    // codebook member is its own nearest entry in every subspace — the
-    // exact-reconstruction property of the encode expression
-    SimilarityOps.pqEncode(emb, SimilarityOps.trainPqCodebook(emb, 0))
+    // against the UNTRAINED seed codebook (= its first-16 residual
+    // rows), a codebook member is its own nearest entry in every
+    // subspace — the exact-reconstruction property of the encode
+    val rf = SimilarityOps.residualFrame(emb, cents)
+    SimilarityOps.pqEncode(rf, SimilarityOps.trainPqCodebook(rf, 0))
       .filter(col("vec_id") < SimilarityOps.PqCodes)
       .collect().foreach { r =>
         assert(r.getAs[Double]("mse") === 0.0, s"seed ${r.getAs[Long]("vec_id")} mse")
       }
   }
 
-  test("pq topk: matches the replica's asymmetric-distance ranking") {
+  test("pq topk: matches the replica's per-cell residual asymmetric-distance ranking") {
     val staged = SimilarityOps.stagedPqCodebook(spark, sfDir)
-    val (vecs, repl) = pqReplica(staged)
-    val q = vecs(0L)
-    val qd = (0 until SimilarityOps.PqSubspaces).map { s =>
-      staged.map { row =>
-        (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
-          val d = q(s * 8 + i) - row(s * 8 + i); acc + d * d
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+      .map { case (id, ce) => id -> ce.toArray }.toMap
+    val (cells, resVecs) = residualReplica
+    val repl = pqReplica(staged, resVecs)
+    val q = rawVecs(0L)
+    // the ADC table is PER CELL: the query residualizes against each
+    // cell's centroid, and a member looks up its own cell's table
+    val qd = cents.map { case (cellId, ce) =>
+      val qr = q.indices.map(i => q(i) - ce(i)).toArray
+      cellId -> (0 until SimilarityOps.PqSubspaces).map { s =>
+        staged.map { row =>
+          (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
+            val d = qr(s * 8 + i) - row(s * 8 + i); acc + d * d
+          }
         }
       }
     }
     val want = repl.toSeq.filter(_._1 != 0L).map { case (id, (_, codes, _)) =>
-      id -> codes.zipWithIndex.foldLeft(0.0) { case (acc, (c, s)) => acc + qd(s)(c) }
+      val t = qd(cells(id))
+      id -> codes.zipWithIndex.foldLeft(0.0) { case (acc, (c, s)) => acc + t(s)(c) }
     }.sortBy { case (id, d) => (d, id) }.take(10)
-    val got = SimilarityOps.pqTopK(emb, staged, 0L, 10)
+    val got = SimilarityOps.pqTopKResidual(emb, staged,
+      SimilarityOps.stagedCentroidIndex(spark, sfDir), 0L, 10)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adist")).toSeq
     assert(got === want)
     assert(got.map(_._2).forall(_ >= 0.0))
@@ -457,7 +487,8 @@ class PipelineOpsSpec extends SparkTestBase {
     // an oversized k reveals each path's full candidate set
     val probeSet = SimilarityOps.embeddingIvfTopK(emb, 0L, 100000, idx).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    val adcAll = SimilarityOps.pqTopK(emb, cb, 0L, 100000).collect()
+    val adcAll = SimilarityOps.pqTopKResidual(emb, cb,
+      SimilarityOps.stagedCentroidIndex(spark, sfDir), 0L, 100000).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adist")).toMap
     val got = SimilarityOps.ivfPqTopK(emb, 0L, 10, idx, cb).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
@@ -557,25 +588,63 @@ class PipelineOpsSpec extends SparkTestBase {
     SimilarityOps.recordIvfRecall(spark, sfDir)
     assert(ObservedMetrics.gaugeSnapshot.keySet ===
       Set("ann.ivf_recall_at10", "ann.ivf_recall_at10_1step",
-        "ann.ivfpq_recall_at10", "ann.pq_train_mse"))
+        "ann.ivfpq_recall_at10", "ann.pq_train_mse",
+        "ann.ivf_recall_at10_np1", "ann.ivf_recall_at10_np2",
+        "ann.ivf_recall_at10_np4", "ann.ivfpq_recall_at10_np1",
+        "ann.ivfpq_recall_at10_np2", "ann.ivfpq_recall_at10_np4",
+        "ann.ivfpq_refine_recall_at10"))
+    // the recall/cost curve must be monotone in nprobe for the flat
+    // probe (strictly wider candidate sets) and the np=2 points must
+    // reproduce the headline gauges (same computation by construction)
+    val g = ObservedMetrics.gaugeSnapshot
+    assert(g("ann.ivf_recall_at10_np1") <= g("ann.ivf_recall_at10_np2"))
+    assert(g("ann.ivf_recall_at10_np2") <= g("ann.ivf_recall_at10_np4"))
+    assert(g("ann.ivf_recall_at10_np2") === g("ann.ivf_recall_at10"))
+    assert(g("ann.ivfpq_recall_at10_np2") === g("ann.ivfpq_recall_at10"))
   }
 
-  test("PQ training: iteration 0 reproduces the untrained first-16 codebook") {
-    val old = emb.filter(col("vec_id") < SimilarityOps.PqCodes)
+  test("ivfpq refined: exact-cosine re-rank of the ADC shortlist, recall >= ADC-only") {
+    // expectation from the path's own parts: the shortlist IS the ADC
+    // top-(RefineFactor×k) ranking (ivfPqTopKIndexed at oversized k),
+    // and the refined result is its exact-cosine re-rank
+    val k = 10
+    val sl = SimilarityOps.ivfPqTopKIndexed(spark, sfDir, 0L,
+      SimilarityOps.RefineFactor * k).collect().map(_.getAs[Long]("vec_id"))
+    val cosById = LlmOps.embeddingTopKCosine(emb, 0L, 100000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    val want = sl.map(id => id -> cosById(id))
+      .sortBy { case (id, c) => (-c, id) }.take(k).toSeq
+    val got = SimilarityOps.ivfPqTopKRefinedIndexed(spark, sfDir, 0L, k)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toSeq
+    assert(got === want)
+    // quality: the re-rank can only help (it reorders a superset of the
+    // ADC top-k by the true metric) — asserted on the measured gauges
+    val refined = SimilarityOps.ivfPqRefineRecallAtK(spark, sfDir)
+    val adcOnly = SimilarityOps.ivfPqRecallAtK(spark, sfDir)
+    assert(refined >= adcOnly,
+      s"refined recall $refined must not regress ADC-only $adcOnly")
+  }
+
+  test("PQ training: iteration 0 reproduces the first-16 residual seed codebook") {
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val rf = SimilarityOps.residualFrame(emb, cents)
+    val old = rf.filter(col("vec_id") < SimilarityOps.PqCodes)
       .orderBy(col("vec_id"))
-      .select(transform(col("embedding"), e => e.cast("double")))
+      .select(col("embedding"))
       .collect().map(_.getSeq[Double](0).toArray).toSeq
-    val it0 = SimilarityOps.trainPqCodebook(emb, 0)
+    val it0 = SimilarityOps.trainPqCodebook(rf, 0)
     assert(old.length === SimilarityOps.PqCodes)
     assert(old.zip(it0).forall { case (a, b) => a.sameElements(b) },
-      "per-subspace seed slices must reassemble to the historical rows bit-for-bit")
+      "per-subspace seed slices must reassemble to the seed residual rows bit-for-bit")
   }
 
   test("PQ training: trained codebook reduces reconstruction MSE, not recall") {
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val rf = SimilarityOps.residualFrame(emb, cents)
     def mse(cb: Seq[Array[Double]]): Double =
-      SimilarityOps.pqEncode(emb, cb).agg(avg(col("mse"))).collect()(0).getDouble(0)
-    val untrained = SimilarityOps.trainPqCodebook(emb, 0)
-    val trained = SimilarityOps.trainPqCodebook(emb, SimilarityOps.PqIters)
+      SimilarityOps.pqEncode(rf, cb).agg(avg(col("mse"))).collect()(0).getDouble(0)
+    val untrained = SimilarityOps.trainPqCodebook(rf, 0)
+    val trained = SimilarityOps.trainPqCodebook(rf, SimilarityOps.PqIters)
     assert(mse(trained) < mse(untrained),
       "per-subspace k-means must reduce mean reconstruction error")
     val r0 = SimilarityOps.ivfPqRecallAtK(spark, sfDir, iters = SimilarityOps.LloydIters)
