@@ -7,17 +7,20 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
-/** Product-quantization kernels (PQ8x4 geometry — 8 subspaces × 16
-  * codes, 4 bits per code; see [[graft.operators.SimilarityOps]]).
+/** Product-quantization kernels (PQ4x8 geometry — 4 subspaces × 256
+  * codes, 8 bits per code, the FAISS-default code width; round 11
+  * widened from the original 8×16/4-bit geometry, whose 16-entry
+  * codebooks were the measured recall bottleneck — see
+  * [[graft.operators.SimilarityOps]]).
   *
-  * Why native: the composable encode evaluates 8×16 = 128 separate
+  * Why native: the composable encode evaluates 4×256 = 1024 separate
   * `aggregate(zip_with(slice(...)))` chains per row — higher-order
-  * functions are `CodegenFallback`, so each corpus vector pays 128
-  * interpreted folds and 256 intermediate arrays (measured 2.4 s for
-  * 2000 rows). These kernels run the whole dim×codes distance loop in
-  * one code-resident pass. Encoding runs once per corpus vector — at
-  * 10^10 vectors this is the scan's per-row cost, so the constant
-  * matters.
+  * functions are `CodegenFallback`, so each corpus vector pays 1024
+  * interpreted folds and as many intermediate arrays (the 128-fold
+  * 4-bit predecessor already measured 2.4 s for 2000 rows). These
+  * kernels run the whole dim×codes distance loop in one code-resident
+  * pass. Encoding runs once per corpus vector — at 10^10 vectors this
+  * is the scan's per-row cost, so the constant matters.
   *
   * Numerics are bit-identical to the higher-order forms: per-subspace
   * squared-L2 accumulates left-to-right in doubles (floats widened
@@ -27,16 +30,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * oracle mirrors the same folds raw (see the SimilarityOps note).
   *
   * The codebook argument is the FLATTENED `[code][dim]` literal
-  * (16×dim doubles). It must be foldable: both kernels extract the
+  * (256×dim doubles). It must be foldable: both kernels extract the
   * primitive array once at plan construction and embed it as an object
   * reference in generated code, so per-row work never touches
   * `ArrayData` for the codebook.
   */
 object PqKernels {
-  /** PQ8x4: subspace and code-count geometry shared by both kernels and
-    * the operator layer. */
-  val Subs = 8
-  val Codes = 16
+  /** PQ4x8: subspace and code-count geometry shared by both kernels and
+    * the operator layer. CodeBits per subspace code — 4 subspaces × 8
+    * bits = a 32-bit packed code, exactly representable in the DOUBLE
+    * the encode returns (< 2^53) and positive in the BIGINT the index
+    * stores. */
+  val Subs = 4
+  val Codes = 256
+  val CodeBits = 8
 
   private[functions] def elemType(dt: DataType): Option[DataType] = dt match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -95,8 +102,8 @@ object PqKernels {
   }
 
   /** Encode: returns `[code, mseSum]` as a 2-element double array —
-    * `code` = the 8 argmin codes packed 4 bits each (exact in a double:
-    * < 2^32), `mseSum` = the sum of the 8 minimal subspace distances
+    * `code` = the 4 argmin codes packed 8 bits each (exact in a double:
+    * < 2^32), `mseSum` = the sum of the 4 minimal subspace distances
     * (caller divides by dim). Null on null input element. */
   def encode(xa: ArrayData, cb: Array[Double], isFloat: Boolean): ArrayData = {
     val x = widen(xa, isFloat)
@@ -117,7 +124,7 @@ object PqKernels {
         if (d < best) { best = d; bestC = c } // strict < keeps the FIRST min
         c += 1
       }
-      code |= bestC.toLong << (4 * s)
+      code |= bestC.toLong << (CodeBits * s)
       mseSum += best
       s += 1
     }
@@ -125,7 +132,7 @@ object PqKernels {
   }
 
   /** Asymmetric distance: Σ_s ‖query_sub(s) − codebook[code_s]_sub(s)‖²
-    * with `code_s` unpacked from the 4-bit packed code. Boxed so codegen
+    * with `code_s` unpacked from the 8-bit packed code. Boxed so codegen
     * can propagate a null input element. */
   def adc(qa: ArrayData, code: Long, cb: Array[Double], isFloat: Boolean): java.lang.Double = {
     val q = widen(qa, isFloat)
@@ -137,7 +144,7 @@ object PqKernels {
     var acc = 0.0
     var s = 0
     while (s < Subs) {
-      val c = ((code >> (4 * s)) & 15L).toInt
+      val c = ((code >> (CodeBits * s)) & (Codes - 1L)).toInt
       acc += subDist(q, cb, dim, subDim, s, c)
       s += 1
     }

@@ -340,23 +340,79 @@ object SimilarityOps {
       graft.util.TempDirs.track(dir)
       val codebook = stagedPqCodebook(spark, sfDir)
       val cents = stagedCentroidIndex(spark, sfDir)
-      Fixtures.embeddings(spark, sfDir)
-        .withColumn("b", cellAssignStruct(cents))
-        .select(col("vec_id"), col("embedding"),
-          // ccos: cosine to the OWN centroid (negate of the fold's key —
-          // exact), stored so curation reads (prototypes) never re-score
-          negate(col("b.nc")).as("ccos"),
-          // codes store the RESIDUAL against the assigned cell's centroid
-          // (see [[residualFrame]]) — ADC readers reconstruct the query
-          // side per probed cell
-          element_at(call_function("pq_enc",
-            residualOf(col("embedding"), ceForCell(cents, col("b.cid"))),
-            cbLit(codebook)), 1)
-            .cast("long").as("pq_code"),
-          col("b.cid").as("cell"))
+      indexRows(Fixtures.embeddings(spark, sfDir), cents, codebook)
         .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
       dir
     }).toString
+
+  /** The index-row projection shared by the from-scratch build and the
+    * incremental append — ONE definition of what a stored index row is:
+    * `(vec_id, embedding, ccos, pq_code, cell)` with ccos = cosine to
+    * the OWN centroid (negate of the assignment fold's key — exact,
+    * stored so curation reads never re-score) and pq_code encoding the
+    * RESIDUAL against the assigned cell's centroid (see
+    * [[residualFrame]]; ADC readers reconstruct the query side per
+    * probed cell). Pure projection — assignment and encode are literal
+    * folds, zero exchanges at any batch size. */
+  private[graft] def indexRows(emb: DataFrame, cents: Seq[(Long, Seq[Double])],
+      codebook: Seq[Array[Double]]): DataFrame =
+    emb
+      .withColumn("b", cellAssignStruct(cents))
+      .select(col("vec_id"), col("embedding"),
+        negate(col("b.nc")).as("ccos"),
+        element_at(call_function("pq_enc",
+          residualOf(col("embedding"), ceForCell(cents, col("b.cid"))),
+          cbLit(codebook)), 1)
+          .cast("long").as("pq_code"),
+        col("b.cid").as("cell"))
+
+  /** How many vectors entered the staged index via APPEND (per index
+    * dir) — the staleness bookkeeping for [[ivfIndexStaleFraction]]. */
+  private val appendedRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** INCREMENTAL index maintenance — the `incr_dedup` sibling for ANN,
+    * and the shape a production pipeline actually runs (full retrains
+    * are periodic; appends are continuous): fold a new vector batch
+    * into the staged cell-partitioned index by assigning against the
+    * FROZEN staged centroids and PQ-encoding with the FROZEN codebook,
+    * then appending files into ONLY the touched cells' partition dirs
+    * (`partitionBy(cell)` append writes nothing for untouched cells).
+    * Every serving path (probe, ADC, refine, batch, stream) picks the
+    * new rows up on its next pruned scan with zero changes — the index
+    * contract is "rows projected by [[indexRows]] under the staged
+    * artifacts", which is exactly what an append writes, so an appended
+    * index is row-identical to a from-scratch rebuild of the widened
+    * corpus AT THE SAME centroids+codebook (asserted in tests).
+    * Scale shape: the append touches batch-sized data only — assignment
+    * and encode are in-row literal folds; no shuffle, no read of the
+    * existing index. A corpus rewrite still invalidates the
+    * (size,mtime) stamp and forces the periodic full retrain. */
+  def appendToStagedIvfIndex(spark: SparkSession, sfDir: String,
+      batch: DataFrame): Unit = {
+    graft.GraftSession.registerFunctions(spark)
+    val dir = stagedIvfIndexDir(spark, sfDir)
+    val cents = stagedCentroidIndex(spark, sfDir)
+    val codebook = stagedPqCodebook(spark, sfDir)
+    val n = batch.count()
+    indexRows(batch, cents, codebook)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    appendedRows.merge(dir, java.lang.Long.valueOf(n),
+      (a: java.lang.Long, b: java.lang.Long) =>
+        java.lang.Long.valueOf(a.longValue() + b.longValue()))
+  }
+
+  /** Staleness gauge: the fraction of the SERVED index that entered via
+    * append — i.e. rows assigned/encoded under frozen artifacts the
+    * full trainer never saw. A serving tier retrains when this crosses
+    * its quality budget (the recall gauges quantify the cost). */
+  def ivfIndexStaleFraction(spark: SparkSession, sfDir: String): Double = {
+    val dir = stagedIvfIndexDir(spark, sfDir)
+    val appended =
+      appendedRows.getOrDefault(dir, java.lang.Long.valueOf(0L)).doubleValue()
+    if (appended == 0) 0.0
+    else appended / spark.read.parquet(dir).count().toDouble
+  }
 
   /** IVF top-k served FROM the staged cell-partitioned index: probe the
     * query's [[NumProbe]] best cells (an O(C) driver job against the
@@ -712,27 +768,46 @@ object SimilarityOps {
   // coarse(IVF) + fine(PQ) + compressed(int8) ANN index stack
   // ---------------------------------------------------------------------
 
-  /** PQ geometry: 8 subspaces × 16 codes = 4-bit codes (the ScaNN/FAISS
-    * PQ8x4 shape), so a 64-dim float vector compresses to one 32-bit
-    * code — 64× smaller than float32. 16 codes per subspace keeps the
-    * asymmetric-distance lookup table at 128 doubles. */
+  /** PQ geometry: 4 subspaces × 256 codes = 8-bit codes (the FAISS
+    * default code width), so a 64-dim float vector compresses to one
+    * 32-bit code — 64× smaller than float32. Round 11 widened from the
+    * original 8×16/4-bit shape at the SAME total code budget: measured
+    * fixture recall@10 of the residual ADC ranking rose with the wider
+    * per-subspace codebooks (16-entry books were the bottleneck — most
+    * of each subspace's variation fell between entries), and the
+    * asymmetric-distance lookup table stays bounded (4×256 entries). */
   val PqSubspaces: Int = graft.functions.PqKernels.Subs
   val PqCodes: Int = graft.functions.PqKernels.Codes
-  val PqSubDim = 8
+  val PqCodeBits: Int = graft.functions.PqKernels.CodeBits
+  val PqSubDim = 16
 
   /** PQ-codebook Lloyd iteration count — the per-SUBSPACE k-means twin
-    * of [[LloydIters]]. Real product quantization trains 16 centroids
-    * per 8-dim subspace; iteration count chosen by measured fixture
+    * of [[LloydIters]]. Real product quantization trains 256 centroids
+    * per 16-dim subspace; iteration count chosen by measured fixture
     * recall of the ADC ranking (see PipelineOpsSpec). */
   val PqIters = 3
 
   /** Per-subspace seed codebook: the first-[[PqCodes]] vectors' slices —
-    * `(code, sub, ce₈)` rows, so iteration 0 reassembles to exactly the
-    * historical first-16-rows codebook. */
+    * `(code, sub, ce₁₆)` rows, so iteration 0 reassembles to exactly the
+    * first-[[PqCodes]]-rows codebook. A corpus SMALLER than the codebook
+    * (test corpora; a real corpus is always ≫ 256 vectors) seeds
+    * cyclically — code `c` takes seed row `c mod m` by vec_id rank —
+    * because the kernels require exactly [[PqCodes]] rows; duplicate
+    * seeds are harmless (argmin's first-min tie-break keeps the lowest
+    * code, and empty cells keep their centroid through training). For
+    * any corpus with ≥[[PqCodes]] dense ids this IS `vec_id < PqCodes`
+    * — the text the oracle derivation keeps. */
   private def pqSeedCodebook(x: DataFrame): DataFrame = {
     val subDim = (size(col("x")) / PqSubspaces).cast("int")
-    x.filter(col("vec_id") < PqCodes)
-      .select(col("vec_id").as("code"),
+    val base = x.filter(col("vec_id") < PqCodes)
+    val m = base.count()
+    require(m > 0, "pqSeedCodebook: corpus has no seed rows (vec_id < PqCodes)")
+    val ranked = base
+      .withColumn("r", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    val codes = x.sparkSession.range(PqCodes).select(
+      col("id").as("code"), (col("id") % m).cast("int").as("r"))
+    codes.join(broadcast(ranked), "r")
+      .select(col("code"),
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("x"))
       .select(col("code"), col("sub"),
         slice(col("x"), col("sub") * subDim + 1, subDim).as("ce"))
@@ -937,7 +1012,7 @@ object SimilarityOps {
       (code, md)
     }
     val pqCode = perSub.zipWithIndex
-      .map { case ((code, _), s) => code * lit(1L << (4 * s)) }
+      .map { case ((code, _), s) => code * lit(1L << (PqCodeBits * s)) }
       .reduce(_ + _)
     val mse = perSub.map(_._2).reduce(_ + _) / lit(64.0)
     emb.select(col("vec_id"), pqCode.as("pq_code"), mse.as("mse"))
@@ -1021,7 +1096,8 @@ object SimilarityOps {
       .select(transform(col("embedding"), e => e.cast("double")).as("qe"))
     val adist = (0 until PqSubspaces).map { s =>
       val qdists = array((0 until PqCodes).map(c => pqSubDist(col("qe"), codebook(c), s)): _*)
-      val code = shiftright(col("pq_code"), 4 * s).bitwiseAND(lit(15L))
+      val code = shiftright(col("pq_code"), PqCodeBits * s)
+        .bitwiseAND(lit(PqCodes - 1L))
       element_at(qdists, code.cast("int") + 1)
     }.reduce(_ + _)
     pqEncodeRef(emb, codebook)
@@ -1153,6 +1229,10 @@ object SimilarityOps {
     // ADC misrankings, so the residual loss is probe coverage only
     graft.ObservedMetrics.recordGauge("ann.ivfpq_refine_recall_at10",
       ivfPqRefineRecallAtK(spark, sfDir))
+    // fraction of the served index appended under frozen artifacts
+    // (0 unless a pipeline has run incremental appends this session)
+    graft.ObservedMetrics.recordGauge("ann.index_stale_fraction",
+      ivfIndexStaleFraction(spark, sfDir))
     // PQ reconstruction quality of the staged trained codebook: mean
     // per-vector RESIDUAL MSE since round 11 (raw-vector history:
     // 0.0118 untrained → 0.0088 trained; residual codes spend the same
@@ -1212,7 +1292,7 @@ object SimilarityOps {
   /** Per-subspace squared-L2 in DuckDB: the SAME sequential left fold
     * over the same index order as [[pqSubDist]], so doubles agree
     * bit-for-bit raw (see the no-rounding note there). `s.s` is the
-    * subspace from the enclosing `range(0, 8) s(s)`. */
+    * subspace from the enclosing `range(0, $PqSubspaces) s(s)`. */
   private def pqSubDistSql(x: String, ce: String): String =
     s"""list_reduce(list_prepend(0.0,
           list_transform(range(1, ${PqSubDim + 1}),
@@ -1222,7 +1302,7 @@ object SimilarityOps {
 
   /** The PQ codebook TRAINING derivation, generated for [[PqIters]]
     * per-subspace Lloyd steps (the staged-artifact numerics): seed =
-    * first-16 vectors' subspace slices; per step — argmin-squared-L2
+    * first-[[PqCodes]] vectors' subspace slices; per step — argmin-squared-L2
     * code per (vector, subspace) (sequential fold, lowest-code ties),
     * dimension means rounded to 6 decimals, empty cells keeping the
     * prior centroid — then the per-subspace centroids reassemble into
@@ -1230,13 +1310,13 @@ object SimilarityOps {
   private def pqTrainCte: String = {
     val sb = new StringBuilder
     sb.append(
-      s"""pq_cb_0 AS (
+      s"""pq_cb_0 AS MATERIALIZED (
           SELECT v.vec_id AS code, s.s AS sub,
                  v.x[s.s*$PqSubDim+1 : s.s*$PqSubDim+$PqSubDim] AS ce
           FROM x v, range(0, $PqSubspaces) s(s) WHERE v.vec_id < $PqCodes)""")
     for (i <- 1 to PqIters) {
       sb.append(s""",
-        pq_d_$i AS (
+        pq_d_$i AS MATERIALIZED (
           SELECT v.vec_id, c.sub, c.code,
                  list_reduce(list_prepend(0.0,
                    list_transform(range(1, ${PqSubDim + 1}),
@@ -1244,16 +1324,16 @@ object SimilarityOps {
                           * (v.x[c.sub*$PqSubDim+j] - c.ce[j]))),
                    (a, b) -> a + b) AS d
           FROM x v, pq_cb_${i - 1} c),
-        pq_best_$i AS (
+        pq_best_$i AS MATERIALIZED (
           SELECT vec_id, sub, first(code ORDER BY d, code) AS code
           FROM pq_d_$i GROUP BY vec_id, sub),
-        pq_dims_$i AS (
+        pq_dims_$i AS MATERIALIZED (
           SELECT b.sub, b.code, j.j,
                  round(avg(v.x[b.sub*$PqSubDim+j.j]), 6) AS cx
           FROM pq_best_$i b JOIN x v USING (vec_id),
                range(1, ${PqSubDim + 1}) j(j)
           GROUP BY b.sub, b.code, j.j),
-        pq_cb_$i AS (
+        pq_cb_$i AS MATERIALIZED (
           SELECT p.code, p.sub, coalesce(n.ce, p.ce) AS ce
           FROM pq_cb_${i - 1} p LEFT JOIN
             (SELECT sub, code, list(cx ORDER BY j) AS ce
@@ -1261,7 +1341,7 @@ object SimilarityOps {
           ON n.sub = p.sub AND n.code = p.code)""")
     }
     sb.append(s""",
-        seeds AS (
+        seeds AS MATERIALIZED (
           SELECT code AS cent_id, flatten(list(ce ORDER BY sub)) AS ce
           FROM pq_cb_$PqIters GROUP BY code)""")
     sb.toString
@@ -1279,26 +1359,26 @@ object SimilarityOps {
     * the composed `ivfpq` oracle, and `x.cell` for the per-cell ADC. */
   private def pqEncodeCte: String =
     s"""WITH $ivfScoredCte,
-        assigned AS (
+        assigned AS MATERIALIZED (
           SELECT vec_id, cent_id AS cell FROM (
             SELECT vec_id, cent_id,
                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
             FROM scored) WHERE rn = 1),
-        x AS (SELECT e.vec_id, a.cell,
+        x AS MATERIALIZED (SELECT e.vec_id, a.cell,
                      list_transform(range(1, 65),
                        i -> CAST(e.embedding[i] AS DOUBLE) - c.ce[i]) AS x
               FROM embeddings e
               JOIN assigned a USING (vec_id)
               JOIN ivf_cents_$LloydIters c ON c.cent_id = a.cell),
         $pqTrainCte,
-        d AS (SELECT v.vec_id, c.cent_id, s.s AS sub,
+        d AS MATERIALIZED (SELECT v.vec_id, c.cent_id, s.s AS sub,
                      ${pqSubDistSql("v.x", "c.ce")} AS d
               FROM x v, seeds c, range(0, $PqSubspaces) s(s)),
-        best AS (SELECT vec_id, sub, min(d) AS md,
+        best AS MATERIALIZED (SELECT vec_id, sub, min(d) AS md,
                         first(cent_id ORDER BY d, cent_id) AS code
                  FROM d GROUP BY vec_id, sub),
-        pq_enc AS (SELECT vec_id,
-                          CAST(sum(code << (4 * sub)) AS BIGINT) AS pq_code,
+        pq_enc AS MATERIALIZED (SELECT vec_id,
+                          CAST(sum(code << ($PqCodeBits * sub)) AS BIGINT) AS pq_code,
                           list_reduce(list_prepend(0.0, list(md ORDER BY sub)),
                                       (a, b) -> a + b) / 64 AS mse
                    FROM best GROUP BY vec_id)"""
@@ -1353,7 +1433,7 @@ object SimilarityOps {
     * relation (cent_id, ce) — the text both the per-iteration assignment
     * and the final `scored` CTE reuse verbatim. */
   private def ivfScoreCte(cents: String, out: String): String =
-    s"""$out AS (
+    s"""$out AS MATERIALIZED (
           SELECT e.vec_id, c.cent_id,
                  round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE))
                        / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
@@ -1363,6 +1443,14 @@ object SimilarityOps {
 
   /** The IVF index derivation as a WITH-chain BODY (caller supplies the
     * `WITH `), GENERATED for [[LloydIters]] Lloyd steps: seed pick, then
+    *
+    * Chain CTEs are `AS MATERIALIZED` (here and in the PQ/BPE chains):
+    * each step references its predecessor along TWO paths (assignment +
+    * carry-forward), so DuckDB's default inlining re-evaluates the
+    * whole prefix 2^steps times — measured 216 s → 2.3 s on the pq_enc
+    * chain at 256 codes. Materialization pins each step to one
+    * evaluation, which is also the semantics the Spark trainers have
+    * (every step runs once).
     * per step — rounded-cosine assignment (rank-1, lowest-cent_id ties)
     * and dimension means rounded to 6 decimals (the staged-index
     * numerics) — and finally the full per-(vector, centroid) rounded
@@ -1373,24 +1461,24 @@ object SimilarityOps {
   private def ivfScoredCte: String = {
     val sb = new StringBuilder
     sb.append(
-      s"""ivf_cents_0 AS (SELECT vec_id AS cent_id,
+      s"""ivf_cents_0 AS MATERIALIZED (SELECT vec_id AS cent_id,
                  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ce
           FROM embeddings WHERE vec_id < $NumCentroids)""")
     for (i <- 1 to LloydIters) {
       sb.append(",\n        " + ivfScoreCte(s"ivf_cents_${i - 1}", s"ivf_scored_$i"))
       sb.append(s""",
-        ivf_assign_$i AS (
+        ivf_assign_$i AS MATERIALIZED (
           SELECT vec_id, cent_id AS cell FROM (
             SELECT vec_id, cent_id,
                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
             FROM ivf_scored_$i) WHERE rn = 1),
-        ivf_dims_$i AS (
+        ivf_dims_$i AS MATERIALIZED (
           SELECT a.cell AS cent_id, t.i,
                  round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS cx
           FROM ivf_assign_$i a JOIN embeddings e ON e.vec_id = a.vec_id,
                range(1, 65) t(i)
           GROUP BY a.cell, t.i),
-        ivf_cents_$i AS (SELECT cent_id, list(cx ORDER BY i) AS ce
+        ivf_cents_$i AS MATERIALIZED (SELECT cent_id, list(cx ORDER BY i) AS ce
                   FROM ivf_dims_$i GROUP BY cent_id)""")
     }
     sb.append(",\n        " + ivfScoreCte(s"ivf_cents_$LloydIters", "scored"))
@@ -1564,7 +1652,7 @@ object SimilarityOps {
     * key (whose id window is a range), so the two cannot drift. */
   def annBatchOracleSql(qidPredicate: String, k: Int): String =
     s"""WITH $ivfScoredCte,
-        assigned AS (
+        assigned AS MATERIALIZED (
           SELECT vec_id, cent_id AS cell FROM (
             SELECT vec_id, cent_id,
                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
