@@ -42,7 +42,8 @@ object GraftFunctions {
     entry("hash_weight_sum", 2, classOf[HashWeightSum])(a => HashWeightSum(a.head, a(1))),
     entry("pq_enc", 2, classOf[PqEnc])(a => PqEnc(a.head, a(1))),
     entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))),
-    entry("substr_fps", 3, classOf[SubstrFps])(a => SubstrFps(a.head, a(1), a(2))))
+    entry("substr_fps", 3, classOf[SubstrFps])(a => SubstrFps(a.head, a(1), a(2))),
+    entry("bpe_count", 2, classOf[BpeCount])(a => BpeCount(a.head, a(1))))
 
   /** Register every kernel in a session's registry (idempotent). */
   def registerAll(spark: SparkSession): Unit =

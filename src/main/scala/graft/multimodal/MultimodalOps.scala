@@ -586,6 +586,132 @@ object MultimodalOps {
     spark.read.parquet(dir.toString).as[MediaRecord]
   }
 
+  /** Deterministic TEXTURED grayscale PNG synthesis (round 11, the
+    * perceptual-hash corpus): a 32×32 integer pseudo-texture whose
+    * quadratic coefficients derive from the id's GROUP (`id mod 71`) and
+    * whose single spike pixel derives from the id itself — so ids in
+    * one group render NEAR-duplicate rasters (identical texture, one
+    * differing pixel) and cross-group rasters differ broadly. Everything
+    * is integer arithmetic mod 256 and PNG is lossless, so the oracle
+    * re-derives every pixel — and therefore the pooled dHash —
+    * arithmetically (the [[synthPng]] discipline, with structure instead
+    * of constant fill). */
+  def synthTexturePng(mediaId: Long): Array[Byte] = {
+    val g = Math.floorMod(mediaId, 71).toInt
+    val spike = Math.floorMod(mediaId / 71, 32).toInt
+    val a = g % 5
+    val b = (g / 5) % 5
+    val c = (g / 25) % 3
+    val d = g % 7
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val gray = (a * x * x + b * y * y + c * x * y + d * (x + y) + g * 3 +
+          (if (x == spike && y == spike) 40 else 0)) % 256
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The textured-image corpus: one [[synthTexturePng]] payload per
+    * document row, synthesized executor-side (the [[imageTable]]
+    * shape). */
+  def textureTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, source, lang) =>
+        MediaRecord(id, "image", synthTexturePng(id),
+          Map("source" -> source, "lang" -> lang))
+      })
+  }
+
+  private val textureTableDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** How many times the texture table actually SYNTHESIZED — staging
+    * observability for tests. */
+  val textureTableBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def dropStagedTextureTable(): Unit = textureTableDirs.clear()
+
+  /** [[textureTable]] staged to parquet once per corpus SNAPSHOT — the
+    * [[stagedImageTable]] discipline: served passes measure decode +
+    * hash over stored payloads, not synthesis. */
+  def stagedTextureTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val dir = textureTableDirs.get(sfDir)({
+      textureTableBuilds.incrementAndGet()
+      val d = java.nio.file.Files.createTempDirectory("graft_media_textures_")
+      graft.util.TempDirs.track(d)
+      textureTable(graft.model.Fixtures.documents(spark, sfDir))
+        .write.mode("overwrite").parquet(d.toString)
+      d
+    })
+    spark.read.parquet(dir.toString).as[MediaRecord]
+  }
+
+  /** Perceptual difference-hash (dHash) of each image payload through
+    * the REAL codec: decode (`javax.imageio`), average-pool the red
+    * channel onto an 8×8 integer grid (exact integer sums — no
+    * floating point anywhere), then one bit per horizontal neighbor
+    * comparison — bit `cy*7+cx` set iff cell(cy,cx) > cell(cy,cx+1) —
+    * packing 56 bits into a BIGINT. Near-duplicate rasters (crops,
+    * recompressions, small edits) land within a few bits; the banded
+    * join in [[graft.operators.DedupOps.imageDHashDups]] turns that
+    * into capped candidate buckets. Runs in the same batched
+    * `mapPartitions` envelope as every decode here (codec work stays in
+    * the scan task; one Long per image crosses the exchange).
+    * Undecodable payloads hash to NULL and drop (the per-row corrupt
+    * fallback discipline). */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth < 8 || img.getHeight < 8)
+        (r.media_id, None: Option[Long])
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = Array.ofDim[Long](8, 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sums(y * 8 / h)(x * 8 / w) += (img.getRGB(x, y) >> 16) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 7) {
+            if (sums(cy)(cx) > sums(cy)(cx + 1)) hash |= 1L << (cy * 7 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        (r.media_id, Some(hash))
+      }
+    }).toDF("media_id", "dh")
+      .filter(col("dh").isNotNull)
+      .select(col("media_id"), col("dh").as("dhash"))
+  }
+
   /** Contract query: per-image decoded geometry + channel means through
     * the REAL codec round-trip (synthesize PNG → `javax.imageio` decode
     * → project). `byte_len` (the encoded PNG size) is deliberately NOT

@@ -274,6 +274,53 @@ object DedupOps {
       .filter(col("hamming") <= MaxHamming)
   }
 
+  /** Perceptual image-hash geometry: the 56-bit dHash
+    * ([[graft.multimodal.MultimodalOps.imageDHash]]) splits into 8
+    * blocks of 7 bits. With [[ImgMaxHamming]] = 7 < 8 blocks the banding
+    * is pigeonhole-COMPLETE: any pair within the hamming threshold
+    * agrees exactly on at least one block, so the bucketed join provably
+    * finds every reported pair — no probabilistic recall caveat. */
+  val ImgHashBlocks = 8
+  val ImgMaxHamming = 7
+
+  /** Image near-duplicate pairs by perceptual hash — the multimodal
+    * member of the dedup family (round 11): dHash every stored image
+    * through the real codec, then EXACTLY the [[docSimhashPairs]]
+    * skeleton — per-block bucketing, [[MaxBucketMembers]]-capped member
+    * groups with the overflow observed, in-group pair enumeration, full
+    * 56-bit hamming verify. Scale shape inherited wholesale: candidate
+    * cost ∝ bucket sizes (never all-pairs), one exchange on the block
+    * keys, one Long per image shuffled — the raster bytes never leave
+    * their scan task. */
+  def imageDHashDups(spark: SparkSession, sfDir: String): DataFrame =
+    imageHashPairs(graft.multimodal.MultimodalOps.imageDHash(
+      graft.multimodal.MultimodalOps.stagedTextureTable(spark, sfDir)))
+
+  /** The banding/verify stage of [[imageDHashDups]] over any
+    * `(media_id, dhash)` frame — the seam the cap tests drive
+    * directly. */
+  def imageHashPairs(fp: DataFrame): DataFrame = {
+    val blocks = fp.select(
+      col("media_id"), col("dhash"),
+      explode(sequence(lit(0), lit(ImgHashBlocks - 1))).as("blk"))
+      .select(
+        col("media_id"), col("dhash"), col("blk"),
+        expr("shiftright(dhash, blk * 7) & 127").as("blk_val"))
+    def pairStruct(a: Column, b: Column): Column = struct(
+      a.getField("media_id").as("media_a"),
+      b.getField("media_id").as("media_b"),
+      a.getField("dhash").bitwiseXOR(b.getField("dhash")).as("x"))
+    groupMembers(blocks, Seq(col("blk"), col("blk_val")),
+        struct(col("media_id"), col("dhash")), col("media_id"),
+        "img_dhash_block_overflow")
+      .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
+      .select(
+        col("p.media_a").as("media_a"), col("p.media_b").as("media_b"),
+        expr("bit_count(p.x)").as("hamming"))
+      .distinct() // a pair can share multiple blocks
+      .filter(col("hamming") <= ImgMaxHamming)
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs (here: pairs
     * sharing the [[LlmOps.docNearDedup]] bag-of-words signature — the
     * verify stage that runs after any candidate generator). Jaccard is
@@ -546,6 +593,9 @@ object DedupOps {
     "doc_substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
+    // round 11: perceptual image-hash near-dups over the textured media
+    // corpus ("img_dups" short for the bench line budget)
+    "img_dups" -> ((s, d) => imageDHashDups(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
     "lsh_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
@@ -659,6 +709,45 @@ object DedupOps {
                       ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
                       AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
+    "img_dups" ->
+      // every pixel of the textured corpus re-derives arithmetically
+      // (integer ops mod 256; PNG is lossless — the synthTexturePng
+      // contract), so the pooled dHash, the banding, the cap, and the
+      // hamming verify all mirror the operator exactly
+      s"""WITH base AS (
+            SELECT doc_id, doc_id % 71 AS g, (doc_id // 71) % 32 AS spike
+            FROM documents),
+          px AS (
+            SELECT b.doc_id, x.x, y.y,
+                   ((b.g % 5) * x.x * x.x + ((b.g // 5) % 5) * y.y * y.y
+                    + ((b.g // 25) % 3) * x.x * y.y + (b.g % 7) * (x.x + y.y)
+                    + b.g * 3
+                    + CASE WHEN x.x = b.spike AND y.y = b.spike THEN 40 ELSE 0 END)
+                   % 256 AS gray
+            FROM base b, range(0, 32) x(x), range(0, 32) y(y)),
+          cells AS (SELECT doc_id, y // 4 AS cy, x // 4 AS cx, sum(gray) AS s
+                    FROM px GROUP BY 1, 2, 3),
+          fp AS (SELECT l.doc_id,
+                        coalesce(sum(CASE WHEN l.s > r.s
+                                          THEN 1::BIGINT << (l.cy * 7 + l.cx)
+                                          ELSE 0 END), 0) AS dhash
+                 FROM cells l JOIN cells r
+                   ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+                 GROUP BY l.doc_id),
+          blocks AS (SELECT doc_id, dhash, b.blk,
+                            (dhash >> (b.blk * 7)) & 127 AS blk_val
+                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
+                                                  ORDER BY doc_id) AS rk
+                     FROM blocks),
+          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+                    FROM ranked a JOIN ranked b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val
+                      AND a.doc_id < b.doc_id
+                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
+          SELECT media_a, media_b, hamming FROM pairs
+          WHERE hamming <= $ImgMaxHamming""",
     "lsh_dups" ->
       s"""WITH $duckVerifiedCtes
           SELECT doc_a, doc_b, n_bands, jaccard FROM dup""",

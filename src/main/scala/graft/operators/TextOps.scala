@@ -144,6 +144,8 @@ object TextOps {
   /** Token counting: whitespace segmentation vs a BPE-ish regex
     * (letter-runs | digit-runs | single non-space symbol) — the cheap
     * proxy pair used to budget tokenizer costs over a corpus.
+    * [[tokenCountsTrained]] is the trained-merges upgrade the contract
+    * key serves.
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     withTokens(docs).select(
@@ -151,6 +153,117 @@ object TextOps {
       length(col("text")).as("n_chars"),
       size(filter(col("w"), x => x =!= "")).as("ws_tokens"),
       expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""").as("bpe_tokens"))
+
+  // ---------------------------------------------------------------------
+  // Trained BPE (round 11): learned merges replace the regex
+  // approximation for the contract key's bpe_tokens
+  // ---------------------------------------------------------------------
+
+  /** Merge-table size cap — the artifact stays driver-bounded (the
+    * LM-vocab discipline). Real tokenizers carry 10⁴-10⁵ merges; the
+    * cap is a constant of the ARTIFACT, not the corpus, so the scale
+    * story is unchanged at any K. */
+  val BpeMerges = 32
+
+  /** Training-vocabulary cap: merges are learned from the top-V words
+    * by (count desc, word) — the same deterministic bound the LM vocab
+    * uses. Rare words beyond V still tokenize (the merges apply to any
+    * letter run); they just don't vote during training. */
+  val BpeTrainWords = 256
+
+  /** A trained BPE tokenizer: the ranked merges table. */
+  case class BpeModel(merges: Seq[(String, String)])
+
+  /** How many times the BPE fit actually EXECUTED — staging
+    * observability (the `lmFitRuns` sibling). */
+  val bpeFitRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One greedy left-to-right non-overlapping merge pass — the exact
+    * procedure [[graft.functions.BpeCount]] runs per rank (and the
+    * oracle's per-rank rewrite). */
+  private def bpeMergePass(ts: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var j = 0
+    while (j < ts.length) {
+      if (j < ts.length - 1 && ts(j) == a && ts(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += ts(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn a BPE merges table from the corpus: word frequencies from
+    * the shared `[a-z]+` pre-tokenization (ONE map-side-combined
+    * aggregation, top-V driver artifact), then the classic driver loop —
+    * count adjacent symbol pairs weighted by word frequency, merge the
+    * most frequent (ties: count desc, then pair lexicographic — the
+    * oracle's ORDER BY), stop when no pair repeats or K merges are
+    * learned. Everything after the one aggregation touches V rows. */
+  def fitBpeModel(docs: DataFrame, topWords: Int = BpeTrainWords,
+      maxMerges: Int = BpeMerges): BpeModel = {
+    bpeFitRuns.incrementAndGet()
+    val top = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t"))
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] =
+      top.map { case (w, c) => (w.toCharArray.map(String.valueOf), c) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.length < maxMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      vocab.foreach { case (ts, c) =>
+        var i = 0
+        while (i < ts.length - 1) {
+          val k = (ts(i), ts(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val candidates = counts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) done = true
+      else {
+        val ((a, b), _) = candidates.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        vocab = vocab.map { case (ts, c) => (bpeMergePass(ts, a, b), c) }
+      }
+    }
+    BpeModel(merges.toSeq)
+  }
+
+  private val bpeCache = new graft.util.StampedMemo[BpeModel]("documents")
+
+  def dropStagedBpeModel(): Unit = bpeCache.clear()
+
+  /** The corpus BPE tokenizer as a staged per-snapshot artifact (the
+    * [[stagedLmModel]] memo discipline — (size, mtime)-stamped, refit
+    * on in-place rewrite). */
+  def stagedBpeModel(spark: SparkSession, sfDir: String): BpeModel =
+    bpeCache.get(sfDir)(
+      fitBpeModel(graft.model.Fixtures.documents(spark, sfDir)))
+
+  /** [[tokenCounts]] under a TRAINED merges table: `bpe_tokens` counts
+    * the pre-token stream with the staged merges applied in-row by the
+    * native [[graft.functions.BpeCount]] kernel (the merges ride into
+    * generated code as a literal — broadcast-for-free, the classifier
+    * weights/codebook shape); `re_tokens` keeps the regex approximation
+    * for continuity. Pure projection — zero exchanges; the only
+    * corpus-sized work is the scan the count rides on. */
+  def tokenCountsTrained(docs: DataFrame, bpe: BpeModel): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val mergesLit = typedlit(bpe.merges.flatMap(p => Seq(p._1, p._2)))
+    withTokens(docs).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(filter(col("w"), x => x =!= "")).as("ws_tokens"),
+      expr("""size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))""")
+        .as("re_tokens"),
+      call_function("bpe_count",
+        expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""),
+        mergesLit).as("bpe_tokens"))
+  }
 
   /** The composable gram-hash form — the numerics/portability reference
     * [[graft.functions.GramMd5s]] must match string-for-string (the
@@ -1054,7 +1167,10 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, d) => textLangId(Fixtures.documents(s, d))),
     "text_quality_score" -> ((s, d) => textQualityScore(Fixtures.documents(s, d))),
-    "token_count_bpe" -> ((s, d) => tokenCounts(Fixtures.documents(s, d))),
+    // round 11: counts under the staged TRAINED merges (bpe_tokens);
+    // re_tokens keeps the regex approximation
+    "token_count_bpe" ->
+      ((s, d) => tokenCountsTrained(Fixtures.documents(s, d), stagedBpeModel(s, d))),
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
@@ -1131,6 +1247,77 @@ object TextOps {
 
   /** Per-(shard, bin) fill then per-shard rollup — every aggregate an
     * exact integer, composed over [[packBinsOracle]] verbatim. */
+  /** One BPE merge application step as a CTE: `out` = `prev` with the
+    * single ranked pair in `g` merged by one left-to-right
+    * non-overlapping pass. Merge starts are the pair's positions; inside
+    * an equal-symbol run only odd-prefix positions start (the closed
+    * form of greedy consumption — [[graft.functions.BpeCount]] runs the
+    * identical pass operationally). An empty `g` (training saturated)
+    * passes rows through unchanged. */
+  private def bpeApplyStepSql(prev: String, g: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+          SELECT word, cnt, CASE WHEN s IS NULL THEN ts ELSE
+                 list_transform(
+                   list_filter(range(1, len(ts) + 1), j -> NOT list_contains(s, j - 1)),
+                   j -> CASE WHEN list_contains(s, j) THEN ts[j] || ts[j + 1] ELSE ts[j] END)
+               END AS ts
+          FROM (
+            SELECT w.word, w.cnt, w.ts,
+                   CASE WHEN g.a IS NULL THEN NULL ELSE
+                     list_filter(range(1, len(w.ts)), j ->
+                       w.ts[j] = g.a AND w.ts[j + 1] = g.b AND
+                       (g.a <> g.b OR
+                        (j - 1 - coalesce(list_max(list_filter(range(1, j), k -> w.ts[k] <> g.a)), 0)) % 2 = 0))
+                   END AS s
+            FROM $prev w LEFT JOIN $g g ON true))"""
+
+  /** The BPE TRAINING derivation as a WITH-chain body, generated for
+    * [[BpeMerges]] steps — the artifact re-derivation discipline every
+    * staged model here follows ([[lmPerplexityOracle]], `pqTrainCte`):
+    * word counts from the shared `[a-z]+` pre-tokenization, top-V
+    * training vocabulary by (count desc, word), then per step — pair
+    * counts weighted by word frequency, best pair by (count desc, pair)
+    * among those repeating, one merge pass. Training saturation yields
+    * empty `bg_i` rows and the remaining steps no-op, exactly like the
+    * driver trainer's early stop. The apply chain then tokenizes EVERY
+    * distinct letter word (not just the training vocabulary) under the
+    * learned ranks, ending in the `bpe_m` (ks, vs) lookup lists the
+    * final count fold probes — the [[lmPerplexityOracle]] map shape. */
+  private def bpeTrainCte: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""blw AS MATERIALIZED (SELECT t, count(*) AS c
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+                    FROM documents)
+              GROUP BY 1),
+          bw_0 AS MATERIALIZED (SELECT t AS word, c AS cnt,
+                          list_transform(range(1, length(t) + 1), i -> t[i]) AS ts
+                   FROM (SELECT t, c FROM blw ORDER BY c DESC, t LIMIT $BpeTrainWords))""")
+    for (i <- 1 to BpeMerges) {
+      sb.append(s""",
+          bp_$i AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS c
+                    FROM (SELECT cnt,
+                                 unnest(list_transform(range(1, len(ts)),
+                                   j -> [ts[j], ts[j + 1]])) AS pr
+                          FROM bw_${i - 1})
+                    GROUP BY 1, 2),
+          bg_$i AS MATERIALIZED (SELECT a, b FROM bp_$i WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1),
+          ${bpeApplyStepSql(s"bw_${i - 1}", s"bg_$i", s"bw_$i")}""")
+    }
+    sb.append(s""",
+          aw_0 AS MATERIALIZED (SELECT t AS word, 1 AS cnt,
+                          list_transform(range(1, length(t) + 1), i -> t[i]) AS ts
+                   FROM (SELECT DISTINCT t FROM blw))""")
+    for (i <- 1 to BpeMerges)
+      sb.append(s""",
+          ${bpeApplyStepSql(s"aw_${i - 1}", s"bg_$i", s"aw_$i")}""")
+    sb.append(s""",
+          bpe_n AS MATERIALIZED (SELECT word, CAST(len(ts) AS INTEGER) AS n FROM aw_$BpeMerges),
+          bpe_m AS MATERIALIZED (SELECT list(word ORDER BY word) AS ks, list(n ORDER BY word) AS vs
+                    FROM bpe_n)""")
+    sb.toString
+  }
+
   private def packStatsOracle: String =
     s"""WITH bins AS (SELECT shard, bin,
                              CAST(count(*) AS BIGINT) AS bd,
@@ -1343,11 +1530,16 @@ object TextOps {
             FROM withbest""",
       "text_quality_score" -> qualityScoreOracle,
       "token_count_bpe" ->
-        """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
-                  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        s"""WITH $bpeTrainCte
+           SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+                  CAST(len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),
                                        x -> x <> '')) AS INTEGER) AS ws_tokens,
-                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
-           FROM documents""",
+                  CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS re_tokens,
+                  CAST(list_reduce(list_prepend(0,
+                         list_transform(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                           t -> coalesce(vs[list_position(ks, t)], 1))),
+                         (a, b) -> a + b) AS INTEGER) AS bpe_tokens
+           FROM documents d, bpe_m""",
       "doc_fingerprint" ->
         """SELECT doc_id,
                   array_to_string(list_sort([md5(substring(text, i, 8))

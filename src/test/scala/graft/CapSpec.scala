@@ -113,6 +113,18 @@ class CapSpec extends SparkTestBase {
     assert(overflow === (ClusterSize - Cap).toLong * DedupOps.SimhashBlocks)
   }
 
+  test("image dHash banding caps a mega-cluster of identical hashes") {
+    // a boilerplate-image flood (one template re-encoded everywhere)
+    // lands every member in every block bucket — the adversarial shape
+    val mega = (0L until ClusterSize.toLong)
+      .map(i => (i, 0x00aa55aa55aa55L)).toDF("media_id", "dhash")
+    val (n, overflow) = observedMetric("img_dhash_block_overflow") {
+      DedupOps.imageHashPairs(mega).count()
+    }
+    assert(n === Cap.toLong * (Cap - 1) / 2) // all at hamming 0
+    assert(overflow === (ClusterSize - Cap).toLong * DedupOps.ImgHashBlocks)
+  }
+
   test("ngram-jaccard signature grouping caps a mega-cluster") {
     val (n, overflow) = observedMetric("jaccard_sig_overflow") {
       DedupOps.docNgramJaccard(megaDocs).count()

@@ -368,13 +368,15 @@ class PipelineOpsSpec extends SparkTestBase {
       val perSub = (0 until SimilarityOps.PqSubspaces).map { s =>
         val dists = cb.map { row =>
           (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
-            val d = x(s * 8 + i) - row(s * 8 + i); acc + d * d
+            val j = s * SimilarityOps.PqSubDim + i
+            val d = x(j) - row(j); acc + d * d
           }
         }
         val md = dists.min
         (dists.indexOf(md), md) // indexOf = first match = lowest code
       }
-      val code = perSub.zipWithIndex.map { case ((c, _), s) => c.toLong << (4 * s) }.sum
+      val code = perSub.zipWithIndex
+        .map { case ((c, _), s) => c.toLong << (SimilarityOps.PqCodeBits * s) }.sum
       id -> (code, perSub.map(_._1).toArray, perSub.map(_._2).toArray)
     }
 
@@ -415,7 +417,7 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(code >= 0L && code < (1L << 32))
       assert(mse >= 0.0)
     }
-    // against the UNTRAINED seed codebook (= its first-16 residual
+    // against the UNTRAINED seed codebook (= its first-PqCodes residual
     // rows), a codebook member is its own nearest entry in every
     // subspace — the exact-reconstruction property of the encode
     val rf = SimilarityOps.residualFrame(emb, cents)
@@ -440,7 +442,8 @@ class PipelineOpsSpec extends SparkTestBase {
       cellId -> (0 until SimilarityOps.PqSubspaces).map { s =>
         staged.map { row =>
           (0 until SimilarityOps.PqSubDim).foldLeft(0.0) { (acc, i) =>
-            val d = qr(s * 8 + i) - row(s * 8 + i); acc + d * d
+            val j = s * SimilarityOps.PqSubDim + i
+            val d = qr(j) - row(j); acc + d * d
           }
         }
       }
@@ -464,11 +467,12 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("pq kernels hold at another geometry: dim 16, synthetic corpus, native == reference") {
-    // the kernels derive subDim from the data (dim/8) — prove the
+    // the kernels derive subDim from the data (dim/Subs) — prove the
     // equivalence is not an artifact of the fixture's dim-64 shape
+    // (corpus sized ≥ PqCodes so the first-256 codebook exists)
     import spark.implicits._
     val dim = 16
-    val synth = (0L until 64L).map { id =>
+    val synth = (0L until 300L).map { id =>
       (id, (0 until dim).map(i =>
         (((id * 31 + i * 17) % 13) - 6).toFloat / (i + 1)).toSeq)
     }.toDF("vec_id", "embedding")
@@ -507,6 +511,101 @@ class PipelineOpsSpec extends SparkTestBase {
     val indexed = SimilarityOps.ivfPqTopKIndexed(spark, sfDir, 0L, 10).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
     assert(indexed === want)
+  }
+
+  test("image dHash: codec-path hashes match the arithmetic replica; near-dup groups surface") {
+    def replicaHash(id: Long): Long = {
+      val g = (id % 71).toInt
+      val spike = ((id / 71) % 32).toInt
+      val (a, b, c, d) = (g % 5, (g / 5) % 5, (g / 25) % 3, g % 7)
+      val px = Array.tabulate(32, 32) { (y, x) =>
+        (a * x * x + b * y * y + c * x * y + d * (x + y) + g * 3 +
+          (if (x == spike && y == spike) 40 else 0)) % 256
+      }
+      val cells = Array.tabulate(8, 8) { (cy, cx) =>
+        (0 until 4).map(i => (0 until 4).map(j => px(cy * 4 + i)(cx * 4 + j)).sum).sum
+      }
+      (0 until 8).flatMap(cy => (0 until 7).map(cx =>
+        if (cells(cy)(cx) > cells(cy)(cx + 1)) 1L << (cy * 7 + cx) else 0L)).sum
+    }
+    val builds = MultimodalOps.textureTableBuilds.get()
+    val hashes = MultimodalOps.imageDHash(
+      MultimodalOps.stagedTextureTable(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(hashes.keySet === ids.toSet)
+    ids.foreach(id => assert(hashes(id) === replicaHash(id), s"media $id"))
+    // staged: a second read synthesizes nothing new
+    MultimodalOps.imageDHash(MultimodalOps.stagedTextureTable(spark, sfDir)).count()
+    assert(MultimodalOps.textureTableBuilds.get() === builds + 1)
+    // the dedup op surfaces every same-group pair (spike edits keep
+    // hamming within the pigeonhole-complete threshold on this corpus)
+    val pairs = DedupOps.imageDHashDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    val wanted = for {
+      a <- ids; b <- ids
+      if a < b && a % 71 == b % 71 &&
+        java.lang.Long.bitCount(replicaHash(a) ^ replicaHash(b)) <= DedupOps.ImgMaxHamming
+    } yield (a, b)
+    assert(wanted.nonEmpty, "fixture must contain same-group near-dups")
+    wanted.foreach(p => assert(pairs(p), s"missing near-dup pair $p"))
+  }
+
+  test("BPE: trained merges are deterministic, bounded, and staged once per corpus") {
+    TextOps.dropStagedBpeModel()
+    val before = TextOps.bpeFitRuns.get()
+    val m1 = TextOps.stagedBpeModel(spark, sfDir)
+    val m2 = TextOps.stagedBpeModel(spark, sfDir)
+    assert(m1 eq m2, "second call must return the cached artifact")
+    assert(TextOps.bpeFitRuns.get() === before + 1)
+    assert(m1.merges.nonEmpty && m1.merges.length <= TextOps.BpeMerges)
+    // determinism: an independent fit learns the identical ranked table
+    assert(TextOps.fitBpeModel(docs).merges === m1.merges)
+    // merges compress: every learned pair concatenates two symbols that
+    // were themselves reachable (constituents precede their pair)
+    val symbols = scala.collection.mutable.Set[String]() ++ ('a' to 'z').map(_.toString)
+    m1.merges.foreach { case (a, b) =>
+      assert(symbols(a) && symbols(b), s"pair ($a,$b) uses an unformed symbol")
+      symbols += (a + b)
+    }
+  }
+
+  test("bpe_count: kernel matches the driver replica on every fixture doc") {
+    val model = TextOps.stagedBpeModel(spark, sfDir)
+    def replicaPass(ts: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var j = 0
+      while (j < ts.length) {
+        if (j < ts.length - 1 && ts(j) == a && ts(j + 1) == b) { out += (a + b); j += 2 }
+        else { out += ts(j); j += 1 }
+      }
+      out.toArray
+    }
+    def countWord(w: String): Int =
+      model.merges.foldLeft(w.toCharArray.map(String.valueOf)) {
+        case (ts, (a, b)) => replicaPass(ts, a, b)
+      }.length
+    val re = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    def replica(text: String): Int = {
+      val m = re.matcher(text.toLowerCase)
+      var total = 0
+      while (m.find()) {
+        val t = m.group()
+        total += (if (t.forall(c => c >= 'a' && c <= 'z')) countWord(t) else 1)
+      }
+      total
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextOps.tokenCountsTrained(docs, model).collect()
+    assert(out.length === texts.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("bpe_tokens") === replica(texts(id)), s"doc $id")
+      // merges only merge: trained counts sit between the letter-run
+      // count (full merge) and the character count
+      assert(r.getAs[Int]("bpe_tokens") >= r.getAs[Int]("re_tokens"), s"doc $id bound")
+    }
   }
 
   test("lm staged model: fit once per sf dir, indexed scoring matches self-fitting form") {
@@ -592,7 +691,7 @@ class PipelineOpsSpec extends SparkTestBase {
         "ann.ivf_recall_at10_np1", "ann.ivf_recall_at10_np2",
         "ann.ivf_recall_at10_np4", "ann.ivfpq_recall_at10_np1",
         "ann.ivfpq_recall_at10_np2", "ann.ivfpq_recall_at10_np4",
-        "ann.ivfpq_refine_recall_at10"))
+        "ann.ivfpq_refine_recall_at10", "ann.index_stale_fraction"))
     // the recall/cost curve must be monotone in nprobe for the flat
     // probe (strictly wider candidate sets) and the np=2 points must
     // reproduce the headline gauges (same computation by construction)
@@ -625,7 +724,7 @@ class PipelineOpsSpec extends SparkTestBase {
       s"refined recall $refined must not regress ADC-only $adcOnly")
   }
 
-  test("PQ training: iteration 0 reproduces the first-16 residual seed codebook") {
+  test("PQ training: iteration 0 reproduces the first-PqCodes residual seed codebook") {
     val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
     val rf = SimilarityOps.residualFrame(emb, cents)
     val old = rf.filter(col("vec_id") < SimilarityOps.PqCodes)
@@ -700,6 +799,46 @@ class PipelineOpsSpec extends SparkTestBase {
     SimilarityOps.dropStagedIvfIndex()
     SimilarityOps.stagedIvfIndexDir(spark, sf)
     assert(SimilarityOps.ivfIndexBuilds.get() === ivfBefore + 3)
+  }
+
+  test("incremental index append: old+new rows identical to a rebuild at the frozen artifacts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_corpus_")
+    graft.util.TempDirs.track(dir)
+    def vec(id: Long, shift: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((id + shift) * 31 + j * 7) % 13 - 6).toFloat / 7f)
+    val old = (0 until 40).map(i => (i.toLong, vec(i, 0))).toDF("vec_id", "embedding")
+    old.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sf = dir.toString
+    val idxDir = SimilarityOps.stagedIvfIndexDir(spark, sf)
+    assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 0.0)
+    val builds = SimilarityOps.ivfIndexBuilds.get()
+    val batch = (100 until 110).map(i => (i.toLong, vec(i, 5))).toDF("vec_id", "embedding")
+    SimilarityOps.appendToStagedIvfIndex(spark, sf, batch)
+    // append must neither rebuild nor re-point the staged dir
+    assert(SimilarityOps.ivfIndexBuilds.get() === builds)
+    assert(SimilarityOps.stagedIvfIndexDir(spark, sf) === idxDir)
+    // the served files now equal the from-scratch projection of the
+    // WIDENED corpus under the SAME frozen centroids + codebook
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sf)
+    val cb = SimilarityOps.stagedPqCodebook(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("ccos"), col("pq_code"),
+        col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val served = canon(spark.read.parquet(idxDir))
+    val want = canon(SimilarityOps.indexRows(old.union(batch), cents, cb))
+    assert(served === want)
+    assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 10.0 / 50.0)
+    // a second append accumulates; a corpus rewrite still forces the
+    // periodic full retrain (stamp invalidation)
+    SimilarityOps.appendToStagedIvfIndex(spark, sf,
+      Seq((200L, vec(200, 9))).toDF("vec_id", "embedding"))
+    assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 11.0 / 51.0)
+    old.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(SimilarityOps.stagedIvfIndexDir(spark, sf) !== idxDir)
+    assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 0.0)
   }
 
   test("ann_batch: the join-based frame path equals the driver-staged path") {

@@ -401,7 +401,8 @@ class PlanSpec extends SparkTestBase {
       "rrf", // composes bm25 + embedding_topk_cosine, inheriting their crosses
       "emb_protos", // bounded staged-centroid-set cross (NumCentroids rows)
       "ccnet", // 1-row tercile-cutoff cross
-      "ivfpq") // same 1-row query-vector cross as pq_topk (coarse+fine compose)
+      "ivfpq", // same 1-row query-vector cross as pq_topk (coarse+fine compose)
+      "ivfpq_r") // ivfpq's crosses + the bounded RefineFactor×k shortlist broadcast
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
