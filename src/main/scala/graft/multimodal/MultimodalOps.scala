@@ -64,6 +64,13 @@ case class MediaFeatures(
   */
 object MultimodalOps {
 
+  // ImageIO's default ImageInputStream cache is DISK-backed: every
+  // decode of an in-memory payload writes a temp cache file first. At
+  // thousands of small rasters per partition that file churn dominates
+  // the actual decode — keep streams in memory (JVM-global, set once
+  // when any executor first touches this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Media table derived from the documents fixture: text bytes stand in
     * for media payloads; kind cycles deterministically.
     */
@@ -588,17 +595,21 @@ object MultimodalOps {
 
   /** Deterministic TEXTURED grayscale PNG synthesis (round 11, the
     * perceptual-hash corpus): a 32×32 integer pseudo-texture whose
-    * quadratic coefficients derive from the id's GROUP (`id mod 71`) and
-    * whose single spike pixel derives from the id itself — so ids in
-    * one group render NEAR-duplicate rasters (identical texture, one
-    * differing pixel) and cross-group rasters differ broadly. Everything
-    * is integer arithmetic mod 256 and PNG is lossless, so the oracle
-    * re-derives every pixel — and therefore the pooled dHash —
-    * arithmetically (the [[synthPng]] discipline, with structure instead
-    * of constant fill). */
+    * quadratic coefficients derive from the id's GROUP (`id div 8` —
+    * groups of 8 CONSECUTIVE ids, so duplicate-cluster size stays a
+    * CONSTANT as the corpus grows; real near-dup clusters don't scale
+    * with corpus size, and a modulus-derived group would make the
+    * pair output quadratic in sf) and whose single spike pixel derives
+    * from the id's position in its group — so ids in one group render
+    * NEAR-duplicate rasters (identical texture, one differing pixel)
+    * and cross-group rasters differ broadly. Everything is integer
+    * arithmetic mod 256 and PNG is lossless, so the oracle re-derives
+    * every pixel — and therefore the pooled dHash — arithmetically
+    * (the [[synthPng]] discipline, with structure instead of constant
+    * fill). */
   def synthTexturePng(mediaId: Long): Array[Byte] = {
-    val g = Math.floorMod(mediaId, 71).toInt
-    val spike = Math.floorMod(mediaId / 71, 32).toInt
+    val g = Math.floorMod(mediaId / 8, 1 << 20).toInt
+    val spike = Math.floorMod(mediaId, 8).toInt * 4
     val a = g % 5
     val b = (g / 5) % 5
     val c = (g / 25) % 3

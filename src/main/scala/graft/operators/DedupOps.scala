@@ -270,8 +270,11 @@ object DedupOps {
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         expr("bit_count(p.x)").as("hamming"))
-      .distinct() // a pair can share multiple blocks
+      // filter-then-distinct ≡ distinct-then-filter (hamming is a pair
+      // function); thresholding first shrinks the dedup exchange to the
+      // confirmed near-dups
       .filter(col("hamming") <= MaxHamming)
+      .distinct() // a pair can share multiple blocks
   }
 
   /** Perceptual image-hash geometry: the 56-bit dHash
@@ -317,8 +320,12 @@ object DedupOps {
       .select(
         col("p.media_a").as("media_a"), col("p.media_b").as("media_b"),
         expr("bit_count(p.x)").as("hamming"))
-      .distinct() // a pair can share multiple blocks
+      // threshold BEFORE the dedup exchange: hamming is a function of
+      // the pair, so filter-then-distinct ≡ distinct-then-filter — but
+      // the distinct's shuffle input shrinks from every in-bucket
+      // candidate to just the confirmed near-dups
       .filter(col("hamming") <= ImgMaxHamming)
+      .distinct() // a pair can share multiple blocks
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs (here: pairs
@@ -714,8 +721,10 @@ object DedupOps {
       // (integer ops mod 256; PNG is lossless — the synthTexturePng
       // contract), so the pooled dHash, the banding, the cap, and the
       // hamming verify all mirror the operator exactly
+      // g = doc_id // 8 matches the engine's floorMod(id / 8, 2^20)
+      // exactly on the fixture id domain (non-negative, far below 2^23)
       s"""WITH base AS (
-            SELECT doc_id, doc_id % 71 AS g, (doc_id // 71) % 32 AS spike
+            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 4 AS spike
             FROM documents),
           px AS (
             SELECT b.doc_id, x.x, y.y,

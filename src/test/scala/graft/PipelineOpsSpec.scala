@@ -515,8 +515,8 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("image dHash: codec-path hashes match the arithmetic replica; near-dup groups surface") {
     def replicaHash(id: Long): Long = {
-      val g = (id % 71).toInt
-      val spike = ((id / 71) % 32).toInt
+      val g = (id / 8).toInt
+      val spike = (id % 8).toInt * 4
       val (a, b, c, d) = (g % 5, (g / 5) % 5, (g / 25) % 3, g % 7)
       val px = Array.tabulate(32, 32) { (y, x) =>
         (a * x * x + b * y * y + c * x * y + d * (x + y) + g * 3 +
@@ -544,7 +544,7 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
     val wanted = for {
       a <- ids; b <- ids
-      if a < b && a % 71 == b % 71 &&
+      if a < b && a / 8 == b / 8 &&
         java.lang.Long.bitCount(replicaHash(a) ^ replicaHash(b)) <= DedupOps.ImgMaxHamming
     } yield (a, b)
     assert(wanted.nonEmpty, "fixture must contain same-group near-dups")
