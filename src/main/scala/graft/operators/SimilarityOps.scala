@@ -797,76 +797,73 @@ object SimilarityOps {
     * code, and empty cells keep their centroid through training). For
     * any corpus with ≥[[PqCodes]] dense ids this IS `vec_id < PqCodes`
     * — the text the oracle derivation keeps. */
-  private def pqSeedCodebook(x: DataFrame): DataFrame = {
-    val subDim = (size(col("x")) / PqSubspaces).cast("int")
+  /** The seed codebook as driver rows: the first-[[PqCodes]] vectors by
+    * id, cyclically extended when the corpus is smaller (code `c` takes
+    * seed row `c mod m`; duplicate seeds are harmless — argmin's
+    * first-min keeps the lowest code and empty cells persist through
+    * training). Bounded collect: ≤ PqCodes × dim doubles. */
+  private def pqSeedRows(x: DataFrame): Array[Array[Double]] = {
     val base = x.filter(col("vec_id") < PqCodes)
-    val m = base.count()
-    require(m > 0, "pqSeedCodebook: corpus has no seed rows (vec_id < PqCodes)")
-    val ranked = base
-      .withColumn("r", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-    val codes = x.sparkSession.range(PqCodes).select(
-      col("id").as("code"), (col("id") % m).cast("int").as("r"))
-    codes.join(broadcast(ranked), "r")
-      .select(col("code"),
-        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("x"))
-      .select(col("code"), col("sub"),
-        slice(col("x"), col("sub") * subDim + 1, subDim).as("ce"))
-  }
-
-  /** One deterministic per-subspace Lloyd step: every (vector, subspace)
-    * is assigned its argmin-squared-L2 code (sequential fold, lowest-code
-    * ties — exactly the [[pqSubDist]]/kernel numerics), then each
-    * (subspace, code) centroid becomes the dimension-wise mean of its
-    * members rounded to 6 decimals. A cell with NO members keeps its
-    * previous centroid (codes are positional in the packed id — they
-    * cannot drop the way empty IVF cells do). */
-  private def pqTrainStep(x: DataFrame, cb: DataFrame): DataFrame = {
-    val subDim = (size(col("x")) / PqSubspaces).cast("int")
-    val d = aggregate(
-      zip_with(slice(col("x"), col("sub") * subDim + 1, subDim), col("ce"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, v) => acc + v)
-    val best = x.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("sub"), col("code"), col("x"), d.as("d"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(struct(col("code"), col("x")), struct(col("d"), col("code"))).as("b"))
-      .select(col("sub"), col("b.code").as("code"), col("b.x").as("x"))
-    val dims = best
-      .withColumn("j", explode(sequence(lit(1), subDim)))
-      .select(col("sub"), col("code"), col("j"),
-        element_at(col("x"), (col("sub") * subDim + col("j")).cast("int")).as("cx"))
-      .groupBy("sub", "code", "j")
-      .agg(round(avg(col("cx")), 6).as("cx"))
-      .groupBy("sub", "code")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("cx")))),
-        p => p.getField("cx")).as("ne"))
-    cb.join(dims, Seq("sub", "code"), "left")
-      .select(col("code"), col("sub"), coalesce(col("ne"), col("ce")).as("ce"))
+      .orderBy(col("vec_id")).select(col("x"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(base.nonEmpty, "pqSeedRows: corpus has no seed rows (vec_id < PqCodes)")
+    Array.tabulate(PqCodes)(c => base(c % base.length).clone())
   }
 
   /** REAL per-subspace k-means PQ training (`iters` rounded Lloyd steps
-    * from the first-[[PqCodes]] seed), reassembled into the
-    * `PqCodes × dim` row shape the native kernels and oracles already
-    * consume: row c = concat over subspaces of that subspace's centroid
-    * c. `iters = 0` reproduces the historical untrained codebook
-    * bit-for-bit (asserted in tests). */
+    * from the first-[[PqCodes]] seed), producing the `PqCodes × dim`
+    * row shape the native kernels and oracles consume: row c = concat
+    * over subspaces of that subspace's centroid c. `iters = 0`
+    * reproduces the untrained seed codebook bit-for-bit (asserted).
+    *
+    * Scale shape (round 11 rewrite): the assignment step IS the
+    * [[graft.functions.PqEnc]] kernel — one in-row native argmin pass
+    * per vector against the current codebook LITERAL (identical
+    * numerics to the former `min_by` form: same sequential fold, same
+    * strict-< lowest-code ties, kernel-vs-HOF equivalence-tested) —
+    * replacing a corpus × (Codes·Subs) interpreted crossJoin that
+    * cost 31 s at 5 000 vectors and would be 10¹⁰ rows at 10⁷. Per
+    * step the corpus is touched once (scan → kernel → dim explode →
+    * map-side-combined mean), and the only driver traffic is the
+    * refreshed codebook itself (the MLlib KMeans per-iteration model
+    * collect — an INDEX, bounded by design). Means round to 6 decimals
+    * (the cross-engine determinism discipline); a cell with no members
+    * keeps its previous centroid (codes are positional in the packed
+    * id — they cannot drop the way empty IVF cells do). */
   private[graft] def trainPqCodebook(emb: DataFrame, iters: Int): Seq[Array[Double]] = {
     require(iters >= 0, s"trainPqCodebook: iters $iters must be >= 0")
+    graft.GraftSession.registerFunctions(emb.sparkSession)
     val x = emb.select(col("vec_id"),
       transform(col("embedding"), e => e.cast("double")).as("x"))
-    val cbN = (1 to iters).foldLeft(pqSeedCodebook(x))((cb, _) => pqTrainStep(x, cb))
-    val rows = cbN
-      .groupBy("code")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ce")))),
-        p => p.getField("ce")).as("parts"))
-      .select(col("code"), flatten(col("parts")).as("ce"))
-      .collect()
-      .map(r => r.getAs[Long]("code") -> r.getSeq[Double](r.fieldIndex("ce")).toArray)
-      .sortBy(_._1)
-    require(rows.length == PqCodes && rows.map(_._1).toSeq == (0L until PqCodes),
-      s"trainPqCodebook: expected codes 0..${PqCodes - 1}, " +
-        s"got ${rows.map(_._1).mkString(",")}")
-    rows.map(_._2).toSeq
+    var cb = pqSeedRows(x)
+    val dim = cb(0).length
+    val subDim = dim / PqSubspaces
+    for (_ <- 1 to iters) {
+      val dims = x
+        .select(col("x"),
+          element_at(call_function("pq_enc", col("x"), cbLit(cb.toSeq)), 1)
+            .cast("long").as("code"))
+        .select(col("x"),
+          explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("code"))
+        .select(col("sub"),
+          expr(s"shiftright(code, sub * $PqCodeBits) & ${PqCodes - 1}").as("c"),
+          col("x"))
+        .withColumn("j", explode(sequence(lit(1), lit(subDim))))
+        .select(col("sub"), col("c"), col("j"),
+          element_at(col("x"), (col("sub") * subDim + col("j")).cast("int")).as("cx"))
+        .groupBy("sub", "c", "j")
+        .agg(round(avg(col("cx")), 6).as("cx"))
+        .collect()
+      val next = cb.map(_.clone())
+      dims.foreach { r =>
+        val sub = r.getAs[Int]("sub")
+        val c = r.getAs[Long]("c").toInt
+        val j = r.getAs[Int]("j")
+        next(c)(sub * subDim + j - 1) = r.getAs[Double]("cx")
+      }
+      cb = next
+    }
+    cb.toSeq
   }
 
   /** The staged PQ codebook for an embeddings topic: [[PqIters]] rounds
