@@ -581,6 +581,68 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** [[embeddingBatchTopK]] through the COMPRESSED two-stage read — the
+    * batch form of [[ivfPqTopKRefinedIndexed]]: stage 1 ADC-ranks the
+    * probed cells' precomputed codes per query (the scan reads
+    * `(vec_id, pq_code, cell)` — the 64×-smaller read) and keeps each
+    * query's `refine × k` shortlist via a rank window; stage 2 joins
+    * the bounded shortlist back against the same probed partitions for
+    * just those rows' full vectors and emits the true-cosine top-k.
+    * Per query, rows are identical to [[ivfPqTopKRefinedIndexed]]
+    * (asserted in tests); the output schema is
+    * [[embeddingBatchTopK]]'s `(qid, vec_id, cosine, rnk)`. At 10^10
+    * vectors this is the serving shape that makes a large batch cheap:
+    * the full-vector read per query stays `refine × k` regardless of
+    * corpus or batch size, and everything else rides the compressed
+    * codes. */
+  def embeddingBatchTopKRefined(spark: SparkSession, sfDir: String,
+      queryIds: Seq[Long], k: Int, numProbe: Int = NumProbe,
+      refine: Int = RefineFactor): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    require(queryIds.nonEmpty, "embeddingBatchTopKRefined needs a non-empty query batch")
+    import spark.implicits._
+    val codebook = stagedPqCodebook(spark, sfDir)
+    val cents = stagedCentroidIndex(spark, sfDir)
+    val ids = queryIds.distinct
+    val centDf = cents.toDF("cent_id", "ce")
+    val queries = Fixtures.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val byQ = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    val probeRows = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qe"), col("cent_id"),
+        cosine(col("ce"), col("qe")).as("ccos"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= numProbe)
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+      .collect()
+    val probes = probeRows.toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+      .toDF("qid", "qe", "cell")
+    val cells = probeRows.map(_.getLong(2)).distinct.toSeq
+    val index = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      .filter(col("cell").isin(cells: _*))
+    val byAdc = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val shortlist = index
+      .join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        call_function("pq_adc",
+          residualOf(col("qe"), ceForCell(cents, col("cell").cast("long"))),
+          col("pq_code"), cbLit(codebook)).as("adist"))
+      .withColumn("srn", row_number().over(byAdc))
+      .filter(col("srn") <= refine * k)
+      .select(col("qid"), col("vec_id"))
+    val byRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    index
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(probes.select("qid", "qe").distinct()), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rnk", row_number().over(byRank).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-micro-batch admission bound for driver-staged ANN probe lists
     * ([[embeddingBatchTopK]]'s collect): past this many query ids the
     * id list no longer counts as a bounded serving batch and callers

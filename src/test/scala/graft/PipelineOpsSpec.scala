@@ -646,6 +646,19 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("batched refined ANN: per-query slices equal the single-query refined serve") {
+    val qs = Seq(0L, 7L, 13L)
+    val out = SimilarityOps.embeddingBatchTopKRefined(spark, sfDir, qs, 10).collect()
+    qs.foreach { q =>
+      val slice = out.filter(_.getAs[Long]("qid") == q)
+        .sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      val single = SimilarityOps.ivfPqTopKRefinedIndexed(spark, sfDir, q, 10).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSeq
+      assert(slice === single, s"query $q")
+    }
+  }
+
   test("ann_batch: duplicate and unknown query ids are harmless") {
     val clean = SimilarityOps.embeddingBatchTopK(spark, sfDir, Seq(0L, 7L), 5).collect()
     // a repeated id must not duplicate ranks; an id with no corpus vector
