@@ -608,6 +608,54 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe_count: kernel == replica over arbitrary corpora and merge tables (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    def replicaPass(ts: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var j = 0
+      while (j < ts.length) {
+        if (j < ts.length - 1 && ts(j) == a && ts(j + 1) == b) { out += (a + b); j += 2 }
+        else { out += ts(j); j += 1 }
+      }
+      out.toArray
+    }
+    // small alphabet forces dense pair collisions (runs, overlapping
+    // candidates — the adversarial shapes for the greedy pass)
+    val genWord = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genDoc = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(genWord, Gen.oneOf("7", "42", "!", "?"))).map(_.mkString(" ")))
+    val genMergeTable = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.oneOf("a", "b", "c", "ab", "bc", "ca", "aa")
+        b <- Gen.oneOf("a", "b", "c", "ab", "bc", "cc")
+      } yield (a, b)))
+    val prop = Prop.forAll(Gen.listOfN(6, genDoc), genMergeTable) { (texts, merges) =>
+      def count(text: String): Int = {
+        val m = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+          .matcher(text.toLowerCase)
+        var total = 0
+        while (m.find()) {
+          val t = m.group()
+          total += (if (t.forall(c => c >= 'a' && c <= 'z'))
+            merges.foldLeft(t.toCharArray.map(String.valueOf)) {
+              case (ts, (a, b)) => replicaPass(ts, a, b)
+            }.length
+          else 1)
+        }
+        total
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val model = TextOps.BpeModel(merges)
+      val got = TextOps.tokenCountsTrained(df, model).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bpe_tokens")).toMap
+      texts.indices.forall(i => got(i.toLong) == count(texts(i)))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lm staged model: fit once per sf dir, indexed scoring matches self-fitting form") {
     TextOps.dropStagedLmModel()
     val before = TextOps.lmFitRuns.get()
