@@ -150,44 +150,61 @@ object SimilarityOps {
     * assignment join + one dim-wise shuffle, both scale-safe). */
   val LloydIters = 3
 
-  /** One deterministic Lloyd step: assign every vector to its max-cosine
+  /** The first-`C`-by-id seed centroids as driver rows (C × dim
+    * doubles — an index-sized collect). */
+  private def lloydSeeds(emb: DataFrame): Seq[(Long, Array[Double])] =
+    emb.filter(col("vec_id") < NumCentroids)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("embedding"), e => e.cast("double")).as("ce"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+  /** `iters` deterministic Lloyd steps from the first-`C`-by-id seed —
+    * real k-means refinement: assign every vector to its max-cosine
     * centroid (lowest-cent_id tie-break), then recompute each centroid
     * as the dimension-wise mean of its cell. Means are rounded to 6
     * decimals so the refined centroids are bit-identical across engines
     * and summation orders (the same discipline as the cosines
     * themselves) — which is what keeps the iterated index ORACLE-CHECKED
     * rather than a fixed-seed stand-in. Empty cells drop in both engines
-    * identically (group-by semantics). */
-  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("ce")).as("ccos"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("cent_id"), posexplode(col("embedding")))
-      .groupBy(col("cent_id"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 6).as("cx"))
-      .groupBy("cent_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        x => x.getField("cx")).as("ce"))
-  }
-
-  /** `iters` Lloyd steps from the first-`C`-by-id seed — real k-means
-    * refinement (rounded at every step, the determinism discipline),
-    * replacing the former single-step stand-in. */
-  private[graft] def lloydIterate(emb: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 0, s"lloydIterate: iters $iters must be >= 0")
-    val seeds = emb.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cent_id"),
-        transform(col("embedding"), e => e.cast("double")).as("ce"))
-    (1 to iters).foldLeft(seeds)((cents, _) => lloydStep(emb, cents))
+    * identically (group-by semantics).
+    *
+    * Scale shape (round 11 rewrite, the PQ-trainer discipline): the
+    * assignment is the IN-ROW [[cellAssignExpr]] literal fold — the
+    * same expression (same cosine kernel, same max-cosine/lowest-id
+    * tie-break) the serving paths use, already asserted row-identical
+    * to the windowed rank-1 form — so each step touches the corpus
+    * once (scan → in-row argmax → dim explode → map-side-combined
+    * means) instead of paying a corpus × C crossJoin plus a corpus-wide
+    * rank window per step; only the C × dim refreshed centroids cross
+    * the driver (the MLlib KMeans per-iteration model collect). */
+  private[graft] def lloydIterateRows(emb: DataFrame,
+      iters: Int): Seq[(Long, Array[Double])] = {
+    require(iters >= 0, s"lloydIterateRows: iters $iters must be >= 0")
+    graft.GraftSession.registerFunctions(emb.sparkSession)
+    var cents = lloydSeeds(emb)
+    for (_ <- 1 to iters) {
+      val dims = emb
+        .withColumn("cell",
+          cellAssignExpr(cents.map { case (id, a) => id -> a.toSeq }))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("cx"))
+        .collect()
+      cents = dims.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (id, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        id -> arr
+      }
+    }
+    cents
   }
 
   /** IVF top-k: vectors are assigned to their max-cosine centroid (rank-1
     * window over the vector×centroid broadcast join); the query probes its
     * `NumProbe` best cells and exact-searches only those. Centroids are
-    * the [[lloydIterate]] k-means refinement of the first-`C` seed. Centroid
+    * the [[lloydIterateRows]] k-means refinement of the first-`C` seed. Centroid
     * count scales as √n at 100 TB; the assignment join stays broadcast
     * (centroid table is tiny) and the probe prunes the exact search to a
     * fraction of the corpus.
@@ -212,9 +229,7 @@ object SimilarityOps {
   private[graft] def collectCentroidsIter(emb: DataFrame,
       iters: Int): Seq[(Long, Array[Double])] = {
     lloydRuns.incrementAndGet()
-    lloydIterate(emb, iters).collect().toSeq
-      .map(r => (r.getAs[Long]("cent_id"),
-        r.getSeq[Double](r.fieldIndex("ce")).toArray))
+    lloydIterateRows(emb, iters)
   }
 
   private def lloydCentroids(emb: DataFrame): DataFrame = {
@@ -931,7 +946,7 @@ object SimilarityOps {
   /** The staged PQ codebook for an embeddings topic: [[PqIters]] rounds
     * of per-subspace k-means over the corpus (see [[trainPqCodebook]]),
     * trained once per corpus snapshot and reused — the offline-training
-    * shape, exactly as [[lloydIterate]] trains the IVF centroids; the
+    * shape, exactly as [[lloydIterateRows]] trains the IVF centroids; the
     * oracle re-derives the identical codebook from the table through a
     * generated CTE chain. The artifact is PqCodes×dim doubles — an
     * INDEX, bounded by design. */
