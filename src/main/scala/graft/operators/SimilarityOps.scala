@@ -277,11 +277,17 @@ object SimilarityOps {
     * ride into generated code like the classifier weights), zero
     * exchanges, and the exact tie-break the windowed rank-1 form uses,
     * so both assignment shapes agree row-for-row. */
-  private def cellAssignStruct(centroids: Seq[(Long, Seq[Double])]): Column =
-    least(centroids.map { case (id, ce) =>
+  private def cellAssignStruct(centroids: Seq[(Long, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "cellAssignStruct: empty centroid index")
+    val structs = centroids.map { case (id, ce) =>
       struct(negate(cosine(col("embedding"), typedlit(ce))).as("nc"),
         lit(id).as("cid"))
-    }: _*)
+    }
+    // `least` rejects a single argument — a degenerate index (every
+    // vector in one surviving cell, e.g. an identical-vector corpus
+    // after a Lloyd step drops the empty cells) assigns trivially
+    if (structs.length == 1) structs.head else least(structs: _*)
+  }
 
   private def cellAssignExpr(centroids: Seq[(Long, Seq[Double])]): Column =
     cellAssignStruct(centroids).getField("cid")
