@@ -664,6 +664,59 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** [[embeddingBatchTopKRefined]] for UNBOUNDED query batches — the
+    * refined twin of [[embeddingBatchTopKFrame]]: ids, query vectors,
+    * probe rows, the per-query ADC shortlist, and the exact re-rank all
+    * stay DataFrames end-to-end (join strategy left to AQE), so nothing
+    * batch-sized ever crosses the driver; the one collect is the
+    * distinct probed-cell list (bounded by the centroid count) that
+    * drives partition pruning. Row-identical per query to
+    * [[ivfPqTopKRefinedIndexed]] (asserted in tests). */
+  def embeddingBatchTopKRefinedFrame(spark: SparkSession, sfDir: String,
+      queryIds: DataFrame, k: Int, numProbe: Int = NumProbe,
+      refine: Int = RefineFactor): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    import spark.implicits._
+    val codebook = stagedPqCodebook(spark, sfDir)
+    val cents = stagedCentroidIndex(spark, sfDir)
+    val centDf = cents.toDF("cent_id", "ce")
+    val ids = queryIds
+      .select(col(queryIds.columns.head).cast("long").as("qid")).distinct()
+    val queries = Fixtures.embeddings(spark, sfDir)
+      .join(ids, col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qe"))
+    val byQ = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .select(col("qid"), col("qe"), col("cent_id"),
+        cosine(col("ce"), col("qe")).as("ccos"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= numProbe)
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      .filter(col("cell").isin(cells: _*))
+    val byAdc = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val shortlist = index
+      .join(probes, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        call_function("pq_adc",
+          residualOf(col("qe"), ceForCell(cents, col("cell").cast("long"))),
+          col("pq_code"), cbLit(codebook)).as("adist"))
+      .withColumn("srn", row_number().over(byAdc))
+      .filter(col("srn") <= refine * k)
+      .select(col("qid"), col("vec_id"))
+    val byRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    index
+      .join(shortlist, "vec_id")
+      .join(queries, "qid")
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cosine"))
+      .withColumn("rnk", row_number().over(byRank).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-micro-batch admission bound for driver-staged ANN probe lists
     * ([[embeddingBatchTopK]]'s collect): past this many query ids the
     * id list no longer counts as a bounded serving batch and callers

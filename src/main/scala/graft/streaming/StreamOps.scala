@@ -540,7 +540,13 @@ object StreamOps {
   def streamAnnTopK(spark: SparkSession, sfDir: String,
       maxQueryId: Long = 4L, k: Int = 5,
       maxDriverIds: Int = graft.operators.SimilarityOps.MaxDriverProbeIds,
-      numProbe: Int = graft.operators.SimilarityOps.NumProbe): DataFrame = {
+      numProbe: Int = graft.operators.SimilarityOps.NumProbe,
+      // serve through the compressed two-stage read (ADC shortlist +
+      // exact re-rank; contract key keeps the exact-rescore default).
+      // Refined batches ALWAYS route through the all-distributed frame
+      // path regardless of size — a cap-dependent path switch would
+      // make refined results micro-batch-split-DEPENDENT
+      refined: Boolean = false): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ann_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("data").toString
@@ -555,7 +561,9 @@ object StreamOps {
           val n = batch.count()
           if (n > 0) {
             val result =
-              if (n <= maxDriverIds) {
+              if (refined) graft.operators.SimilarityOps
+                .embeddingBatchTopKRefinedFrame(spark, sfDir, batch, k, numProbe)
+              else if (n <= maxDriverIds) {
                 val ids = batch.collect().map(_.getLong(0)).toSeq
                 graft.operators.SimilarityOps
                   .embeddingBatchTopK(spark, sfDir, ids, k, numProbe)

@@ -707,6 +707,16 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("refined ANN: frame path equals the driver-staged refined path") {
+    import spark.implicits._
+    val qs = Seq(0L, 7L, 13L)
+    // dup + unknown ids ride along, dropped identically in both paths
+    assertSameRows(
+      SimilarityOps.embeddingBatchTopKRefinedFrame(spark, sfDir,
+        (qs ++ Seq(0L, -999L)).toDF("vec_id"), 10),
+      SimilarityOps.embeddingBatchTopKRefined(spark, sfDir, qs, 10))
+  }
+
   test("ann_batch: duplicate and unknown query ids are harmless") {
     val clean = SimilarityOps.embeddingBatchTopK(spark, sfDir, Seq(0L, 7L), 5).collect()
     // a repeated id must not duplicate ranks; an id with no corpus vector

@@ -67,6 +67,15 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
+  test("stream_ann refined serve equals the refined batch over the same id window") {
+    import spark.implicits._
+    val stream = StreamOps.streamAnnTopK(spark, sfDir, maxQueryId = 4L, k = 5,
+      refined = true)
+    val batch = graft.operators.SimilarityOps.embeddingBatchTopKRefinedFrame(
+      spark, sfDir, (0L to 4L).toDF("vec_id"), 5)
+    assertSameRows(stream, batch)
+  }
+
   test("stream_tumbling equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
     val batch = ev
