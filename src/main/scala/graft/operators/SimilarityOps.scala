@@ -1309,11 +1309,12 @@ object SimilarityOps {
   /** Fixture recall@k of the REFINED two-stage serve (ADC shortlist →
     * exact re-rank) vs the exact top-k. */
   def ivfPqRefineRecallAtK(spark: SparkSession, sfDir: String,
-      ids: Seq[Long] = RecallIds, k: Int = IVF_K): Double = {
+      ids: Seq[Long] = RecallIds, k: Int = IVF_K,
+      numProbe: Int = NumProbe): Double = {
     val emb = Fixtures.embeddings(spark, sfDir)
     avgOverlap(ids, k,
       q => LlmOps.embeddingTopKCosine(emb, q, k),
-      q => ivfPqTopKRefinedIndexed(spark, sfDir, q, k))
+      q => ivfPqTopKRefinedIndexed(spark, sfDir, q, k, numProbe))
   }
 
   private def centsFor(spark: SparkSession, sfDir: String,
@@ -1356,6 +1357,8 @@ object SimilarityOps {
         ivfRecallAtK(spark, sfDir, numProbe = np))
       graft.ObservedMetrics.recordGauge(s"ann.ivfpq_recall_at10_np$np",
         ivfPqRecallAtK(spark, sfDir, numProbe = np))
+      graft.ObservedMetrics.recordGauge(s"ann.ivfpq_refine_recall_at10_np$np",
+        ivfPqRefineRecallAtK(spark, sfDir, numProbe = np))
     }
     // recall of the two-stage refined serve ([[ivfPqTopKRefinedIndexed]])
     // — expected ≈ the IVF-flat ceiling: the exact re-rank absorbs the

@@ -762,7 +762,9 @@ class PipelineOpsSpec extends SparkTestBase {
         "ann.ivf_recall_at10_np1", "ann.ivf_recall_at10_np2",
         "ann.ivf_recall_at10_np4", "ann.ivfpq_recall_at10_np1",
         "ann.ivfpq_recall_at10_np2", "ann.ivfpq_recall_at10_np4",
-        "ann.ivfpq_refine_recall_at10", "ann.index_stale_fraction"))
+        "ann.ivfpq_refine_recall_at10", "ann.ivfpq_refine_recall_at10_np1",
+        "ann.ivfpq_refine_recall_at10_np2", "ann.ivfpq_refine_recall_at10_np4",
+        "ann.index_stale_fraction"))
     // the recall/cost curve must be monotone in nprobe for the flat
     // probe (strictly wider candidate sets) and the np=2 points must
     // reproduce the headline gauges (same computation by construction)
