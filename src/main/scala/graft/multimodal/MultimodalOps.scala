@@ -671,6 +671,133 @@ object MultimodalOps {
     spark.read.parquet(dir.toString).as[MediaRecord]
   }
 
+  /** Deterministic TEXTURED WAV synthesis (the audio twin of
+    * [[synthTexturePng]]): 456 PCM16 mono samples at 8 kHz whose
+    * quadratic integer pattern derives from the id's GROUP (`id div 8`,
+    * constant cluster size — the same near-dup cluster discipline) and
+    * whose single spiked sample derives from the id's position in its
+    * group. PCM is lossless and everything is integer arithmetic, so
+    * the oracle re-derives every sample — and the windowed energy
+    * fingerprint — arithmetically. */
+  def synthTextureWav(mediaId: Long): Array[Byte] = {
+    val g = Math.floorMod(mediaId / 8, 1 << 20).toInt
+    val t0 = Math.floorMod(mediaId, 8).toInt * 50
+    val a = g % 7
+    val b = (g / 7) % 11
+    val c = g % 64
+    val nFrames = 456
+    val dataLen = nFrames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes(ascii)).putInt(dataLen)
+    var t = 0
+    while (t < nFrames) {
+      val s = (a * t * t + b * t + c) % 2048 - 1024 +
+        (if (t == t0) 500 else 0)
+      buf.putShort(s.toShort)
+      t += 1
+    }
+    buf.array()
+  }
+
+  /** The textured-audio corpus: one [[synthTextureWav]] payload per
+    * document row (the [[textureTable]] shape). */
+  def audioTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, source, lang) =>
+        MediaRecord(id, "audio", synthTextureWav(id),
+          Map("source" -> source, "lang" -> lang))
+      })
+  }
+
+  private val audioTableDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** How many times the audio table actually SYNTHESIZED — staging
+    * observability for tests. */
+  val audioTableBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def dropStagedAudioTable(): Unit = audioTableDirs.clear()
+
+  /** [[audioTable]] staged to parquet once per corpus SNAPSHOT (the
+    * [[stagedTextureTable]] discipline). */
+  def stagedAudioTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val dir = audioTableDirs.get(sfDir)({
+      audioTableBuilds.incrementAndGet()
+      val d = java.nio.file.Files.createTempDirectory("graft_media_audio_")
+      graft.util.TempDirs.track(d)
+      audioTable(graft.model.Fixtures.documents(spark, sfDir))
+        .write.mode("overwrite").parquet(d.toString)
+      d
+    })
+    spark.read.parquet(dir.toString).as[MediaRecord]
+  }
+
+  /** Acoustic energy fingerprint of each audio payload through the REAL
+    * codec: parse the container with `javax.sound.sampled` (PCM16 is
+    * lossless, samples come back exact), sum |sample| over 57
+    * consecutive 8-frame windows, and emit one bit per adjacent-window
+    * energy comparison — bit `w` set iff E(w) > E(w+1) — packing 56
+    * bits into a BIGINT. This is the sign-of-energy-delta family of
+    * acoustic fingerprints (Haitsma-Kalker shape, mono band): loudness
+    * rescaling preserves the deltas' signs, small edits move a couple
+    * of bits. The 56-bit hash feeds the SAME banded pair skeleton as
+    * the image dHash. Mono-ized by summing channels per frame;
+    * undecodable or short payloads drop (per-row corrupt fallback). */
+  def audioEnergyHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val channels = fmt.getChannels
+        val n = bytes.length / frameSize
+        if (n < 57 * 8) (r.media_id, None: Option[Long])
+        else {
+          val e = new Array[Long](57)
+          var t = 0
+          while (t < 57 * 8) {
+            var ch = 0
+            var frameSum = 0L
+            while (ch < channels) {
+              val off = t * frameSize + ch * 2
+              val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+              frameSum += s
+              ch += 1
+            }
+            e(t / 8) += math.abs(frameSum)
+            t += 1
+          }
+          var hash = 0L
+          var w = 0
+          while (w < 56) {
+            if (e(w) > e(w + 1)) hash |= 1L << w
+            w += 1
+          }
+          (r.media_id, Some(hash))
+        }
+      } catch {
+        case _: Exception => (r.media_id, None: Option[Long])
+      }
+    }).toDF("media_id", "h")
+      .filter(col("h").isNotNull)
+      .select(col("media_id"), col("h").as("dhash"))
+  }
+
   /** Perceptual difference-hash (dHash) of each image payload through
     * the REAL codec: decode (`javax.imageio`), average-pool the red
     * channel onto an 8×8 integer grid (exact integer sums — no

@@ -299,10 +299,25 @@ object DedupOps {
     imageHashPairs(graft.multimodal.MultimodalOps.imageDHash(
       graft.multimodal.MultimodalOps.stagedTextureTable(spark, sfDir)))
 
+  /** Audio near-duplicate pairs by acoustic energy fingerprint — the
+    * audio member of the dedup family (text: simhash/minhash; image:
+    * dHash): every stored WAV decodes through the real
+    * `javax.sound.sampled` codec into a 56-bit sign-of-energy-delta
+    * fingerprint ([[graft.multimodal.MultimodalOps.audioEnergyHash]]),
+    * then EXACTLY the shared banded skeleton. Same scale shape: one
+    * Long per clip crosses the exchange, buckets capped with overflow
+    * observed, pigeonhole-complete at hamming ≤ 7 over 8 blocks. */
+  def audioHashDups(spark: SparkSession, sfDir: String): DataFrame =
+    imageHashPairs(graft.multimodal.MultimodalOps.audioEnergyHash(
+      graft.multimodal.MultimodalOps.stagedAudioTable(spark, sfDir)),
+      "wav_hash_block_overflow")
+
   /** The banding/verify stage of [[imageDHashDups]] over any
-    * `(media_id, dhash)` frame — the seam the cap tests drive
-    * directly. */
-  def imageHashPairs(fp: DataFrame): DataFrame = {
+    * `(media_id, dhash)` 56-bit perceptual-hash frame — shared by the
+    * image (dHash) and audio (energy-fingerprint) dedup ops and the
+    * seam the cap tests drive directly. */
+  def imageHashPairs(fp: DataFrame,
+      metric: String = "img_dhash_block_overflow"): DataFrame = {
     val blocks = fp.select(
       col("media_id"), col("dhash"),
       explode(sequence(lit(0), lit(ImgHashBlocks - 1))).as("blk"))
@@ -315,7 +330,7 @@ object DedupOps {
       a.getField("dhash").bitwiseXOR(b.getField("dhash")).as("x"))
     groupMembers(blocks, Seq(col("blk"), col("blk_val")),
         struct(col("media_id"), col("dhash")), col("media_id"),
-        "img_dhash_block_overflow")
+        metric)
       .select(explode(memberPairs(col("m"), pairStruct)).as("p"))
       .select(
         col("p.media_a").as("media_a"), col("p.media_b").as("media_b"),
@@ -603,6 +618,9 @@ object DedupOps {
     // round 11: perceptual image-hash near-dups over the textured media
     // corpus ("img_dups" short for the bench line budget)
     "img_dups" -> ((s, d) => imageDHashDups(s, d)),
+    // round 11: acoustic-fingerprint near-dups over the textured audio
+    // corpus ("wav_dups" short for the bench line budget)
+    "wav_dups" -> ((s, d) => audioHashDups(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
     "lsh_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
@@ -742,6 +760,43 @@ object DedupOps {
                                           ELSE 0 END), 0) AS dhash
                  FROM cells l JOIN cells r
                    ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+                 GROUP BY l.doc_id),
+          blocks AS (SELECT doc_id, dhash, b.blk,
+                            (dhash >> (b.blk * 7)) & 127 AS blk_val
+                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
+                                                  ORDER BY doc_id) AS rk
+                     FROM blocks),
+          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+                    FROM ranked a JOIN ranked b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val
+                      AND a.doc_id < b.doc_id
+                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
+          SELECT media_a, media_b, hamming FROM pairs
+          WHERE hamming <= $ImgMaxHamming""",
+    "wav_dups" ->
+      // every PCM sample re-derives arithmetically (integer ops; PCM16
+      // is lossless — the synthTextureWav contract), so the windowed
+      // energies, the fingerprint, and the banded pairs mirror the
+      // operator exactly
+      s"""WITH abase AS (
+            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 50 AS t0
+            FROM documents),
+          samp AS (
+            SELECT b.doc_id, t.t // 8 AS w,
+                   abs(((b.g % 7) * t.t * t.t + ((b.g // 7) % 11) * t.t
+                        + (b.g % 64)) % 2048 - 1024
+                       + CASE WHEN t.t = b.t0 THEN 500 ELSE 0 END) AS av
+            FROM abase b, range(0, 456) t(t)),
+          energy AS (SELECT doc_id, w, sum(av) AS e
+                     FROM samp GROUP BY 1, 2),
+          fp AS (SELECT l.doc_id,
+                        coalesce(sum(CASE WHEN l.e > r.e
+                                          THEN 1::BIGINT << l.w
+                                          ELSE 0 END), 0) AS dhash
+                 FROM energy l JOIN energy r
+                   ON r.doc_id = l.doc_id AND r.w = l.w + 1
                  GROUP BY l.doc_id),
           blocks AS (SELECT doc_id, dhash, b.blk,
                             (dhash >> (b.blk * 7)) & 127 AS blk_val

@@ -551,6 +551,38 @@ class PipelineOpsSpec extends SparkTestBase {
     wanted.foreach(p => assert(pairs(p), s"missing near-dup pair $p"))
   }
 
+  test("audio energy hash: codec-path fingerprints match the arithmetic replica; near-dups surface") {
+    def replicaHash(id: Long): Long = {
+      val g = (id / 8).toInt
+      val t0 = (id % 8).toInt * 50
+      val (a, b, c) = (g % 7, (g / 7) % 11, g % 64)
+      val e = new Array[Long](57)
+      (0 until 456).foreach { t =>
+        val s = (a * t * t + b * t + c) % 2048 - 1024 + (if (t == t0) 500 else 0)
+        e(t / 8) += math.abs(s)
+      }
+      (0 until 56).map(w => if (e(w) > e(w + 1)) 1L << w else 0L).sum
+    }
+    val builds = MultimodalOps.audioTableBuilds.get()
+    val hashes = MultimodalOps.audioEnergyHash(
+      MultimodalOps.stagedAudioTable(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(hashes.keySet === ids.toSet)
+    ids.foreach(id => assert(hashes(id) === replicaHash(id), s"clip $id"))
+    MultimodalOps.audioEnergyHash(MultimodalOps.stagedAudioTable(spark, sfDir)).count()
+    assert(MultimodalOps.audioTableBuilds.get() === builds + 1)
+    val pairs = DedupOps.audioHashDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    val wanted = for {
+      a <- ids; b <- ids
+      if a < b && a / 8 == b / 8 &&
+        java.lang.Long.bitCount(replicaHash(a) ^ replicaHash(b)) <= DedupOps.ImgMaxHamming
+    } yield (a, b)
+    assert(wanted.nonEmpty, "fixture must contain same-group audio near-dups")
+    wanted.foreach(p => assert(pairs(p), s"missing near-dup pair $p"))
+  }
+
   test("BPE: trained merges are deterministic, bounded, and staged once per corpus") {
     TextOps.dropStagedBpeModel()
     val before = TextOps.bpeFitRuns.get()
