@@ -680,11 +680,18 @@ object MultimodalOps {
     * the oracle re-derives every sample — and the windowed energy
     * fingerprint — arithmetically. */
   def synthTextureWav(mediaId: Long): Array[Byte] = {
-    val g = Math.floorMod(mediaId / 8, 1 << 20).toInt
+    val g = Math.floorMod(mediaId / 8, 1 << 20)
     val t0 = Math.floorMod(mediaId, 8).toInt * 50
-    val a = g % 7
-    val b = (g / 7) % 11
-    val c = g % 64
+    // Knuth multiplicative mixing: consecutive groups must land on
+    // UNCORRELATED (a, b, c) triples — a small direct parameter space
+    // (the first cut used 7×11×64) made whole parameter classes of
+    // groups render near-identical energy patterns, which is a
+    // pathological dup-density, not a texture (measured: 185k pairs at
+    // sf0.1, block buckets past the 512 cap)
+    val p = g * 2654435761L
+    val a = p % 1024
+    val b = (p / 1024) % 1024
+    val c = (p / 1048576) % 2048
     val nFrames = 456
     val dataLen = nFrames * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -698,8 +705,8 @@ object MultimodalOps {
     buf.put("data".getBytes(ascii)).putInt(dataLen)
     var t = 0
     while (t < nFrames) {
-      val s = (a * t * t + b * t + c) % 2048 - 1024 +
-        (if (t == t0) 500 else 0)
+      val s = ((a * t * t + b * t + c) % 2048 - 1024 +
+        (if (t == t0) 500 else 0)).toInt
       buf.putShort(s.toShort)
       t += 1
     }

@@ -785,8 +785,9 @@ object DedupOps {
             FROM documents),
           samp AS (
             SELECT b.doc_id, t.t // 8 AS w,
-                   abs(((b.g % 7) * t.t * t.t + ((b.g // 7) % 11) * t.t
-                        + (b.g % 64)) % 2048 - 1024
+                   abs((((b.g * 2654435761) % 1024) * t.t * t.t
+                        + (((b.g * 2654435761) // 1024) % 1024) * t.t
+                        + (((b.g * 2654435761) // 1048576) % 2048)) % 2048 - 1024
                        + CASE WHEN t.t = b.t0 THEN 500 ELSE 0 END) AS av
             FROM abase b, range(0, 456) t(t)),
           energy AS (SELECT doc_id, w, sum(av) AS e

@@ -553,9 +553,10 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("audio energy hash: codec-path fingerprints match the arithmetic replica; near-dups surface") {
     def replicaHash(id: Long): Long = {
-      val g = (id / 8).toInt
+      val g = id / 8
       val t0 = (id % 8).toInt * 50
-      val (a, b, c) = (g % 7, (g / 7) % 11, g % 64)
+      val p = g * 2654435761L
+      val (a, b, c) = (p % 1024, (p / 1024) % 1024, (p / 1048576) % 2048)
       val e = new Array[Long](57)
       (0 until 456).foreach { t =>
         val s = (a * t * t + b * t + c) % 2048 - 1024 + (if (t == t0) 500 else 0)
