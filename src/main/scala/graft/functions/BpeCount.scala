@@ -29,9 +29,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The greedy pass is the exact operational form of the oracle's
   * per-rank rewrite (merge starts = pair positions, with odd-prefix
-  * selection inside equal-symbol runs); ascending-rank application is
-  * complete because a pair's rank always exceeds its constituent
-  * symbols' ranks, so no earlier-rank pair can re-form later.
+  * selection inside equal-symbol runs). Ascending-rank application is
+  * complete under ONE assumption: each merge's output symbol has a
+  * distinct surface form (a pair's rank always exceeds its constituent
+  * symbols' ranks, so an earlier-rank pair cannot re-form — UNLESS two
+  * merges share a surface form, e.g. (a,bc) and (ab,c) both yielding
+  * "abc", where a mid-rank pair involving that symbol could re-form
+  * after the later merge and would not be revisited). The tables
+  * [[graft.operators.TextOps.fitBpeModel]] learns satisfy the
+  * assumption in practice, and engine, oracle, and test replica all
+  * implement the same single ascending pass — the repo contract is a
+  * single shared definition, not canonical iterative lowest-rank BPE.
   */
 case class BpeCount(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -607,7 +607,18 @@ object MultimodalOps {
     * every pixel — and therefore the pooled dHash — arithmetically
     * (the [[synthPng]] discipline, with structure instead of constant
     * fill). */
+  /** Id domain the arithmetic oracles assume: non-negative and below
+    * 2^23, so the engine's historical `floorMod(id / 8, 2^20)` group
+    * derivation and the oracle's plain `doc_id // 8` agree exactly.
+    * Enforced loudly in every texture synthesizer — a wider id domain
+    * must fail the build, not silently flip a correctness hash. */
+  private[multimodal] def requireTextureIdDomain(mediaId: Long): Unit =
+    require(mediaId >= 0 && mediaId < (1L << 23),
+      s"texture media id $mediaId outside [0, 2^23) — the arithmetic " +
+        "oracles' group derivation (id // 8) no longer matches the engine's")
+
   def synthTexturePng(mediaId: Long): Array[Byte] = {
+    requireTextureIdDomain(mediaId)
     val g = Math.floorMod(mediaId / 8, 1 << 20).toInt
     val spike = Math.floorMod(mediaId, 8).toInt * 4
     val a = g % 5
@@ -680,6 +691,7 @@ object MultimodalOps {
     * the oracle re-derives every sample — and the windowed energy
     * fingerprint — arithmetically. */
   def synthTextureWav(mediaId: Long): Array[Byte] = {
+    requireTextureIdDomain(mediaId)
     val g = Math.floorMod(mediaId / 8, 1 << 20)
     val t0 = Math.floorMod(mediaId, 8).toInt * 50
     // Knuth multiplicative mixing: consecutive groups must land on

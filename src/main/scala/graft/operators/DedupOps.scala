@@ -740,7 +740,9 @@ object DedupOps {
       // contract), so the pooled dHash, the banding, the cap, and the
       // hamming verify all mirror the operator exactly
       // g = doc_id // 8 matches the engine's floorMod(id / 8, 2^20)
-      // exactly on the fixture id domain (non-negative, far below 2^23)
+      // exactly on the id domain [0, 2^23) that the texture
+      // synthesizers ENFORCE (requireTextureIdDomain) — a wider domain
+      // fails the build loudly instead of flipping this hash
       s"""WITH base AS (
             SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 4 AS spike
             FROM documents),

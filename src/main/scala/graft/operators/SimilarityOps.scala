@@ -923,21 +923,20 @@ object SimilarityOps {
     * recall of the ADC ranking (see PipelineOpsSpec). */
   val PqIters = 3
 
-  /** Per-subspace seed codebook: the first-[[PqCodes]] vectors' slices —
-    * `(code, sub, ce₁₆)` rows, so iteration 0 reassembles to exactly the
-    * first-[[PqCodes]]-rows codebook. A corpus SMALLER than the codebook
-    * (test corpora; a real corpus is always ≫ 256 vectors) seeds
-    * cyclically — code `c` takes seed row `c mod m` by vec_id rank —
-    * because the kernels require exactly [[PqCodes]] rows; duplicate
-    * seeds are harmless (argmin's first-min tie-break keeps the lowest
-    * code, and empty cells keep their centroid through training). For
-    * any corpus with ≥[[PqCodes]] dense ids this IS `vec_id < PqCodes`
-    * — the text the oracle derivation keeps. */
   /** The seed codebook as driver rows: the first-[[PqCodes]] vectors by
     * id, cyclically extended when the corpus is smaller (code `c` takes
-    * seed row `c mod m`; duplicate seeds are harmless — argmin's
-    * first-min keeps the lowest code and empty cells persist through
-    * training). Bounded collect: ≤ PqCodes × dim doubles. */
+    * seed row `c mod m`; the kernels require exactly [[PqCodes]] rows).
+    * For any corpus with ≥[[PqCodes]] dense ids this IS `vec_id <
+    * PqCodes` — the text the oracle derivation keeps. Duplicate seeds
+    * from cyclic extension are equivalent to the oracle's m-row seed
+    * ONLY at iteration 0 / through the FIRST Lloyd step (argmin's
+    * first-min tie-break keeps the lowest code): once step 1 moves
+    * centroid r, its stale duplicate at code r+m retains the original
+    * seed and can win later assignments, so trainer and oracle diverge
+    * for sub-[[PqCodes]]-vector corpora at iters ≥ 2. Oracle-checked
+    * paths therefore REQUIRE a full-width corpus
+    * ([[stagedPqCodebook]]); cyclic extension exists for unit-test
+    * corpora only. Bounded collect: ≤ PqCodes × dim doubles. */
   private def pqSeedRows(x: DataFrame): Array[Array[Double]] = {
     val base = x.filter(col("vec_id") < PqCodes)
       .orderBy(col("vec_id")).select(col("x"))
@@ -1013,13 +1012,22 @@ object SimilarityOps {
     new graft.util.StampedMemo[Seq[Array[Double]]]("embeddings")
 
   def stagedPqCodebook(spark: SparkSession, sfDir: String): Seq[Array[Double]] =
-    pqCodebookCache.get(sfDir)(
+    pqCodebookCache.get(sfDir)({
+      val emb = Fixtures.embeddings(spark, sfDir)
+      // the oracle seeds `vec_id < PqCodes` directly: cyclic seed
+      // extension (sub-PqCodes corpora) diverges from it past the first
+      // Lloyd step (see pqSeedRows), so the staged trainer refuses
+      // rather than silently drift
+      val n = emb.count()
+      require(n >= PqCodes,
+        s"stagedPqCodebook: corpus $sfDir has $n vectors < PqCodes=$PqCodes — " +
+          "the generated oracle's first-PqCodes seed would diverge from cyclic seeding")
       // RESIDUAL training (round 11): the codebook quantizes
       // `x − centroid(cell)` — see [[residualFrame]]
       trainPqCodebook(
-        residualFrame(Fixtures.embeddings(spark, sfDir),
-          stagedCentroidIndex(spark, sfDir)),
-        PqIters))
+        residualFrame(emb, stagedCentroidIndex(spark, sfDir)),
+        PqIters)
+    })
 
   def dropStagedPqCodebook(): Unit = pqCodebookCache.clear()
 
