@@ -295,7 +295,7 @@ object LlmOps {
   private val TOP_K_VECS = 20
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_tokenize_counts" ->
+    "tok_counts" ->
       ((s, d) => textTokenizeCounts(Fixtures.documents(s, d), TOP_K_WORDS)),
     "bigrams" ->
       ((s, d) => corpusBigramTopK(Fixtures.documents(s, d), TOP_K_WORDS)),
@@ -379,7 +379,7 @@ object LlmOps {
   def oracle: Map[String, String] = Map(
     "filter_pipe" -> filterPipelineOracle,
     "keep_best" -> keepBestOracle,
-    "text_tokenize_counts" ->
+    "tok_counts" ->
       s"""SELECT word, CAST(count(*) AS BIGINT) AS n
           FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
                 FROM documents)

@@ -377,7 +377,7 @@ object MessageOps {
     "redelivery_counts" -> ((s, d) => redeliveryCounts(Fixtures.events(s, d))),
     "dlq_split" -> ((s, d) => deadLetterSplit(Fixtures.events(s, d), 16)),
     "seek_topk" -> ((s, d) => seekByTimeTopK(Fixtures.events(s, d), T0_US, 100)),
-    "last_msg_per_partition" -> ((s, d) => lastMessagePerPartition(Fixtures.events(s, d))),
+    "last_msg" -> ((s, d) => lastMessagePerPartition(Fixtures.events(s, d))),
     "read_compacted" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
     "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
     "chunk_reassembly" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
@@ -472,7 +472,7 @@ object MessageOps {
     "seek_topk" ->
       s"""SELECT event_id, user_id, event_type, $US AS publish_us FROM events
           WHERE $US >= $T0_US ORDER BY publish_us, event_id LIMIT 100""",
-    "last_msg_per_partition" ->
+    "last_msg" ->
       s"""SELECT part, event_id AS last_event_id, publish_us AS last_us FROM
           (SELECT CAST(user_id % $P AS INTEGER) AS part, event_id, $US AS publish_us,
                   row_number() OVER (PARTITION BY user_id % $P

@@ -164,7 +164,7 @@ object RelationalOps {
       Fixtures.lineitem(s, d), Fixtures.orders(s, d), Fixtures.customer(s, d),
       Fixtures.nation(s, d), Fixtures.region(s, d))),
     "rollup_cube" -> ((s, d) => ordersRollupCube(Fixtures.orders(s, d))),
-    "set_ops_returnflag" -> ((s, d) => setOpsSegment(
+    "set_ops" -> ((s, d) => setOpsSegment(
       Fixtures.customer(s, d), Fixtures.orders(s, d), SEGMENT)),
     "str_date_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
     "approx_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
@@ -186,7 +186,7 @@ object RelationalOps {
                 round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-    "set_ops_returnflag" ->
+    "set_ops" ->
       """SELECT custkey, 'with_orders' AS tag FROM
            (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
             INTERSECT SELECT o_custkey FROM orders)

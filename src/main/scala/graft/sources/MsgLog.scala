@@ -333,13 +333,13 @@ object MsgLog {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "msglog_roundtrip_scan" -> ((s, d) => msglogRoundtripScan(s, d)),
+    "msglog_rt" -> ((s, d) => msglogRoundtripScan(s, d)),
     "msglog_multi_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
     "msglog_env" -> ((s, d) => msglogEnvelopeScan(s, d)),
     "msglog_schema_scan" -> ((s, d) => msglogSchemaScan(s, d)))
 
   def oracle: Map[String, String] = Map(
-    "msglog_roundtrip_scan" ->
+    "msglog_rt" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -257,7 +257,7 @@ class PlanSpec extends SparkTestBase {
     // group limit that keeps one row per group per input partition
     // before anything shuffles; an orderBy/filter refactor that breaks
     // the rewrite turns this into P un-splittable sort tasks
-    Seq("last_msg_per_partition", "read_compacted").foreach { k =>
+    Seq("last_msg", "read_compacted").foreach { k =>
       val p = plan(k)
       assert(p.contains("row_number(), 1, Partial"), s"$k lost its partial group limit:\n$p")
     }
@@ -408,7 +408,7 @@ class PlanSpec extends SparkTestBase {
     // construction-time jobs are exercised elsewhere; skip the heavy ones
     val skip = Set("doc_dup_groups", "filter_pipe", "emb_dup_groups",
       "lsh_dups", "emb_ivf_topk", "bucketed_join",
-      "msglog_roundtrip_scan", "msglog_multi_scan", "rr_balance",
+      "msglog_rt", "msglog_multi_scan", "rr_balance",
       "text_lm_perplexity")
     SparkEntry.queries.keys
       .filterNot(_.startsWith("stream_")).filterNot(skip)
@@ -425,7 +425,7 @@ class PlanSpec extends SparkTestBase {
     // all queries build lazily without .collect(); constructing every
     // plan must not run a job (closed-form ops may run their one count)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
-      .filterNot(Set("rr_balance", "msglog_roundtrip_scan",
+      .filterNot(Set("rr_balance", "msglog_rt",
         "msglog_multi_scan", "bucketed_join",
         "lsh_dups",
         "emb_ivf_topk", // staging writes / C×dim centroid index
