@@ -25,8 +25,62 @@ import graft.model.Fixtures
 object SimilarityOps {
 
   val NumPlanes = 8
-  val NumCentroids = 8
+
+  /** IVF centroid-count bounds for [[defaultNumCentroids]]: at least 8
+    * (the historical fixed geometry — unit-test corpora pin here), at
+    * most 64 (the fixture ceiling; production MaxCentroids is whatever
+    * keeps the C×dim centroid artifact a driver constant — 10^5 rows ×
+    * 64 dims ≈ 50 MB is still fine). */
+  val MinCentroids = 8
+  val MaxCentroids = 64
+
+  /** Centroid count for a corpus of `corpusSize` vectors —
+    * `clamp(MinCentroids, MaxCentroids, floor(sqrt(n)))`, the
+    * [[defaultNumPlanes]] discipline applied to the IVF index (round 12;
+    * closes the last fixed-geometry scale shape): with C FIXED a probe
+    * reads numProbe/C of the corpus at ANY scale (25% forever at the
+    * old C=8), while C ~ √n keeps expected CELL SIZE at √n — per-probe
+    * cost grows sublinearly and cells stay tight enough to rank. The
+    * √n rule is the standard IVF sizing (FAISS guidance: C ∈
+    * [√n, 16√n]). Exactly mirrored by the generated oracles' `ivf_geo`
+    * CTE (`greatest(min, least(max, floor(sqrt(count(*)))))` — IEEE
+    * sqrt/floor agree bit-for-bit), so the derivation itself is
+    * oracle-checked. */
+  def defaultNumCentroids(corpusSize: Long): Int = {
+    require(corpusSize > 0, s"defaultNumCentroids: corpusSize=$corpusSize must be positive")
+    math.min(MaxCentroids,
+      math.max(MinCentroids, math.floor(math.sqrt(corpusSize.toDouble)).toInt))
+  }
+
+  /** Probe-count floor and the library default for the unstaged
+    * (explicit-index) call shapes. */
   val NumProbe = 2
+
+  /** Probe count for a DECLARED centroid count `c` — `max(NumProbe,
+    * c / 8)`: a fixed probe count over a growing C shrinks coverage to
+    * numProbe/C, so np scales with C (but stays a small constant
+    * multiple of it — per-query cost np × n/C ~ √n stays sublinear).
+    * Derived from the declared C, never the surviving cell count
+    * (Lloyd may drop empty cells; the oracle derives from count(*) and
+    * must agree). */
+  def defaultNumProbe(declaredC: Int): Int = math.max(NumProbe, declaredC / 8)
+
+  /** Sentinel for `numProbe` parameters on the STAGED serving paths:
+    * "derive from the staged index's declared geometry". */
+  val DerivedProbe = 0
+
+  /** The staged DECLARED centroid count for a corpus dir — the C that
+    * [[defaultNumCentroids]] picks from the corpus count, memoized on
+    * the corpus snapshot like every staged artifact. */
+  private val declaredCCache = new graft.util.StampedMemo[Int]("embeddings")
+
+  def stagedDeclaredC(spark: SparkSession, sfDir: String): Int =
+    declaredCCache.get(sfDir)(
+      defaultNumCentroids(Fixtures.embeddings(spark, sfDir).count()))
+
+  private def resolveNumProbe(spark: SparkSession, sfDir: String, requested: Int): Int =
+    if (requested > 0) requested
+    else defaultNumProbe(stagedDeclaredC(spark, sfDir))
 
   /** Prototypes kept per IVF cell by [[embeddingCellPrototypes]]. */
   val ProtoK = 8
@@ -144,16 +198,17 @@ object SimilarityOps {
     * fixture recall@10 of the served IVF probe vs the exact top-k
     * (see `recordIvfRecall` / PipelineOpsSpec): iterating past the
     * single seed step moves centroids to true cell means and measurably
-    * improves probe recall; returns diminish within a few passes. At
+    * improves probe recall; returns diminish within a few passes.
+    * The centroid COUNT is corpus-derived ([[defaultNumCentroids]]). At
     * 100 TB k-means training runs as an offline pipeline on a sample —
     * this is that pipeline's in-engine form (per pass: one broadcast
     * assignment join + one dim-wise shuffle, both scale-safe). */
   val LloydIters = 3
 
-  /** The first-`C`-by-id seed centroids as driver rows (C × dim
+  /** The first-`c`-by-id seed centroids as driver rows (c × dim
     * doubles — an index-sized collect). */
-  private def lloydSeeds(emb: DataFrame): Seq[(Long, Array[Double])] =
-    emb.filter(col("vec_id") < NumCentroids)
+  private def lloydSeeds(emb: DataFrame, c: Int): Seq[(Long, Array[Double])] =
+    emb.filter(col("vec_id") < c)
       .orderBy(col("vec_id"))
       .select(col("vec_id"),
         transform(col("embedding"), e => e.cast("double")).as("ce"))
@@ -183,7 +238,10 @@ object SimilarityOps {
       iters: Int): Seq[(Long, Array[Double])] = {
     require(iters >= 0, s"lloydIterateRows: iters $iters must be >= 0")
     graft.GraftSession.registerFunctions(emb.sparkSession)
-    var cents = lloydSeeds(emb)
+    // declared C from the CORPUS COUNT (one cheap parquet-metadata job,
+    // paid once per trainer run) — the corpus-scaled geometry; the
+    // generated oracles derive the identical C from count(*)
+    var cents = lloydSeeds(emb, defaultNumCentroids(emb.count()))
     for (_ <- 1 to iters) {
       val dims = emb
         .withColumn("cell",
@@ -217,7 +275,7 @@ object SimilarityOps {
     * KMeans collects centers every iteration): the artifact is C×dim
     * doubles — an INDEX, not data — and re-enters the plan as a local
     * relation that broadcasts for free. This is the one deliberate
-    * driver materialization in the engine, bounded by NumCentroids.
+    * driver materialization in the engine, bounded by the declared C.
     */
   /** Run the refinement and collect the C×dim index rows — the one
     * shared trainer behind the staged and unstaged paths. */
@@ -444,8 +502,9 @@ object SimilarityOps {
     * tests): same assignment tie-break, same cosine expression, same
     * (cosine desc, vec_id) ranking. */
   def embeddingIvfTopKIndexed(spark: SparkSession, sfDir: String,
-      queryId: Long, k: Int, numProbe: Int = NumProbe): DataFrame = {
+      queryId: Long, k: Int, numProbe: Int = DerivedProbe): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
     val centroids = stagedCentroidIndex(spark, sfDir)
     val centDf = centroids.toDF("cent_id", "ce")
@@ -453,7 +512,7 @@ object SimilarityOps {
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     val probeCells = centDf.crossJoin(broadcast(qdf))
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cent_id")).limit(numProbe)
+      .orderBy(col("ccos").desc, col("cent_id")).limit(np)
       .collect().map(_.getLong(0)).toSeq
     spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
       .filter(col("cell").isin(probeCells: _*))
@@ -472,8 +531,9 @@ object SimilarityOps {
     * [[ivfPqTopK]] over the same staged artifacts (asserted in tests):
     * same probe, same codes, same ADC lookup. */
   def ivfPqTopKIndexed(spark: SparkSession, sfDir: String,
-      queryId: Long, k: Int, numProbe: Int = NumProbe): DataFrame = {
+      queryId: Long, k: Int, numProbe: Int = DerivedProbe): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
     val codebook = stagedPqCodebook(spark, sfDir)
     val cents = stagedCentroidIndex(spark, sfDir)
@@ -482,7 +542,7 @@ object SimilarityOps {
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     val probeCells = centDf.crossJoin(broadcast(qdf))
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cent_id")).limit(numProbe)
+      .orderBy(col("ccos").desc, col("cent_id")).limit(np)
       .collect().map(_.getLong(0)).toSeq
     spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
       .filter(col("cell").isin(probeCells: _*))
@@ -521,9 +581,10 @@ object SimilarityOps {
     * output schema is [[embeddingIvfTopKIndexed]]'s `(vec_id, cosine)`
     * — a drop-in higher-recall serve of the same contract. */
   def ivfPqTopKRefinedIndexed(spark: SparkSession, sfDir: String,
-      queryId: Long, k: Int, numProbe: Int = NumProbe,
+      queryId: Long, k: Int, numProbe: Int = DerivedProbe,
       refine: Int = RefineFactor): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
     val codebook = stagedPqCodebook(spark, sfDir)
     val cents = stagedCentroidIndex(spark, sfDir)
@@ -532,7 +593,7 @@ object SimilarityOps {
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     val probeCells = centDf.crossJoin(broadcast(qdf))
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
-      .orderBy(col("ccos").desc, col("cent_id")).limit(numProbe)
+      .orderBy(col("ccos").desc, col("cent_id")).limit(np)
       .collect().map(_.getLong(0)).toSeq
     val index = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
       .filter(col("cell").isin(probeCells: _*))
@@ -567,8 +628,9 @@ object SimilarityOps {
     * corpus-cardinality window would). Per query, rows are identical to
     * [[embeddingIvfTopK]] (asserted in tests). */
   def embeddingBatchTopK(spark: SparkSession, sfDir: String,
-      queryIds: Seq[Long], k: Int, numProbe: Int = NumProbe): DataFrame = {
+      queryIds: Seq[Long], k: Int, numProbe: Int = DerivedProbe): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     require(queryIds.nonEmpty, "embeddingBatchTopK needs a non-empty query batch")
     import spark.implicits._
     // a repeated id must not rank twice (duplicate probe rows would put
@@ -584,7 +646,7 @@ object SimilarityOps {
       .select(col("qid"), col("qe"), col("cent_id"),
         cosine(col("ce"), col("qe")).as("ccos"))
       .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= numProbe)
+      .filter(col("rn") <= np)
       .select(col("qid"), col("qe"), col("cent_id").as("cell"))
       .collect()
     val probes = probeRows.toSeq
@@ -617,9 +679,10 @@ object SimilarityOps {
     * corpus or batch size, and everything else rides the compressed
     * codes. */
   def embeddingBatchTopKRefined(spark: SparkSession, sfDir: String,
-      queryIds: Seq[Long], k: Int, numProbe: Int = NumProbe,
+      queryIds: Seq[Long], k: Int, numProbe: Int = DerivedProbe,
       refine: Int = RefineFactor): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     require(queryIds.nonEmpty, "embeddingBatchTopKRefined needs a non-empty query batch")
     import spark.implicits._
     val codebook = stagedPqCodebook(spark, sfDir)
@@ -634,7 +697,7 @@ object SimilarityOps {
       .select(col("qid"), col("qe"), col("cent_id"),
         cosine(col("ce"), col("qe")).as("ccos"))
       .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= numProbe)
+      .filter(col("rn") <= np)
       .select(col("qid"), col("qe"), col("cent_id").as("cell"))
       .collect()
     val probes = probeRows.toSeq
@@ -673,9 +736,10 @@ object SimilarityOps {
     * drives partition pruning. Row-identical per query to
     * [[ivfPqTopKRefinedIndexed]] (asserted in tests). */
   def embeddingBatchTopKRefinedFrame(spark: SparkSession, sfDir: String,
-      queryIds: DataFrame, k: Int, numProbe: Int = NumProbe,
+      queryIds: DataFrame, k: Int, numProbe: Int = DerivedProbe,
       refine: Int = RefineFactor): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
     val codebook = stagedPqCodebook(spark, sfDir)
     val cents = stagedCentroidIndex(spark, sfDir)
@@ -690,7 +754,7 @@ object SimilarityOps {
       .select(col("qid"), col("qe"), col("cent_id"),
         cosine(col("ce"), col("qe")).as("ccos"))
       .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= numProbe)
+      .filter(col("rn") <= np)
       .select(col("qid"), col("qe"), col("cent_id").as("cell"))
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -742,8 +806,9 @@ object SimilarityOps {
     * Row-identical to [[embeddingBatchTopK]] on the same ids (asserted
     * in tests). */
   def embeddingBatchTopKFrame(spark: SparkSession, sfDir: String,
-      queryIds: DataFrame, k: Int, numProbe: Int = NumProbe): DataFrame = {
+      queryIds: DataFrame, k: Int, numProbe: Int = DerivedProbe): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     annJoinServes.incrementAndGet()
     import spark.implicits._
     val centDf = stagedCentroidIndex(spark, sfDir).toDF("cent_id", "ce")
@@ -757,7 +822,7 @@ object SimilarityOps {
       .select(col("qid"), col("qe"), col("cent_id"),
         cosine(col("ce"), col("qe")).as("ccos"))
       .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= numProbe)
+      .filter(col("rn") <= np)
       .select(col("qid"), col("qe"), col("cent_id").as("cell"))
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -927,16 +992,14 @@ object SimilarityOps {
     * id, cyclically extended when the corpus is smaller (code `c` takes
     * seed row `c mod m`; the kernels require exactly [[PqCodes]] rows).
     * For any corpus with ≥[[PqCodes]] dense ids this IS `vec_id <
-    * PqCodes` — the text the oracle derivation keeps. Duplicate seeds
-    * from cyclic extension are equivalent to the oracle's m-row seed
-    * ONLY at iteration 0 / through the FIRST Lloyd step (argmin's
-    * first-min tie-break keeps the lowest code): once step 1 moves
-    * centroid r, its stale duplicate at code r+m retains the original
-    * seed and can win later assignments, so trainer and oracle diverge
-    * for sub-[[PqCodes]]-vector corpora at iters ≥ 2. Oracle-checked
-    * paths therefore REQUIRE a full-width corpus
-    * ([[stagedPqCodebook]]); cyclic extension exists for unit-test
-    * corpora only. Bounded collect: ≤ PqCodes × dim doubles. */
+    * PqCodes` — the text the oracle derivation keeps. Cyclic duplicates
+    * alone would equal an m-row codebook only through the FIRST Lloyd
+    * step (argmin's first-min keeps the lowest code; once step 1 moves
+    * centroid r, a stale duplicate at r+m could win later argmins) —
+    * so [[trainPqCodebook]] RE-MIRRORS codes ≥ m onto their base code
+    * after every step, keeping training on an m-row corpus exactly the
+    * m-row training cyclically extended, at every iteration count.
+    * Bounded collect: ≤ PqCodes × dim doubles. */
   private def pqSeedRows(x: DataFrame): Array[Array[Double]] = {
     val base = x.filter(col("vec_id") < PqCodes)
       .orderBy(col("vec_id")).select(col("x"))
@@ -971,6 +1034,11 @@ object SimilarityOps {
     val x = emb.select(col("vec_id"),
       transform(col("embedding"), e => e.cast("double")).as("x"))
     var cb = pqSeedRows(x)
+    // distinct seed width: a sub-PqCodes corpus seeds cyclically and the
+    // duplicates must TRACK their base code through training (see
+    // pqSeedRows); full-width corpora make the mirroring a no-op
+    val baseLen = math.min(
+      x.filter(col("vec_id") < PqCodes).count().toInt, PqCodes)
     val dim = cb(0).length
     val subDim = dim / PqSubspaces
     for (_ <- 1 to iters) {
@@ -996,6 +1064,12 @@ object SimilarityOps {
         val j = r.getAs[Int]("j")
         next(c)(sub * subDim + j - 1) = r.getAs[Double]("cx")
       }
+      // re-mirror cyclic duplicates onto their base code: first-min
+      // argmin routes every assignment to codes < baseLen, so only base
+      // codes ever receive cell means — copying them out keeps the
+      // extended book a faithful cyclic image after EVERY step
+      var c = baseLen
+      while (c < PqCodes) { next(c) = next(c % baseLen).clone(); c += 1 }
       cb = next
     }
     cb.toSeq
@@ -1012,22 +1086,13 @@ object SimilarityOps {
     new graft.util.StampedMemo[Seq[Array[Double]]]("embeddings")
 
   def stagedPqCodebook(spark: SparkSession, sfDir: String): Seq[Array[Double]] =
-    pqCodebookCache.get(sfDir)({
-      val emb = Fixtures.embeddings(spark, sfDir)
-      // the oracle seeds `vec_id < PqCodes` directly: cyclic seed
-      // extension (sub-PqCodes corpora) diverges from it past the first
-      // Lloyd step (see pqSeedRows), so the staged trainer refuses
-      // rather than silently drift
-      val n = emb.count()
-      require(n >= PqCodes,
-        s"stagedPqCodebook: corpus $sfDir has $n vectors < PqCodes=$PqCodes — " +
-          "the generated oracle's first-PqCodes seed would diverge from cyclic seeding")
+    pqCodebookCache.get(sfDir)(
       // RESIDUAL training (round 11): the codebook quantizes
       // `x − centroid(cell)` — see [[residualFrame]]
       trainPqCodebook(
-        residualFrame(emb, stagedCentroidIndex(spark, sfDir)),
-        PqIters)
-    })
+        residualFrame(Fixtures.embeddings(spark, sfDir),
+          stagedCentroidIndex(spark, sfDir)),
+        PqIters))
 
   def dropStagedPqCodebook(): Unit = pqCodebookCache.clear()
 
@@ -1055,7 +1120,7 @@ object SimilarityOps {
   /** [[ivfPqTopK]] taking the centroid index as a DataFrame (the
     * [[embeddingIvfTopK]]-style call shape). Delegates to the
     * literal-fold implementation below — ONE serving path, two call
-    * shapes; the index is a bounded staged artifact ([[NumCentroids]]
+    * shapes; the index is a bounded staged artifact (declared-C
     * rows), so collecting it to literals is the same driver-side cost
     * `stagedCentroidIndex` already pays. Cell-assignment tie-breaks
     * (highest cosine, then lowest cent_id) are identical by
@@ -1292,33 +1357,35 @@ object SimilarityOps {
     */
   def ivfRecallAtK(spark: SparkSession, sfDir: String,
       ids: Seq[Long] = RecallIds, k: Int = IVF_K,
-      iters: Int = LloydIters, numProbe: Int = NumProbe): Double = {
+      iters: Int = LloydIters, numProbe: Int = DerivedProbe): Double = {
     import spark.implicits._
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     val emb = Fixtures.embeddings(spark, sfDir)
     val centDf = centsFor(spark, sfDir, iters).toDF("cent_id", "ce")
     avgOverlap(ids, k,
       q => LlmOps.embeddingTopKCosine(emb, q, k),
-      q => embeddingIvfTopK(emb, q, k, index = Some(centDf), numProbe = numProbe))
+      q => embeddingIvfTopK(emb, q, k, index = Some(centDf), numProbe = np))
   }
 
   /** Fixture recall@k of the composed IVF+PQ (ADC) ranking vs the exact
     * top-k — the end-to-end quality of the compressed serving path. */
   def ivfPqRecallAtK(spark: SparkSession, sfDir: String,
       ids: Seq[Long] = RecallIds, k: Int = IVF_K,
-      iters: Int = LloydIters, numProbe: Int = NumProbe): Double = {
+      iters: Int = LloydIters, numProbe: Int = DerivedProbe): Double = {
+    val np = resolveNumProbe(spark, sfDir, numProbe)
     val emb = Fixtures.embeddings(spark, sfDir)
     val cb = stagedPqCodebook(spark, sfDir)
     val cents = centsFor(spark, sfDir, iters)
     avgOverlap(ids, k,
       q => LlmOps.embeddingTopKCosine(emb, q, k),
-      q => ivfPqTopK(emb, cb, cents, q, k, numProbe))
+      q => ivfPqTopK(emb, cb, cents, q, k, np))
   }
 
   /** Fixture recall@k of the REFINED two-stage serve (ADC shortlist →
     * exact re-rank) vs the exact top-k. */
   def ivfPqRefineRecallAtK(spark: SparkSession, sfDir: String,
       ids: Seq[Long] = RecallIds, k: Int = IVF_K,
-      numProbe: Int = NumProbe): Double = {
+      numProbe: Int = DerivedProbe): Double = {
     val emb = Fixtures.embeddings(spark, sfDir)
     avgOverlap(ids, k,
       q => LlmOps.embeddingTopKCosine(emb, q, k),
@@ -1346,9 +1413,17 @@ object SimilarityOps {
     * IVF probe and of the IVF+PQ ADC ranking, plus the 1-step-seed IVF
     * baseline the iterated index is graded against (measured: seed
     * 0.48 → 1 step 0.53 → [[LloydIters]]=3 steps 0.55 at sf0.001/0.01,
-    * 20 queries; diminishing past 3 — recall is bounded well below 1 by
-    * design at [[NumProbe]]=2 of [[NumCentroids]]=8 cells probed). */
+    * 20 queries at the historical fixed C=8/np=2 geometry; diminishing
+    * past 3 — recall is bounded well below 1 by design when np/C cells
+    * are probed; the round-12 corpus-scaled geometry re-gauges the
+    * whole curve). */
   def recordIvfRecall(spark: SparkSession, sfDir: String): Unit = {
+    // the DECLARED geometry itself (round 12: corpus-derived, no longer
+    // a constant) — so every recall gauge below reads against its C/np
+    graft.ObservedMetrics.recordGauge("ann.declared_centroids",
+      stagedDeclaredC(spark, sfDir).toDouble)
+    graft.ObservedMetrics.recordGauge("ann.num_probe",
+      defaultNumProbe(stagedDeclaredC(spark, sfDir)).toDouble)
     graft.ObservedMetrics.recordGauge("ann.ivf_recall_at10",
       ivfRecallAtK(spark, sfDir))
     graft.ObservedMetrics.recordGauge("ann.ivf_recall_at10_1step",
@@ -1356,11 +1431,11 @@ object SimilarityOps {
     graft.ObservedMetrics.recordGauge("ann.ivfpq_recall_at10",
       ivfPqRecallAtK(spark, sfDir))
     // The recall/cost CURVE a serving tier tunes against: nprobe is the
-    // per-query-class knob (cost ∝ probed cells), so record recall@10 at
-    // nprobe ∈ {1, 2, 4} for both the flat-IVF probe and the compressed
-    // IVF+PQ path. nprobe=2 duplicates the headline gauges above by
-    // construction — kept so the curve is self-contained in one read.
-    Seq(1, 2, 4).foreach { np =>
+    // per-query-class knob (cost ∝ probed cells × cell size), so record
+    // recall@10 at nprobe ∈ {1, 2, 4, 8} for the flat-IVF probe, the
+    // compressed IVF+PQ path, and the refined serve. The headline gauges
+    // above use the DERIVED np (max(2, C/8)).
+    Seq(1, 2, 4, 8).foreach { np =>
       graft.ObservedMetrics.recordGauge(s"ann.ivf_recall_at10_np$np",
         ivfRecallAtK(spark, sfDir, numProbe = np))
       graft.ObservedMetrics.recordGauge(s"ann.ivfpq_recall_at10_np$np",
@@ -1605,9 +1680,14 @@ object SimilarityOps {
   private def ivfScoredCte: String = {
     val sb = new StringBuilder
     sb.append(
-      s"""ivf_cents_0 AS MATERIALIZED (SELECT vec_id AS cent_id,
+      s"""ivf_geo AS MATERIALIZED (
+            SELECT c, greatest($NumProbe, c // 8) AS np FROM (
+              SELECT greatest($MinCentroids, least($MaxCentroids,
+                       CAST(floor(sqrt(count(*))) AS BIGINT))) AS c
+              FROM embeddings)),
+        ivf_cents_0 AS MATERIALIZED (SELECT vec_id AS cent_id,
                  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS ce
-          FROM embeddings WHERE vec_id < $NumCentroids)""")
+          FROM embeddings WHERE vec_id < (SELECT c FROM ivf_geo))""")
     for (i <- 1 to LloydIters) {
       sb.append(",\n        " + ivfScoreCte(s"ivf_cents_${i - 1}", s"ivf_scored_$i"))
       sb.append(s""",
@@ -1680,7 +1760,7 @@ object SimilarityOps {
             SELECT cent_id AS cell FROM (
               SELECT cent_id,
                      row_number() OVER (ORDER BY ccos DESC, cent_id) AS rn
-              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= $NumProbe),
+              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= (SELECT np FROM ivf_geo)),
           cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells USING (cell)
                    WHERE a.vec_id <> $QUERY_VEC),
           ${pqQueryResidualCte(QUERY_VEC)},
@@ -1703,7 +1783,7 @@ object SimilarityOps {
             SELECT cent_id AS cell FROM (
               SELECT cent_id,
                      row_number() OVER (ORDER BY ccos DESC, cent_id) AS rn
-              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= $NumProbe),
+              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= (SELECT np FROM ivf_geo)),
           cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells USING (cell)
                    WHERE a.vec_id <> $QUERY_VEC),
           ${pqQueryResidualCte(QUERY_VEC)},
@@ -1773,7 +1853,7 @@ object SimilarityOps {
             SELECT cent_id AS cell FROM (
               SELECT cent_id,
                      row_number() OVER (ORDER BY ccos DESC, cent_id) AS rn
-              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= $NumProbe),
+              FROM scored WHERE vec_id = $QUERY_VEC) WHERE rn <= (SELECT np FROM ivf_geo)),
           cand AS (
             SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
             WHERE a.vec_id <> $QUERY_VEC)
@@ -1805,7 +1885,7 @@ object SimilarityOps {
           SELECT vec_id AS qid, cent_id AS cell FROM (
             SELECT vec_id, cent_id,
                    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-            FROM scored WHERE $qidPredicate) WHERE rn <= $NumProbe),
+            FROM scored WHERE $qidPredicate) WHERE rn <= (SELECT np FROM ivf_geo)),
         cand AS (
           SELECT q.qid, a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
           WHERE a.vec_id <> q.qid),

@@ -540,7 +540,9 @@ object StreamOps {
   def streamAnnTopK(spark: SparkSession, sfDir: String,
       maxQueryId: Long = 4L, k: Int = 5,
       maxDriverIds: Int = graft.operators.SimilarityOps.MaxDriverProbeIds,
-      numProbe: Int = graft.operators.SimilarityOps.NumProbe,
+      // DerivedProbe: the serving paths resolve np from the staged
+      // index's declared (corpus-scaled) geometry, like the batch keys
+      numProbe: Int = graft.operators.SimilarityOps.DerivedProbe,
       // serve through the compressed two-stage read (ADC shortlist +
       // exact re-rank; contract key keeps the exact-rescore default).
       // Refined batches ALWAYS route through the all-distributed frame

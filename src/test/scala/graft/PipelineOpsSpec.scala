@@ -790,14 +790,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rpq > 0.0 && rpq <= 1.0, s"ivfpq recall $rpq out of band")
     SimilarityOps.recordIvfRecall(spark, sfDir)
     assert(ObservedMetrics.gaugeSnapshot.keySet ===
-      Set("ann.ivf_recall_at10", "ann.ivf_recall_at10_1step",
+      Set("ann.declared_centroids", "ann.num_probe",
+        "ann.ivf_recall_at10", "ann.ivf_recall_at10_1step",
         "ann.ivfpq_recall_at10", "ann.pq_train_mse",
         "ann.ivf_recall_at10_np1", "ann.ivf_recall_at10_np2",
-        "ann.ivf_recall_at10_np4", "ann.ivfpq_recall_at10_np1",
+        "ann.ivf_recall_at10_np4", "ann.ivf_recall_at10_np8",
+        "ann.ivfpq_recall_at10_np1",
         "ann.ivfpq_recall_at10_np2", "ann.ivfpq_recall_at10_np4",
+        "ann.ivfpq_recall_at10_np8",
         "ann.ivfpq_refine_recall_at10", "ann.ivfpq_refine_recall_at10_np1",
         "ann.ivfpq_refine_recall_at10_np2", "ann.ivfpq_refine_recall_at10_np4",
+        "ann.ivfpq_refine_recall_at10_np8",
         "ann.index_stale_fraction"))
+    // the declared geometry gauges reflect the corpus-derived rule
+    assert(ObservedMetrics.gaugeSnapshot("ann.declared_centroids") ===
+      SimilarityOps.stagedDeclaredC(spark, sfDir).toDouble)
     // the recall/cost curve must be monotone in nprobe for the flat
     // probe (strictly wider candidate sets) and the np=2 points must
     // reproduce the headline gauges (same computation by construction)
@@ -966,7 +973,10 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(idx.select("vec_id").distinct().count() === n, "no vector in two cells")
     assert(idx.filter(col("pq_code").isNull).count() === 0, "every row carries its code")
     val cells = idx.select("cell").distinct().count()
-    assert(cells >= 1 && cells <= SimilarityOps.NumCentroids)
+    // surviving cells are bounded by the corpus-DERIVED declared C
+    // (round 12: C = clamp(8, 64, floor(sqrt(n))); Lloyd may drop
+    // empty cells but can never mint one)
+    assert(cells >= 1 && cells <= SimilarityOps.stagedDeclaredC(spark, sfDir))
   }
 
   test("pq staged codebook: collected once, cached per sf dir") {
