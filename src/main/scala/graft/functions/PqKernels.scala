@@ -7,13 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
-/** Product-quantization kernels (PQ4x8 geometry — 4 subspaces × 256
-  * codes, 8 bits per code, the FAISS-default code width; round 11
-  * widened from the original 8×16/4-bit geometry, whose 16-entry
-  * codebooks were the measured recall bottleneck — see
+/** Product-quantization kernels (PQ8x8 geometry — 8 subspaces × 256
+  * codes, 8 bits per code, the FAISS-default code width; round 12
+  * doubled the subspace count from the round-11 PQ4x8 at the same
+  * per-subspace width — 64-bit codes, double the bit budget per vector,
+  * measured to close most of the ADC-vs-flat recall gap; the round-11
+  * widening history: 8×16/4-bit → 4×256/8-bit — see
   * [[graft.operators.SimilarityOps]]).
   *
-  * Why native: the composable encode evaluates 4×256 = 1024 separate
+  * Why native: the composable encode evaluates 8×256 = 2048 separate
   * `aggregate(zip_with(slice(...)))` chains per row — higher-order
   * functions are `CodegenFallback`, so each corpus vector pays 1024
   * interpreted folds and as many intermediate arrays (the 128-fold
@@ -36,12 +38,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * `ArrayData` for the codebook.
   */
 object PqKernels {
-  /** PQ4x8: subspace and code-count geometry shared by both kernels and
-    * the operator layer. CodeBits per subspace code — 4 subspaces × 8
-    * bits = a 32-bit packed code, exactly representable in the DOUBLE
-    * the encode returns (< 2^53) and positive in the BIGINT the index
-    * stores. */
-  val Subs = 4
+  /** PQ8x8: subspace and code-count geometry shared by both kernels and
+    * the operator layer. CodeBits per subspace code — 8 subspaces × 8
+    * bits = a 64-bit packed code, returned as an exact BIGINT struct
+    * field (subspace 7 occupies the sign byte, so codes with its high
+    * bit set pack NEGATIVE under two's complement — the same silent
+    * Long wrap the Scala shift performs; the oracle mirrors it through
+    * a HUGEINT sum wrapped back into signed 64). */
+  val Subs = 8
   val Codes = 256
   val CodeBits = 8
 
@@ -101,11 +105,14 @@ object PqKernels {
     out
   }
 
-  /** Encode: returns `[code, mseSum]` as a 2-element double array —
-    * `code` = the 4 argmin codes packed 8 bits each (exact in a double:
-    * < 2^32), `mseSum` = the sum of the 4 minimal subspace distances
-    * (caller divides by dim). Null on null input element. */
-  def encode(xa: ArrayData, cb: Array[Double], isFloat: Boolean): ArrayData = {
+  /** Encode: returns `(code, mseSum)` as an InternalRow —
+    * `code` = the 8 argmin codes packed 8 bits each into one BIGINT
+    * (64-bit codes no longer fit a double exactly past 2^53, so the
+    * round-11 2-element double array had to become a struct), `mseSum`
+    * = the sum of the 8 minimal subspace distances (caller divides by
+    * dim). Null on null input element. */
+  def encode(xa: ArrayData, cb: Array[Double],
+      isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val x = widen(xa, isFloat)
     if (x == null) return null
     val dim = x.length
@@ -128,7 +135,8 @@ object PqKernels {
       mseSum += best
       s += 1
     }
-    new GenericArrayData(Array[Double](code.toDouble, mseSum))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](code, mseSum))
   }
 
   /** Asymmetric distance: Σ_s ‖query_sub(s) − codebook[code_s]_sub(s)‖²
@@ -152,10 +160,14 @@ object PqKernels {
   }
 }
 
-/** `pq_enc(x, codebookFlat)` → `ARRAY<DOUBLE>[code, mseSum]`. */
+/** `pq_enc(x, codebookFlat)` → `STRUCT<code: BIGINT, mse: DOUBLE>`
+  * (`mse` is the SUM of per-subspace minimal distances — callers
+  * divide by dim). */
 case class PqEnc(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("code", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("mse", DoubleType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "pq_enc"
 

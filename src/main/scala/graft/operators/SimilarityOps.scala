@@ -439,10 +439,9 @@ object SimilarityOps {
       .withColumn("b", cellAssignStruct(cents))
       .select(col("vec_id"), col("embedding"),
         negate(col("b.nc")).as("ccos"),
-        element_at(call_function("pq_enc",
+        call_function("pq_enc",
           residualOf(col("embedding"), ceForCell(cents, col("b.cid"))),
-          cbLit(codebook)), 1)
-          .cast("long").as("pq_code"),
+          cbLit(codebook)).getField("code").as("pq_code"),
         col("b.cid").as("cell"))
 
   /** How many vectors entered the staged index via APPEND (per index
@@ -564,8 +563,10 @@ object SimilarityOps {
     * probed codes, keeps the best `RefineFactor × k`, and re-ranks only
     * those by true cosine. A serving CONSTANT — at 10^10 vectors the
     * refine stage still touches 50 full vectors per query while the ADC
-    * stage scans codes 16× smaller than the raw embeddings. */
-  val RefineFactor = 5
+    * stage scans codes 32× smaller than the raw embeddings. Round 12:
+    * 5 → 3, funded by PQ8x8's higher ADC recall (the shortlist needs
+    * less slack when the quantized ranking is already close). */
+  val RefineFactor = 3
 
   /** IVF+PQ with exact re-ranking — the production two-stage read
     * (FAISS refine / ScaNN reorder): stage 1 ADC-ranks the probed
@@ -969,22 +970,32 @@ object SimilarityOps {
   // coarse(IVF) + fine(PQ) + compressed(int8) ANN index stack
   // ---------------------------------------------------------------------
 
-  /** PQ geometry: 4 subspaces × 256 codes = 8-bit codes (the FAISS
+  /** PQ geometry: 8 subspaces × 256 codes, 8-bit codes (the FAISS
     * default code width), so a 64-dim float vector compresses to one
-    * 32-bit code — 64× smaller than float32. Round 11 widened from the
-    * original 8×16/4-bit shape at the SAME total code budget: measured
-    * fixture recall@10 of the residual ADC ranking rose with the wider
-    * per-subspace codebooks (16-entry books were the bottleneck — most
-    * of each subspace's variation fell between entries), and the
-    * asymmetric-distance lookup table stays bounded (4×256 entries). */
+    * 64-bit code — 32× smaller than float32. Round 12 doubled the
+    * subspace count from 4 (which round 11 had widened from the
+    * original 8×16/4-bit shape): ADC-only recall at the 32-bit budget
+    * sat well under the IVF-flat ceiling, forcing RefineFactor=5; the
+    * doubled bit budget funds dropping the refine shortlist to 3×k
+    * with the refined serve still gauging ≥ the r11 0.55 ceiling
+    * (measured 0.56 at sf0.1's derived geometry). The ADC-ONLY gap to
+    * the flat probe closes fully only at small corpora (0.39 vs 0.44
+    * at sf0.001); at sf0.1 the residual ranking saturates near 0.37 at
+    * any nprobe — precise top-10 ordering among 2000 near-unit vectors
+    * needs more than 8 bits/subspace, which is exactly why the
+    * production read is the refined two-stage serve, not ADC alone.
+    * The asymmetric-distance lookup stays
+    * bounded (8×256 entries); subspace 7 packs into the BIGINT's sign
+    * byte (exact two's-complement wrap, mirrored by the oracle's
+    * HUGEINT sum — see [[graft.functions.PqKernels]]). */
   val PqSubspaces: Int = graft.functions.PqKernels.Subs
   val PqCodes: Int = graft.functions.PqKernels.Codes
   val PqCodeBits: Int = graft.functions.PqKernels.CodeBits
-  val PqSubDim = 16
+  val PqSubDim = 8
 
   /** PQ-codebook Lloyd iteration count — the per-SUBSPACE k-means twin
     * of [[LloydIters]]. Real product quantization trains 256 centroids
-    * per 16-dim subspace; iteration count chosen by measured fixture
+    * per 8-dim subspace; iteration count chosen by measured fixture
     * recall of the ADC ranking (see PipelineOpsSpec). */
   val PqIters = 3
 
@@ -1044,8 +1055,8 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       val dims = x
         .select(col("x"),
-          element_at(call_function("pq_enc", col("x"), cbLit(cb.toSeq)), 1)
-            .cast("long").as("code"))
+          call_function("pq_enc", col("x"), cbLit(cb.toSeq))
+            .getField("code").as("code"))
         .select(col("x"),
           explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"), col("code"))
         .select(col("sub"),
@@ -1164,8 +1175,8 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"),
         call_function("pq_enc", col("embedding"), cbLit(codebook)).as("k"))
       .select(col("vec_id"),
-        element_at(col("k"), 1).cast("long").as("pq_code"),
-        (element_at(col("k"), 2) / size(col("embedding"))).as("mse"))
+        col("k.code").as("pq_code"),
+        (col("k.mse") / size(col("embedding"))).as("mse"))
   }
 
   /** [[pqEncode]] over the RESIDUAL framing — the serving encode
@@ -1194,7 +1205,7 @@ object SimilarityOps {
     rf.select(col("vec_id"), col("cell"),
         call_function("pq_enc", col("embedding"), cbLit(codebook)).as("k"))
       .select(col("vec_id"), col("cell"),
-        element_at(col("k"), 1).cast("long").as("pq_code"))
+        col("k.code").as("pq_code"))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
@@ -1217,8 +1228,11 @@ object SimilarityOps {
       val code = (array_position(dists, md) - 1).cast("long")
       (code, md)
     }
+    // shiftleft, not multiply: subspace 7 occupies the sign byte, and
+    // under ANSI mode a Long multiply overflow THROWS while shifts wrap
+    // silently — the wrap is the intended two's-complement packing
     val pqCode = perSub.zipWithIndex
-      .map { case ((code, _), s) => code * lit(1L << (PqCodeBits * s)) }
+      .map { case ((code, _), s) => shiftleft(code, PqCodeBits * s) }
       .reduce(_ + _)
     val mse = perSub.map(_._2).reduce(_ + _) / lit(64.0)
     emb.select(col("vec_id"), pqCode.as("pq_code"), mse.as("mse"))
@@ -1287,10 +1301,9 @@ object SimilarityOps {
         // per-cell residual of the broadcast query
         call_function("pq_adc",
           residualOf(col("qe"), ceForCell(centroids, col("cell"))),
-          element_at(call_function("pq_enc",
+          call_function("pq_enc",
             residualOf(col("embedding"), ceForCell(centroids, col("cell"))),
-            cbLit(codebook)), 1)
-            .cast("long"),
+            cbLit(codebook)).getField("code"),
           cbLit(codebook)).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(k)
@@ -1597,10 +1610,18 @@ object SimilarityOps {
                         first(cent_id ORDER BY d, cent_id) AS code
                  FROM d GROUP BY vec_id, sub),
         pq_enc AS MATERIALIZED (SELECT vec_id,
-                          CAST(sum(code << ($PqCodeBits * sub)) AS BIGINT) AS pq_code,
-                          list_reduce(list_prepend(0.0, list(md ORDER BY sub)),
-                                      (a, b) -> a + b) / 64 AS mse
-                   FROM best GROUP BY vec_id)"""
+                          -- HUGEINT sum wrapped into signed 64: subspace 7
+                          -- packs into the sign byte, and DuckDB's BIGINT <<
+                          -- raises on overflow where the engine's Long wraps
+                          CAST(CASE WHEN pv >= 9223372036854775808::HUGEINT
+                                    THEN pv - 18446744073709551616::HUGEINT
+                                    ELSE pv END AS BIGINT) AS pq_code,
+                          mse
+                   FROM (SELECT vec_id,
+                                sum(code::HUGEINT * (1::HUGEINT << ($PqCodeBits * sub))) AS pv,
+                                list_reduce(list_prepend(0.0, list(md ORDER BY sub)),
+                                            (a, b) -> a + b) / 64 AS mse
+                         FROM best GROUP BY vec_id))"""
 
   /** The per-cell query-residual ADC table CTEs shared by `pq_topk` and
     * `ivfpq`: the raw query widens to doubles, residualizes against
@@ -1874,6 +1895,40 @@ object SimilarityOps {
   /** The batched-ANN oracle, parameterized on the query-id predicate and
     * k — shared verbatim by `ann_batch` and the streaming `stream_ann`
     * key (whose id window is a range), so the two cannot drift. */
+  /** Oracle for the stored index CONTENTS — the scalar triple every
+    * index row carries: per-vector cell assignment (argmax cosine
+    * against the re-derived iterated-Lloyd centroids) and residual PQ
+    * code (re-derived trained codebook). Shared by the streaming
+    * segment-ingestion key (`stream_idx`), whose final union must equal
+    * this projection at any micro-batch split. */
+  def indexContentsOracleSql: String =
+    s"""$pqEncodeCte
+        SELECT a.vec_id, a.cell, p.pq_code
+        FROM assigned a JOIN pq_enc p USING (vec_id)"""
+
+  /** Staleness-triggered COMPACTION: when the appended fraction of the
+    * staged index crosses `threshold`, drop every staged ANN artifact
+    * (centroids, PQ codebook, index files) and rebuild from the current
+    * corpus — the periodic full retrain that bounds the quality drift
+    * incremental appends accumulate (frozen artifacts never saw the
+    * appended vectors; the recall gauges price that drift). Returns
+    * whether a retrain ran. Production wires this after each append
+    * batch; the threshold is the serving tier's quality budget. */
+  def maybeRetrainStagedIndex(spark: SparkSession, sfDir: String,
+      threshold: Double): Boolean = {
+    val stale = ivfIndexStaleFraction(spark, sfDir)
+    if (stale <= threshold) false
+    else {
+      // per-dir invalidation: retraining THIS corpus's index must not
+      // un-stage every other corpus's artifacts
+      centroidCache.invalidate(sfDir)
+      pqCodebookCache.invalidate(sfDir)
+      ivfIndexDirs.invalidate(sfDir)
+      stagedIvfIndexDir(spark, sfDir) // rebuild eagerly: serving never
+      true                            // races a half-built artifact
+    }
+  }
+
   def annBatchOracleSql(qidPredicate: String, k: Int): String =
     s"""WITH $ivfScoredCte,
         assigned AS MATERIALIZED (

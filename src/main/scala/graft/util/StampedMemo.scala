@@ -76,4 +76,9 @@ final class StampedMemo[V](tables: String*) {
   def peek(key: String): Option[V] = Option(m.get(key)).map(_._2)
 
   def clear(): Unit = m.clear()
+
+  /** Invalidate ONE corpus dir's entry, leaving other corpora staged —
+    * the staleness-triggered retrain drops a single index without
+    * un-staging every other fixture's artifacts. */
+  def invalidate(key: String): Unit = m.remove(key)
 }

@@ -118,9 +118,9 @@ class FunctionRegistrySpec extends SparkTestBase {
     assert(r2.getBoolean(0))
   }
 
-  // PQ4x8 probe geometry: dim 8 → 4 subspaces of 2 dims; codebook row c
+  // PQ8x8 probe geometry: dim 8 → 8 subspaces of 1 dim; codebook row c
   // is [c,c,...,c], so a vector of all 2.9 takes code 3 in every
-  // subspace (|2.9−3| < |2.9−2|) → packed 8-bit bytes 0x03030303
+  // subspace (|2.9−3| < |2.9−2|) → packed 8-bit bytes 0x0303030303030303
   private val pqCb =
     (0 until 256).flatMap(c => Seq.fill(8)(s"$c.0D")).mkString("array(", ",", ")")
   private val pqX = "array(" + Seq.fill(8)("2.9F").mkString(",") + ")"
@@ -134,15 +134,23 @@ class FunctionRegistrySpec extends SparkTestBase {
 
   test("pq_enc") {
     val r = sql(s"SELECT pq_enc($pqX, $pqCb) AS k")
-    val k = r.getSeq[Double](0)
-    assert(k(0) === 0x03030303.toDouble)
-    assert(k(1) > 0.0 && k(1) < 0.1) // 8 × (2.9f−3)²
+    val k = r.getStruct(0)
+    assert(k.getLong(0) === 0x0303030303030303L)
+    assert(k.getDouble(1) > 0.0 && k.getDouble(1) < 0.1) // 8 × (2.9f−3)²
   }
 
   test("pq_adc of a vector's own code equals its encode mse sum") {
     val r = sql(
-      s"SELECT pq_adc($pqX, ${0x03030303}L, $pqCb) AS a, element_at(pq_enc($pqX, $pqCb), 2) AS m")
+      s"SELECT pq_adc($pqX, ${0x0303030303030303L}L, $pqCb) AS a, pq_enc($pqX, $pqCb).mse AS m")
     assert(r.getDouble(0) === r.getDouble(1))
+  }
+
+  test("pq_enc packs subspace 7 into the sign byte (negative BIGINT wrap)") {
+    // vector of all 254.9 takes code 255 in every subspace →
+    // 0xFFFFFFFFFFFFFFFF = -1L under two's complement
+    val x = "array(" + Seq.fill(8)("254.9F").mkString(",") + ")"
+    val r = sql(s"SELECT pq_enc($x, $pqCb).code AS c")
+    assert(r.getLong(0) === -1L)
   }
 
   test("GraftExtensions injects the whole function table into an extensions-built session") {
