@@ -762,6 +762,172 @@ object MultimodalOps {
     spark.read.parquet(dir.toString).as[MediaRecord]
   }
 
+  /** Deterministic TEXTURED animated-GIF synthesis (the video member of
+    * the [[synthTexturePng]]/[[synthTextureWav]] family): 57 frames of
+    * 8×8 grayscale pixels on an explicit 256-entry grayscale palette —
+    * GIF stores indexed rasters losslessly, so every pixel round-trips
+    * the real JDK encoder/decoder EXACTLY (probe-verified) and the
+    * oracle re-derives the whole clip arithmetically. The pixel pattern
+    * is quadratic in (frame, x, y) with coefficients Knuth-mixed from
+    * the id's GROUP (`id div 8` — constant cluster size, the shared
+    * dup-cluster discipline), and the id's position in its group spikes
+    * ONE whole frame by +40 (mod 256) — a bounded temporal edit: two
+    * group members differ on ≤2 frames, so their energy fingerprints
+    * differ by ≤4 bits, inside the pigeonhole-complete banding
+    * threshold; cross-group clips differ broadly (probed: min hamming
+    * 13 over 50 groups). */
+  def synthTextureGif(mediaId: Long): Array[Byte] = {
+    requireTextureIdDomain(mediaId)
+    val g = Math.floorMod(mediaId / 8, 1 << 20)
+    val p = Math.floorMod(mediaId, 8).toInt
+    // Knuth multiplicative mixing (the synthTextureWav lesson): the
+    // f²/f coefficients stay ≥1 so every group's energy sequence
+    // actually moves across frames — a frame-constant pattern would
+    // hash to 0 and flood one bucket
+    val pm = g * 2654435761L
+    val a = pm % 8 + 1
+    val b = (pm / 8) % 8 + 1
+    val cc = (pm / 64) % 8
+    val dd = (pm / 512) % 8
+    val pal = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < 57) {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val spike = if (f == p * 8) 40L else 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val gray = ((a * f * f + b * f * (x + 1) + cc * x * y +
+              dd * (y + 1) * f + g * 3 + spike) % 256).toInt
+            img.getRaster.setSample(x, y, 0, gray)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** The textured-video corpus: one [[synthTextureGif]] clip per
+    * document row (the [[textureTable]] shape). */
+  def videoTable(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, source, lang) =>
+        MediaRecord(id, "video", synthTextureGif(id),
+          Map("source" -> source, "lang" -> lang))
+      })
+  }
+
+  private val videoTableDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** How many times the video table actually SYNTHESIZED — staging
+    * observability for tests. */
+  val videoTableBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def dropStagedVideoTable(): Unit = videoTableDirs.clear()
+
+  /** [[videoTable]] staged to parquet once per corpus SNAPSHOT (the
+    * [[stagedTextureTable]] discipline). */
+  def stagedVideoTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val dir = videoTableDirs.get(sfDir)({
+      videoTableBuilds.incrementAndGet()
+      val d = java.nio.file.Files.createTempDirectory("graft_media_video_")
+      graft.util.TempDirs.track(d)
+      videoTable(graft.model.Fixtures.documents(spark, sfDir))
+        .write.mode("overwrite").parquet(d.toString)
+      d
+    })
+    spark.read.parquet(dir.toString).as[MediaRecord]
+  }
+
+  /** Temporal energy fingerprint of each video payload through the REAL
+    * codec — [[audioEnergyHash]]'s sign-of-energy-delta shape lifted
+    * from sample windows to FRAMES: walk every frame of the animated
+    * GIF with `javax.imageio` (indexed rasters decode losslessly), sum
+    * the red channel per frame, and emit one bit per adjacent-frame
+    * energy comparison — bit `f` set iff E(f) > E(f+1) — packing 56
+    * bits into a BIGINT. Re-encodes and global brightness rescales
+    * preserve the deltas' signs; trims/splices/frame edits move a few
+    * bits. Feeds the SAME banded pair skeleton as the image and audio
+    * hashes. Clips with fewer than 57 frames drop (per-row corrupt
+    * fallback); codec work stays in the scan task — one Long per clip
+    * crosses the exchange. */
+  def videoTemporalHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) (r.media_id, None: Option[Long])
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              if (n < 57) (r.media_id, None: Option[Long])
+              else {
+                val e = new Array[Long](57)
+                var f = 0
+                while (f < 57) {
+                  val img = reader.read(f)
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  val row = new Array[Int](w)
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, row, 0, w)
+                    var x = 0
+                    while (x < w) {
+                      e(f) += (row(x) >> 16) & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  f += 1
+                }
+                var hash = 0L
+                var w = 0
+                while (w < 56) {
+                  if (e(w) > e(w + 1)) hash |= 1L << w
+                  w += 1
+                }
+                (r.media_id, Some(hash))
+              }
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch {
+        case _: Exception => (r.media_id, None: Option[Long])
+      }
+    }).toDF("media_id", "h")
+      .filter(col("h").isNotNull)
+      .select(col("media_id"), col("h").as("dhash"))
+  }
+
   /** Acoustic energy fingerprint of each audio payload through the REAL
     * codec: parse the container with `javax.sound.sampled` (PCM16 is
     * lossless, samples come back exact), sum |sample| over 57

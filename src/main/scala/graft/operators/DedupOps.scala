@@ -312,6 +312,64 @@ object DedupOps {
       graft.multimodal.MultimodalOps.stagedAudioTable(spark, sfDir)),
       "wav_hash_block_overflow")
 
+  /** Video near-duplicate pairs by temporal energy fingerprint — the
+    * video member of the dedup family, completing the modality square
+    * (text: simhash/minhash; image: dHash; audio: energy fingerprint):
+    * every stored animated GIF decodes frame-by-frame through the real
+    * `javax.imageio` codec into a 56-bit sign-of-frame-delta-energy
+    * fingerprint ([[graft.multimodal.MultimodalOps.videoTemporalHash]]),
+    * then EXACTLY the shared banded skeleton. Same scale shape: one
+    * Long per clip crosses the exchange, buckets capped with overflow
+    * observed, pigeonhole-complete at hamming ≤ 7 over 8 blocks. */
+  def videoHashDups(spark: SparkSession, sfDir: String): DataFrame =
+    imageHashPairs(graft.multimodal.MultimodalOps.videoTemporalHash(
+      graft.multimodal.MultimodalOps.stagedVideoTable(spark, sfDir)),
+      "gif_hash_block_overflow")
+
+  /** Cross-modal duplicate reconciliation — the pipeline step AFTER
+    * per-modality dedup: a page duplicated with a re-encoded hero image
+    * is ONE duplicate, not two. Text dup pairs ([[docLshVerifiedDups]])
+    * and media dup pairs (image dHash + audio fingerprint), mapped to
+    * document ids through a doc↔media LINK table, merge into one
+    * undirected graph; [[clusterPairs]] closes it transitively and one
+    * canonical per cross-modal group is elected by the quality signal
+    * (the `keep_best` election — a partial-combinable `min_by`, never a
+    * whole-cluster sort).
+    *
+    * Scale shape: every edge list is dup-density-bounded (each
+    * generator is bucketed + capped), the link join ships one
+    * (media_id, doc_id) scalar pair per asset, quality joins as one
+    * double per doc — the plan moves only (id, cluster, quality)
+    * scalars, no text and no rasters. The fixture link is the identity
+    * (each document row owns its derived media assets by id);
+    * production passes any link table through the same join shape. */
+  def crossModalKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Fixtures.documents(spark, sfDir)
+    val link = docs.select(col("doc_id").as("media_id"), col("doc_id").as("ld"))
+    def viaLink(pairs: DataFrame): DataFrame =
+      pairs.toDF("ma", "mb")
+        .join(link.select(col("media_id").as("ma"), col("ld").as("doc_a")), "ma")
+        .join(link.select(col("media_id").as("mb"), col("ld").as("doc_b")), "mb")
+        .select(col("doc_a"), col("doc_b"))
+    val textPairs = docLshVerifiedDups(docs).select(col("doc_a"), col("doc_b"))
+    val imgPairs = viaLink(imageDHashDups(spark, sfDir)
+      .select(col("media_a"), col("media_b")))
+    val wavPairs = viaLink(audioHashDups(spark, sfDir)
+      .select(col("media_a"), col("media_b")))
+    val groups = clusterPairs(textPairs.union(imgPairs).union(wavPairs))
+      .withColumnRenamed("id", "doc_id")
+    val quality = TextOps.textQualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val members = groups.select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .join(quality, Seq("doc_id"))
+    val winners = members.groupBy("cluster")
+      .agg(min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
+        .as("keep_id"))
+    members.join(winners, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
+        (col("doc_id") === col("keep_id")).cast("int").as("keep"))
+  }
+
   /** The banding/verify stage of [[imageDHashDups]] over any
     * `(media_id, dhash)` 56-bit perceptual-hash frame — shared by the
     * image (dHash) and audio (energy-fingerprint) dedup ops and the
@@ -621,6 +679,12 @@ object DedupOps {
     // round 11: acoustic-fingerprint near-dups over the textured audio
     // corpus ("wav_dups" short for the bench line budget)
     "wav_dups" -> ((s, d) => audioHashDups(s, d)),
+    // round 12: temporal-fingerprint near-dups over the textured video
+    // corpus — the modality square's last side
+    "gif_dups" -> ((s, d) => videoHashDups(s, d)),
+    // round 12: cross-modal dup reconciliation — text + image + audio
+    // dup graphs merged over the doc↔media link, one canonical elected
+    "xmodal" -> ((s, d) => crossModalKeepBest(s, d)),
     "doc_ngram_jaccard" -> ((s, d) => docNgramJaccard(Fixtures.documents(s, d))),
     "lsh_dups" -> ((s, d) => docLshVerifiedDups(Fixtures.documents(s, d))),
     "doc_dup_groups" -> ((s, d) => docDupGroups(Fixtures.documents(s, d))),
@@ -663,7 +727,130 @@ object DedupOps {
                 WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                       CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold)"""
 
+  /** The `img_dups` oracle, factored out so [[crossModalOracle]] can
+    * embed it as a subquery: every pixel of the textured corpus
+    * re-derives arithmetically (integer ops mod 256; PNG is lossless —
+    * the synthTexturePng contract), so the pooled dHash, the banding,
+    * the cap, and the hamming verify all mirror the operator exactly.
+    * `g = doc_id // 8` matches the engine's `floorMod(id / 8, 2^20)`
+    * exactly on the id domain [0, 2^23) that the texture synthesizers
+    * ENFORCE (requireTextureIdDomain) — a wider domain fails the build
+    * loudly instead of flipping this hash. */
+  private def imgDupsOracle: String =
+    s"""WITH base AS (
+            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 4 AS spike
+            FROM documents),
+          px AS (
+            SELECT b.doc_id, x.x, y.y,
+                   ((b.g % 5) * x.x * x.x + ((b.g // 5) % 5) * y.y * y.y
+                    + ((b.g // 25) % 3) * x.x * y.y + (b.g % 7) * (x.x + y.y)
+                    + b.g * 3
+                    + CASE WHEN x.x = b.spike AND y.y = b.spike THEN 40 ELSE 0 END)
+                   % 256 AS gray
+            FROM base b, range(0, 32) x(x), range(0, 32) y(y)),
+          cells AS (SELECT doc_id, y // 4 AS cy, x // 4 AS cx, sum(gray) AS s
+                    FROM px GROUP BY 1, 2, 3),
+          fp AS (SELECT l.doc_id,
+                        coalesce(sum(CASE WHEN l.s > r.s
+                                          THEN 1::BIGINT << (l.cy * 7 + l.cx)
+                                          ELSE 0 END), 0) AS dhash
+                 FROM cells l JOIN cells r
+                   ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
+                 GROUP BY l.doc_id),
+          blocks AS (SELECT doc_id, dhash, b.blk,
+                            (dhash >> (b.blk * 7)) & 127 AS blk_val
+                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
+                                                  ORDER BY doc_id) AS rk
+                     FROM blocks),
+          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+                    FROM ranked a JOIN ranked b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val
+                      AND a.doc_id < b.doc_id
+                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
+          SELECT media_a, media_b, hamming FROM pairs
+          WHERE hamming <= $ImgMaxHamming"""
+
+  /** The `wav_dups` oracle, factored out so [[crossModalOracle]] can
+    * embed it as a subquery: every PCM sample re-derives arithmetically
+    * (integer ops; PCM16 is lossless — the synthTextureWav contract),
+    * so the windowed energies, the fingerprint, and the banded pairs
+    * mirror the operator exactly. */
+  private def wavDupsOracle: String =
+    s"""WITH abase AS (
+            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 50 AS t0
+            FROM documents),
+          samp AS (
+            SELECT b.doc_id, t.t // 8 AS w,
+                   abs((((b.g * 2654435761) % 1024) * t.t * t.t
+                        + (((b.g * 2654435761) // 1024) % 1024) * t.t
+                        + (((b.g * 2654435761) // 1048576) % 2048)) % 2048 - 1024
+                       + CASE WHEN t.t = b.t0 THEN 500 ELSE 0 END) AS av
+            FROM abase b, range(0, 456) t(t)),
+          energy AS (SELECT doc_id, w, sum(av) AS e
+                     FROM samp GROUP BY 1, 2),
+          fp AS (SELECT l.doc_id,
+                        coalesce(sum(CASE WHEN l.e > r.e
+                                          THEN 1::BIGINT << l.w
+                                          ELSE 0 END), 0) AS dhash
+                 FROM energy l JOIN energy r
+                   ON r.doc_id = l.doc_id AND r.w = l.w + 1
+                 GROUP BY l.doc_id),
+          blocks AS (SELECT doc_id, dhash, b.blk,
+                            (dhash >> (b.blk * 7)) & 127 AS blk_val
+                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
+                                                  ORDER BY doc_id) AS rk
+                     FROM blocks),
+          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+                    FROM ranked a JOIN ranked b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val
+                      AND a.doc_id < b.doc_id
+                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
+          SELECT media_a, media_b, hamming FROM pairs
+          WHERE hamming <= $ImgMaxHamming"""
+
+  /** Cross-modal reconciliation oracle: the text, image, and audio pair
+    * oracles ride as parenthesized subqueries (each scopes its own WITH
+    * chain — their internal CTE names collide by design reuse), media
+    * pairs map to doc ids through the identity link, and the transitive
+    * closure + election mirror `doc_dup_groups` + `keep_best`. The
+    * multiply-referenced pair CTEs are MATERIALIZED (the playbook rule:
+    * DuckDB inlines a twice-referenced chain exponentially). */
+  private def crossModalOracle: String =
+    s"""WITH RECURSIVE
+        xlink AS (SELECT doc_id AS media_id, doc_id AS ld FROM documents),
+        tp AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (
+          WITH $duckVerifiedCtes SELECT doc_a, doc_b FROM dup)),
+        mp AS MATERIALIZED (
+          SELECT media_a, media_b FROM ($imgDupsOracle)
+          UNION ALL
+          SELECT media_a, media_b FROM ($wavDupsOracle)),
+        mp2 AS (SELECT la.ld AS a, lb.ld AS b
+                FROM mp JOIN xlink la ON mp.media_a = la.media_id
+                        JOIN xlink lb ON mp.media_b = lb.media_id),
+        allp AS MATERIALIZED (SELECT a, b FROM tp
+                              UNION ALL SELECT a, b FROM mp2),
+        edges AS (SELECT a, b FROM allp UNION ALL SELECT b, a FROM allp),
+        verts AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+        comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY cluster)
+        SELECT c.id AS doc_id, c.cluster, s.cluster_size, q.quality,
+               CAST(row_number() OVER (PARTITION BY c.cluster
+                                       ORDER BY q.quality DESC, c.id) = 1
+                    AS INTEGER) AS keep
+        FROM comp c JOIN sizes s USING (cluster)
+        JOIN (${TextOps.oracle("text_quality_score")}) q ON c.id = q.doc_id"""
+
   def oracle: Map[String, String] = Map(
+    "xmodal" -> crossModalOracle,
     "doc_minhash_lsh" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -734,72 +921,34 @@ object DedupOps {
                       ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
                       AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
-    "img_dups" ->
-      // every pixel of the textured corpus re-derives arithmetically
-      // (integer ops mod 256; PNG is lossless — the synthTexturePng
-      // contract), so the pooled dHash, the banding, the cap, and the
-      // hamming verify all mirror the operator exactly
-      // g = doc_id // 8 matches the engine's floorMod(id / 8, 2^20)
-      // exactly on the id domain [0, 2^23) that the texture
-      // synthesizers ENFORCE (requireTextureIdDomain) — a wider domain
-      // fails the build loudly instead of flipping this hash
-      s"""WITH base AS (
-            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 4 AS spike
+    "img_dups" -> imgDupsOracle,
+    "wav_dups" -> wavDupsOracle,
+    "gif_dups" ->
+      // every frame pixel re-derives arithmetically (integer ops mod
+      // 256; GIF is lossless over indexed rasters — the synthTextureGif
+      // contract), so the per-frame energies, the temporal fingerprint,
+      // and the banded pairs mirror the operator exactly
+      s"""WITH vbase AS (
+            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
             FROM documents),
-          px AS (
-            SELECT b.doc_id, x.x, y.y,
-                   ((b.g % 5) * x.x * x.x + ((b.g // 5) % 5) * y.y * y.y
-                    + ((b.g // 25) % 3) * x.x * y.y + (b.g % 7) * (x.x + y.y)
+          vpx AS (
+            SELECT b.doc_id, f.f,
+                   ((((b.g * 2654435761) % 8) + 1) * f.f * f.f
+                    + ((((b.g * 2654435761) // 8) % 8) + 1) * f.f * (x.x + 1)
+                    + (((b.g * 2654435761) // 64) % 8) * x.x * y.y
+                    + (((b.g * 2654435761) // 512) % 8) * (y.y + 1) * f.f
                     + b.g * 3
-                    + CASE WHEN x.x = b.spike AND y.y = b.spike THEN 40 ELSE 0 END)
+                    + CASE WHEN f.f = b.p * 8 THEN 40 ELSE 0 END)
                    % 256 AS gray
-            FROM base b, range(0, 32) x(x), range(0, 32) y(y)),
-          cells AS (SELECT doc_id, y // 4 AS cy, x // 4 AS cx, sum(gray) AS s
-                    FROM px GROUP BY 1, 2, 3),
-          fp AS (SELECT l.doc_id,
-                        coalesce(sum(CASE WHEN l.s > r.s
-                                          THEN 1::BIGINT << (l.cy * 7 + l.cx)
-                                          ELSE 0 END), 0) AS dhash
-                 FROM cells l JOIN cells r
-                   ON r.doc_id = l.doc_id AND r.cy = l.cy AND r.cx = l.cx + 1
-                 GROUP BY l.doc_id),
-          blocks AS (SELECT doc_id, dhash, b.blk,
-                            (dhash >> (b.blk * 7)) & 127 AS blk_val
-                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
-                                                  ORDER BY doc_id) AS rk
-                     FROM blocks),
-          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
-                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
-                    FROM ranked a JOIN ranked b
-                      ON a.blk = b.blk AND a.blk_val = b.blk_val
-                      AND a.doc_id < b.doc_id
-                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
-          SELECT media_a, media_b, hamming FROM pairs
-          WHERE hamming <= $ImgMaxHamming""",
-    "wav_dups" ->
-      // every PCM sample re-derives arithmetically (integer ops; PCM16
-      // is lossless — the synthTextureWav contract), so the windowed
-      // energies, the fingerprint, and the banded pairs mirror the
-      // operator exactly
-      s"""WITH abase AS (
-            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 50 AS t0
-            FROM documents),
-          samp AS (
-            SELECT b.doc_id, t.t // 8 AS w,
-                   abs((((b.g * 2654435761) % 1024) * t.t * t.t
-                        + (((b.g * 2654435761) // 1024) % 1024) * t.t
-                        + (((b.g * 2654435761) // 1048576) % 2048)) % 2048 - 1024
-                       + CASE WHEN t.t = b.t0 THEN 500 ELSE 0 END) AS av
-            FROM abase b, range(0, 456) t(t)),
-          energy AS (SELECT doc_id, w, sum(av) AS e
-                     FROM samp GROUP BY 1, 2),
+            FROM vbase b, range(0, 57) f(f), range(0, 8) x(x), range(0, 8) y(y)),
+          venergy AS (SELECT doc_id, f, sum(gray) AS e
+                      FROM vpx GROUP BY 1, 2),
           fp AS (SELECT l.doc_id,
                         coalesce(sum(CASE WHEN l.e > r.e
-                                          THEN 1::BIGINT << l.w
+                                          THEN 1::BIGINT << l.f
                                           ELSE 0 END), 0) AS dhash
-                 FROM energy l JOIN energy r
-                   ON r.doc_id = l.doc_id AND r.w = l.w + 1
+                 FROM venergy l JOIN venergy r
+                   ON r.doc_id = l.doc_id AND r.f = l.f + 1
                  GROUP BY l.doc_id),
           blocks AS (SELECT doc_id, dhash, b.blk,
                             (dhash >> (b.blk * 7)) & 127 AS blk_val

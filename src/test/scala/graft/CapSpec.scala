@@ -125,6 +125,18 @@ class CapSpec extends SparkTestBase {
     assert(overflow === (ClusterSize - Cap).toLong * DedupOps.ImgHashBlocks)
   }
 
+  test("video temporal-hash banding caps a mega-cluster of identical fingerprints") {
+    // a re-encoded-everywhere clip template — every member lands in
+    // every block bucket, through the gif path's own overflow metric
+    val mega = (0L until ClusterSize.toLong)
+      .map(i => (i, 0x0055aa55aa55aaL)).toDF("media_id", "dhash")
+    val (n, overflow) = observedMetric("gif_hash_block_overflow") {
+      DedupOps.imageHashPairs(mega, "gif_hash_block_overflow").count()
+    }
+    assert(n === Cap.toLong * (Cap - 1) / 2) // all at hamming 0
+    assert(overflow === (ClusterSize - Cap).toLong * DedupOps.ImgHashBlocks)
+  }
+
   test("ngram-jaccard signature grouping caps a mega-cluster") {
     val (n, overflow) = observedMetric("jaccard_sig_overflow") {
       DedupOps.docNgramJaccard(megaDocs).count()
