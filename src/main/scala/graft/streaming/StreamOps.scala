@@ -585,6 +585,58 @@ object StreamOps {
         "qid BIGINT, vec_id BIGINT, cosine DOUBLE, rnk INT"))
   }
 
+  /** STREAMING index maintenance — the continuous form of
+    * [[graft.operators.SimilarityOps.appendToStagedIvfIndex]], the shape
+    * a production vector index actually runs (full retrains are
+    * periodic; ingestion is a stream): each arriving micro-batch of
+    * vectors is assigned + PQ-encoded under the FROZEN staged
+    * centroids/codebook (in-row literal folds — no shuffle, no read of
+    * existing segments) and written as a cell-partitioned SEGMENT under
+    * an epoch-keyed dir with overwrite, so a retried epoch replaces its
+    * own segment rather than double-appending (the
+    * [[streamDeadLetterSplit]] idempotency discipline). The served
+    * index is the union of segments — the LSM shape; compaction is the
+    * staleness-triggered full retrain
+    * ([[graft.operators.SimilarityOps.maybeRetrainStagedIndex]]).
+    *
+    * Deterministic WITHOUT the one-batch premise: each vector arrives
+    * exactly once and its index row depends only on the frozen
+    * artifacts, so any micro-batch split yields the same union — the
+    * final contents equal [[graft.operators.SimilarityOps.indexRows]]
+    * over the whole corpus (asserted in tests; the oracle re-derives
+    * assignment + residual codes per vector). */
+  def streamIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_idx_")
+    graft.util.TempDirs.track(root)
+    val data = root.resolve("segs").toString
+    val ckpt = root.resolve("ckpt").toString
+    val cents = graft.operators.SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val cb = graft.operators.SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val q = embeddingsStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            graft.operators.SimilarityOps.indexRows(batch, cents, cb)
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$data/epoch=$epochId")
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // contract projection: the scalar index triple (the embedding array
+    // and stored ccos stay serving-side); `cell` comes back as the
+    // inferred partition column, restored to its BIGINT identity
+    spark.read.parquet(data)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("pq_code"))
+  }
+
   // ---------------------------------------------------------------------
   // Driver-contract wiring (every key oracle-backed since round 7; the
   // stream-vs-batch equivalence suite is the second, independent lock)
@@ -602,7 +654,9 @@ object StreamOps {
     // scaladoc), the pq_enc precedent
     "ss_join" -> ((s, d) => streamStreamJoin(s, d)),
     // streaming ANN against the staged vector index (round 9)
-    "stream_ann" -> ((s, d) => streamAnnTopK(s, d)))
+    "stream_ann" -> ((s, d) => streamAnnTopK(s, d)),
+    // streaming index segment ingestion under frozen artifacts (round 12)
+    "stream_idx" -> ((s, d) => streamIndexAppend(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -659,5 +713,10 @@ object StreamOps {
     // is the batch key's SQL restricted to the same id window — shared
     // builder, zero drift
     "stream_ann" ->
-      graft.operators.SimilarityOps.annBatchOracleSql("vec_id <= 4", 5))
+      graft.operators.SimilarityOps.annBatchOracleSql("vec_id <= 4", 5),
+    // stream_idx: split-independent (each vector's index row depends
+    // only on the frozen artifacts), so the oracle is the per-vector
+    // assignment + residual-code derivation — shared builder, zero drift
+    "stream_idx" ->
+      graft.operators.SimilarityOps.indexContentsOracleSql)
 }

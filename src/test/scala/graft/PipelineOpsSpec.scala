@@ -414,7 +414,14 @@ class PipelineOpsSpec extends SparkTestBase {
       val (rcode, _, rmds) = repl(id)
       assert(code === rcode, s"vec $id code")
       assert(mse === rmds.foldLeft(0.0)(_ + _) / 64.0, s"vec $id mse")
-      assert(code >= 0L && code < (1L << 32))
+      // PQ8x8: the packed code spans the FULL signed-64 domain (subspace
+      // 7 occupies the sign byte), so the invariant is per-subspace —
+      // every masked-after-shift unpacked code is a valid [0, Codes)
+      // codebook row, exactly how the ADC kernel unpacks
+      (0 until SimilarityOps.PqSubspaces).foreach { s =>
+        val sub = (code >>> (SimilarityOps.PqCodeBits * s)) & 0xffL
+        assert(sub >= 0L && sub < SimilarityOps.PqCodes.toLong, s"vec $id sub $s")
+      }
       assert(mse >= 0.0)
     }
     // against the UNTRAINED seed codebook (= its first-PqCodes residual
@@ -582,6 +589,46 @@ class PipelineOpsSpec extends SparkTestBase {
     } yield (a, b)
     assert(wanted.nonEmpty, "fixture must contain same-group audio near-dups")
     wanted.foreach(p => assert(pairs(p), s"missing near-dup pair $p"))
+  }
+
+  test("video temporal hash: codec-path fingerprints match the arithmetic replica; near-dups surface") {
+    def replicaHash(id: Long): Long = {
+      val g = id / 8
+      val p = (id % 8).toInt
+      val pm = g * 2654435761L
+      val (a, b, cc, dd) = (pm % 8 + 1, (pm / 8) % 8 + 1, (pm / 64) % 8, (pm / 512) % 8)
+      val e = new Array[Long](57)
+      for (f <- 0 until 57; y <- 0 until 8; x <- 0 until 8)
+        e(f) += (a * f * f + b * f * (x + 1) + cc * x * y + dd * (y + 1) * f +
+          g * 3 + (if (f == p * 8) 40L else 0L)) % 256
+      (0 until 56).map(w => if (e(w) > e(w + 1)) 1L << w else 0L).sum
+    }
+    val builds = MultimodalOps.videoTableBuilds.get()
+    val hashes = MultimodalOps.videoTemporalHash(
+      MultimodalOps.stagedVideoTable(spark, sfDir)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(hashes.keySet === ids.toSet)
+    ids.foreach(id => assert(hashes(id) === replicaHash(id), s"clip $id"))
+    // staged: a second read synthesizes nothing new
+    MultimodalOps.videoTemporalHash(MultimodalOps.stagedVideoTable(spark, sfDir)).count()
+    assert(MultimodalOps.videoTableBuilds.get() === builds + 1)
+    // the dedup op surfaces every same-group pair (the full-frame spike
+    // moves ≤4 bits by construction — two members differ on ≤2 frames)
+    val pairs = DedupOps.videoHashDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    val wanted = for {
+      a <- ids; b <- ids
+      if a < b && a / 8 == b / 8 &&
+        java.lang.Long.bitCount(replicaHash(a) ^ replicaHash(b)) <= DedupOps.ImgMaxHamming
+    } yield (a, b)
+    assert(wanted.nonEmpty, "fixture must contain same-group video near-dups")
+    wanted.foreach(p => assert(pairs(p), s"missing near-dup pair $p"))
+    // and every surfaced pair is a true near-dup under the replica
+    pairs.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(replicaHash(a) ^ replicaHash(b))
+        <= DedupOps.ImgMaxHamming, s"pair ($a,$b) over threshold")
+    }
   }
 
   test("BPE: trained merges are deterministic, bounded, and staged once per corpus") {
@@ -952,6 +999,40 @@ class PipelineOpsSpec extends SparkTestBase {
     old.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     assert(SimilarityOps.stagedIvfIndexDir(spark, sf) !== idxDir)
     assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 0.0)
+  }
+
+  test("staleness-triggered retrain: appends past the threshold compact to a rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_retrain_corpus_")
+    graft.util.TempDirs.track(dir)
+    def vec(id: Long, shift: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((id + shift) * 31 + j * 7) % 13 - 6).toFloat / 7f)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i, 0))).toDF("vec_id", "embedding")
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sf = dir.toString
+    val fixtureIdx = SimilarityOps.stagedIvfIndexDir(spark, sfDir)
+    val d1 = SimilarityOps.stagedIvfIndexDir(spark, sf)
+    val builds = SimilarityOps.ivfIndexBuilds.get()
+    // below threshold: append 10/50 = 0.2 stale — no retrain fires
+    SimilarityOps.appendToStagedIvfIndex(spark, sf,
+      (100 until 110).map(i => (i.toLong, vec(i, 5))).toDF("vec_id", "embedding"))
+    assert(!SimilarityOps.maybeRetrainStagedIndex(spark, sf, 0.25))
+    assert(SimilarityOps.ivfIndexBuilds.get() === builds)
+    assert(SimilarityOps.stagedIvfIndexDir(spark, sf) === d1)
+    // past threshold: 20/60 = 0.333 stale — compaction retrains from the
+    // corpus files (the appended vectors were never written to the
+    // corpus, so the rebuilt index covers exactly the corpus rows)
+    SimilarityOps.appendToStagedIvfIndex(spark, sf,
+      (110 until 120).map(i => (i.toLong, vec(i, 7))).toDF("vec_id", "embedding"))
+    assert(SimilarityOps.maybeRetrainStagedIndex(spark, sf, 0.25))
+    assert(SimilarityOps.ivfIndexBuilds.get() === builds + 1)
+    val d2 = SimilarityOps.stagedIvfIndexDir(spark, sf)
+    assert(d2 !== d1, "compaction must materialize a fresh index dir")
+    assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 0.0)
+    assert(spark.read.parquet(d2).select("vec_id").distinct().count() === 40L)
+    // per-dir invalidation: the shared fixture's staged index survived
+    // the other corpus's compaction (no global un-staging)
+    assert(SimilarityOps.stagedIvfIndexDir(spark, sfDir) === fixtureIdx)
   }
 
   test("ann_batch: the join-based frame path equals the driver-staged path") {

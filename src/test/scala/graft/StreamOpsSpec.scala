@@ -76,6 +76,16 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
+  test("stream_idx equals the batch index projection over the whole corpus") {
+    val stream = StreamOps.streamIndexAppend(spark, sfDir)
+    val cents = graft.operators.SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val cb = graft.operators.SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val batch = graft.operators.SimilarityOps
+      .indexRows(graft.model.Fixtures.embeddings(spark, sfDir), cents, cb)
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    assertSameRows(stream, batch)
+  }
+
   test("stream_tumbling equals the batch window aggregation") {
     val stream = StreamOps.streamTumblingWindow(spark, sfDir)
     val batch = ev
