@@ -225,7 +225,9 @@ object Bench {
     // last_msg_per_partition → last_msg + msglog_roundtrip_scan →
     // msglog_rt + set_ops_returnflag → set_ops + text_tokenize_counts →
     // tok_counts, which fund "spinx" + gif_dups + xmodal + stream_idx).
-    // Next if needed: route_partition_key → route_key.
+    // r12 reclaims spent: route_partition_key → route_key, text_lm_perplexity
+    // → lm_ppl, doc_mixture_sample → mixture. Next if needed: filter_events_type
+    // → evt_filter.
     val budget = 1990
     val out = line
     if (out.length > budget)

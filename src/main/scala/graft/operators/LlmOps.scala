@@ -49,7 +49,7 @@ object LlmOps {
   /** Corpus-level bigram frequency top-k — the n-gram statistics pass an
     * LM-data pipeline runs for vocabulary analysis, boilerplate survey,
     * and n-gram-LM estimation (the unigram analog feeds
-    * `text_lm_perplexity`). The bigram list is built IN-ROW from the
+    * `lm_ppl`). The bigram list is built IN-ROW from the
     * token array (two aligned `slice`s fused by `zip_with`, all inside
     * whole-stage codegen — no self-join of an exploded token table, which
     * at 100 TB would shuffle one row per token²-ish pair); only then does

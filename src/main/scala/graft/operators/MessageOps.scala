@@ -366,7 +366,8 @@ object MessageOps {
     "scan_env" -> ((s, d) => scanEnvelope(Fixtures.events(s, d))),
     "filter_events_type" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
     "decode_props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
-    "route_partition_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
+    // "route_key" née route_partition_key — round-12 bench-line reclaim
+    "route_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
     "rr_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
     "key_shared_ranges" -> ((s, d) => keySharedRanges(Fixtures.events(s, d))),
     "dedup_by_sequence" -> ((s, d) => dedupBySequence(Fixtures.events(s, d))),
@@ -429,7 +430,7 @@ object MessageOps {
     "decode_props_json" ->
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS prop_k
          FROM events ORDER BY event_id""",
-    "route_partition_key" ->
+    "route_key" ->
       s"""SELECT CAST(user_id % $P AS INTEGER) AS part, CAST(count(*) AS BIGINT) AS n,
           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
           FROM events GROUP BY 1 ORDER BY part""",

@@ -1178,10 +1178,12 @@ object TextOps {
     // staged LM: timed reps measure the scoring projection, not a
     // re-fit (r8 verdict: the cold re-fit inside each rep was the one
     // real bench regression)
-    "text_lm_perplexity" ->
+    // "lm_ppl" née text_lm_perplexity — round-12 bench-line reclaim
+    "lm_ppl" ->
       ((s, d) => textLmPerplexityIndexed(Fixtures.documents(s, d), stagedLmModel(s, d))),
     "boilerplate" -> ((s, d) => docBoilerplate(Fixtures.documents(s, d))),
-    "doc_mixture_sample" ->
+    // "mixture" née doc_mixture_sample — round-12 bench-line reclaim
+    "mixture" ->
       ((s, d) => docMixtureSample(Fixtures.documents(s, d), fixtureWeight)),
     "bm25" -> ((s, d) => docBm25(Fixtures.documents(s, d))),
     // "pii" — short by design (bench line budget, the pq_enc precedent)
@@ -1560,7 +1562,7 @@ object TextOps {
                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
            FROM b GROUP BY 1""",
       "doc_pack_bins" -> packBinsOracle,
-      "text_lm_perplexity" -> lmPerplexityOracle,
+      "lm_ppl" -> lmPerplexityOracle,
       "ccnet" -> ccnetOracle,
       "lm2" -> lm2Oracle,
       "repetition" ->
@@ -1610,7 +1612,7 @@ object TextOps {
                         THEN coalesce(bp.bp, 0) / CAST(len(g.g3) AS DOUBLE)
                         ELSE 0.0 END AS bp_frac
             FROM g LEFT JOIN bp USING (doc_id)""",
-      "doc_mixture_sample" ->
+      "mixture" ->
         s"""WITH w AS (
               SELECT doc_id, source,
                      CASE CAST(substring(source, 4) AS INT) % ${MixtureTiers.size}

@@ -42,8 +42,8 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("route_partition_key aggregates with a map-side partial") {
-    val p = plan("route_partition_key")
+  test("route_key aggregates with a map-side partial") {
+    val p = plan("route_key")
     assert(p.contains("partial_count"), p)
   }
 
@@ -221,12 +221,12 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 1, p)
   }
 
-  test("text_lm_perplexity scoring is a pure projection: the returned plan has no exchange") {
+  test("lm_ppl scoring is a pure projection: the returned plan has no exchange") {
     // the LM (total + top-V table) is built by bounded driver jobs at
     // construction; the SCORING plan the caller runs over the corpus
     // must stay an in-row lookup fold — an exchange here means scoring
     // regressed to a token-stream join
-    val p = plan("text_lm_perplexity")
+    val p = plan("lm_ppl")
     assert(!p.contains("Exchange"), p)
     assert(p.contains("logp_sum"), p)
   }
@@ -409,7 +409,7 @@ class PlanSpec extends SparkTestBase {
     val skip = Set("doc_dup_groups", "filter_pipe", "emb_dup_groups",
       "lsh_dups", "emb_ivf_topk", "bucketed_join",
       "msglog_rt", "msglog_multi_scan", "rr_balance",
-      "text_lm_perplexity")
+      "lm_ppl")
     SparkEntry.queries.keys
       .filterNot(_.startsWith("stream_")).filterNot(skip)
       .toSeq.sorted.foreach { k =>
@@ -432,7 +432,7 @@ class PlanSpec extends SparkTestBase {
         "doc_dup_groups", "filter_pipe",
         "emb_dup_groups", // CC fixpoint loop runs bounded jobs
         "pq_enc", "pq_topk", // staged PqCodes×dim codebook artifact
-        "text_lm_perplexity")) // bounded LM artifacts (total + top-V table)
+        "lm_ppl")) // bounded LM artifacts (total + top-V table)
       .foreach { k =>
         val df = SparkEntry.queries(k)(spark, sfDir)
         assert(df.queryExecution.logical != null)
