@@ -41,6 +41,8 @@ object GraftFunctions {
     entry("backoff_sum", 4, classOf[BackoffSum])(a => BackoffSum(a.head, a(1), a(2), a(3))),
     entry("hash_weight_sum", 2, classOf[HashWeightSum])(a => HashWeightSum(a.head, a(1))),
     entry("pq_enc", 2, classOf[PqEnc])(a => PqEnc(a.head, a(1))),
+    entry("ivf_assign", 3, classOf[IvfAssign])(a => IvfAssign(a.head, a(1), a(2))),
+    entry("ivf_centroid", 3, classOf[IvfCentroid])(a => IvfCentroid(a.head, a(1), a(2))),
     entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))),
     entry("substr_fps", 3, classOf[SubstrFps])(a => SubstrFps(a.head, a(1), a(2))),
     entry("bpe_count", 2, classOf[BpeCount])(a => BpeCount(a.head, a(1))))

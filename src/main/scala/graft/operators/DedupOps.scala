@@ -575,9 +575,16 @@ object DedupOps {
     * See [[docDupGroups]] for the scale analysis.
     */
   private[operators] def clusterPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("doc_a", "doc_b")
-      .union(pairs.toDF("doc_a", "doc_b")
-        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Materialize the FORWARD pair list once before symmetrizing: the
+    // union's two branches each scan `pairs`, and for composite callers
+    // (xmodal: LSH + image-decode + audio-decode candidate generators)
+    // that evaluated the expensive generation twice — idle-box wall
+    // time hides it behind spare cores, but the doubled CPU is real at
+    // cluster scale. The forward cache drops with the edge cache.
+    val fwd = pairs.toDF("doc_a", "doc_b").persist()
+    fwd.count()
+    val edges = fwd
+      .union(fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     // the identity-label first round is folded into initialization:
     // label₀ = min(id, min neighbor) comes from ONE aggregation over the
@@ -593,23 +600,45 @@ object DedupOps {
         .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
         .groupBy("doc_a").agg(min(col("nl")).as("nbr_min"))
         .withColumnRenamed("doc_a", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // POINTER HALVING (round 12): follow the label's own current
+      // label — label ← min(label, label(label)) — so chain distances
+      // halve per round and rounds-to-fixpoint drop from O(diameter)
+      // to O(log diameter). Cross-modal reconciliation built
+      // chain-heavy components (text cluster ↔ media cluster ↔ …, 15
+      // plain-propagation rounds at sf0.1, `cc.iterations` gauge);
+      // the halving join runs on the CHECKPOINTED step result, so it
+      // adds one small cached self-join per round, not a recompute.
+      // Every label is a vertex id by construction (labels start at
+      // min(id, neighbor) and only ever copy other labels), so the
+      // lookup always resolves; a missing id coalesces to itself.
+      val next = stepped.as("a")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jl")).as("b"),
+          col("a.label") === col("b.jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
         .localCheckpoint(true)
       // labels only ever decrease: changed == 0 is the fixpoint
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev")).limit(1).count()
-      // drop the superseded checkpoint's storage blocks — without this
-      // every pipeline run leaks (iterations+1) cached label snapshots
-      // for the application's lifetime (the FINAL labels stays cached:
-      // the returned plan reads from it)
+      // drop the superseded checkpoints' storage blocks — without this
+      // every pipeline run leaks cached label snapshots for the
+      // application's lifetime (the FINAL labels stays cached: the
+      // returned plan reads from it)
+      stepped.unpersist()
       labels.unpersist()
       labels = next
       done = changed == 0L
       iter += 1
     }
     edges.unpersist()
+    fwd.unpersist()
+    // observability: rounds-to-fixpoint ∝ component diameter — the gauge
+    // a production tier watches before raising MaxCcIterations
+    graft.ObservedMetrics.recordGauge("cc.iterations", iter.toDouble)
     if (!done) throw new IllegalStateException(
       s"clusterPairs: no fixpoint after $MaxCcIterations iterations — " +
         "a component's diameter exceeds the cap (raise MaxCcIterations)")

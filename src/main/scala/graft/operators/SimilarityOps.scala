@@ -329,14 +329,33 @@ object SimilarityOps {
       collectCentroids(Fixtures.embeddings(spark, sfDir)))
       .map { case (id, a) => id -> a.toSeq }
 
-  /** In-row IVF cell assignment against centroid LITERALS: argmax cosine
-    * with the lowest-cent_id tie-break, as a `least` fold over
-    * (−cosine, id) structs — broadcast-by-construction (the centroids
-    * ride into generated code like the classifier weights), zero
-    * exchanges, and the exact tie-break the windowed rank-1 form uses,
-    * so both assignment shapes agree row-for-row. */
+  /** In-row IVF cell assignment against the centroid index: argmax
+    * cosine with the lowest-cent_id tie-break — ONE native expression
+    * ([[graft.functions.IvfKernels]]) whose centroid matrix rides into
+    * generated code as a reference object. Broadcast-by-construction,
+    * zero exchanges, and the exact selection the windowed rank-1 form
+    * and the composable `least`-over-structs fold
+    * ([[cellAssignStructFold]]) perform, so all three assignment shapes
+    * agree row-for-row (asserted). Round 12: the fold form's expression
+    * tree grew ∝ C under the corpus-scaled geometry and its per-query
+    * plan overhead dominated the encode keys (1.3 of 1.4 s at sf0.1,
+    * C=44); the kernel is O(1) plan nodes at any C. */
   private def cellAssignStruct(centroids: Seq[(Long, Seq[Double])]): Column = {
     require(centroids.nonEmpty, "cellAssignStruct: empty centroid index")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(spark) =>
+        graft.GraftSession.registerFunctions(spark)
+        call_function("ivf_assign", col("embedding"),
+          idsLit(centroids), centsLit(centroids))
+      case None => cellAssignStructFold(centroids)
+    }
+  }
+
+  /** The composable `least`-over-structs assignment fold — the numerics
+    * REFERENCE the native kernel must match bit-for-bit (equivalence
+    * asserted in tests; kept off the hot paths). */
+  private[graft] def cellAssignStructFold(centroids: Seq[(Long, Seq[Double])]): Column = {
+    require(centroids.nonEmpty, "cellAssignStructFold: empty centroid index")
     val structs = centroids.map { case (id, ce) =>
       struct(negate(cosine(col("embedding"), typedlit(ce))).as("nc"),
         lit(id).as("cid"))
@@ -347,14 +366,28 @@ object SimilarityOps {
     if (structs.length == 1) structs.head else least(structs: _*)
   }
 
+  private def idsLit(centroids: Seq[(Long, Seq[Double])]): Column =
+    typedLit(centroids.map(_._1))
+  private def centsLit(centroids: Seq[(Long, Seq[Double])]): Column =
+    typedLit(centroids.flatMap(_._2))
+
   private def cellAssignExpr(centroids: Seq[(Long, Seq[Double])]): Column =
     cellAssignStruct(centroids).getField("cid")
 
-  /** The centroid VECTOR for a cell-id column, as a when-chain over the
-    * bounded centroid literals — in-row, join-free (the centroid table
-    * is an index artifact, so folding it into generated code is the
-    * broadcast-for-free shape every serving path here uses). */
+  /** The centroid VECTOR for a cell-id column — the native lookup twin
+    * of [[cellAssignStruct]] (null on a foreign id, exactly like the
+    * composable when-chain reference [[ceForCellChain]]). */
   private def ceForCell(centroids: Seq[(Long, Seq[Double])], cell: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(spark) =>
+        graft.GraftSession.registerFunctions(spark)
+        call_function("ivf_centroid", cell, idsLit(centroids), centsLit(centroids))
+      case None => ceForCellChain(centroids, cell)
+    }
+
+  /** The composable when-chain centroid lookup — the reference form of
+    * [[ceForCell]] (equivalence asserted in tests). */
+  private[graft] def ceForCellChain(centroids: Seq[(Long, Seq[Double])], cell: Column): Column =
     centroids.tail.foldLeft(
       when(cell === centroids.head._1, typedlit(centroids.head._2))) {
       case (acc, (id, ce)) => acc.when(cell === id, typedlit(ce))

@@ -153,6 +153,34 @@ class FunctionRegistrySpec extends SparkTestBase {
     assert(r.getLong(0) === -1L)
   }
 
+  test("ivf_assign picks the max-cosine centroid with the lowest-id tie-break") {
+    // two 2-dim centroids: id 7 = (1,0), id 3 = (0,1); x = (2,0.1) is
+    // nearly axis-aligned with id 7 → winner (nc ≈ −1), cosine rounded
+    // to 6 decimals exactly like round(cosine_sim(...), 6)
+    val r = sql(
+      """SELECT ivf_assign(array(2.0F, 0.1F), array(7L, 3L),
+        |                  array(1.0D, 0.0D, 0.0D, 1.0D)) AS a,
+        |       -round(cosine_sim(array(2.0F, 0.1F), array(1.0D, 0.0D)), 6) AS nc
+        |""".stripMargin)
+    val a = r.getStruct(0)
+    assert(a.getLong(1) === 7L)
+    assert(a.getDouble(0) === r.getDouble(1))
+    // exact tie (identical centroids under ids 9 and 4) → lowest id
+    val t = sql(
+      """SELECT ivf_assign(array(1.0F, 1.0F), array(9L, 4L),
+        |                  array(0.5D, 0.5D, 0.5D, 0.5D)).cid AS c""".stripMargin)
+    assert(t.getLong(0) === 4L)
+  }
+
+  test("ivf_centroid looks up the cell's vector; foreign ids are null") {
+    val r = sql(
+      """SELECT ivf_centroid(3L, array(7L, 3L), array(1.0D, 0.0D, 0.0D, 1.0D)) AS ce,
+        |       ivf_centroid(99L, array(7L, 3L), array(1.0D, 0.0D, 0.0D, 1.0D)) AS miss
+        |""".stripMargin)
+    assert(r.getSeq[Double](0) === Seq(0.0, 1.0))
+    assert(r.isNullAt(1))
+  }
+
   test("GraftExtensions injects the whole function table into an extensions-built session") {
     import org.apache.spark.sql.SparkSession
     // a second session over the same context, built the way a

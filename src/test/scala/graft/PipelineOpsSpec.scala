@@ -535,6 +535,9 @@ class PipelineOpsSpec extends SparkTestBase {
       (0 until 8).flatMap(cy => (0 until 7).map(cx =>
         if (cells(cy)(cx) > cells(cy)(cx + 1)) 1L << (cy * 7 + cx) else 0L)).sum
     }
+    // order-independent: an inventory sweep in the same JVM may have
+    // staged the table already — start from a cold memo
+    MultimodalOps.dropStagedTextureTable()
     val builds = MultimodalOps.textureTableBuilds.get()
     val hashes = MultimodalOps.imageDHash(
       MultimodalOps.stagedTextureTable(spark, sfDir)).collect()
@@ -571,6 +574,7 @@ class PipelineOpsSpec extends SparkTestBase {
       }
       (0 until 56).map(w => if (e(w) > e(w + 1)) 1L << w else 0L).sum
     }
+    MultimodalOps.dropStagedAudioTable() // order-independent (see above)
     val builds = MultimodalOps.audioTableBuilds.get()
     val hashes = MultimodalOps.audioEnergyHash(
       MultimodalOps.stagedAudioTable(spark, sfDir)).collect()
@@ -603,6 +607,7 @@ class PipelineOpsSpec extends SparkTestBase {
           g * 3 + (if (f == p * 8) 40L else 0L)) % 256
       (0 until 56).map(w => if (e(w) > e(w + 1)) 1L << w else 0L).sum
     }
+    MultimodalOps.dropStagedVideoTable() // order-independent (see above)
     val builds = MultimodalOps.videoTableBuilds.get()
     val hashes = MultimodalOps.videoTemporalHash(
       MultimodalOps.stagedVideoTable(spark, sfDir)).collect()
@@ -836,7 +841,9 @@ class PipelineOpsSpec extends SparkTestBase {
     val rpq = SimilarityOps.ivfPqRecallAtK(spark, sfDir)
     assert(rpq > 0.0 && rpq <= 1.0, s"ivfpq recall $rpq out of band")
     SimilarityOps.recordIvfRecall(spark, sfDir)
-    assert(ObservedMetrics.gaugeSnapshot.keySet ===
+    // scope to the ANN namespace: other subsystems (cc.iterations from
+    // any clusterPairs run in this JVM) gauge into the same registry
+    assert(ObservedMetrics.gaugeSnapshot.keySet.filter(_.startsWith("ann.")) ===
       Set("ann.declared_centroids", "ann.num_probe",
         "ann.ivf_recall_at10", "ann.ivf_recall_at10_1step",
         "ann.ivfpq_recall_at10", "ann.pq_train_mse",
@@ -999,6 +1006,30 @@ class PipelineOpsSpec extends SparkTestBase {
     old.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     assert(SimilarityOps.stagedIvfIndexDir(spark, sf) !== idxDir)
     assert(SimilarityOps.ivfIndexStaleFraction(spark, sf) === 0.0)
+  }
+
+  test("ivf assign/centroid kernels are bit-identical to the composable fold forms") {
+    graft.GraftSession.registerFunctions(spark)
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val idsL = typedlit(cents.map(_._1))
+    val flatL = typedlit(cents.flatMap(_._2))
+    def rows(assign: org.apache.spark.sql.Column) = emb
+      .select(col("vec_id"), assign.as("b"))
+      .select(col("vec_id"), col("b.nc"), col("b.cid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val kernel = rows(call_function("ivf_assign", col("embedding"), idsL, flatL))
+    val fold = rows(SimilarityOps.cellAssignStructFold(cents))
+    assert(kernel === fold)
+    // centroid lookup: kernel == when-chain on every assigned cell
+    val assigned = call_function("ivf_assign", col("embedding"), idsL, flatL)
+      .getField("cid")
+    def ceRows(ce: org.apache.spark.sql.Column) = emb
+      .select(col("vec_id"), ce.as("ce"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    assert(ceRows(call_function("ivf_centroid", assigned, idsL, flatL)) ===
+      ceRows(SimilarityOps.ceForCellChain(cents, assigned)))
   }
 
   test("staleness-triggered retrain: appends past the threshold compact to a rebuild") {
