@@ -643,13 +643,26 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Spread the per-document synthesis input across the session's full
+    * parallelism BEFORE the codec work. The documents fixture reads as
+    * a single split at bench scale (one small parquet file), and
+    * codec-bound work inherits the scan's split count — without this
+    * every synthesis AND every downstream decode of the staged table
+    * ran on one core (the staged table's file count, and therefore the
+    * decode scan's split count, equals the writer's partition count).
+    * The id exchange ships three scalars per row; the heavy bytes are
+    * synthesized after it. */
+  private def spreadForSynthesis(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
   /** The textured-image corpus: one [[synthTexturePng]] payload per
     * document row, synthesized executor-side (the [[imageTable]]
     * shape). */
   def textureTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("source"), col("lang"))
+    spreadForSynthesis(docs)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, source, lang) =>
         MediaRecord(id, "image", synthTexturePng(id),
@@ -730,7 +743,7 @@ object MultimodalOps {
   def audioTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("source"), col("lang"))
+    spreadForSynthesis(docs)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, source, lang) =>
         MediaRecord(id, "audio", synthTextureWav(id),
@@ -829,7 +842,7 @@ object MultimodalOps {
   def videoTable(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("source"), col("lang"))
+    spreadForSynthesis(docs)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, source, lang) =>
         MediaRecord(id, "video", synthTextureGif(id),

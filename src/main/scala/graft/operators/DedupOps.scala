@@ -575,75 +575,102 @@ object DedupOps {
     * See [[docDupGroups]] for the scale analysis.
     */
   private[operators] def clusterPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // Materialize the FORWARD pair list once before symmetrizing: the
-    // union's two branches each scan `pairs`, and for composite callers
+    // symmetrization's two reads of `pairs` would otherwise evaluate
+    // the candidate generation twice, and for composite callers
     // (xmodal: LSH + image-decode + audio-decode candidate generators)
-    // that evaluated the expensive generation twice — idle-box wall
-    // time hides it behind spare cores, but the doubled CPU is real at
-    // cluster scale. The forward cache drops with the edge cache.
-    val fwd = pairs.toDF("doc_a", "doc_b").persist()
+    // that generation is the expensive part — idle-box wall time hides
+    // the recompute behind spare cores, but the doubled CPU is real at
+    // cluster scale.
+    //
+    // The fixpoint loop itself runs on CO-PARTITIONED RDDs with one
+    // fixed HashPartitioner, not on DataFrames: an iterative
+    // min-propagation re-plans, re-optimizes (AQE), and re-shuffles the
+    // SAME tiny tables every round under Catalyst — measured ~0.35 s of
+    // pure per-round scheduling at sf0.1 regardless of data size, with
+    // checkpoint churn to keep the growing plan tree at bay. With a
+    // pinned partitioner the per-round joins against the edge list are
+    // narrow (zero exchange — the GraphX execution shape, which is
+    // RDD-based for exactly this reason), the only per-round shuffle is
+    // the neighbor-min reduce (∝ dup pairs), and there is no plan tree
+    // to truncate. All per-round operators are min-folds —
+    // commutative, associative, deterministic at any partitioning.
+    val fwd = pairs.toDF("doc_a", "doc_b")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long")).persist()
     fwd.count()
-    val edges = fwd
-      .union(fwd.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // symmetric edge list keyed by source — its own transpose, so one
+    // partitionBy serves every per-round join on either endpoint
+    val edges = fwd.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
       .persist()
     // the identity-label first round is folded into initialization:
-    // label₀ = min(id, min neighbor) comes from ONE aggregation over the
-    // symmetric edge list (no join against an identity table), dropping a
-    // full join+checkpoint+fixpoint-check cycle from every clustering run
-    var labels = edges.groupBy(col("doc_a").as("id"))
-      .agg(least(col("id"), min(col("doc_b"))).as("label"))
-      .localCheckpoint(true)
+    // label₀ = min(id, min neighbor) comes from ONE reduce over the
+    // symmetric edge list (no join against an identity table), dropping
+    // a full round from every clustering run
+    var labels = edges
+      .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
+        preservesPartitioning = true)
+      .persist()
+    labels.count()
     var iter = 0
     var done = false
     while (!done && iter < MaxCcIterations) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
-        .groupBy("doc_a").agg(min(col("nl")).as("nbr_min"))
-        .withColumnRenamed("doc_a", "id")
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      // POINTER HALVING (round 12): follow the label's own current
-      // label — label ← min(label, label(label)) — so chain distances
-      // halve per round and rounds-to-fixpoint drop from O(diameter)
-      // to O(log diameter). Cross-modal reconciliation built
-      // chain-heavy components (text cluster ↔ media cluster ↔ …, 15
-      // plain-propagation rounds at sf0.1, `cc.iterations` gauge);
-      // the halving join runs on the CHECKPOINTED step result, so it
-      // adds one small cached self-join per round, not a recompute.
-      // Every label is a vertex id by construction (labels start at
-      // min(id, neighbor) and only ever copy other labels), so the
-      // lookup always resolves; a missing id coalesces to itself.
-      val next = stepped.as("a")
-        .join(stepped.select(col("id").as("jid"), col("label").as("jl")).as("b"),
-          col("a.label") === col("b.jid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("jl"), col("a.label"))).as("label"))
-        .localCheckpoint(true)
-      // labels only ever decrease: changed == 0 is the fixpoint
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).limit(1).count()
-      // drop the superseded checkpoints' storage blocks — without this
-      // every pipeline run leaks cached label snapshots for the
-      // application's lifetime (the FINAL labels stays cached: the
-      // returned plan reads from it)
-      stepped.unpersist()
+      // neighbor-min: for each symmetric edge (src → dst), ship
+      // label(src) to dst — edges and labels share `part` on src, so
+      // the join is narrow; the reduce is the round's one real shuffle
+      val nbrMin = edges.join(labels)
+        .map { case (_, (dst, lsrc)) => (dst, lsrc) }
+        .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      val stepped = labels.leftOuterJoin(nbrMin)
+        .mapPartitions(_.map { case (id, (l, mn)) =>
+          (id, math.min(l, mn.getOrElse(l))) }, preservesPartitioning = true)
+      // POINTER JUMPING: follow the stepped label through the previous
+      // round's label table — label ← min(stepped, prev(stepped)) — so
+      // chain distances contract multiplicatively and rounds-to-fixpoint
+      // drop from O(diameter) to O(log diameter). Cross-modal
+      // reconciliation builds chain-heavy components (text cluster ↔
+      // media cluster ↔ …: 15 plain-propagation rounds at sf0.1, 9
+      // jumped — `cc.iterations` gauge). prev(x) only lags stepped(x)
+      // by the round (labels decrease monotonically), so the jump
+      // target may be one round staler, never wrong; and every label
+      // is a vertex id by construction (labels start at min(id,
+      // neighbor) and only ever copy other labels), so the lookup
+      // always resolves — a missing id keeps its stepped label.
+      val next = stepped
+        .map { case (id, l) => (l, id) }
+        .join(labels)
+        .map { case (l, (id, ll)) => (id, math.min(l, ll)) }
+        .partitionBy(part)
+        .persist()
+      next.count()
+      // labels only ever decrease: no (id, next < prev) row ⇒ fixpoint.
+      // Both sides share `part`, so the probe is narrow and early-outs.
+      val changed = !next.join(labels)
+        .filter { case (_, (n, p)) => n < p }.isEmpty()
       labels.unpersist()
       labels = next
-      done = changed == 0L
+      done = !changed
       iter += 1
     }
     edges.unpersist()
     fwd.unpersist()
-    // observability: rounds-to-fixpoint ∝ component diameter — the gauge
-    // a production tier watches before raising MaxCcIterations
+    // observability: rounds-to-fixpoint ∝ log component diameter — the
+    // gauge a production tier watches before raising MaxCcIterations
     graft.ObservedMetrics.recordGauge("cc.iterations", iter.toDouble)
     if (!done) throw new IllegalStateException(
       s"clusterPairs: no fixpoint after $MaxCcIterations iterations — " +
         "a component's diameter exceeds the cap (raise MaxCcIterations)")
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    // back to DataFrame land for the size/canonical dressing (the FINAL
+    // labels RDD stays persisted: the returned plan reads from it)
+    val labelsDf = labels.toDF("id", "label")
+    val sizes = labelsDf.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labelsDf.join(sizes, "label")
       .select(
         col("id"),
         col("label").as("cluster"),
