@@ -93,6 +93,11 @@ object Bench {
     // before/after bracket provably missed in r11 (spin [46,43] around
     // two 4× phantoms).
     var spinx = 0L
+    // Suppressed medians (ADVICE r12): when the contention defense
+    // records min-of-reps, the median it REPLACED goes here — a
+    // genuine load-sensitive regression (slow on most reps, fast on
+    // one) stays visible in the line instead of being silently erased.
+    var susp = Map.empty[String, Double]
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx % 4 == 0) spinx = math.max(spinx, spinMs())
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -135,16 +140,32 @@ object Bench {
       // regression survives (every rep is slow); a burst is erased by
       // any idle rep. The suspect value never enters the line, so a
       // recorded >2.5× outlier now means every rep reproduced it.
-      val value =
-        if (median < 0) median
+      // Defense triggers: (a) a carry base exists and the median is
+      // >2.5× it; (b) NO carry base (first appearance) and the median
+      // reaches 1 s — r12 recorded the three new keys' first numbers on
+      // a contended run with no defense, and those numbers became the
+      // next round's base.
+      val defend =
+        if (median < 0) false
         else carryBase.get(name) match {
-          case Some(base) if base > 0 && median > 2.5 * base =>
-            val rerun = timed()
-            val all = times ++ rerun
-            System.err.println(f"[bench] $name%s median $median%.2fs > 2.5x base " +
-              f"$base%.2fs: re-rep ${rerun.fold("failed")(v => f"$v%.2fs")}, keeping min")
-            if (all.isEmpty) -1.0 else all.min
-          case _ => median
+          case Some(base) => base > 0 && median > 2.5 * base
+          case None => median >= 1.0
+        }
+      val value =
+        if (!defend) median
+        else {
+          val rerun = timed()
+          val all = times ++ rerun
+          val why = carryBase.get(name)
+            .map(b => f"median $median%.2fs > 2.5x base $b%.2fs")
+            .getOrElse(f"first appearance at $median%.2fs")
+          System.err.println(f"[bench] $name%s $why: re-rep " +
+            f"${rerun.fold("failed")(v => f"$v%.2fs")}, keeping min")
+          val v = if (all.isEmpty) -1.0 else all.min
+          // the replaced median rides in the "susp" side-channel (only
+          // when the min actually differs at line precision)
+          if (v >= 0 && median - v >= 0.05) susp += name -> median
+          v
         }
       name -> value
     }
@@ -169,6 +190,11 @@ object Bench {
     val errs = if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
         .mkString(""","errors":{""", ",", "}")
+    // suppressed-median side-channel: absent on a clean run (costs 0
+    // chars of the tail window), present only for defended keys
+    val suspJson = if (susp.isEmpty) ""
+      else susp.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }
+        .mkString(""","susp":{""", ",", "}")
     val spin1 = spinMs()
     val total = results.map(_._2).filter(_ >= 0).sum
     // Window reclaims, in order: "unit":"sec" dropped in round 8 for the
@@ -191,7 +217,7 @@ object Bench {
         else String.format(java.util.Locale.ROOT, "%.1f", Double.box(load1m))
       s""""spin":[$spin0,$spin1],"spinx":$spinx,"load":$l"""
     }
-    val line = s"""{"value":${total.round},$canary,"queries":$qs$errs}"""
+    val line = s"""{"value":${total.round},$canary,"queries":$qs$suspJson$errs}"""
     // Guard on the 2000-char capture. True cap: the tail holds the last
     // 2000 stdout chars, so the LINE survives whole at length ≤ 1999
     // (its trailing newline takes one). 1990 leaves slack for value
@@ -226,8 +252,9 @@ object Bench {
     // msglog_rt + set_ops_returnflag → set_ops + text_tokenize_counts →
     // tok_counts, which fund "spinx" + gif_dups + xmodal + stream_idx).
     // r12 reclaims spent: route_partition_key → route_key, text_lm_perplexity
-    // → lm_ppl, doc_mixture_sample → mixture. Next if needed: filter_events_type
-    // → evt_filter.
+    // → lm_ppl, doc_mixture_sample → mixture. r13: filter_events_type →
+    // evt_filter + dedup_by_sequence → seq_dedup, funding ann_seg plus
+    // margin for the occasional "susp" side-channel.
     val budget = 1990
     val out = line
     if (out.length > budget)

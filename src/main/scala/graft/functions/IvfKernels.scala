@@ -52,7 +52,10 @@ object IvfKernels {
   /** Assignment: returns `(nc, cid)` as an InternalRow — `nc` = the
     * NEGATED rounded cosine to the winning centroid, `cid` = its id;
     * null on a null element or a dimension mismatch (the composable
-    * fold's cosine also nulls there). */
+    * fold agrees: it gates the whole struct on the first centroid's
+    * cosine nullity, which fires on exactly these inputs — ungated,
+    * `least` over null-nc structs would elect the lowest cid
+    * instead). */
   def assign(xa: ArrayData, ids: Array[Long], cents: Array[Double],
       isFloat: Boolean): InternalRow = {
     val n = xa.numElements()

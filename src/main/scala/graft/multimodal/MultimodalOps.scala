@@ -900,36 +900,37 @@ object MultimodalOps {
             val reader = readers.next()
             try {
               reader.setInput(iis, false, true)
-              val n = reader.getNumImages(true)
-              if (n < 57) (r.media_id, None: Option[Long])
-              else {
-                val e = new Array[Long](57)
-                var f = 0
-                while (f < 57) {
-                  val img = reader.read(f)
-                  val w = img.getWidth
-                  val h = img.getHeight
-                  val row = new Array[Int](w)
-                  var y = 0
-                  while (y < h) {
-                    img.getRGB(0, y, w, 1, row, 0, w)
-                    var x = 0
-                    while (x < w) {
-                      e(f) += (row(x) >> 16) & 0xff
-                      x += 1
-                    }
-                    y += 1
+              // Single pass: no getNumImages(true) pre-walk (that forces a
+              // full stream parse BEFORE the 57 decodes — every clip parsed
+              // twice). Read frames sequentially; a clip shorter than 57
+              // frames makes reader.read(f) throw, landing in the corrupt
+              // fallback below — the same None the length check produced.
+              val e = new Array[Long](57)
+              var f = 0
+              while (f < 57) {
+                val img = reader.read(f)
+                val w = img.getWidth
+                val h = img.getHeight
+                val row = new Array[Int](w)
+                var y = 0
+                while (y < h) {
+                  img.getRGB(0, y, w, 1, row, 0, w)
+                  var x = 0
+                  while (x < w) {
+                    e(f) += (row(x) >> 16) & 0xff
+                    x += 1
                   }
-                  f += 1
+                  y += 1
                 }
-                var hash = 0L
-                var w = 0
-                while (w < 56) {
-                  if (e(w) > e(w + 1)) hash |= 1L << w
-                  w += 1
-                }
-                (r.media_id, Some(hash))
+                f += 1
               }
+              var hash = 0L
+              var w = 0
+              while (w < 56) {
+                if (e(w) > e(w + 1)) hash |= 1L << w
+                w += 1
+              }
+              (r.media_id, Some(hash))
             } finally reader.dispose()
           }
         } finally if (iis != null) iis.close()

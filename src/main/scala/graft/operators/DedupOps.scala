@@ -329,7 +329,8 @@ object DedupOps {
   /** Cross-modal duplicate reconciliation — the pipeline step AFTER
     * per-modality dedup: a page duplicated with a re-encoded hero image
     * is ONE duplicate, not two. Text dup pairs ([[docLshVerifiedDups]])
-    * and media dup pairs (image dHash + audio fingerprint), mapped to
+    * and media dup pairs from the full modality square (image dHash +
+    * audio fingerprint + video temporal fingerprint), mapped to
     * document ids through a doc↔media LINK table, merge into one
     * undirected graph; [[clusterPairs]] closes it transitively and one
     * canonical per cross-modal group is elected by the quality signal
@@ -356,7 +357,18 @@ object DedupOps {
       .select(col("media_a"), col("media_b")))
     val wavPairs = viaLink(audioHashDups(spark, sfDir)
       .select(col("media_a"), col("media_b")))
-    val groups = clusterPairs(textPairs.union(imgPairs).union(wavPairs))
+    val vidPairs = viaLink(videoHashDups(spark, sfDir)
+      .select(col("media_a"), col("media_b")))
+    crossModalKeepBestFrom(docs, Seq(textPairs, imgPairs, wavPairs, vidPairs))
+  }
+
+  /** The reconciliation core of [[crossModalKeepBest]], over
+    * already-linked `(doc_a, doc_b)` pair frames from any set of
+    * modality generators — factored so a single-modality edge (e.g. a
+    * video-only duplicate) is injectable in tests. */
+  private[graft] def crossModalKeepBestFrom(docs: DataFrame,
+      pairSources: Seq[DataFrame]): DataFrame = {
+    val groups = clusterPairs(pairSources.reduce(_ union _))
       .withColumnRenamed("id", "doc_id")
     val quality = TextOps.textQualityScore(docs)
       .select(col("doc_id"), col("quality"))
@@ -574,9 +586,20 @@ object DedupOps {
     * is_canonical, cluster_size)` with cluster = the component's min id.
     * See [[docDupGroups]] for the scale analysis.
     */
+  /** The last [[clusterPairs]] run's final labels RDD. The returned
+    * frame reads from it, so it cannot unpersist inside the call; the
+    * NEXT call retires it instead, bounding a long-lived session at one
+    * cached labels RDD no matter how many CC invocations it makes (a
+    * bench run alone makes 12). A retired frame re-run after that point
+    * recomputes through RDD lineage — slower, still correct. */
+  @volatile private var lastCcLabels: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
+
   private[operators] def clusterPairs(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // retire the previous run's cached labels (see lastCcLabels)
+    lastCcLabels.foreach(_.unpersist(blocking = false))
+    lastCcLabels = None
     // Materialize the FORWARD pair list once before symmetrizing: the
     // symmetrization's two reads of `pairs` would otherwise evaluate
     // the candidate generation twice, and for composite callers
@@ -638,14 +661,16 @@ object DedupOps {
       // media cluster ↔ …: 15 plain-propagation rounds at sf0.1, 9
       // jumped — `cc.iterations` gauge). prev(x) only lags stepped(x)
       // by the round (labels decrease monotonically), so the jump
-      // target may be one round staler, never wrong; and every label
-      // is a vertex id by construction (labels start at min(id,
-      // neighbor) and only ever copy other labels), so the lookup
-      // always resolves — a missing id keeps its stepped label.
+      // target may be one round staler, never wrong. Every label is a
+      // vertex id by construction (labels start at min(id, neighbor)
+      // and only ever copy other labels), so the lookup always
+      // resolves in practice — but the join is a leftOuter so the
+      // stated fallback (a missing id keeps its stepped label) is what
+      // the code does, not just what the invariant implies.
       val next = stepped
         .map { case (id, l) => (l, id) }
-        .join(labels)
-        .map { case (l, (id, ll)) => (id, math.min(l, ll)) }
+        .leftOuterJoin(labels)
+        .map { case (l, (id, ll)) => (id, math.min(l, ll.getOrElse(l))) }
         .partitionBy(part)
         .persist()
       next.count()
@@ -667,7 +692,9 @@ object DedupOps {
       s"clusterPairs: no fixpoint after $MaxCcIterations iterations — " +
         "a component's diameter exceeds the cap (raise MaxCcIterations)")
     // back to DataFrame land for the size/canonical dressing (the FINAL
-    // labels RDD stays persisted: the returned plan reads from it)
+    // labels RDD stays persisted: the returned plan reads from it; the
+    // NEXT clusterPairs call retires it — see lastCcLabels)
+    lastCcLabels = Some(labels)
     val labelsDf = labels.toDF("id", "label")
     val sizes = labelsDf.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labelsDf.join(sizes, "label")
@@ -868,6 +895,49 @@ object DedupOps {
           SELECT media_a, media_b, hamming FROM pairs
           WHERE hamming <= $ImgMaxHamming"""
 
+  /** The `gif_dups` oracle, factored out so [[crossModalOracle]] can
+    * embed it as a subquery: every frame pixel re-derives arithmetically
+    * (integer ops mod 256; GIF is lossless over indexed rasters — the
+    * synthTextureGif contract), so the per-frame energies, the temporal
+    * fingerprint, and the banded pairs mirror the operator exactly. */
+  private def gifDupsOracle: String =
+    s"""WITH vbase AS (
+            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
+            FROM documents),
+          vpx AS (
+            SELECT b.doc_id, f.f,
+                   ((((b.g * 2654435761) % 8) + 1) * f.f * f.f
+                    + ((((b.g * 2654435761) // 8) % 8) + 1) * f.f * (x.x + 1)
+                    + (((b.g * 2654435761) // 64) % 8) * x.x * y.y
+                    + (((b.g * 2654435761) // 512) % 8) * (y.y + 1) * f.f
+                    + b.g * 3
+                    + CASE WHEN f.f = b.p * 8 THEN 40 ELSE 0 END)
+                   % 256 AS gray
+            FROM vbase b, range(0, 57) f(f), range(0, 8) x(x), range(0, 8) y(y)),
+          venergy AS (SELECT doc_id, f, sum(gray) AS e
+                      FROM vpx GROUP BY 1, 2),
+          fp AS (SELECT l.doc_id,
+                        coalesce(sum(CASE WHEN l.e > r.e
+                                          THEN 1::BIGINT << l.f
+                                          ELSE 0 END), 0) AS dhash
+                 FROM venergy l JOIN venergy r
+                   ON r.doc_id = l.doc_id AND r.f = l.f + 1
+                 GROUP BY l.doc_id),
+          blocks AS (SELECT doc_id, dhash, b.blk,
+                            (dhash >> (b.blk * 7)) & 127 AS blk_val
+                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
+                                                  ORDER BY doc_id) AS rk
+                     FROM blocks),
+          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+                    FROM ranked a JOIN ranked b
+                      ON a.blk = b.blk AND a.blk_val = b.blk_val
+                      AND a.doc_id < b.doc_id
+                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
+          SELECT media_a, media_b, hamming FROM pairs
+          WHERE hamming <= $ImgMaxHamming"""
+
   /** Cross-modal reconciliation oracle: the text, image, and audio pair
     * oracles ride as parenthesized subqueries (each scopes its own WITH
     * chain — their internal CTE names collide by design reuse), media
@@ -883,7 +953,9 @@ object DedupOps {
         mp AS MATERIALIZED (
           SELECT media_a, media_b FROM ($imgDupsOracle)
           UNION ALL
-          SELECT media_a, media_b FROM ($wavDupsOracle)),
+          SELECT media_a, media_b FROM ($wavDupsOracle)
+          UNION ALL
+          SELECT media_a, media_b FROM ($gifDupsOracle)),
         mp2 AS (SELECT la.ld AS a, lb.ld AS b
                 FROM mp JOIN xlink la ON mp.media_a = la.media_id
                         JOIN xlink lb ON mp.media_b = lb.media_id),
@@ -979,47 +1051,7 @@ object DedupOps {
           SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $MaxHamming""",
     "img_dups" -> imgDupsOracle,
     "wav_dups" -> wavDupsOracle,
-    "gif_dups" ->
-      // every frame pixel re-derives arithmetically (integer ops mod
-      // 256; GIF is lossless over indexed rasters — the synthTextureGif
-      // contract), so the per-frame energies, the temporal fingerprint,
-      // and the banded pairs mirror the operator exactly
-      s"""WITH vbase AS (
-            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
-            FROM documents),
-          vpx AS (
-            SELECT b.doc_id, f.f,
-                   ((((b.g * 2654435761) % 8) + 1) * f.f * f.f
-                    + ((((b.g * 2654435761) // 8) % 8) + 1) * f.f * (x.x + 1)
-                    + (((b.g * 2654435761) // 64) % 8) * x.x * y.y
-                    + (((b.g * 2654435761) // 512) % 8) * (y.y + 1) * f.f
-                    + b.g * 3
-                    + CASE WHEN f.f = b.p * 8 THEN 40 ELSE 0 END)
-                   % 256 AS gray
-            FROM vbase b, range(0, 57) f(f), range(0, 8) x(x), range(0, 8) y(y)),
-          venergy AS (SELECT doc_id, f, sum(gray) AS e
-                      FROM vpx GROUP BY 1, 2),
-          fp AS (SELECT l.doc_id,
-                        coalesce(sum(CASE WHEN l.e > r.e
-                                          THEN 1::BIGINT << l.f
-                                          ELSE 0 END), 0) AS dhash
-                 FROM venergy l JOIN venergy r
-                   ON r.doc_id = l.doc_id AND r.f = l.f + 1
-                 GROUP BY l.doc_id),
-          blocks AS (SELECT doc_id, dhash, b.blk,
-                            (dhash >> (b.blk * 7)) & 127 AS blk_val
-                     FROM fp, range(0, $ImgHashBlocks) b(blk)),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
-                                                  ORDER BY doc_id) AS rk
-                     FROM blocks),
-          pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
-                           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
-                    FROM ranked a JOIN ranked b
-                      ON a.blk = b.blk AND a.blk_val = b.blk_val
-                      AND a.doc_id < b.doc_id
-                      AND ${duckCap("a.rk")} AND ${duckCap("b.rk")})
-          SELECT media_a, media_b, hamming FROM pairs
-          WHERE hamming <= $ImgMaxHamming""",
+    "gif_dups" -> gifDupsOracle,
     "lsh_dups" ->
       s"""WITH $duckVerifiedCtes
           SELECT doc_a, doc_b, n_bands, jaccard FROM dup""",

@@ -364,13 +364,13 @@ object MessageOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_env" -> ((s, d) => scanEnvelope(Fixtures.events(s, d))),
-    "filter_events_type" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
+    "evt_filter" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
     "decode_props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
     // "route_key" née route_partition_key — round-12 bench-line reclaim
     "route_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
     "rr_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
     "key_shared_ranges" -> ((s, d) => keySharedRanges(Fixtures.events(s, d))),
-    "dedup_by_sequence" -> ((s, d) => dedupBySequence(Fixtures.events(s, d))),
+    "seq_dedup" -> ((s, d) => dedupBySequence(Fixtures.events(s, d))),
     "ack_frontier" -> ((s, d) => cumulativeAckFrontier(Fixtures.events(s, d))),
     // short names (bench line budget: funds the wav_dups key; formerly
     // the *_anti_join / dead_letter_* long forms, semantics unchanged)
@@ -424,7 +424,7 @@ object MessageOps {
       s"""SELECT event_id AS entry_id, CAST(user_id % $P AS INTEGER) AS partition,
           user_id AS partition_key, epoch_ms(CAST(ts AS TIMESTAMP)) AS publish_ms,
           event_type AS topic, value, props FROM events ORDER BY entry_id""",
-    "filter_events_type" ->
+    "evt_filter" ->
       s"""SELECT event_id, user_id, $US AS publish_us, value FROM events
           WHERE event_type = 'purchase' AND value > 50 ORDER BY event_id""",
     "decode_props_json" ->
@@ -447,7 +447,7 @@ object MessageOps {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
          FROM (SELECT user_id, (user_id * 31 + 7) % 256 AS h FROM events)
          GROUP BY 1 ORDER BY range_id""",
-    "dedup_by_sequence" ->
+    "seq_dedup" ->
       """SELECT user_id, seq, event_id AS first_event_id FROM
          (SELECT user_id, event_id % 256 AS seq, event_id,
                  row_number() OVER (PARTITION BY user_id, event_id % 256 ORDER BY event_id) AS rn

@@ -363,7 +363,16 @@ object SimilarityOps {
     // `least` rejects a single argument — a degenerate index (every
     // vector in one surviving cell, e.g. an identical-vector corpus
     // after a Lloyd step drops the empty cells) assigns trivially
-    if (structs.length == 1) structs.head else least(structs: _*)
+    val folded = if (structs.length == 1) structs.head else least(structs: _*)
+    // The native kernel nulls the whole (nc, cid) struct on a malformed
+    // input (null element / dimension mismatch). Ungated, the fold
+    // would instead emit a NON-null struct there (null nc sorts first
+    // in struct ordering → lowest cid wins). Cosine is null exactly on
+    // those inputs — and identically for every centroid, since they
+    // share one dimension — so gating on the first centroid's cosine
+    // makes both assignment shapes agree on malformed rows too.
+    when(cosine(col("embedding"), typedlit(centroids.head._2.toSeq)).isNotNull,
+      folded)
   }
 
   private def idsLit(centroids: Seq[(Long, Seq[Double])]): Column =
@@ -470,11 +479,23 @@ object SimilarityOps {
       codebook: Seq[Array[Double]]): DataFrame =
     emb
       .withColumn("b", cellAssignStruct(cents))
+      // int8 companion column ([[embeddingQuantizeInt8]]'s exact
+      // numerics): the 4×-smaller refine source — cosine is
+      // scale-invariant, so re-ranking reads q8 alone; q8_scale rides
+      // along for reconstruction/L2 readers
+      .withColumn("x", transform(col("embedding"), e => e.cast("double")))
+      .withColumn("mx",
+        aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))))
+      .withColumn("q8_scale",
+        when(col("mx") > 0, col("mx") / 127.0).otherwise(lit(1.0)))
       .select(col("vec_id"), col("embedding"),
         negate(col("b.nc")).as("ccos"),
         call_function("pq_enc",
           residualOf(col("embedding"), ceForCell(cents, col("b.cid"))),
           cbLit(codebook)).getField("code").as("pq_code"),
+        transform(col("x"), v => round(v / col("q8_scale")).cast("tinyint"))
+          .as("q8"),
+        col("q8_scale"),
         col("b.cid").as("cell"))
 
   /** How many vectors entered the staged index via APPEND (per index
@@ -513,16 +534,71 @@ object SimilarityOps {
         java.lang.Long.valueOf(a.longValue() + b.longValue()))
   }
 
-  /** Staleness gauge: the fraction of the SERVED index that entered via
-    * append — i.e. rows assigned/encoded under frozen artifacts the
-    * full trainer never saw. A serving tier retrains when this crosses
-    * its quality budget (the recall gauges quantify the cost). */
+  /** Staleness gauge: the fraction of the SERVED index that entered
+    * outside the full retrain — in-place appends AND registered live
+    * segments, both assigned/encoded under frozen artifacts the full
+    * trainer never saw. A serving tier retrains when this crosses its
+    * quality budget (the recall gauges quantify the cost). */
   def ivfIndexStaleFraction(spark: SparkSession, sfDir: String): Double = {
     val dir = stagedIvfIndexDir(spark, sfDir)
-    val appended =
-      appendedRows.getOrDefault(dir, java.lang.Long.valueOf(0L)).doubleValue()
+    val segRows = Option(liveSegmentRoots.get(sfDir))
+      .map(r => spark.read.parquet(r).count()).getOrElse(0L)
+    val appended = segRows +
+      appendedRows.getOrDefault(dir, java.lang.Long.valueOf(0L)).longValue()
     if (appended == 0) 0.0
-    else appended / spark.read.parquet(dir).count().toDouble
+    else appended.toDouble /
+      (spark.read.parquet(dir).count() + segRows).toDouble
+  }
+
+  /** Live streaming segment root registered for serving, per corpus dir
+    * — the union side of the LSM: [[servedIndex]] = base index ∪ these
+    * segments. One root per corpus (a root holds every epoch's
+    * cell-partitioned segment dir); re-registration replaces, so a
+    * restarted ingestion stream swaps its whole segment set
+    * atomically. */
+  private val liveSegmentRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Publish an ingestion stream's segment root into the serve path:
+    * every subsequent index read ([[embeddingIvfTopKIndexed]],
+    * `ann_batch`, `stream_ann`, ADC, refine, prototypes) sees base ∪
+    * segments with no retrain. [[maybeRetrainStagedIndex]] retires the
+    * registration when compaction folds the corpus snapshot back into
+    * the base. */
+  def registerIndexSegments(sfDir: String, segRoot: String): Unit = {
+    liveSegmentRoots.put(sfDir, segRoot)
+    ()
+  }
+
+  def dropIndexSegments(sfDir: String): Unit = {
+    liveSegmentRoots.remove(sfDir)
+    ()
+  }
+
+  /** The index every serve path reads: the staged base ∪ the registered
+    * live segments — the LSM read view that makes freshly ingested
+    * vectors visible BEFORE any retrain. Newest wins: a base row whose
+    * vec_id reappears in a segment is anti-joined away (an update that
+    * moved a vector to a new cell serves only the new row). Scale
+    * shape: the probe's cell filter pushes through the union into BOTH
+    * cell-partitioned scans (partition pruning holds — asserted in
+    * PlanSpec), and the anti-join's build side is segment vec_ids only
+    * (the small, recently-ingested slice by LSM design; compaction
+    * bounds it). With no registered segments this is exactly the base
+    * read — zero plan change. */
+  private[graft] def servedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    Option(liveSegmentRoots.get(sfDir)) match {
+      case None => base
+      case Some(root) =>
+        // project to the base read schema: drop the epoch partition
+        // column, align the inferred partition-column types
+        val segs = spark.read.parquet(root).select(
+          base.schema.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        base.join(segs.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(segs)
+    }
   }
 
   /** IVF top-k served FROM the staged cell-partitioned index: probe the
@@ -546,7 +622,7 @@ object SimilarityOps {
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
       .orderBy(col("ccos").desc, col("cent_id")).limit(np)
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    servedIndex(spark, sfDir)
       .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qdf))
@@ -576,7 +652,7 @@ object SimilarityOps {
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
       .orderBy(col("ccos").desc, col("cent_id")).limit(np)
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    servedIndex(spark, sfDir)
       .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qdf))
@@ -616,7 +692,7 @@ object SimilarityOps {
     * — a drop-in higher-recall serve of the same contract. */
   def ivfPqTopKRefinedIndexed(spark: SparkSession, sfDir: String,
       queryId: Long, k: Int, numProbe: Int = DerivedProbe,
-      refine: Int = RefineFactor): DataFrame = {
+      refine: Int = RefineFactor, refineInt8: Boolean = false): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
@@ -629,7 +705,7 @@ object SimilarityOps {
       .select(col("cent_id"), cosine(col("ce"), col("qe")).as("ccos"))
       .orderBy(col("ccos").desc, col("cent_id")).limit(np)
       .collect().map(_.getLong(0)).toSeq
-    val index = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    val index = servedIndex(spark, sfDir)
       .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= queryId)
     val shortlist = index
@@ -641,10 +717,18 @@ object SimilarityOps {
       .orderBy(col("adist"), col("vec_id"))
       .limit(refine * k)
       .select("vec_id")
+    // re-rank source: full float vectors (exact cosine), or the stored
+    // int8 codes — cosine is SCALE-INVARIANT, so ranking from raw q8
+    // needs no dequantization and reads 4× less per refined row; the
+    // only loss is int8 rounding (gauged by
+    // `ann.ivfpq_refine_recall_at10_int8`)
+    val rerank =
+      if (refineInt8) cosine(transform(col("q8"), v => v.cast("double")), col("qe"))
+      else cosine(col("embedding"), col("qe"))
     index
       .join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(qdf))
-      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .select(col("vec_id"), rerank.as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -688,7 +772,7 @@ object SimilarityOps {
       .toDF("qid", "qe", "cell")
     val cells = probeRows.map(_.getLong(2)).distinct.toSeq
     val byRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    servedIndex(spark, sfDir)
       .filter(col("cell").isin(cells: _*))
       .join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
@@ -738,7 +822,7 @@ object SimilarityOps {
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
       .toDF("qid", "qe", "cell")
     val cells = probeRows.map(_.getLong(2)).distinct.toSeq
-    val index = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    val index = servedIndex(spark, sfDir)
       .filter(col("cell").isin(cells: _*))
     val byAdc = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     val shortlist = index
@@ -792,7 +876,7 @@ object SimilarityOps {
       .select(col("qid"), col("qe"), col("cent_id").as("cell"))
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val index = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    val index = servedIndex(spark, sfDir)
       .filter(col("cell").isin(cells: _*))
     val byAdc = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     val shortlist = index
@@ -861,7 +945,7 @@ object SimilarityOps {
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val byRank = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    servedIndex(spark, sfDir)
       .filter(col("cell").isin(cells: _*))
       .join(probes, "cell")
       .filter(col("vec_id") =!= col("qid"))
@@ -959,7 +1043,7 @@ object SimilarityOps {
   def embeddingCellPrototypesIndexed(spark: SparkSession, sfDir: String,
       p: Int = ProtoK): DataFrame =
     protoRank(
-      spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+      servedIndex(spark, sfDir)
         // partition-column type inference reads `cell` back as INT (the
         // values fit); the self-assigning form emits BIGINT from cent_id
         // — cast so both serving shapes return the SAME schema, not just
@@ -1382,12 +1466,12 @@ object SimilarityOps {
   // ---------------------------------------------------------------------
 
   private val NEAR_DUP_K = 20
-  private val IVF_K = 10
+  private[graft] val IVF_K = 10
   private val QUERY_VEC = 0L
 
   /** Query batch for the batched-ANN contract key: ids spread across the
     * corpus so the probed cell sets differ between queries. */
-  private val QUERY_BATCH = Seq(0L, 7L, 13L)
+  private[graft] val QUERY_BATCH = Seq(0L, 7L, 13L)
 
   /** Query ids for the recall gauges: 20 ids spread across the fixture
     * (recall granularity 1/200 at k=10, vs 1/30 on the 3-id contract
@@ -1431,11 +1515,12 @@ object SimilarityOps {
     * exact re-rank) vs the exact top-k. */
   def ivfPqRefineRecallAtK(spark: SparkSession, sfDir: String,
       ids: Seq[Long] = RecallIds, k: Int = IVF_K,
-      numProbe: Int = DerivedProbe): Double = {
+      numProbe: Int = DerivedProbe, refineInt8: Boolean = false): Double = {
     val emb = Fixtures.embeddings(spark, sfDir)
     avgOverlap(ids, k,
       q => LlmOps.embeddingTopKCosine(emb, q, k),
-      q => ivfPqTopKRefinedIndexed(spark, sfDir, q, k, numProbe))
+      q => ivfPqTopKRefinedIndexed(spark, sfDir, q, k, numProbe,
+        refineInt8 = refineInt8))
   }
 
   private def centsFor(spark: SparkSession, sfDir: String,
@@ -1494,6 +1579,12 @@ object SimilarityOps {
     // ADC misrankings, so the residual loss is probe coverage only
     graft.ObservedMetrics.recordGauge("ann.ivfpq_refine_recall_at10",
       ivfPqRefineRecallAtK(spark, sfDir))
+    // the same two-stage serve re-ranked from the stored int8 codes
+    // (4× less read per refined row): the r13 decision gauge — if this
+    // holds within ~0.01 of the float gauge, int8 becomes the default
+    // refine source
+    graft.ObservedMetrics.recordGauge("ann.ivfpq_refine_recall_at10_int8",
+      ivfPqRefineRecallAtK(spark, sfDir, refineInt8 = true))
     // fraction of the served index appended under frozen artifacts
     // (0 unless a pipeline has run incremental appends this session)
     graft.ObservedMetrics.recordGauge("ann.index_stale_fraction",
@@ -1939,14 +2030,23 @@ object SimilarityOps {
         SELECT a.vec_id, a.cell, p.pq_code
         FROM assigned a JOIN pq_enc p USING (vec_id)"""
 
-  /** Staleness-triggered COMPACTION: when the appended fraction of the
-    * staged index crosses `threshold`, drop every staged ANN artifact
-    * (centroids, PQ codebook, index files) and rebuild from the current
-    * corpus — the periodic full retrain that bounds the quality drift
-    * incremental appends accumulate (frozen artifacts never saw the
-    * appended vectors; the recall gauges price that drift). Returns
-    * whether a retrain ran. Production wires this after each append
-    * batch; the threshold is the serving tier's quality budget. */
+  /** Staleness-triggered COMPACTION: when the stale fraction of the
+    * served index (in-place appends + live segments) crosses
+    * `threshold`, drop every staged ANN artifact (centroids, PQ
+    * codebook, index files), rebuild from the current corpus, and
+    * retire the live-segment registration — the periodic full retrain
+    * that bounds the quality drift frozen-artifact ingestion
+    * accumulates (the recall gauges price that drift). Returns whether
+    * a retrain ran. Production wires this after each append batch; the
+    * threshold is the serving tier's quality budget.
+    *
+    * COMPACTION CONTRACT: the rebuild reads ONLY the corpus dir. Rows
+    * that entered via [[appendToStagedIvfIndex]] or a registered
+    * segment root but were never landed in the corpus dir are DROPPED
+    * from the served index at compaction — the ingestion tier must
+    * commit each batch to corpus storage before the retrain threshold
+    * trips (the usual LSM discipline: segments are a serving overlay,
+    * the corpus is the source of truth). */
   def maybeRetrainStagedIndex(spark: SparkSession, sfDir: String,
       threshold: Double): Boolean = {
     val stale = ivfIndexStaleFraction(spark, sfDir)
@@ -1957,6 +2057,7 @@ object SimilarityOps {
       centroidCache.invalidate(sfDir)
       pqCodebookCache.invalidate(sfDir)
       ivfIndexDirs.invalidate(sfDir)
+      dropIndexSegments(sfDir)        // compaction absorbs the overlay
       stagedIvfIndexDir(spark, sfDir) // rebuild eagerly: serving never
       true                            // races a half-built artifact
     }

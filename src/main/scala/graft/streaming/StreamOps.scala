@@ -629,12 +629,44 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // publish to serving: every index read now sees base ∪ this root's
+    // segments (SimilarityOps.servedIndex) — ingested vectors are
+    // queryable immediately, retrain is compaction not visibility
+    graft.operators.SimilarityOps.registerIndexSegments(sfDir, data)
     // contract projection: the scalar index triple (the embedding array
     // and stored ccos stay serving-side); `cell` comes back as the
     // inferred partition column, restored to its BIGINT identity
     spark.read.parquet(data)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("pq_code"))
+  }
+
+  /** ANN served over base ∪ LIVE SEGMENTS — the end-to-end LSM read:
+    * ingest the embedding stream as cell-partitioned segments
+    * ([[streamIndexAppend]], which publishes its segment root to
+    * serving), then run the batched top-k THROUGH the overlay
+    * ([[graft.operators.SimilarityOps.servedIndex]]: base anti-joined
+    * on segment vec_ids, then unioned — newest wins) and materialize
+    * before retiring the registration. The fixture stream re-ingests
+    * the corpus, so every segment row duplicates a base row and the
+    * result must be row-identical to `ann_batch` — which is exactly
+    * what makes the key oracle-checkable: a dedup bug (doubled
+    * candidates) or a visibility bug (segments ignored) both break the
+    * hash. The new-vector visibility direction is locked by the
+    * segment-serving spec test. */
+  def annSegmentServe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SimilarityOps
+    streamIndexAppend(spark, sfDir) // ingest + publish segments
+    try {
+      val out = SimilarityOps.embeddingBatchTopK(spark, sfDir,
+        SimilarityOps.QUERY_BATCH, SimilarityOps.IVF_K)
+      // materialize THROUGH the overlay, then serve the driver from
+      // the sink (the epoch-sink discipline of the other stream keys)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_seg_")
+      graft.util.TempDirs.track(dir)
+      out.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    } finally SimilarityOps.dropIndexSegments(sfDir)
   }
 
   // ---------------------------------------------------------------------
@@ -656,7 +688,9 @@ object StreamOps {
     // streaming ANN against the staged vector index (round 9)
     "stream_ann" -> ((s, d) => streamAnnTopK(s, d)),
     // streaming index segment ingestion under frozen artifacts (round 12)
-    "stream_idx" -> ((s, d) => streamIndexAppend(s, d)))
+    "stream_idx" -> ((s, d) => streamIndexAppend(s, d)),
+    // ANN through the base ∪ live-segments overlay (round 13)
+    "ann_seg" -> ((s, d) => annSegmentServe(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -718,5 +752,12 @@ object StreamOps {
     // only on the frozen artifacts), so the oracle is the per-vector
     // assignment + residual-code derivation — shared builder, zero drift
     "stream_idx" ->
-      graft.operators.SimilarityOps.indexContentsOracleSql)
+      graft.operators.SimilarityOps.indexContentsOracleSql,
+    // ann_seg: the overlay serve over a full re-ingestion must be
+    // row-identical to the base ann_batch (newest-wins dedup over
+    // bit-identical segment rows) — same oracle builder, zero drift
+    "ann_seg" ->
+      graft.operators.SimilarityOps.annBatchOracleSql(
+        s"vec_id IN (${graft.operators.SimilarityOps.QUERY_BATCH.mkString(", ")})",
+        graft.operators.SimilarityOps.IVF_K))
 }

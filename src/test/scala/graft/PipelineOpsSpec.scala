@@ -135,6 +135,22 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("repeated clustering strands at most one cached labels RDD") {
+    // the returned frame reads the final labels RDD, so clusterPairs
+    // cannot unpersist it in-call; the NEXT call must retire it — a
+    // long-lived session (a bench run makes 12 CC calls) holds one
+    val r1 = DedupOps.docDupGroups(docs)
+    r1.count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    val r2 = DedupOps.docDupGroups(docs)
+    r2.count()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 === after1,
+      s"second CC run must retire the first run's labels cache ($after1 -> $after2)")
+    // the retired first frame still evaluates correctly through lineage
+    assert(canon(r1) === canon(r2))
+  }
+
   test("filter pipeline: one verdict per doc, precedence holds, keep = survived all stages") {
     import graft.operators.{LlmOps, TextOps}
     val verdicts = LlmOps.docFilterPipeline(docs).collect()
@@ -636,6 +652,38 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("xmodal: a video-only duplicate merges two text-distinct docs") {
+    import spark.implicits._
+    // two fixture docs that the text stage does NOT pair...
+    val two = docs.filter(col("doc_id").isin(0L, 1L))
+    assert(DedupOps.docLshVerifiedDups(two).count() === 0L,
+      "premise: docs 0 and 1 must be text-distinct")
+    // ...but whose clips a video near-dup edge connects: reconciliation
+    // must merge them into ONE cluster with one kept member (this is
+    // exactly the page-duplicated-with-a-re-encoded-clip case)
+    val vidOnly = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = DedupOps.crossModalKeepBestFrom(two, Seq(none, vidOnly)).collect()
+    assert(out.length === 2, out.mkString(";"))
+    assert(out.forall(_.getAs[Long]("cluster") === 0L))
+    assert(out.forall(_.getAs[Long]("cluster_size") === 2L))
+    assert(out.count(_.getAs[Int]("keep") === 1) === 1)
+    // the kept member is the quality argmax (doc id breaks ties)
+    val byQ = out.sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    assert(byQ.head.getAs[Int]("keep") === 1)
+  }
+
+  test("xmodal: fixture video near-dup endpoints co-cluster in the reconciliation") {
+    val vids = DedupOps.videoHashDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
+    assert(vids.nonEmpty, "fixture must contain video near-dups")
+    val byDoc = DedupOps.crossModalKeepBest(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    vids.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"video pair ($a,$b) split across clusters")
+    }
+  }
+
   test("BPE: trained merges are deterministic, bounded, and staged once per corpus") {
     TextOps.dropStagedBpeModel()
     val before = TextOps.bpeFitRuns.get()
@@ -855,6 +903,7 @@ class PipelineOpsSpec extends SparkTestBase {
         "ann.ivfpq_refine_recall_at10", "ann.ivfpq_refine_recall_at10_np1",
         "ann.ivfpq_refine_recall_at10_np2", "ann.ivfpq_refine_recall_at10_np4",
         "ann.ivfpq_refine_recall_at10_np8",
+        "ann.ivfpq_refine_recall_at10_int8",
         "ann.index_stale_fraction"))
     // the declared geometry gauges reflect the corpus-derived rule
     assert(ObservedMetrics.gaugeSnapshot("ann.declared_centroids") ===
@@ -1030,6 +1079,20 @@ class PipelineOpsSpec extends SparkTestBase {
       .sortBy(_._1).toSeq
     assert(ceRows(call_function("ivf_centroid", assigned, idsL, flatL)) ===
       ceRows(SimilarityOps.ceForCellChain(cents, assigned)))
+    // malformed inputs: BOTH assignment shapes must null the whole
+    // (nc, cid) struct — a null element and a dimension mismatch (the
+    // fold gates on cosine's nullity to match the kernel here)
+    val bad = spark.sql(
+      "SELECT * FROM VALUES " +
+        "(1, array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))), " +
+        "(2, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) " +
+        "AS t(vec_id, embedding)")
+    def badRows(assign: org.apache.spark.sql.Column) = bad
+      .select(col("vec_id"), assign.as("b")).collect()
+      .map(r => (r.getInt(0), r.isNullAt(1))).sortBy(_._1).toSeq
+    val badKernel = badRows(call_function("ivf_assign", col("embedding"), idsL, flatL))
+    assert(badKernel === badRows(SimilarityOps.cellAssignStructFold(cents)))
+    assert(badKernel.forall(_._2), s"malformed rows must null out: $badKernel")
   }
 
   test("staleness-triggered retrain: appends past the threshold compact to a rebuild") {
@@ -1064,6 +1127,62 @@ class PipelineOpsSpec extends SparkTestBase {
     // per-dir invalidation: the shared fixture's staged index survived
     // the other corpus's compaction (no global un-staging)
     assert(SimilarityOps.stagedIvfIndexDir(spark, sfDir) === fixtureIdx)
+  }
+
+  test("live segments serve through ann without retrain: new vectors visible, pruning intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_segment_corpus_")
+    graft.util.TempDirs.track(dir)
+    def vec(id: Long, shift: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((id + shift) * 31 + j * 7) % 13 - 6).toFloat / 7f)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i, 0))).toDF("vec_id", "embedding")
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sf = dir.toString
+    SimilarityOps.stagedIvfIndexDir(spark, sf)
+    val builds = SimilarityOps.ivfIndexBuilds.get()
+    // the segment ingests a NEW vector cloning vec 3's embedding
+    // (cosine exactly 1.0 to query 3), written in the exact shape
+    // streamIndexAppend's foreachBatch writes per epoch
+    val segRoot = java.nio.file.Files.createTempDirectory("graft_segment_root_")
+    graft.util.TempDirs.track(segRoot)
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sf)
+    val cb = SimilarityOps.stagedPqCodebook(spark, sf)
+    SimilarityOps.indexRows(Seq((999L, vec(3, 0))).toDF("vec_id", "embedding"),
+        cents, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$segRoot/epoch=0")
+    try {
+      def topIds(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+        df.orderBy(col("rnk")).collect()
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      // invisible before registration
+      assert(!topIds(SimilarityOps.embeddingBatchTopK(spark, sf, Seq(3L), 5))
+        .map(_._1).contains(999L))
+      // visible immediately after — NO retrain ran: the served read is
+      // base ∪ segments, and the clone scores cosine 1.0 for query 3
+      SimilarityOps.registerIndexSegments(sf, segRoot.toString)
+      val served = SimilarityOps.embeddingBatchTopK(spark, sf, Seq(3L), 5)
+      val got = topIds(served)
+      assert(got.exists { case (id, cos) => id == 999L && cos == 1.0 },
+        got.mkString(";"))
+      assert(SimilarityOps.ivfIndexBuilds.get() === builds,
+        "segment serving must not trigger an index rebuild")
+      // the overlay read keeps partition pruning on the probed cells
+      val p = served.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [cell#"), p)
+      // retiring the registration restores the base-only read
+      SimilarityOps.dropIndexSegments(sf)
+      assert(!topIds(SimilarityOps.embeddingBatchTopK(spark, sf, Seq(3L), 5))
+        .map(_._1).contains(999L))
+    } finally SimilarityOps.dropIndexSegments(sf)
+  }
+
+  test("int8 refine: re-ranking from stored q8 codes holds recall at the float gauge") {
+    // cosine is scale-invariant, so the q8 re-rank differs from the
+    // float re-rank only by int8 rounding — recall must not move more
+    // than a whisker at the fixture geometry (the r13 decision gauge)
+    val f = SimilarityOps.ivfPqRefineRecallAtK(spark, sfDir)
+    val q = SimilarityOps.ivfPqRefineRecallAtK(spark, sfDir, refineInt8 = true)
+    assert(q >= f - 0.02, s"int8 refine recall $q lost more than 0.02 vs float $f")
   }
 
   test("ann_batch: the join-based frame path equals the driver-staged path") {

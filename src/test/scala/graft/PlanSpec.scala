@@ -10,8 +10,8 @@ class PlanSpec extends SparkTestBase {
   private def plan(key: String): String =
     SparkEntry.queries(key)(spark, sfDir).queryExecution.executedPlan.toString
 
-  test("filter_events_type pushes its predicates into the parquet scan") {
-    val p = plan("filter_events_type")
+  test("evt_filter pushes its predicates into the parquet scan") {
+    val p = plan("evt_filter")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), " +
       "EqualTo(event_type,purchase), GreaterThan(value,50.0)]"), p)
   }

@@ -77,13 +77,35 @@ class StreamOpsSpec extends SparkTestBase {
   }
 
   test("stream_idx equals the batch index projection over the whole corpus") {
-    val stream = StreamOps.streamIndexAppend(spark, sfDir)
-    val cents = graft.operators.SimilarityOps.stagedCentroidIndex(spark, sfDir)
-    val cb = graft.operators.SimilarityOps.stagedPqCodebook(spark, sfDir)
-    val batch = graft.operators.SimilarityOps
-      .indexRows(graft.model.Fixtures.embeddings(spark, sfDir), cents, cb)
-      .select(col("vec_id"), col("cell"), col("pq_code"))
-    assertSameRows(stream, batch)
+    try {
+      val stream = StreamOps.streamIndexAppend(spark, sfDir)
+      val cents = graft.operators.SimilarityOps.stagedCentroidIndex(spark, sfDir)
+      val cb = graft.operators.SimilarityOps.stagedPqCodebook(spark, sfDir)
+      val batch = graft.operators.SimilarityOps
+        .indexRows(graft.model.Fixtures.embeddings(spark, sfDir), cents, cb)
+        .select(col("vec_id"), col("cell"), col("pq_code"))
+      assertSameRows(stream, batch)
+    } finally graft.operators.SimilarityOps.dropIndexSegments(sfDir)
+  }
+
+  test("stream_idx publishes segments to serving: overlay is row-identical under re-ingestion") {
+    // the fixture stream re-ingests the corpus, so every segment row
+    // duplicates a base row bit-for-bit — the LSM newest-wins read must
+    // then serve EXACTLY the base results (the dedup anti-join, not a
+    // doubled candidate set)
+    val base = graft.operators.SimilarityOps
+      .embeddingBatchTopK(spark, sfDir, Seq(0L, 7L, 13L), 5)
+    val baseRows = canon(base)
+    StreamOps.streamIndexAppend(spark, sfDir)
+    try {
+      val overlaid = graft.operators.SimilarityOps
+        .embeddingBatchTopK(spark, sfDir, Seq(0L, 7L, 13L), 5)
+      assert(canon(overlaid) === baseRows)
+      // staleness now counts the registered segments (full corpus
+      // re-ingested ⇒ exactly half the served rows are overlay)
+      assert(graft.operators.SimilarityOps
+        .ivfIndexStaleFraction(spark, sfDir) === 0.5)
+    } finally graft.operators.SimilarityOps.dropIndexSegments(sfDir)
   }
 
   test("stream_tumbling equals the batch window aggregation") {
