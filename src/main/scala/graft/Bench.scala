@@ -191,9 +191,12 @@ object Bench {
       else errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
         .mkString(""","errors":{""", ",", "}")
     // suppressed-median side-channel: absent on a clean run (costs 0
-    // chars of the tail window), present only for defended keys
+    // chars of the tail window), present only for defended keys; capped
+    // to the 2 largest medians so a broadly contended run cannot push
+    // the line past the driver's 2000-char tail capture
     val suspJson = if (susp.isEmpty) ""
-      else susp.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }
+      else susp.toSeq.sortBy(-_._2).take(2)
+        .map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }
         .mkString(""","susp":{""", ",", "}")
     val spin1 = spinMs()
     val total = results.map(_._2).filter(_ >= 0).sum

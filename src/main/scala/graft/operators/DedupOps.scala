@@ -294,10 +294,13 @@ object DedupOps {
     * 56-bit hamming verify. Scale shape inherited wholesale: candidate
     * cost ∝ bucket sizes (never all-pairs), one exchange on the block
     * keys, one Long per image shuffled — the raster bytes never leave
-    * their scan task. */
+    * their scan task, and since round 13 they are decoded once per
+    * corpus SNAPSHOT, not once per query: the query reads the staged
+    * fingerprint index
+    * ([[graft.multimodal.MultimodalOps.stagedImageHashes]]). */
   def imageDHashDups(spark: SparkSession, sfDir: String): DataFrame =
-    imageHashPairs(graft.multimodal.MultimodalOps.imageDHash(
-      graft.multimodal.MultimodalOps.stagedTextureTable(spark, sfDir)))
+    imageHashPairs(
+      graft.multimodal.MultimodalOps.stagedImageHashes(spark, sfDir))
 
   /** Audio near-duplicate pairs by acoustic energy fingerprint — the
     * audio member of the dedup family (text: simhash/minhash; image:
@@ -306,10 +309,12 @@ object DedupOps {
     * fingerprint ([[graft.multimodal.MultimodalOps.audioEnergyHash]]),
     * then EXACTLY the shared banded skeleton. Same scale shape: one
     * Long per clip crosses the exchange, buckets capped with overflow
-    * observed, pigeonhole-complete at hamming ≤ 7 over 8 blocks. */
+    * observed, pigeonhole-complete at hamming ≤ 7 over 8 blocks;
+    * fingerprints staged once per corpus snapshot
+    * ([[graft.multimodal.MultimodalOps.stagedAudioHashes]]). */
   def audioHashDups(spark: SparkSession, sfDir: String): DataFrame =
-    imageHashPairs(graft.multimodal.MultimodalOps.audioEnergyHash(
-      graft.multimodal.MultimodalOps.stagedAudioTable(spark, sfDir)),
+    imageHashPairs(
+      graft.multimodal.MultimodalOps.stagedAudioHashes(spark, sfDir),
       "wav_hash_block_overflow")
 
   /** Video near-duplicate pairs by temporal energy fingerprint — the
@@ -320,10 +325,12 @@ object DedupOps {
     * fingerprint ([[graft.multimodal.MultimodalOps.videoTemporalHash]]),
     * then EXACTLY the shared banded skeleton. Same scale shape: one
     * Long per clip crosses the exchange, buckets capped with overflow
-    * observed, pigeonhole-complete at hamming ≤ 7 over 8 blocks. */
+    * observed, pigeonhole-complete at hamming ≤ 7 over 8 blocks;
+    * fingerprints staged once per corpus snapshot
+    * ([[graft.multimodal.MultimodalOps.stagedVideoHashes]]). */
   def videoHashDups(spark: SparkSession, sfDir: String): DataFrame =
-    imageHashPairs(graft.multimodal.MultimodalOps.videoTemporalHash(
-      graft.multimodal.MultimodalOps.stagedVideoTable(spark, sfDir)),
+    imageHashPairs(
+      graft.multimodal.MultimodalOps.stagedVideoHashes(spark, sfDir),
       "gif_hash_block_overflow")
 
   /** Cross-modal duplicate reconciliation — the pipeline step AFTER

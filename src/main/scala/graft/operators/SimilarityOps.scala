@@ -677,6 +677,24 @@ object SimilarityOps {
     * less slack when the quantized ranking is already close). */
   val RefineFactor = 3
 
+  /** Default refine SOURCE (round 13): the stored int8 codes. Cosine is
+    * scale-invariant, so raw `q8` ranks without dequantizing, the fetch
+    * per refined row is 4× smaller than the float vectors, and the
+    * measured recall cost is ZERO — the int8 gauge equals the float
+    * gauge exactly at both fixture scales
+    * (`ann.ivfpq_refine_recall_at10[_int8]`: 0.44/0.44 at sf0.001,
+    * 0.56/0.56 at sf0.1). Returned cosines are computed over the
+    * quantized candidate (ranking-grade, within int8 rounding of
+    * exact); pass `refineInt8 = false` for the exact-cosine source. */
+  val RefineFromInt8 = true
+
+  /** The re-rank expression both refined serves share: cosine of the
+    * query against the chosen refine source. */
+  private def rerankCosine(refineInt8: Boolean) =
+    if (refineInt8)
+      cosine(transform(col("q8"), v => v.cast("double")), col("qe"))
+    else cosine(col("embedding"), col("qe"))
+
   /** IVF+PQ with exact re-ranking — the production two-stage read
     * (FAISS refine / ScaNN reorder): stage 1 ADC-ranks the probed
     * cells' PRECOMPUTED codes exactly as [[ivfPqTopKIndexed]] (the scan
@@ -692,7 +710,8 @@ object SimilarityOps {
     * — a drop-in higher-recall serve of the same contract. */
   def ivfPqTopKRefinedIndexed(spark: SparkSession, sfDir: String,
       queryId: Long, k: Int, numProbe: Int = DerivedProbe,
-      refine: Int = RefineFactor, refineInt8: Boolean = false): DataFrame = {
+      refine: Int = RefineFactor,
+      refineInt8: Boolean = RefineFromInt8): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
@@ -717,18 +736,10 @@ object SimilarityOps {
       .orderBy(col("adist"), col("vec_id"))
       .limit(refine * k)
       .select("vec_id")
-    // re-rank source: full float vectors (exact cosine), or the stored
-    // int8 codes — cosine is SCALE-INVARIANT, so ranking from raw q8
-    // needs no dequantization and reads 4× less per refined row; the
-    // only loss is int8 rounding (gauged by
-    // `ann.ivfpq_refine_recall_at10_int8`)
-    val rerank =
-      if (refineInt8) cosine(transform(col("q8"), v => v.cast("double")), col("qe"))
-      else cosine(col("embedding"), col("qe"))
     index
       .join(broadcast(shortlist), "vec_id")
       .crossJoin(broadcast(qdf))
-      .select(col("vec_id"), rerank.as("cosine"))
+      .select(col("vec_id"), rerankCosine(refineInt8).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -798,7 +809,8 @@ object SimilarityOps {
     * codes. */
   def embeddingBatchTopKRefined(spark: SparkSession, sfDir: String,
       queryIds: Seq[Long], k: Int, numProbe: Int = DerivedProbe,
-      refine: Int = RefineFactor): DataFrame = {
+      refine: Int = RefineFactor,
+      refineInt8: Boolean = RefineFromInt8): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     val np = resolveNumProbe(spark, sfDir, numProbe)
     require(queryIds.nonEmpty, "embeddingBatchTopKRefined needs a non-empty query batch")
@@ -840,7 +852,7 @@ object SimilarityOps {
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(probes.select("qid", "qe").distinct()), "qid")
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cosine"))
+        rerankCosine(refineInt8).as("cosine"))
       .withColumn("rnk", row_number().over(byRank).cast("int"))
       .filter(col("rnk") <= k)
   }
@@ -855,7 +867,8 @@ object SimilarityOps {
     * [[ivfPqTopKRefinedIndexed]] (asserted in tests). */
   def embeddingBatchTopKRefinedFrame(spark: SparkSession, sfDir: String,
       queryIds: DataFrame, k: Int, numProbe: Int = DerivedProbe,
-      refine: Int = RefineFactor): DataFrame = {
+      refine: Int = RefineFactor,
+      refineInt8: Boolean = RefineFromInt8): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     val np = resolveNumProbe(spark, sfDir, numProbe)
     import spark.implicits._
@@ -894,7 +907,7 @@ object SimilarityOps {
       .join(shortlist, "vec_id")
       .join(queries, "qid")
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cosine"))
+        rerankCosine(refineInt8).as("cosine"))
       .withColumn("rnk", row_number().over(byRank).cast("int"))
       .filter(col("rnk") <= k)
   }
@@ -1580,9 +1593,10 @@ object SimilarityOps {
     graft.ObservedMetrics.recordGauge("ann.ivfpq_refine_recall_at10",
       ivfPqRefineRecallAtK(spark, sfDir))
     // the same two-stage serve re-ranked from the stored int8 codes
-    // (4× less read per refined row): the r13 decision gauge — if this
-    // holds within ~0.01 of the float gauge, int8 becomes the default
-    // refine source
+    // (4× less read per refined row): measured EQUAL to the float gauge
+    // at both fixture scales, which made int8 the default refine source
+    // (RefineFromInt8); both gauges stay recorded so a future drift is
+    // visible
     graft.ObservedMetrics.recordGauge("ann.ivfpq_refine_recall_at10_int8",
       ivfPqRefineRecallAtK(spark, sfDir, refineInt8 = true))
     // fraction of the served index appended under frozen artifacts
@@ -1921,8 +1935,13 @@ object SimilarityOps {
           SELECT vec_id, adist FROM agg ORDER BY adist, vec_id LIMIT $IVF_K""",
     "ivfpq_r" ->
       // the ivfpq chain up to `agg`, then: ADC shortlist of
-      // RefineFactor×k, exact rounded-cosine re-rank (the emb_ivf_topk
-      // scoring text) restricted to it
+      // RefineFactor×k, rounded-cosine re-rank over the INT8 refine
+      // source (round 13 default — the stored q8 codes re-derived per
+      // candidate via the emb_quantize_int8 derivation; cosine is
+      // scale-invariant so the scale never appears). The query side
+      // stays float. Integer products keep the dot and the candidate
+      // norm order-free exact; round(…, 6) absorbs the query-norm
+      // associativity exactly as the float tail did.
       s"""$pqEncodeCte,
           qcells AS (
             SELECT cent_id AS cell FROM (
@@ -1942,13 +1961,23 @@ object SimilarityOps {
                                      (a, b) -> a + b) AS adist
                   FROM ad GROUP BY vec_id),
           sl AS (SELECT vec_id FROM agg
-                 ORDER BY adist, vec_id LIMIT ${RefineFactor * IVF_K})
+                 ORDER BY adist, vec_id LIMIT ${RefineFactor * IVF_K}),
+          slx AS (SELECT e.vec_id,
+                         list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS x
+                  FROM embeddings e JOIN sl ON sl.vec_id = e.vec_id),
+          slq AS (SELECT vec_id,
+                         list_transform(x,
+                           v -> CAST(round(v / (CASE WHEN mx > 0
+                                                     THEN mx / 127.0
+                                                     ELSE 1.0 END)) AS INTEGER)) AS qv
+                  FROM (SELECT vec_id, x,
+                               list_max(list_transform(x, v -> abs(v))) AS mx
+                        FROM slx))
           SELECT e.vec_id,
-                 round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE))
-                       / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                 round(sum(CAST(e.qv[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE))
+                       / (sqrt(sum(CAST(e.qv[t.i] AS DOUBLE) * CAST(e.qv[t.i] AS DOUBLE)))
                           * sqrt(sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE)))), 6) AS cosine
-          FROM embeddings e
-          JOIN sl ON sl.vec_id = e.vec_id,
+          FROM slq e,
                (SELECT embedding FROM embeddings WHERE vec_id = $QUERY_VEC) q,
                range(1, 65) t(i)
           GROUP BY e.vec_id

@@ -684,6 +684,21 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("fingerprint index: extracted once per corpus snapshot, dup queries read it") {
+    MultimodalOps.dropStagedMediaHashes()
+    val b = MultimodalOps.mediaHashBuilds.get()
+    DedupOps.videoHashDups(spark, sfDir).count()
+    assert(MultimodalOps.mediaHashBuilds.get() === b + 1)
+    // a second query reads the staged parquet — zero re-decode
+    DedupOps.videoHashDups(spark, sfDir).count()
+    assert(MultimodalOps.mediaHashBuilds.get() === b + 1,
+      "second dup query must serve from the staged fingerprint index")
+    // the staged frame is exactly the direct extraction
+    assertSameRows(
+      MultimodalOps.stagedVideoHashes(spark, sfDir),
+      MultimodalOps.videoTemporalHash(MultimodalOps.stagedVideoTable(spark, sfDir)))
+  }
+
   test("BPE: trained merges are deterministic, bounded, and staged once per corpus") {
     TextOps.dropStagedBpeModel()
     val before = TextOps.bpeFitRuns.get()
@@ -929,7 +944,11 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
     val want = sl.map(id => id -> cosById(id))
       .sortBy { case (id, c) => (-c, id) }.take(k).toSeq
-    val got = SimilarityOps.ivfPqTopKRefinedIndexed(spark, sfDir, 0L, k)
+    // pin the FLOAT refine source: this test defines the exact-cosine
+    // contract; the int8 default's numerics are locked by the ivfpq_r
+    // oracle and the recall-parity spec below
+    val got = SimilarityOps.ivfPqTopKRefinedIndexed(spark, sfDir, 0L, k,
+        refineInt8 = false)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toSeq
     assert(got === want)
     // quality: the re-rank can only help (it reorders a superset of the
