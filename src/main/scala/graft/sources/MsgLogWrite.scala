@@ -147,10 +147,23 @@ class MsgLogWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuil
   private val transactional: Boolean =
     Option(info.options.get("transactional")).exists(_.toBoolean)
 
+  /** Producer-side retry policy for the commit-time ledger publish
+    * (`retrySend=never|forever|limitTo`, with `retryMax` /
+    * `retryBackoffMs` for limitTo) — the reference's `RetrySend`
+    * surface (`src/entity/producer.rs:350-354`); see [[MsgLogRetry]].
+    * Default: Never (one attempt; Spark task retry is the outer
+    * layer, and a retried task re-publishes idempotently). */
+  private val retrySend: MsgLogRetry.RetrySend =
+    Option(info.options.get("retrySend"))
+      .map(MsgLogRetry.RetrySend.parse(_,
+        Option(info.options.get("retryMax")),
+        Option(info.options.get("retryBackoffMs"))))
+      .getOrElse(MsgLogRetry.RetrySend.Never)
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new MsgLogBatchWrite(path, info.schema(), codec, batchSize, maxFrameBytes,
-        dedupOnAppend, declaredSchemaDdl, enforceSchema, transactional)
+        dedupOnAppend, declaredSchemaDdl, enforceSchema, transactional, retrySend)
     override def toStreaming: StreamingWrite = {
       if (dedupOnAppend)
         throw new IllegalArgumentException(
@@ -481,7 +494,8 @@ object MsgLogTxn {
 class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize: Int,
     maxFrameBytes: Int = 0, dedupOnAppend: Boolean = false,
     schemaDdl: Option[String] = None, enforceSchema: Boolean = false,
-    transactional: Boolean = false)
+    transactional: Boolean = false,
+    retrySend: MsgLogRetry.RetrySend = MsgLogRetry.RetrySend.Never)
     extends BatchWrite {
   /** Per-write id in the ledger names: two appends to one topic must not
     * collide on `ledger-<partition>` (that would silently replace the
@@ -502,7 +516,7 @@ class MsgLogBatchWrite(path: String, schema: StructType, codec: Byte, batchSize:
     val enforceDdl = MsgLogWriterFactory.resolveSchema(path, schemaDdl, enforceSchema)
     MsgLogWriterFactory(path, schema, writeId, codec, batchSize, maxFrameBytes, frontier,
       enforceDdl, org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone,
-      txn = transactional)
+      txn = transactional, retrySend = retrySend)
   }
 
   /** Non-transactional commit is a no-op (task renames already published
@@ -551,12 +565,14 @@ case class MsgLogWriterFactory(path: String, schema: StructType, writeId: String
     codec: Byte, batchSize: Int, maxFrameBytes: Int = 0,
     dedupFrontier: Map[String, Long] = Map.empty,
     enforceDdl: Option[String] = None, sessionTz: String = "UTC",
-    txn: Boolean = false)
+    txn: Boolean = false,
+    retrySend: MsgLogRetry.RetrySend = MsgLogRetry.RetrySend.Never)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema,
       if (txn) f"txn-$writeId-$partitionId%04d" else f"ledger-$writeId-$partitionId%04d",
-      taskId, codec, batchSize, maxFrameBytes, dedupFrontier, enforceDdl, sessionTz)
+      taskId, codec, batchSize, maxFrameBytes, dedupFrontier, enforceDdl, sessionTz,
+      retrySend)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new MsgLogDataWriter(path, schema, f"epoch-$writeId-$epochId%06d-$partitionId%04d", taskId,
       codec, batchSize, maxFrameBytes, enforceDdl = enforceDdl, sessionTz = sessionTz)
@@ -586,7 +602,8 @@ object MsgLogWriterFactory {
 class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Long,
     codec: Byte = MsgLogCodec.CodecNone, batchSize: Int = 1, maxFrameBytes: Int = 0,
     dedupFrontier: Map[String, Long] = Map.empty,
-    enforceDdl: Option[String] = None, sessionTz: String = "UTC")
+    enforceDdl: Option[String] = None, sessionTz: String = "UTC",
+    retrySend: MsgLogRetry.RetrySend = MsgLogRetry.RetrySend.Never)
     extends DataWriter[InternalRow] {
 
   /** Schema enforcement (broker payload validation, `IncompatibleSchema`
@@ -737,11 +754,22 @@ class MsgLogDataWriter(dir: String, schema: StructType, stem: String, taskId: Lo
     flushBatch() // the final short frame
     out.close()
     val dest = Paths.get(dir, s"$stem${MsgLogCodec.Extension}")
-    Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    // sequence sidecar AFTER the ledger: a crash between the renames
-    // leaves a sidecar-less ledger, which the frontier walk handles
-    if (seqMaxima.nonEmpty) MsgLogSeqFrontier.write(dest, seqMaxima.toMap)
+    // the PUBLISH step retries under the producer policy: the rename +
+    // sidecar re-run whole and are idempotent (REPLACE_EXISTING onto
+    // our own name; the sidecar rewrites the same maxima) — the
+    // reference's same-sequence-id resend, at the file layer. A
+    // deterministic failure or an exhausted budget surfaces to Spark's
+    // task retry, the outer idempotent layer.
+    MsgLogRetry.retry(retrySend) {
+      // idempotent within the loop: a re-attempt after the move landed
+      // but the sidecar failed must not re-move the now-absent tmp
+      if (Files.exists(tmp))
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      // sequence sidecar AFTER the ledger: a crash between the renames
+      // leaves a sidecar-less ledger, which the frontier walk handles
+      if (seqMaxima.nonEmpty) MsgLogSeqFrontier.write(dest, seqMaxima.toMap)
+    }
     MsgLogCommit(dest.toString)
   }
 

@@ -2523,4 +2523,107 @@ class MsgLogSpec extends SparkTestBase {
     // one listing up front; the whole namespace would be 4)
     assert(MsgLogCodec.entryWalks.get() - w0 === 2L)
   }
+
+  test("retry with backoff: the reference RetrySend loop semantics") {
+    import graft.sources.MsgLogRetry
+    import graft.sources.MsgLogRetry.RetrySend
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val saved = MsgLogRetry.sleeper
+    MsgLogRetry.sleeper = ms => slept += ms
+    try {
+      // transient failures within budget: succeed on the third attempt,
+      // with the declared backoff slept between attempts
+      var calls = 0
+      val got = MsgLogRetry.retry(RetrySend.LimitTo(5, 7L)) {
+        calls += 1
+        if (calls < 3) throw new java.io.IOException("transient")
+        "ok"
+      }
+      assert(got === "ok")
+      assert(calls === 3)
+      assert(slept.toSeq === Seq(7L, 7L))
+
+      // exhausted budget: max retries means max+1 attempts, LAST error out
+      slept.clear(); calls = 0
+      val ex = intercept[java.io.IOException] {
+        MsgLogRetry.retry(RetrySend.LimitTo(2, 3L)) {
+          calls += 1
+          throw new java.io.IOException(s"attempt $calls")
+        }
+      }
+      assert(calls === 3)
+      assert(ex.getMessage === "attempt 3")
+      assert(slept.toSeq === Seq(3L, 3L))
+
+      // deterministic wire errors NEVER retry (can_retry_from_error):
+      // a checksum failure is an IOException, but its wire code marks
+      // it deterministic — one attempt, no sleep
+      slept.clear(); calls = 0
+      intercept[graft.sources.ChecksumException] {
+        MsgLogRetry.retry(RetrySend.LimitTo(5, 3L)) {
+          calls += 1
+          throw new graft.sources.ChecksumException("bad crc")
+        }
+      }
+      assert(calls === 1)
+      assert(slept.isEmpty)
+
+      // a structurally missing file fails fast too
+      slept.clear(); calls = 0
+      intercept[java.nio.file.NoSuchFileException] {
+        MsgLogRetry.retry(RetrySend.LimitTo(5, 3L)) {
+          calls += 1
+          throw new java.nio.file.NoSuchFileException("gone")
+        }
+      }
+      assert(calls === 1 && slept.isEmpty)
+
+      // Never: one attempt even for a transient error
+      slept.clear(); calls = 0
+      intercept[java.io.IOException] {
+        MsgLogRetry.retry(RetrySend.Never) {
+          calls += 1
+          throw new java.io.IOException("transient")
+        }
+      }
+      assert(calls === 1 && slept.isEmpty)
+
+      // Forever: unbounded (max = 0 convention) at the default backoff
+      slept.clear(); calls = 0
+      val far = MsgLogRetry.retry(RetrySend.Forever) {
+        calls += 1
+        if (calls < 7) throw new java.io.IOException("transient")
+        42
+      }
+      assert(far === 42 && calls === 7)
+      assert(slept.toSeq === Seq.fill(6)(MsgLogRetry.DefaultBackOffMs))
+    } finally MsgLogRetry.sleeper = saved
+  }
+
+  test("retry options: parse, wire through the writer, reject nonsense") {
+    import spark.implicits._
+    import graft.sources.MsgLogRetry
+    val dir = Files.createTempDirectory("glog_retry_").toString
+    val df = Seq((1L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L)))
+    // a policy-carrying write routes its commit publish through the
+    // retry loop (attempt counter moves) and lands the ledger normally
+    val before = MsgLogRetry.attempts.get()
+    df.repartition(1).write.format("graft-msglog").mode("append")
+      .option("retrySend", "limitTo").option("retryMax", "2")
+      .option("retryBackoffMs", "1").save(dir)
+    assert(MsgLogRetry.attempts.get() === before + 1,
+      "commit publish must run under the retry loop")
+    assert(spark.read.format("graft-msglog").load(dir).count() === 1L)
+    // limitTo without retryMax, and unknown policy names, fail loudly
+    intercept[IllegalArgumentException] {
+      df.write.format("graft-msglog").mode("append")
+        .option("retrySend", "limitTo").save(dir)
+    }
+    intercept[IllegalArgumentException] {
+      df.write.format("graft-msglog").mode("append")
+        .option("retrySend", "sometimes").save(dir)
+    }
+  }
 }
