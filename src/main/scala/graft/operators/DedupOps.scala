@@ -375,7 +375,12 @@ object DedupOps {
     * video-only duplicate) is injectable in tests. */
   private[graft] def crossModalKeepBestFrom(docs: DataFrame,
       pairSources: Seq[DataFrame]): DataFrame = {
-    val groups = clusterPairs(pairSources.reduce(_ union _))
+    // dedup the edge union BEFORE the fixpoint: the modality graphs
+    // overlap heavily (a doc pair duplicated in text AND image AND
+    // audio AND video is one edge, not four), and every CC round joins
+    // against the full edge list — one cheap distinct on (a, b) scalars
+    // here shrinks every round's input by the overlap factor
+    val groups = clusterPairs(pairSources.reduce(_ union _).distinct())
       .withColumnRenamed("id", "doc_id")
     val quality = TextOps.textQualityScore(docs)
       .select(col("doc_id"), col("quality"))

@@ -30,6 +30,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("gif_dups serves from the staged fingerprint index, not a per-query decode") {
+    // the codec walk (57 JDK frame decodes per clip) runs ONCE at
+    // fingerprint staging; the dup QUERY must read the staged
+    // (media_id, dhash) parquet — no mapPartitions decode in its plan
+    val p = plan("gif_dups")
+    assert(!p.contains("SerializeFromObject"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("seek_topk plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("seek_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
