@@ -305,11 +305,17 @@ object LlmOps {
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
     "mm_width_stats" ->
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
+    // the dup-cluster and contamination stages come staged (the scale
+    // note below made real in round 13): the pipeline query joins
+    // scalar artifacts, it does not re-cluster the corpus
     "filter_pipe" ->
-      ((s, d) => docFilterPipeline(Fixtures.documents(s, d))),
+      ((s, d) => docFilterPipeline(Fixtures.documents(s, d),
+        dupGroups = Some(DedupOps.stagedDupGroups(s, d)),
+        contamination = Some(DedupOps.stagedContamination(s, d)))),
     // "keep_best" — short by design (bench line budget, the pq_enc precedent)
     "keep_best" ->
-      ((s, d) => docKeepBest(Fixtures.documents(s, d))),
+      ((s, d) => docKeepBest(Fixtures.documents(s, d),
+        dupGroups = Some(DedupOps.stagedDupGroups(s, d)))),
     "rrf" -> ((s, d) => hybridRrfTopK(
       Fixtures.documents(s, d), Fixtures.embeddings(s, d),
       TextOps.Bm25Terms, QUERY_VEC, HybridK)))

@@ -684,6 +684,53 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text signature index: built once per corpus snapshot; staged and inline paths agree") {
+    DedupOps.dropStagedTextArtifacts()
+    val b = DedupOps.textStageBuilds.get()
+    assertSameRows(
+      DedupOps.stagedLshVerifiedDups(spark, sfDir),
+      DedupOps.docLshVerifiedDups(docs))
+    assert(DedupOps.textStageBuilds.get() === b + 1)
+    // a second signature consumer reads the staged parquet — zero re-tokenize
+    assertSameRows(
+      DedupOps.stagedMinhashLsh(spark, sfDir),
+      DedupOps.docMinhashLsh(docs))
+    assert(DedupOps.textStageBuilds.get() === b + 1,
+      "second LSH query must serve from the staged signature index")
+    assertSameRows(
+      DedupOps.stagedNgramJaccard(spark, sfDir),
+      DedupOps.docNgramJaccard(docs))
+    assertSameRows(
+      DedupOps.stagedIncrementalDedup(spark, sfDir),
+      DedupOps.docIncrementalDedup(docs))
+  }
+
+  test("staged dup-cluster and contamination artifacts match their inline derivations") {
+    assertSameRows(
+      DedupOps.stagedDupGroups(spark, sfDir),
+      DedupOps.docDupGroups(docs))
+    assertSameRows(
+      DedupOps.stagedContamination(spark, sfDir),
+      DedupOps.docDecontaminate(docs))
+    // the staged xmodal election equals the inline reconciliation
+    val link = docs.select(col("doc_id").as("media_id"), col("doc_id").as("ld"))
+    def viaLink(pairs: org.apache.spark.sql.DataFrame) =
+      pairs.toDF("ma", "mb")
+        .join(link.select(col("media_id").as("ma"), col("ld").as("doc_a")), "ma")
+        .join(link.select(col("media_id").as("mb"), col("ld").as("doc_b")), "mb")
+        .select(col("doc_a"), col("doc_b"))
+    assertSameRows(
+      DedupOps.crossModalKeepBest(spark, sfDir),
+      DedupOps.crossModalKeepBestFrom(docs, Seq(
+        DedupOps.docLshVerifiedDups(docs).select(col("doc_a"), col("doc_b")),
+        viaLink(DedupOps.imageDHashDups(spark, sfDir)
+          .select(col("media_a"), col("media_b"))),
+        viaLink(DedupOps.audioHashDups(spark, sfDir)
+          .select(col("media_a"), col("media_b"))),
+        viaLink(DedupOps.videoHashDups(spark, sfDir)
+          .select(col("media_a"), col("media_b"))))))
+  }
+
   test("fingerprint index: extracted once per corpus snapshot, dup queries read it") {
     MultimodalOps.dropStagedMediaHashes()
     val b = MultimodalOps.mediaHashBuilds.get()

@@ -30,6 +30,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("text dup keys serve from the staged signature index, not a per-query tokenize") {
+    // tokenize + minhash + shingle run ONCE at signature staging; the
+    // LSH/verify QUERY reads the staged (doc_id, bands, sh) parquet —
+    // no minhash_bands, no word_shingles, no text column in its plan
+    Seq("doc_minhash_lsh", "lsh_dups", "incr_dedup", "doc_ngram_jaccard")
+      .foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("minhash_bands"), s"$k re-derives bands: $p")
+        assert(!p.contains("word_shingles"), s"$k re-shingles: $p")
+        assert(p.contains("Scan parquet"), s"$k: $p")
+      }
+  }
+
+  test("dup-cluster consumers read the staged assignment, no CC fixpoint in-plan") {
+    // the CC fixpoint (an RDD scan in-plan) runs at staging; cluster
+    // consumers join staged scalars
+    Seq("doc_dup_groups", "xmodal", "filter_pipe", "keep_best").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Scan ExistingRDD"), s"$k runs CC in-plan: $p")
+      assert(p.contains("Scan parquet"), s"$k: $p")
+    }
+  }
+
   test("gif_dups serves from the staged fingerprint index, not a per-query decode") {
     // the codec walk (57 JDK frame decodes per clip) runs ONCE at
     // fingerprint staging; the dup QUERY must read the staged
@@ -135,11 +158,18 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("decontam broadcasts the probe grams: no corpus-side shuffle join") {
+    // the serving key reads the staged contamination artifact (a pure
+    // scan, no join at all); the BUILD (docDecontaminate, run once per
+    // corpus snapshot at staging) must stream the corpus through a
+    // broadcast hash join — the benchmark side is small by nature —
+    // never sort-merge its gram explosion
     val p = plan("decontam")
-    // the benchmark side is small by nature — the corpus must stream
-    // through a broadcast hash join, never sort-merge its gram explosion
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    val build = graft.operators.DedupOps
+      .docDecontaminate(graft.model.Fixtures.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(build.contains("BroadcastHashJoin"), build)
+    assert(!build.contains("SortMergeJoin"), build)
   }
 
   test("payloadSchema: the payload column prunes away when not projected") {
@@ -162,15 +192,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("windowspecdefinition(shard"), p)
   }
 
-  test("filter_pipe adds no broadcast hints beyond the probe-gram one") {
+  test("filter_pipe adds no broadcast hints at all") {
     // dup/contamination lists scale with the corpus's duplicate and
     // contamination density — hinting them is the unbounded-"small"-side
-    // trap (r5 verdict #1). The one legitimate hint in the tree is the
-    // decontamination probe-gram set (small by nature).
+    // trap (r5 verdict #1). The probe-gram hint that used to be the one
+    // legitimate exception now lives in the contamination STAGING build
+    // (the serving query joins the staged artifact unhinted; AQE may
+    // still elect a broadcast at runtime from measured sizes).
     val analyzed = SparkEntry.queries("filter_pipe")(spark, sfDir)
       .queryExecution.analyzed.toString
     val hints = "ResolvedHint".r.findAllIn(analyzed).size
-    assert(hints === 1, s"expected only the probe-gram broadcast hint, got $hints\n$analyzed")
+    assert(hints === 0, s"expected no broadcast hints, got $hints\n$analyzed")
   }
 
   test("events_asof_join is one shuffle: union + carry-forward window, no join, no dedup exchange") {
