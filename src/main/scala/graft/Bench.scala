@@ -257,7 +257,8 @@ object Bench {
     // r12 reclaims spent: route_partition_key → route_key, text_lm_perplexity
     // → lm_ppl, doc_mixture_sample → mixture. r13: filter_events_type →
     // evt_filter + dedup_by_sequence → seq_dedup, funding ann_seg plus
-    // margin for the occasional "susp" side-channel.
+    // margin for the occasional "susp" side-channel; stream_lsh rides in
+    // the ~40-char slack the r13 staging work's shorter values left.
     val budget = 1990
     val out = line
     if (out.length > budget)

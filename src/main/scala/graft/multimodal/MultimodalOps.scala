@@ -895,16 +895,9 @@ object MultimodalOps {
 
   private def stagedHashes(spark: SparkSession, sfDir: String,
       memo: graft.util.StampedMemo[java.nio.file.Path],
-      fp: => DataFrame): DataFrame = {
-    val dir = memo.get(sfDir)({
-      mediaHashBuilds.incrementAndGet()
-      val d = java.nio.file.Files.createTempDirectory("graft_media_fp_")
-      graft.util.TempDirs.track(d)
-      fp.write.mode("overwrite").parquet(d.toString)
-      d
-    })
-    spark.read.parquet(dir.toString)
-  }
+      fp: => DataFrame): DataFrame =
+    graft.util.StagedArtifacts.parquet(spark, sfDir, memo,
+      "graft_media_fp_", mediaHashBuilds)(fp)
 
   /** The per-modality 56-bit fingerprints staged to parquet once per
     * corpus SNAPSHOT — the media analog of the staged IVF index: codec

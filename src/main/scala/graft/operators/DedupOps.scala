@@ -88,16 +88,9 @@ object DedupOps {
 
   private def stagedParquet(spark: SparkSession, sfDir: String,
       memo: graft.util.StampedMemo[java.nio.file.Path],
-      build: => DataFrame): DataFrame = {
-    val dir = memo.get(sfDir)({
-      textStageBuilds.incrementAndGet()
-      val d = java.nio.file.Files.createTempDirectory("graft_text_idx_")
-      graft.util.TempDirs.track(d)
-      build.write.mode("overwrite").parquet(d.toString)
-      d
-    })
-    spark.read.parquet(dir.toString)
-  }
+      build: => DataFrame): DataFrame =
+    graft.util.StagedArtifacts.parquet(spark, sfDir, memo,
+      "graft_text_idx_", textStageBuilds)(build)
 
   /** The per-document text signature index staged to parquet once per
     * corpus SNAPSHOT — the text analog of the staged media fingerprints
@@ -115,17 +108,24 @@ object DedupOps {
     * verifies the exact string-set Jaccard. Stamped like every staged
     * artifact: an in-place corpus rewrite re-derives. */
   def stagedTextSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    stagedParquet(spark, sfDir, textSigDirs, {
-      val docs = Fixtures.documents(spark, sfDir)
-      graft.functions.MinhashBands.register(spark)
-      tokenized(docs).select(
-        col("doc_id"),
-        call_function("minhash_bands",
-          col("w"), lit(NumSeeds), lit(RowsPerBand)).as("bands"),
-        shinglesOf(docs).as("sh"),
-        md5(array_join(sort_array(array_distinct(col("w"))), " ")
-          .cast("binary")).as("tsig"))
-    })
+    stagedParquet(spark, sfDir, textSigDirs,
+      textSignaturesOf(Fixtures.documents(spark, sfDir)))
+
+  /** The per-doc signature projection over ANY documents frame — the
+    * build body of [[stagedTextSignatures]] and the in-batch signature
+    * derivation of the streaming ingestion dedup (each arriving doc is
+    * signed exactly as the index build signs the corpus, so increment
+    * and base rows are comparable by construction). */
+  private[graft] def textSignaturesOf(docs: DataFrame): DataFrame = {
+    graft.functions.MinhashBands.register(docs.sparkSession)
+    tokenized(docs).select(
+      col("doc_id"),
+      call_function("minhash_bands",
+        col("w"), lit(NumSeeds), lit(RowsPerBand)).as("bands"),
+      shinglesOf(docs).as("sh"),
+      md5(array_join(sort_array(array_distinct(col("w"))), " ")
+        .cast("binary")).as("tsig"))
+  }
 
   /** [[docDupGroups]] staged to parquet once per corpus snapshot — the
     * "dup-cluster stage recomputed on its own cadence" that
@@ -665,8 +665,9 @@ object DedupOps {
   val IncrementPermille = 100
 
   /** md5-bucket increment membership — the shared [[Hashing.md5Bucket]]
-    * discipline: stable across runs/engines/re-shards. */
-  private def isNewDoc: Column =
+    * discipline: stable across runs/engines/re-shards. `private[graft]`
+    * so the streaming source filter selects exactly the same increment. */
+  private[graft] def isNewDoc: Column =
     Hashing.md5Bucket(col("doc_id"), 1000) < IncrementPermille
 
   /** INCREMENTAL near-dedup — the production ingestion shape: dedupe a
@@ -702,6 +703,30 @@ object DedupOps {
   def stagedIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     incrementalFromSignatures(stagedTextSignatures(spark, sfDir))
+  }
+
+  /** Verified cross dups of ONE arriving increment batch against the
+    * staged base signatures — the per-micro-batch body of the STREAMING
+    * ingestion dedup ([[graft.streaming.StreamOps.streamTextDedup]]):
+    * the batch's docs are signed in-batch ([[textSignaturesOf]] — a
+    * stateless projection, no artifact dependency), the base side reads
+    * the staged signature index, and the shared cross-pairs-only
+    * skeleton emits (new_doc, base_doc, n_bands, jaccard). Only cross
+    * pairs are candidates, so each new doc's output depends on (that
+    * doc, the frozen base) alone — micro-batch-split independent, the
+    * same property that makes the streaming index append deterministic
+    * (bucket caps never bind on the fixture: overflow metric 0). Unioned
+    * over any split of the full increment this equals
+    * [[docIncrementalDedup]] over the whole corpus (spec-locked). */
+  def incrementalDedupBatch(spark: SparkSession, sfDir: String,
+      increment: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    val base = stagedTextSignatures(spark, sfDir)
+      .filter(!isNewDoc).select(col("doc_id"), col("bands"), col("sh"))
+    incrementalFromSignatures(
+      textSignaturesOf(increment)
+        .select(col("doc_id"), col("bands"), col("sh"))
+        .unionByName(base))
   }
 
   /** The bucket→cross-pair→verify core of [[docIncrementalDedup]], over

@@ -504,6 +504,73 @@ object StreamOps {
   private val embStagingDirs =
     new graft.util.StampedMemo[java.nio.file.Path]("embeddings")
 
+  /** File-stream read of the documents fixture — the arriving-document
+    * stream for [[streamTextDedup]]; same staging discipline as
+    * [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    val dir = docStagingDirs.get(sfDir)({
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_docs_")
+      java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+      graft.util.TempDirs.track(d)
+      d
+    })
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  private val docStagingDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** STREAMING ingestion dedup — the online twin of the batch
+    * `incr_dedup` key, completing for TEXT the build / batch-serve /
+    * stream-serve triad the ANN stack has (`stream_idx` / `ann_batch` /
+    * `stream_ann`): documents arrive as a stream, the md5-bucket
+    * increment filter admits the new slice, and each micro-batch is
+    * signed in-batch (tokenize → MinHash bands → shingles, a stateless
+    * projection) and LSH-verified against the FROZEN staged signature
+    * index ([[graft.operators.DedupOps.incrementalDedupBatch]]) — the
+    * dedup-on-ingest gate a training-data pipeline runs in front of the
+    * corpus. Results land in an epoch-keyed sink with overwrite (the
+    * [[streamIndexAppend]] retry-idempotency discipline; no stream
+    * state — the base index carries all cross-batch knowledge).
+    *
+    * Deterministic WITHOUT the one-batch premise: only cross pairs
+    * (new × base) are candidates, so each arriving doc's verified dups
+    * depend on (that doc, the staged base) alone and any micro-batch
+    * split yields the same union — equal to the batch
+    * [[graft.operators.DedupOps.docIncrementalDedup]] over the whole
+    * corpus (asserted in tests; the key shares `incr_dedup`'s oracle). */
+  def streamTextDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    // freeze the base index BEFORE the stream starts (build-if-absent)
+    graft.operators.DedupOps.stagedTextSignatures(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_lsh_")
+    graft.util.TempDirs.track(root)
+    val data = root.resolve("dups").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = documentsStream(spark, sfDir)
+      .filter(graft.operators.DedupOps.isNewDoc)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            graft.operators.DedupOps
+              .incrementalDedupBatch(spark, sfDir, batch)
+              .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readEpochSink(spark, data,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "new_doc BIGINT, base_doc BIGINT, n_bands BIGINT, jaccard DOUBLE"))
+  }
+
   /** STREAMING ANN: serve a stream of query vectors against the staged
     * cell-partitioned vector index — the continuous form of the
     * ingestion-time retrieval/dedup a training-data pipeline runs
@@ -690,7 +757,10 @@ object StreamOps {
     // streaming index segment ingestion under frozen artifacts (round 12)
     "stream_idx" -> ((s, d) => streamIndexAppend(s, d)),
     // ANN through the base ∪ live-segments overlay (round 13)
-    "ann_seg" -> ((s, d) => annSegmentServe(s, d)))
+    "ann_seg" -> ((s, d) => annSegmentServe(s, d)),
+    // streaming ingestion dedup against the staged text-signature
+    // index (round 13) — "stream_lsh" short for the bench-line budget
+    "stream_lsh" -> ((s, d) => streamTextDedup(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -759,5 +829,11 @@ object StreamOps {
     "ann_seg" ->
       graft.operators.SimilarityOps.annBatchOracleSql(
         s"vec_id IN (${graft.operators.SimilarityOps.QUERY_BATCH.mkString(", ")})",
-        graft.operators.SimilarityOps.IVF_K))
+        graft.operators.SimilarityOps.IVF_K),
+    // stream_lsh: split-independent (cross pairs only — each arriving
+    // doc's verified dups depend on that doc + the frozen base index),
+    // so the streamed union equals the batch incremental dedup over the
+    // whole corpus — incr_dedup's oracle verbatim, zero drift
+    "stream_lsh" ->
+      graft.operators.DedupOps.oracle("incr_dedup"))
 }

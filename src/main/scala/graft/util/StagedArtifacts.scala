@@ -1,0 +1,28 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE staged-artifact build shape shared by every per-corpus-snapshot
+  * index (media fingerprints, text signatures, dup clusters,
+  * contamination): build-or-reuse a parquet artifact keyed by corpus dir
+  * through a [[StampedMemo]] (an in-place corpus rewrite re-derives), with
+  * a build counter for staging observability in tests. One definition so
+  * a staging-discipline fix (tracking, stamping, counter placement) can
+  * never half-apply across artifact families.
+  */
+object StagedArtifacts {
+
+  def parquet(spark: SparkSession, sfDir: String,
+      memo: StampedMemo[java.nio.file.Path], prefix: String,
+      builds: java.util.concurrent.atomic.AtomicLong)
+      (build: => DataFrame): DataFrame = {
+    val dir = memo.get(sfDir)({
+      builds.incrementAndGet()
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      TempDirs.track(d)
+      build.write.mode("overwrite").parquet(d.toString)
+      d
+    })
+    spark.read.parquet(dir.toString)
+  }
+}

@@ -174,4 +174,26 @@ class StreamOpsSpec extends SparkTestBase {
       .distinct()
     assertSameRows(stream, batch)
   }
+
+  test("stream_lsh equals the batch incremental dedup over the whole corpus") {
+    // cross-pairs-only ⇒ micro-batch-split independent: the streamed
+    // union over the increment must equal docIncrementalDedup run
+    // batch-wide (same signatures, same caps, same verify threshold)
+    val stream = StreamOps.streamTextDedup(spark, sfDir)
+    val batch = graft.operators.DedupOps
+      .docIncrementalDedup(graft.model.Fixtures.documents(spark, sfDir))
+    assertSameRows(stream, batch)
+  }
+
+  test("stream_lsh verifies against the FROZEN staged index, not a re-tokenized corpus") {
+    // the per-batch body must not rebuild the signature index: one
+    // staged build serves every micro-batch (and every later text key)
+    graft.operators.DedupOps.dropStagedTextArtifacts()
+    val b0 = graft.operators.DedupOps.textStageBuilds.get()
+    StreamOps.streamTextDedup(spark, sfDir)
+    assert(graft.operators.DedupOps.textStageBuilds.get() === b0 + 1)
+    StreamOps.streamTextDedup(spark, sfDir)
+    assert(graft.operators.DedupOps.textStageBuilds.get() === b0 + 1,
+      "a second streaming run must serve from the already-staged index")
+  }
 }
