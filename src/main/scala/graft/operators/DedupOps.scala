@@ -705,28 +705,137 @@ object DedupOps {
     incrementalFromSignatures(stagedTextSignatures(spark, sfDir))
   }
 
+  // ---------------------------------------------------------------------
+  // Partition-prunable probe indexes (the streaming serve's base side)
+  // ---------------------------------------------------------------------
+
+  /** Partition count of [[stagedBandProbeIndex]] — a corpus-independent
+    * index constant (like the IVF centroid count), so the per-batch
+    * distinct-partition collect is bounded by it, never by data. */
+  val SigPrefixParts = 64
+
+  /** Partition count of [[stagedShingleIndex]] — same discipline. */
+  val DocBucketParts = 64
+
+  /** The band signature's partition key: first two hex chars → int mod
+    * [[SigPrefixParts]]. Int (not long) so the value written into the
+    * partition dir name round-trips through partition-type inference to
+    * the SAME type the probe filter compares — a widening cast on the
+    * partition attribute could silently defeat pruning. */
+  private def sigPrefix(sig: Column): Column =
+    (conv(substring(sig, 1, 2), 16, 10).cast("int") % SigPrefixParts)
+      .cast("int")
+
+  private val bandIdxDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+  private val shingleIdxDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** Build counter for the two probe-index artifacts — separate from
+    * [[textStageBuilds]] so each artifact family's staging-exactly-once
+    * property is independently assertable. */
+  val probeStageBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The BASE side's banded candidate index, staged once per corpus
+    * snapshot and PARTITIONED BY SIGNATURE PREFIX — the text analog of
+    * the cell-partitioned IVF index: an arriving increment's band
+    * signatures name the only `sp` partitions worth scanning, so the
+    * per-batch candidate probe reads O(matched buckets), not the corpus.
+    * Rows: `(band, sig, doc_id)` for base (non-increment) docs, each
+    * bucket CAPPED at [[MaxBucketMembers]] at staging (rank by doc_id;
+    * overflow counted into the observed metric `band_probe_index` —
+    * the [[groupMembers]] truncation-is-never-silent discipline, so a
+    * mega-bucket costs a bounded base side in every probe join). Cap
+    * nuance vs the batch path: [[docIncrementalDedup]] ranks new+base
+    * members interleaved; here the base ranks alone and arriving docs
+    * are never capped — identical whenever buckets fit the cap (the
+    * fixture: overflow 0), divergent only on overflow. */
+  def stagedBandProbeIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StagedArtifacts.parquet(spark, sfDir, bandIdxDirs,
+      "graft_band_idx_", probeStageBuilds, Seq("sp")) {
+      graft.ObservedMetrics.install(spark)
+      val bands = stagedTextSignatures(spark, sfDir)
+        .filter(!isNewDoc)
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "sig")))
+      val w = Window.partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
+      bands.withColumn("rk", row_number().over(w))
+        .observe("band_probe_index",
+          sum(when(col("rk") > MaxBucketMembers, 1L).otherwise(0L))
+            .as("overflow_rows"))
+        .filter(col("rk") <= MaxBucketMembers)
+        .select(col("band"), col("sig"), col("doc_id"), sigPrefix(col("sig")).as("sp"))
+    }
+
+  /** The BASE side's shingle sets keyed for PRUNED point-fetch, staged
+    * once per corpus snapshot: `(doc_id, sh)` partitioned by the
+    * md5-bucket of doc_id, so the verify stage reads only the partitions
+    * holding candidate base docs — the shingle fetch is O(candidates),
+    * not a corpus scan per micro-batch. */
+  def stagedShingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StagedArtifacts.parquet(spark, sfDir, shingleIdxDirs,
+      "graft_shingle_idx_", probeStageBuilds, Seq("db")) {
+      stagedTextSignatures(spark, sfDir)
+        .filter(!isNewDoc)
+        .select(col("doc_id"), col("sh"),
+          Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int").as("db"))
+    }
+
+  def dropStagedProbeIndexes(): Unit = {
+    bandIdxDirs.clear(); shingleIdxDirs.clear()
+  }
+
   /** Verified cross dups of ONE arriving increment batch against the
-    * staged base signatures — the per-micro-batch body of the STREAMING
-    * ingestion dedup ([[graft.streaming.StreamOps.streamTextDedup]]):
-    * the batch's docs are signed in-batch ([[textSignaturesOf]] — a
-    * stateless projection, no artifact dependency), the base side reads
-    * the staged signature index, and the shared cross-pairs-only
-    * skeleton emits (new_doc, base_doc, n_bands, jaccard). Only cross
-    * pairs are candidates, so each new doc's output depends on (that
-    * doc, the frozen base) alone — micro-batch-split independent, the
-    * same property that makes the streaming index append deterministic
-    * (bucket caps never bind on the fixture: overflow metric 0). Unioned
-    * over any split of the full increment this equals
-    * [[docIncrementalDedup]] over the whole corpus (spec-locked). */
+    * frozen base — the per-micro-batch body of the STREAMING ingestion
+    * dedup ([[graft.streaming.StreamOps.streamTextDedup]]). The batch's
+    * docs are signed in-batch ([[textSignaturesOf]] — a stateless
+    * projection), then BOTH serving reads prune partitions:
+    * candidates come from [[stagedBandProbeIndex]] scanned only at the
+    * increment's signature prefixes (distinct-`sp` collect, bounded by
+    * [[SigPrefixParts]] — the staged-ANN probed-cells discipline), and
+    * the verify stage's base shingle sets come from
+    * [[stagedShingleIndex]] scanned only at the candidate docs' buckets.
+    * Per-batch cost is O(increment + matched buckets + candidates) —
+    * no corpus-wide scan, shuffle, or re-tokenize anywhere in the batch
+    * body. The increment's exploded bands broadcast (a micro-batch is
+    * admission-bounded); candidate-sized joins stay unhinted for AQE.
+    *
+    * Only cross (new × base) pairs are candidates, so each arriving
+    * doc's verified dups depend on (that doc, the frozen base) alone —
+    * micro-batch-split independent. Unioned over any split of the full
+    * increment this equals [[docIncrementalDedup]] over the whole
+    * corpus when bucket caps don't bind (spec-locked on the fixture;
+    * see [[stagedBandProbeIndex]] for the overflow nuance). */
   def incrementalDedupBatch(spark: SparkSession, sfDir: String,
       increment: DataFrame): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
-    val base = stagedTextSignatures(spark, sfDir)
-      .filter(!isNewDoc).select(col("doc_id"), col("bands"), col("sh"))
-    incrementalFromSignatures(
-      textSignaturesOf(increment)
-        .select(col("doc_id"), col("bands"), col("sh"))
-        .unionByName(base))
+    val inc = textSignaturesOf(increment)
+      .select(col("doc_id"), col("bands"), col("sh"))
+    val incBands = inc
+      .select(col("doc_id").as("new_doc"),
+        posexplode(col("bands")).as(Seq("band", "sig")))
+    // bounded collect: the distinct partition keys this batch probes
+    // (≤ SigPrefixParts, an index constant — never data-proportional)
+    val sps = incBands.select(sigPrefix(col("sig")).as("sp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cand = stagedBandProbeIndex(spark, sfDir)
+      .filter(col("sp").isin(sps: _*))
+      .join(broadcast(incBands), Seq("band", "sig"))
+      .groupBy(col("new_doc"), col("doc_id").as("base_doc"))
+      .agg(count(lit(1)).as("n_bands"))
+    val withNewSh = cand.join(
+      inc.select(col("doc_id").as("new_doc"), col("sh").as("nsh")), "new_doc")
+    val dbs = cand
+      .select(Hashing.md5Bucket(col("base_doc"), DocBucketParts)
+        .cast("int").as("db"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val baseSh = stagedShingleIndex(spark, sfDir)
+      .filter(col("db").isin(dbs: _*))
+      .select(col("doc_id").as("base_doc"), col("sh").as("bsh"))
+    withNewSh.join(baseSh, "base_doc")
+      .select(col("new_doc"), col("base_doc"), col("n_bands"),
+        call_function("jaccard_distinct", col("nsh"), col("bsh"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
   }
 
   /** The bucket→cross-pair→verify core of [[docIncrementalDedup]], over

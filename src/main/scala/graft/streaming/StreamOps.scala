@@ -528,12 +528,17 @@ object StreamOps {
     * `stream_ann`): documents arrive as a stream, the md5-bucket
     * increment filter admits the new slice, and each micro-batch is
     * signed in-batch (tokenize → MinHash bands → shingles, a stateless
-    * projection) and LSH-verified against the FROZEN staged signature
-    * index ([[graft.operators.DedupOps.incrementalDedupBatch]]) — the
-    * dedup-on-ingest gate a training-data pipeline runs in front of the
-    * corpus. Results land in an epoch-keyed sink with overwrite (the
-    * [[streamIndexAppend]] retry-idempotency discipline; no stream
-    * state — the base index carries all cross-batch knowledge).
+    * projection) and LSH-verified against the FROZEN base through two
+    * partition-prunable probe indexes
+    * ([[graft.operators.DedupOps.incrementalDedupBatch]]: candidates
+    * from the signature-prefix-partitioned band index, verify shingles
+    * from the doc-bucket-partitioned shingle index — per-batch cost
+    * O(increment + matched buckets + candidates), no corpus-wide scan
+    * or shuffle in the batch body) — the dedup-on-ingest gate a
+    * training-data pipeline runs in front of the corpus. Results land
+    * in an epoch-keyed sink with overwrite (the [[streamIndexAppend]]
+    * retry-idempotency discipline; no stream state — the base indexes
+    * carry all cross-batch knowledge).
     *
     * Deterministic WITHOUT the one-batch premise: only cross pairs
     * (new × base) are candidates, so each arriving doc's verified dups
@@ -543,8 +548,12 @@ object StreamOps {
     * corpus (asserted in tests; the key shares `incr_dedup`'s oracle). */
   def streamTextDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
-    // freeze the base index BEFORE the stream starts (build-if-absent)
+    // freeze the base artifacts BEFORE the stream starts (build-if-
+    // absent): the signature index and the two partition-prunable probe
+    // indexes every micro-batch serves from
     graft.operators.DedupOps.stagedTextSignatures(spark, sfDir)
+    graft.operators.DedupOps.stagedBandProbeIndex(spark, sfDir)
+    graft.operators.DedupOps.stagedShingleIndex(spark, sfDir)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_lsh_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("dups").toString

@@ -14,13 +14,16 @@ object StagedArtifacts {
 
   def parquet(spark: SparkSession, sfDir: String,
       memo: StampedMemo[java.nio.file.Path], prefix: String,
-      builds: java.util.concurrent.atomic.AtomicLong)
+      builds: java.util.concurrent.atomic.AtomicLong,
+      partitionCols: Seq[String] = Nil)
       (build: => DataFrame): DataFrame = {
     val dir = memo.get(sfDir)({
       builds.incrementAndGet()
       val d = java.nio.file.Files.createTempDirectory(prefix)
       TempDirs.track(d)
-      build.write.mode("overwrite").parquet(d.toString)
+      val w = build.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(d.toString)
       d
     })
     spark.read.parquet(dir.toString)

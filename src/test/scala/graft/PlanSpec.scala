@@ -43,6 +43,29 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("streaming dedup batch body prunes both probe indexes, no corpus scan") {
+    // the per-micro-batch serve must be O(increment + matched buckets):
+    // the band-probe index scans only the increment's signature-prefix
+    // partitions, the shingle index scans only the candidate docs'
+    // buckets, and nothing in the batch body re-tokenizes the corpus
+    val inc = graft.model.Fixtures.documents(spark, sfDir)
+      .filter(graft.operators.DedupOps.isNewDoc).limit(20)
+    val p = graft.operators.DedupOps
+      .incrementalDedupBatch(spark, sfDir, inc)
+      .queryExecution.executedPlan.toString
+    val idxScans = p.linesIterator
+      .filter(l => l.contains("graft_band_idx_") || l.contains("graft_shingle_idx_"))
+      .toSeq
+    assert(idxScans.size === 2, s"expected exactly the two probe-index scans:\n$p")
+    assert(idxScans.exists(l => l.contains("PartitionFilters: [sp#")), p)
+    assert(idxScans.exists(l => l.contains("PartitionFilters: [db#")), p)
+    assert(!idxScans.exists(_.contains("PartitionFilters: []")),
+      s"unpruned probe-index scan:\n$p")
+    // the only other scans are the increment's own (bounded) signature
+    // projection — never the staged corpus-wide signature artifact
+    assert(!p.contains("graft_text_idx_"), s"corpus signature scan in batch body:\n$p")
+  }
+
   test("dup-cluster consumers read the staged assignment, no CC fixpoint in-plan") {
     // the CC fixpoint (an RDD scan in-plan) runs at staging; cluster
     // consumers join staged scalars

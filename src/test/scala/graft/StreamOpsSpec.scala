@@ -189,11 +189,17 @@ class StreamOpsSpec extends SparkTestBase {
     // the per-batch body must not rebuild the signature index: one
     // staged build serves every micro-batch (and every later text key)
     graft.operators.DedupOps.dropStagedTextArtifacts()
+    graft.operators.DedupOps.dropStagedProbeIndexes()
     val b0 = graft.operators.DedupOps.textStageBuilds.get()
+    val p0 = graft.operators.DedupOps.probeStageBuilds.get()
     StreamOps.streamTextDedup(spark, sfDir)
     assert(graft.operators.DedupOps.textStageBuilds.get() === b0 + 1)
+    assert(graft.operators.DedupOps.probeStageBuilds.get() === p0 + 2,
+      "one band-probe index build + one shingle index build")
     StreamOps.streamTextDedup(spark, sfDir)
     assert(graft.operators.DedupOps.textStageBuilds.get() === b0 + 1,
       "a second streaming run must serve from the already-staged index")
+    assert(graft.operators.DedupOps.probeStageBuilds.get() === p0 + 2,
+      "a second streaming run must serve from the already-staged probe indexes")
   }
 }
