@@ -181,16 +181,28 @@ object DedupOps {
     */
   private[operators] def groupMembers(
       df: DataFrame, keys: Seq[Column], member: Column, order: Column,
-      metric: String): DataFrame = {
+      metric: String): DataFrame =
+    capBuckets(df, keys, order, metric)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(member)).as("m"))
+      .filter(size(col("m")) > 1)
+
+  /** The shared bucket CAP itself: rank rows within each bucket by
+    * `order`, DROP those past [[MaxBucketMembers]], count the dropped
+    * into the observed metric `<metric>.overflow_rows` — truncation is
+    * never silent. The ONE cap definition, used by every candidate
+    * skeleton ([[groupMembers]]) and by the staged band-probe index
+    * build ([[stagedBandProbeIndex]]), so a cap-discipline fix can
+    * never half-apply. */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[Column],
+      order: Column, metric: String): DataFrame = {
     graft.ObservedMetrics.install(df.sparkSession)
     val w = Window.partitionBy(keys: _*).orderBy(order)
     df.withColumn("rk", row_number().over(w))
       .observe(metric, sum(when(col("rk") > MaxBucketMembers, 1L).otherwise(0L))
         .as("overflow_rows"))
       .filter(col("rk") <= MaxBucketMembers)
-      .groupBy(keys: _*)
-      .agg(array_sort(collect_list(member)).as("m"))
-      .filter(size(col("m")) > 1)
+      .drop("rk")
   }
 
   /** The oracle-side mirror of [[groupMembers]]'s cap: both sides of a
@@ -753,17 +765,13 @@ object DedupOps {
   def stagedBandProbeIndex(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.StagedArtifacts.parquet(spark, sfDir, bandIdxDirs,
       "graft_band_idx_", probeStageBuilds, Seq("sp")) {
-      graft.ObservedMetrics.install(spark)
       val bands = stagedTextSignatures(spark, sfDir)
         .filter(!isNewDoc)
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "sig")))
-      val w = Window.partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
-      bands.withColumn("rk", row_number().over(w))
-        .observe("band_probe_index",
-          sum(when(col("rk") > MaxBucketMembers, 1L).otherwise(0L))
-            .as("overflow_rows"))
-        .filter(col("rk") <= MaxBucketMembers)
-        .select(col("band"), col("sig"), col("doc_id"), sigPrefix(col("sig")).as("sp"))
+      capBuckets(bands, Seq(col("band"), col("sig")), col("doc_id"),
+          "band_probe_index")
+        .select(col("band"), col("sig"), col("doc_id"),
+          sigPrefix(col("sig")).as("sp"))
     }
 
   /** The BASE side's shingle sets keyed for PRUNED point-fetch, staged

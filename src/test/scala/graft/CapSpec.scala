@@ -232,6 +232,41 @@ class CapSpec extends SparkTestBase {
     assert(scored.length === 1 && scored(0).getLong(0) === 0L)
   }
 
+  test("probe-index incremental dedup equals the batch path over arbitrary corpora") {
+    // the stream_lsh serving claim — partition-pruned probe joins emit
+    // the SAME verified cross dups as the batch bucket skeleton — holds
+    // for any dup structure, not just the fixture's: random corpora
+    // from a tiny vocabulary (dup-rich by construction), ids spanning
+    // both increment and base md5 buckets
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val genDoc = for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      n <- Gen.choose(20, 60)
+      texts <- Gen.listOfN(n, genDoc)
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_corpus_")
+      graft.util.TempDirs.track(dir)
+      corpus.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+      val sf = dir.toString
+      val docs = graft.model.Fixtures.documents(spark, sf)
+      val increment = docs.filter(DedupOps.isNewDoc)
+      val probe = canon(DedupOps.incrementalDedupBatch(spark, sf, increment))
+      val batch = canon(DedupOps.docIncrementalDedup(docs))
+      probe == batch
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+    DedupOps.dropStagedTextArtifacts()
+    DedupOps.dropStagedProbeIndexes()
+  }
+
   test("defaultNumPlanes sizes the bucket geometry to the corpus") {
     import SimilarityOps.{defaultNumPlanes, MinPlanes, MaxPlanes}
     // mean bucket ≈ target: 1M vectors / 256-target → 2^12 buckets
