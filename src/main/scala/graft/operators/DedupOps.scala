@@ -763,7 +763,11 @@ object DedupOps {
     * are never capped — identical whenever buckets fit the cap (the
     * fixture: overflow 0), divergent only on overflow. */
   def stagedBandProbeIndex(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.StagedArtifacts.parquet(spark, sfDir, bandIdxDirs,
+    spark.read.parquet(bandIdxDir(spark, sfDir).toString)
+
+  private def bandIdxDir(spark: SparkSession,
+      sfDir: String): java.nio.file.Path =
+    graft.util.StagedArtifacts.parquetDir(sfDir, bandIdxDirs,
       "graft_band_idx_", probeStageBuilds, Seq("sp")) {
       val bands = stagedTextSignatures(spark, sfDir)
         .filter(!isNewDoc)
@@ -780,7 +784,11 @@ object DedupOps {
     * holding candidate base docs — the shingle fetch is O(candidates),
     * not a corpus scan per micro-batch. */
   def stagedShingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.StagedArtifacts.parquet(spark, sfDir, shingleIdxDirs,
+    spark.read.parquet(shingleIdxDir(spark, sfDir).toString)
+
+  private def shingleIdxDir(spark: SparkSession,
+      sfDir: String): java.nio.file.Path =
+    graft.util.StagedArtifacts.parquetDir(sfDir, shingleIdxDirs,
       "graft_shingle_idx_", probeStageBuilds, Seq("db")) {
       stagedTextSignatures(spark, sfDir)
         .filter(!isNewDoc)
@@ -790,6 +798,97 @@ object DedupOps {
 
   def dropStagedProbeIndexes(): Unit = {
     bandIdxDirs.clear(); shingleIdxDirs.clear()
+    appendedDocs.clear()
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental probe-index maintenance (append → staleness → re-stage)
+  // ---------------------------------------------------------------------
+
+  /** How many docs entered the served probe indexes via APPEND (per
+    * band-index dir) — the staleness bookkeeping, the
+    * `SimilarityOps.appendedRows` sibling. */
+  private val appendedDocs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** INCREMENTAL text-index maintenance — the
+    * [[SimilarityOps.appendToStagedIvfIndex]] sibling for the dedup
+    * gate's base side: after the gate ADMITS a batch (its survivors
+    * join the corpus), fold the batch's signatures into the SERVED
+    * probe indexes so subsequent arrivals dedup against it without a
+    * rebuild. Band rows append files into only the touched `sp`
+    * partition dirs, shingle rows into the touched `db` dirs; every
+    * probe read picks the new rows up on its next pruned scan with zero
+    * changes. Scale shape: the append touches batch-sized data only —
+    * signing is an in-row projection, no shuffle, no read of the
+    * existing index. Appending declares the batch BASE regardless of
+    * its ids' increment-bucket membership (admission is the caller's
+    * statement, not an id property). Cap nuance: appended rows bypass
+    * the staging cap (they are bounded by the batch); the cap
+    * re-asserts at the next re-stage. Returns the docs appended. */
+  def appendToTextIndexes(spark: SparkSession, sfDir: String,
+      docs: DataFrame): Long = {
+    graft.GraftSession.registerFunctions(spark)
+    val bandDir = bandIdxDir(spark, sfDir)
+    val shDir = shingleIdxDir(spark, sfDir)
+    val sigs = textSignaturesOf(docs)
+      .select(col("doc_id"), col("bands"), col("sh")).persist()
+    try {
+      val n = sigs.count()
+      sigs.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "sig")))
+        .select(col("band"), col("sig"), col("doc_id"),
+          sigPrefix(col("sig")).as("sp"))
+        .write.mode("append").partitionBy("sp").parquet(bandDir.toString)
+      sigs.select(col("doc_id"), col("sh"),
+          Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int").as("db"))
+        .write.mode("append").partitionBy("db").parquet(shDir.toString)
+      appendedDocs.merge(bandDir.toString, java.lang.Long.valueOf(n),
+        (a: java.lang.Long, b: java.lang.Long) =>
+          java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      n
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Staleness gauge: the fraction of the served shingle index that
+    * entered via append — signed under the same stateless projection
+    * the stager uses, but never capped and never seen by a full
+    * staging. A serving tier re-stages when this crosses its budget. */
+  def textIndexStaleFraction(spark: SparkSession, sfDir: String): Double = {
+    val appended = appendedDocs
+      .getOrDefault(bandIdxDir(spark, sfDir).toString,
+        java.lang.Long.valueOf(0L)).longValue()
+    if (appended == 0) 0.0
+    else appended.toDouble /
+      spark.read.parquet(shingleIdxDir(spark, sfDir).toString).count().toDouble
+  }
+
+  /** Staleness-triggered RE-STAGE — the
+    * [[SimilarityOps.maybeRetrainStagedIndex]] sibling: when the
+    * appended fraction crosses `threshold`, drop every staged text
+    * artifact for THIS corpus dir (signatures + both probe indexes) and
+    * rebuild eagerly from the current corpus snapshot. COMPACTION
+    * CONTRACT as the ANN stack's: the rebuild reads ONLY the corpus
+    * dir — rows that entered via [[appendToTextIndexes]] but were never
+    * landed in the corpus are DROPPED from the served indexes (the
+    * ingestion tier must commit admitted batches to corpus storage
+    * before the threshold trips). Returns whether a re-stage ran. */
+  def maybeRestageTextIndexes(spark: SparkSession, sfDir: String,
+      threshold: Double): Boolean = {
+    val stale = textIndexStaleFraction(spark, sfDir)
+    graft.ObservedMetrics.recordGauge("text.index_stale_fraction", stale)
+    if (stale <= threshold) false
+    else {
+      appendedDocs.remove(bandIdxDir(spark, sfDir).toString)
+      // per-dir invalidation: re-staging THIS corpus's indexes must not
+      // un-stage every other corpus's artifacts
+      textSigDirs.invalidate(sfDir)
+      bandIdxDirs.invalidate(sfDir)
+      shingleIdxDirs.invalidate(sfDir)
+      bandIdxDir(spark, sfDir)    // rebuild eagerly: serving never
+      shingleIdxDir(spark, sfDir) // races a half-built artifact
+      true
+    }
   }
 
   /** Verified cross dups of ONE arriving increment batch against the

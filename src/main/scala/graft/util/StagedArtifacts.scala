@@ -16,8 +16,19 @@ object StagedArtifacts {
       memo: StampedMemo[java.nio.file.Path], prefix: String,
       builds: java.util.concurrent.atomic.AtomicLong,
       partitionCols: Seq[String] = Nil)
-      (build: => DataFrame): DataFrame = {
-    val dir = memo.get(sfDir)({
+      (build: => DataFrame): DataFrame =
+    spark.read.parquet(
+      parquetDir(sfDir, memo, prefix, builds, partitionCols)(build).toString)
+
+  /** [[parquet]] returning the staged DIRECTORY — for maintenance paths
+    * that append files into the artifact's partition dirs (the
+    * incremental-index-append shape) rather than read it. */
+  def parquetDir(sfDir: String,
+      memo: StampedMemo[java.nio.file.Path], prefix: String,
+      builds: java.util.concurrent.atomic.AtomicLong,
+      partitionCols: Seq[String] = Nil)
+      (build: => DataFrame): java.nio.file.Path =
+    memo.get(sfDir)({
       builds.incrementAndGet()
       val d = java.nio.file.Files.createTempDirectory(prefix)
       TempDirs.track(d)
@@ -26,6 +37,4 @@ object StagedArtifacts {
         .parquet(d.toString)
       d
     })
-    spark.read.parquet(dir.toString)
-  }
 }

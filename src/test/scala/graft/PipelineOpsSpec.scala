@@ -684,6 +684,41 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text probe indexes: append -> serve -> staleness -> re-stage lifecycle") {
+    import spark.implicits._
+    DedupOps.dropStagedTextArtifacts()
+    DedupOps.dropStagedProbeIndexes()
+    // an increment batch with a vocabulary the fixture never uses: the
+    // frozen base has nothing similar, so its dedup result is empty
+    val increment = Seq((900001L, "zork mumble quux flibber gromp zork mumble"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.incrementalDedupBatch(spark, sfDir, increment).count() === 0)
+    assert(DedupOps.textIndexStaleFraction(spark, sfDir) === 0.0)
+    // ADMIT a doc with that text into the served base (append, no
+    // rebuild): the same increment now dedups against it
+    val admitted = Seq((900000L, "zork mumble quux flibber gromp zork mumble"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.appendToTextIndexes(spark, sfDir, admitted) === 1L)
+    val found = DedupOps.incrementalDedupBatch(spark, sfDir, increment)
+      .select("new_doc", "base_doc", "jaccard").collect()
+    assert(found.length === 1)
+    assert(found(0).getLong(0) === 900001L && found(0).getLong(1) === 900000L)
+    assert(found(0).getDouble(2) === 1.0)
+    val stale = DedupOps.textIndexStaleFraction(spark, sfDir)
+    assert(stale > 0.0 && stale < 0.05, s"one appended doc of ~500: $stale")
+    // below the budget: no re-stage, the appended doc keeps serving
+    assert(!DedupOps.maybeRestageTextIndexes(spark, sfDir, threshold = 0.5))
+    assert(DedupOps.incrementalDedupBatch(spark, sfDir, increment).count() === 1)
+    // over the budget: re-stage from the corpus snapshot — the appended
+    // doc was never landed in the corpus, so it DROPS (the compaction
+    // contract) and staleness resets
+    val p0 = DedupOps.probeStageBuilds.get()
+    assert(DedupOps.maybeRestageTextIndexes(spark, sfDir, threshold = 0.0))
+    assert(DedupOps.probeStageBuilds.get() === p0 + 2, "eager rebuild of both indexes")
+    assert(DedupOps.incrementalDedupBatch(spark, sfDir, increment).count() === 0)
+    assert(DedupOps.textIndexStaleFraction(spark, sfDir) === 0.0)
+  }
+
   test("text signature index: built once per corpus snapshot; staged and inline paths agree") {
     DedupOps.dropStagedTextArtifacts()
     val b = DedupOps.textStageBuilds.get()
