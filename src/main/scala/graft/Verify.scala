@@ -62,6 +62,14 @@ object Verify {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] recall gauges failed: ${e.getMessage}")
     }
+    // Text-index staleness: 0.0 under pure serving (no appends ran in
+    // this JVM) — recorded so the maintenance gauge is a round artifact
+    // and a future append leaking into the serving path is visible.
+    try graft.ObservedMetrics.recordGauge("text.index_stale_fraction",
+      graft.operators.DedupOps.textIndexStaleFraction(spark, sfDir))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] text stale gauge failed: ${e.getMessage}")
+    }
     // Bucket-cap overflow observations from the dedup/ANN generators:
     // 0 on the fixtures; a non-zero value here means a capped bucket
     // TRUNCATED candidates on this input — visible in round artifacts
