@@ -761,7 +761,12 @@ object DedupOps {
     * nuance vs the batch path: [[docIncrementalDedup]] ranks new+base
     * members interleaved; here the base ranks alone and arriving docs
     * are never capped — identical whenever buckets fit the cap (the
-    * fixture: overflow 0), divergent only on overflow. */
+    * fixture: overflow 0), divergent only on overflow. Pruning honesty:
+    * band signatures are hashes, so a batch of B docs probes
+    * min(4B, [[SigPrefixParts]]) prefixes — strongest for the small
+    * admission batches an ingest gate actually sees; a large batch
+    * degrades gracefully to a full (still column-pruned, still
+    * shuffle-free) scan of the 3-scalar index. */
   def stagedBandProbeIndex(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(bandIdxDir(spark, sfDir).toString)
 
