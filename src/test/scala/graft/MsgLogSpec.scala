@@ -19,6 +19,13 @@ import graft.sources.{MsgFrame, MsgLog, MsgLogCodec, MsgLogMicroBatchStream, Msg
   */
 class MsgLogSpec extends SparkTestBase {
 
+  /** Tracked temp dir: every topic/ckpt/sink tree this suite creates is
+    * registered for JVM-exit deletion — the suite makes ~1900 dirs per
+    * run, and untracked they accumulated across a driver day's many
+    * test JVMs (measured: 3800+ /tmp entries). */
+  private def tmpPath(prefix: String): java.nio.file.Path =
+    graft.util.TempDirs.track(Files.createTempDirectory(prefix))
+
   private def frame(id: Long) =
     MsgFrame(id, 1704067200000000L + id, id % 7, s"type-$id", id * 1.5, s"""{"k": $id}""")
 
@@ -141,7 +148,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("envelope: DataFrame write/read round-trips all MessageMetadata fields, incl. absent ones") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_env_rt_").toString
+    val dir = tmpPath("glog_env_rt_").toString
     val env = Seq(
       (1L, 1L, "a", 1.0, """{"k":1}""", "prod-A", 11L, "k1", 2, Map("x" -> "1", "y" -> "2")),
       (2L, 2L, "b", 2.0, """{"k":2}""", "prod-B", 12L, "k2", 0, Map("z" -> "9")))
@@ -252,8 +259,8 @@ class MsgLogSpec extends SparkTestBase {
   test("zlib-compressed frames round-trip and shrink the ledger") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val plain = Files.createTempDirectory("glog_plain_").toString
-    val packed = Files.createTempDirectory("glog_zlib_").toString
+    val plain = tmpPath("glog_plain_").toString
+    val packed = tmpPath("glog_zlib_").toString
     ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
     ev.repartition(2).write.format("graft-msglog")
       .option("compression", "zlib").mode("append").save(packed)
@@ -266,10 +273,10 @@ class MsgLogSpec extends SparkTestBase {
   test("lz4, zstd and snappy frames round-trip and shrink the ledger") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val plain = Files.createTempDirectory("glog_plain2_").toString
+    val plain = tmpPath("glog_plain2_").toString
     ev.repartition(2).write.format("graft-msglog").mode("append").save(plain)
     Seq("lz4", "zstd", "snappy").foreach { codec =>
-      val packed = Files.createTempDirectory(s"glog_${codec}_").toString
+      val packed = tmpPath(s"glog_${codec}_").toString
       // batch the compressed write: per-message compression contexts have
       // nothing to bite on; batching is what makes lz4/zstd earn its id
       ev.repartition(2).write.format("graft-msglog")
@@ -287,7 +294,7 @@ class MsgLogSpec extends SparkTestBase {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val ex = intercept[Exception] {
       ev.write.format("graft-msglog").option("compression", "brotli")
-        .mode("append").save(Files.createTempDirectory("glog_bad_").toString)
+        .mode("append").save(tmpPath("glog_bad_").toString)
     }
     assert(ex.getMessage.contains("unsupported compression"))
   }
@@ -295,7 +302,7 @@ class MsgLogSpec extends SparkTestBase {
   test("batched frames round-trip transparently with dense entry coordinates") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_batched_").toString
+    val dir = tmpPath("glog_batched_").toString
     // 7 does not divide the partition sizes: the last frame of each
     // ledger is short, and read slices straddle frame boundaries
     ev.repartition(2, col("user_id")).write.format("graft-msglog")
@@ -319,7 +326,7 @@ class MsgLogSpec extends SparkTestBase {
   test("a batched ledger streams with row-budget pacing straddling frames") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_batch_stream_").toString
+    val dir = tmpPath("glog_batch_stream_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog")
       .option("batchSize", "7").option("compression", "zstd")
       .mode("append").save(dir)
@@ -352,9 +359,9 @@ class MsgLogSpec extends SparkTestBase {
   test("restart on a grown log resumes by ledger name: no loss, no duplication") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_grow_").toString
-    val ckpt = Files.createTempDirectory("glog_grow_ckpt_").toString
-    val outDir = Files.createTempDirectory("glog_grow_out_").toString
+    val topic = tmpPath("glog_grow_").toString
+    val ckpt = tmpPath("glog_grow_ckpt_").toString
+    val outDir = tmpPath("glog_grow_out_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
     def drain(): Unit = {
       val q = spark.readStream.format("graft-msglog")
@@ -381,9 +388,9 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.MsgLogNacks
     val ev = Fixtures.events(spark, sfDir).limit(10)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_nack_").toString
-    val ckpt = Files.createTempDirectory("glog_nack_ckpt_").toString
-    val outDir = Files.createTempDirectory("glog_nack_out_").toString
+    val topic = tmpPath("glog_nack_").toString
+    val ckpt = tmpPath("glog_nack_ckpt_").toString
+    val outDir = tmpPath("glog_nack_out_").toString
     ev.repartition(1).write.format("graft-msglog").mode("append").save(topic)
     def drain(): Unit = {
       val q = spark.readStream.format("graft-msglog")
@@ -421,8 +428,8 @@ class MsgLogSpec extends SparkTestBase {
     // batch scans read the log as data: no redelivered duplicates
     assert(spark.read.format("graft-msglog").load(topic).count() === 10)
     // a FRESH subscription starts past the existing journals
-    val ckpt2 = Files.createTempDirectory("glog_nack_ckpt2_").toString
-    val outDir2 = Files.createTempDirectory("glog_nack_out2_").toString
+    val ckpt2 = tmpPath("glog_nack_ckpt2_").toString
+    val outDir2 = tmpPath("glog_nack_out2_").toString
     val q2 = spark.readStream.format("graft-msglog")
       .option("redelivery", "true").load(topic)
       .select("event_id", "redelivery_count")
@@ -442,7 +449,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.MsgLogShared
     val ev = Fixtures.events(spark, sfDir).limit(20)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_shared_").toString
+    val topic = tmpPath("glog_shared_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
     val sub = "workers"
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -493,7 +500,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.{MsgLogFailover, MsgLogShared}
     val ev = Fixtures.events(spark, sfDir).limit(12)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_failover_").toString
+    val topic = tmpPath("glog_failover_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(topic)
     val sub = "ha"
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -564,7 +571,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.{MsgLogFailover, MsgLogShared}
     val ev = Fixtures.events(spark, sfDir).limit(10)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_lease_").toString
+    val topic = tmpPath("glog_lease_").toString
     ev.write.format("graft-msglog").mode("append").save(topic)
     val sub = "leased"
     // w1 active with a 1h lease; w2 standby without one
@@ -606,7 +613,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.{MsgLogFailover, MsgLogShared}
     val ev = Fixtures.events(spark, sfDir).limit(6)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_lease_edge_").toString
+    val topic = tmpPath("glog_lease_edge_").toString
     ev.write.format("graft-msglog").mode("append").save(topic)
     def agePast(sub: String, name: String): Unit =
       java.nio.file.Files.setLastModifiedTime(
@@ -651,7 +658,7 @@ class MsgLogSpec extends SparkTestBase {
     // union-compatible with the active consumer's deliveries
     val ev = Fixtures.events(spark, sfDir).limit(4)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_failover_schema_").toString
+    val topic = tmpPath("glog_failover_schema_").toString
     ev.write.format("graft-msglog").option("payloadSchema", "k INT")
       .mode("append").save(topic)
     val sub = "typed"
@@ -670,7 +677,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.MsgLogFailover
     val ev = Fixtures.events(spark, sfDir).limit(2)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_failover_prop_").toString
+    val topic = tmpPath("glog_failover_prop_").toString
     ev.write.format("graft-msglog").mode("append").save(topic)
     val sub = "elect"
     val rng = new scala.util.Random(42)
@@ -700,7 +707,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.{MsgLogNackPartition, MsgLogNackReader, MsgLogNacks}
     val ev = Fixtures.events(spark, sfDir).limit(3)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_nack_pred_").toString
+    val topic = tmpPath("glog_nack_pred_").toString
     ev.repartition(1).write.format("graft-msglog").mode("append").save(topic)
     val ledger = MsgLogSource.ledgerFiles(topic).head.getFileName.toString
     val journal = MsgLogNacks.redeliver(topic, Seq(MsgLogSource.ledgerId(ledger) -> 1L))
@@ -723,11 +730,11 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.MsgLogNacks
     val ev = Fixtures.events(spark, sfDir).limit(6)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val ns = Files.createTempDirectory("glog_nack_ns_").toString
+    val ns = tmpPath("glog_nack_ns_").toString
     ev.limit(3).repartition(1).write.format("graft-msglog").mode("append").save(s"$ns/t-a")
     ev.repartition(1).write.format("graft-msglog").mode("append").save(s"$ns/t-b")
-    val ckpt = Files.createTempDirectory("glog_nack_ns_ckpt_").toString
-    val outDir = Files.createTempDirectory("glog_nack_ns_out_").toString
+    val ckpt = tmpPath("glog_nack_ns_ckpt_").toString
+    val outDir = tmpPath("glog_nack_ns_out_").toString
     def drain(): Unit = {
       val q = spark.readStream.format("graft-msglog")
         .option("topics", "*").option("redelivery", "true").load(ns)
@@ -764,9 +771,9 @@ class MsgLogSpec extends SparkTestBase {
   test("subscriptionStats: checkpoint frontier vs live topic = per-ledger backlog") {
     val ev = Fixtures.events(spark, sfDir).limit(10)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val topic = Files.createTempDirectory("glog_stats_").toString
-    val ckpt = Files.createTempDirectory("glog_stats_ckpt_").toString
-    val outDir = Files.createTempDirectory("glog_stats_out_").toString
+    val topic = tmpPath("glog_stats_").toString
+    val ckpt = tmpPath("glog_stats_ckpt_").toString
+    val outDir = tmpPath("glog_stats_out_").toString
     ev.repartition(1).write.format("graft-msglog").mode("append").save(topic)
     val q = spark.readStream.format("graft-msglog").load(topic)
       .select("event_id")
@@ -786,7 +793,7 @@ class MsgLogSpec extends SparkTestBase {
     assert(grown.toSeq === Seq(0L -> 4L, 10L -> 0L))
     // no checkpoint yet: everything is backlog
     val fresh = MsgLog.subscriptionStats(spark, topic,
-      Files.createTempDirectory("glog_stats_empty_").toString).collect()
+      tmpPath("glog_stats_empty_").toString).collect()
     assert(fresh.map(_.getAs[Long]("backlog")).sum === 14L)
     assert(fresh.forall(_.getAs[Long]("committed_entries") === 0L))
   }
@@ -794,7 +801,7 @@ class MsgLogSpec extends SparkTestBase {
   test("lastMessageIds reports per-ledger frontiers matching the read coordinates") {
     val ev = Fixtures.events(spark, sfDir).limit(10)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_lastid_").toString
+    val dir = tmpPath("glog_lastid_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     val ids = MsgLog.lastMessageIds(spark, dir).collect()
       .map(r => r.getAs[Long]("ledger") -> (r.getAs[Long]("last_entry"), r.getAs[Long]("n_entries")))
@@ -806,14 +813,14 @@ class MsgLogSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("ledger") -> (r.getAs[Long]("m"), r.getAs[Long]("n"))).toMap
     assert(ids === observed)
     // empty topic: no rows, not an error
-    val empty = Files.createTempDirectory("glog_lastid_empty_").toString
+    val empty = tmpPath("glog_lastid_empty_").toString
     assert(MsgLog.lastMessageIds(spark, empty).count() === 0)
   }
 
   test("batch sink: a second append adds ledgers instead of replacing them") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_append_").toString
+    val dir = tmpPath("glog_append_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     assert(spark.read.format("graft-msglog").load(dir).count() === 2 * ev.count())
@@ -822,7 +829,7 @@ class MsgLogSpec extends SparkTestBase {
   test("transactional produce: commit is atomic, uncommitted ledgers are invisible everywhere") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_txn_").toString
+    val dir = tmpPath("glog_txn_").toString
     ev.repartition(3, col("user_id")).write.format("graft-msglog")
       .option("transactional", "true").mode("append").save(dir)
     // committed: everything visible, under txn- names, with one marker
@@ -855,7 +862,7 @@ class MsgLogSpec extends SparkTestBase {
   test("transactional produce: a mid-job task failure publishes NOTHING") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_txn_abort_").toString
+    val dir = tmpPath("glog_txn_abort_").toString
     // poison exactly one partition: other tasks commit their ledgers
     // first, then the job fails and EndTxn(ABORT) must retract them
     val poisoned = ev.repartition(4, col("user_id"))
@@ -877,7 +884,7 @@ class MsgLogSpec extends SparkTestBase {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .limit(100)
-    val dir = Files.createTempDirectory("glog_txn_vac_").toString
+    val dir = tmpPath("glog_txn_vac_").toString
     ev.write.format("graft-msglog")
       .option("transactional", "true").mode("append").save(dir)
     val n = spark.read.format("graft-msglog").load(dir).count()
@@ -919,13 +926,13 @@ class MsgLogSpec extends SparkTestBase {
 
   test("transactional is rejected on the streaming sink") {
     val srcDir = MsgLog.stagedEventsLog(spark, sfDir)
-    val outDir = Files.createTempDirectory("glog_txn_stream_").toString
+    val outDir = tmpPath("glog_txn_stream_").toString
     val e = intercept[Exception] {
       val q = spark.readStream.format("graft-msglog").load(srcDir)
         .writeStream.format("graft-msglog")
         .option("transactional", "true")
         .option("checkpointLocation",
-          Files.createTempDirectory("glog_txn_stream_ckpt_").toString)
+          tmpPath("glog_txn_stream_ckpt_").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(outDir)
       q.awaitTermination()
@@ -935,8 +942,8 @@ class MsgLogSpec extends SparkTestBase {
 
   test("streaming sink: paced stream -> msglog epochs -> batch read round-trips") {
     val srcDir = MsgLog.stagedEventsLog(spark, sfDir)
-    val outDir = Files.createTempDirectory("glog_sink_").toString
-    val ckpt = Files.createTempDirectory("glog_ckpt_").toString
+    val outDir = tmpPath("glog_sink_").toString
+    val ckpt = tmpPath("glog_ckpt_").toString
     val q = spark.readStream.format("graft-msglog")
       .option("maxRowsPerTrigger", "400")
       .load(srcDir)
@@ -998,7 +1005,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("compactTopic refuses a non-empty output topic") {
     val in = MsgLog.stagedEventsLog(spark, sfDir)
-    val out = Files.createTempDirectory("glog_compact_guard_").toString
+    val out = tmpPath("glog_compact_guard_").toString
     MsgLog.compactTopic(spark, in, out)
     val ex = intercept[IllegalArgumentException] {
       MsgLog.compactTopic(spark, in, out)
@@ -1008,7 +1015,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("compactTopic keeps exactly the latest message per key, as a valid topic") {
     val in = MsgLog.stagedEventsLog(spark, sfDir)
-    val out = Files.createTempDirectory("glog_compact_").toString
+    val out = tmpPath("glog_compact_").toString
     MsgLog.compactTopic(spark, in, out)
     val compacted = spark.read.format("graft-msglog").load(out)
     val ev = Fixtures.events(spark, sfDir)
@@ -1021,7 +1028,7 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   test("listTopics enumerates topics with partition and message counts") {
-    val ns = Files.createTempDirectory("glog_ns_")
+    val ns = tmpPath("glog_ns_")
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     MsgLog.writeEvents(ev, ns.resolve("topic-a").toString, 2)
@@ -1083,7 +1090,7 @@ class MsgLogSpec extends SparkTestBase {
   test("latestOffset never re-walks an unchanged ledger") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_walk_").toString
+    val dir = tmpPath("glog_walk_").toString
     ev.repartition(2, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     val stream = new MsgLogMicroBatchStream(dir, None, None)
     val w0 = MsgLogCodec.entryWalks.get()
@@ -1276,7 +1283,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("keyHashRange: ordering_key overrides partition_key for dispatch") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_okey_dispatch_").toString
+    val dir = tmpPath("glog_okey_dispatch_").toString
     // two messages share a partition_key but carry different ordering keys:
     // dispatch must follow the ordering key (SURVEY §2.1 #28)
     Seq((1L, 1L, "a", 1.0, "{}", "shared-pk", "okey-one"),
@@ -1298,7 +1305,7 @@ class MsgLogSpec extends SparkTestBase {
   test("delayed delivery: messages surface only in triggers at/after their deliver time") {
     // one ledger, controlled order: entries 0-4 deliverable at t=1000,
     // entries 5-9 held until t=5_000_000
-    val dir = Files.createTempDirectory("glog_delay_")
+    val dir = tmpPath("glog_delay_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 10).foreach { i =>
@@ -1334,7 +1341,7 @@ class MsgLogSpec extends SparkTestBase {
   test("countCache evicts ledgers that leave the listing (deletion/compaction churn)") {
     val ev = Fixtures.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("glog_evict_").toString
+    val dir = tmpPath("glog_evict_").toString
     ev.repartition(3, col("user_id")).write.format("graft-msglog").mode("append").save(dir)
     val stream = new MsgLogMicroBatchStream(dir, None, None)
     stream.latestOffset()
@@ -1449,7 +1456,7 @@ class MsgLogSpec extends SparkTestBase {
     * region); returns the topic dir.
     */
   private def corruptTopic(n: Int, corruptIdx: Int, flipFlags: Boolean = false): String = {
-    val dir = Files.createTempDirectory("glog_corrupt_")
+    val dir = tmpPath("glog_corrupt_")
     val ledger = dir.resolve(s"ledger-test-0000${MsgLogCodec.Extension}")
     val bytes = {
       val bos = new ByteArrayOutputStream()
@@ -1534,7 +1541,7 @@ class MsgLogSpec extends SparkTestBase {
     codecs.foreach { codec =>
       val msgs = Seq(frame(0), bigFrame(1), envFrame(2), bigFrame(3).copy(sequenceId = 3),
         frame(4))
-      val dir = Files.createTempDirectory("glog_chunk_codec_")
+      val dir = tmpPath("glog_chunk_codec_")
       val ledger = dir.resolve(s"ledger-t-0000${MsgLogCodec.Extension}")
       val bos = new ByteArrayOutputStream()
       val dos = new DataOutputStream(bos)
@@ -1575,7 +1582,7 @@ class MsgLogSpec extends SparkTestBase {
   private def chunkedTopic(n: Int, payloadLen: Int = 5000,
       maxFrame: Int = 1024): String = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_chunk_topic_").toString
+    val dir = tmpPath("glog_chunk_topic_").toString
     (0 until n).map { i =>
       (i.toLong, 1704067200000000L + i, i.toLong % 7, s"type-$i", i * 1.5,
         s"""{"k": $i, "pad": "${"x" * payloadLen}"}""")
@@ -1629,7 +1636,7 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   private def corruptChunkedTopic(victimFrame: Int): String = {
-    val dir = Files.createTempDirectory("glog_chunk_corrupt_")
+    val dir = tmpPath("glog_chunk_corrupt_")
     val ledger = dir.resolve(s"ledger-test-0000${MsgLogCodec.Extension}")
     val bos = new ByteArrayOutputStream()
     val dos = new DataOutputStream(bos)
@@ -1699,7 +1706,7 @@ class MsgLogSpec extends SparkTestBase {
     assert(frameRows.head.getAs[String]("decode_error").contains("chunk frame"))
 
     // a topic with no DLQ reads as an empty, well-typed frame
-    val clean = Files.createTempDirectory("glog_dlq_empty_").toString
+    val clean = tmpPath("glog_dlq_empty_").toString
     assert(MsgLog.readDeadLetters(spark, clean).count() === 0)
   }
 
@@ -1708,7 +1715,7 @@ class MsgLogSpec extends SparkTestBase {
     val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, "{}"))
       .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
-    val dir = Files.createTempDirectory("glog_chunk_opt_").toString
+    val dir = tmpPath("glog_chunk_opt_").toString
     val exBatch = intercept[Exception] {
       df.write.format("graft-msglog").option("maxFrameBytes", "1024")
         .option("batchSize", "4").mode("append").save(dir)
@@ -1725,7 +1732,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("schema enforcement: a conforming write registers the topic schema and round-trips") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_schema_ok_").toString
+    val dir = tmpPath("glog_schema_ok_").toString
     val df = Seq(
       (1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 7}"""),
       (2L, 1704067200000001L, 2L, "t", 2.0, """{"k": 8, "extra": "ignored"}"""),
@@ -1749,7 +1756,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("schema enforcement: a non-conforming payload fails the write loudly") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_schema_bad_").toString
+    val dir = tmpPath("glog_schema_bad_").toString
     for (badProps <- Seq("""{"k": "not-an-int"}""", """not json at all""")) {
       val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, badProps))
         .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
@@ -1767,7 +1774,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("schema enforcement: re-declaring a different schema is IncompatibleSchema") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_schema_redecl_").toString
+    val dir = tmpPath("glog_schema_redecl_").toString
     val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 1}"""))
       .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
@@ -1789,7 +1796,7 @@ class MsgLogSpec extends SparkTestBase {
   test("schema evolution: additive widening evolves the registry; old producers keep writing") {
     import spark.implicits._
     import graft.sources.MsgLogSchemaRegistry
-    val dir = Files.createTempDirectory("glog_schema_evo_").toString
+    val dir = tmpPath("glog_schema_evo_").toString
     def row(id: Long, props: String) =
       Seq((id, 1704067200000000L + id, id, "t", 1.0, props))
         .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
@@ -1827,7 +1834,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("schema enforcement: enforceSchema=true honors the registered schema, errors without one") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_schema_enf_").toString
+    val dir = tmpPath("glog_schema_enf_").toString
     val good = Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 1}"""))
       .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
@@ -1859,7 +1866,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("negative sequence_id / deliver_at are rejected at write, not read back as NULL") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_negseq_").toString
+    val dir = tmpPath("glog_negseq_").toString
     val df = Seq((1L, 1704067200000000L, 1L, "t", 1.0, "{}", -5L))
       .toDF("event_id", "tsus", "user_id", "event_type", "value", "props", "sequence_id")
       .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
@@ -1874,7 +1881,7 @@ class MsgLogSpec extends SparkTestBase {
     // chunked ledger, 6 messages: entries 0-3 deliverable, 4-5 held —
     // the frontier walk must reassemble each group to read deliver_at
     // and resume FROM a prior frontier without landing mid-group
-    val dir = Files.createTempDirectory("glog_delay_chunk_")
+    val dir = tmpPath("glog_delay_chunk_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 6).foreach { i =>
@@ -1911,7 +1918,7 @@ class MsgLogSpec extends SparkTestBase {
       MsgLogCodec.CodecLz4, MsgLogCodec.CodecZstd, MsgLogCodec.CodecSnappy)
     val prop = forAll(Gen.nonEmptyListOf(genMsg).map(_.take(8)), genChunk, genCodec) {
       (msgs, maxChunk, codec) =>
-        val dir = Files.createTempDirectory("glog_chunk_prop_")
+        val dir = tmpPath("glog_chunk_prop_")
         val ledger = dir.resolve("ledger-p-0000.glog")
         val bos = new ByteArrayOutputStream()
         val dos = new DataOutputStream(bos)
@@ -1945,7 +1952,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("producer handshake: names, epochs, and last_sequence_id resume") {
     import graft.sources.MsgLogProducers
-    val dir = Files.createTempDirectory("glog_prod_hs_").toString
+    val dir = tmpPath("glog_prod_hs_").toString
     // generated names are unique, marked generated, fresh frontier
     val g1 = MsgLogProducers.register(dir)
     val g2 = MsgLogProducers.register(dir)
@@ -1992,7 +1999,7 @@ class MsgLogSpec extends SparkTestBase {
     assert(e9.code === 9 && e9.codeName === "ChecksumError")
     assert(e9.isInstanceOf[java.io.IOException]) // generic handlers still work
     // ProducerBusy(16): duplicate live producer name
-    val dir = Files.createTempDirectory("glog_errors_").toString
+    val dir = tmpPath("glog_errors_").toString
     MsgLogProducers.register(dir, Some("dup"))
     val e16 = intercept[ProducerBusyException](
       MsgLogProducers.register(dir, Some("dup")))
@@ -2027,7 +2034,7 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.MsgLogProducers
     val genOps = Gen.listOfN(40, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf("a", "b", "c")))
     val prop = Prop.forAll(genOps) { ops =>
-      val dir = Files.createTempDirectory("glog_prodprop_").toString
+      val dir = tmpPath("glog_prodprop_").toString
       var live = Set.empty[String]
       var epochs = Map.empty[String, Long]
       val stepsOk = ops.forall { case (a, n) =>
@@ -2052,7 +2059,7 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   test("dedupOnAppend: replaying the same batch append adds no entries and no ledgers") {
-    val dir = Files.createTempDirectory("glog_dedup_rt_").toString
+    val dir = tmpPath("glog_dedup_rt_").toString
     seqBatch(0 until 20).write.format("graft-msglog").mode("append").save(dir)
     val ledgers0 = MsgLogSource.ledgerFiles(dir)
     assert(spark.read.format("graft-msglog").load(dir).count() === 20)
@@ -2068,7 +2075,7 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   test("dedupOnAppend: a partially-overlapping append keeps only new sequences") {
-    val dir = Files.createTempDirectory("glog_dedup_part_").toString
+    val dir = tmpPath("glog_dedup_part_").toString
     seqBatch(0 until 10).write.format("graft-msglog").mode("append").save(dir)
     seqBatch(5 until 15).write.format("graft-msglog")
       .option("dedupOnAppend", "true").mode("append").save(dir)
@@ -2079,7 +2086,7 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   test("dedupOnAppend: frontier recovers by decode walk when sidecars are missing") {
-    val dir = Files.createTempDirectory("glog_dedup_walk_").toString
+    val dir = tmpPath("glog_dedup_walk_").toString
     seqBatch(0 until 10).write.format("graft-msglog").mode("append").save(dir)
     val ledgers = MsgLogSource.ledgerFiles(dir)
     ledgers.foreach { l =>
@@ -2097,7 +2104,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("payloadSchema: timestamp fields parse in the session timezone, like from_json") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_schema_tz_").toString
+    val dir = tmpPath("glog_schema_tz_").toString
     Seq((1L, 1704067200000000L, 1L, "t", 1.0, """{"t": "2026-01-01 00:00:00"}"""))
       .toDF("event_id", "tsus", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("tsus"))).drop("tsus")
@@ -2119,16 +2126,16 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   test("dedupOnAppend is rejected for streaming writes (epochs are idempotent by name)") {
-    val src = Files.createTempDirectory("glog_dedup_src_").toString
+    val src = tmpPath("glog_dedup_src_").toString
     seqBatch(0 until 5).write.format("graft-msglog").mode("append").save(src)
-    val dst = Files.createTempDirectory("glog_dedup_dst_").toString
+    val dst = tmpPath("glog_dedup_dst_").toString
     val ex = intercept[Exception] {
       val q = spark.readStream.format("graft-msglog").load(src)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .writeStream.format("graft-msglog")
         .option("dedupOnAppend", "true")
         .option("checkpointLocation",
-          Files.createTempDirectory("glog_dedup_ckpt_").toString)
+          tmpPath("glog_dedup_ckpt_").toString)
         .trigger(Trigger.AvailableNow())
         .start(dst)
       q.awaitTermination()
@@ -2140,7 +2147,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("minRowsPerTrigger gates the frontier until the backlog is worth a batch") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val dir = Files.createTempDirectory("glog_minrows_")
+    val dir = tmpPath("glog_minrows_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 5).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
@@ -2167,7 +2174,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("maxBytesPerTrigger admits by wire bytes: soft per-ledger grants, full drain") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val dir = Files.createTempDirectory("glog_maxbytes_")
+    val dir = tmpPath("glog_maxbytes_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 10).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
@@ -2186,7 +2193,7 @@ class MsgLogSpec extends SparkTestBase {
     assert(stream.latestOffset(start, ReadLimit.maxBytes(1L)).json()
       === """{"ledger-0000.glog":1}""")
     // chunked groups grant atomically: budget past chunk 0 pulls the group
-    val cdir = Files.createTempDirectory("glog_maxbytes_chunk_")
+    val cdir = tmpPath("glog_maxbytes_chunk_")
     val cout = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(cdir.resolve("ledger-0000.glog"))))
     (0 until 3).foreach(i => MsgLogCodec.writeMessageAuto(cout, bigFrame(i.toLong, 2500),
@@ -2212,7 +2219,7 @@ class MsgLogSpec extends SparkTestBase {
     // min gate must not leave the sub-minimum tail (here: the whole
     // 5-row backlog) unread — the gate bypasses when the snapshot is
     // frozen, like the Kafka source under the same trigger
-    val dir = Files.createTempDirectory("glog_minrows_an_")
+    val dir = tmpPath("glog_minrows_an_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 5).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
@@ -2229,7 +2236,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("byte-budget walks resume from the memoized boundary, not file start") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val dir = Files.createTempDirectory("glog_bytememo_")
+    val dir = tmpPath("glog_bytememo_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 9).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
@@ -2258,7 +2265,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("byte-walk memo survives a tighter co-limit: composite grants stay incremental") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val dir = Files.createTempDirectory("glog_bytememo_comp_")
+    val dir = tmpPath("glog_bytememo_comp_")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(dir.resolve("ledger-0000.glog"))))
     (0 until 9).foreach(i => MsgLogCodec.writeFrame(out, frame(i.toLong)))
@@ -2281,7 +2288,7 @@ class MsgLogSpec extends SparkTestBase {
   }
 
   test("trigger options are validated loudly, incl. a delay without its gate") {
-    val dir = Files.createTempDirectory("glog_opt_check_").toString
+    val dir = tmpPath("glog_opt_check_").toString
     seqBatch(0 until 3).write.format("graft-msglog").mode("append").save(dir)
     def startWith(opts: (String, String)*): Unit = {
       var r = spark.readStream.format("graft-msglog")
@@ -2303,7 +2310,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("min/max trigger options build the matching default read limit") {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxRows, ReadMinRows}
-    val dir = Files.createTempDirectory("glog_limit_opts_").toString
+    val dir = tmpPath("glog_limit_opts_").toString
     def stream(min: Option[Long], max: Option[Long]) =
       new MsgLogMicroBatchStream(dir, None, max, minRowsPerTrigger = min,
         maxTriggerDelayMs = 1234L)
@@ -2355,7 +2362,7 @@ class MsgLogSpec extends SparkTestBase {
     assert(split.rdd.getNumPartitions >= 6)
     assertSameRows(split.drop("ledger"), unsplit.drop("ledger"))
 
-    val dir2 = Files.createTempDirectory("glog_minpart_batch_").toString
+    val dir2 = tmpPath("glog_minpart_batch_").toString
     import spark.implicits._
     (0 until 500).map(i => (i.toLong, 1704067200000000L + i, i.toLong % 7,
         s"type-${i % 3}", i * 1.0, "{}"))
@@ -2402,7 +2409,7 @@ class MsgLogSpec extends SparkTestBase {
 
   test("payloadSchema: unparseable or mismatched props read as NULL, never fail the scan") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_schema_null_").toString
+    val dir = tmpPath("glog_schema_null_").toString
     Seq(
       (1L, 1704067200000000L, 1L, "t", 1.0, """{"k": 5}"""),
       (2L, 1704067200000001L, 2L, "t", 2.0, "not json at all"),
@@ -2443,7 +2450,7 @@ class MsgLogSpec extends SparkTestBase {
   test("feature interplay: compressed chunked envelope topic under payloadSchema, " +
       "minPartitions, keyHashRange and a paced stream") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("glog_kitchen_").toString
+    val dir = tmpPath("glog_kitchen_").toString
     // envelope + big props (chunked at 1 KiB) + zstd, routed to 2 ledgers
     (0 until 40).map { i =>
       (i.toLong, 1704067200000000L + i, i.toLong % 7, s"type-${i % 3}", i * 1.0,
@@ -2603,7 +2610,7 @@ class MsgLogSpec extends SparkTestBase {
   test("retry options: parse, wire through the writer, reject nonsense") {
     import spark.implicits._
     import graft.sources.MsgLogRetry
-    val dir = Files.createTempDirectory("glog_retry_").toString
+    val dir = tmpPath("glog_retry_").toString
     val df = Seq((1L, 1L, "a", 1.0, "{}"))
       .toDF("event_id", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(lit(1704067200000000L)))
