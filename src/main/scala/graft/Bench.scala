@@ -257,8 +257,13 @@ object Bench {
     // r12 reclaims spent: route_partition_key → route_key, text_lm_perplexity
     // → lm_ppl, doc_mixture_sample → mixture. r13: filter_events_type →
     // evt_filter + dedup_by_sequence → seq_dedup, funding ann_seg plus
-    // margin for the occasional "susp" side-channel; stream_lsh rides in
-    // the ~40-char slack the r13 staging work's shorter values left.
+    // margin for the occasional "susp" side-channel; stream_lsh rode in
+    // the ~40-char slack the r13 staging work's shorter values left —
+    // until a contended run's longer values measured 2020 chars, so
+    // late r13 reclaimed ~50 more: funnel_conversion → funnel,
+    // value_percentiles → val_pcts, rate_limit_window → rate_lim,
+    // salted_join_skew → salt_join, events_range_join → range_join,
+    // events_asof_join → asof_join (clean ~1905, contended ≤ ~1970).
     val budget = 1990
     val out = line
     if (out.length > budget)

@@ -385,7 +385,7 @@ object MessageOps {
     "thru_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
     "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
     "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
-    "rate_limit_window" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
+    "rate_lim" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
     "arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
     "sql_top_producers" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
     "payload_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
@@ -501,7 +501,7 @@ object MessageOps {
     "deliver_at_filter" ->
       s"""SELECT event_id, user_id, $US AS publish_us FROM events
           WHERE $US + $HOUR_US <= $NOW_US ORDER BY event_id""",
-    "rate_limit_window" ->
+    "rate_lim" ->
       s"""SELECT user_id, event_id, $US AS publish_us,
                  CAST(count(*) OVER (PARTITION BY user_id ORDER BY $US
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)

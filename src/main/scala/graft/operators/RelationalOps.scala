@@ -168,8 +168,8 @@ object RelationalOps {
       Fixtures.customer(s, d), Fixtures.orders(s, d), SEGMENT)),
     "str_date_funcs" -> ((s, d) => stringDateMathFuncs(Fixtures.orders(s, d))),
     "approx_users" -> ((s, d) => approxDistinctUsers(Fixtures.events(s, d))),
-    "salted_join_skew" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))),
-    "value_percentiles" -> ((s, d) => valuePercentiles(Fixtures.events(s, d))))
+    "salt_join" -> ((s, d) => saltedJoinSkew(Fixtures.events(s, d))),
+    "val_pcts" -> ((s, d) => valuePercentiles(Fixtures.events(s, d))))
 
   def oracle: Map[String, String] = Map(
     "topic_join_star" ->
@@ -208,14 +208,14 @@ object RelationalOps {
                 abs(o_totalprice - 150000.0) AS price_dev,
                 CAST(floor(o_totalprice) AS BIGINT) AS price_floor
          FROM orders""",
-    "value_percentiles" ->
+    "val_pcts" ->
       """SELECT event_type,
                 quantile_cont(value, 0.25) AS p25,
                 quantile_cont(value, 0.5) AS p50,
                 quantile_cont(value, 0.75) AS p75,
                 quantile_cont(value, 0.95) AS p95
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "salted_join_skew" ->
+    "salt_join" ->
       """WITH dim AS (SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
                       FROM events GROUP BY user_id)
          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,

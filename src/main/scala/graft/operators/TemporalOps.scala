@@ -230,26 +230,26 @@ object TemporalOps {
   val FunnelStages = Seq("view", "click", "purchase")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_asof_join" -> ((s, d) => {
+    "asof_join" -> ((s, d) => {
       val e = evUs(s, d)
       asofJoin(
         e.filter(col("event_type") === "purchase"),
         e.filter(col("event_type") === "click"))
     }),
     "session_assign" -> ((s, d) => sessionAssign(evUs(s, d))),
-    "events_range_join" -> ((s, d) => {
+    "range_join" -> ((s, d) => {
       val e = evUs(s, d)
       rangeJoinCount(
         e.filter(col("event_type") === "purchase"),
         e.filter(col("event_type") === "click"))
     }),
-    "funnel_conversion" -> ((s, d) => funnelConversion(evUs(s, d), FunnelStages)),
+    "funnel" -> ((s, d) => funnelConversion(evUs(s, d), FunnelStages)),
     "retention" -> ((s, d) => retentionCohort(evUs(s, d))))
 
   private val US = MessageOps.US // shared ns→µs oracle cast discipline
 
   def oracle: Map[String, String] = Map(
-    "events_asof_join" ->
+    "asof_join" ->
       s"""WITH r AS (SELECT user_id, $US AS ts_us, max(event_id) AS r_id
                      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
                l AS (SELECT event_id, user_id, $US AS ts_us
@@ -259,7 +259,7 @@ object TemporalOps {
                  l.ts_us - r.ts_us AS gap_us
           FROM l ASOF LEFT JOIN r
             ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""",
-    "events_range_join" ->
+    "range_join" ->
       s"""WITH l AS (SELECT event_id, user_id, $US AS ts_us
                      FROM events WHERE event_type = 'purchase'),
                r AS (SELECT user_id, $US AS ts_us
@@ -288,7 +288,7 @@ object TemporalOps {
                  max(ts_us) // 1000 + ${SessionGapUs / 1000} AS session_end_ms,
                  count(*) AS n
           FROM sess GROUP BY user_id, sid""",
-    "funnel_conversion" ->
+    "funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, $US AS ts_us FROM events),
             s1 AS (SELECT user_id, min(ts_us) AS t FROM e
                    WHERE event_type = 'view' GROUP BY 1),

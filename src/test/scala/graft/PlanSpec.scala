@@ -232,7 +232,7 @@ class PlanSpec extends SparkTestBase {
     // the range-join rewrite would be O(n·m); a pre-dedup groupBy on the
     // right side would add a second corpus-wide exchange — the sort order
     // (ts, side, event_id) subsumes both
-    val p = plan("events_asof_join")
+    val p = plan("asof_join")
     assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
@@ -269,7 +269,7 @@ class PlanSpec extends SparkTestBase {
     // a naive |dt| <= h band predicate has no equi-key, so Catalyst
     // plans BroadcastNestedLoopJoin — O(n·m) and a broadcast of a full
     // event side; the cell-bucket rewrite must keep it an equi-join
-    val p = plan("events_range_join")
+    val p = plan("range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
@@ -376,8 +376,8 @@ class PlanSpec extends SparkTestBase {
     // single-pass rewrite decision instead of silently paying O(s²).
     val s = graft.operators.TemporalOps.FunnelStages.length
     assert(s <= 5, s"funnel has $s stages: triangular scans no longer acceptable")
-    val scans = "Scan parquet".r.findAllIn(plan("funnel_conversion")).size
-    assert(scans === s * (s + 1) / 2, plan("funnel_conversion"))
+    val scans = "Scan parquet".r.findAllIn(plan("funnel")).size
+    assert(scans === s * (s + 1) / 2, plan("funnel"))
   }
 
   test("pq_enc is a pure projection: no exchange, no join") {
