@@ -78,19 +78,26 @@ object MsgLogRetry {
     case _ => false
   }
 
-  /** Injectable sleeper (tests assert the backoff schedule instead of
-    * sleeping through it); production default is a real sleep. */
-  @volatile var sleeper: Long => Unit = Thread.sleep
-
   /** Operations started under [[retry]] (attempts, not calls) —
     * observability that a wired path actually routes through here. */
   val attempts = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Backoffs actually taken — attempts minus first tries. Nonzero here
+    * means some operation FAILED transiently and was silently re-run:
+    * the signal `Verify` surfaces as the `msglog.retry_backoffs` gauge
+    * so a round that limped through on retries is visible in its
+    * artifacts, not just in stderr noise. */
+  val backoffs = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The reference loop verbatim: run `op`; on a retryable failure
     * within budget, sleep the backoff and go again — the LAST error is
-    * rethrown when the budget exhausts or the error is deterministic. */
+    * rethrown when the budget exhausts or the error is deterministic.
+    * `sleep` is an injected parameter (tests assert the backoff
+    * schedule instead of sleeping through it — no mutable global
+    * seam); production callers take the real-sleep default. */
   def retry[T](policy: RetrySend,
-      isRetryable: Throwable => Boolean = canRetry)(op: => T): T = {
+      isRetryable: Throwable => Boolean = canRetry,
+      sleep: Long => Unit = Thread.sleep)(op: => T): T = {
     var count = 0
     while (true) {
       attempts.incrementAndGet()
@@ -105,7 +112,8 @@ object MsgLogRetry {
           }
           if (!allowed) throw e
           count += 1
-          sleeper(backOff)
+          backoffs.incrementAndGet()
+          sleep(backOff)
       }
     }
     throw new IllegalStateException("unreachable")

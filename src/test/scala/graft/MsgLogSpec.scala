@@ -2535,13 +2535,15 @@ class MsgLogSpec extends SparkTestBase {
     import graft.sources.MsgLogRetry
     import graft.sources.MsgLogRetry.RetrySend
     val slept = scala.collection.mutable.ArrayBuffer[Long]()
-    val saved = MsgLogRetry.sleeper
-    MsgLogRetry.sleeper = ms => slept += ms
-    try {
+    // the fake sleeper is an explicit parameter — no global seam to
+    // save/restore, and a parallel suite can never observe it
+    val fake: Long => Unit = ms => slept += ms
+    locally {
       // transient failures within budget: succeed on the third attempt,
       // with the declared backoff slept between attempts
+      val b0 = MsgLogRetry.backoffs.get()
       var calls = 0
-      val got = MsgLogRetry.retry(RetrySend.LimitTo(5, 7L)) {
+      val got = MsgLogRetry.retry(RetrySend.LimitTo(5, 7L), sleep = fake) {
         calls += 1
         if (calls < 3) throw new java.io.IOException("transient")
         "ok"
@@ -2549,11 +2551,14 @@ class MsgLogSpec extends SparkTestBase {
       assert(got === "ok")
       assert(calls === 3)
       assert(slept.toSeq === Seq(7L, 7L))
+      // the forced IOExceptions moved the retry-observability counter
+      // (the gauge Verify records as msglog.retry_backoffs)
+      assert(MsgLogRetry.backoffs.get() === b0 + 2)
 
       // exhausted budget: max retries means max+1 attempts, LAST error out
       slept.clear(); calls = 0
       val ex = intercept[java.io.IOException] {
-        MsgLogRetry.retry(RetrySend.LimitTo(2, 3L)) {
+        MsgLogRetry.retry(RetrySend.LimitTo(2, 3L), sleep = fake) {
           calls += 1
           throw new java.io.IOException(s"attempt $calls")
         }
@@ -2567,7 +2572,7 @@ class MsgLogSpec extends SparkTestBase {
       // it deterministic — one attempt, no sleep
       slept.clear(); calls = 0
       intercept[graft.sources.ChecksumException] {
-        MsgLogRetry.retry(RetrySend.LimitTo(5, 3L)) {
+        MsgLogRetry.retry(RetrySend.LimitTo(5, 3L), sleep = fake) {
           calls += 1
           throw new graft.sources.ChecksumException("bad crc")
         }
@@ -2578,7 +2583,7 @@ class MsgLogSpec extends SparkTestBase {
       // a structurally missing file fails fast too
       slept.clear(); calls = 0
       intercept[java.nio.file.NoSuchFileException] {
-        MsgLogRetry.retry(RetrySend.LimitTo(5, 3L)) {
+        MsgLogRetry.retry(RetrySend.LimitTo(5, 3L), sleep = fake) {
           calls += 1
           throw new java.nio.file.NoSuchFileException("gone")
         }
@@ -2588,7 +2593,7 @@ class MsgLogSpec extends SparkTestBase {
       // Never: one attempt even for a transient error
       slept.clear(); calls = 0
       intercept[java.io.IOException] {
-        MsgLogRetry.retry(RetrySend.Never) {
+        MsgLogRetry.retry(RetrySend.Never, sleep = fake) {
           calls += 1
           throw new java.io.IOException("transient")
         }
@@ -2597,14 +2602,14 @@ class MsgLogSpec extends SparkTestBase {
 
       // Forever: unbounded (max = 0 convention) at the default backoff
       slept.clear(); calls = 0
-      val far = MsgLogRetry.retry(RetrySend.Forever) {
+      val far = MsgLogRetry.retry(RetrySend.Forever, sleep = fake) {
         calls += 1
         if (calls < 7) throw new java.io.IOException("transient")
         42
       }
       assert(far === 42 && calls === 7)
       assert(slept.toSeq === Seq.fill(6)(MsgLogRetry.DefaultBackOffMs))
-    } finally MsgLogRetry.sleeper = saved
+    }
   }
 
   test("retry options: parse, wire through the writer, reject nonsense") {
