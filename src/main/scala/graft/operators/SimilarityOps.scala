@@ -498,10 +498,14 @@ object SimilarityOps {
         col("q8_scale"),
         col("b.cid").as("cell"))
 
-  /** How many vectors entered the staged index via APPEND (per index
-    * dir) — the staleness bookkeeping for [[ivfIndexStaleFraction]]. */
-  private val appendedRows =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Manifest family for the append/staleness counters — persisted per
+    * (corpus dir, index dir) in the [[graft.util.ServingManifest]]
+    * sidecar, so the bookkeeping survives a JVM restart and is visible
+    * to a second serving JVM (r13 verdict #5). Counters key by the
+    * index DIR they count into: a restarted JVM whose staged dir
+    * rebuilt fresh (without the appends) correctly reads zero. */
+  private val AnnAppendsFamily = "ann_appends"
+  private val AnnTables = Seq("embeddings")
 
   /** INCREMENTAL index maintenance — the `incr_dedup` sibling for ANN,
     * and the shape a production pipeline actually runs (full retrains
@@ -529,9 +533,9 @@ object SimilarityOps {
     val n = batch.count()
     indexRows(batch, cents, codebook)
       .write.mode("append").partitionBy("cell").parquet(dir)
-    appendedRows.merge(dir, java.lang.Long.valueOf(n),
-      (a: java.lang.Long, b: java.lang.Long) =>
-        java.lang.Long.valueOf(a.longValue() + b.longValue()))
+    graft.util.ServingManifest.addCounter(sfDir, AnnAppendsFamily, AnnTables,
+      dir, n)
+    ()
   }
 
   /** Staleness gauge: the fraction of the SERVED index that entered
@@ -541,10 +545,10 @@ object SimilarityOps {
     * quality budget (the recall gauges quantify the cost). */
   def ivfIndexStaleFraction(spark: SparkSession, sfDir: String): Double = {
     val dir = stagedIvfIndexDir(spark, sfDir)
-    val segRows = Option(liveSegmentRoots.get(sfDir))
+    val segRows = registeredSegmentRoot(sfDir)
       .map(r => spark.read.parquet(r).count()).getOrElse(0L)
-    val appended = segRows +
-      appendedRows.getOrDefault(dir, java.lang.Long.valueOf(0L)).longValue()
+    val appended = segRows + graft.util.ServingManifest
+      .getCounter(sfDir, AnnAppendsFamily, AnnTables, dir)
     if (appended == 0) 0.0
     else appended.toDouble /
       (spark.read.parquet(dir).count() + segRows).toDouble
@@ -554,26 +558,70 @@ object SimilarityOps {
     * — the union side of the LSM: [[servedIndex]] = base index ∪ these
     * segments. One root per corpus (a root holds every epoch's
     * cell-partitioned segment dir); re-registration replaces, so a
-    * restarted ingestion stream swaps its whole segment set
-    * atomically. */
+    * restarted ingestion stream swaps its whole segment set atomically.
+    * This map is only the fast path: the registration of record lives
+    * in the [[graft.util.ServingManifest]] sidecar, so a restarted JVM
+    * serves the same base ∪ segments view (r13 verdict #5). */
   private val liveSegmentRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val SegmentsFamily = "ann_segments"
 
   /** Publish an ingestion stream's segment root into the serve path:
     * every subsequent index read ([[embeddingIvfTopKIndexed]],
     * `ann_batch`, `stream_ann`, ADC, refine, prototypes) sees base ∪
-    * segments with no retrain. [[maybeRetrainStagedIndex]] retires the
+    * segments with no retrain — in THIS JVM (the in-memory fast path)
+    * and, through the persisted manifest, in any JVM serving the same
+    * corpus after a restart. [[maybeRetrainStagedIndex]] retires the
     * registration when compaction folds the corpus snapshot back into
     * the base. */
   def registerIndexSegments(sfDir: String, segRoot: String): Unit = {
     liveSegmentRoots.put(sfDir, segRoot)
-    ()
+    graft.util.ServingManifest.put(sfDir, SegmentsFamily, AnnTables,
+      Map("segRoot" -> segRoot))
   }
+
+  /** The segment root currently serving for `sfDir`, if any: the
+    * in-memory registration, else the manifest's — provided its files
+    * still exist (a dead JVM's retired temp dir is ignored and the
+    * stale manifest entry dropped: self-healing). A manifest hit
+    * re-warms the in-memory fast path. */
+  private[graft] def registeredSegmentRoot(sfDir: String): Option[String] =
+    Option(liveSegmentRoots.get(sfDir)).orElse {
+      val fromManifest = graft.util.ServingManifest
+        .get(sfDir, SegmentsFamily, AnnTables).get("segRoot")
+      fromManifest match {
+        case Some(r) if java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r)) =>
+          liveSegmentRoots.put(sfDir, r)
+          Some(r)
+        case Some(_) =>
+          graft.util.ServingManifest.remove(sfDir, SegmentsFamily)
+          None
+        case None => None
+      }
+    }
 
   def dropIndexSegments(sfDir: String): Unit = {
     liveSegmentRoots.remove(sfDir)
-    ()
+    graft.util.ServingManifest.remove(sfDir, SegmentsFamily)
   }
+
+  /** Retire ONLY the registration for `segRoot` — a key that published
+    * its own segments drops exactly those, never a registration some
+    * other serve path installed after it (ADVICE r13). */
+  def dropIndexSegments(sfDir: String, segRoot: String): Unit = {
+    liveSegmentRoots.remove(sfDir, segRoot)
+    if (graft.util.ServingManifest.get(sfDir, SegmentsFamily, AnnTables)
+        .get("segRoot").contains(segRoot))
+      graft.util.ServingManifest.remove(sfDir, SegmentsFamily)
+  }
+
+  /** Drop the in-memory segment fast path WITHOUT touching the
+    * persisted manifest — test-only: simulates a JVM restart so the
+    * restart-durability spec can assert the manifest alone restores
+    * serving. */
+  private[graft] def forgetSegmentRegistrations(): Unit =
+    liveSegmentRoots.clear()
 
   /** The index every serve path reads: the staged base ∪ the registered
     * live segments — the LSM read view that makes freshly ingested
@@ -588,7 +636,7 @@ object SimilarityOps {
     * read — zero plan change. */
   private[graft] def servedIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val base = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
-    Option(liveSegmentRoots.get(sfDir)) match {
+    registeredSegmentRoot(sfDir) match {
       case None => base
       case Some(root) =>
         // project to the base read schema: drop the epoch partition

@@ -1,0 +1,121 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Durable serving-registry sidecar — the persisted form of the
+  * JVM-local registries that round 13 flagged as restart-blind
+  * (`liveSegmentRoots`, the append/staleness counters): a restarted JVM
+  * (or a second serving JVM on the same host) must resolve the same
+  * base ∪ segments view and the same staleness bookkeeping, or the LSM
+  * overlay silently un-publishes on every restart.
+  *
+  * One small `key=value` properties file per (corpus dir, family) under
+  * a deterministic sidecar root — the corpus dir itself is read-only,
+  * so the sidecar lives beside the staged artifacts in the system temp
+  * tree, keyed by an MD5 of the corpus path. Writes go through a temp
+  * file + ATOMIC_MOVE (the `MsgLogProducers` journal discipline): a
+  * reader never observes a torn manifest. Every entry map carries the
+  * corpus [[CorpusStamp]] it was written under; a loader drops entries
+  * from a REWRITTEN corpus (stamp mismatch) the same way the staged
+  * memos re-derive. Readers additionally ignore registrations whose
+  * target paths no longer exist (a retired temp dir from a dead JVM) —
+  * self-healing, never stale.
+  */
+object ServingManifest {
+
+  private val StampKey = "__corpus_stamp"
+
+  /** JVM-wide read-modify-write lock: manifest updates are rare
+    * (registration, append bookkeeping) and tiny, so one lock is
+    * simpler than per-file striping and obviously correct. */
+  private val lock = new Object
+
+  private def rootDir: Path = {
+    val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_serving")
+    Files.createDirectories(d)
+    d
+  }
+
+  private def fileFor(sfDir: String, family: String): Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+    val hex = md.map(b => f"$b%02x").mkString
+    rootDir.resolve(s"${hex}_$family.props")
+  }
+
+  /** Replace the (sfDir, family) manifest with `entries`, stamped under
+    * the named fixture tables — atomic rename, never a torn file. */
+  def put(sfDir: String, family: String, tables: Seq[String],
+      entries: Map[String, String]): Unit = lock.synchronized {
+    val f = fileFor(sfDir, family)
+    val stamped = entries + (StampKey -> CorpusStamp.of(sfDir, tables).toString)
+    val body = stamped.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(rootDir, f.getFileName.toString, ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The (sfDir, family) entries, or empty when absent or written under
+    * a DIFFERENT corpus stamp (the corpus was rewritten in place — the
+    * registration describes artifacts of a corpus that no longer
+    * exists). */
+  def get(sfDir: String, family: String, tables: Seq[String]): Map[String, String] =
+    lock.synchronized {
+      val f = fileFor(sfDir, family)
+      if (!Files.isRegularFile(f)) Map.empty
+      else {
+        val m = Files.readString(f).linesIterator
+          .filter(_.contains("="))
+          .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+          .toMap
+        if (m.get(StampKey).contains(CorpusStamp.of(sfDir, tables).toString))
+          m - StampKey
+        else Map.empty
+      }
+    }
+
+  def remove(sfDir: String, family: String): Unit = lock.synchronized {
+    Files.deleteIfExists(fileFor(sfDir, family))
+    ()
+  }
+
+  /** Remove EVERY corpus dir's manifest for `family` — the drop-all
+    * counterpart of the per-family in-memory `clear()`s (test
+    * isolation). */
+  def clearFamily(family: String): Unit = lock.synchronized {
+    val s = Files.list(rootDir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(s"_$family.props"))
+          Files.deleteIfExists(p)
+      }
+    } finally s.close()
+  }
+
+  /** Add `delta` to the (sfDir, family, key) counter and return the new
+    * value — the persisted append/staleness bookkeeping. Counters are
+    * keyed by the artifact dir they count into: a rebuilt artifact gets
+    * a fresh dir, so its counter correctly restarts at zero. */
+  def addCounter(sfDir: String, family: String, tables: Seq[String],
+      key: String, delta: Long): Long = lock.synchronized {
+    val cur = get(sfDir, family, tables)
+    val next = cur.getOrElse(key, "0").toLong + delta
+    put(sfDir, family, tables, cur + (key -> next.toString))
+    next
+  }
+
+  def getCounter(sfDir: String, family: String, tables: Seq[String],
+      key: String): Long =
+    get(sfDir, family, tables).get(key).map(_.toLong).getOrElse(0L)
+
+  def removeCounter(sfDir: String, family: String, tables: Seq[String],
+      key: String): Unit = lock.synchronized {
+    val cur = get(sfDir, family, tables)
+    if (cur.contains(key)) put(sfDir, family, tables, cur - key)
+  }
+}
