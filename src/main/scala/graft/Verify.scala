@@ -30,13 +30,36 @@ object Verify {
           s"(${premiseKeys.toSeq.sorted.mkString(", ")} withheld): ${e.getMessage}")
         false
       }
+    // Per-key PREMISE checks beyond the one-batch staging premise: keys
+    // whose oracle equality holds only under an assertable data property
+    // fail LOUD here (withheld → driver records them red) instead of
+    // subtly at the hash compare. stream_lsh/stream_img: the staged
+    // probe index caps base bucket members ALONE while the shared batch
+    // oracle ranks new+base interleaved — equal only when no bucket
+    // overflows (ADVICE r13).
+    val capPremise: Map[String, () => Unit] = Map(
+      "stream_lsh" ->
+        (() => graft.operators.DedupOps.assertTextProbeCapPremise(spark, sfDir)),
+      "stream_img" ->
+        (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir)))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (premiseKeys(name) && !streamPremiseOk)
         System.err.println(s"[verify] $name withheld: one-batch premise check failed")
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      else {
+        val premiseErr = capPremise.get(name).flatMap { chk =>
+          try { chk(); None }
+          catch { case scala.util.control.NonFatal(e) => Some(e) }
+        }
+        premiseErr match {
+          case Some(e) =>
+            System.err.println(s"[verify] $name withheld: ${e.getMessage}")
+          case None =>
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -70,6 +93,21 @@ object Verify {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] text stale gauge failed: ${e.getMessage}")
     }
+    // Media-fingerprint staleness: the same maintenance gauge for the
+    // dedup gate's media side (0.0 under pure serving).
+    try graft.ObservedMetrics.recordGauge("media.index_stale_fraction",
+      graft.operators.DedupOps.mediaIndexStaleFraction(spark, sfDir))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] media stale gauge failed: ${e.getMessage}")
+    }
+    // Retry observability (r13 verdict #6): a round whose ledger
+    // publishes silently limped through on transient-failure retries is
+    // visible in the artifact — backoffs > 0 means some operation
+    // actually failed and was re-run under MsgLogRetry.
+    graft.ObservedMetrics.recordGauge("msglog.retry_attempts",
+      graft.sources.MsgLogRetry.attempts.get().toDouble)
+    graft.ObservedMetrics.recordGauge("msglog.retry_backoffs",
+      graft.sources.MsgLogRetry.backoffs.get().toDouble)
     // Bucket-cap overflow observations from the dedup/ANN generators:
     // 0 on the fixtures; a non-zero value here means a capped bucket
     // TRUNCATED candidates on this input — visible in round artifacts

@@ -375,13 +375,13 @@ object MessageOps {
     // short names (bench line budget: funds the wav_dups key; formerly
     // the *_anti_join / dead_letter_* long forms, semantics unchanged)
     "ack_backlog" -> ((s, d) => ackBacklogAntiJoin(Fixtures.events(s, d))),
-    "redelivery_counts" -> ((s, d) => redeliveryCounts(Fixtures.events(s, d))),
+    "redeliv" -> ((s, d) => redeliveryCounts(Fixtures.events(s, d))),
     "dlq_split" -> ((s, d) => deadLetterSplit(Fixtures.events(s, d), 16)),
     "seek_topk" -> ((s, d) => seekByTimeTopK(Fixtures.events(s, d), T0_US, 100)),
     "last_msg" -> ((s, d) => lastMessagePerPartition(Fixtures.events(s, d))),
     "read_compacted" -> ((s, d) => readCompactedLastPerKey(Fixtures.events(s, d))),
     "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
-    "chunk_reassembly" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
+    "chunks" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
     "thru_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
     "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
     "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
@@ -462,7 +462,7 @@ object MessageOps {
          WHERE event_id NOT IN
            (SELECT event_id FROM events WHERE event_type = 'click' OR event_id % 3 = 0)
          ORDER BY event_id""",
-    "redelivery_counts" ->
+    "redeliv" ->
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events
          GROUP BY user_id, event_type HAVING count(*) > 1
          ORDER BY user_id, event_type""",
@@ -488,7 +488,7 @@ object MessageOps {
     "batch_explode" ->
       """SELECT user_id, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS batch_n,
          event_id FROM events ORDER BY user_id, event_id""",
-    "chunk_reassembly" ->
+    "chunks" ->
       """SELECT doc_id, CAST(greatest(ceil(length(text) / 40.0), 1) AS BIGINT) AS n_chunks,
          CAST(length(text) AS BIGINT) AS len_out FROM documents ORDER BY doc_id""",
     "thru_tumbling" ->

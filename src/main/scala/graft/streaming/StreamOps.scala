@@ -580,6 +580,56 @@ object StreamOps {
         "new_doc BIGINT, base_doc BIGINT, n_bands BIGINT, jaccard DOUBLE"))
   }
 
+  /** STREAMING media ingestion dedup — `stream_lsh`'s shape for the
+    * MEDIA side, completing the build / batch-serve / stream-serve
+    * triad for every modality family (text: `stream_lsh`; vectors:
+    * `stream_idx`/`ann_seg`; media: this): assets arrive as a stream
+    * (the fixture streams the documents table and synthesizes each
+    * batch's payloads — the drop-in point for a real media landing
+    * dir), each micro-batch is fingerprinted IN-BATCH through the real
+    * codec (decode checkpointed to `(media_id, dhash)` scalars — once
+    * per batch) and banded against the FROZEN base through the
+    * block-bucket-partitioned probe index
+    * ([[graft.operators.DedupOps.incrementalMediaDedupBatch]]: pruned
+    * scan, broadcast batch blocks, in-row 56-bit hamming verify) — the
+    * dedup-on-ingest gate in front of a media corpus. Results land in
+    * an epoch-keyed sink with overwrite; no stream state — the base
+    * index carries all cross-batch knowledge.
+    *
+    * Deterministic WITHOUT the one-batch premise: only cross
+    * (new × base) pairs emerge, so any micro-batch split yields the
+    * same union — equal to the cross-pair slice of the batch
+    * [[graft.operators.DedupOps.imageDHashDups]] (asserted in tests;
+    * the oracle is that slice in SQL). */
+  def streamMediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // freeze the base artifact BEFORE the stream starts (build-if-absent)
+    graft.operators.DedupOps.stagedMediaBandIndex(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_img_")
+    graft.util.TempDirs.track(root)
+    val data = root.resolve("dups").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = documentsStream(spark, sfDir)
+      .filter(graft.operators.DedupOps.isNewDoc)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            graft.operators.DedupOps.incrementalMediaDedupBatch(spark, sfDir,
+                graft.multimodal.MultimodalOps.textureTable(batch))
+              .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readEpochSink(spark, data,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "new_media BIGINT, base_media BIGINT, hamming INT"))
+  }
+
   /** STREAMING ANN: serve a stream of query vectors against the staged
     * cell-partitioned vector index — the continuous form of the
     * ingestion-time retrieval/dedup a training-data pipeline runs
@@ -733,6 +783,10 @@ object StreamOps {
   def annSegmentServe(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.SimilarityOps
     streamIndexAppend(spark, sfDir) // ingest + publish segments
+    // retire by ROOT, not blanket: this key must drop exactly the
+    // registration its own ingestion published, never one some other
+    // serve path installed meanwhile (ADVICE r13)
+    val root = SimilarityOps.registeredSegmentRoot(sfDir)
     try {
       val out = SimilarityOps.embeddingBatchTopK(spark, sfDir,
         SimilarityOps.QUERY_BATCH, SimilarityOps.IVF_K)
@@ -742,7 +796,7 @@ object StreamOps {
       graft.util.TempDirs.track(dir)
       out.write.mode("overwrite").parquet(dir.toString)
       spark.read.parquet(dir.toString)
-    } finally SimilarityOps.dropIndexSegments(sfDir)
+    } finally root.foreach(SimilarityOps.dropIndexSegments(sfDir, _))
   }
 
   // ---------------------------------------------------------------------
@@ -763,13 +817,28 @@ object StreamOps {
     "ss_join" -> ((s, d) => streamStreamJoin(s, d)),
     // streaming ANN against the staged vector index (round 9)
     "stream_ann" -> ((s, d) => streamAnnTopK(s, d)),
-    // streaming index segment ingestion under frozen artifacts (round 12)
-    "stream_idx" -> ((s, d) => streamIndexAppend(s, d)),
+    // streaming index segment ingestion under frozen artifacts (round
+    // 12). The CONTRACT wrapper retires the registration its run
+    // published (ADVICE r13): the projection it returns reads the
+    // segment files directly, and a surviving registration would couple
+    // every later ANN key's plan — and the staleness gauge — to key
+    // order. streamIndexAppend itself keeps publishing (that is its
+    // production semantic, spec-locked); only the contract key is a
+    // self-contained measurement.
+    "stream_idx" -> ((s, d) => {
+      val out = streamIndexAppend(s, d)
+      graft.operators.SimilarityOps.registeredSegmentRoot(d)
+        .foreach(graft.operators.SimilarityOps.dropIndexSegments(d, _))
+      out
+    }),
     // ANN through the base ∪ live-segments overlay (round 13)
     "ann_seg" -> ((s, d) => annSegmentServe(s, d)),
     // streaming ingestion dedup against the staged text-signature
     // index (round 13) — "stream_lsh" short for the bench-line budget
-    "stream_lsh" -> ((s, d) => streamTextDedup(s, d)))
+    "stream_lsh" -> ((s, d) => streamTextDedup(s, d)),
+    // streaming media ingestion dedup against the staged fingerprint
+    // index (round 14) — the media leg of the triad
+    "stream_img" -> ((s, d) => streamMediaDedup(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -844,5 +913,10 @@ object StreamOps {
     // so the streamed union equals the batch incremental dedup over the
     // whole corpus — incr_dedup's oracle verbatim, zero drift
     "stream_lsh" ->
-      graft.operators.DedupOps.oracle("incr_dedup"))
+      graft.operators.DedupOps.oracle("incr_dedup"),
+    // stream_img: split-independent (cross pairs only), so the streamed
+    // union equals the cross-pair slice of the batch image dedup —
+    // shared builder, zero drift
+    "stream_img" ->
+      graft.operators.DedupOps.imgIncrementalOracle)
 }

@@ -267,6 +267,34 @@ class CapSpec extends SparkTestBase {
     DedupOps.dropStagedProbeIndexes()
   }
 
+  test("incremental cluster merge equals the from-scratch closure over arbitrary increments") {
+    // the cluster-layer incr_dedup claim: merging an increment's new
+    // edges into an existing assignment (touching only affected
+    // clusters) equals re-closing everything from scratch — for ANY
+    // base/increment edge sets, not just the fixture's. The
+    // from-scratch side reuses the same public API with an empty prior
+    // assignment (empty groups ⇒ nothing touched ⇒ plain closure).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val emptyGroups = Seq.empty[(Long, Long, Int, Long)]
+      .toDF("doc_id", "cluster", "is_canonical", "cluster_size")
+    def close(edges: Seq[(Long, Long)]) =
+      DedupOps.mergeClusterIncrement(emptyGroups, edges.toDF("a", "b"))
+    val genEdge = for {
+      a <- Gen.choose(0L, 30L)
+      d <- Gen.choose(1L, 30L)
+    } yield (a, (a + d) % 31)
+    val genEdges = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, genEdge))
+    val prop = Prop.forAll(genEdges, genEdges) { (base, inc) =>
+      val merged = canon(
+        DedupOps.mergeClusterIncrement(close(base), inc.toDF("a", "b")))
+      merged == canon(close(base ++ inc))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("defaultNumPlanes sizes the bucket geometry to the corpus") {
     import SimilarityOps.{defaultNumPlanes, MinPlanes, MaxPlanes}
     // mean bucket ≈ target: 1M vectors / 256-target → 2^12 buckets

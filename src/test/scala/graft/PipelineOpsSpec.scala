@@ -673,6 +673,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byQ.head.getAs[Int]("keep") === 1)
   }
 
+  test("xmodal link join: multi-asset docs merge via either asset; orphans merge nothing") {
+    import spark.implicits._
+    // NON-identity link: media ids disjoint from doc ids, doc 10 owns
+    // TWO assets, asset 7777 exists only in pair output (no link row)
+    val link = Seq((9901L, 10L), (9902L, 10L), (9903L, 20L), (9904L, 30L))
+      .toDF("media_id", "doc_id")
+    val noText = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    def groupsOf(mediaPairs: (Long, Long)*) =
+      DedupOps.crossModalGroupsOf(noText,
+        Seq(mediaPairs.toSeq.toDF("media_a", "media_b")), link)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+          r.getAs[Long]("cluster_size"))).toSet
+    // a pair via doc 10's FIRST asset merges docs 10 and 20...
+    assert(groupsOf((9901L, 9903L)) === Set((10L, 10L, 2L), (20L, 10L, 2L)))
+    // ...and via its SECOND asset, identically
+    assert(groupsOf((9902L, 9903L)) === Set((10L, 10L, 2L), (20L, 10L, 2L)))
+    // an orphan asset's pairs contribute no edge
+    assert(groupsOf((7777L, 9904L)) === Set.empty)
+    // both sides owned by ONE doc: a self-loop, dropped — two near-dup
+    // assets inside one document are not a document-level duplicate
+    assert(groupsOf((9901L, 9902L)) === Set.empty)
+  }
+
   test("xmodal: fixture video near-dup endpoints co-cluster in the reconciliation") {
     val vids = DedupOps.videoHashDups(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
@@ -717,6 +740,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(DedupOps.probeStageBuilds.get() === p0 + 2, "eager rebuild of both indexes")
     assert(DedupOps.incrementalDedupBatch(spark, sfDir, increment).count() === 0)
     assert(DedupOps.textIndexStaleFraction(spark, sfDir) === 0.0)
+  }
+
+  test("media probe index: append -> serve -> staleness -> re-stage lifecycle") {
+    import spark.implicits._
+    DedupOps.dropStagedMediaProbeIndex()
+    // two synthetic assets in one texture GROUP (id div 8): near-dup
+    // rasters by fixture design, in a group no corpus asset occupies
+    def mediaOf(ids: Long*) = ids.toDS().map(id => MediaRecord(
+      id, "image", MultimodalOps.synthTexturePng(id), Map.empty[String, String]))
+    val increment = mediaOf(900001L)
+    def hits(): Long = DedupOps
+      .incrementalMediaDedupBatch(spark, sfDir, increment)
+      .filter(col("base_media") === 900000L).count()
+    assert(hits() === 0L, "nothing admitted yet: no dup against 900000")
+    assert(DedupOps.mediaIndexStaleFraction(spark, sfDir) === 0.0)
+    // ADMIT the sibling asset into the served base (append, no rebuild —
+    // decode runs only on the admitted batch): the increment now dedups
+    // against it through the same pruned probe
+    assert(DedupOps.appendToMediaIndex(spark, sfDir, mediaOf(900000L)) === 1L)
+    assert(hits() === 1L, "appended asset must serve without a re-stage")
+    val stale = DedupOps.mediaIndexStaleFraction(spark, sfDir)
+    assert(stale > 0.0 && stale < 0.05, s"one appended asset of ~500: $stale")
+    // below the budget: no re-stage, the appended asset keeps serving
+    assert(!DedupOps.maybeRestageMediaIndex(spark, sfDir, threshold = 0.5))
+    assert(hits() === 1L)
+    // over the budget: re-stage from the corpus snapshot — the appended
+    // asset was never landed in the corpus, so it DROPS (the compaction
+    // contract) and staleness resets
+    val m0 = DedupOps.mediaProbeStageBuilds.get()
+    assert(DedupOps.maybeRestageMediaIndex(spark, sfDir, threshold = 0.0))
+    assert(DedupOps.mediaProbeStageBuilds.get() === m0 + 1, "eager rebuild")
+    assert(hits() === 0L)
+    assert(DedupOps.mediaIndexStaleFraction(spark, sfDir) === 0.0)
+  }
+
+  test("probe-index cap premises hold on the fixture (the stream-key oracle gates)") {
+    DedupOps.assertTextProbeCapPremise(spark, sfDir)
+    DedupOps.assertMediaProbeCapPremise(spark, sfDir)
   }
 
   test("text signature index: built once per corpus snapshot; staged and inline paths agree") {
@@ -1274,6 +1335,49 @@ class PipelineOpsSpec extends SparkTestBase {
       SimilarityOps.dropIndexSegments(sf)
       assert(!topIds(SimilarityOps.embeddingBatchTopK(spark, sf, Seq(3L), 5))
         .map(_._1).contains(999L))
+    } finally SimilarityOps.dropIndexSegments(sf)
+  }
+
+  test("segment registration survives a restart: the persisted manifest restores serving") {
+    import spark.implicits._
+    // same corpus + cloned-vector segment shape as the overlay test
+    val dir = java.nio.file.Files.createTempDirectory("graft_segment_corpus_")
+    graft.util.TempDirs.track(dir)
+    def vec(id: Long, shift: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (((id + shift) * 31 + j * 7) % 13 - 6).toFloat / 7f)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i, 0))).toDF("vec_id", "embedding")
+    corpus.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sf = dir.toString
+    val segRoot = java.nio.file.Files.createTempDirectory("graft_segment_root_")
+    graft.util.TempDirs.track(segRoot)
+    SimilarityOps.indexRows(Seq((999L, vec(3, 0))).toDF("vec_id", "embedding"),
+        SimilarityOps.stagedCentroidIndex(spark, sf),
+        SimilarityOps.stagedPqCodebook(spark, sf))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$segRoot/epoch=0")
+    try {
+      SimilarityOps.registerIndexSegments(sf, segRoot.toString)
+      val staleBefore = SimilarityOps.ivfIndexStaleFraction(spark, sf)
+      assert(staleBefore > 0.0, "registered segment must count as stale")
+      // SIMULATED RESTART: a fresh JVM has no in-memory registration and
+      // no staged memos — drop both, then serve from a NEW SparkSession.
+      // The staged artifacts rebuild (deterministically, from the same
+      // corpus) into fresh dirs; the segment must STILL serve, resolved
+      // purely through the persisted manifest.
+      SimilarityOps.forgetSegmentRegistrations()
+      SimilarityOps.dropStagedCentroids()
+      SimilarityOps.dropStagedPqCodebook()
+      SimilarityOps.dropStagedIvfIndex()
+      val s2 = spark.newSession()
+      val got = SimilarityOps.embeddingBatchTopK(s2, sf, Seq(3L), 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.exists { case (id, cos) => id == 999L && cos == 1.0 },
+        s"segment vector invisible after restart: ${got.mkString(";")}")
+      // gauges agree across the restart: the stale fraction still
+      // counts the segment rows (base rebuilt without appends)
+      assert(SimilarityOps.ivfIndexStaleFraction(s2, sf) === staleBefore)
+      // and a root-keyed drop of a DIFFERENT root must not retire it
+      SimilarityOps.dropIndexSegments(sf, "/nonexistent/other/root")
+      assert(SimilarityOps.registeredSegmentRoot(sf) === Some(segRoot.toString))
     } finally SimilarityOps.dropIndexSegments(sf)
   }
 

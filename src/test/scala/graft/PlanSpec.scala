@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, posexplode}
+
 /** Physical-plan regression guards: the scale properties the operators
   * were designed around, asserted against the actual executed plans so a
   * future refactor cannot silently lose them. Each assertion names the
@@ -46,24 +48,55 @@ class PlanSpec extends SparkTestBase {
   test("streaming dedup batch body prunes both probe indexes, no corpus scan") {
     // the per-micro-batch serve must be O(increment + matched buckets):
     // the band-probe index scans only the increment's signature-prefix
-    // partitions, the shingle index scans only the candidate docs'
-    // buckets, and nothing in the batch body re-tokenizes the corpus
+    // partitions (phase 1, checkpointed), the shingle index scans only
+    // the candidate docs' buckets (phase 2, the served plan), and
+    // nothing in either phase re-tokenizes the corpus
+    import graft.operators.DedupOps
     val inc = graft.model.Fixtures.documents(spark, sfDir)
-      .filter(graft.operators.DedupOps.isNewDoc).limit(20)
-    val p = graft.operators.DedupOps
-      .incrementalDedupBatch(spark, sfDir, inc)
+      .filter(DedupOps.isNewDoc).limit(20)
+    graft.GraftSession.registerFunctions(spark)
+    val incBands = DedupOps.stagedTextSignatures(spark, sfDir)
+      .join(inc.select("doc_id"), "doc_id")
+      .select(col("doc_id").as("new_doc"),
+        posexplode(col("bands")).as(Seq("band", "sig")))
+    // phase 1: the candidate probe join scans ONLY the increment's
+    // signature-prefix partitions of the band index
+    val p1 = DedupOps.probeCandidates(spark, sfDir, incBands)
+      .queryExecution.executedPlan.toString
+    val bandScans = p1.linesIterator.filter(_.contains("graft_band_idx_")).toSeq
+    assert(bandScans.size === 1, s"expected exactly one band-index scan:\n$p1")
+    assert(bandScans.head.contains("PartitionFilters: [sp#"), p1)
+    // phase 2: the served plan reads the CHECKPOINTED candidates (one
+    // pruned probe join per batch — ADVICE r13) plus the db-pruned
+    // shingle index; the band index and the corpus-wide signature
+    // artifact never reappear
+    val p = DedupOps.incrementalDedupBatch(spark, sfDir, inc)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("graft_band_idx_"),
+      s"band probe re-scanned in the served plan (candidates not checkpointed):\n$p")
+    val shScans = p.linesIterator.filter(_.contains("graft_shingle_idx_")).toSeq
+    assert(shScans.size === 1, s"expected exactly one shingle-index scan:\n$p")
+    assert(shScans.head.contains("PartitionFilters: [db#"), p)
+    assert(p.contains("graft_lsh_cand_"), s"served plan must read the checkpoint:\n$p")
+    assert(!p.contains("graft_text_idx_"), s"corpus signature scan in batch body:\n$p")
+  }
+
+  test("streaming media dedup batch body prunes the band index, no corpus decode") {
+    import graft.operators.DedupOps
+    val inc = graft.model.Fixtures.documents(spark, sfDir)
+      .filter(DedupOps.isNewDoc).limit(20)
+    val media = graft.multimodal.MultimodalOps.textureTable(inc)
+    val p = DedupOps.incrementalMediaDedupBatch(spark, sfDir, media)
       .queryExecution.executedPlan.toString
     val idxScans = p.linesIterator
-      .filter(l => l.contains("graft_band_idx_") || l.contains("graft_shingle_idx_"))
-      .toSeq
-    assert(idxScans.size === 2, s"expected exactly the two probe-index scans:\n$p")
-    assert(idxScans.exists(l => l.contains("PartitionFilters: [sp#")), p)
-    assert(idxScans.exists(l => l.contains("PartitionFilters: [db#")), p)
-    assert(!idxScans.exists(_.contains("PartitionFilters: []")),
-      s"unpruned probe-index scan:\n$p")
-    // the only other scans are the increment's own (bounded) signature
-    // projection — never the staged corpus-wide signature artifact
-    assert(!p.contains("graft_text_idx_"), s"corpus signature scan in batch body:\n$p")
+      .filter(_.contains("graft_media_band_idx_")).toSeq
+    assert(idxScans.size === 1, s"expected exactly one media-index scan:\n$p")
+    assert(idxScans.head.contains("PartitionFilters: [mp#"), p)
+    // the served plan reads the CHECKPOINTED batch fingerprints: the
+    // codec decode (a mapPartitions over payload bytes) never appears
+    // in it, and neither does the corpus-wide fingerprint artifact
+    assert(!p.contains("SerializeFromObject"), s"decode in the served plan:\n$p")
+    assert(!p.contains("graft_media_fp_"), s"corpus fingerprint scan in batch body:\n$p")
   }
 
   test("dup-cluster consumers read the staged assignment, no CC fixpoint in-plan") {

@@ -185,6 +185,36 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
+  test("stream_img equals the cross-pair slice of the batch image dedup") {
+    import graft.operators.{DedupOps, Hashing}
+    // cross-pairs-only ⇒ micro-batch-split independent: the streamed
+    // union over the media increment must equal the batch image dedup
+    // restricted to (new × base) pairs under the same md5-bucket split
+    val stream = StreamOps.streamMediaDedup(spark, sfDir)
+    def isNew(c: String) =
+      Hashing.md5Bucket(col(c), 1000) < DedupOps.IncrementPermille
+    val batch = DedupOps.imageDHashDups(spark, sfDir)
+      .filter(isNew("media_a") =!= isNew("media_b"))
+      .select(
+        when(isNew("media_a"), col("media_a")).otherwise(col("media_b"))
+          .as("new_media"),
+        when(isNew("media_a"), col("media_b")).otherwise(col("media_a"))
+          .as("base_media"),
+        col("hamming"))
+    assert(stream.count() > 0, "fixture must contain cross media near-dups")
+    assertSameRows(stream, batch)
+  }
+
+  test("stream_img serves every micro-batch from the FROZEN staged media index") {
+    graft.operators.DedupOps.dropStagedMediaProbeIndex()
+    val m0 = graft.operators.DedupOps.mediaProbeStageBuilds.get()
+    StreamOps.streamMediaDedup(spark, sfDir)
+    assert(graft.operators.DedupOps.mediaProbeStageBuilds.get() === m0 + 1)
+    StreamOps.streamMediaDedup(spark, sfDir)
+    assert(graft.operators.DedupOps.mediaProbeStageBuilds.get() === m0 + 1,
+      "a second streaming run must serve from the already-staged index")
+  }
+
   test("stream_lsh verifies against the FROZEN staged index, not a re-tokenized corpus") {
     // the per-batch body must not rebuild the signature index: one
     // staged build serves every micro-batch (and every later text key)
