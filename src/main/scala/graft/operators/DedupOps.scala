@@ -1067,11 +1067,43 @@ object DedupOps {
   private def mediaBlockPrefix(blk: Column, blkVal: Column): Column =
     pmod(hash(blk, blkVal), lit(MediaBandParts)).cast("int")
 
-  private val mediaBandIdxDirs =
-    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+  /** A media modality's dedup surfaces: its staged corpus fingerprint
+    * artifact, its in-batch fingerprinter (the SAME real codec both
+    * ways, so increment and base rows are comparable by construction),
+    * and the fixture's doc→asset synthesizer (production swaps this for
+    * its landing-dir reader). Every modality shares the banding
+    * geometry (8 × 7-bit blocks over a 56-bit fingerprint), so ONE
+    * index/probe/append/re-stage implementation serves all three — the
+    * lifecycle functions below take a modality and default to image. */
+  final case class MediaModality(
+      name: String,
+      stagedHashes: (SparkSession, String) => DataFrame,
+      fingerprint: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord] => DataFrame,
+      table: DataFrame => org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord])
 
-  /** Build counter for the media probe-index artifact — the
-    * [[probeStageBuilds]] sibling. */
+  val ImageModality: MediaModality = MediaModality("img",
+    graft.multimodal.MultimodalOps.stagedImageHashes,
+    graft.multimodal.MultimodalOps.imageDHash,
+    graft.multimodal.MultimodalOps.textureTable)
+  val AudioModality: MediaModality = MediaModality("wav",
+    graft.multimodal.MultimodalOps.stagedAudioHashes,
+    graft.multimodal.MultimodalOps.audioEnergyHash,
+    graft.multimodal.MultimodalOps.audioTable)
+  val VideoModality: MediaModality = MediaModality("gif",
+    graft.multimodal.MultimodalOps.stagedVideoHashes,
+    graft.multimodal.MultimodalOps.videoTemporalHash,
+    graft.multimodal.MultimodalOps.videoTable)
+
+  val MediaModalities: Seq[MediaModality] =
+    Seq(ImageModality, AudioModality, VideoModality)
+
+  private val mediaBandIdxDirs: Map[String, graft.util.StampedMemo[java.nio.file.Path]] =
+    MediaModalities.map(m =>
+      m.name -> new graft.util.StampedMemo[java.nio.file.Path]("documents")).toMap
+
+  /** Build counter for the media probe-index artifacts — the
+    * [[probeStageBuilds]] sibling (shared across modalities: each
+    * build increments once). */
   val mediaProbeStageBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** md5-bucket increment membership for MEDIA ids — [[isNewDoc]] on the
@@ -1097,29 +1129,41 @@ object DedupOps {
     * min(8B, [[MediaBandParts]]) buckets — strongest for small admission
     * batches; a huge batch degrades to a full (column-pruned,
     * shuffle-free) scan of the 4-scalar index. */
-  def stagedMediaBandIndex(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(mediaBandIdxDir(spark, sfDir).toString)
+  def stagedMediaBandIndex(spark: SparkSession, sfDir: String,
+      m: MediaModality = ImageModality): DataFrame =
+    spark.read.parquet(mediaBandIdxDir(spark, sfDir, m).toString)
 
-  private def mediaBandIdxDir(spark: SparkSession,
-      sfDir: String): java.nio.file.Path =
-    graft.util.StagedArtifacts.parquetDir(sfDir, mediaBandIdxDirs,
-      "graft_media_band_idx_", mediaProbeStageBuilds, Seq("mp")) {
-      val blocks = mediaBlocksOf(
-        graft.multimodal.MultimodalOps.stagedImageHashes(spark, sfDir)
-          .filter(!isNewMedia))
+  private def mediaBandIdxDir(spark: SparkSession, sfDir: String,
+      m: MediaModality): java.nio.file.Path =
+    graft.util.StagedArtifacts.parquetDir(sfDir, mediaBandIdxDirs(m.name),
+      s"graft_media_band_idx_${m.name}_", mediaProbeStageBuilds, Seq("mp")) {
+      val blocks = mediaBlocksOf(m.stagedHashes(spark, sfDir).filter(!isNewMedia))
       capBuckets(blocks, Seq(col("blk"), col("blk_val")), col("media_id"),
-          "media_band_idx_overflow")
+          mediaOverflowMetric(m))
         .select(col("blk"), col("blk_val"), col("media_id"), col("dhash"),
           mediaBlockPrefix(col("blk"), col("blk_val")).as("mp"))
     }
 
+  /** Image keeps the unsuffixed metric/gauge names (round-artifact
+    * continuity with r14's first recording); the other modalities
+    * suffix theirs. */
+  private def mediaOverflowMetric(m: MediaModality): String =
+    if (m.name == "img") "media_band_idx_overflow"
+    else s"media_band_idx_${m.name}_overflow"
+
+  private def mediaStaleGauge(m: MediaModality): String =
+    if (m.name == "img") "media.index_stale_fraction"
+    else s"media.index_stale_fraction_${m.name}"
+
   def dropStagedMediaProbeIndex(): Unit = {
-    mediaBandIdxDirs.clear()
+    mediaBandIdxDirs.values.foreach(_.clear())
     graft.util.ServingManifest.clearFamily(MediaAppendsFamily)
   }
 
   /** Manifest family for the media append/staleness bookkeeping — the
-    * [[TextAppendsFamily]] sibling, same persistence rationale. */
+    * [[TextAppendsFamily]] sibling, same persistence rationale
+    * (counters key by index dir, and index dirs are per-modality, so
+    * one family serves all three). */
   private val MediaAppendsFamily = "media_appends"
 
   /** INCREMENTAL media-index maintenance — [[appendToTextIndexes]] for
@@ -1134,9 +1178,10 @@ object DedupOps {
     * assets appended (decode-failed payloads drop per-row, exactly as
     * at staging). */
   def appendToMediaIndex(spark: SparkSession, sfDir: String,
-      batch: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): Long = {
-    val dir = mediaBandIdxDir(spark, sfDir)
-    val fp = graft.multimodal.MultimodalOps.imageDHash(batch).persist()
+      batch: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+      m: MediaModality = ImageModality): Long = {
+    val dir = mediaBandIdxDir(spark, sfDir, m)
+    val fp = m.fingerprint(batch).persist()
     try {
       val n = fp.count()
       mediaBlocksOf(fp)
@@ -1153,8 +1198,9 @@ object DedupOps {
     * that entered via append — the [[textIndexStaleFraction]] sibling.
     * PEEK, never build: an un-staged index serves nothing and is 0%
     * stale by definition (Verify records this gauge unconditionally). */
-  def mediaIndexStaleFraction(spark: SparkSession, sfDir: String): Double =
-    mediaBandIdxDirs.peek(sfDir) match {
+  def mediaIndexStaleFraction(spark: SparkSession, sfDir: String,
+      m: MediaModality = ImageModality): Double =
+    mediaBandIdxDirs(m.name).peek(sfDir) match {
       case None => 0.0
       case Some(dir) =>
         val appended = graft.util.ServingManifest
@@ -1171,31 +1217,31 @@ object DedupOps {
     * appended assets never landed in the corpus DROP. Returns whether a
     * re-stage ran. */
   def maybeRestageMediaIndex(spark: SparkSession, sfDir: String,
-      threshold: Double): Boolean = {
-    val stale = mediaIndexStaleFraction(spark, sfDir)
-    graft.ObservedMetrics.recordGauge("media.index_stale_fraction", stale)
+      threshold: Double, m: MediaModality = ImageModality): Boolean = {
+    val stale = mediaIndexStaleFraction(spark, sfDir, m)
+    graft.ObservedMetrics.recordGauge(mediaStaleGauge(m), stale)
     if (stale <= threshold) false
     else {
       graft.util.ServingManifest.removeCounter(sfDir, MediaAppendsFamily,
-        TextTables, mediaBandIdxDir(spark, sfDir).toString)
-      mediaBandIdxDirs.invalidate(sfDir)
-      mediaBandIdxDir(spark, sfDir) // rebuild eagerly: serving never
-      true                          // races a half-built artifact
+        TextTables, mediaBandIdxDir(spark, sfDir, m).toString)
+      mediaBandIdxDirs(m.name).invalidate(sfDir)
+      mediaBandIdxDir(spark, sfDir, m) // rebuild eagerly: serving never
+      true                             // races a half-built artifact
     }
   }
 
   /** The cap premise for the media stream key's oracle —
     * [[assertTextProbeCapPremise]] for [[stagedMediaBandIndex]]:
     * `Verify` calls this before dumping `stream_img`. */
-  def assertMediaProbeCapPremise(spark: SparkSession, sfDir: String): Unit = {
-    val mx = mediaBlocksOf(
-        graft.multimodal.MultimodalOps.stagedImageHashes(spark, sfDir))
+  def assertMediaProbeCapPremise(spark: SparkSession, sfDir: String,
+      m: MediaModality = ImageModality): Unit = {
+    val mx = mediaBlocksOf(m.stagedHashes(spark, sfDir))
       .groupBy("blk", "blk_val").agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L))).collect()(0).getLong(0)
     require(mx <= MaxBucketMembers,
-      s"stream_img cap premise: a (blk, blk_val) bucket holds $mx members > " +
-        s"MaxBucketMembers=$MaxBucketMembers — the staged media index's " +
-        "base-only cap no longer matches the oracle's interleaved ranking")
+      s"media (${m.name}) cap premise: a (blk, blk_val) bucket holds $mx " +
+        s"members > MaxBucketMembers=$MaxBucketMembers — the staged media " +
+        "index's base-only cap no longer matches the oracle's interleaved ranking")
   }
 
   /** Verified cross near-dups of ONE arriving media batch against the
@@ -1220,10 +1266,11 @@ object DedupOps {
     * the cross-pair slice of [[imageDHashDups]] when bucket caps don't
     * bind (spec-locked; see [[assertMediaProbeCapPremise]]). */
   def incrementalMediaDedupBatch(spark: SparkSession, sfDir: String,
-      batch: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord]): DataFrame = {
+      batch: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
+      m: MediaModality = ImageModality): DataFrame = {
     val fpDir = java.nio.file.Files.createTempDirectory("graft_img_batch_fp_")
     graft.util.TempDirs.track(fpDir)
-    graft.multimodal.MultimodalOps.imageDHash(batch)
+    m.fingerprint(batch)
       .write.mode("overwrite").parquet(fpDir.toString)
     val fp = spark.read.parquet(fpDir.toString)
     val incBlocks = mediaBlocksOf(fp)
@@ -1234,7 +1281,7 @@ object DedupOps {
     val mps = incBlocks
       .select(mediaBlockPrefix(col("blk"), col("blk_val")).as("mp"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    stagedMediaBandIndex(spark, sfDir)
+    stagedMediaBandIndex(spark, sfDir, m)
       .filter(col("mp").isin(mps: _*))
       .join(broadcast(incBlocks), Seq("blk", "blk_val"))
       .select(col("new_media"), col("media_id").as("base_media"),

@@ -601,9 +601,11 @@ object StreamOps {
     * same union — equal to the cross-pair slice of the batch
     * [[graft.operators.DedupOps.imageDHashDups]] (asserted in tests;
     * the oracle is that slice in SQL). */
-  def streamMediaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamMediaDedup(spark: SparkSession, sfDir: String,
+      modality: graft.operators.DedupOps.MediaModality =
+        graft.operators.DedupOps.ImageModality): DataFrame = {
     // freeze the base artifact BEFORE the stream starts (build-if-absent)
-    graft.operators.DedupOps.stagedMediaBandIndex(spark, sfDir)
+    graft.operators.DedupOps.stagedMediaBandIndex(spark, sfDir, modality)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_img_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("dups").toString
@@ -616,7 +618,7 @@ object StreamOps {
         try {
           if (batch.count() > 0)
             graft.operators.DedupOps.incrementalMediaDedupBatch(spark, sfDir,
-                graft.multimodal.MultimodalOps.textureTable(batch))
+                modality.table(batch), modality)
               .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
         } finally batch.unpersist()
         ()

@@ -696,6 +696,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(groupsOf((9901L, 9902L)) === Set.empty)
   }
 
+  test("cross-modal increment merge: two staged clusters fuse, the rest pass through untouched") {
+    import spark.implicits._
+    val before = DedupOps.stagedCrossModalGroups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Int]("is_canonical"), r.getAs[Long]("cluster_size")))
+    val byCluster = before.groupBy(_._2)
+    val Seq(ca, cb) = byCluster.keys.toSeq.sorted.take(2)
+    val (a, b) = (byCluster(ca).map(_._1).max, byCluster(cb).map(_._1).max)
+    // one new edge between the two clusters: the merged assignment
+    // fuses exactly them (label = min id = min cluster), every other
+    // cluster's rows pass through bit-identical
+    val after = DedupOps
+      .mergeCrossModalIncrement(spark, sfDir, Seq((a, b)).toDF("a", "b"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Int]("is_canonical"), r.getAs[Long]("cluster_size")))
+    val fusedSize = byCluster(ca).length + byCluster(cb).length
+    val fused = after.filter(t => t._2 == math.min(ca, cb))
+    assert(fused.map(_._1).toSet ===
+      (byCluster(ca).map(_._1) ++ byCluster(cb).map(_._1)).toSet)
+    assert(fused.forall(_._4 == fusedSize))
+    assert(fused.count(_._3 == 1) === 1)
+    val untouchedBefore = before.filterNot(t => t._2 == ca || t._2 == cb).toSet
+    val untouchedAfter = after.filterNot(_._2 == math.min(ca, cb)).toSet
+    assert(untouchedAfter === untouchedBefore)
+  }
+
   test("xmodal: fixture video near-dup endpoints co-cluster in the reconciliation") {
     val vids = DedupOps.videoHashDups(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
@@ -742,42 +769,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(DedupOps.textIndexStaleFraction(spark, sfDir) === 0.0)
   }
 
-  test("media probe index: append -> serve -> staleness -> re-stage lifecycle") {
+  test("media probe index: append -> serve -> staleness -> re-stage lifecycle, all modalities") {
     import spark.implicits._
     DedupOps.dropStagedMediaProbeIndex()
     // two synthetic assets in one texture GROUP (id div 8): near-dup
-    // rasters by fixture design, in a group no corpus asset occupies
-    def mediaOf(ids: Long*) = ids.toDS().map(id => MediaRecord(
-      id, "image", MultimodalOps.synthTexturePng(id), Map.empty[String, String]))
-    val increment = mediaOf(900001L)
-    def hits(): Long = DedupOps
-      .incrementalMediaDedupBatch(spark, sfDir, increment)
-      .filter(col("base_media") === 900000L).count()
-    assert(hits() === 0L, "nothing admitted yet: no dup against 900000")
-    assert(DedupOps.mediaIndexStaleFraction(spark, sfDir) === 0.0)
-    // ADMIT the sibling asset into the served base (append, no rebuild —
-    // decode runs only on the admitted batch): the increment now dedups
-    // against it through the same pruned probe
-    assert(DedupOps.appendToMediaIndex(spark, sfDir, mediaOf(900000L)) === 1L)
-    assert(hits() === 1L, "appended asset must serve without a re-stage")
-    val stale = DedupOps.mediaIndexStaleFraction(spark, sfDir)
-    assert(stale > 0.0 && stale < 0.05, s"one appended asset of ~500: $stale")
-    // below the budget: no re-stage, the appended asset keeps serving
-    assert(!DedupOps.maybeRestageMediaIndex(spark, sfDir, threshold = 0.5))
-    assert(hits() === 1L)
-    // over the budget: re-stage from the corpus snapshot — the appended
-    // asset was never landed in the corpus, so it DROPS (the compaction
-    // contract) and staleness resets
-    val m0 = DedupOps.mediaProbeStageBuilds.get()
-    assert(DedupOps.maybeRestageMediaIndex(spark, sfDir, threshold = 0.0))
-    assert(DedupOps.mediaProbeStageBuilds.get() === m0 + 1, "eager rebuild")
-    assert(hits() === 0L)
-    assert(DedupOps.mediaIndexStaleFraction(spark, sfDir) === 0.0)
+    // payloads by fixture design, in a group no corpus asset occupies
+    val synth: Map[String, Long => Array[Byte]] = Map(
+      "img" -> MultimodalOps.synthTexturePng,
+      "wav" -> MultimodalOps.synthTextureWav,
+      "gif" -> MultimodalOps.synthTextureGif)
+    for (m <- DedupOps.MediaModalities) {
+      def mediaOf(ids: Long*) = ids.toDS().map(id => MediaRecord(
+        id, m.name, synth(m.name)(id), Map.empty[String, String]))
+      val increment = mediaOf(900001L)
+      def hits(): Long = DedupOps
+        .incrementalMediaDedupBatch(spark, sfDir, increment, m)
+        .filter(col("base_media") === 900000L).count()
+      assert(hits() === 0L, s"${m.name}: nothing admitted yet")
+      assert(DedupOps.mediaIndexStaleFraction(spark, sfDir, m) === 0.0)
+      // ADMIT the sibling asset into the served base (append, no
+      // rebuild — decode runs only on the admitted batch): the
+      // increment now dedups against it through the same pruned probe
+      assert(DedupOps.appendToMediaIndex(spark, sfDir, mediaOf(900000L), m) === 1L)
+      assert(hits() === 1L, s"${m.name}: appended asset must serve without a re-stage")
+      val stale = DedupOps.mediaIndexStaleFraction(spark, sfDir, m)
+      assert(stale > 0.0 && stale < 0.05, s"${m.name}: one appended of ~500: $stale")
+      // below the budget: no re-stage, the appended asset keeps serving
+      assert(!DedupOps.maybeRestageMediaIndex(spark, sfDir, 0.5, m))
+      assert(hits() === 1L)
+      // over the budget: re-stage from the corpus snapshot — the
+      // appended asset was never landed in the corpus, so it DROPS (the
+      // compaction contract) and staleness resets
+      val b0 = DedupOps.mediaProbeStageBuilds.get()
+      assert(DedupOps.maybeRestageMediaIndex(spark, sfDir, 0.0, m))
+      assert(DedupOps.mediaProbeStageBuilds.get() === b0 + 1, s"${m.name}: eager rebuild")
+      assert(hits() === 0L)
+      assert(DedupOps.mediaIndexStaleFraction(spark, sfDir, m) === 0.0)
+    }
   }
 
   test("probe-index cap premises hold on the fixture (the stream-key oracle gates)") {
     DedupOps.assertTextProbeCapPremise(spark, sfDir)
-    DedupOps.assertMediaProbeCapPremise(spark, sfDir)
+    DedupOps.MediaModalities.foreach(m =>
+      DedupOps.assertMediaProbeCapPremise(spark, sfDir, m))
   }
 
   test("text signature index: built once per corpus snapshot; staged and inline paths agree") {
