@@ -808,6 +808,42 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ingestion gate end-to-end: dedup -> admit -> append -> the re-arrival is caught") {
+    import spark.implicits._
+    // the full admission flow both streaming gates drive: an arriving
+    // (doc, asset) pair clears the gate, its survivors are ADMITTED
+    // into the served text + media indexes (append, no rebuild), and a
+    // near-duplicate re-arrival is caught by BOTH gates against the
+    // freshly admitted base
+    DedupOps.dropStagedProbeIndexes()
+    DedupOps.dropStagedMediaProbeIndex()
+    def doc(id: Long) =
+      Seq((id, "prandle quex vibber snork prandle quex vibber"))
+        .toDF("doc_id", "text")
+    def media(id: Long) = Seq(id).toDS().map(i => MediaRecord(
+      i, "img", MultimodalOps.synthTexturePng(i), Map.empty[String, String]))
+    // novel vocabulary + a texture group no corpus asset occupies:
+    // the gate passes the arrival
+    assert(DedupOps.incrementalDedupBatch(spark, sfDir, doc(910000L)).count() === 0)
+    assert(DedupOps.incrementalMediaDedupBatch(spark, sfDir, media(910000L))
+      .filter(col("base_media") === 910000L).count() === 0)
+    // ADMIT the survivors
+    assert(DedupOps.appendToTextIndexes(spark, sfDir, doc(910000L)) === 1L)
+    assert(DedupOps.appendToMediaIndex(spark, sfDir, media(910000L)) === 1L)
+    // a near-duplicate re-arrival (same text; sibling asset in the
+    // group) is caught by BOTH gates, against the admitted base rows
+    val textHits = DedupOps.incrementalDedupBatch(spark, sfDir, doc(910001L))
+      .collect()
+    assert(textHits.length === 1 &&
+      textHits(0).getAs[Long]("base_doc") === 910000L &&
+      textHits(0).getAs[Double]("jaccard") === 1.0)
+    assert(DedupOps.incrementalMediaDedupBatch(spark, sfDir, media(910001L))
+      .filter(col("base_media") === 910000L).count() === 1L)
+    // leave the suite's staged indexes clean for later tests
+    DedupOps.dropStagedProbeIndexes()
+    DedupOps.dropStagedMediaProbeIndex()
+  }
+
   test("probe-index cap premises hold on the fixture (the stream-key oracle gates)") {
     DedupOps.assertTextProbeCapPremise(spark, sfDir)
     DedupOps.MediaModalities.foreach(m =>
