@@ -41,7 +41,13 @@ object Verify {
       "stream_lsh" ->
         (() => graft.operators.DedupOps.assertTextProbeCapPremise(spark, sfDir)),
       "stream_img" ->
-        (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir)))
+        (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir)),
+      "stream_wav" ->
+        (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir,
+          graft.operators.DedupOps.AudioModality)),
+      "stream_gif" ->
+        (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir,
+          graft.operators.DedupOps.VideoModality)))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (premiseKeys(name) && !streamPremiseOk)
         System.err.println(s"[verify] $name withheld: one-batch premise check failed")

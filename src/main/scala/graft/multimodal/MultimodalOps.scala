@@ -1122,7 +1122,7 @@ object MultimodalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // staged (both keys): timed passes measure decode over stored
     // payloads, not container synthesis (the stagedLmModel discipline)
-    "mm_decode_stats" ->
+    "mm_stats" ->
       ((s, d) => multimodalDecodeStatsStaged(s, d)),
     "mm_img" ->
       ((s, d) => multimodalImageDecodeStaged(s, d)))
@@ -1156,7 +1156,7 @@ object MultimodalOps {
     // video: animated GIF, frame f fill r = (id·37 + f·11) % 256 →
     //   r̄ = (Σ_f r_f / n)/255 — the engine's Σpixels/(w·h·n) is the
     //   same correctly-rounded quotient (exact integer operands).
-    "mm_decode_stats" ->
+    "mm_stats" ->
       """WITH m AS (
            SELECT doc_id AS id,
                   CASE doc_id % 3 WHEN 0 THEN 'image'

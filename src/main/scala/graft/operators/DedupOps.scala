@@ -1562,7 +1562,7 @@ object DedupOps {
     // round 13: the text dup keys serve from the staged signature index
     // (tokenize/minhash/shingle once per corpus snapshot — the staged
     // media-fingerprint discipline applied to text)
-    "doc_minhash_lsh" -> ((s, d) => stagedMinhashLsh(s, d)),
+    "minhash" -> ((s, d) => stagedMinhashLsh(s, d)),
     "doc_substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
@@ -1668,15 +1668,18 @@ object DedupOps {
           SELECT media_a, media_b, hamming FROM pairs
           WHERE hamming <= $ImgMaxHamming"""
 
-  /** The `stream_img` oracle: the image near-dup pairs restricted to
-    * CROSS (new × base) pairs under the md5-bucket increment — the
-    * streamed union over any micro-batch split equals exactly this (the
-    * `incr_dedup`-oracle shape over the image fingerprint family).
-    * Exact under [[assertMediaProbeCapPremise]] (no bucket overflows:
-    * the engine caps base members alone at staging, this ranks
-    * interleaved). */
-  private[graft] def imgIncrementalOracle: String =
-    s"""WITH $imgRankedCtes,
+  /** The `stream_img`/`stream_wav`/`stream_gif` oracle shape: a
+    * modality's near-dup pairs restricted to CROSS (new × base) pairs
+    * under the md5-bucket increment — the streamed union over any
+    * micro-batch split equals exactly this (the `incr_dedup`-oracle
+    * shape over a fingerprint family). Exact under
+    * [[assertMediaProbeCapPremise]] (no bucket overflows: the engine
+    * caps base members alone at staging, this ranks interleaved).
+    * `rankedCtes` is the modality's arithmetic fingerprint chain ending
+    * in `ranked` — the SAME chain its batch dup oracle uses, so the two
+    * can never drift. */
+  private def mediaIncrementalOracle(rankedCtes: String): String =
+    s"""WITH $rankedCtes,
           flag AS (SELECT doc_id,
                           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                             % 1000) < $IncrementPermille AS is_new
@@ -1695,13 +1698,22 @@ object DedupOps {
           JOIN flag fb ON fb.doc_id = p.media_b
           WHERE fa.is_new <> fb.is_new AND p.hamming <= $ImgMaxHamming"""
 
+  private[graft] def imgIncrementalOracle: String =
+    mediaIncrementalOracle(imgRankedCtes)
+
+  private[graft] def wavIncrementalOracle: String =
+    mediaIncrementalOracle(wavRankedCtes)
+
+  private[graft] def gifIncrementalOracle: String =
+    mediaIncrementalOracle(gifRankedCtes)
+
   /** The `wav_dups` oracle, factored out so [[crossModalOracle]] can
     * embed it as a subquery: every PCM sample re-derives arithmetically
     * (integer ops; PCM16 is lossless — the synthTextureWav contract),
     * so the windowed energies, the fingerprint, and the banded pairs
     * mirror the operator exactly. */
-  private def wavDupsOracle: String =
-    s"""WITH abase AS (
+  private def wavRankedCtes: String =
+    s"""abase AS (
             SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 50 AS t0
             FROM documents),
           samp AS (
@@ -1725,7 +1737,10 @@ object DedupOps {
                      FROM fp, range(0, $ImgHashBlocks) b(blk)),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
                                                   ORDER BY doc_id) AS rk
-                     FROM blocks),
+                     FROM blocks)"""
+
+  private def wavDupsOracle: String =
+    s"""WITH $wavRankedCtes,
           pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
                            CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
                     FROM ranked a JOIN ranked b
@@ -1740,8 +1755,8 @@ object DedupOps {
     * (integer ops mod 256; GIF is lossless over indexed rasters — the
     * synthTextureGif contract), so the per-frame energies, the temporal
     * fingerprint, and the banded pairs mirror the operator exactly. */
-  private def gifDupsOracle: String =
-    s"""WITH vbase AS (
+  private def gifRankedCtes: String =
+    s"""vbase AS (
             SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
             FROM documents),
           vpx AS (
@@ -1768,7 +1783,10 @@ object DedupOps {
                      FROM fp, range(0, $ImgHashBlocks) b(blk)),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY blk, blk_val
                                                   ORDER BY doc_id) AS rk
-                     FROM blocks),
+                     FROM blocks)"""
+
+  private def gifDupsOracle: String =
+    s"""WITH $gifRankedCtes,
           pairs AS (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
                            CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
                     FROM ranked a JOIN ranked b
@@ -1819,7 +1837,7 @@ object DedupOps {
 
   def oracle: Map[String, String] = Map(
     "xmodal" -> crossModalOracle,
-    "doc_minhash_lsh" ->
+    "minhash" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents) WHERE len(w) >= 3),

@@ -369,7 +369,7 @@ object MessageOps {
     // "route_key" née route_partition_key — round-12 bench-line reclaim
     "route_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
     "rr_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
-    "key_shared_ranges" -> ((s, d) => keySharedRanges(Fixtures.events(s, d))),
+    "key_ranges" -> ((s, d) => keySharedRanges(Fixtures.events(s, d))),
     "seq_dedup" -> ((s, d) => dedupBySequence(Fixtures.events(s, d))),
     "ack_frontier" -> ((s, d) => cumulativeAckFrontier(Fixtures.events(s, d))),
     // short names (bench line budget: funds the wav_dups key; formerly
@@ -440,7 +440,7 @@ object MessageOps {
          FROM (SELECT count(*) AS total FROM events) c,
               (VALUES (0), (1), (2), (3)) t(slot)
          ORDER BY slot""",
-    "key_shared_ranges" ->
+    "key_ranges" ->
       """SELECT CASE WHEN h < 64 THEN 'r0' WHEN h < 128 THEN 'r1'
                      WHEN h < 192 THEN 'r2' ELSE 'r3' END AS range_id,
                 CAST(count(*) AS BIGINT) AS n,

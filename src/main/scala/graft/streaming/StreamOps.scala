@@ -97,7 +97,7 @@ object StreamOps {
     * oracles never needed the premise. */
   val oneBatchPremiseKeys: Set[String] =
     Set("stream_tumbling", "stream_session", "stream_dedup",
-      "stream_redelivery", "ss_join")
+      "stream_redel", "ss_join")
 
   /** Assert the ONE-micro-batch staging premise the
     * [[oneBatchPremiseKeys]] oracles rely on (one staged file + no
@@ -810,7 +810,7 @@ object StreamOps {
     "stream_tumbling" -> ((s, d) => streamTumblingWindow(s, d)),
     "stream_session" -> ((s, d) => streamSessionWindow(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupWatermark(s, d)),
-    "stream_redelivery" -> ((s, d) => streamRedeliveryTracker(s, d)),
+    "stream_redel" -> ((s, d) => streamRedeliveryTracker(s, d)),
     "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
     "stream_enrich" -> ((s, d) => streamEnrichJoin(s, d)),
     // "ss_join" = stream-stream join; short by design — the bench JSON
@@ -839,8 +839,13 @@ object StreamOps {
     // index (round 13) — "stream_lsh" short for the bench-line budget
     "stream_lsh" -> ((s, d) => streamTextDedup(s, d)),
     // streaming media ingestion dedup against the staged fingerprint
-    // index (round 14) — the media leg of the triad
-    "stream_img" -> ((s, d) => streamMediaDedup(s, d)))
+    // indexes (round 14) — the media legs of the triad, one per
+    // modality through the ONE modality-generic implementation
+    "stream_img" -> ((s, d) => streamMediaDedup(s, d)),
+    "stream_wav" -> ((s, d) =>
+      streamMediaDedup(s, d, graft.operators.DedupOps.AudioModality)),
+    "stream_gif" -> ((s, d) =>
+      streamMediaDedup(s, d, graft.operators.DedupOps.VideoModality)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -863,7 +868,7 @@ object StreamOps {
       graft.operators.TemporalOps.oracle("session_assign"),
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_id % 256 AS seq FROM events""",
-    "stream_redelivery" ->
+    "stream_redel" ->
       """SELECT user_id, event_id % 256 AS seq,
                 CAST(count(*) AS BIGINT) AS n_deliveries
          FROM events GROUP BY 1, 2""",
@@ -916,9 +921,14 @@ object StreamOps {
     // whole corpus — incr_dedup's oracle verbatim, zero drift
     "stream_lsh" ->
       graft.operators.DedupOps.oracle("incr_dedup"),
-    // stream_img: split-independent (cross pairs only), so the streamed
-    // union equals the cross-pair slice of the batch image dedup —
-    // shared builder, zero drift
+    // stream_img/wav/gif: split-independent (cross pairs only), so each
+    // streamed union equals the cross-pair slice of its modality's
+    // batch dedup — shared builders over the SAME arithmetic chains the
+    // batch oracles use, zero drift
     "stream_img" ->
-      graft.operators.DedupOps.imgIncrementalOracle)
+      graft.operators.DedupOps.imgIncrementalOracle,
+    "stream_wav" ->
+      graft.operators.DedupOps.wavIncrementalOracle,
+    "stream_gif" ->
+      graft.operators.DedupOps.gifIncrementalOracle)
 }

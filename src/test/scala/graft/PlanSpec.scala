@@ -36,7 +36,7 @@ class PlanSpec extends SparkTestBase {
     // tokenize + minhash + shingle run ONCE at signature staging; the
     // LSH/verify QUERY reads the staged (doc_id, bands, sh) parquet —
     // no minhash_bands, no word_shingles, no text column in its plan
-    Seq("doc_minhash_lsh", "lsh_dups", "incr_dedup", "doc_ngram_jaccard")
+    Seq("minhash", "lsh_dups", "incr_dedup", "doc_ngram_jaccard")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("minhash_bands"), s"$k re-derives bands: $p")
@@ -199,7 +199,7 @@ class PlanSpec extends SparkTestBase {
     // the pre-fusion shape exploded shingles × 8 seeds through two extra
     // aggregation exchanges — the fused plan's only corpus-wide shuffle
     // is the band-bucket groupBy (the second exchange moves candidates)
-    val p = plan("doc_minhash_lsh")
+    val p = plan("minhash")
     assert(!p.contains("Join"), p)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 2, p)

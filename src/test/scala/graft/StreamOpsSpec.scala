@@ -185,24 +185,30 @@ class StreamOpsSpec extends SparkTestBase {
     assertSameRows(stream, batch)
   }
 
-  test("stream_img equals the cross-pair slice of the batch image dedup") {
+  test("stream_img/wav/gif equal the cross-pair slices of their batch dedups") {
     import graft.operators.{DedupOps, Hashing}
-    // cross-pairs-only ⇒ micro-batch-split independent: the streamed
-    // union over the media increment must equal the batch image dedup
-    // restricted to (new × base) pairs under the same md5-bucket split
-    val stream = StreamOps.streamMediaDedup(spark, sfDir)
+    // cross-pairs-only ⇒ micro-batch-split independent: each modality's
+    // streamed union over the media increment must equal its batch
+    // dedup restricted to (new × base) pairs under the md5-bucket split
     def isNew(c: String) =
       Hashing.md5Bucket(col(c), 1000) < DedupOps.IncrementPermille
-    val batch = DedupOps.imageDHashDups(spark, sfDir)
-      .filter(isNew("media_a") =!= isNew("media_b"))
-      .select(
-        when(isNew("media_a"), col("media_a")).otherwise(col("media_b"))
-          .as("new_media"),
-        when(isNew("media_a"), col("media_b")).otherwise(col("media_a"))
-          .as("base_media"),
-        col("hamming"))
-    assert(stream.count() > 0, "fixture must contain cross media near-dups")
-    assertSameRows(stream, batch)
+    val batchDups: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "img" -> DedupOps.imageDHashDups(spark, sfDir),
+      "wav" -> DedupOps.audioHashDups(spark, sfDir),
+      "gif" -> DedupOps.videoHashDups(spark, sfDir))
+    for (m <- DedupOps.MediaModalities) {
+      val stream = StreamOps.streamMediaDedup(spark, sfDir, m)
+      val batch = batchDups(m.name)
+        .filter(isNew("media_a") =!= isNew("media_b"))
+        .select(
+          when(isNew("media_a"), col("media_a")).otherwise(col("media_b"))
+            .as("new_media"),
+          when(isNew("media_a"), col("media_b")).otherwise(col("media_a"))
+            .as("base_media"),
+          col("hamming"))
+      assert(stream.count() > 0, s"${m.name}: fixture must contain cross near-dups")
+      assertSameRows(stream, batch)
+    }
   }
 
   test("stream_img serves every micro-batch from the FROZEN staged media index") {
