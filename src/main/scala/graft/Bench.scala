@@ -35,6 +35,12 @@ object Bench {
     // dependent keys fail per-key in the timed pass below.
     graft.model.Fixtures.canary(spark, sfDir, "bench")
 
+    // Measurement hermeticity (the Verify discipline): retire any
+    // persisted segment registration a dead prior JVM left live, so
+    // this run's ANN timings measure the base view, not an orphan
+    // overlay.
+    graft.operators.SimilarityOps.dropIndexSegments(sfDir)
+
     // Contention canary (r10 verdict #1: two rounds recorded phantom
     // regressions because the driver ran the bench behind verify/test
     // load, and nothing in the line could prove it). A fixed

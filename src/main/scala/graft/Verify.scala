@@ -13,6 +13,13 @@ object Verify {
     // Per-table fixture canary first: a broken loader names its table in
     // the artifact instead of zeroing the round (r8 postmortem).
     graft.model.Fixtures.canary(spark, sfDir, "verify")
+    // Measurement hermeticity: a prior JVM killed between publishing a
+    // segment root and retiring it leaves a live persisted registration
+    // (durability working as designed for a SERVING tier) — but a
+    // measurement JVM must reflect only its own round's work, or the
+    // dead run's segments contaminate every ANN plan and gauge here.
+    // Start from the base view; restart durability stays spec-locked.
+    graft.operators.SimilarityOps.dropIndexSegments(sfDir)
     // The stream-STATE keys carry batch-equivalent oracles that are exact
     // ONLY while the staged input is a single file (one AvailableNow
     // micro-batch). A broken premise (or a loader failure inside the
@@ -100,10 +107,14 @@ object Verify {
       System.err.println(s"[verify] text stale gauge failed: ${e.getMessage}")
     }
     // Media-fingerprint staleness: the same maintenance gauge for the
-    // dedup gate's media side (0.0 under pure serving).
-    try graft.ObservedMetrics.recordGauge("media.index_stale_fraction",
-      graft.operators.DedupOps.mediaIndexStaleFraction(spark, sfDir))
-    catch { case scala.util.control.NonFatal(e) =>
+    // dedup gate's media side (0.0 under pure serving), one per
+    // modality — an append leaking into ANY modality's serving path
+    // must be visible, not just the image one's.
+    try graft.operators.DedupOps.MediaModalities.foreach { m =>
+      graft.ObservedMetrics.recordGauge(
+        graft.operators.DedupOps.mediaStaleGauge(m),
+        graft.operators.DedupOps.mediaIndexStaleFraction(spark, sfDir, m))
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] media stale gauge failed: ${e.getMessage}")
     }
     // Retry observability (r13 verdict #6): a round whose ledger

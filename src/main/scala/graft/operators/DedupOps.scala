@@ -988,6 +988,12 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** One batch-checkpoint dir per (corpus, JVM) — see the overwrite
+    * note in [[incrementalDedupBatch]]; media keys by (corpus,
+    * modality). */
+  private val candDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def incrementalDedupBatch(spark: SparkSession, sfDir: String,
       increment: DataFrame): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
@@ -1003,9 +1009,17 @@ object DedupOps {
     // the persist/checkpoint-between-stages discipline the batch
     // pipeline's scaladoc prescribes, applied where the stage really is
     // evaluated twice. Parquet, not cache: the returned plan outlives
-    // this call, so a cache would have no safe unpersist point.
-    val candDir = java.nio.file.Files.createTempDirectory("graft_lsh_cand_")
-    graft.util.TempDirs.track(candDir)
+    // this call, so a cache would have no safe unpersist point. ONE
+    // checkpoint dir per (corpus, JVM), overwritten per batch — a
+    // continuous ingestion stream must not leak a dir per micro-batch;
+    // the returned plan is therefore valid until the NEXT batch of the
+    // same corpus, which the streaming caller satisfies by construction
+    // (each epoch's sink write completes before the next batch starts).
+    val candDir = candDirs.computeIfAbsent(sfDir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_lsh_cand_")
+      graft.util.TempDirs.track(d)
+      d
+    })
     probeCandidates(spark, sfDir, incBands)
       .write.mode("overwrite").parquet(candDir.toString)
     val cand = spark.read.parquet(candDir.toString)
@@ -1058,14 +1072,17 @@ object DedupOps {
     * collect is bounded by it, never by data. */
   val MediaBandParts = 64
 
-  /** The media band index's partition key: a hash of the (block, block
-    * value) bucket mod [[MediaBandParts]], written as INT so the value
-    * round-trips partition-type inference to the same type the probe
-    * filter compares (the [[sigPrefix]] pruning discipline). A plain
-    * `blk*128+blkVal mod 64` would collapse to `blkVal mod 64` (128 ≡ 0
-    * mod 64) and waste the block dimension. */
+  /** The media band index's partition key: the md5 bucket of the
+    * combined block code `blk*128 + blk_val` (unique per bucket) mod
+    * [[MediaBandParts]], written as INT so the value round-trips
+    * partition-type inference to the same type the probe filter
+    * compares (the [[sigPrefix]] pruning discipline). md5-derived, not
+    * engine-native hash — the file's portability contract: a future
+    * oracle or cross-engine reader can reproduce the partition key. (A
+    * plain `code mod 64` would collapse to `blkVal mod 64` — 128 ≡ 0
+    * mod 64 — and waste the block dimension; the md5 mixes both.) */
   private def mediaBlockPrefix(blk: Column, blkVal: Column): Column =
-    pmod(hash(blk, blkVal), lit(MediaBandParts)).cast("int")
+    Hashing.md5Bucket(blk * 128 + blkVal, MediaBandParts).cast("int")
 
   /** A media modality's dedup surfaces: its staged corpus fingerprint
     * artifact, its in-batch fingerprinter (the SAME real codec both
@@ -1151,7 +1168,7 @@ object DedupOps {
     if (m.name == "img") "media_band_idx_overflow"
     else s"media_band_idx_${m.name}_overflow"
 
-  private def mediaStaleGauge(m: MediaModality): String =
+  private[graft] def mediaStaleGauge(m: MediaModality): String =
     if (m.name == "img") "media.index_stale_fraction"
     else s"media.index_stale_fraction_${m.name}"
 
@@ -1268,8 +1285,14 @@ object DedupOps {
   def incrementalMediaDedupBatch(spark: SparkSession, sfDir: String,
       batch: org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord],
       m: MediaModality = ImageModality): DataFrame = {
-    val fpDir = java.nio.file.Files.createTempDirectory("graft_img_batch_fp_")
-    graft.util.TempDirs.track(fpDir)
+    // one checkpoint dir per (corpus, modality, JVM), overwritten per
+    // batch — the incrementalDedupBatch leak-bound discipline
+    val fpDir = candDirs.computeIfAbsent(s"$sfDir|${m.name}", _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_media_batch_fp_${m.name}_")
+      graft.util.TempDirs.track(d)
+      d
+    })
     m.fingerprint(batch)
       .write.mode("overwrite").parquet(fpDir.toString)
     val fp = spark.read.parquet(fpDir.toString)

@@ -606,7 +606,8 @@ object StreamOps {
         graft.operators.DedupOps.ImageModality): DataFrame = {
     // freeze the base artifact BEFORE the stream starts (build-if-absent)
     graft.operators.DedupOps.stagedMediaBandIndex(spark, sfDir, modality)
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_img_")
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_${modality.name}_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("dups").toString
     val ckpt = root.resolve("ckpt").toString

@@ -25,10 +25,28 @@ object ServingManifest {
 
   private val StampKey = "__corpus_stamp"
 
-  /** JVM-wide read-modify-write lock: manifest updates are rare
-    * (registration, append bookkeeping) and tiny, so one lock is
-    * simpler than per-file striping and obviously correct. */
+  /** JVM-wide lock serializing in-process access (and keeping the OS
+    * file lock below from self-overlapping — the JVM throws on a
+    * re-lock from the same process). */
   private val lock = new Object
+
+  /** CROSS-PROCESS read-modify-write safety: every public operation
+    * holds an exclusive OS file lock on the sidecar root for its whole
+    * read/modify/write, so two serving JVMs on one host can both
+    * append/register without losing updates (without this, both read
+    * counter=N under their own in-process locks and both write N+1).
+    * Operations are rare (registration, append bookkeeping) and tiny,
+    * so one coarse lock is simpler than per-file striping and obviously
+    * correct. */
+  private def withFileLock[T](body: => T): T = lock.synchronized {
+    val ch = java.nio.channels.FileChannel.open(rootDir.resolve(".lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try body finally { l.release() }
+    } finally ch.close()
+  }
 
   private def rootDir: Path = {
     val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_serving")
@@ -43,10 +61,8 @@ object ServingManifest {
     rootDir.resolve(s"${hex}_$family.props")
   }
 
-  /** Replace the (sfDir, family) manifest with `entries`, stamped under
-    * the named fixture tables — atomic rename, never a torn file. */
-  def put(sfDir: String, family: String, tables: Seq[String],
-      entries: Map[String, String]): Unit = lock.synchronized {
+  private def putUnlocked(sfDir: String, family: String, tables: Seq[String],
+      entries: Map[String, String]): Unit = {
     val f = fileFor(sfDir, family)
     val stamped = entries + (StampKey -> CorpusStamp.of(sfDir, tables).toString)
     val body = stamped.toSeq.sorted
@@ -58,26 +74,35 @@ object ServingManifest {
     ()
   }
 
+  private def getUnlocked(sfDir: String, family: String,
+      tables: Seq[String]): Map[String, String] = {
+    val f = fileFor(sfDir, family)
+    if (!Files.isRegularFile(f)) Map.empty
+    else {
+      val m = Files.readString(f).linesIterator
+        .filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+      if (m.get(StampKey).contains(CorpusStamp.of(sfDir, tables).toString))
+        m - StampKey
+      else Map.empty
+    }
+  }
+
+  /** Replace the (sfDir, family) manifest with `entries`, stamped under
+    * the named fixture tables — atomic rename, never a torn file. */
+  def put(sfDir: String, family: String, tables: Seq[String],
+      entries: Map[String, String]): Unit =
+    withFileLock { putUnlocked(sfDir, family, tables, entries) }
+
   /** The (sfDir, family) entries, or empty when absent or written under
     * a DIFFERENT corpus stamp (the corpus was rewritten in place — the
     * registration describes artifacts of a corpus that no longer
     * exists). */
   def get(sfDir: String, family: String, tables: Seq[String]): Map[String, String] =
-    lock.synchronized {
-      val f = fileFor(sfDir, family)
-      if (!Files.isRegularFile(f)) Map.empty
-      else {
-        val m = Files.readString(f).linesIterator
-          .filter(_.contains("="))
-          .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
-          .toMap
-        if (m.get(StampKey).contains(CorpusStamp.of(sfDir, tables).toString))
-          m - StampKey
-        else Map.empty
-      }
-    }
+    withFileLock { getUnlocked(sfDir, family, tables) }
 
-  def remove(sfDir: String, family: String): Unit = lock.synchronized {
+  def remove(sfDir: String, family: String): Unit = withFileLock {
     Files.deleteIfExists(fileFor(sfDir, family))
     ()
   }
@@ -85,7 +110,7 @@ object ServingManifest {
   /** Remove EVERY corpus dir's manifest for `family` — the drop-all
     * counterpart of the per-family in-memory `clear()`s (test
     * isolation). */
-  def clearFamily(family: String): Unit = lock.synchronized {
+  def clearFamily(family: String): Unit = withFileLock {
     val s = Files.list(rootDir)
     try {
       val it = s.iterator()
@@ -98,14 +123,15 @@ object ServingManifest {
   }
 
   /** Add `delta` to the (sfDir, family, key) counter and return the new
-    * value — the persisted append/staleness bookkeeping. Counters are
-    * keyed by the artifact dir they count into: a rebuilt artifact gets
-    * a fresh dir, so its counter correctly restarts at zero. */
+    * value — the persisted append/staleness bookkeeping, read-modify-
+    * written under the cross-process lock. Counters are keyed by the
+    * artifact dir they count into: a rebuilt artifact gets a fresh dir,
+    * so its counter correctly restarts at zero. */
   def addCounter(sfDir: String, family: String, tables: Seq[String],
-      key: String, delta: Long): Long = lock.synchronized {
-    val cur = get(sfDir, family, tables)
+      key: String, delta: Long): Long = withFileLock {
+    val cur = getUnlocked(sfDir, family, tables)
     val next = cur.getOrElse(key, "0").toLong + delta
-    put(sfDir, family, tables, cur + (key -> next.toString))
+    putUnlocked(sfDir, family, tables, cur + (key -> next.toString))
     next
   }
 
@@ -114,8 +140,8 @@ object ServingManifest {
     get(sfDir, family, tables).get(key).map(_.toLong).getOrElse(0L)
 
   def removeCounter(sfDir: String, family: String, tables: Seq[String],
-      key: String): Unit = lock.synchronized {
-    val cur = get(sfDir, family, tables)
-    if (cur.contains(key)) put(sfDir, family, tables, cur - key)
+      key: String): Unit = withFileLock {
+    val cur = getUnlocked(sfDir, family, tables)
+    if (cur.contains(key)) putUnlocked(sfDir, family, tables, cur - key)
   }
 }
