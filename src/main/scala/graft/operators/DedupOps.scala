@@ -823,9 +823,16 @@ object DedupOps {
           Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int").as("db"))
     }
 
+  /** Test-isolation drop: retire THIS JVM's staged probe indexes and
+    * exactly their append counters. Scoped per staged dir — the r14
+    * `clearFamily` deleted every corpus's counters HOST-WIDE, silently
+    * zeroing a second serving JVM's staleness bookkeeping (ADVICE
+    * r14). */
   def dropStagedProbeIndexes(): Unit = {
+    for (sf <- bandIdxDirs.keys; d <- bandIdxDirs.peek(sf))
+      graft.util.ServingManifest.removeCounter(sf, TextAppendsFamily,
+        TextTables, d.toString)
     bandIdxDirs.clear(); shingleIdxDirs.clear()
-    graft.util.ServingManifest.clearFamily(TextAppendsFamily)
   }
 
   // ---------------------------------------------------------------------
@@ -1172,9 +1179,14 @@ object DedupOps {
     if (m.name == "img") "media.index_stale_fraction"
     else s"media.index_stale_fraction_${m.name}"
 
+  /** Test-isolation drop for the media probe indexes — the
+    * [[dropStagedProbeIndexes]] scoping discipline (per staged dir,
+    * never host-wide). */
   def dropStagedMediaProbeIndex(): Unit = {
+    for (memo <- mediaBandIdxDirs.values; sf <- memo.keys; d <- memo.peek(sf))
+      graft.util.ServingManifest.removeCounter(sf, MediaAppendsFamily,
+        TextTables, d.toString)
     mediaBandIdxDirs.values.foreach(_.clear())
-    graft.util.ServingManifest.clearFamily(MediaAppendsFamily)
   }
 
   /** Manifest family for the media append/staleness bookkeeping — the

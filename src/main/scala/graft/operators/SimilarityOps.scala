@@ -608,12 +608,16 @@ object SimilarityOps {
 
   /** Retire ONLY the registration for `segRoot` — a key that published
     * its own segments drops exactly those, never a registration some
-    * other serve path installed after it (ADVICE r13). */
+    * other serve path installed after it (ADVICE r13). The persisted
+    * side is a compare-and-delete under ONE manifest lock
+    * ([[graft.util.ServingManifest.removeIf]]): the r14 get-then-remove
+    * took two locks, so a registration installed by a second JVM
+    * between them was wrongly deleted (r14 verdict #1). */
   def dropIndexSegments(sfDir: String, segRoot: String): Unit = {
     liveSegmentRoots.remove(sfDir, segRoot)
-    if (graft.util.ServingManifest.get(sfDir, SegmentsFamily, AnnTables)
-        .get("segRoot").contains(segRoot))
-      graft.util.ServingManifest.remove(sfDir, SegmentsFamily)
+    graft.util.ServingManifest.removeIf(sfDir, SegmentsFamily, AnnTables,
+      "segRoot", segRoot)
+    ()
   }
 
   /** Drop the in-memory segment fast path WITHOUT touching the

@@ -61,12 +61,25 @@ object ServingManifest {
     rootDir.resolve(s"${hex}_$family.props")
   }
 
+  /** Keys and values are percent-encoded on write ('%', '=', newlines):
+    * counter keys are filesystem paths, and a path containing '=' (a
+    * partition-style tmpdir) would otherwise corrupt the first-'='
+    * split on read-back (ADVICE r14). Undecorated old entries decode
+    * unchanged (no '%' → identity). */
+  private def enc(s: String): String = s
+    .replace("%", "%25").replace("=", "%3D")
+    .replace("\n", "%0A").replace("\r", "%0D")
+
+  private def dec(s: String): String = s
+    .replace("%0D", "\r").replace("%0A", "\n")
+    .replace("%3D", "=").replace("%25", "%")
+
   private def putUnlocked(sfDir: String, family: String, tables: Seq[String],
       entries: Map[String, String]): Unit = {
     val f = fileFor(sfDir, family)
     val stamped = entries + (StampKey -> CorpusStamp.of(sfDir, tables).toString)
     val body = stamped.toSeq.sorted
-      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("", "\n", "\n")
     val tmp = Files.createTempFile(rootDir, f.getFileName.toString, ".tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
@@ -81,11 +94,30 @@ object ServingManifest {
     else {
       val m = Files.readString(f).linesIterator
         .filter(_.contains("="))
-        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .map { l =>
+          val i = l.indexOf('=')
+          dec(l.substring(0, i)) -> dec(l.substring(i + 1))
+        }
         .toMap
-      if (m.get(StampKey).contains(CorpusStamp.of(sfDir, tables).toString))
-        m - StampKey
-      else Map.empty
+      if (!m.get(StampKey).contains(CorpusStamp.of(sfDir, tables).toString))
+        Map.empty
+      else {
+        val live = m - StampKey
+        // dead-dir counter sweep (r14 verdict): registrations self-heal
+        // when their target dirs vanish, but counters keyed by a dead
+        // JVM's retired index dir lingered in the props file forever.
+        // Path-shaped keys whose dir no longer exists are dropped and
+        // the file rewritten in place — every caller holds the file
+        // lock for its whole operation, so the rewrite is safe here.
+        val dead = live.keysIterator.filter(k =>
+          k.startsWith("/") && !Files.exists(Paths.get(k))).toSeq
+        if (dead.isEmpty) live
+        else {
+          val swept = live -- dead
+          putUnlocked(sfDir, family, tables, swept)
+          swept
+        }
+      }
     }
   }
 
@@ -107,19 +139,19 @@ object ServingManifest {
     ()
   }
 
-  /** Remove EVERY corpus dir's manifest for `family` — the drop-all
-    * counterpart of the per-family in-memory `clear()`s (test
-    * isolation). */
-  def clearFamily(family: String): Unit = withFileLock {
-    val s = Files.list(rootDir)
-    try {
-      val it = s.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith(s"_$family.props"))
-          Files.deleteIfExists(p)
-      }
-    } finally s.close()
+  /** Compare-and-delete under ONE file lock: remove `key` only if its
+    * current value is `expected`, and report whether it was removed.
+    * The conditional-retirement primitive (r14 verdict #1): a caller
+    * doing get-then-remove under two separate locks loses a
+    * registration a second JVM installs between them. */
+  def removeIf(sfDir: String, family: String, tables: Seq[String],
+      key: String, expected: String): Boolean = withFileLock {
+    val cur = getUnlocked(sfDir, family, tables)
+    if (!cur.get(key).contains(expected)) false
+    else {
+      putUnlocked(sfDir, family, tables, cur - key)
+      true
+    }
   }
 
   /** Add `delta` to the (sfDir, family, key) counter and return the new

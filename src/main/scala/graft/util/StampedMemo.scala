@@ -75,6 +75,15 @@ final class StampedMemo[V](tables: String*) {
     * build (test-only observability). */
   def peek(key: String): Option[V] = Option(m.get(key)).map(_._2)
 
+  /** The corpus dirs currently memoized — so a drop path can retire
+    * exactly this JVM's staged entries' bookkeeping, never another
+    * serving JVM's. */
+  def keys: Set[String] = {
+    val b = Set.newBuilder[String]
+    m.keySet.forEach(k => b += k)
+    b.result()
+  }
+
   def clear(): Unit = m.clear()
 
   /** Invalidate ONE corpus dir's entry, leaving other corpora staged —

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.ServingManifest
+
+/** The persisted serving-registry sidecar's primitives — no Spark
+  * needed: the manifest is pure `java.nio` under the corpus stamp.
+  * Each test gets its own (empty) corpus dir, so stamps are stable and
+  * families never collide across tests.
+  */
+class ServingManifestSpec extends AnyFunSuite {
+
+  private val T = Seq("documents")
+
+  private def freshCorpus(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_manifest_corpus_")
+    graft.util.TempDirs.track(d)
+    d.toString
+  }
+
+  test("removeIf is a compare-and-delete: a replaced registration survives") {
+    val sf = freshCorpus()
+    ServingManifest.put(sf, "fam", T, Map("segRoot" -> "/a"))
+    // the r14 TOCTOU shape: JVM A read segRoot=/a, JVM B replaced it
+    // with /b, then A retired "/a" — under get-then-remove B's
+    // registration was deleted; the conditional delete must re-read
+    // under ITS lock, see /b, and leave it
+    ServingManifest.put(sf, "fam", T, Map("segRoot" -> "/b"))
+    assert(!ServingManifest.removeIf(sf, "fam", T, "segRoot", "/a"))
+    assert(ServingManifest.get(sf, "fam", T) === Map("segRoot" -> "/b"))
+    assert(ServingManifest.removeIf(sf, "fam", T, "segRoot", "/b"))
+    assert(ServingManifest.get(sf, "fam", T).isEmpty)
+  }
+
+  test("keys and values containing '=' and newlines round-trip") {
+    val sf = freshCorpus()
+    // counter keys are filesystem paths; a partition-style dir puts '='
+    // in the KEY, which the r14 first-'=' split silently corrupted
+    val live = java.nio.file.Files.createTempDirectory("graft_manifest_eq_")
+    graft.util.TempDirs.track(live)
+    val weird = java.nio.file.Files.createDirectories(live.resolve("mp=3"))
+    assert(ServingManifest.addCounter(sf, "fam_eq", T, weird.toString, 7L) === 7L)
+    assert(ServingManifest.getCounter(sf, "fam_eq", T, weird.toString) === 7L)
+    ServingManifest.put(sf, "fam_eq2", T, Map("k" -> "a=b\nc", "p%x" -> "%0A"))
+    assert(ServingManifest.get(sf, "fam_eq2", T) ===
+      Map("k" -> "a=b\nc", "p%x" -> "%0A"))
+  }
+
+  test("dead-dir counters sweep from the FILE on read; live dirs and non-path keys survive") {
+    val sf = freshCorpus()
+    val live = java.nio.file.Files.createTempDirectory("graft_manifest_live_")
+    graft.util.TempDirs.track(live)
+    val dead = java.nio.file.Files.createTempDirectory("graft_manifest_dead_")
+    java.nio.file.Files.delete(dead)
+    ServingManifest.put(sf, "fam_sweep", T, Map(
+      live.toString -> "3",
+      dead.toString -> "9",
+      // non-path keys are never swept (registrations self-heal at
+      // their own layer, by VALUE)
+      "segRoot" -> "/points/at/whatever"))
+    assert(ServingManifest.get(sf, "fam_sweep", T) ===
+      Map(live.toString -> "3", "segRoot" -> "/points/at/whatever"))
+    // the sweep rewrote the file, not just the returned map: recreating
+    // the dead dir must NOT resurrect its counter
+    java.nio.file.Files.createDirectory(dead)
+    graft.util.TempDirs.track(dead)
+    assert(ServingManifest.get(sf, "fam_sweep", T) ===
+      Map(live.toString -> "3", "segRoot" -> "/points/at/whatever"))
+  }
+}
