@@ -40,6 +40,19 @@ object Bench {
     // this run's ANN timings measure the base view, not an orphan
     // overlay.
     graft.operators.SimilarityOps.dropIndexSegments(sfDir)
+    // And re-stage any DURABLE staged index carrying a dead prior JVM's
+    // appends (threshold 0.0 trips exactly when the persisted append
+    // counter is non-zero; a clean index is a no-op and keeps its
+    // cross-round warm-staging benefit).
+    try {
+      graft.operators.DedupOps.maybeRestageTextIndexes(spark, sfDir, 0.0)
+      graft.operators.DedupOps.MediaModalities.foreach(m =>
+        graft.operators.DedupOps.maybeRestageMediaIndex(spark, sfDir, 0.0, m))
+      graft.operators.SimilarityOps.maybeRetrainStagedIndex(spark, sfDir, 0.0)
+      ()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] staged-index hermetic reset failed: ${e.getMessage}")
+    }
 
     // Contention canary (r10 verdict #1: two rounds recorded phantom
     // regressions because the driver ran the bench behind verify/test

@@ -20,6 +20,20 @@ object Verify {
     // dead run's segments contaminate every ANN plan and gauge here.
     // Start from the base view; restart durability stays spec-locked.
     graft.operators.SimilarityOps.dropIndexSegments(sfDir)
+    // Same hermeticity for the DURABLE staged indexes (r15): appends a
+    // dead prior JVM admitted survive in the shared dirs by design — a
+    // measurement JVM must serve the corpus-only base, so any index
+    // carrying appends re-stages (threshold 0.0 trips exactly when the
+    // persisted append counter is non-zero; a clean index is a no-op).
+    try {
+      graft.operators.DedupOps.maybeRestageTextIndexes(spark, sfDir, 0.0)
+      graft.operators.DedupOps.MediaModalities.foreach(m =>
+        graft.operators.DedupOps.maybeRestageMediaIndex(spark, sfDir, 0.0, m))
+      graft.operators.SimilarityOps.maybeRetrainStagedIndex(spark, sfDir, 0.0)
+      ()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] staged-index hermetic reset failed: ${e.getMessage}")
+    }
     // The stream-STATE keys carry batch-equivalent oracles that are exact
     // ONLY while the staged input is a single file (one AvailableNow
     // micro-batch). A broken premise (or a loader failure inside the
@@ -54,7 +68,14 @@ object Verify {
           graft.operators.DedupOps.AudioModality)),
       "stream_gif" ->
         (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir,
-          graft.operators.DedupOps.VideoModality)))
+          graft.operators.DedupOps.VideoModality)),
+      // stream_xm composes all four gates, so its oracle equality needs
+      // every gate's cap premise at once
+      "stream_xm" -> (() => {
+        graft.operators.DedupOps.assertTextProbeCapPremise(spark, sfDir)
+        graft.operators.DedupOps.MediaModalities.foreach(m =>
+          graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir, m))
+      }))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (premiseKeys(name) && !streamPremiseOk)
         System.err.println(s"[verify] $name withheld: one-batch premise check failed")

@@ -76,6 +76,8 @@ object DedupOps {
     new graft.util.StampedMemo[java.nio.file.Path]("documents")
   private val xmodalGroupDirs =
     new graft.util.StampedMemo[java.nio.file.Path]("documents")
+  private val xmodalBaseDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
 
   /** How many times a staged text artifact actually BUILT — staging
     * observability for tests (the `mediaHashBuilds` sibling). */
@@ -83,7 +85,7 @@ object DedupOps {
 
   def dropStagedTextArtifacts(): Unit = {
     textSigDirs.clear(); dupGroupDirs.clear(); contamDirs.clear()
-    xmodalGroupDirs.clear()
+    xmodalGroupDirs.clear(); xmodalBaseDirs.clear()
   }
 
   private def stagedParquet(spark: SparkSession, sfDir: String,
@@ -502,6 +504,16 @@ object DedupOps {
     * audio AND video is one edge, not four, and every CC round joins
     * against the full edge list). */
   private[graft] def crossModalGroupsOf(textPairs: DataFrame,
+      mediaPairs: Seq[DataFrame], link: DataFrame): DataFrame =
+    clusterPairs(crossModalEdgesOf(textPairs, mediaPairs, link))
+      .withColumnRenamed("id", "doc_id")
+
+  /** The linked, deduped doc-pair EDGE list of the merged cross-modal
+    * graph — [[crossModalGroupsOf]] without the closure, factored so the
+    * base-only staging ([[stagedBaseCrossModalGroups]]) and the
+    * streaming reconciliation's from-scratch spec oracle can filter the
+    * edges before closing. */
+  private[graft] def crossModalEdgesOf(textPairs: DataFrame,
       mediaPairs: Seq[DataFrame], link: DataFrame): DataFrame = {
     val l = link.toDF("media_id", "ld")
     def viaLink(pairs: DataFrame): DataFrame =
@@ -510,11 +522,45 @@ object DedupOps {
         .join(l.select(col("media_id").as("mb"), col("ld").as("doc_b")), "mb")
         .select(col("doc_a"), col("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))
-    clusterPairs(
-        (textPairs.toDF("doc_a", "doc_b") +: mediaPairs.map(viaLink))
-          .reduce(_ union _).distinct())
-      .withColumnRenamed("id", "doc_id")
+    (textPairs.toDF("doc_a", "doc_b") +: mediaPairs.map(viaLink))
+      .reduce(_ union _).distinct()
   }
+
+  /** The BASE-ONLY cross-modal clusters staged once per corpus snapshot
+    * — the prior assignment the STREAMING reconciliation (`stream_xm`)
+    * folds admitted increments into: the same merged modality graph as
+    * [[stagedCrossModalGroups]], closed over only the edges whose BOTH
+    * endpoints are base (non-increment) docs. The increment's edges
+    * arrive later through the modality gates (cross pairs only — a
+    * new×new duplicate belongs to the increment's own batch dedup, the
+    * `incr_dedup` discipline lifted to the cluster layer), so base ∪
+    * gate edges is exactly "every edge except new×new" and the merged
+    * serving view equals the from-scratch closure over that set
+    * ([[mergeClusterIncrement]]'s property). The base filter applies on
+    * the LINKED doc ids, after the link join — base-ness is a document
+    * property, whatever the media link shape. */
+  def stagedBaseCrossModalGroups(spark: SparkSession, sfDir: String): DataFrame =
+    stagedParquet(spark, sfDir, xmodalBaseDirs, {
+      val docs = Fixtures.documents(spark, sfDir)
+      val edges = crossModalEdgesOf(
+        stagedLshVerifiedDups(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        Seq(
+          imageDHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
+          audioHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
+          videoHashDups(spark, sfDir).select(col("media_a"), col("media_b"))),
+        docs.select(col("doc_id").as("media_id"), col("doc_id")))
+      clusterPairs(
+          edges.filter(!isNewId(col("doc_a")) && !isNewId(col("doc_b"))))
+        .withColumnRenamed("id", "doc_id")
+    })
+
+  /** The quality-aware canonical election over ANY cluster assignment
+    * for this corpus — the serving tail of [[crossModalKeepBest]],
+    * exposed for the streaming reconciliation key whose assignment is
+    * the incrementally MERGED view, not the staged snapshot. */
+  def crossModalKeepBestOver(spark: SparkSession, sfDir: String,
+      groups: DataFrame): DataFrame =
+    keepBestElection(Fixtures.documents(spark, sfDir), groups)
 
   /** The reconciliation core of [[crossModalKeepBest]], over
     * already-linked `(doc_a, doc_b)` pair frames from any set of
@@ -698,11 +744,15 @@ object DedupOps {
     * date, source partition, etc. */
   val IncrementPermille = 100
 
-  /** md5-bucket increment membership — the shared [[Hashing.md5Bucket]]
-    * discipline: stable across runs/engines/re-shards. `private[graft]`
-    * so the streaming source filter selects exactly the same increment. */
-  private[graft] def isNewDoc: Column =
-    Hashing.md5Bucket(col("doc_id"), 1000) < IncrementPermille
+  /** md5-bucket increment membership of any id column — the shared
+    * [[Hashing.md5Bucket]] discipline: stable across
+    * runs/engines/re-shards. */
+  private[graft] def isNewId(c: Column): Column =
+    Hashing.md5Bucket(c, 1000) < IncrementPermille
+
+  /** [[isNewId]] on `doc_id` — `private[graft]` so the streaming source
+    * filter selects exactly the same increment. */
+  private[graft] def isNewDoc: Column = isNewId(col("doc_id"))
 
   /** INCREMENTAL near-dedup — the production ingestion shape: dedupe a
     * new batch AGAINST the existing corpus without re-clustering
@@ -792,10 +842,10 @@ object DedupOps {
   def stagedBandProbeIndex(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(bandIdxDir(spark, sfDir).toString)
 
-  private def bandIdxDir(spark: SparkSession,
-      sfDir: String): java.nio.file.Path =
+  private def bandIdxDir(spark: SparkSession, sfDir: String,
+      fresh: Boolean = false): java.nio.file.Path =
     graft.util.StagedArtifacts.parquetDir(sfDir, bandIdxDirs,
-      "graft_band_idx_", probeStageBuilds, Seq("sp")) {
+      "band_idx", probeStageBuilds, Seq("sp"), freshGen = fresh) {
       val bands = stagedTextSignatures(spark, sfDir)
         .filter(!isNewDoc)
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "sig")))
@@ -813,26 +863,31 @@ object DedupOps {
   def stagedShingleIndex(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(shingleIdxDir(spark, sfDir).toString)
 
-  private def shingleIdxDir(spark: SparkSession,
-      sfDir: String): java.nio.file.Path =
+  private def shingleIdxDir(spark: SparkSession, sfDir: String,
+      fresh: Boolean = false): java.nio.file.Path =
     graft.util.StagedArtifacts.parquetDir(sfDir, shingleIdxDirs,
-      "graft_shingle_idx_", probeStageBuilds, Seq("db")) {
+      "shingle_idx", probeStageBuilds, Seq("db"), freshGen = fresh) {
       stagedTextSignatures(spark, sfDir)
         .filter(!isNewDoc)
         .select(col("doc_id"), col("sh"),
           Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int").as("db"))
     }
 
-  /** Test-isolation drop: retire THIS JVM's staged probe indexes and
-    * exactly their append counters. Scoped per staged dir — the r14
-    * `clearFamily` deleted every corpus's counters HOST-WIDE, silently
-    * zeroing a second serving JVM's staleness bookkeeping (ADVICE
-    * r14). */
+  /** TEST-ONLY isolation drop: retire the staged probe indexes (the
+    * durable dirs themselves — so the next access rebuilds from the
+    * corpus, the old per-JVM-temp-dir guarantee) and exactly their
+    * append counters. Counter removal is scoped per staged dir — the
+    * r14 `clearFamily` deleted every corpus's counters HOST-WIDE,
+    * silently zeroing a second serving JVM's staleness bookkeeping
+    * (ADVICE r14); dir deletion remains host-wide by design here, as
+    * the explicit test-only entry point. */
   def dropStagedProbeIndexes(): Unit = {
     for (sf <- bandIdxDirs.keys; d <- bandIdxDirs.peek(sf))
       graft.util.ServingManifest.removeCounter(sf, TextAppendsFamily,
         TextTables, d.toString)
     bandIdxDirs.clear(); shingleIdxDirs.clear()
+    graft.util.StagedArtifacts.dropDurable("band_idx")
+    graft.util.StagedArtifacts.dropDurable("shingle_idx")
   }
 
   // ---------------------------------------------------------------------
@@ -885,23 +940,36 @@ object DedupOps {
     } finally { sigs.unpersist(); () }
   }
 
+  /** Resolve a staged index dir WITHOUT building: the in-JVM memo, else
+    * the durable root (a restarted JVM's surviving index). None ⇒ never
+    * staged anywhere ⇒ serves nothing. */
+  private def resolvedIdxDir(memo: graft.util.StampedMemo[java.nio.file.Path],
+      sfDir: String, name: String): Option[java.nio.file.Path] =
+    memo.peek(sfDir)
+      .orElse(graft.util.StagedArtifacts.resolveExisting(sfDir, memo, name))
+
   /** Staleness gauge: the fraction of the served shingle index that
     * entered via append — signed under the same stateless projection
     * the stager uses, but never capped and never seen by a full
-    * staging. A serving tier re-stages when this crosses its budget. */
+    * staging. A serving tier re-stages when this crosses its budget.
+    * PURE ARITHMETIC over manifest values (r14 verdict #4): append
+    * counter / (base rows recorded at staging + appends) — a
+    * monitoring read never scans the index. Resolve, never build:
+    * un-staged indexes serve nothing and are 0% stale by definition
+    * (Verify records this gauge unconditionally every round); a
+    * restarted JVM resolves the durable dir, so the gauge survives a
+    * restart with the appends it counts. */
   def textIndexStaleFraction(spark: SparkSession, sfDir: String): Double =
-    // PEEK, never build: un-staged indexes serve nothing, so they are
-    // 0% stale by definition — a gauge read must not pay two full
-    // staging builds just to report 0.0 (Verify records this gauge
-    // unconditionally every round)
-    bandIdxDirs.peek(sfDir) match {
-      case None => 0.0
-      case Some(dir) =>
+    (resolvedIdxDir(bandIdxDirs, sfDir, "band_idx"),
+      resolvedIdxDir(shingleIdxDirs, sfDir, "shingle_idx")) match {
+      case (Some(bd), Some(sd)) =>
         val appended = graft.util.ServingManifest
-          .getCounter(sfDir, TextAppendsFamily, TextTables, dir.toString)
+          .getCounter(sfDir, TextAppendsFamily, TextTables, bd.toString)
         if (appended == 0) 0.0
         else appended.toDouble /
-          spark.read.parquet(shingleIdxDir(spark, sfDir).toString).count().toDouble
+          (graft.util.StagedArtifacts.stagedBaseRows(sfDir, shingleIdxDirs, sd)
+            + appended).toDouble
+      case _ => 0.0
     }
 
   /** Staleness-triggered RE-STAGE — the
@@ -920,16 +988,15 @@ object DedupOps {
     graft.ObservedMetrics.recordGauge("text.index_stale_fraction", stale)
     if (stale <= threshold) false
     else {
-      graft.util.ServingManifest.removeCounter(sfDir, TextAppendsFamily,
-        TextTables, bandIdxDir(spark, sfDir).toString)
-      // per-dir invalidation: re-staging THIS corpus's indexes must not
-      // un-stage every other corpus's artifacts
+      // re-derive the signature snapshot, then rebuild both probe
+      // indexes into a FRESH GENERATION (per-dir: re-staging THIS
+      // corpus must not un-stage other corpora): the new dirs' append
+      // counters correctly read zero, the old generations sweep, and
+      // their counters self-heal out of the manifest on next read
       textSigDirs.invalidate(sfDir)
-      bandIdxDirs.invalidate(sfDir)
-      shingleIdxDirs.invalidate(sfDir)
-      bandIdxDir(spark, sfDir)    // rebuild eagerly: serving never
-      shingleIdxDir(spark, sfDir) // races a half-built artifact
-      true
+      bandIdxDir(spark, sfDir, fresh = true)    // rebuild eagerly:
+      shingleIdxDir(spark, sfDir, fresh = true) // serving never races
+      true                                      // a half-built artifact
     }
   }
 
@@ -1157,10 +1224,15 @@ object DedupOps {
       m: MediaModality = ImageModality): DataFrame =
     spark.read.parquet(mediaBandIdxDir(spark, sfDir, m).toString)
 
+  private def mediaIdxName(m: MediaModality): String = s"media_idx_${m.name}"
+
   private def mediaBandIdxDir(spark: SparkSession, sfDir: String,
-      m: MediaModality): java.nio.file.Path =
+      m: MediaModality, fresh: Boolean = false): java.nio.file.Path =
     graft.util.StagedArtifacts.parquetDir(sfDir, mediaBandIdxDirs(m.name),
-      s"graft_media_band_idx_${m.name}_", mediaProbeStageBuilds, Seq("mp")) {
+      mediaIdxName(m), mediaProbeStageBuilds, Seq("mp"), freshGen = fresh,
+      // base size = distinct ASSETS (the staleness gauge's denominator
+      // unit — appends count assets), not banded block rows
+      baseCount = _.select("media_id").distinct().count()) {
       val blocks = mediaBlocksOf(m.stagedHashes(spark, sfDir).filter(!isNewMedia))
       capBuckets(blocks, Seq(col("blk"), col("blk_val")), col("media_id"),
           mediaOverflowMetric(m))
@@ -1182,11 +1254,16 @@ object DedupOps {
   /** Test-isolation drop for the media probe indexes — the
     * [[dropStagedProbeIndexes]] scoping discipline (per staged dir,
     * never host-wide). */
+  /** TEST-ONLY isolation drop for the media probe indexes — the
+    * [[dropStagedProbeIndexes]] semantics (delete the durable dirs so
+    * the next access rebuilds; counters scoped per staged dir). */
   def dropStagedMediaProbeIndex(): Unit = {
     for (memo <- mediaBandIdxDirs.values; sf <- memo.keys; d <- memo.peek(sf))
       graft.util.ServingManifest.removeCounter(sf, MediaAppendsFamily,
-        TextTables, d.toString)
+        MediaTables, d.toString)
     mediaBandIdxDirs.values.foreach(_.clear())
+    MediaModalities.foreach(m =>
+      graft.util.StagedArtifacts.dropDurable(mediaIdxName(m)))
   }
 
   /** Manifest family for the media append/staleness bookkeeping — the
@@ -1194,6 +1271,13 @@ object DedupOps {
     * (counters key by index dir, and index dirs are per-modality, so
     * one family serves all three). */
   private val MediaAppendsFamily = "media_appends"
+
+  /** The fixture tables the media indexes stamp over. Today the media
+    * corpus DERIVES from `documents` (each row synthesizes its assets),
+    * so this aliases [[TextTables]] — named separately so the
+    * corpus-stamp intent stays explicit when media gets its own fixture
+    * table (r14 verdict #4, cosmetic). */
+  private val MediaTables = TextTables
 
   /** INCREMENTAL media-index maintenance — [[appendToTextIndexes]] for
     * the dedup gate's media side: after the gate ADMITS a batch of
@@ -1218,26 +1302,29 @@ object DedupOps {
           mediaBlockPrefix(col("blk"), col("blk_val")).as("mp"))
         .write.mode("append").partitionBy("mp").parquet(dir.toString)
       graft.util.ServingManifest.addCounter(sfDir, MediaAppendsFamily,
-        TextTables, dir.toString, n)
+        MediaTables, dir.toString, n)
       n
     } finally { fp.unpersist(); () }
   }
 
   /** Staleness gauge: the fraction of assets in the served media index
-    * that entered via append — the [[textIndexStaleFraction]] sibling.
-    * PEEK, never build: an un-staged index serves nothing and is 0%
-    * stale by definition (Verify records this gauge unconditionally). */
+    * that entered via append — the [[textIndexStaleFraction]] sibling:
+    * pure arithmetic (appended assets / (staged base assets + appended)),
+    * resolve-never-build, restart-surviving through the durable dir.
+    * Assumes appended ids are NEW assets (the admission contract: a
+    * re-append of an existing id would double-count one asset in the
+    * denominator — a gauge skew, never a correctness issue). */
   def mediaIndexStaleFraction(spark: SparkSession, sfDir: String,
       m: MediaModality = ImageModality): Double =
-    mediaBandIdxDirs(m.name).peek(sfDir) match {
+    resolvedIdxDir(mediaBandIdxDirs(m.name), sfDir, mediaIdxName(m)) match {
       case None => 0.0
       case Some(dir) =>
         val appended = graft.util.ServingManifest
-          .getCounter(sfDir, MediaAppendsFamily, TextTables, dir.toString)
+          .getCounter(sfDir, MediaAppendsFamily, MediaTables, dir.toString)
         if (appended == 0) 0.0
         else appended.toDouble /
-          spark.read.parquet(dir.toString)
-            .select("media_id").distinct().count().toDouble
+          (graft.util.StagedArtifacts.stagedBaseRows(sfDir,
+            mediaBandIdxDirs(m.name), dir) + appended).toDouble
     }
 
   /** Staleness-triggered RE-STAGE — [[maybeRestageTextIndexes]] for the
@@ -1251,12 +1338,21 @@ object DedupOps {
     graft.ObservedMetrics.recordGauge(mediaStaleGauge(m), stale)
     if (stale <= threshold) false
     else {
-      graft.util.ServingManifest.removeCounter(sfDir, MediaAppendsFamily,
-        TextTables, mediaBandIdxDir(spark, sfDir, m).toString)
-      mediaBandIdxDirs(m.name).invalidate(sfDir)
-      mediaBandIdxDir(spark, sfDir, m) // rebuild eagerly: serving never
-      true                             // races a half-built artifact
+      // fresh generation: the rebuild's append counter reads zero, the
+      // old dir sweeps, its counter self-heals on next manifest read
+      mediaBandIdxDir(spark, sfDir, m, fresh = true) // eager: serving
+      true                                  // never races a half-build
     }
+  }
+
+  /** Drop the in-JVM staged-index memos WITHOUT touching the durable
+    * dirs or the manifest — test-only: simulates a JVM restart, so the
+    * restart-durability spec can assert the durable root + persisted
+    * counters alone restore the appended serving state (the
+    * `forgetSegmentRegistrations` sibling). */
+  private[graft] def forgetStagedIndexMemos(): Unit = {
+    bandIdxDirs.clear(); shingleIdxDirs.clear()
+    mediaBandIdxDirs.values.foreach(_.clear())
   }
 
   /** The cap premise for the media stream key's oracle —
@@ -1600,7 +1696,7 @@ object DedupOps {
     "minhash" -> ((s, d) => stagedMinhashLsh(s, d)),
     "doc_substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
-    "doc_simhash_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
+    "sim_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     // round 11: perceptual image-hash near-dups over the textured media
     // corpus ("img_dups" short for the bench line budget)
     "img_dups" -> ((s, d) => imageDHashDups(s, d)),
@@ -1613,7 +1709,7 @@ object DedupOps {
     // round 12: cross-modal dup reconciliation — text + image + audio
     // dup graphs merged over the doc↔media link, one canonical elected
     "xmodal" -> ((s, d) => crossModalKeepBest(s, d)),
-    "doc_ngram_jaccard" -> ((s, d) => stagedNgramJaccard(s, d)),
+    "ngram_jac" -> ((s, d) => stagedNgramJaccard(s, d)),
     "lsh_dups" -> ((s, d) => stagedLshVerifiedDups(s, d)),
     "doc_dup_groups" -> ((s, d) => stagedDupGroups(s, d)),
     "decontam" -> ((s, d) => stagedContamination(s, d)),
@@ -1838,9 +1934,38 @@ object DedupOps {
     * closure + election mirror `doc_dup_groups` + `keep_best`. The
     * multiply-referenced pair CTEs are MATERIALIZED (the playbook rule:
     * DuckDB inlines a twice-referenced chain exponentially). */
-  private def crossModalOracle: String =
+  private def crossModalOracle: String = crossModalElectionOracle(dropNewNew = false)
+
+  /** The `stream_xm` oracle: the SAME cross-modal chain as [[crossModalOracle]]
+    * with the new×new edges dropped — the from-scratch closure over
+    * (base-only edges ∪ the gates' cross edges), which the streamed
+    * merge must equal at any micro-batch split
+    * ([[mergeClusterIncrement]]'s property; cap premises gated in
+    * Verify exactly as the per-gate stream keys'). */
+  private[graft] def streamCrossModalOracle: String =
+    crossModalElectionOracle(dropNewNew = true)
+
+  /** Cross-modal reconciliation closure + election, optionally dropping
+    * edges whose BOTH endpoints are increment docs (`dropNewNew`) — one
+    * chain for the batch and streaming keys, zero drift. */
+  private def crossModalElectionOracle(dropNewNew: Boolean): String = {
+    val flagCte =
+      if (!dropNewNew) ""
+      else s"""
+        flag AS MATERIALIZED (
+          SELECT doc_id,
+                 (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000) < $IncrementPermille AS is_new
+          FROM documents),"""
+    val allp =
+      if (!dropNewNew) "SELECT a, b FROM tp UNION ALL SELECT a, b FROM mp2"
+      else """SELECT p.a, p.b
+              FROM (SELECT a, b FROM tp UNION ALL SELECT a, b FROM mp2) p
+              JOIN flag fa ON fa.doc_id = p.a
+              JOIN flag fb ON fb.doc_id = p.b
+              WHERE NOT (fa.is_new AND fb.is_new)"""
     s"""WITH RECURSIVE
-        xlink AS (SELECT doc_id AS media_id, doc_id AS ld FROM documents),
+        xlink AS (SELECT doc_id AS media_id, doc_id AS ld FROM documents),$flagCte
         tp AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (
           WITH $duckVerifiedCtes SELECT doc_a, doc_b FROM dup)),
         mp AS MATERIALIZED (
@@ -1852,8 +1977,7 @@ object DedupOps {
         mp2 AS (SELECT la.ld AS a, lb.ld AS b
                 FROM mp JOIN xlink la ON mp.media_a = la.media_id
                         JOIN xlink lb ON mp.media_b = lb.media_id),
-        allp AS MATERIALIZED (SELECT a, b FROM tp
-                              UNION ALL SELECT a, b FROM mp2),
+        allp AS MATERIALIZED ($allp),
         edges AS (SELECT a, b FROM allp UNION ALL SELECT b, a FROM allp),
         verts AS (SELECT DISTINCT a AS id FROM edges),
         reach(id, r) AS (
@@ -1869,6 +1993,7 @@ object DedupOps {
                     AS INTEGER) AS keep
         FROM comp c JOIN sizes s USING (cluster)
         JOIN (${TextOps.oracle("text_quality_score")}) q ON c.id = q.doc_id"""
+  }
 
   def oracle: Map[String, String] = Map(
     "xmodal" -> crossModalOracle,
@@ -1921,7 +2046,7 @@ object DedupOps {
          -- comparator) while Spark stays int64 — values are identical
          SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id""",
-    "doc_simhash_pairs" ->
+    "sim_pairs" ->
       s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
                         FROM documents),
           hashes AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
@@ -2016,7 +2141,7 @@ object DedupOps {
           JOIN shset sb ON sb.doc_id = c.base_doc
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold""",
-    "doc_ngram_jaccard" ->
+    "ngram_jac" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents) WHERE len(w) >= 3),

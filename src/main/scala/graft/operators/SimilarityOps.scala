@@ -434,7 +434,12 @@ object SimilarityOps {
     * observability for tests (the `lloydRuns` sibling). */
   val ivfIndexBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def dropStagedIvfIndex(): Unit = ivfIndexDirs.clear()
+  /** TEST-ONLY isolation drop (the `dropStagedProbeIndexes` semantics:
+    * the durable dirs delete, so the next access rebuilds). */
+  def dropStagedIvfIndex(): Unit = {
+    ivfIndexDirs.clear()
+    graft.util.StagedArtifacts.dropDurable("ivf_idx")
+  }
 
   /** The IVF index as a CELL-PARTITIONED materialization of the corpus:
     * `(vec_id, embedding, pq_code)` written once per corpus dir,
@@ -452,19 +457,23 @@ object SimilarityOps {
     * and curation reads (cell prototypes) touch only the scalar
     * `(vec_id, ccos)` pair.
     * Staleness: (size, mtime)-stamped like every staged artifact here —
-    * a corpus rewritten in place rebuilds the index on next access. */
+    * a corpus rewritten in place rebuilds the index on next access.
+    * DURABLE (r14 verdict #2): the dir lives under the corpus-keyed
+    * staged root, so a restarted JVM resolves the same index — with its
+    * in-place appends — instead of rebuilding without them; the full
+    * retrain bumps the generation. */
   def stagedIvfIndexDir(spark: SparkSession, sfDir: String): String =
-    ivfIndexDirs.get(sfDir)({
+    ivfIndexDir(spark, sfDir).toString
+
+  private def ivfIndexDir(spark: SparkSession, sfDir: String,
+      fresh: Boolean = false): java.nio.file.Path =
+    graft.util.StagedArtifacts.parquetDir(sfDir, ivfIndexDirs,
+      "ivf_idx", ivfIndexBuilds, Seq("cell"), freshGen = fresh) {
       graft.GraftSession.registerFunctions(spark)
-      ivfIndexBuilds.incrementAndGet()
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index_")
-      graft.util.TempDirs.track(dir)
       val codebook = stagedPqCodebook(spark, sfDir)
       val cents = stagedCentroidIndex(spark, sfDir)
       indexRows(Fixtures.embeddings(spark, sfDir), cents, codebook)
-        .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
-      dir
-    }).toString
+    }
 
   /** The index-row projection shared by the from-scratch build and the
     * incremental append — ONE definition of what a stored index row is:
@@ -544,14 +553,18 @@ object SimilarityOps {
     * trainer never saw. A serving tier retrains when this crosses its
     * quality budget (the recall gauges quantify the cost). */
   def ivfIndexStaleFraction(spark: SparkSession, sfDir: String): Double = {
-    val dir = stagedIvfIndexDir(spark, sfDir)
-    val segRows = registeredSegmentRoot(sfDir)
-      .map(r => spark.read.parquet(r).count()).getOrElse(0L)
-    val appended = segRows + graft.util.ServingManifest
-      .getCounter(sfDir, AnnAppendsFamily, AnnTables, dir)
-    if (appended == 0) 0.0
-    else appended.toDouble /
-      (spark.read.parquet(dir).count() + segRows).toDouble
+    // arithmetic over manifest values (r14 verdict #4): base rows
+    // recorded at staging, segment rows at registration, appends
+    // counted as they land — no index scan in the gauge read
+    val dir = ivfIndexDir(spark, sfDir)
+    val segRows = registeredSegmentRows(sfDir)
+    val appended = graft.util.ServingManifest
+      .getCounter(sfDir, AnnAppendsFamily, AnnTables, dir.toString)
+    val stale = segRows + appended
+    if (stale == 0) 0.0
+    else stale.toDouble /
+      (graft.util.StagedArtifacts.stagedBaseRows(sfDir, ivfIndexDirs, dir)
+        + appended + segRows).toDouble
   }
 
   /** Live streaming segment root registered for serving, per corpus dir
@@ -575,11 +588,26 @@ object SimilarityOps {
     * corpus after a restart. [[maybeRetrainStagedIndex]] retires the
     * registration when compaction folds the corpus snapshot back into
     * the base. */
-  def registerIndexSegments(sfDir: String, segRoot: String): Unit = {
+  def registerIndexSegments(spark: SparkSession, sfDir: String,
+      segRoot: String): Unit = {
     liveSegmentRoots.put(sfDir, segRoot)
+    // segment rows counted ONCE at registration (footer metadata) and
+    // persisted next to the root, so the staleness gauge is arithmetic
+    // — a monitoring read never scans the segments
+    val n = spark.read.parquet(segRoot).count()
     graft.util.ServingManifest.put(sfDir, SegmentsFamily, AnnTables,
-      Map("segRoot" -> segRoot))
+      Map("segRoot" -> segRoot, "segRows" -> n.toString))
   }
+
+  /** The registered segment root's row count, from the manifest — 0
+    * with no live registration. */
+  private def registeredSegmentRows(sfDir: String): Long =
+    registeredSegmentRoot(sfDir) match {
+      case None => 0L
+      case Some(_) => graft.util.ServingManifest
+        .get(sfDir, SegmentsFamily, AnnTables)
+        .get("segRows").map(_.toLong).getOrElse(0L)
+    }
 
   /** The segment root currently serving for `sfDir`, if any: the
     * in-memory registration, else the manifest's — provided its files
@@ -615,9 +643,10 @@ object SimilarityOps {
     * between them was wrongly deleted (r14 verdict #1). */
   def dropIndexSegments(sfDir: String, segRoot: String): Unit = {
     liveSegmentRoots.remove(sfDir, segRoot)
-    graft.util.ServingManifest.removeIf(sfDir, SegmentsFamily, AnnTables,
-      "segRoot", segRoot)
-    ()
+    if (graft.util.ServingManifest.removeIf(sfDir, SegmentsFamily, AnnTables,
+        "segRoot", segRoot))
+      graft.util.ServingManifest.removeCounter(sfDir, SegmentsFamily,
+        AnnTables, "segRows")
   }
 
   /** Drop the in-memory segment fast path WITHOUT touching the
@@ -1674,7 +1703,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_near_dup" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K)),
-    "emb_near_dup_p16" ->
+    "emb_nd16" ->
       ((s, d) => embeddingNearDup(Fixtures.embeddings(s, d), NEAR_DUP_K, AltPlanes)),
     // round 9: served from the staged cell-partitioned index (partition
     // pruning reads only probed cells) — row-identical to the
@@ -2035,7 +2064,7 @@ object SimilarityOps {
           GROUP BY e.vec_id
           ORDER BY cosine DESC, e.vec_id LIMIT $IVF_K""",
     "emb_near_dup" -> nearDupOracle(NumPlanes, NEAR_DUP_K),
-    "emb_near_dup_p16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
+    "emb_nd16" -> nearDupOracle(AltPlanes, NEAR_DUP_K),
     "emb_dup_groups" ->
       // the near-dup pair query (its own WITH chain) nests as the `dup`
       // CTE; `reach` closes it transitively, min(r) labels the component
@@ -2137,10 +2166,11 @@ object SimilarityOps {
       // un-stage every other corpus's artifacts
       centroidCache.invalidate(sfDir)
       pqCodebookCache.invalidate(sfDir)
-      ivfIndexDirs.invalidate(sfDir)
       dropIndexSegments(sfDir)        // compaction absorbs the overlay
-      stagedIvfIndexDir(spark, sfDir) // rebuild eagerly: serving never
-      true                            // races a half-built artifact
+      // fresh generation: the rebuild's append counter reads zero, the
+      // old dir sweeps, its counter self-heals on next manifest read
+      ivfIndexDir(spark, sfDir, fresh = true) // eager: serving never
+      true                                    // races a half-build
     }
   }
 

@@ -167,6 +167,17 @@ object ServingManifest {
     next
   }
 
+  /** SET one entry (read-modify-write under the lock), leaving the
+    * family's other entries in place — for values that are measurements
+    * of a fresh artifact (base row counts), where add-semantics would
+    * accumulate across a delete-and-rebuild landing on the same dir
+    * name. */
+  def set(sfDir: String, family: String, tables: Seq[String],
+      key: String, value: String): Unit = withFileLock {
+    putUnlocked(sfDir, family, tables,
+      getUnlocked(sfDir, family, tables) + (key -> value))
+  }
+
   def getCounter(sfDir: String, family: String, tables: Seq[String],
       key: String): Long =
     get(sfDir, family, tables).get(key).map(_.toLong).getOrElse(0L)

@@ -56,6 +56,14 @@ final class StampedMemo[V](tables: String*) {
   private val m =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, V)]()
 
+  /** The fixture tables this memo stamps over — exposed so the durable
+    * staged-artifact root can key dir names (and manifest entries) by
+    * the SAME stamp the memo validates with. */
+  def tableNames: Seq[String] = tables.toSeq
+
+  /** The current corpus stamp for `sfDir` under this memo's tables. */
+  def stamp(sfDir: String): Long = CorpusStamp.of(sfDir, tables)
+
   def get(sfDir: String)(build: => V): V = {
     val stamp = CorpusStamp.of(sfDir, tables)
     val hit = m.get(sfDir)

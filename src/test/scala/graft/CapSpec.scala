@@ -293,6 +293,19 @@ class CapSpec extends SparkTestBase {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
+    // the FOLD corollary the streaming reconciliation (stream_xm) rides
+    // on: merging increment-by-increment equals merging everything at
+    // once — so any micro-batch split of the edge stream serves the
+    // same final assignment
+    val prop2 = Prop.forAll(genEdges, genEdges, genEdges) { (base, i1, i2) =>
+      val folded = canon(DedupOps.mergeClusterIncrement(
+        DedupOps.mergeClusterIncrement(close(base), i1.toDF("a", "b")),
+        i2.toDF("a", "b")))
+      folded == canon(close(base ++ i1 ++ i2))
+    }
+    val res2 = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop2)
+    assert(res2.passed, res2.status.toString)
   }
 
   test("defaultNumPlanes sizes the bucket geometry to the corpus") {

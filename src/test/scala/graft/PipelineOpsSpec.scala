@@ -808,6 +808,65 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("staged-index appends survive a restart: durable dirs + persisted counters") {
+    import spark.implicits._
+    // the r14 gap: ANN segment REGISTRATIONS survived a restart via the
+    // manifest, but text/media index APPENDS lived in per-JVM temp dirs
+    // and died with the JVM. The staged roots are now durable: a fresh
+    // session with cleared memos must RESOLVE the same dir (no rebuild),
+    // still serving the appended asset, with the staleness gauge intact.
+    DedupOps.dropStagedMediaProbeIndex()
+    def mediaOf(id: Long) = Seq(id).toDS().map(i => MediaRecord(
+      i, "img", MultimodalOps.synthTexturePng(i), Map.empty[String, String]))
+    def hits(s: org.apache.spark.sql.SparkSession): Long = DedupOps
+      .incrementalMediaDedupBatch(s, sfDir, mediaOf(920001L))
+      .filter(col("base_media") === 920000L).count()
+    assert(hits(spark) === 0L)
+    assert(DedupOps.appendToMediaIndex(spark, sfDir, mediaOf(920000L)) === 1L)
+    assert(hits(spark) === 1L)
+    val staleBefore = DedupOps.mediaIndexStaleFraction(spark, sfDir)
+    assert(staleBefore > 0.0)
+    // SIMULATED RESTART: fresh SparkSession + cleared staged memos
+    DedupOps.forgetStagedIndexMemos()
+    val s2 = spark.newSession()
+    val b0 = DedupOps.mediaProbeStageBuilds.get()
+    assert(hits(s2) === 1L,
+      "appended asset must still dedup-gate after a restart")
+    assert(DedupOps.mediaProbeStageBuilds.get() === b0,
+      "restart must RESOLVE the durable dir, never rebuild")
+    assert(DedupOps.mediaIndexStaleFraction(s2, sfDir) === staleBefore,
+      "staleness gauge must persist across the restart")
+    // compaction restores the corpus-only base (and leaves the suite clean)
+    assert(DedupOps.maybeRestageMediaIndex(s2, sfDir, 0.0))
+    assert(hits(s2) === 0L)
+  }
+
+  test("staleness gauges: manifest arithmetic equals the counted fractions") {
+    import spark.implicits._
+    // the O(1) gauges (append counter / staged base size) must agree
+    // with the values a full index scan would count — locked at fixture
+    // scale so the arithmetic can never drift from the artifact
+    DedupOps.dropStagedProbeIndexes()
+    DedupOps.dropStagedMediaProbeIndex()
+    val doc = Seq((930000L, "glorp weeble snarf glorp weeble snarf glorp"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.appendToTextIndexes(spark, sfDir, doc) === 1L)
+    val textCounted =
+      1.0 / DedupOps.stagedShingleIndex(spark, sfDir).count().toDouble
+    assert(DedupOps.textIndexStaleFraction(spark, sfDir) === textCounted)
+    def mediaOf(id: Long) = Seq(id).toDS().map(i => MediaRecord(
+      i, "img", MultimodalOps.synthTexturePng(i), Map.empty[String, String]))
+    assert(DedupOps.appendToMediaIndex(spark, sfDir, mediaOf(930001L)) === 1L)
+    val mediaCounted = 1.0 / DedupOps.stagedMediaBandIndex(spark, sfDir)
+      .select("media_id").distinct().count().toDouble
+    assert(DedupOps.mediaIndexStaleFraction(spark, sfDir) === mediaCounted)
+    // leave the suite's staged indexes clean
+    assert(DedupOps.maybeRestageTextIndexes(spark, sfDir, 0.0))
+    assert(DedupOps.maybeRestageMediaIndex(spark, sfDir, 0.0))
+    assert(DedupOps.textIndexStaleFraction(spark, sfDir) === 0.0)
+    assert(DedupOps.mediaIndexStaleFraction(spark, sfDir) === 0.0)
+  }
+
   test("ingestion gate end-to-end: dedup -> admit -> append -> the re-arrival is caught") {
     import spark.implicits._
     // the full admission flow both streaming gates drive: an arriving
@@ -1391,7 +1450,7 @@ class PipelineOpsSpec extends SparkTestBase {
         .map(_._1).contains(999L))
       // visible immediately after — NO retrain ran: the served read is
       // base ∪ segments, and the clone scores cosine 1.0 for query 3
-      SimilarityOps.registerIndexSegments(sf, segRoot.toString)
+      SimilarityOps.registerIndexSegments(spark, sf, segRoot.toString)
       val served = SimilarityOps.embeddingBatchTopK(spark, sf, Seq(3L), 5)
       val got = topIds(served)
       assert(got.exists { case (id, cos) => id == 999L && cos == 1.0 },
@@ -1425,7 +1484,7 @@ class PipelineOpsSpec extends SparkTestBase {
         SimilarityOps.stagedPqCodebook(spark, sf))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$segRoot/epoch=0")
     try {
-      SimilarityOps.registerIndexSegments(sf, segRoot.toString)
+      SimilarityOps.registerIndexSegments(spark, sf, segRoot.toString)
       val staleBefore = SimilarityOps.ivfIndexStaleFraction(spark, sf)
       assert(staleBefore > 0.0, "registered segment must count as stale")
       // SIMULATED RESTART: a fresh JVM has no in-memory registration and

@@ -36,7 +36,7 @@ class PlanSpec extends SparkTestBase {
     // tokenize + minhash + shingle run ONCE at signature staging; the
     // LSH/verify QUERY reads the staged (doc_id, bands, sh) parquet —
     // no minhash_bands, no word_shingles, no text column in its plan
-    Seq("minhash", "lsh_dups", "incr_dedup", "doc_ngram_jaccard")
+    Seq("minhash", "lsh_dups", "incr_dedup", "ngram_jac")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("minhash_bands"), s"$k re-derives bands: $p")
@@ -63,7 +63,7 @@ class PlanSpec extends SparkTestBase {
     // signature-prefix partitions of the band index
     val p1 = DedupOps.probeCandidates(spark, sfDir, incBands)
       .queryExecution.executedPlan.toString
-    val bandScans = p1.linesIterator.filter(_.contains("graft_band_idx_")).toSeq
+    val bandScans = p1.linesIterator.filter(_.contains("_band_idx_s")).toSeq
     assert(bandScans.size === 1, s"expected exactly one band-index scan:\n$p1")
     assert(bandScans.head.contains("PartitionFilters: [sp#"), p1)
     // phase 2: the served plan reads the CHECKPOINTED candidates (one
@@ -72,9 +72,9 @@ class PlanSpec extends SparkTestBase {
     // artifact never reappear
     val p = DedupOps.incrementalDedupBatch(spark, sfDir, inc)
       .queryExecution.executedPlan.toString
-    assert(!p.contains("graft_band_idx_"),
+    assert(!p.contains("_band_idx_s"),
       s"band probe re-scanned in the served plan (candidates not checkpointed):\n$p")
-    val shScans = p.linesIterator.filter(_.contains("graft_shingle_idx_")).toSeq
+    val shScans = p.linesIterator.filter(_.contains("_shingle_idx_s")).toSeq
     assert(shScans.size === 1, s"expected exactly one shingle-index scan:\n$p")
     assert(shScans.head.contains("PartitionFilters: [db#"), p)
     assert(p.contains("graft_lsh_cand_"), s"served plan must read the checkpoint:\n$p")
@@ -89,7 +89,7 @@ class PlanSpec extends SparkTestBase {
     val p = DedupOps.incrementalMediaDedupBatch(spark, sfDir, media)
       .queryExecution.executedPlan.toString
     val idxScans = p.linesIterator
-      .filter(_.contains("graft_media_band_idx_")).toSeq
+      .filter(_.contains("_media_idx_")).toSeq
     assert(idxScans.size === 1, s"expected exactly one media-index scan:\n$p")
     assert(idxScans.head.contains("PartitionFilters: [mp#"), p)
     // the served plan reads the CHECKPOINTED batch fingerprints: the
@@ -385,7 +385,7 @@ class PlanSpec extends SparkTestBase {
     // the per-cell top-p must keep its two-stage shape (salted pre-rank)
     // so no single window keys the corpus into |cells| partitions
     val p = plan("emb_protos")
-    val read = p.linesIterator.filter(_.contains("graft_ivf_index")).mkString("\n")
+    val read = p.linesIterator.filter(_.contains("_ivf_idx_s")).mkString("\n")
     assert(read.nonEmpty, p)
     assert(!read.contains("embedding:array"), p)
     assert(!p.contains("min_by"), p)
@@ -442,7 +442,7 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters: [cell#"), p)
     // …and column pruning to the packed codes: the embedding array must
     // NOT be read — the 64×-smaller scan is the point of a served IVFPQ
-    val read = p.linesIterator.filter(_.contains("graft_ivf_index"))
+    val read = p.linesIterator.filter(_.contains("_ivf_idx_s"))
       .mkString("\n")
     assert(read.contains("pq_code"), p)
     assert(!read.contains("embedding:array"), p)
@@ -452,7 +452,7 @@ class PlanSpec extends SparkTestBase {
     val p = plan("ann_batch")
     // the whole batch is served by ONE partition-pruned index scan…
     assert(p.contains("PartitionFilters: [cell#"), p)
-    assert("graft_ivf_index".r.findAllIn(p).size === 1, p)
+    assert("_ivf_idx_s".r.findAllIn(p).size === 1, p)
     // …joined hash-side against the bounded (qid, qe, cell) probe set
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -470,7 +470,7 @@ class PlanSpec extends SparkTestBase {
     // one partition-pruned scan of the staged index (cells stay a bounded
     // driver list even when the id batch is unbounded)…
     assert(p.contains("PartitionFilters: [cell#"), p)
-    assert("graft_ivf_index".r.findAllIn(p).size === 1, p)
+    assert("_ivf_idx_s".r.findAllIn(p).size === 1, p)
     // …and the query ids must flow as a JOIN, never an isin literal list
     // (the literal list is exactly the driver-size hazard the cap guards)
     assert(!p.replaceAll("\\s+", " ").matches("(?s).*vec_id#\\d+L? IN \\(.*"), p)

@@ -211,6 +211,34 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stream_xm equals the from-scratch closure election over base + cross edges") {
+    // the streamed merge's serving view must equal closing (from
+    // scratch) every linked edge EXCEPT new x new — computed here
+    // through an independent engine path: the full edge list, filtered,
+    // closed via the public merge-with-empty-prior (= plain closure),
+    // then the same election
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, sfDir)
+    val link = docs.select(col("doc_id").as("media_id"), col("doc_id"))
+    val edges = DedupOps.crossModalEdgesOf(
+      DedupOps.stagedLshVerifiedDups(spark, sfDir)
+        .select(col("doc_a"), col("doc_b")),
+      Seq(
+        DedupOps.imageDHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
+        DedupOps.audioHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
+        DedupOps.videoHashDups(spark, sfDir).select(col("media_a"), col("media_b"))),
+      link)
+      .filter(!(DedupOps.isNewId(col("doc_a")) && DedupOps.isNewId(col("doc_b"))))
+    val emptyGroups = Seq.empty[(Long, Long, Int, Long)]
+      .toDF("doc_id", "cluster", "is_canonical", "cluster_size")
+    val expected = DedupOps.crossModalKeepBestOver(spark, sfDir,
+      DedupOps.mergeClusterIncrement(emptyGroups, edges))
+    val served = StreamOps.streamCrossModalMerge(spark, sfDir)
+    assert(served.count() > 0, "fixture must produce cross-modal clusters")
+    assertSameRows(served, expected)
+  }
+
   test("stream_img serves every micro-batch from the FROZEN staged media index") {
     graft.operators.DedupOps.dropStagedMediaProbeIndex()
     val m0 = graft.operators.DedupOps.mediaProbeStageBuilds.get()
