@@ -1062,11 +1062,29 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** One batch-checkpoint dir per (corpus, JVM) — see the overwrite
+  /** One batch-checkpoint ROOT per (corpus, JVM) — see the overwrite
     * note in [[incrementalDedupBatch]]; media keys by (corpus,
-    * modality). */
-  private val candDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+    * modality). Writes ALTERNATE between two subdirs of the root
+    * (ADVICE r14): with a single dir, two concurrent callers on the
+    * same corpus (parallel suites, two streams) raced one's overwrite
+    * against the other's in-flight read of the returned plan; the A/B
+    * flip gives concurrent callers disjoint dirs while keeping the
+    * leak bound (two subdirs per key, ever — never a dir per
+    * micro-batch). A plan stays valid until the SAME caller's
+    * next-next batch, which the streaming callers satisfy by
+    * construction (each epoch's sink write completes before the next
+    * batch starts). */
+  private val candDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.Path, java.util.concurrent.atomic.AtomicLong)]()
+
+  private def nextCandDir(key: String, prefix: String): java.nio.file.Path = {
+    val (root, n) = candDirs.computeIfAbsent(key, _ => {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      graft.util.TempDirs.track(d)
+      (d, new java.util.concurrent.atomic.AtomicLong(0))
+    })
+    root.resolve(s"b${n.getAndIncrement() % 2}")
+  }
 
   def incrementalDedupBatch(spark: SparkSession, sfDir: String,
       increment: DataFrame): DataFrame = {
@@ -1089,11 +1107,7 @@ object DedupOps {
     // the returned plan is therefore valid until the NEXT batch of the
     // same corpus, which the streaming caller satisfies by construction
     // (each epoch's sink write completes before the next batch starts).
-    val candDir = candDirs.computeIfAbsent(sfDir, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_lsh_cand_")
-      graft.util.TempDirs.track(d)
-      d
-    })
+    val candDir = nextCandDir(sfDir, "graft_lsh_cand_")
     probeCandidates(spark, sfDir, incBands)
       .write.mode("overwrite").parquet(candDir.toString)
     val cand = spark.read.parquet(candDir.toString)
@@ -1395,12 +1409,8 @@ object DedupOps {
       m: MediaModality = ImageModality): DataFrame = {
     // one checkpoint dir per (corpus, modality, JVM), overwritten per
     // batch — the incrementalDedupBatch leak-bound discipline
-    val fpDir = candDirs.computeIfAbsent(s"$sfDir|${m.name}", _ => {
-      val d = java.nio.file.Files
-        .createTempDirectory(s"graft_media_batch_fp_${m.name}_")
-      graft.util.TempDirs.track(d)
-      d
-    })
+    val fpDir = nextCandDir(s"$sfDir|${m.name}",
+      s"graft_media_batch_fp_${m.name}_")
     m.fingerprint(batch)
       .write.mode("overwrite").parquet(fpDir.toString)
     val fp = spark.read.parquet(fpDir.toString)
