@@ -68,14 +68,9 @@ object Verify {
           graft.operators.DedupOps.AudioModality)),
       "stream_gif" ->
         (() => graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir,
-          graft.operators.DedupOps.VideoModality)),
-      // stream_xm composes all four gates, so its oracle equality needs
-      // every gate's cap premise at once
-      "stream_xm" -> (() => {
-        graft.operators.DedupOps.assertTextProbeCapPremise(spark, sfDir)
-        graft.operators.DedupOps.MediaModalities.foreach(m =>
-          graft.operators.DedupOps.assertMediaProbeCapPremise(spark, sfDir, m))
-      }))
+          graft.operators.DedupOps.VideoModality)))
+    // (stream_xm needs NO cap premise: its edge topic ranks interleaved
+    // exactly as its oracle does — see stagedIncrementCrossEdges)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (premiseKeys(name) && !streamPremiseOk)
         System.err.println(s"[verify] $name withheld: one-batch premise check failed")

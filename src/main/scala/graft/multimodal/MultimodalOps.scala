@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Fixtures
@@ -617,6 +617,68 @@ object MultimodalOps {
       s"texture media id $mediaId outside [0, 2^23) — the arithmetic " +
         "oracles' group derivation (id // 8) no longer matches the engine's")
 
+  // ---------------------------------------------------------------------
+  // Media-corpus id scheme (round 15): NON-IDENTITY doc↔media link
+  // ---------------------------------------------------------------------
+
+  /** Media ids are DISJOINT from doc ids (r14 verdict #5 closed the
+    * identity-link caveat): every doc owns a PRIMARY asset at
+    * `doc_id + PrimaryOffset`; every 8th doc additionally owns a
+    * SECOND asset (multi-asset docs — consecutive secondary ids, so
+    * secondaries form their own texture near-dup groups and a media
+    * pair reaches its docs through EITHER owned asset); every 16th doc
+    * GENERATES an orphan asset that appears in the media tables but has
+    * NO link row — its near-dup pairs must stay inert in the
+    * cross-modal reconciliation. All offsets are multiples of 8 inside
+    * the [0, 2^23) texture-id domain, so the `id div 8` group
+    * derivation (and the arithmetic oracles) carry over unchanged.
+    *
+    * The bases are DE-ALIASED mod the GIF synthesizer's parameter
+    * period: its Knuth-mixed `(g·K) mod 2^k` draws are exact functions
+    * of `g mod 4096`, so pure power-of-two bases (all ≡ 0 mod 2^15 in
+    * id space) gave the three families IDENTICAL texture parameters —
+    * measured 824 accidental cross-family gif near-dup pairs at
+    * sf0.001, chaining the reconciliation into one corpus-wide
+    * cluster. Offsetting each base by a distinct multiple of 8 keeps
+    * the families' `g mod 4096` ranges disjoint at every fixture
+    * scale. */
+  val PrimaryOffset: Long = 1L << 20
+  val SecondaryBase: Long = (1L << 21) + 8000
+  val OrphanBase: Long = (1L << 22) + 16000
+
+  /** The asset ids one document row generates (primary [+ secondary]
+    * [+ orphan]) — the per-row synthesis plan of every media table.
+    * Secondary ids step by 4 (`doc_id / 2` for the every-8th owners),
+    * so each 8-wide texture group holds exactly TWO secondaries: their
+    * near-dup pair merges two ADJACENT primary clusters through the
+    * second assets — the reach-through-either-asset case — without
+    * chaining arbitrarily many clusters into one corpus-wide component
+    * (an 8-consecutive secondary scheme measurably collapsed the
+    * sf0.001 reconciliation to a single cluster). */
+  private def assetIdsOf(docId: Long): Seq[Long] =
+    Seq(docId + PrimaryOffset) ++
+      (if (docId % 8 == 0) Seq(SecondaryBase + docId / 2) else Nil) ++
+      (if (docId % 16 == 0) Seq(OrphanBase + docId / 16) else Nil)
+
+  /** The GENERATING doc of an asset id — the arithmetic inverse of
+    * [[assetIdsOf]]. Every asset (orphans included) derives from a doc,
+    * so increment membership is a doc property: the asset of a new doc
+    * arrives with it, never half-in-half-out of the base index. */
+  def mediaSrcDoc(mediaId: Column): Column =
+    when(mediaId >= OrphanBase, (mediaId - OrphanBase) * 16)
+      .when(mediaId >= SecondaryBase, (mediaId - SecondaryBase) * 2)
+      .otherwise(mediaId - PrimaryOffset)
+
+  /** The doc↔media LINK table — `(media_id, doc_id)`, one row per OWNED
+    * asset (primary + secondary; orphans deliberately absent): the
+    * production-shaped link the cross-modal reconciliation joins
+    * through. */
+  def mediaLink(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + PrimaryOffset).as("media_id"), col("doc_id"))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select((lit(SecondaryBase) + expr("doc_id div 2")).as("media_id"),
+          col("doc_id")))
+
   def synthTexturePng(mediaId: Long): Array[Byte] = {
     requireTextureIdDomain(mediaId)
     val g = Math.floorMod(mediaId / 8, 1 << 20).toInt
@@ -664,9 +726,10 @@ object MultimodalOps {
     import spark.implicits._
     spreadForSynthesis(docs)
       .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, source, lang) =>
-        MediaRecord(id, "image", synthTexturePng(id),
-          Map("source" -> source, "lang" -> lang))
+      .mapPartitions(_.flatMap { case (id, source, lang) =>
+        assetIdsOf(id).map(mid =>
+          MediaRecord(mid, "image", synthTexturePng(mid),
+            Map("source" -> source, "lang" -> lang)))
       })
   }
 
@@ -745,9 +808,10 @@ object MultimodalOps {
     import spark.implicits._
     spreadForSynthesis(docs)
       .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, source, lang) =>
-        MediaRecord(id, "audio", synthTextureWav(id),
-          Map("source" -> source, "lang" -> lang))
+      .mapPartitions(_.flatMap { case (id, source, lang) =>
+        assetIdsOf(id).map(mid =>
+          MediaRecord(mid, "audio", synthTextureWav(mid),
+            Map("source" -> source, "lang" -> lang)))
       })
   }
 
@@ -844,9 +908,10 @@ object MultimodalOps {
     import spark.implicits._
     spreadForSynthesis(docs)
       .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, source, lang) =>
-        MediaRecord(id, "video", synthTextureGif(id),
-          Map("source" -> source, "lang" -> lang))
+      .mapPartitions(_.flatMap { case (id, source, lang) =>
+        assetIdsOf(id).map(mid =>
+          MediaRecord(mid, "video", synthTextureGif(mid),
+            Map("source" -> source, "lang" -> lang)))
       })
   }
 

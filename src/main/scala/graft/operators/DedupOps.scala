@@ -85,7 +85,7 @@ object DedupOps {
 
   def dropStagedTextArtifacts(): Unit = {
     textSigDirs.clear(); dupGroupDirs.clear(); contamDirs.clear()
-    xmodalGroupDirs.clear(); xmodalBaseDirs.clear()
+    xmodalGroupDirs.clear(); xmodalBaseDirs.clear(); incrEdgeDirs.clear()
   }
 
   private def stagedParquet(spark: SparkSession, sfDir: String,
@@ -457,9 +457,11 @@ object DedupOps {
     * generator is bucketed + capped), the link join ships one
     * (media_id, doc_id) scalar pair per asset, quality joins as one
     * double per doc — the plan moves only (id, cluster, quality)
-    * scalars, no text and no rasters. The fixture link is the identity
-    * (each document row owns its derived media assets by id);
-    * production passes any link table through the same join shape. */
+    * scalars, no text and no rasters. The fixture link is NON-identity
+    * (disjoint media ids; one or two owned assets per doc; orphan
+    * assets with no link row stay inert —
+    * [[graft.multimodal.MultimodalOps.mediaLink]]); production passes
+    * any link table through the same join shape. */
   def crossModalKeepBest(spark: SparkSession, sfDir: String): DataFrame =
     keepBestElection(Fixtures.documents(spark, sfDir),
       stagedCrossModalGroups(spark, sfDir))
@@ -483,10 +485,11 @@ object DedupOps {
           imageDHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
           audioHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
           videoHashDups(spark, sfDir).select(col("media_a"), col("media_b"))),
-        // the FIXTURE link is the identity (each document row owns its
-        // derived assets by id); production passes any (media_id,
-        // doc_id) table through the same join shape
-        docs.select(col("doc_id").as("media_id"), col("doc_id")))
+        // the fixture's NON-IDENTITY link: disjoint media ids, docs
+        // owning one or two assets, orphan assets absent (their pairs
+        // drop at this join) — production passes any (media_id, doc_id)
+        // table through the same join shape
+        graft.multimodal.MultimodalOps.mediaLink(docs))
     })
 
   /** The merged cross-modal clustering over an ARBITRARY doc↔media link
@@ -512,7 +515,12 @@ object DedupOps {
     * graph — [[crossModalGroupsOf]] without the closure, factored so the
     * base-only staging ([[stagedBaseCrossModalGroups]]) and the
     * streaming reconciliation's from-scratch spec oracle can filter the
-    * edges before closing. */
+    * edges before closing. Edges are CANONICALIZED (doc_a < doc_b)
+    * before the distinct: generators orient pairs differently (batch:
+    * a<b; gates: new-first), and without the canonical form one
+    * undirected duplicate found by two generators survives as two
+    * rows — doubling the closure's edge input and breaking
+    * edge-list comparisons. */
   private[graft] def crossModalEdgesOf(textPairs: DataFrame,
       mediaPairs: Seq[DataFrame], link: DataFrame): DataFrame = {
     val l = link.toDF("media_id", "ld")
@@ -523,7 +531,10 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"))
         .filter(col("doc_a") =!= col("doc_b"))
     (textPairs.toDF("doc_a", "doc_b") +: mediaPairs.map(viaLink))
-      .reduce(_ union _).distinct()
+      .reduce(_ union _)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
   }
 
   /** The BASE-ONLY cross-modal clusters staged once per corpus snapshot
@@ -548,7 +559,7 @@ object DedupOps {
           imageDHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
           audioHashDups(spark, sfDir).select(col("media_a"), col("media_b")),
           videoHashDups(spark, sfDir).select(col("media_a"), col("media_b"))),
-        docs.select(col("doc_id").as("media_id"), col("doc_id")))
+        graft.multimodal.MultimodalOps.mediaLink(docs))
       clusterPairs(
           edges.filter(!isNewId(col("doc_a")) && !isNewId(col("doc_b"))))
         .withColumnRenamed("id", "doc_id")
@@ -561,6 +572,49 @@ object DedupOps {
   def crossModalKeepBestOver(spark: SparkSession, sfDir: String,
       groups: DataFrame): DataFrame =
     keepBestElection(Fixtures.documents(spark, sfDir), groups)
+
+  private val incrEdgeDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** The increment's verified CROSS EDGES, linked to doc ids and staged
+    * once per corpus snapshot — the EDGE TOPIC the streaming
+    * reconciliation (`stream_xm`) consumes: in the production topology
+    * the four ingestion gates PUBLISH their verified cross pairs (the
+    * per-gate stream keys prove exactly that production, micro-batch by
+    * micro-batch) and the reconciliation layer consumes the merged edge
+    * stream — it never re-runs the gates. Built from the staged batch
+    * forms (text: [[stagedIncrementalDedup]]'s cross pairs; media: the
+    * cross slice of each modality's banded dedup over the staged
+    * fingerprints — no decode, no probe), linked through
+    * [[graft.multimodal.MultimodalOps.mediaLink]]. Row-equal to the
+    * union of the four gates' streamed outputs whenever no bucket
+    * overflows (the staged-probe cap nuance; spec-locked on the
+    * fixture), and exactly the oracle's interleaved-ranked cross slice
+    * ALWAYS — so `stream_xm`'s correctness never rests on the cap
+    * premise. */
+  def stagedIncrementCrossEdges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(stagedIncrementCrossEdgesDir(spark, sfDir).toString)
+
+  private[graft] def stagedIncrementCrossEdgesDir(spark: SparkSession,
+      sfDir: String): java.nio.file.Path =
+    graft.util.StagedArtifacts.tempDir(sfDir, incrEdgeDirs,
+      "graft_xm_edges_", textStageBuilds) {
+      def crossOf(pairs: DataFrame): DataFrame = {
+        def newSide(c: String) = isNewId(
+          graft.multimodal.MultimodalOps.mediaSrcDoc(col(c)))
+        pairs.filter(newSide("media_a") =!= newSide("media_b"))
+          .select(col("media_a"), col("media_b"))
+      }
+      crossModalEdgesOf(
+        stagedIncrementalDedup(spark, sfDir)
+          .select(col("new_doc").as("doc_a"), col("base_doc").as("doc_b")),
+        Seq(
+          crossOf(imageDHashDups(spark, sfDir)),
+          crossOf(audioHashDups(spark, sfDir)),
+          crossOf(videoHashDups(spark, sfDir))),
+        graft.multimodal.MultimodalOps.mediaLink(
+          Fixtures.documents(spark, sfDir)))
+    }
 
   /** The reconciliation core of [[crossModalKeepBest]], over
     * already-linked `(doc_a, doc_b)` pair frames from any set of
@@ -1211,11 +1265,15 @@ object DedupOps {
     * build increments once). */
   val mediaProbeStageBuilds = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** md5-bucket increment membership for MEDIA ids — [[isNewDoc]] on the
-    * media_id column (the fixture links assets to docs by id, so the
-    * media increment is the same corpus slice as the text one). */
+  /** Increment membership for MEDIA rows: an asset is NEW iff its
+    * GENERATING doc is ([[isNewDoc]] through the arithmetic inverse of
+    * the asset-id scheme,
+    * [[graft.multimodal.MultimodalOps.mediaSrcDoc]]) — so the media
+    * increment is the same corpus slice as the text one even though
+    * media ids are disjoint from doc ids, and an arriving doc's assets
+    * are never half-in-half-out of the base index. */
   private[graft] def isNewMedia: Column =
-    Hashing.md5Bucket(col("media_id"), 1000) < IncrementPermille
+    isNewId(graft.multimodal.MultimodalOps.mediaSrcDoc(col("media_id")))
 
   /** The BASE side's banded fingerprint index, staged once per corpus
     * snapshot and PARTITIONED BY BLOCK-BUCKET HASH — the media analog of
@@ -1761,6 +1819,30 @@ object DedupOps {
                 WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                       CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold)"""
 
+  /** The media-corpus id universe, in SQL — the oracle mirror of
+    * [[graft.multimodal.MultimodalOps]]'s asset-id scheme (`mid` the
+    * asset id, `src` its generating doc): primary per doc, secondary
+    * per 8th doc (consecutive ids → their own texture groups), orphan
+    * per 16th. Every media ranked chain derives its rows from this. */
+  private def duckMediaIds: String = {
+    import graft.multimodal.MultimodalOps.{PrimaryOffset, SecondaryBase, OrphanBase}
+    s"""SELECT doc_id + $PrimaryOffset AS mid, doc_id AS src FROM documents
+        UNION ALL
+        SELECT $SecondaryBase + doc_id // 2, doc_id FROM documents WHERE doc_id % 8 = 0
+        UNION ALL
+        SELECT $OrphanBase + doc_id // 16, doc_id FROM documents WHERE doc_id % 16 = 0"""
+  }
+
+  /** The doc↔media LINK in SQL — primary + secondary rows only (orphans
+    * deliberately absent): the oracle mirror of
+    * [[graft.multimodal.MultimodalOps.mediaLink]]. */
+  private def duckMediaLink: String = {
+    import graft.multimodal.MultimodalOps.{PrimaryOffset, SecondaryBase}
+    s"""SELECT doc_id + $PrimaryOffset AS media_id, doc_id AS ld FROM documents
+        UNION ALL
+        SELECT $SecondaryBase + doc_id // 2, doc_id FROM documents WHERE doc_id % 8 = 0"""
+  }
+
   /** The `img_dups` oracle, factored out so [[crossModalOracle]] can
     * embed it as a subquery: every pixel of the textured corpus
     * re-derives arithmetically (integer ops mod 256; PNG is lossless —
@@ -1769,11 +1851,14 @@ object DedupOps {
     * `g = doc_id // 8` matches the engine's `floorMod(id / 8, 2^20)`
     * exactly on the id domain [0, 2^23) that the texture synthesizers
     * ENFORCE (requireTextureIdDomain) — a wider domain fails the build
-    * loudly instead of flipping this hash. */
+    * loudly instead of flipping this hash. The chains' internal
+    * `doc_id` column is bound to the MEDIA id (the [[duckMediaIds]]
+    * universe); the generating doc rides along only where increment
+    * flags need it. */
   private def imgRankedCtes: String =
     s"""base AS (
-            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 4 AS spike
-            FROM documents),
+            SELECT mid AS doc_id, mid // 8 AS g, (mid % 8) * 4 AS spike
+            FROM ($duckMediaIds)),
           px AS (
             SELECT b.doc_id, x.x, y.y,
                    ((b.g % 5) * x.x * x.x + ((b.g // 5) % 5) * y.y * y.y
@@ -1821,6 +1906,7 @@ object DedupOps {
     * can never drift. */
   private def mediaIncrementalOracle(rankedCtes: String): String =
     s"""WITH $rankedCtes,
+          mids AS ($duckMediaIds),
           flag AS (SELECT doc_id,
                           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                             % 1000) < $IncrementPermille AS is_new
@@ -1835,8 +1921,10 @@ object DedupOps {
                  CASE WHEN fa.is_new THEN p.media_b ELSE p.media_a END AS base_media,
                  p.hamming
           FROM pairs p
-          JOIN flag fa ON fa.doc_id = p.media_a
-          JOIN flag fb ON fb.doc_id = p.media_b
+          JOIN mids ma ON ma.mid = p.media_a
+          JOIN flag fa ON fa.doc_id = ma.src
+          JOIN mids mb ON mb.mid = p.media_b
+          JOIN flag fb ON fb.doc_id = mb.src
           WHERE fa.is_new <> fb.is_new AND p.hamming <= $ImgMaxHamming"""
 
   private[graft] def imgIncrementalOracle: String =
@@ -1855,8 +1943,8 @@ object DedupOps {
     * mirror the operator exactly. */
   private def wavRankedCtes: String =
     s"""abase AS (
-            SELECT doc_id, doc_id // 8 AS g, (doc_id % 8) * 50 AS t0
-            FROM documents),
+            SELECT mid AS doc_id, mid // 8 AS g, (mid % 8) * 50 AS t0
+            FROM ($duckMediaIds)),
           samp AS (
             SELECT b.doc_id, t.t // 8 AS w,
                    abs((((b.g * 2654435761) % 1024) * t.t * t.t
@@ -1898,8 +1986,8 @@ object DedupOps {
     * fingerprint, and the banded pairs mirror the operator exactly. */
   private def gifRankedCtes: String =
     s"""vbase AS (
-            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
-            FROM documents),
+            SELECT mid AS doc_id, mid // 8 AS g, mid % 8 AS p
+            FROM ($duckMediaIds)),
           vpx AS (
             SELECT b.doc_id, f.f,
                    ((((b.g * 2654435761) % 8) + 1) * f.f * f.f
@@ -1940,7 +2028,7 @@ object DedupOps {
   /** Cross-modal reconciliation oracle: the text, image, and audio pair
     * oracles ride as parenthesized subqueries (each scopes its own WITH
     * chain — their internal CTE names collide by design reuse), media
-    * pairs map to doc ids through the identity link, and the transitive
+    * pairs map to doc ids through the fixture link, and the transitive
     * closure + election mirror `doc_dup_groups` + `keep_best`. The
     * multiply-referenced pair CTEs are MATERIALIZED (the playbook rule:
     * DuckDB inlines a twice-referenced chain exponentially). */
@@ -1975,7 +2063,7 @@ object DedupOps {
               JOIN flag fb ON fb.doc_id = p.b
               WHERE NOT (fa.is_new AND fb.is_new)"""
     s"""WITH RECURSIVE
-        xlink AS (SELECT doc_id AS media_id, doc_id AS ld FROM documents),$flagCte
+        xlink AS ($duckMediaLink),$flagCte
         tp AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM (
           WITH $duckVerifiedCtes SELECT doc_a, doc_b FROM dup)),
         mp AS MATERIALIZED (

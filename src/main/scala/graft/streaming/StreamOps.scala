@@ -637,11 +637,16 @@ object StreamOps {
     * CLUSTER layer, closing the last build / batch-serve / stream-serve
     * asymmetry (r14 verdict #1): per-modality gates have stream legs
     * (`stream_lsh`, `stream_img/wav/gif`) but the reconciliation that
-    * merges their verdicts ran only as a staged batch (`xmodal`). Here
-    * the admitted increment streams in, each micro-batch runs ALL FOUR
-    * gate bodies against their frozen base indexes (text LSH probe +
-    * three real-codec media probes — cross pairs only), the verified
-    * cross edges link to doc ids and FOLD into the prior cluster
+    * merges their verdicts ran only as a staged batch (`xmodal`).
+    * Production topology: the four ingestion gates PUBLISH their
+    * verified cross pairs (each gate's own stream key proves that
+    * production, micro-batch by micro-batch, against its frozen index)
+    * and the reconciliation layer CONSUMES the merged, doc-linked edge
+    * stream — it never re-runs the gates. Here the edge topic is the
+    * staged increment-cross-edge artifact
+    * ([[graft.operators.DedupOps.stagedIncrementCrossEdges]], row-equal
+    * to the gates' streamed union — spec-locked) read as a file
+    * stream; each micro-batch of edges FOLDS into the prior cluster
     * assignment via
     * [[graft.operators.DedupOps.mergeClusterIncrement]] — touching only
     * the incident clusters, never re-running the corpus-wide CC
@@ -650,30 +655,30 @@ object StreamOps {
     * returned frame is the quality-aware canonical election over the
     * final merged assignment.
     *
-    * Deterministic WITHOUT the one-batch premise: gate edges are cross
-    * pairs only (micro-batch-split independent per gate), and iterated
-    * merging equals the from-scratch closure over base ∪ all increment
-    * edges ([[graft.operators.DedupOps.mergeClusterIncrement]]'s
+    * Deterministic WITHOUT the one-batch premise: iterated merging
+    * equals the from-scratch closure over base ∪ all streamed edges
+    * ([[graft.operators.DedupOps.mergeClusterIncrement]]'s
     * CapSpec-locked property, including the two-increment fold) — so
-    * any split serves the same final view: the closure over every edge
-    * except new×new (the oracle; cap premises gated in Verify).
+    * ANY split of the edge stream serves the same final view: the
+    * closure over every edge except new×new (the oracle). No cap
+    * premise needed: the staged edges rank interleaved exactly as the
+    * oracle does.
     *
-    * Scale shape: per-batch cost = the four gates' probe costs
-    * (partition-pruned index scans, no corpus work) + a CC fixpoint on
-    * the TOUCHED subgraph (∝ the increment's dup density) + one
-    * assignment write; the base closure stages once per corpus
-    * snapshot. Reference anchor: the consume-side ingestion scaffold
-    * the reconciliation layer was meant to sit behind,
+    * Scale shape: per-batch cost = a CC fixpoint on the TOUCHED
+    * subgraph (∝ the batch's dup density — stars of incident clusters +
+    * new edges, never the corpus assignment) + one assignment write;
+    * the base closure and the edge staging run once per corpus
+    * snapshot, and the gates' per-batch costs are priced by their own
+    * keys. Reference anchor: the consume-side ingestion scaffold the
+    * reconciliation layer was meant to sit behind,
     * `/root/reference/src/entity/consumer.rs:14-41`. */
   def streamCrossModalMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.DedupOps
     graft.GraftSession.registerFunctions(spark)
-    // freeze every base artifact the gates + merge serve from
-    DedupOps.stagedBandProbeIndex(spark, sfDir)
-    DedupOps.stagedShingleIndex(spark, sfDir)
-    DedupOps.MediaModalities.foreach(m =>
-      DedupOps.stagedMediaBandIndex(spark, sfDir, m))
+    // freeze the prior assignment + the edge topic BEFORE the stream
     val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val edgesDir = DedupOps.stagedIncrementCrossEdgesDir(spark, sfDir)
+    val schema = spark.read.parquet(edgesDir.toString).schema
     val root = java.nio.file.Files.createTempDirectory("graft_stream_xm_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("serve").toString
@@ -684,25 +689,13 @@ object StreamOps {
     @volatile var latest: Option[String] = None
     def current(): DataFrame =
       latest.map(p => spark.read.parquet(p)).getOrElse(base)
-    val q = documentsStream(spark, sfDir)
-      .filter(DedupOps.isNewDoc)
+    val q = spark.readStream.schema(schema).parquet(edgesDir.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try {
           if (batch.count() > 0) {
-            val textEdges = DedupOps.incrementalDedupBatch(spark, sfDir, batch)
-              .select(col("new_doc").as("a"), col("base_doc").as("b"))
-            // the fixture link is the identity (media_id = doc_id), so
-            // the gates' media pairs ARE doc pairs; production threads
-            // its link table through the same join as the batch build
-            val mediaEdges = DedupOps.MediaModalities.map(m =>
-              DedupOps.incrementalMediaDedupBatch(spark, sfDir,
-                  m.table(batch), m)
-                .select(col("new_media").as("a"), col("base_media").as("b")))
-            val edges = (textEdges +: mediaEdges)
-              .reduce(_ unionByName _).distinct()
-            DedupOps.mergeClusterIncrement(current(), edges)
+            DedupOps.mergeClusterIncrement(current(), batch)
               .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
             latest = Some(s"$data/epoch=$epochId")
           }
@@ -1019,10 +1012,11 @@ object StreamOps {
       graft.operators.DedupOps.wavIncrementalOracle,
     "stream_gif" ->
       graft.operators.DedupOps.gifIncrementalOracle,
-    // stream_xm: split-independent (cross-only gate edges + the
-    // CapSpec-locked merge-fold property), so the served election
-    // equals the from-scratch closure over every edge except new×new —
-    // the batch xmodal chain with the new×new filter, zero drift
+    // stream_xm: split-independent (the CapSpec-locked merge-fold
+    // property over any split of the edge stream), so the served
+    // election equals the from-scratch closure over every edge except
+    // new×new — the batch xmodal chain with the new×new filter, zero
+    // drift
     "stream_xm" ->
       graft.operators.DedupOps.streamCrossModalOracle)
 }

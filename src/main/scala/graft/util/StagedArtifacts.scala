@@ -47,15 +47,25 @@ object StagedArtifacts {
       partitionCols: Seq[String] = Nil)
       (build: => DataFrame): DataFrame =
     spark.read.parquet(
-      memo.get(sfDir)({
-        builds.incrementAndGet()
-        val d = java.nio.file.Files.createTempDirectory(prefix)
-        TempDirs.track(d)
-        val w = build.write.mode("overwrite")
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-          .parquet(d.toString)
-        d
-      }).toString)
+      tempDir(sfDir, memo, prefix, builds, partitionCols)(build).toString)
+
+  /** The per-JVM temp variant returning the DIRECTORY — for consumers
+    * that need the path itself (a streaming file source reading a
+    * staged artifact as its topic). */
+  def tempDir(sfDir: String,
+      memo: StampedMemo[java.nio.file.Path], prefix: String,
+      builds: java.util.concurrent.atomic.AtomicLong,
+      partitionCols: Seq[String] = Nil)
+      (build: => DataFrame): java.nio.file.Path =
+    memo.get(sfDir)({
+      builds.incrementAndGet()
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      TempDirs.track(d)
+      val w = build.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(d.toString)
+      d
+    })
 
   // ---------------------------------------------------------------------
   // Append-target indexes: durable corpus-keyed dirs

@@ -536,6 +536,14 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(indexed === want)
   }
 
+  /** Test-side replica of the media-corpus asset-id scheme — an
+    * INDEPENDENT implementation (tests verify MultimodalOps, not echo
+    * it): primary per doc, secondary per 8th, orphan per 16th. */
+  private def assetIdsReplica(docId: Long): Seq[Long] =
+    Seq(docId + (1L << 20)) ++
+      (if (docId % 8 == 0) Seq((1L << 21) + 8000 + docId / 2) else Nil) ++
+      (if (docId % 16 == 0) Seq((1L << 22) + 16000 + docId / 16) else Nil)
+
   test("image dHash: codec-path hashes match the arithmetic replica; near-dup groups surface") {
     def replicaHash(id: Long): Long = {
       val g = (id / 8).toInt
@@ -559,6 +567,7 @@ class PipelineOpsSpec extends SparkTestBase {
       MultimodalOps.stagedTextureTable(spark, sfDir)).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
+      .flatMap(assetIdsReplica)
     assert(hashes.keySet === ids.toSet)
     ids.foreach(id => assert(hashes(id) === replicaHash(id), s"media $id"))
     // staged: a second read synthesizes nothing new
@@ -596,6 +605,7 @@ class PipelineOpsSpec extends SparkTestBase {
       MultimodalOps.stagedAudioTable(spark, sfDir)).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
+      .flatMap(assetIdsReplica)
     assert(hashes.keySet === ids.toSet)
     ids.foreach(id => assert(hashes(id) === replicaHash(id), s"clip $id"))
     MultimodalOps.audioEnergyHash(MultimodalOps.stagedAudioTable(spark, sfDir)).count()
@@ -629,6 +639,7 @@ class PipelineOpsSpec extends SparkTestBase {
       MultimodalOps.stagedVideoTable(spark, sfDir)).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
+      .flatMap(assetIdsReplica)
     assert(hashes.keySet === ids.toSet)
     ids.foreach(id => assert(hashes(id) === replicaHash(id), s"clip $id"))
     // staged: a second read synthesizes nothing new
@@ -723,15 +734,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(untouchedAfter === untouchedBefore)
   }
 
-  test("xmodal: fixture video near-dup endpoints co-cluster in the reconciliation") {
+  test("xmodal: fixture video near-dup endpoints co-cluster; orphan pairs stay inert") {
+    import spark.implicits._
+    // media -> owning doc, replicated independently; None = orphan
+    def srcDocReplica(mid: Long): Option[Long] =
+      if (mid >= (1L << 22) + 16000) None
+      else if (mid >= (1L << 21) + 8000) Some((mid - ((1L << 21) + 8000)) * 2)
+      else Some(mid - (1L << 20))
     val vids = DedupOps.videoHashDups(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
     assert(vids.nonEmpty, "fixture must contain video near-dups")
     val byDoc = DedupOps.crossModalKeepBest(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    var linked = 0
     vids.foreach { case (a, b) =>
-      assert(byDoc(a) === byDoc(b), s"video pair ($a,$b) split across clusters")
+      (srcDocReplica(a), srcDocReplica(b)) match {
+        case (Some(da), Some(db)) if da != db =>
+          linked += 1
+          assert(byDoc(da) === byDoc(db), s"video pair ($a,$b) split across clusters")
+        case _ => () // orphan-sided or same-doc pairs carry no edge
+      }
     }
+    assert(linked > 0, "fixture must contain linked cross-doc video near-dups")
+    // the reconciliation's members are DOCS — no media-domain id leaks in
+    assert(!byDoc.keySet.exists(_ >= (1L << 20)), "media id leaked into doc clusters")
+    // orphan near-dup pairs exist in the fixture and contribute NO edge
+    // through the real link (the Done criterion: orphans inert)
+    val orphans = vids.filter { case (a, b) =>
+      a >= (1L << 22) + 16000 && b >= (1L << 22) + 16000 }
+    assert(orphans.nonEmpty, "fixture must contain orphan near-dup pairs")
+    val noText = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val orphanEdges = DedupOps.crossModalEdgesOf(noText,
+      Seq(orphans.toSeq.toDF("media_a", "media_b")),
+      MultimodalOps.mediaLink(docs))
+    assert(orphanEdges.count() === 0L, "orphan pairs must drop at the link join")
   }
 
   test("text probe indexes: append -> serve -> staleness -> re-stage lifecycle") {
@@ -937,13 +973,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assertSameRows(
       DedupOps.stagedContamination(spark, sfDir),
       DedupOps.docDecontaminate(docs))
-    // the staged xmodal election equals the inline reconciliation
-    val link = docs.select(col("doc_id").as("media_id"), col("doc_id").as("ld"))
+    // the staged xmodal election equals the inline reconciliation,
+    // through an INDEPENDENT replica of the fixture link (primary +
+    // secondary assets; orphans absent, so their pairs drop here too)
+    import spark.implicits._
+    val linkReplica = docs.select("doc_id").collect().map(_.getLong(0))
+      .flatMap { d =>
+        Seq((d + (1L << 20), d)) ++
+          (if (d % 8 == 0) Seq(((1L << 21) + 8000 + d / 2, d)) else Nil)
+      }.toSeq.toDF("media_id", "ld")
     def viaLink(pairs: org.apache.spark.sql.DataFrame) =
       pairs.toDF("ma", "mb")
-        .join(link.select(col("media_id").as("ma"), col("ld").as("doc_a")), "ma")
-        .join(link.select(col("media_id").as("mb"), col("ld").as("doc_b")), "mb")
+        .join(linkReplica.select(col("media_id").as("ma"), col("ld").as("doc_a")), "ma")
+        .join(linkReplica.select(col("media_id").as("mb"), col("ld").as("doc_b")), "mb")
         .select(col("doc_a"), col("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
     assertSameRows(
       DedupOps.crossModalKeepBest(spark, sfDir),
       DedupOps.crossModalKeepBestFrom(docs, Seq(

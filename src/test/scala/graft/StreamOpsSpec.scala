@@ -190,8 +190,12 @@ class StreamOpsSpec extends SparkTestBase {
     // cross-pairs-only ⇒ micro-batch-split independent: each modality's
     // streamed union over the media increment must equal its batch
     // dedup restricted to (new × base) pairs under the md5-bucket split
+    // media newness = the GENERATING doc's increment membership (media
+    // ids are disjoint from doc ids since round 15)
     def isNew(c: String) =
-      Hashing.md5Bucket(col(c), 1000) < DedupOps.IncrementPermille
+      Hashing.md5Bucket(
+        graft.multimodal.MultimodalOps.mediaSrcDoc(col(c)), 1000) <
+        DedupOps.IncrementPermille
     val batchDups: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "img" -> DedupOps.imageDHashDups(spark, sfDir),
       "wav" -> DedupOps.audioHashDups(spark, sfDir),
@@ -211,6 +215,26 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("the stream_xm edge topic equals the four gates' batch outputs, linked") {
+    // the topology claim: the staged increment-cross-edge artifact the
+    // reconciliation consumes is exactly what the four ingestion gates
+    // produce on the full admitted increment, mapped through the link —
+    // so consuming the topic IS consuming the gates' outputs
+    import graft.operators.DedupOps
+    val docs = Fixtures.documents(spark, sfDir)
+    val increment = docs.filter(DedupOps.isNewDoc)
+    val textEdges = DedupOps.incrementalDedupBatch(spark, sfDir, increment)
+      .select(col("new_doc").as("doc_a"), col("base_doc").as("doc_b"))
+    val mediaPairs = DedupOps.MediaModalities.map(m =>
+      DedupOps.incrementalMediaDedupBatch(spark, sfDir, m.table(increment), m)
+        .select(col("new_media"), col("base_media")))
+    val viaGates = DedupOps.crossModalEdgesOf(textEdges, mediaPairs,
+      graft.multimodal.MultimodalOps.mediaLink(docs))
+    val topic = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    assert(topic.count() > 0, "fixture must produce cross edges")
+    assertSameRows(topic, viaGates)
+  }
+
   test("stream_xm equals the from-scratch closure election over base + cross edges") {
     // the streamed merge's serving view must equal closing (from
     // scratch) every linked edge EXCEPT new x new — computed here
@@ -220,7 +244,7 @@ class StreamOpsSpec extends SparkTestBase {
     import graft.operators.DedupOps
     import spark.implicits._
     val docs = Fixtures.documents(spark, sfDir)
-    val link = docs.select(col("doc_id").as("media_id"), col("doc_id"))
+    val link = graft.multimodal.MultimodalOps.mediaLink(docs)
     val edges = DedupOps.crossModalEdgesOf(
       DedupOps.stagedLshVerifiedDups(spark, sfDir)
         .select(col("doc_a"), col("doc_b")),
