@@ -1568,9 +1568,18 @@ object DedupOps {
     // commutative, associative, deterministic at any partitioning.
     val fwd = pairs.toDF("doc_a", "doc_b")
       .select(col("doc_a").cast("long"), col("doc_b").cast("long")).persist()
-    fwd.count()
+    val nEdges = fwd.count()
+    // SIZE the fixpoint's partitioner to the edge count: every round
+    // schedules one task per partition, so a small merge increment
+    // (the streaming reconciliation's per-batch subgraph) at full
+    // defaultParallelism pays ~32 near-empty tasks × joins × rounds of
+    // pure scheduling. ~4k edges per partition keeps partitions beyond
+    // memory-trivial while a corpus-scale edge list still fans out to
+    // the session's full parallelism; results are partitioning-agnostic
+    // (all per-round operators are min-folds — asserted in tests).
     val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 4096L + 1L).toInt)))
     // symmetric edge list keyed by source — its own transpose, so one
     // partitionBy serves every per-round join on either endpoint
     val edges = fwd.as[(Long, Long)].rdd
