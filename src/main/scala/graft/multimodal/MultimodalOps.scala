@@ -646,6 +646,19 @@ object MultimodalOps {
   val SecondaryBase: Long = (1L << 21) + 8000
   val OrphanBase: Long = (1L << 22) + 16000
 
+  /** Doc-id bound for exact [[mediaSrcDoc]] inversion: primary ids must
+    * stay below [[SecondaryBase]] (the binding constraint — the other
+    * families' ranges are wider). Enforced LOUDLY at synthesis, the
+    * [[requireTextureIdDomain]] discipline: past the bound a primary id
+    * would silently decode as a secondary, flipping the asset's
+    * increment membership while the generation-side oracle stayed
+    * right. */
+  private def requireLinkIdDomain(docId: Long): Unit =
+    require(docId >= 0 && docId < SecondaryBase - PrimaryOffset,
+      s"doc id $docId outside [0, ${SecondaryBase - PrimaryOffset}) — " +
+        "its primary asset id would collide with the secondary range and " +
+        "mediaSrcDoc would mis-invert it")
+
   /** The asset ids one document row generates (primary [+ secondary]
     * [+ orphan]) — the per-row synthesis plan of every media table.
     * Secondary ids step by 4 (`doc_id / 2` for the every-8th owners),
@@ -655,10 +668,12 @@ object MultimodalOps {
     * chaining arbitrarily many clusters into one corpus-wide component
     * (an 8-consecutive secondary scheme measurably collapsed the
     * sf0.001 reconciliation to a single cluster). */
-  private def assetIdsOf(docId: Long): Seq[Long] =
+  private def assetIdsOf(docId: Long): Seq[Long] = {
+    requireLinkIdDomain(docId)
     Seq(docId + PrimaryOffset) ++
       (if (docId % 8 == 0) Seq(SecondaryBase + docId / 2) else Nil) ++
       (if (docId % 16 == 0) Seq(OrphanBase + docId / 16) else Nil)
+  }
 
   /** The GENERATING doc of an asset id — the arithmetic inverse of
     * [[assetIdsOf]]. Every asset (orphans included) derives from a doc,

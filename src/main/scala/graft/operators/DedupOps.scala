@@ -1118,16 +1118,17 @@ object DedupOps {
 
   /** One batch-checkpoint ROOT per (corpus, JVM) — see the overwrite
     * note in [[incrementalDedupBatch]]; media keys by (corpus,
-    * modality). Writes ALTERNATE between two subdirs of the root
-    * (ADVICE r14): with a single dir, two concurrent callers on the
-    * same corpus (parallel suites, two streams) raced one's overwrite
-    * against the other's in-flight read of the returned plan; the A/B
-    * flip gives concurrent callers disjoint dirs while keeping the
-    * leak bound (two subdirs per key, ever — never a dir per
-    * micro-batch). A plan stays valid until the SAME caller's
-    * next-next batch, which the streaming callers satisfy by
-    * construction (each epoch's sink write completes before the next
-    * batch starts). */
+    * modality). Writes ROTATE through four subdirs of the root (ADVICE
+    * r14): with a single dir, two concurrent callers on the same corpus
+    * (parallel suites, two streams) raced one's overwrite against the
+    * other's in-flight read of the returned plan. The rotation does NOT
+    * make concurrent callers fully collision-proof — it widens the
+    * window to a THREE-WRITE lag (a returned plan stays readable until
+    * the key's fourth subsequent checkpoint write), which every
+    * in-repo caller satisfies by consuming the plan inside its own
+    * batch, while keeping the leak bound (four subdirs per key, ever —
+    * never a dir per micro-batch). Callers needing unbounded
+    * concurrent plans must checkpoint to their own dirs. */
   private val candDirs = new java.util.concurrent.ConcurrentHashMap[
     String, (java.nio.file.Path, java.util.concurrent.atomic.AtomicLong)]()
 
@@ -1137,7 +1138,7 @@ object DedupOps {
       graft.util.TempDirs.track(d)
       (d, new java.util.concurrent.atomic.AtomicLong(0))
     })
-    root.resolve(s"b${n.getAndIncrement() % 2}")
+    root.resolve(s"b${n.getAndIncrement() % 4}")
   }
 
   def incrementalDedupBatch(spark: SparkSession, sfDir: String,
@@ -1323,9 +1324,6 @@ object DedupOps {
     if (m.name == "img") "media.index_stale_fraction"
     else s"media.index_stale_fraction_${m.name}"
 
-  /** Test-isolation drop for the media probe indexes — the
-    * [[dropStagedProbeIndexes]] scoping discipline (per staged dir,
-    * never host-wide). */
   /** TEST-ONLY isolation drop for the media probe indexes — the
     * [[dropStagedProbeIndexes]] semantics (delete the durable dirs so
     * the next access rebuilds; counters scoped per staged dir). */

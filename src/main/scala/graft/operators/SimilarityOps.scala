@@ -555,16 +555,25 @@ object SimilarityOps {
   def ivfIndexStaleFraction(spark: SparkSession, sfDir: String): Double = {
     // arithmetic over manifest values (r14 verdict #4): base rows
     // recorded at staging, segment rows at registration, appends
-    // counted as they land — no index scan in the gauge read
-    val dir = ivfIndexDir(spark, sfDir)
+    // counted as they land — no index scan, and RESOLVE, never build
+    // (the text/media gauge discipline): a monitoring read on a host
+    // that never staged the index must not pay Lloyd + PQ + the index
+    // write just to report. Un-staged base with live segments = 100%
+    // stale (everything served would come from segments).
     val segRows = registeredSegmentRows(sfDir)
-    val appended = graft.util.ServingManifest
-      .getCounter(sfDir, AnnAppendsFamily, AnnTables, dir.toString)
-    val stale = segRows + appended
-    if (stale == 0) 0.0
-    else stale.toDouble /
-      (graft.util.StagedArtifacts.stagedBaseRows(sfDir, ivfIndexDirs, dir)
-        + appended + segRows).toDouble
+    ivfIndexDirs.peek(sfDir)
+      .orElse(graft.util.StagedArtifacts.resolveExisting(
+        sfDir, ivfIndexDirs, "ivf_idx")) match {
+      case None => if (segRows > 0) 1.0 else 0.0
+      case Some(dir) =>
+        val appended = graft.util.ServingManifest
+          .getCounter(sfDir, AnnAppendsFamily, AnnTables, dir.toString)
+        val stale = segRows + appended
+        if (stale == 0) 0.0
+        else stale.toDouble /
+          (graft.util.StagedArtifacts.stagedBaseRows(sfDir, ivfIndexDirs, dir)
+            + appended + segRows).toDouble
+    }
   }
 
   /** Live streaming segment root registered for serving, per corpus dir
@@ -643,10 +652,12 @@ object SimilarityOps {
     * between them was wrongly deleted (r14 verdict #1). */
   def dropIndexSegments(sfDir: String, segRoot: String): Unit = {
     liveSegmentRoots.remove(sfDir, segRoot)
-    if (graft.util.ServingManifest.removeIf(sfDir, SegmentsFamily, AnnTables,
-        "segRoot", segRoot))
-      graft.util.ServingManifest.removeCounter(sfDir, SegmentsFamily,
-        AnnTables, "segRows")
+    // segRows rides in the SAME conditional write: a second removal
+    // step under its own lock could delete a registration another JVM
+    // installed between the two (the race class removeIf exists for)
+    graft.util.ServingManifest.removeIf(sfDir, SegmentsFamily, AnnTables,
+      "segRoot", segRoot, alsoRemove = Seq("segRows"))
+    ()
   }
 
   /** Drop the in-memory segment fast path WITHOUT touching the

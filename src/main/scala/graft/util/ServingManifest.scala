@@ -140,19 +140,54 @@ object ServingManifest {
   }
 
   /** Compare-and-delete under ONE file lock: remove `key` only if its
-    * current value is `expected`, and report whether it was removed.
-    * The conditional-retirement primitive (r14 verdict #1): a caller
-    * doing get-then-remove under two separate locks loses a
-    * registration a second JVM installs between them. */
+    * current value is `expected` — plus `alsoRemove` companions in the
+    * SAME write — and report whether it was removed. The
+    * conditional-retirement primitive (r14 verdict #1): a caller doing
+    * get-then-remove under two separate locks loses a registration a
+    * second JVM installs between them; companion entries (a
+    * registration's measurement keys) must ride in the same atomic
+    * write or the race just moves one key over. */
   def removeIf(sfDir: String, family: String, tables: Seq[String],
-      key: String, expected: String): Boolean = withFileLock {
+      key: String, expected: String,
+      alsoRemove: Seq[String] = Nil): Boolean = withFileLock {
     val cur = getUnlocked(sfDir, family, tables)
     if (!cur.get(key).contains(expected)) false
     else {
-      putUnlocked(sfDir, family, tables, cur - key)
+      putUnlocked(sfDir, family, tables, cur - key -- alsoRemove)
       true
     }
   }
+
+  /** Drop `key` from EVERY family file of this corpus, raw (no stamp
+    * validation — the stamp and all other entries are preserved
+    * byte-for-byte): the install-time reset for dir-keyed measurement
+    * entries when a rebuilt artifact lands on a previously-used dir
+    * name before any stamped read could sweep the dead key. */
+  private[graft] def removeKeyAllFamilies(sfDir: String, key: String): Unit =
+    withFileLock {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val encKey = enc(key) + "="
+      val s = Files.list(rootDir)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.startsWith(s"${md}_") &&
+              f.getFileName.toString.endsWith(".props")) {
+            val lines = Files.readString(f).linesIterator.toSeq
+            if (lines.exists(_.startsWith(encKey))) {
+              val tmp = Files.createTempFile(rootDir, f.getFileName.toString, ".tmp")
+              Files.writeString(tmp,
+                lines.filterNot(_.startsWith(encKey))
+                  .mkString("", "\n", "\n"))
+              Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
+      } finally s.close()
+    }
 
   /** Add `delta` to the (sfDir, family, key) counter and return the new
     * value — the persisted append/staleness bookkeeping, read-modify-

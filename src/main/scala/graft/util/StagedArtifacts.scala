@@ -203,9 +203,12 @@ object StagedArtifacts {
               val gen = gensUnlocked(key).headOption.map(_._1).getOrElse(-1) + 1
               val target = rootDir.resolve(s"${key}_g$gen")
               Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-              // SET, not add: a delete-and-rebuild can land on the same
-              // generation name, and the base count is a measurement of
-              // THIS build, never an accumulation
+              // a delete-and-rebuild can land on the SAME generation
+              // name — every dir-keyed manifest entry (append counters
+              // in any family, the old base count) must reset with the
+              // fresh artifact, or a dead run's counter resurrects onto
+              // a pristine index the moment the name is reused
+              ServingManifest.removeKeyAllFamilies(sfDir, target.toString)
               ServingManifest.set(sfDir, BaseRowsFamily,
                 memo.tableNames, target.toString, baseRows.toString)
               // sweep every non-target sibling of (corpus, artifact):

@@ -1529,8 +1529,12 @@ class PipelineOpsSpec extends SparkTestBase {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$segRoot/epoch=0")
     try {
       SimilarityOps.registerIndexSegments(spark, sf, segRoot.toString)
+      // stage the base EXPLICITLY: the gauge resolves, never builds
+      // (r15 — a monitoring read must not pay Lloyd + PQ + index write)
+      SimilarityOps.stagedIvfIndexDir(spark, sf)
       val staleBefore = SimilarityOps.ivfIndexStaleFraction(spark, sf)
-      assert(staleBefore > 0.0, "registered segment must count as stale")
+      assert(staleBefore > 0.0 && staleBefore < 1.0,
+        "registered segment must count as stale against the staged base")
       // SIMULATED RESTART: a fresh JVM has no in-memory registration and
       // no staged memos — drop both, then serve from a NEW SparkSession.
       // The staged artifacts rebuild (deterministically, from the same

@@ -33,6 +33,33 @@ class ServingManifestSpec extends AnyFunSuite {
     assert(ServingManifest.get(sf, "fam", T).isEmpty)
   }
 
+  test("removeIf drops its companions in the same conditional write") {
+    val sf = freshCorpus()
+    ServingManifest.put(sf, "fam_c", T,
+      Map("segRoot" -> "/a", "segRows" -> "5", "other" -> "x"))
+    // guard mismatch: NOTHING is removed, companions included
+    assert(!ServingManifest.removeIf(sf, "fam_c", T, "segRoot", "/zzz",
+      alsoRemove = Seq("segRows")))
+    assert(ServingManifest.get(sf, "fam_c", T)
+      === Map("segRoot" -> "/a", "segRows" -> "5", "other" -> "x"))
+    // guard match: key + companions go atomically; unrelated keys stay
+    assert(ServingManifest.removeIf(sf, "fam_c", T, "segRoot", "/a",
+      alsoRemove = Seq("segRows")))
+    assert(ServingManifest.get(sf, "fam_c", T) === Map("other" -> "x"))
+  }
+
+  test("removeKeyAllFamilies strips one key from every family, stamps intact") {
+    val sf = freshCorpus()
+    val dir = "/some/staged/dir_g0"
+    ServingManifest.put(sf, "fam_x", T, Map(dir -> "5", "keep" -> "a"))
+    ServingManifest.put(sf, "fam_y", T, Map(dir -> "9", "also" -> "b"))
+    ServingManifest.removeKeyAllFamilies(sf, dir)
+    // the key is gone from BOTH families; other entries and the stamp
+    // survive (a failed stamp would return empty maps here)
+    assert(ServingManifest.get(sf, "fam_x", T) === Map("keep" -> "a"))
+    assert(ServingManifest.get(sf, "fam_y", T) === Map("also" -> "b"))
+  }
+
   test("keys and values containing '=' and newlines round-trip") {
     val sf = freshCorpus()
     // counter keys are filesystem paths; a partition-style dir puts '='
