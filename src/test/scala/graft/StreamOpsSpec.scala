@@ -261,6 +261,15 @@ class StreamOpsSpec extends SparkTestBase {
     val served = StreamOps.streamCrossModalMerge(spark, sfDir)
     assert(served.count() > 0, "fixture must produce cross-modal clusters")
     assertSameRows(served, expected)
+    // the SERVED plan is the election over the merged-assignment sink:
+    // no probe-index scan, no fingerprint artifact, not even the edge
+    // topic — all of that was consumed inside the stream (the
+    // media-gate plan-guard discipline)
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("_media_idx_"), s"probe index scan in served plan:\n$p")
+    assert(!p.contains("_band_idx_s"), s"band index scan in served plan:\n$p")
+    assert(!p.contains("graft_media_fp_"), s"fingerprint scan in served plan:\n$p")
+    assert(!p.contains("graft_xm_edges_"), s"edge-topic scan in served plan:\n$p")
   }
 
   test("stream_img serves every micro-batch from the FROZEN staged media index") {
