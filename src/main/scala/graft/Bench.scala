@@ -40,6 +40,7 @@ object Bench {
     // this run's ANN timings measure the base view, not an orphan
     // overlay.
     graft.operators.SimilarityOps.dropIndexSegments(sfDir)
+    graft.operators.DedupOps.dropClusterDeltas(sfDir)
     // And re-stage any DURABLE staged index carrying a dead prior JVM's
     // appends (threshold 0.0 trips exactly when the persisted append
     // counter is non-zero; a clean index is a no-op and keeps its

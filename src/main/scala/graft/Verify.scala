@@ -20,6 +20,7 @@ object Verify {
     // dead run's segments contaminate every ANN plan and gauge here.
     // Start from the base view; restart durability stays spec-locked.
     graft.operators.SimilarityOps.dropIndexSegments(sfDir)
+    graft.operators.DedupOps.dropClusterDeltas(sfDir)
     // Same hermeticity for the DURABLE staged indexes (r15): appends a
     // dead prior JVM admitted survive in the shared dirs by design — a
     // measurement JVM must serve the corpus-only base, so any index
@@ -132,6 +133,15 @@ object Verify {
         graft.operators.DedupOps.mediaIndexStaleFraction(spark, sfDir, m))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] media stale gauge failed: ${e.getMessage}")
+    }
+    // Cluster-layer staleness: the merged-in fraction of the served
+    // cross-modal assignment (deltas ÷ base + deltas, manifest
+    // arithmetic) — 0.0 under pure serving, non-zero only if a delta
+    // overlay registration leaked into the serving path.
+    try graft.ObservedMetrics.recordGauge("xm.merged_fraction",
+      graft.operators.DedupOps.xmMergedFraction(spark, sfDir))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] xm merged gauge failed: ${e.getMessage}")
     }
     // Retry observability (r13 verdict #6): a round whose ledger
     // publishes silently limped through on transient-failure retries is

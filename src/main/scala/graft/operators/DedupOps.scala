@@ -1684,26 +1684,97 @@ object DedupOps {
     *
     * Scale shape: cost ∝ the increment's dup density — the touched
     * clusters' member lists and the new edges, never the corpus's full
-    * assignment: affected-cluster selection is two semi-joins on
-    * (id, cluster) scalars, and the RDD fixpoint runs on the touched
-    * subgraph only. */
+    * assignment: affected-cluster selection is two BROADCAST semi-joins
+    * on (id, cluster) scalars (the build sides — new-edge endpoints and
+    * the clusters they land in — are bounded by the increment, so the
+    * data-proportional assignment side never shuffles; plan-guarded in
+    * PlanSpec), and the RDD fixpoint runs on the touched subgraph
+    * only. */
   def mergeClusterIncrement(groups: DataFrame, newEdges: DataFrame): DataFrame = {
+    val g = assignmentOf(groups)
+    val (touched, reclosed) = touchedReclosure(g, newEdges)
+    g.join(broadcast(touched), Seq("cluster"), "left_anti")
+      .unionByName(reclosed)
+  }
+
+  /** The DELTA of [[mergeClusterIncrement]]: ONLY the re-closed rows —
+    * every member of every touched cluster plus the new endpoints,
+    * with their post-merge (cluster, is_canonical, cluster_size). The
+    * streaming reconciliation's per-epoch sink writes exactly this
+    * (O(touched) rows, never the corpus assignment) and serves
+    * base ∪ deltas through [[servedClusterAssignment]] — the `ann_seg`
+    * LSM discipline lifted to the cluster layer: overlay-served view =
+    * [[mergeClusterIncrement]]'s full rewrite, because a row changes
+    * cluster/size/canonical ONLY by being a member of a touched
+    * cluster, and every such member appears in the delta (the stars
+    * span the whole old component). */
+  def mergeClusterIncrementDelta(groups: DataFrame, newEdges: DataFrame): DataFrame =
+    touchedReclosure(assignmentOf(groups), newEdges)._2
+
+  private def assignmentOf(groups: DataFrame): DataFrame = groups.select(
+    col("doc_id"), col("cluster"), col("is_canonical"), col("cluster_size"))
+
+  /** Touched-cluster selection + star re-closure shared by the full
+    * merge and the delta variant. Exposed `private[graft]` so PlanSpec
+    * can assert the selection's scale shape (broadcast semi-joins, no
+    * sort-merge of the assignment side) without duplicating the
+    * construction. */
+  private[graft] def touchedReclosure(g: DataFrame,
+      newEdges: DataFrame): (DataFrame, DataFrame) = {
     val edges = newEdges.toDF("a", "b")
       .select(col("a").cast("long"), col("b").cast("long"))
-    val g = groups.select(
-      col("doc_id"), col("cluster"), col("is_canonical"), col("cluster_size"))
     val verts = edges.select(col("a").as("doc_id"))
       .union(edges.select(col("b").as("doc_id"))).distinct()
-    val touched = g.join(verts, "doc_id").select("cluster").distinct()
-    val affected = g.join(touched, "cluster")
+    val touched = g.join(broadcast(verts), "doc_id")
+      .select("cluster").distinct()
+    val affected = g.join(broadcast(touched), "cluster")
     // star edges: (member, label) for non-label members — label is a
     // member, so the star reconstructs the component exactly
     val stars = affected.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("a"), col("cluster").as("b"))
     val reclosed = clusterPairs(edges.union(stars).distinct())
       .withColumnRenamed("id", "doc_id")
-    g.join(touched, Seq("cluster"), "left_anti")
-      .unionByName(reclosed)
+    (touched, reclosed)
+  }
+
+  /** The cluster-assignment OVERLAY READ — `SimilarityOps.servedIndex`
+    * for the cluster layer: serve `base` ∪ the epoch-keyed delta dirs
+    * under `deltaRoot` (each written by
+    * [[mergeClusterIncrementDelta]]), newest epoch wins per `doc_id`,
+    * base rows shadowed by any delta row anti-join away. The anti-join
+    * build side is delta doc_ids only — bounded by the un-compacted
+    * increment set (the re-stage cadence bounds it, exactly as
+    * compaction bounds the ANN segment overlay) — so it BROADCASTS and
+    * the base side never shuffles.
+    *
+    * `excludeEpoch` closes the foreachBatch REPLAY hazard (ADVICE r15):
+    * a replayed epoch (written, then the checkpoint commit died) must
+    * not read the serving view THROUGH its own half-trusted dir while
+    * overwriting that dir — the epoch filter sits on the partition
+    * column (Int-typed literal, so partition PRUNING applies and the
+    * doomed files are never even listed), making the replay read
+    * exactly the pre-epoch view and the rewrite deterministic. */
+  def servedClusterAssignment(spark: SparkSession, base: DataFrame,
+      deltaRoot: String, excludeEpoch: Option[Long] = None): DataFrame = {
+    val root = new java.io.File(deltaRoot)
+    val hasDeltas = Option(root.listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("epoch=")))
+    if (!hasDeltas) base
+    else {
+      val raw = spark.read.parquet(deltaRoot)
+      val deltas = excludeEpoch
+        .map(e => raw.filter(col("epoch") =!= lit(e.toInt)))
+        .getOrElse(raw)
+      val newest = deltas.groupBy("doc_id").agg(
+        max_by(struct(col("cluster"), col("is_canonical"),
+          col("cluster_size")), col("epoch")).as("s"))
+        .select(col("doc_id"), col("s.cluster").as("cluster"),
+          col("s.is_canonical").as("is_canonical"),
+          col("s.cluster_size").as("cluster_size"))
+      assignmentOf(base)
+        .join(broadcast(newest.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(newest)
+    }
   }
 
   /** [[mergeClusterIncrement]] wired to the staged cross-modal
@@ -1717,6 +1788,128 @@ object DedupOps {
   def mergeCrossModalIncrement(spark: SparkSession, sfDir: String,
       newEdges: DataFrame): DataFrame =
     mergeClusterIncrement(stagedCrossModalGroups(spark, sfDir), newEdges)
+
+  // ---------------------------------------------------------------------
+  // Cross-modal cluster overlay lifecycle — the append / staleness /
+  // re-stage contract the other three index families have
+  // (text probe indexes, media fingerprint index, ANN segments), for
+  // the CLUSTER layer: the streaming reconciliation's delta epochs are
+  // the "appends", [[xmMergedFraction]] the arithmetic staleness gauge,
+  // [[maybeRestageCrossModal]] the compaction trigger.
+  // ---------------------------------------------------------------------
+
+  private val XmDeltaFamily = "xm_deltas"
+  private val XmTables = TextTables
+
+  /** Publish a delta-overlay root as the serving registration of record
+    * for this corpus's cross-modal assignment — the
+    * `registerIndexSegments` sibling. The BASE assignment's row count
+    * is measured ONCE here (a registration-time scan, never a
+    * monitoring-time one) so [[xmMergedFraction]] is pure manifest
+    * arithmetic afterwards. */
+  def registerClusterDeltas(spark: SparkSession, sfDir: String,
+      deltaRoot: String): Unit = {
+    val baseRows = stagedBaseCrossModalGroups(spark, sfDir).count()
+    graft.util.ServingManifest.put(sfDir, XmDeltaFamily, XmTables,
+      Map("deltaRoot" -> deltaRoot, "baseRows" -> baseRows.toString,
+        "deltaRows" -> "0"))
+  }
+
+  /** Bump the registered overlay's delta-row counter after an epoch
+    * write — conditional on `deltaRoot` still being the registration of
+    * record, in ONE manifest lock ([[graft.util.ServingManifest
+    * .addCounterIf]]): an epoch landing after the registration was
+    * retired (or swapped by another JVM) must not resurrect or skew the
+    * new registration's gauge. No-ops (false) when unregistered. */
+  def noteClusterDeltaAppend(sfDir: String, deltaRoot: String,
+      rows: Long): Boolean =
+    graft.util.ServingManifest.addCounterIf(sfDir, XmDeltaFamily, XmTables,
+      "deltaRoot", deltaRoot, "deltaRows", rows)
+
+  /** The overlay root currently registered for `sfDir`, provided its
+    * dir still exists (a dead JVM's retired temp root drops the stale
+    * registration — the `registeredSegmentRoot` self-healing). */
+  def registeredClusterDeltaRoot(sfDir: String): Option[String] =
+    graft.util.ServingManifest.get(sfDir, XmDeltaFamily, XmTables)
+      .get("deltaRoot") match {
+      case Some(r) if java.nio.file.Files
+          .isDirectory(java.nio.file.Paths.get(r)) => Some(r)
+      case Some(_) =>
+        graft.util.ServingManifest.remove(sfDir, XmDeltaFamily)
+        None
+      case None => None
+    }
+
+  /** The cross-modal assignment every consumer should read between
+    * snapshot re-stages: the staged BASE closure ∪ the registered delta
+    * overlay, newest epoch wins ([[servedClusterAssignment]]) — or the
+    * base alone when nothing is registered (zero plan change, the
+    * `servedIndex` contract). */
+  def servedCrossModalGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = stagedBaseCrossModalGroups(spark, sfDir)
+    registeredClusterDeltaRoot(sfDir) match {
+      case None => base
+      case Some(root) => servedClusterAssignment(spark, base, root)
+    }
+  }
+
+  /** Staleness gauge for the cluster layer: the fraction of the served
+    * assignment's rows that entered via delta epochs — pure manifest
+    * arithmetic (deltaRows / (baseRows + deltaRows)), resolve-never-
+    * build, 0.0 under pure serving. A doc re-touched in two epochs
+    * counts twice in the numerator — a monotone staleness PROXY's
+    * acceptable skew (the [[mediaIndexStaleFraction]] admission-contract
+    * caveat), never a correctness input. */
+  def xmMergedFraction(spark: SparkSession, sfDir: String): Double =
+    registeredClusterDeltaRoot(sfDir) match {
+      case None => 0.0
+      case Some(_) =>
+        val m = graft.util.ServingManifest.get(sfDir, XmDeltaFamily, XmTables)
+        val d = m.get("deltaRows").map(_.toLong).getOrElse(0L)
+        if (d == 0) 0.0
+        else d.toDouble /
+          (m.get("baseRows").map(_.toLong).getOrElse(0L) + d).toDouble
+    }
+
+  /** Staleness-triggered RE-STAGE for the cluster layer — the shared
+    * COMPACTION CONTRACT ([[maybeRestageMediaIndex]] /
+    * [[maybeRestageTextIndexes]]): when the merged-in fraction exceeds
+    * `threshold`, rebuild the base closure from the CORPUS SNAPSHOT
+    * alone (in production the snapshot has absorbed the admitted
+    * increments, so the full closure covers them) and retire the delta
+    * registration — un-compacted deltas DROP, exactly as appended index
+    * rows drop at an index re-stage. Returns whether a re-stage ran. */
+  def maybeRestageCrossModal(spark: SparkSession, sfDir: String,
+      threshold: Double): Boolean = {
+    val stale = xmMergedFraction(spark, sfDir)
+    graft.ObservedMetrics.recordGauge("xm.merged_fraction", stale)
+    if (stale <= threshold) false
+    else {
+      val root = registeredClusterDeltaRoot(sfDir)
+      xmodalBaseDirs.invalidate(sfDir)
+      stagedBaseCrossModalGroups(spark, sfDir) // eager: serving never
+      root.foreach { r =>                      // races a half-build
+        graft.util.ServingManifest.removeIf(sfDir, XmDeltaFamily, XmTables,
+          "deltaRoot", r, alsoRemove = Seq("deltaRows", "baseRows"))
+      }
+      true
+    }
+  }
+
+  /** Retire the registration for exactly `deltaRoot` — compare-and-
+    * delete under one manifest lock with the measurement keys riding in
+    * the same write (the by-root `dropIndexSegments` discipline): a key
+    * that published its own overlay drops exactly that, never a
+    * registration another serve path installed after it. */
+  def retireClusterDeltas(sfDir: String, deltaRoot: String): Boolean =
+    graft.util.ServingManifest.removeIf(sfDir, XmDeltaFamily, XmTables,
+      "deltaRoot", deltaRoot, alsoRemove = Seq("deltaRows", "baseRows"))
+
+  /** Retire any cluster-delta registration for `sfDir` — hermeticity
+    * drop for Bench/Verify startup and test isolation (the
+    * `dropIndexSegments` sibling). */
+  def dropClusterDeltas(sfDir: String): Unit =
+    graft.util.ServingManifest.remove(sfDir, XmDeltaFamily)
 
   /** Benchmark decontamination — the train/test-leakage detector every
     * training pipeline runs before a data release: flag corpus documents

@@ -545,8 +545,17 @@ object StreamOps {
     * depend on (that doc, the staged base) alone and any micro-batch
     * split yields the same union — equal to the batch
     * [[graft.operators.DedupOps.docIncrementalDedup]] over the whole
-    * corpus (asserted in tests; the key shares `incr_dedup`'s oracle). */
-  def streamTextDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    * corpus (asserted in tests; the key shares `incr_dedup`'s oracle).
+    *
+    * `publishEdgesTo`: the gate's PRODUCTION output leg — each
+    * micro-batch's verified pairs additionally land as canonical
+    * `(doc_a, doc_b)` edge rows (appended parquet, part-file names are
+    * job-unique) in the shared edge topic the cross-modal
+    * reconciliation consumes ([[streamCrossModalMerge]]). A replayed
+    * epoch may double-append its edges — harmless downstream, the
+    * merge dedups edges before every closure. */
+  def streamTextDedup(spark: SparkSession, sfDir: String,
+      publishEdgesTo: Option[String] = None): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     // freeze the base artifacts BEFORE the stream starts (build-if-
     // absent): the signature index and the two partition-prunable probe
@@ -564,10 +573,26 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try {
-          if (batch.count() > 0)
-            graft.operators.DedupOps
+          if (batch.count() > 0) {
+            val res = graft.operators.DedupOps
               .incrementalDedupBatch(spark, sfDir, batch)
-              .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+            publishEdgesTo match {
+              case None =>
+                res.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+              case Some(pub) =>
+                res.persist()
+                try {
+                  res.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+                  graft.operators.DedupOps.crossModalEdgesOf(
+                    res.select(col("new_doc").as("doc_a"),
+                      col("base_doc").as("doc_b")),
+                    Nil,
+                    graft.multimodal.MultimodalOps.mediaLink(
+                      graft.model.Fixtures.documents(spark, sfDir)))
+                    .write.mode("append").parquet(pub)
+                } finally { res.unpersist(); () }
+            }
+          }
         } finally batch.unpersist()
         ()
       }
@@ -603,7 +628,11 @@ object StreamOps {
     * the oracle is that slice in SQL). */
   def streamMediaDedup(spark: SparkSession, sfDir: String,
       modality: graft.operators.DedupOps.MediaModality =
-        graft.operators.DedupOps.ImageModality): DataFrame = {
+        graft.operators.DedupOps.ImageModality,
+      // the gate's production output leg — verified pairs additionally
+      // publish as LINKED canonical (doc_a, doc_b) edges into the shared
+      // edge topic (see streamTextDedup's publishEdgesTo)
+      publishEdgesTo: Option[String] = None): DataFrame = {
     // freeze the base artifact BEFORE the stream starts (build-if-absent)
     graft.operators.DedupOps.stagedMediaBandIndex(spark, sfDir, modality)
     val root = java.nio.file.Files
@@ -617,10 +646,26 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try {
-          if (batch.count() > 0)
-            graft.operators.DedupOps.incrementalMediaDedupBatch(spark, sfDir,
-                modality.table(batch), modality)
-              .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+          if (batch.count() > 0) {
+            val res = graft.operators.DedupOps.incrementalMediaDedupBatch(
+              spark, sfDir, modality.table(batch), modality)
+            publishEdgesTo match {
+              case None =>
+                res.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+              case Some(pub) =>
+                res.persist()
+                try {
+                  res.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+                  graft.operators.DedupOps.crossModalEdgesOf(
+                    spark.range(0).select(col("id").as("doc_a"),
+                      col("id").as("doc_b")),
+                    Seq(res.select(col("new_media"), col("base_media"))),
+                    graft.multimodal.MultimodalOps.mediaLink(
+                      graft.model.Fixtures.documents(spark, sfDir)))
+                    .write.mode("append").parquet(pub)
+                } finally { res.unpersist(); () }
+            }
+          }
         } finally batch.unpersist()
         ()
       }
@@ -672,41 +717,93 @@ object StreamOps {
     * keys. Reference anchor: the consume-side ingestion scaffold the
     * reconciliation layer was meant to sit behind,
     * `/root/reference/src/entity/consumer.rs:14-41`. */
-  def streamCrossModalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamCrossModalMerge(spark: SparkSession, sfDir: String): DataFrame =
+    streamCrossModalMerge(spark, sfDir,
+      graft.operators.DedupOps
+        .stagedIncrementCrossEdgesDir(spark, sfDir).toString)
+
+  /** The edge-topic-parameterized form: `edgesDir` is any parquet dir
+    * of `(doc_a, doc_b)` rows — the staged increment-cross-edge
+    * artifact for the contract key, or a dir the four ingestion gates
+    * PUBLISH into live (the end-to-end topology, spec-locked equal).
+    *
+    * SINK SHAPE (r15 verdict #1): each micro-batch writes ONLY its
+    * DELTA — the re-closed rows of the touched clusters
+    * ([[graft.operators.DedupOps.mergeClusterIncrementDelta]]) — into
+    * an epoch-keyed dir, and every read (the next batch's prior view,
+    * the final election) serves base ∪ delta epochs with newest-wins on
+    * `doc_id` ([[graft.operators.DedupOps.servedClusterAssignment]], the
+    * `ann_seg` anti-join discipline). Per-batch I/O is therefore
+    * O(touched subgraph), never the corpus assignment — the full
+    * rewrite this replaces re-wrote and re-read every cluster row per
+    * micro-batch. Reference anchor: cumulative-ack frontier semantics
+    * (`/root/reference/src/PulsarApi.proto:480-483`) — serve the
+    * frontier, don't rewrite the log. A replayed epoch (epoch written,
+    * checkpoint commit lost) reads its prior view WITH ITS OWN EPOCH
+    * PRUNED OUT (`excludeEpoch` — partition-pruned, so the about-to-be-
+    * overwritten files are never listed) and rewrites deterministically
+    * (ADVICE r15). Compaction: un-compacted deltas drop at the next
+    * snapshot re-stage ([[graft.operators.DedupOps
+    * .maybeRestageCrossModal]]); between re-stages the registered
+    * overlay's merged fraction is the arithmetic staleness gauge.
+    *
+    * STAGED-DIR LIFETIME caveat (r15 verdict #7): the frozen base and
+    * the edge topic resolve to staged generation/temp dirs at stream
+    * START, and long-lived streaming frames keep PLANS over those
+    * paths. A concurrent re-stage (fresh generation) SWEEPS prior
+    * generations — a later micro-batch of a long-running stream then
+    * fails loud on its next evaluation rather than serving a retired
+    * artifact (the [[graft.util.StagedArtifacts]] sweep contract). A
+    * production deployment restarts the reconciliation stream on the
+    * re-stage cadence — the checkpoint makes that restart exactly-once
+    * — rather than racing serving reads against generation sweeps. */
+  def streamCrossModalMerge(spark: SparkSession, sfDir: String,
+      edgesDir: String): DataFrame = {
     import graft.operators.DedupOps
     graft.GraftSession.registerFunctions(spark)
     // freeze the prior assignment + the edge topic BEFORE the stream
     val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
-    val edgesDir = DedupOps.stagedIncrementCrossEdgesDir(spark, sfDir)
-    val schema = spark.read.parquet(edgesDir.toString).schema
+    val schema = spark.read.parquet(edgesDir).schema
     val root = java.nio.file.Files.createTempDirectory("graft_stream_xm_")
     graft.util.TempDirs.track(root)
-    val data = root.resolve("serve").toString
+    val data = root.resolve("deltas").toString
     val ckpt = root.resolve("ckpt").toString
-    // the serving pointer: each batch merges into the LATEST assignment
-    // (the previous epoch's sink, or the staged base), so a multi-batch
-    // stream folds incrementally — never from scratch
-    @volatile var latest: Option[String] = None
-    def current(): DataFrame =
-      latest.map(p => spark.read.parquet(p)).getOrElse(base)
-    val q = spark.readStream.schema(schema).parquet(edgesDir.toString)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.persist()
-        try {
-          if (batch.count() > 0) {
-            DedupOps.mergeClusterIncrement(current(), batch)
-              .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
-            latest = Some(s"$data/epoch=$epochId")
-          }
-        } finally batch.unpersist()
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    DedupOps.crossModalKeepBestOver(spark, sfDir, current())
+    // publish the overlay for the gauge's lifetime-of-this-run: the
+    // epoch writes bump the registered delta counter, the merged
+    // fraction is observable mid-stream, and the registration retires
+    // in finally (the ann_seg key's register-serve-retire discipline —
+    // serving below reads the delta dirs directly, so retirement only
+    // ends the bookkeeping, never the returned plan)
+    DedupOps.registerClusterDeltas(spark, sfDir, data)
+    try {
+      val q = spark.readStream.schema(schema).parquet(edgesDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          batch.persist()
+          try {
+            if (batch.count() > 0) {
+              val prior = DedupOps.servedClusterAssignment(spark, base,
+                data, excludeEpoch = Some(epochId))
+              val delta = DedupOps.mergeClusterIncrementDelta(prior, batch)
+                .persist()
+              try {
+                delta.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+                DedupOps.noteClusterDeltaAppend(sfDir, data, delta.count())
+              } finally { delta.unpersist(); () }
+            }
+          } finally batch.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      DedupOps.crossModalKeepBestOver(spark, sfDir,
+        DedupOps.servedClusterAssignment(spark, base, data))
+    } finally {
+      DedupOps.retireClusterDeltas(sfDir, data)
+      ()
+    }
   }
 
   /** STREAMING ANN: serve a stream of query vectors against the staged

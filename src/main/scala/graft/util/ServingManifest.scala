@@ -25,6 +25,14 @@ object ServingManifest {
 
   private val StampKey = "__corpus_stamp"
 
+  /** The families whose entry KEYS are artifact directories (append
+    * counters, staged base-row measurements) — the only families the
+    * dead-dir sweep in [[getUnlocked]] applies to. A family registered
+    * here states "every '/'-prefixed key of mine names a local dir that
+    * exists while the entry is live". */
+  private val DirKeyedFamilies =
+    Set("staged_base", "ann_appends", "text_appends", "media_appends")
+
   /** JVM-wide lock serializing in-process access (and keeping the OS
     * file lock below from self-overlapping — the JVM throws on a
     * re-lock from the same process). */
@@ -109,8 +117,15 @@ object ServingManifest {
         // Path-shaped keys whose dir no longer exists are dropped and
         // the file rewritten in place — every caller holds the file
         // lock for its whole operation, so the rewrite is safe here.
-        val dead = live.keysIterator.filter(k =>
-          k.startsWith("/") && !Files.exists(Paths.get(k))).toSeq
+        // Scoped to the families whose KEYS are artifact dirs (ADVICE
+        // r15): in any other family a '/'-prefixed key is a VALUE-like
+        // registration detail, and sweeping it because its path doesn't
+        // exist YET (a future registration keyed by a not-yet-created
+        // or remote path) would silently drop it on first read.
+        val dead =
+          if (!DirKeyedFamilies.contains(family)) Nil
+          else live.keysIterator.filter(k =>
+            k.startsWith("/") && !Files.exists(Paths.get(k))).toSeq
         if (dead.isEmpty) live
         else {
           val swept = live -- dead
@@ -200,6 +215,25 @@ object ServingManifest {
     val next = cur.getOrElse(key, "0").toLong + delta
     putUnlocked(sfDir, family, tables, cur + (key -> next.toString))
     next
+  }
+
+  /** Add `delta` to the (sfDir, family, key) counter ONLY IF `condKey`
+    * currently holds `expected` — one lock for the whole
+    * check-and-bump, the [[removeIf]] discipline for counter writes:
+    * an appender bumping a REGISTRATION's measurement (segment rows,
+    * delta rows) must not bump a registration some other JVM swapped in
+    * between a get and an addCounter, and must no-op cleanly when the
+    * registration was retired. Returns whether the bump applied. */
+  def addCounterIf(sfDir: String, family: String, tables: Seq[String],
+      condKey: String, expected: String,
+      key: String, delta: Long): Boolean = withFileLock {
+    val cur = getUnlocked(sfDir, family, tables)
+    if (!cur.get(condKey).contains(expected)) false
+    else {
+      val next = cur.getOrElse(key, "0").toLong + delta
+      putUnlocked(sfDir, family, tables, cur + (key -> next.toString))
+      true
+    }
   }
 
   /** SET one entry (read-modify-write under the lock), leaving the

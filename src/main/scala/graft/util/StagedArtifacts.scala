@@ -120,12 +120,20 @@ object StagedArtifacts {
     if (!dirName.startsWith(key + "_g")) None
     else GenSuffix.findFirstMatchIn(dirName).map(_.group(1).toInt)
 
-  /** Complete (atomically published ⇒ `_SUCCESS`-bearing) generations of
-    * `key`, newest first. */
+  /** Complete generations of `key`, newest first. Completeness marker:
+    * our OWN `.published` file, written into the build temp before the
+    * atomic publish rename — NOT Spark's `_SUCCESS`, which a session
+    * configured with `mapreduce.fileoutputcommitter.marksuccessfuljobs
+    * =false` never writes (every access would then rebuild a fresh
+    * generation and the publish-time sweep would delete the prior dir
+    * with its live appends — ADVICE r15). `_SUCCESS` is still accepted
+    * so generations published by pre-marker builds keep resolving. */
   private def gensUnlocked(key: String): Seq[(Int, Path)] =
     listRootUnlocked()
       .flatMap(p => genOf(p.getFileName.toString, key).map(_ -> p))
-      .filter { case (_, p) => Files.exists(p.resolve("_SUCCESS")) }
+      .filter { case (_, p) =>
+        Files.exists(p.resolve(".published")) ||
+          Files.exists(p.resolve("_SUCCESS")) }
       .sortBy(-_._1)
 
   private def resolveUnlocked(key: String): Option[Path] =
@@ -191,6 +199,11 @@ object StagedArtifacts {
         // not the build plan — appends never touch this value
         val baseRows = baseCount(df.sparkSession.read.parquet(tmp.toString))
         Files.writeString(tmp.resolve(".corpus"), sfDir)
+        // completeness marker of our own (see gensUnlocked): lands in
+        // the temp BEFORE the atomic publish move, so a visible
+        // generation dir always carries it regardless of the session's
+        // committer configuration
+        Files.writeString(tmp.resolve(".published"), "")
         withDirLock {
           val winner = if (freshGen) None else resolveUnlocked(key)
           winner match {
