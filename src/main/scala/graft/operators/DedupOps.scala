@@ -1692,7 +1692,7 @@ object DedupOps {
     * only. */
   def mergeClusterIncrement(groups: DataFrame, newEdges: DataFrame): DataFrame = {
     val g = assignmentOf(groups)
-    val (touched, reclosed) = touchedReclosure(g, newEdges)
+    val (touched, _, reclosed) = touchedReclosure(g, newEdges)
     g.join(broadcast(touched), Seq("cluster"), "left_anti")
       .unionByName(reclosed)
   }
@@ -1709,18 +1709,19 @@ object DedupOps {
     * cluster, and every such member appears in the delta (the stars
     * span the whole old component). */
   def mergeClusterIncrementDelta(groups: DataFrame, newEdges: DataFrame): DataFrame =
-    touchedReclosure(assignmentOf(groups), newEdges)._2
+    touchedReclosure(assignmentOf(groups), newEdges)._3
 
   private def assignmentOf(groups: DataFrame): DataFrame = groups.select(
     col("doc_id"), col("cluster"), col("is_canonical"), col("cluster_size"))
 
   /** Touched-cluster selection + star re-closure shared by the full
-    * merge and the delta variant. Exposed `private[graft]` so PlanSpec
-    * can assert the selection's scale shape (broadcast semi-joins, no
-    * sort-merge of the assignment side) without duplicating the
-    * construction. */
+    * merge and the delta variant, returning
+    * `(touched clusters, star edges, re-closed assignment)`. Exposed
+    * `private[graft]` so PlanSpec can assert the selection's scale
+    * shape on the ACTUAL frames (broadcast semi-joins, no sort-merge of
+    * the assignment side) without duplicating the construction. */
   private[graft] def touchedReclosure(g: DataFrame,
-      newEdges: DataFrame): (DataFrame, DataFrame) = {
+      newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val edges = newEdges.toDF("a", "b")
       .select(col("a").cast("long"), col("b").cast("long"))
     val verts = edges.select(col("a").as("doc_id"))
@@ -1734,7 +1735,7 @@ object DedupOps {
       .select(col("doc_id").as("a"), col("cluster").as("b"))
     val reclosed = clusterPairs(edges.union(stars).distinct())
       .withColumnRenamed("id", "doc_id")
-    (touched, reclosed)
+    (touched, stars, reclosed)
   }
 
   /** The cluster-assignment OVERLAY READ — `SimilarityOps.servedIndex`
@@ -1911,6 +1912,39 @@ object DedupOps {
   def dropClusterDeltas(sfDir: String): Unit =
     graft.util.ServingManifest.remove(sfDir, XmDeltaFamily)
 
+  /** The BATCH overlay-serve leg of the cluster layer — `ann_seg`'s
+    * register → serve-through-the-overlay → retire shape for cluster
+    * assignments, completing the layer's serving triad (snapshot
+    * build+elect = `xmodal`, batch overlay serve = this `xm_served`,
+    * stream overlay serve = `stream_xm`): publish a delta-overlay
+    * registration, fold the staged edge topic's verified cross edges in
+    * as ONE delta epoch (the ingestion-cadence batch form — O(touched)
+    * written, [[mergeClusterIncrementDelta]]), then read the serving
+    * view THROUGH the registration ([[servedCrossModalGroups]]: base ∪
+    * delta epochs, newest-wins) and elect. Registration retires in
+    * `finally` (by root, conditional) so the key leaves no global
+    * serving state; the served plan keeps reading the delta dirs
+    * directly — retirement ends the bookkeeping, never the plan.
+    * Oracle: identical to `stream_xm`'s (the from-scratch closure over
+    * every edge except new×new) — the overlay read reconstructs exactly
+    * the full merge (CapSpec's epoch-split property). */
+  def xmServedContract(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_serve_")
+    graft.util.TempDirs.track(root)
+    registerClusterDeltas(spark, sfDir, root.toString)
+    try {
+      val base = stagedBaseCrossModalGroups(spark, sfDir)
+      val delta = mergeClusterIncrementDelta(base,
+        stagedIncrementCrossEdges(spark, sfDir)).persist()
+      try {
+        delta.write.mode("overwrite").parquet(s"$root/epoch=0")
+        noteClusterDeltaAppend(sfDir, root.toString, delta.count())
+      } finally { delta.unpersist(); () }
+      crossModalKeepBestOver(spark, sfDir,
+        servedCrossModalGroups(spark, sfDir))
+    } finally { retireClusterDeltas(sfDir, root.toString); () }
+  }
+
   /** Benchmark decontamination — the train/test-leakage detector every
     * training pipeline runs before a data release: flag corpus documents
     * sharing at least `minShared` character-`DecontaminateGramLen`-gram
@@ -1977,6 +2011,9 @@ object DedupOps {
     // round 12: cross-modal dup reconciliation — text + image + audio
     // dup graphs merged over the doc↔media link, one canonical elected
     "xmodal" -> ((s, d) => crossModalKeepBest(s, d)),
+    // round 16: the cluster overlay's BATCH serve — register deltas,
+    // fold the edge topic as one epoch, serve base ∪ deltas, elect
+    "xm_served" -> ((s, d) => xmServedContract(s, d)),
     "ngram_jac" -> ((s, d) => stagedNgramJaccard(s, d)),
     "lsh_dups" -> ((s, d) => stagedLshVerifiedDups(s, d)),
     "doc_dup_groups" -> ((s, d) => stagedDupGroups(s, d)),
@@ -2290,11 +2327,14 @@ object DedupOps {
                                        ORDER BY q.quality DESC, c.id) = 1
                     AS INTEGER) AS keep
         FROM comp c JOIN sizes s USING (cluster)
-        JOIN (${TextOps.oracle("text_quality_score")}) q ON c.id = q.doc_id"""
+        JOIN (${TextOps.oracle("tq_score")}) q ON c.id = q.doc_id"""
   }
 
   def oracle: Map[String, String] = Map(
     "xmodal" -> crossModalOracle,
+    // the overlay serve equals the from-scratch closure sans new×new —
+    // stream_xm's oracle verbatim (zero drift by construction)
+    "xm_served" -> streamCrossModalOracle,
     "minhash" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

@@ -335,7 +335,7 @@ object LlmOps {
                       WHEN q.quality < $QualityThreshold THEN 'quality'
                       ELSE 'keep' END AS verdict
           FROM (${TextOps.oracle("text_lang_id")}) l
-          JOIN (${TextOps.oracle("text_quality_score")}) q USING (doc_id)
+          JOIN (${TextOps.oracle("tq_score")}) q USING (doc_id)
           LEFT JOIN (${DedupOps.oracle("decontam")}) c ON c.doc_id = l.doc_id
           LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("doc_dup_groups")})
                      WHERE is_canonical = 0) g ON g.doc_id = l.doc_id)"""
@@ -349,7 +349,7 @@ object LlmOps {
                                        ORDER BY q.quality DESC, g.doc_id) = 1
                     AS INTEGER) AS keep
         FROM (${DedupOps.oracle("doc_dup_groups")}) g
-        JOIN (${TextOps.oracle("text_quality_score")}) q ON g.doc_id = q.doc_id"""
+        JOIN (${TextOps.oracle("tq_score")}) q ON g.doc_id = q.doc_id"""
 
   private def cosineOracle: String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QUERY_VEC),

@@ -608,6 +608,20 @@ object SimilarityOps {
       Map("segRoot" -> segRoot, "segRows" -> n.toString))
   }
 
+  /** Bump a REGISTERED segment root's row count after a post-
+    * registration epoch append — conditional on `segRoot` still being
+    * the registration of record, in ONE manifest lock
+    * ([[graft.util.ServingManifest.addCounterIf]]). Without this, a
+    * continuous ingestion stream that registers its root early and
+    * keeps appending epochs grows the overlay while
+    * [[ivfIndexStaleFraction]] sits frozen at the registration-time
+    * count — a serving tier under its retrain threshold forever
+    * (ADVICE r15). No-ops (false) before registration or after
+    * retirement, so callers can emit it unconditionally per epoch. */
+  def noteSegmentAppend(sfDir: String, segRoot: String, rows: Long): Boolean =
+    graft.util.ServingManifest.addCounterIf(sfDir, SegmentsFamily, AnnTables,
+      "segRoot", segRoot, "segRows", rows)
+
   /** The registered segment root's row count, from the manifest — 0
     * with no live registration. */
   private def registeredSegmentRows(sfDir: String): Long =
@@ -1727,7 +1741,7 @@ object SimilarityOps {
       ((s, d) => embeddingCellPrototypesIndexed(s, d)),
     "emb_dup_groups" ->
       ((s, d) => embeddingDupGroups(Fixtures.embeddings(s, d), NEAR_DUP_K)),
-    "emb_quantize_int8" ->
+    "emb_q8" ->
       ((s, d) => embeddingQuantizeInt8Scalar(Fixtures.embeddings(s, d))),
     // short key names by necessity: the one-line bench JSON must fit the
     // driver's 2000-char stdout-tail capture ([[graft.Bench]])
@@ -1961,7 +1975,7 @@ object SimilarityOps {
   }
 
   def oracle: Map[String, String] = Map(
-    "emb_quantize_int8" ->
+    "emb_q8" ->
       """WITH x AS (SELECT vec_id,
                            list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
                     FROM embeddings),

@@ -1166,10 +1166,10 @@ object TextOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> ((s, d) => textLangId(Fixtures.documents(s, d))),
-    "text_quality_score" -> ((s, d) => textQualityScore(Fixtures.documents(s, d))),
+    "tq_score" -> ((s, d) => textQualityScore(Fixtures.documents(s, d))),
     // round 11: counts under the staged TRAINED merges (bpe_tokens);
     // re_tokens keeps the regex approximation
-    "token_count_bpe" ->
+    "bpe_cnt" ->
       ((s, d) => tokenCountsTrained(Fixtures.documents(s, d), stagedBpeModel(s, d))),
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
@@ -1530,8 +1530,8 @@ object TextOps {
             withbest AS (SELECT *, $bestExpr AS best FROM scored)
             SELECT doc_id, $predExpr AS pred_lang, best AS score
             FROM withbest""",
-      "text_quality_score" -> qualityScoreOracle,
-      "token_count_bpe" ->
+      "tq_score" -> qualityScoreOracle,
+      "bpe_cnt" ->
         s"""WITH $bpeTrainCte
            SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
                   CAST(len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\\s+'),

@@ -920,10 +920,18 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try {
-          if (batch.count() > 0)
+          val n = batch.count()
+          if (n > 0) {
             graft.operators.SimilarityOps.indexRows(batch, cents, cb)
               .write.mode("overwrite").partitionBy("cell")
               .parquet(s"$data/epoch=$epochId")
+            // keep a LIVE registration's row count current (no-op here,
+            // where registration follows the drain — but a production
+            // topology registers early and appends forever, and the
+            // staleness gauge must track that overlay growth)
+            graft.operators.SimilarityOps.noteSegmentAppend(sfDir, data, n)
+            ()
+          }
         } finally batch.unpersist()
         ()
       }

@@ -29,9 +29,11 @@ object ServingManifest {
     * counters, staged base-row measurements) — the only families the
     * dead-dir sweep in [[getUnlocked]] applies to. A family registered
     * here states "every '/'-prefixed key of mine names a local dir that
-    * exists while the entry is live". */
-  private val DirKeyedFamilies =
-    Set("staged_base", "ann_appends", "text_appends", "media_appends")
+    * exists while the entry is live". The `staged_base_*` prefix covers
+    * [[StagedArtifacts]]' per-table-set base-row families. */
+  private def isDirKeyedFamily(family: String): Boolean =
+    family.startsWith("staged_base") ||
+      Set("ann_appends", "text_appends", "media_appends").contains(family)
 
   /** JVM-wide lock serializing in-process access (and keeping the OS
     * file lock below from self-overlapping — the JVM throws on a
@@ -123,7 +125,7 @@ object ServingManifest {
         // exist YET (a future registration keyed by a not-yet-created
         // or remote path) would silently drop it on first read.
         val dead =
-          if (!DirKeyedFamilies.contains(family)) Nil
+          if (!isDirKeyedFamily(family)) Nil
           else live.keysIterator.filter(k =>
             k.startsWith("/") && !Files.exists(Paths.get(k))).toSeq
         if (dead.isEmpty) live

@@ -72,8 +72,17 @@ object StagedArtifacts {
   // ---------------------------------------------------------------------
 
   /** Manifest family holding each staged dir's base row count (written
-    * once at staging, under the build lock). */
-  private val BaseRowsFamily = "staged_base"
+    * once at staging, under the build lock) — ONE FAMILY PER TABLE SET:
+    * a manifest file's corpus stamp covers its whole entry map, and the
+    * text indexes (stamped over `documents`) and the IVF index (stamped
+    * over `embeddings`) writing into one shared family each saw the
+    * OTHER's stamp as a corpus rewrite, read back an empty map, and
+    * silently dropped the other's entries on write — a staleness gauge
+    * then divided by a base count of 0 (discovered r16: the stream_idx
+    * overlay gauge read 1.0 instead of 0.5 after a media re-stage
+    * clobbered the resolved IVF dir's entry). */
+  private def baseRowsFamily(memo: StampedMemo[Path]): String =
+    "staged_base_" + memo.tableNames.mkString("_")
 
   /** JVM-wide lock serializing in-process access (and keeping the OS
     * file lock from self-overlapping). Lock sections are SHORT —
@@ -222,7 +231,7 @@ object StagedArtifacts {
               // fresh artifact, or a dead run's counter resurrects onto
               // a pristine index the moment the name is reused
               ServingManifest.removeKeyAllFamilies(sfDir, target.toString)
-              ServingManifest.set(sfDir, BaseRowsFamily,
+              ServingManifest.set(sfDir, baseRowsFamily(memo),
                 memo.tableNames, target.toString, baseRows.toString)
               // sweep every non-target sibling of (corpus, artifact):
               // prior generations (their appends were compacted away or
@@ -245,7 +254,7 @@ object StagedArtifacts {
   /** The base row count recorded for `dir` at staging — the arithmetic
     * staleness gauges' denominator component. */
   def stagedBaseRows(sfDir: String, memo: StampedMemo[Path], dir: Path): Long =
-    ServingManifest.getCounter(sfDir, BaseRowsFamily, memo.tableNames,
+    ServingManifest.getCounter(sfDir, baseRowsFamily(memo), memo.tableNames,
       dir.toString)
 
   /** TEST-ONLY isolation drop: delete EVERY corpus's durable dirs for

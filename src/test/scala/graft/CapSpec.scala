@@ -308,6 +308,45 @@ class CapSpec extends SparkTestBase {
     assert(res2.passed, res2.status.toString)
   }
 
+  test("delta overlay serve equals the from-scratch closure for any epoch split") {
+    // the r16 sink shape's correctness claim: writing only each epoch's
+    // RE-CLOSED rows and serving base ∪ epochs newest-wins
+    // (servedClusterAssignment over real epoch dirs — the exact
+    // stream_xm serve path) equals the from-scratch closure over
+    // base ∪ all increments, for ANY base/increment edge sets and any
+    // two-way split — including increments that re-touch clusters a
+    // prior epoch already rewrote (the newest-wins case)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val emptyGroups = Seq.empty[(Long, Long, Int, Long)]
+      .toDF("doc_id", "cluster", "is_canonical", "cluster_size")
+    def close(edges: Seq[(Long, Long)]) =
+      DedupOps.mergeClusterIncrement(emptyGroups, edges.toDF("a", "b"))
+    val genEdge = for {
+      a <- Gen.choose(0L, 30L)
+      d <- Gen.choose(1L, 30L)
+    } yield (a, (a + d) % 31)
+    val genEdges = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, genEdge))
+    val prop = Prop.forAll(genEdges, genEdges, genEdges) { (base, i1, i2) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_xm_fold_")
+      graft.util.TempDirs.track(root)
+      val g0 = close(base)
+      // the stream's guard: an empty micro-batch writes no epoch
+      if (i1.nonEmpty)
+        DedupOps.mergeClusterIncrementDelta(g0, i1.toDF("a", "b"))
+          .write.mode("overwrite").parquet(s"$root/epoch=0")
+      val v1 = DedupOps.servedClusterAssignment(spark, g0, root.toString)
+      if (i2.nonEmpty)
+        DedupOps.mergeClusterIncrementDelta(v1, i2.toDF("a", "b"))
+          .write.mode("overwrite").parquet(s"$root/epoch=1")
+      canon(DedupOps.servedClusterAssignment(spark, g0, root.toString)) ==
+        canon(close(base ++ i1 ++ i2))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("defaultNumPlanes sizes the bucket geometry to the corpus") {
     import SimilarityOps.{defaultNumPlanes, MinPlanes, MaxPlanes}
     // mean bucket ≈ target: 1M vectors / 256-target → 2^12 buckets

@@ -1555,6 +1555,23 @@ class PipelineOpsSpec extends SparkTestBase {
       // and a root-keyed drop of a DIFFERENT root must not retire it
       SimilarityOps.dropIndexSegments(sf, "/nonexistent/other/root")
       assert(SimilarityOps.registeredSegmentRoot(sf) === Some(segRoot.toString))
+      // POST-REGISTRATION overlay growth moves the gauge (ADVICE r15):
+      // a continuous ingestion stream registers early and keeps
+      // appending epochs — each epoch bumps the registered row count
+      // conditionally, so the staleness fraction tracks the overlay
+      // instead of freezing at the registration-time scan
+      SimilarityOps.indexRows(
+          Seq((998L, vec(5, 0)), (997L, vec(6, 0))).toDF("vec_id", "embedding"),
+          SimilarityOps.stagedCentroidIndex(s2, sf),
+          SimilarityOps.stagedPqCodebook(s2, sf))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$segRoot/epoch=1")
+      assert(SimilarityOps.noteSegmentAppend(sf, segRoot.toString, 2L))
+      assert(SimilarityOps.ivfIndexStaleFraction(s2, sf) > staleBefore,
+        "post-registration segment appends must move the staleness gauge")
+      // a note against a root that is NOT the registration of record
+      // must not apply (the conditional no-op)
+      assert(!SimilarityOps.noteSegmentAppend(sf, "/nonexistent/other/root", 7L))
     } finally SimilarityOps.dropIndexSegments(sf)
   }
 

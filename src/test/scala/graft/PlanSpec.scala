@@ -484,6 +484,52 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("pq_adc"), p)
   }
 
+  test("cluster merge: touched-selection broadcasts its bounded sides, the assignment never sort-merges") {
+    // mergeClusterIncrement's scale claim (r15 verdict #6): the two
+    // semi-joins selecting the touched subgraph probe the assignment
+    // with BROADCAST build sides (new-edge endpoints; the clusters they
+    // land in — both bounded by the increment), so the
+    // data-proportional assignment side is never shuffled or sorted for
+    // the selection
+    import graft.operators.DedupOps
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+      .select(col("doc_id"), col("cluster"), col("is_canonical"),
+        col("cluster_size"))
+    val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    val (touched, stars, _) = DedupOps.touchedReclosure(base, edges)
+    val tp = touched.queryExecution.executedPlan.toString
+    assert(tp.contains("BroadcastHashJoin"), tp)
+    assert(!tp.contains("SortMergeJoin"), tp)
+    // the star reconstruction chains BOTH selections — endpoint semi
+    // then cluster semi — and neither may degrade to a sort-merge
+    val sp = stars.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(sp).size >= 2, sp)
+    assert(!sp.contains("SortMergeJoin"), sp)
+  }
+
+  test("cluster overlay serve: broadcast anti-join on delta ids, epoch exclusion prunes partitions") {
+    // servedClusterAssignment's scale claim: the base side anti-joins
+    // against the BOUNDED delta-id set by broadcast (never a shuffle of
+    // the assignment), and a replay's own-epoch exclusion reaches the
+    // delta scan as a PARTITION filter — the doomed epoch's files are
+    // pruned, not read
+    import graft.operators.DedupOps
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    val delta = DedupOps.mergeClusterIncrementDelta(base, edges)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_plan_")
+    graft.util.TempDirs.track(root)
+    delta.write.mode("overwrite").parquet(s"$root/epoch=0")
+    delta.limit(3).write.mode("overwrite").parquet(s"$root/epoch=1")
+    val served = DedupOps.servedClusterAssignment(spark, base, root.toString,
+      excludeEpoch = Some(1L))
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.replaceAll("\\s+", " ")
+      .matches("(?s).*PartitionFilters: \\[.*epoch#\\d+.*"), p)
+  }
+
   test("no batch query plans a cartesian, an unsanctioned nested-loop join, or a global sort") {
     // Output order is NOT part of the contract (the comparator sorts rows
     // before hashing), so a rangepartitioning exchange is always a wasted

@@ -80,19 +80,36 @@ class ServingManifestSpec extends AnyFunSuite {
     graft.util.TempDirs.track(live)
     val dead = java.nio.file.Files.createTempDirectory("graft_manifest_dead_")
     java.nio.file.Files.delete(dead)
-    ServingManifest.put(sf, "fam_sweep", T, Map(
+    // the sweep applies only to DIR-KEYED families (ADVICE r15) — use a
+    // real one; a registration-style family is asserted unswept below
+    ServingManifest.put(sf, "text_appends", T, Map(
       live.toString -> "3",
       dead.toString -> "9",
       // non-path keys are never swept (registrations self-heal at
       // their own layer, by VALUE)
       "segRoot" -> "/points/at/whatever"))
-    assert(ServingManifest.get(sf, "fam_sweep", T) ===
+    assert(ServingManifest.get(sf, "text_appends", T) ===
       Map(live.toString -> "3", "segRoot" -> "/points/at/whatever"))
     // the sweep rewrote the file, not just the returned map: recreating
     // the dead dir must NOT resurrect its counter
     java.nio.file.Files.createDirectory(dead)
     graft.util.TempDirs.track(dead)
-    assert(ServingManifest.get(sf, "fam_sweep", T) ===
+    assert(ServingManifest.get(sf, "text_appends", T) ===
       Map(live.toString -> "3", "segRoot" -> "/points/at/whatever"))
+  }
+
+  test("the dead-dir sweep never touches a non-dir-keyed family") {
+    // ADVICE r15: a registration family may legitimately hold a
+    // '/'-prefixed key whose path does not exist YET (a future root, a
+    // remote path) — the path-shape heuristic must not silently drop it
+    val sf = freshCorpus()
+    val nowhere = java.nio.file.Files.createTempDirectory("graft_manifest_none_")
+    java.nio.file.Files.delete(nowhere)
+    ServingManifest.put(sf, "fam_registry", T, Map(
+      nowhere.toString -> "registered-before-creation",
+      "segRoot" -> nowhere.toString))
+    assert(ServingManifest.get(sf, "fam_registry", T) ===
+      Map(nowhere.toString -> "registered-before-creation",
+        "segRoot" -> nowhere.toString))
   }
 }

@@ -272,6 +272,100 @@ class StreamOpsSpec extends SparkTestBase {
     assert(!p.contains("graft_xm_edges_"), s"edge-topic scan in served plan:\n$p")
   }
 
+  test("stream_xm sink is a delta overlay: epochs hold only touched rows, serve = full merge") {
+    // the r15-verdict scale property made behavioral: the per-epoch
+    // write is the RE-CLOSED rows alone (every member of every touched
+    // cluster + the new endpoints), strictly fewer than the full
+    // assignment, and the overlay read (base anti-joined on delta ids ∪
+    // newest-wins deltas) reconstructs exactly the full merge's rewrite
+    import graft.operators.DedupOps
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    val delta = DedupOps.mergeClusterIncrementDelta(base, edges)
+    val full = DedupOps.mergeClusterIncrement(base, edges)
+    val (nDelta, nFull) = (delta.count(), full.count())
+    assert(nDelta > 0, "fixture increment must touch clusters")
+    assert(nDelta < nFull,
+      s"delta ($nDelta rows) must be a strict subset of the assignment ($nFull): " +
+        "an epoch sink writing everything is the full-rewrite regression")
+    // delta rows ARE the touched slice: full = untouched base ∪ delta
+    val untouched = full.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+    assertSameRows(untouched.unionByName(delta), full)
+    // and the overlay READ reconstructs the full merge through a real
+    // epoch dir (the exact serve path the stream uses)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_delta_spec_")
+    graft.util.TempDirs.track(root)
+    delta.write.mode("overwrite").parquet(s"$root/epoch=0")
+    assertSameRows(
+      DedupOps.servedClusterAssignment(spark, base, root.toString), full)
+    // the replay read (own epoch excluded) is exactly the pre-epoch view
+    assertSameRows(
+      DedupOps.servedClusterAssignment(spark, base, root.toString,
+        excludeEpoch = Some(0L)), base)
+  }
+
+  test("cluster overlay lifecycle: register, append, gauge, re-stage compaction") {
+    import graft.operators.DedupOps
+    DedupOps.dropClusterDeltas(sfDir)
+    // stage EXPLICITLY before any gauge read (resolve-never-build)
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_overlay_")
+    graft.util.TempDirs.track(root)
+    try {
+      DedupOps.registerClusterDeltas(spark, sfDir, root.toString)
+      assert(DedupOps.xmMergedFraction(spark, sfDir) === 0.0,
+        "freshly registered overlay holds no deltas")
+      val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+      val delta = DedupOps.mergeClusterIncrementDelta(base, edges)
+      delta.write.mode("overwrite").parquet(s"$root/epoch=0")
+      assert(DedupOps.noteClusterDeltaAppend(sfDir, root.toString, delta.count()))
+      val frac = DedupOps.xmMergedFraction(spark, sfDir)
+      assert(frac > 0.0 && frac < 1.0, s"merged fraction $frac")
+      // the SERVED view is the overlay read = the full merge
+      assertSameRows(DedupOps.servedCrossModalGroups(spark, sfDir),
+        DedupOps.mergeClusterIncrement(base, edges))
+      // under the threshold: no re-stage, registration stays
+      assert(!DedupOps.maybeRestageCrossModal(spark, sfDir, threshold = frac))
+      assert(DedupOps.registeredClusterDeltaRoot(sfDir) === Some(root.toString))
+      // over the threshold: compaction — base rebuilds from the corpus
+      // alone, the registration retires, un-compacted deltas drop
+      assert(DedupOps.maybeRestageCrossModal(spark, sfDir, threshold = 0.0))
+      assert(DedupOps.registeredClusterDeltaRoot(sfDir) === None)
+      assert(DedupOps.xmMergedFraction(spark, sfDir) === 0.0)
+      assertSameRows(DedupOps.servedCrossModalGroups(spark, sfDir),
+        DedupOps.stagedBaseCrossModalGroups(spark, sfDir))
+      // an epoch landing after retirement must not resurrect the gauge
+      assert(!DedupOps.noteClusterDeltaAppend(sfDir, root.toString, 5L))
+      // self-healing: a registration whose root dir died drops on read
+      DedupOps.registerClusterDeltas(spark, sfDir, s"$root/never_created")
+      assert(DedupOps.registeredClusterDeltaRoot(sfDir) === None)
+    } finally DedupOps.dropClusterDeltas(sfDir)
+  }
+
+  test("live topology: the four gates publish one edge topic, the merge consumes it") {
+    // the end-to-end production shape (r15 verdict #5): run the four
+    // ingestion gate STREAMS with their edge-publish leg pointed at one
+    // shared topic dir, then a live streamCrossModalMerge consuming
+    // that dir — the final election must equal the staged-edge-topic
+    // contract run (which is spec-locked to the from-scratch closure)
+    import graft.operators.DedupOps
+    val topic = java.nio.file.Files.createTempDirectory("graft_xm_topic_")
+    graft.util.TempDirs.track(topic)
+    val dir = topic.toString
+    StreamOps.streamTextDedup(spark, sfDir, publishEdgesTo = Some(dir))
+    DedupOps.MediaModalities.foreach { m =>
+      StreamOps.streamMediaDedup(spark, sfDir, m, publishEdgesTo = Some(dir))
+    }
+    // the published topic row-equals the staged edge artifact (the
+    // contract key's topic) — the gates really produced the edges
+    assertSameRows(
+      spark.read.parquet(dir).distinct(),
+      DedupOps.stagedIncrementCrossEdges(spark, sfDir))
+    val live = StreamOps.streamCrossModalMerge(spark, sfDir, dir)
+    val staged = StreamOps.streamCrossModalMerge(spark, sfDir)
+    assertSameRows(live, staged)
+  }
+
   test("stream_img serves every micro-batch from the FROZEN staged media index") {
     graft.operators.DedupOps.dropStagedMediaProbeIndex()
     val m0 = graft.operators.DedupOps.mediaProbeStageBuilds.get()
