@@ -971,7 +971,26 @@ object MultimodalOps {
 
   def dropStagedMediaHashes(): Unit = {
     imgHashDirs.clear(); wavHashDirs.clear(); gifHashDirs.clear()
+    mediaLinkDirs.clear()
   }
+
+  private val mediaLinkDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** How many times the staged link actually BUILT — its own counter so
+    * the fingerprint-staging pin tests stay exact. */
+  val mediaLinkBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The doc↔media LINK staged to parquet once per corpus snapshot —
+    * the frozen artifact the ingestion gates' edge-publish leg joins
+    * against per micro-batch. Publishing through the live [[mediaLink]]
+    * projection would re-scan the documents table in EVERY micro-batch
+    * of a continuous stream (review r16) — the freeze-before-the-stream
+    * discipline applies to the link exactly as to the probe indexes. */
+  def stagedMediaLink(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.StagedArtifacts.parquet(spark, sfDir, mediaLinkDirs,
+      "graft_media_link_", mediaLinkBuilds)(
+      mediaLink(graft.model.Fixtures.documents(spark, sfDir)))
 
   private def stagedHashes(spark: SparkSession, sfDir: String,
       memo: graft.util.StampedMemo[java.nio.file.Path],

@@ -1752,9 +1752,17 @@ object DedupOps {
     * a replayed epoch (written, then the checkpoint commit died) must
     * not read the serving view THROUGH its own half-trusted dir while
     * overwriting that dir — the epoch filter sits on the partition
-    * column (Int-typed literal, so partition PRUNING applies and the
-    * doomed files are never even listed), making the replay read
-    * exactly the pre-epoch view and the rewrite deterministic. */
+    * column, DECLARED BIGINT in the read schema (partition inference
+    * would type small epoch values INT, and a Long literal against an
+    * Int partition attribute inserts a widening cast that defeats
+    * pruning, while truncating the literal silently stops excluding
+    * once epoch ids pass Int.MaxValue — review r16), so partition
+    * PRUNING applies, the doomed files are never even listed, and the
+    * replay reads exactly the pre-epoch view.
+    *
+    * LOCAL-FILESYSTEM precondition: `deltaRoot` is listed with
+    * `java.io` (the host-local sidecar discipline —
+    * see [[registerClusterDeltas]]). */
   def servedClusterAssignment(spark: SparkSession, base: DataFrame,
       deltaRoot: String, excludeEpoch: Option[Long] = None): DataFrame = {
     val root = new java.io.File(deltaRoot)
@@ -1762,9 +1770,13 @@ object DedupOps {
       .exists(_.exists(f => f.isDirectory && f.getName.startsWith("epoch=")))
     if (!hasDeltas) base
     else {
-      val raw = spark.read.parquet(deltaRoot)
+      val raw = spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, cluster BIGINT, is_canonical INT, " +
+            "cluster_size BIGINT, epoch BIGINT"))
+        .parquet(deltaRoot)
       val deltas = excludeEpoch
-        .map(e => raw.filter(col("epoch") =!= lit(e.toInt)))
+        .map(e => raw.filter(col("epoch") =!= lit(e)))
         .getOrElse(raw)
       val newest = deltas.groupBy("doc_id").agg(
         max_by(struct(col("cluster"), col("is_canonical"),
@@ -1807,9 +1819,18 @@ object DedupOps {
     * `registerIndexSegments` sibling. The BASE assignment's row count
     * is measured ONCE here (a registration-time scan, never a
     * monitoring-time one) so [[xmMergedFraction]] is pure manifest
-    * arithmetic afterwards. */
+    * arithmetic afterwards. The root dir is CREATED here if absent —
+    * registration typically precedes the first epoch write, and a
+    * not-yet-existing dir would otherwise be swept as dead by the very
+    * first self-healing read (review r16). LOCAL-FILESYSTEM
+    * PRECONDITION: `deltaRoot` (like every registration in the
+    * [[graft.util.ServingManifest]] sidecar, which lives in the host
+    * temp tree) must be a local dir — the existence self-heal and the
+    * overlay read's epoch listing are `java.nio`/`java.io` calls; an
+    * object-store overlay would swap the registry, not this API. */
   def registerClusterDeltas(spark: SparkSession, sfDir: String,
       deltaRoot: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(deltaRoot))
     val baseRows = stagedBaseCrossModalGroups(spark, sfDir).count()
     graft.util.ServingManifest.put(sfDir, XmDeltaFamily, XmTables,
       Map("deltaRoot" -> deltaRoot, "baseRows" -> baseRows.toString,
@@ -1818,25 +1839,33 @@ object DedupOps {
 
   /** Bump the registered overlay's delta-row counter after an epoch
     * write — conditional on `deltaRoot` still being the registration of
-    * record, in ONE manifest lock ([[graft.util.ServingManifest
-    * .addCounterIf]]): an epoch landing after the registration was
-    * retired (or swapped by another JVM) must not resurrect or skew the
-    * new registration's gauge. No-ops (false) when unregistered. */
+    * record AND `epochId` exceeding the registration's high-water mark,
+    * in ONE manifest lock ([[graft.util.ServingManifest
+    * .addCounterIfNewEpoch]]): an epoch landing after the registration
+    * was retired (or swapped by another JVM) must not resurrect or skew
+    * the new registration's gauge, and a REPLAYED epoch (idempotent
+    * sink overwrite) must not double-count its rows. No-ops (false)
+    * when unregistered or replayed. */
   def noteClusterDeltaAppend(sfDir: String, deltaRoot: String,
-      rows: Long): Boolean =
-    graft.util.ServingManifest.addCounterIf(sfDir, XmDeltaFamily, XmTables,
-      "deltaRoot", deltaRoot, "deltaRows", rows)
+      rows: Long, epochId: Long): Boolean =
+    graft.util.ServingManifest.addCounterIfNewEpoch(sfDir, XmDeltaFamily,
+      XmTables, "deltaRoot", deltaRoot, "deltaRows", rows,
+      "lastEpoch", epochId)
 
   /** The overlay root currently registered for `sfDir`, provided its
     * dir still exists (a dead JVM's retired temp root drops the stale
-    * registration — the `registeredSegmentRoot` self-healing). */
+    * registration — the `registeredSegmentRoot` self-healing). The heal
+    * is a CONDITIONAL removal ([[graft.util.ServingManifest.removeIf]]):
+    * an unconditional remove after an unlocked get would delete a fresh
+    * registration another JVM installed between the two — the exact
+    * two-lock race removeIf exists for (review r16). */
   def registeredClusterDeltaRoot(sfDir: String): Option[String] =
     graft.util.ServingManifest.get(sfDir, XmDeltaFamily, XmTables)
       .get("deltaRoot") match {
       case Some(r) if java.nio.file.Files
           .isDirectory(java.nio.file.Paths.get(r)) => Some(r)
-      case Some(_) =>
-        graft.util.ServingManifest.remove(sfDir, XmDeltaFamily)
+      case Some(r) =>
+        retireClusterDeltas(sfDir, r)
         None
       case None => None
     }
@@ -1861,16 +1890,21 @@ object DedupOps {
     * counts twice in the numerator — a monotone staleness PROXY's
     * acceptable skew (the [[mediaIndexStaleFraction]] admission-contract
     * caveat), never a correctness input. */
-  def xmMergedFraction(spark: SparkSession, sfDir: String): Double =
-    registeredClusterDeltaRoot(sfDir) match {
-      case None => 0.0
-      case Some(_) =>
-        val m = graft.util.ServingManifest.get(sfDir, XmDeltaFamily, XmTables)
+  def xmMergedFraction(spark: SparkSession, sfDir: String): Double = {
+    // ONE manifest read: existence-check and counters must come from the
+    // SAME registration snapshot, or a concurrent retire-and-re-register
+    // mixes one registration's liveness with another's counters
+    val m = graft.util.ServingManifest.get(sfDir, XmDeltaFamily, XmTables)
+    m.get("deltaRoot") match {
+      case Some(r) if java.nio.file.Files
+          .isDirectory(java.nio.file.Paths.get(r)) =>
         val d = m.get("deltaRows").map(_.toLong).getOrElse(0L)
         if (d == 0) 0.0
         else d.toDouble /
           (m.get("baseRows").map(_.toLong).getOrElse(0L) + d).toDouble
+      case _ => 0.0
     }
+  }
 
   /** Staleness-triggered RE-STAGE for the cluster layer — the shared
     * COMPACTION CONTRACT ([[maybeRestageMediaIndex]] /
@@ -1938,7 +1972,7 @@ object DedupOps {
         stagedIncrementCrossEdges(spark, sfDir)).persist()
       try {
         delta.write.mode("overwrite").parquet(s"$root/epoch=0")
-        noteClusterDeltaAppend(sfDir, root.toString, delta.count())
+        noteClusterDeltaAppend(sfDir, root.toString, delta.count(), epochId = 0L)
       } finally { delta.unpersist(); () }
       crossModalKeepBestOver(spark, sfDir,
         servedCrossModalGroups(spark, sfDir))

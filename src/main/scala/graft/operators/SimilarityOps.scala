@@ -610,17 +610,20 @@ object SimilarityOps {
 
   /** Bump a REGISTERED segment root's row count after a post-
     * registration epoch append — conditional on `segRoot` still being
-    * the registration of record, in ONE manifest lock
-    * ([[graft.util.ServingManifest.addCounterIf]]). Without this, a
-    * continuous ingestion stream that registers its root early and
-    * keeps appending epochs grows the overlay while
+    * the registration of record AND `epochId` being newer than the
+    * registration's high-water mark, in ONE manifest lock
+    * ([[graft.util.ServingManifest.addCounterIfNewEpoch]]). Without the
+    * bump, a continuous ingestion stream that registers its root early
+    * and keeps appending epochs grows the overlay while
     * [[ivfIndexStaleFraction]] sits frozen at the registration-time
-    * count — a serving tier under its retrain threshold forever
-    * (ADVICE r15). No-ops (false) before registration or after
-    * retirement, so callers can emit it unconditionally per epoch. */
-  def noteSegmentAppend(sfDir: String, segRoot: String, rows: Long): Boolean =
-    graft.util.ServingManifest.addCounterIf(sfDir, SegmentsFamily, AnnTables,
-      "segRoot", segRoot, "segRows", rows)
+    * count (ADVICE r15); without the epoch guard, a replayed epoch's
+    * idempotent sink overwrite would double-count its rows. No-ops
+    * (false) before registration, after retirement, or on replay, so
+    * callers can emit it unconditionally per epoch. */
+  def noteSegmentAppend(sfDir: String, segRoot: String, rows: Long,
+      epochId: Long): Boolean =
+    graft.util.ServingManifest.addCounterIfNewEpoch(sfDir, SegmentsFamily,
+      AnnTables, "segRoot", segRoot, "segRows", rows, "lastEpoch", epochId)
 
   /** The registered segment root's row count, from the manifest — 0
     * with no live registration. */

@@ -583,12 +583,15 @@ object StreamOps {
                 res.persist()
                 try {
                   res.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+                  // text pairs are already doc-keyed: the link arg is
+                  // unused with no media pairs (an empty frame keeps
+                  // that explicit — nothing scans per batch)
                   graft.operators.DedupOps.crossModalEdgesOf(
                     res.select(col("new_doc").as("doc_a"),
                       col("base_doc").as("doc_b")),
                     Nil,
-                    graft.multimodal.MultimodalOps.mediaLink(
-                      graft.model.Fixtures.documents(spark, sfDir)))
+                    spark.range(0).select(col("id").as("media_id"),
+                      col("id").as("ld")))
                     .write.mode("append").parquet(pub)
                 } finally { res.unpersist(); () }
             }
@@ -635,6 +638,11 @@ object StreamOps {
       publishEdgesTo: Option[String] = None): DataFrame = {
     // freeze the base artifact BEFORE the stream starts (build-if-absent)
     graft.operators.DedupOps.stagedMediaBandIndex(spark, sfDir, modality)
+    // the publish leg's doc↔media link, frozen with the other base
+    // artifacts — joining through the live projection would re-scan the
+    // documents table in every micro-batch (review r16)
+    val link = publishEdgesTo.map(_ =>
+      graft.multimodal.MultimodalOps.stagedMediaLink(spark, sfDir))
     val root = java.nio.file.Files
       .createTempDirectory(s"graft_stream_${modality.name}_")
     graft.util.TempDirs.track(root)
@@ -660,8 +668,7 @@ object StreamOps {
                     spark.range(0).select(col("id").as("doc_a"),
                       col("id").as("doc_b")),
                     Seq(res.select(col("new_media"), col("base_media"))),
-                    graft.multimodal.MultimodalOps.mediaLink(
-                      graft.model.Fixtures.documents(spark, sfDir)))
+                    link.get)
                     .write.mode("append").parquet(pub)
                 } finally { res.unpersist(); () }
             }
@@ -788,7 +795,7 @@ object StreamOps {
                 .persist()
               try {
                 delta.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
-                DedupOps.noteClusterDeltaAppend(sfDir, data, delta.count())
+                DedupOps.noteClusterDeltaAppend(sfDir, data, delta.count(), epochId)
               } finally { delta.unpersist(); () }
             }
           } finally batch.unpersist()
@@ -929,7 +936,7 @@ object StreamOps {
             // where registration follows the drain — but a production
             // topology registers early and appends forever, and the
             // staleness gauge must track that overlay growth)
-            graft.operators.SimilarityOps.noteSegmentAppend(sfDir, data, n)
+            graft.operators.SimilarityOps.noteSegmentAppend(sfDir, data, n, epochId)
             ()
           }
         } finally batch.unpersist()

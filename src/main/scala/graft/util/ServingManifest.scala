@@ -238,6 +238,31 @@ object ServingManifest {
     }
   }
 
+  /** [[addCounterIf]] made REPLAY-IDEMPOTENT for epoch-keyed appenders:
+    * the bump applies only when `condKey` holds `expected` AND `epochId`
+    * is strictly newer than the registration's high-water mark
+    * (`epochKey`, advanced in the same write). A foreachBatch replay —
+    * epoch written, checkpoint commit lost, epoch re-run — overwrites
+    * its own sink dir (no net new rows) but would re-bump a plain
+    * counter and overstate staleness until a spurious compaction
+    * (review r16). Streaming epoch ids are monotone per query and
+    * across checkpointed restarts, which is what makes the high-water
+    * mark a correct replay filter. */
+  def addCounterIfNewEpoch(sfDir: String, family: String, tables: Seq[String],
+      condKey: String, expected: String,
+      key: String, delta: Long,
+      epochKey: String, epochId: Long): Boolean = withFileLock {
+    val cur = getUnlocked(sfDir, family, tables)
+    val seen = cur.get(epochKey).map(_.toLong).getOrElse(-1L)
+    if (!cur.get(condKey).contains(expected) || epochId <= seen) false
+    else {
+      val next = cur.getOrElse(key, "0").toLong + delta
+      putUnlocked(sfDir, family, tables,
+        cur + (key -> next.toString) + (epochKey -> epochId.toString))
+      true
+    }
+  }
+
   /** SET one entry (read-modify-write under the lock), leaving the
     * family's other entries in place — for values that are measurements
     * of a fresh artifact (base row counts), where add-semantics would

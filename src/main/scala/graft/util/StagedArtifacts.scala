@@ -80,7 +80,12 @@ object StagedArtifacts {
     * silently dropped the other's entries on write — a staleness gauge
     * then divided by a base count of 0 (discovered r16: the stream_idx
     * overlay gauge read 1.0 instead of 0.5 after a media re-stage
-    * clobbered the resolved IVF dir's entry). */
+    * clobbered the resolved IVF dir's entry). Entries written under the
+    * old shared family are NOT migrated — they were subject to the
+    * clobber and cannot be trusted; a pre-split dir that still resolves
+    * reads base=0 until its next (re-)staging writes the entry here,
+    * which at worst trips one early threshold re-stage (the
+    * self-correcting direction) and never under-reports staleness. */
   private def baseRowsFamily(memo: StampedMemo[Path]): String =
     "staged_base_" + memo.tableNames.mkString("_")
 

@@ -1566,12 +1566,14 @@ class PipelineOpsSpec extends SparkTestBase {
           SimilarityOps.stagedPqCodebook(s2, sf))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$segRoot/epoch=1")
-      assert(SimilarityOps.noteSegmentAppend(sf, segRoot.toString, 2L))
+      assert(SimilarityOps.noteSegmentAppend(sf, segRoot.toString, 2L, epochId = 1L))
+      // replayed epoch: idempotent overwrite must not double-count
+      assert(!SimilarityOps.noteSegmentAppend(sf, segRoot.toString, 2L, epochId = 1L))
       assert(SimilarityOps.ivfIndexStaleFraction(s2, sf) > staleBefore,
         "post-registration segment appends must move the staleness gauge")
       // a note against a root that is NOT the registration of record
       // must not apply (the conditional no-op)
-      assert(!SimilarityOps.noteSegmentAppend(sf, "/nonexistent/other/root", 7L))
+      assert(!SimilarityOps.noteSegmentAppend(sf, "/nonexistent/other/root", 7L, epochId = 2L))
     } finally SimilarityOps.dropIndexSegments(sf)
   }
 

@@ -318,7 +318,9 @@ class StreamOpsSpec extends SparkTestBase {
       val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
       val delta = DedupOps.mergeClusterIncrementDelta(base, edges)
       delta.write.mode("overwrite").parquet(s"$root/epoch=0")
-      assert(DedupOps.noteClusterDeltaAppend(sfDir, root.toString, delta.count()))
+      assert(DedupOps.noteClusterDeltaAppend(sfDir, root.toString, delta.count(), epochId = 0L))
+      // a REPLAY of the same epoch must not double-count (idempotent sink)
+      assert(!DedupOps.noteClusterDeltaAppend(sfDir, root.toString, delta.count(), epochId = 0L))
       val frac = DedupOps.xmMergedFraction(spark, sfDir)
       assert(frac > 0.0 && frac < 1.0, s"merged fraction $frac")
       // the SERVED view is the overlay read = the full merge
@@ -335,10 +337,16 @@ class StreamOpsSpec extends SparkTestBase {
       assertSameRows(DedupOps.servedCrossModalGroups(spark, sfDir),
         DedupOps.stagedBaseCrossModalGroups(spark, sfDir))
       // an epoch landing after retirement must not resurrect the gauge
-      assert(!DedupOps.noteClusterDeltaAppend(sfDir, root.toString, 5L))
-      // self-healing: a registration whose root dir died drops on read
-      DedupOps.registerClusterDeltas(spark, sfDir, s"$root/never_created")
+      assert(!DedupOps.noteClusterDeltaAppend(sfDir, root.toString, 5L, epochId = 1L))
+      // self-healing: a registration whose root dir DIED (a dead JVM's
+      // swept temp root) drops on read — registration creates the dir,
+      // so simulate death by deleting it
+      val dying = s"$root/dies_later"
+      DedupOps.registerClusterDeltas(spark, sfDir, dying)
+      assert(DedupOps.registeredClusterDeltaRoot(sfDir) === Some(dying))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dying))
       assert(DedupOps.registeredClusterDeltaRoot(sfDir) === None)
+      assert(DedupOps.xmMergedFraction(spark, sfDir) === 0.0)
     } finally DedupOps.dropClusterDeltas(sfDir)
   }
 
