@@ -74,6 +74,33 @@ class ServingManifestSpec extends AnyFunSuite {
       Map("k" -> "a=b\nc", "p%x" -> "%0A"))
   }
 
+  test("addCounterIf bumps only the registration of record; addCounterIfNewEpoch also filters replays") {
+    val sf = freshCorpus()
+    ServingManifest.put(sf, "fam_c", T, Map("segRoot" -> "/a"))
+    // conditional bump: wrong registration never applies
+    assert(!ServingManifest.addCounterIf(sf, "fam_c", T,
+      "segRoot", "/other", "rows", 5L))
+    assert(ServingManifest.addCounterIf(sf, "fam_c", T,
+      "segRoot", "/a", "rows", 5L))
+    assert(ServingManifest.getCounter(sf, "fam_c", T, "rows") === 5L)
+    // epoch-keyed bump: first sight of an epoch applies and advances
+    // the high-water mark; a REPLAY of the same (or an older) epoch
+    // no-ops — the sink overwrite is idempotent, the counter must be too
+    assert(ServingManifest.addCounterIfNewEpoch(sf, "fam_c", T,
+      "segRoot", "/a", "rows", 3L, "lastEpoch", 7L))
+    assert(!ServingManifest.addCounterIfNewEpoch(sf, "fam_c", T,
+      "segRoot", "/a", "rows", 3L, "lastEpoch", 7L))
+    assert(!ServingManifest.addCounterIfNewEpoch(sf, "fam_c", T,
+      "segRoot", "/a", "rows", 3L, "lastEpoch", 6L))
+    assert(ServingManifest.getCounter(sf, "fam_c", T, "rows") === 8L)
+    // a NEWER epoch applies; the wrong registration still never does
+    assert(ServingManifest.addCounterIfNewEpoch(sf, "fam_c", T,
+      "segRoot", "/a", "rows", 2L, "lastEpoch", 8L))
+    assert(!ServingManifest.addCounterIfNewEpoch(sf, "fam_c", T,
+      "segRoot", "/other", "rows", 2L, "lastEpoch", 9L))
+    assert(ServingManifest.getCounter(sf, "fam_c", T, "rows") === 10L)
+  }
+
   test("dead-dir counters sweep from the FILE on read; live dirs and non-path keys survive") {
     val sf = freshCorpus()
     val live = java.nio.file.Files.createTempDirectory("graft_manifest_live_")
