@@ -350,6 +350,36 @@ class StreamOpsSpec extends SparkTestBase {
     } finally DedupOps.dropClusterDeltas(sfDir)
   }
 
+  test("cluster overlay registration survives a restart: manifest alone restores serve + gauge") {
+    // the xm registration of record lives ONLY in the persisted manifest
+    // (no JVM-local fast path) — a fresh SparkSession over the same
+    // corpus must resolve the same overlay view and the same gauge (the
+    // segment-registration restart discipline, r14)
+    import graft.operators.DedupOps
+    DedupOps.dropClusterDeltas(sfDir)
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_restart_")
+    graft.util.TempDirs.track(root)
+    try {
+      DedupOps.registerClusterDeltas(spark, sfDir, root.toString)
+      val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+      val delta = DedupOps.mergeClusterIncrementDelta(base, edges)
+      delta.write.mode("overwrite").parquet(s"$root/epoch=0")
+      assert(DedupOps.noteClusterDeltaAppend(sfDir, root.toString,
+        delta.count(), epochId = 0L))
+      val fracBefore = DedupOps.xmMergedFraction(spark, sfDir)
+      assert(fracBefore > 0.0)
+      val servedBefore = canon(DedupOps.servedCrossModalGroups(spark, sfDir))
+      // SIMULATED RESTART: new session; the staged base memo survives
+      // in-JVM but the registration is re-read from the manifest
+      val s2 = spark.newSession()
+      assert(DedupOps.xmMergedFraction(s2, sfDir) === fracBefore,
+        "merged-fraction gauge must persist across the restart")
+      assert(canon(DedupOps.servedCrossModalGroups(s2, sfDir)) === servedBefore,
+        "the restarted session must serve the same overlay view")
+    } finally DedupOps.dropClusterDeltas(sfDir)
+  }
+
   test("live topology: the four gates publish one edge topic, the merge consumes it") {
     // the end-to-end production shape (r15 verdict #5): run the four
     // ingestion gate STREAMS with their edge-publish leg pointed at one
