@@ -86,6 +86,7 @@ object DedupOps {
   def dropStagedTextArtifacts(): Unit = {
     textSigDirs.clear(); dupGroupDirs.clear(); contamDirs.clear()
     xmodalGroupDirs.clear(); xmodalBaseDirs.clear(); incrEdgeDirs.clear()
+    xmDocIdxDirs.clear(); xmClusterIdxDirs.clear(); probeGramDirs.clear()
   }
 
   private def stagedParquet(spark: SparkSession, sfDir: String,
@@ -564,6 +565,59 @@ object DedupOps {
           edges.filter(!isNewId(col("doc_a")) && !isNewId(col("doc_b"))))
         .withColumnRenamed("id", "doc_id")
     })
+
+  /** Partition count of the cluster-keyed probe projection
+    * ([[xmClusterIdxDir]]) — an index constant like [[DocBucketParts]],
+    * so the per-batch distinct-partition collect is bounded by it,
+    * never by data. */
+  val XmClusterParts = 64
+
+  private val xmDocIdxDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+  private val xmClusterIdxDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** The base assignment KEYED FOR PRUNED ENDPOINT LOOKUP: the
+    * [[stagedBaseCrossModalGroups]] rows, partitioned by the md5-bucket
+    * of `doc_id` (`db`, [[DocBucketParts]] — the [[stagedShingleIndex]]
+    * key discipline), so the touched-selection reads only the
+    * partitions holding a batch's new-edge endpoints instead of
+    * scanning the corpus assignment per micro-batch. A PROBE projection
+    * separate from the base artifact itself on purpose: the base stays
+    * a compact full-view read for the election and the overlay serve
+    * (full-view consumers pay the partition-dir listing tax on every
+    * evaluation otherwise — measured ~2× on the serving keys at the
+    * fixture), while pruned readers get their keyed copy — exactly as
+    * the text side stages band- and shingle-keyed projections of one
+    * signature set. Rows are repartitioned on the key before the write
+    * so each partition dir holds one file, not one per task. */
+  private[graft] def xmDocIdxDir(spark: SparkSession,
+      sfDir: String): java.nio.file.Path =
+    graft.util.StagedArtifacts.tempDir(sfDir, xmDocIdxDirs,
+      "graft_text_idx_", textStageBuilds, partitionCols = Seq("db")) {
+      stagedBaseCrossModalGroups(spark, sfDir)
+        .withColumn("db",
+          Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int"))
+        .repartition(col("db"))
+    }
+
+  /** The base assignment RE-KEYED for cluster-pruned MEMBER EXPANSION:
+    * the same rows, partitioned by the md5-bucket of `cluster` (`cb`,
+    * [[XmClusterParts]]). Touched-cluster expansion needs "every row
+    * whose CLUSTER is in a bounded set" — the doc-keyed layout cannot
+    * prune that, hence the second probe keying ([[xmDocIdxDir]]'s
+    * scaladoc). Both projections derive from the staged base (one extra
+    * column + a key shuffle, no corpus work), per-JVM like every
+    * derived artifact. */
+  private[graft] def xmClusterIdxDir(spark: SparkSession,
+      sfDir: String): java.nio.file.Path =
+    graft.util.StagedArtifacts.tempDir(sfDir, xmClusterIdxDirs,
+      "graft_text_idx_", textStageBuilds, partitionCols = Seq("cb")) {
+      stagedBaseCrossModalGroups(spark, sfDir)
+        .withColumn("cb",
+          Hashing.md5Bucket(col("cluster"), XmClusterParts).cast("int"))
+        .repartition(col("cb"))
+    }
 
   /** The quality-aware canonical election over ANY cluster assignment
     * for this corpus — the serving tail of [[crossModalKeepBest]],
@@ -1738,6 +1792,112 @@ object DedupOps {
     (touched, stars, reclosed)
   }
 
+  /** [[mergeClusterIncrementDelta]] served from the STAGED, partition-
+    * keyed assignment — the per-micro-batch form the streaming
+    * reconciliation runs. The generic variant's touched-selection
+    * broadcasts its bounded build sides so the assignment never
+    * shuffles, but it still SCANS the full assignment twice per batch —
+    * at 10^9 docs that is an O(corpus) read per new edge (r15 verdict
+    * #6). Here both selections PRUNE at the partition layer instead:
+    *
+    *  - endpoint lookup reads only the `db` partitions of
+    *    [[xmDocIdxDir]] holding the batch's new-edge endpoints (the
+    *    batch's distinct bucket list is collected to the driver —
+    *    bounded by [[DocBucketParts]], an index constant, never by
+    *    data — the [[incrementalDedupBatch]] pruned-probe discipline);
+    *  - member expansion reads only the `cb` partitions of
+    *    [[xmClusterIdxDir]] holding the touched clusters (bounded by
+    *    [[XmClusterParts]]).
+    *
+    * The un-compacted delta overlay is read whole per batch — bounded
+    * by the re-stage cadence, never the corpus — and newest-wins
+    * shadowing is applied exactly as [[servedClusterAssignment]] does
+    * it (broadcast anti-join on the bounded delta ids), so the result
+    * row-equals `mergeClusterIncrementDelta(servedClusterAssignment(
+    * base, deltaRoot, excludeEpoch), newEdges)` (spec-locked). The
+    * touched-cluster set checkpoints through the rotated candidate dir
+    * before its three consumers (the [[incrementalDedupBatch]]
+    * discipline) — without it each consumer re-ran the whole pruned
+    * endpoint selection. */
+  def mergeClusterIncrementDeltaStaged(spark: SparkSession, sfDir: String,
+      deltaRoot: String, excludeEpoch: Option[Long],
+      newEdges: DataFrame): DataFrame =
+    touchedReclosureStaged(spark, sfDir, deltaRoot, excludeEpoch, newEdges)._3
+
+  /** The pruned touched-selection + star re-closure behind
+    * [[mergeClusterIncrementDeltaStaged]] — `private[graft]` like
+    * [[touchedReclosure]] so PlanSpec can assert BOTH partition prunes
+    * and the broadcast-only join shape on the actual frames. Returns
+    * the LIVE (pre-checkpoint) touched selection as `_1` — the plan the
+    * checkpoint write evaluates, where the db-prune is visible; `_2`
+    * (stars) carries the cb-pruned member expansion. EAGER: the
+    * checkpoint write runs here, so the call itself costs one job. */
+  private[graft] def touchedReclosureStaged(spark: SparkSession,
+      sfDir: String, deltaRoot: String, excludeEpoch: Option[Long],
+      newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val edges = newEdges.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+    val verts = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct()
+    // bounded driver artifact: ≤ DocBucketParts ints, an index constant
+    val dbs = verts
+      .select(Hashing.md5Bucket(col("doc_id"), DocBucketParts)
+        .cast("int").as("db"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val deltas = rawClusterDeltas(spark, deltaRoot, excludeEpoch)
+      .map(newestClusterDelta)
+    // base rows shadowed by ANY delta row drop — the build side is the
+    // bounded un-compacted delta id set, the servedClusterAssignment
+    // anti-join discipline
+    def unshadowed(df: DataFrame): DataFrame = deltas match {
+      case None => df
+      case Some(d) =>
+        df.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val endpointBase = unshadowed(
+      spark.read.parquet(xmDocIdxDir(spark, sfDir).toString)
+        .filter(col("db").isin(dbs: _*))
+        .join(broadcast(verts), "doc_id"))
+      .select("cluster")
+    val touchedLive = (deltas match {
+      case None => endpointBase
+      case Some(d) => endpointBase.unionByName(
+        d.join(broadcast(verts), "doc_id").select("cluster"))
+    }).distinct()
+    // checkpoint the touched-cluster set (dup-density-bounded, one
+    // scalar per row) before its consumers: the cb-bucket collect and
+    // the member-expansion broadcast builds would each re-run the
+    // pruned endpoint selection otherwise — the candidate-list
+    // checkpoint discipline (incrementalDedupBatch), applied where the
+    // stage really is evaluated more than once
+    val tDir = nextCandDir(s"xm:$sfDir", "graft_xm_touched_")
+    // coalesce(1): the set is bounded scalars — 32 near-empty commit
+    // tasks per micro-batch would cost more than the write itself
+    touchedLive.coalesce(1).write.mode("overwrite").parquet(tDir.toString)
+    val touched = spark.read.parquet(tDir.toString)
+    // second bounded driver artifact: ≤ XmClusterParts ints
+    val cbs = touched
+      .select(Hashing.md5Bucket(col("cluster"), XmClusterParts)
+        .cast("int").as("cb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val affectedBase = unshadowed(
+      spark.read.parquet(xmClusterIdxDir(spark, sfDir).toString)
+        .filter(col("cb").isin(cbs: _*))
+        .join(broadcast(touched), "cluster"))
+      .select(col("doc_id"), col("cluster"))
+    val affected = deltas match {
+      case None => affectedBase
+      case Some(d) => affectedBase.unionByName(
+        d.join(broadcast(touched), "cluster")
+          .select(col("doc_id"), col("cluster")))
+    }
+    val stars = affected.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("a"), col("cluster").as("b"))
+    val reclosed = clusterPairs(edges.union(stars).distinct())
+      .withColumnRenamed("id", "doc_id")
+    (touchedLive, stars, reclosed)
+  }
+
   /** The cluster-assignment OVERLAY READ — `SimilarityOps.servedIndex`
     * for the cluster layer: serve `base` ∪ the epoch-keyed delta dirs
     * under `deltaRoot` (each written by
@@ -1764,31 +1924,47 @@ object DedupOps {
     * `java.io` (the host-local sidecar discipline —
     * see [[registerClusterDeltas]]). */
   def servedClusterAssignment(spark: SparkSession, base: DataFrame,
-      deltaRoot: String, excludeEpoch: Option[Long] = None): DataFrame = {
+      deltaRoot: String, excludeEpoch: Option[Long] = None): DataFrame =
+    rawClusterDeltas(spark, deltaRoot, excludeEpoch) match {
+      case None => base
+      case Some(deltas) =>
+        val newest = newestClusterDelta(deltas)
+        assignmentOf(base)
+          .join(broadcast(newest.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(newest)
+    }
+
+  /** The raw epoch-keyed delta rows under `deltaRoot`, `excludeEpoch`
+    * partition-pruned out — None when no epoch dir exists (the zero-
+    * plan-change serving case). Shared by the full overlay read and the
+    * staged touched-selection. */
+  private def rawClusterDeltas(spark: SparkSession, deltaRoot: String,
+      excludeEpoch: Option[Long]): Option[DataFrame] = {
     val root = new java.io.File(deltaRoot)
     val hasDeltas = Option(root.listFiles())
       .exists(_.exists(f => f.isDirectory && f.getName.startsWith("epoch=")))
-    if (!hasDeltas) base
+    if (!hasDeltas) None
     else {
       val raw = spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, cluster BIGINT, is_canonical INT, " +
             "cluster_size BIGINT, epoch BIGINT"))
         .parquet(deltaRoot)
-      val deltas = excludeEpoch
+      Some(excludeEpoch
         .map(e => raw.filter(col("epoch") =!= lit(e)))
-        .getOrElse(raw)
-      val newest = deltas.groupBy("doc_id").agg(
-        max_by(struct(col("cluster"), col("is_canonical"),
-          col("cluster_size")), col("epoch")).as("s"))
-        .select(col("doc_id"), col("s.cluster").as("cluster"),
-          col("s.is_canonical").as("is_canonical"),
-          col("s.cluster_size").as("cluster_size"))
-      assignmentOf(base)
-        .join(broadcast(newest.select("doc_id")), Seq("doc_id"), "left_anti")
-        .unionByName(newest)
+        .getOrElse(raw))
     }
   }
+
+  /** Newest-wins collapse of the delta rows: one row per delta doc_id,
+    * from its highest epoch. */
+  private def newestClusterDelta(deltas: DataFrame): DataFrame =
+    deltas.groupBy("doc_id").agg(
+      max_by(struct(col("cluster"), col("is_canonical"),
+        col("cluster_size")), col("epoch")).as("s"))
+      .select(col("doc_id"), col("s.cluster").as("cluster"),
+        col("s.is_canonical").as("is_canonical"),
+        col("s.cluster_size").as("cluster_size"))
 
   /** [[mergeClusterIncrement]] wired to the staged cross-modal
     * assignment — the ingestion-cadence entry point: an admitted
@@ -1922,8 +2098,12 @@ object DedupOps {
     else {
       val root = registeredClusterDeltaRoot(sfDir)
       xmodalBaseDirs.invalidate(sfDir)
+      xmDocIdxDirs.invalidate(sfDir)
+      xmClusterIdxDirs.invalidate(sfDir)
       stagedBaseCrossModalGroups(spark, sfDir) // eager: serving never
-      root.foreach { r =>                      // races a half-build
+      xmDocIdxDir(spark, sfDir)                // races a half-build —
+      xmClusterIdxDir(spark, sfDir)            // base + both probe
+      root.foreach { r =>                      // keyings rebuild here
         graft.util.ServingManifest.removeIf(sfDir, XmDeltaFamily, XmTables,
           "deltaRoot", r, alsoRemove = Seq("deltaRows", "baseRows"))
       }
@@ -1967,6 +2147,12 @@ object DedupOps {
     graft.util.TempDirs.track(root)
     registerClusterDeltas(spark, sfDir, root.toString)
     try {
+      // the GENERIC merge on purpose: this key folds the WHOLE staged
+      // edge artifact in one corpus-cadence batch — compaction-style
+      // work where a full-scan selection is the right shape (and the
+      // only bench coverage the generic path keeps). The increment-
+      // cadence PRUNED form ([[mergeClusterIncrementDeltaStaged]]) is
+      // `stream_xm`'s per-micro-batch body, plan-guarded there.
       val base = stagedBaseCrossModalGroups(spark, sfDir)
       val delta = mergeClusterIncrementDelta(base,
         stagedIncrementCrossEdges(spark, sfDir)).persist()
@@ -1995,21 +2181,58 @@ object DedupOps {
     * recompute it); production callers pass any probe DataFrame via the
     * overload.
     */
-  def docDecontaminate(docs: DataFrame, probe: DataFrame, minShared: Int): DataFrame = {
-    graft.functions.GramMd5s.register(docs.sparkSession)
-    // gram hashing fused into the native GramMd5s loop — the composable
-    // per-gram md5(substr(...)) chain is CodegenFallback and this is the
-    // whole corpus-side scan cost
-    def grams(df: DataFrame): DataFrame = df.select(
-      col("doc_id"),
-      explode(array_distinct(
-        call_function("gram_md5s", col("text"), lit(DecontaminateGramLen)))).as("g"))
-    grams(docs)
-      .join(broadcast(grams(probe).select("g").distinct()), "g")
+  def docDecontaminate(docs: DataFrame, probe: DataFrame, minShared: Int): DataFrame =
+    contamGrams(docs)
+      .join(broadcast(contamGrams(probe).select("g").distinct()), "g")
       .groupBy("doc_id")
       .agg(count_distinct(col("g")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  /** The per-doc distinct contamination-gram rows — gram hashing fused
+    * into the native GramMd5s loop (the composable per-gram
+    * md5(substr(...)) chain is CodegenFallback and this is the whole
+    * corpus-side scan cost); shared by the batch detector, the staged
+    * probe index, and the streaming gate's per-batch body so all three
+    * gram identically by construction. */
+  private def contamGrams(df: DataFrame): DataFrame = {
+    graft.functions.GramMd5s.register(df.sparkSession)
+    df.select(
+      col("doc_id"),
+      explode(array_distinct(
+        call_function("gram_md5s", col("text"), lit(DecontaminateGramLen)))).as("g"))
   }
+
+  private val probeGramDirs =
+    new graft.util.StampedMemo[java.nio.file.Path]("documents")
+
+  /** The decontamination PROBE INDEX staged once per benchmark snapshot:
+    * the distinct contamination-gram set of the probe (benchmark) slice.
+    * Benchmarks are small by nature (thousands of documents against a
+    * corpus of billions), so the staged set is a bounded broadcast-side
+    * artifact — gramming the benchmark is an INDEX BUILD paid once, not
+    * per arriving batch. Stamped like every staged artifact: a benchmark
+    * rewrite re-derives. */
+  def stagedProbeGrams(spark: SparkSession, sfDir: String): DataFrame =
+    stagedParquet(spark, sfDir, probeGramDirs,
+      contamGrams(Fixtures.documents(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(DecontaminateProbeMod)) === 0))
+        .select("g").distinct())
+
+  /** Decontaminate ONE arriving batch against the staged probe grams —
+    * the per-micro-batch body of the streaming decontamination gate
+    * (`stream_dc`): gram the batch in-row, hash-join the bounded staged
+    * probe set by broadcast, aggregate per doc. Per-batch cost
+    * O(batch grams) — no corpus work, no shuffle beyond the batch-local
+    * per-doc aggregate. Split-independent by construction: a document
+    * is one stream row, so its grams land in exactly one batch and its
+    * verdict depends on (that doc, the frozen probe set) alone. */
+  def decontaminateBatch(spark: SparkSession, sfDir: String,
+      batch: DataFrame): DataFrame =
+    contamGrams(batch)
+      .join(broadcast(stagedProbeGrams(spark, sfDir)), "g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= DecontaminateMinShared)
 
   val DecontaminateGramLen = 24
   val DecontaminateProbeMod = 20L

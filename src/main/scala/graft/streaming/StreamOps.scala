@@ -608,6 +608,54 @@ object StreamOps {
         "new_doc BIGINT, base_doc BIGINT, n_bands BIGINT, jaccard DOUBLE"))
   }
 
+  /** STREAMING decontamination gate — the decontamination family's
+    * stream-serve leg (batch detector = `decontam`, staged probe index
+    * = [[graft.operators.DedupOps.stagedProbeGrams]], this gate): a
+    * training-data pipeline checks every ARRIVING document against the
+    * held-out benchmark before admission, not just the corpus at
+    * release time. Documents arrive as a stream; each micro-batch is
+    * grammed in-row and hash-joined against the FROZEN staged
+    * probe-gram set by broadcast
+    * ([[graft.operators.DedupOps.decontaminateBatch]] — per-batch cost
+    * O(batch grams), no corpus work, no stream state); flagged docs
+    * land in an epoch-keyed sink with overwrite.
+    *
+    * Deterministic WITHOUT the one-batch premise: a document is one
+    * stream row, so its grams land in exactly one batch and its verdict
+    * depends on (that doc, the frozen probe set) alone — any
+    * micro-batch split yields the same union, equal to the batch
+    * `decontam` key over the whole corpus (its oracle verbatim). */
+  def streamDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DedupOps
+    graft.GraftSession.registerFunctions(spark)
+    // freeze the probe index BEFORE the stream (build-if-absent)
+    DedupOps.stagedProbeGrams(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dc_")
+    graft.util.TempDirs.track(root)
+    val data = root.resolve("hits").toString
+    val ckpt = root.resolve("ckpt").toString
+    val q = documentsStream(spark, sfDir)
+      .filter(pmod(col("doc_id"),
+        lit(DedupOps.DecontaminateProbeMod)) =!= 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            DedupOps.decontaminateBatch(spark, sfDir, batch)
+              .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readEpochSink(spark, data,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, n_shared BIGINT"))
+  }
+
   /** STREAMING media ingestion dedup — `stream_lsh`'s shape for the
     * MEDIA side, completing the build / batch-serve / stream-serve
     * triad for every modality family (text: `stream_lsh`; vectors:
@@ -740,10 +788,15 @@ object StreamOps {
     * an epoch-keyed dir, and every read (the next batch's prior view,
     * the final election) serves base ∪ delta epochs with newest-wins on
     * `doc_id` ([[graft.operators.DedupOps.servedClusterAssignment]], the
-    * `ann_seg` anti-join discipline). Per-batch I/O is therefore
-    * O(touched subgraph), never the corpus assignment — the full
-    * rewrite this replaces re-wrote and re-read every cluster row per
-    * micro-batch. Reference anchor: cumulative-ack frontier semantics
+    * `ann_seg` anti-join discipline). The per-batch READ is partition-
+    * pruned as well (r15 verdict #6): touched-selection goes through
+    * the staged assignment's db-/cb-keyed projections
+    * ([[graft.operators.DedupOps.mergeClusterIncrementDeltaStaged]]),
+    * so a batch reads only the buckets its endpoints and touched
+    * clusters land in plus the bounded overlay. Per-batch I/O is
+    * therefore O(touched subgraph), never the corpus assignment — the
+    * full rewrite this replaces re-wrote and re-read every cluster row
+    * per micro-batch. Reference anchor: cumulative-ack frontier semantics
     * (`/root/reference/src/PulsarApi.proto:480-483`) — serve the
     * frontier, don't rewrite the log. A replayed epoch (epoch written,
     * checkpoint commit lost) reads its prior view WITH ITS OWN EPOCH
@@ -768,8 +821,12 @@ object StreamOps {
       edgesDir: String): DataFrame = {
     import graft.operators.DedupOps
     graft.GraftSession.registerFunctions(spark)
-    // freeze the prior assignment + the edge topic BEFORE the stream
+    // freeze the prior assignment (BOTH probe keyings — the db- and
+    // cb-partitioned projections the pruned per-batch selection reads)
+    // + the edge topic BEFORE the stream
     val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    DedupOps.xmDocIdxDir(spark, sfDir)
+    DedupOps.xmClusterIdxDir(spark, sfDir)
     val schema = spark.read.parquet(edgesDir).schema
     val root = java.nio.file.Files.createTempDirectory("graft_stream_xm_")
     graft.util.TempDirs.track(root)
@@ -789,9 +846,13 @@ object StreamOps {
           batch.persist()
           try {
             if (batch.count() > 0) {
-              val prior = DedupOps.servedClusterAssignment(spark, base,
-                data, excludeEpoch = Some(epochId))
-              val delta = DedupOps.mergeClusterIncrementDelta(prior, batch)
+              // pruned per-batch form of mergeClusterIncrementDelta over
+              // the served prior view (own epoch partition-pruned out —
+              // the replay hazard): reads only the db-/cb-partitions the
+              // batch touches plus the bounded overlay, never the full
+              // assignment
+              val delta = DedupOps.mergeClusterIncrementDeltaStaged(spark,
+                sfDir, data, excludeEpoch = Some(epochId), batch)
                 .persist()
               try {
                 delta.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
@@ -1038,7 +1099,10 @@ object StreamOps {
     // streaming cross-modal reconciliation — the cluster layer's
     // stream-serve leg (round 15): all four gates' verified cross edges
     // fold into the staged base clusters per micro-batch
-    "stream_xm" -> ((s, d) => streamCrossModalMerge(s, d)))
+    "stream_xm" -> ((s, d) => streamCrossModalMerge(s, d)),
+    // streaming decontamination gate (round 16): arriving docs checked
+    // against the staged benchmark-gram index before admission
+    "stream_dc" -> ((s, d) => streamDecontaminate(s, d)))
 
   /** All six streaming keys are oracle-backed: `stream_dlq_split` via
     * its sink files (covering the full foreachBatch fan-out),
@@ -1130,5 +1194,11 @@ object StreamOps {
     // new×new — the batch xmodal chain with the new×new filter, zero
     // drift
     "stream_xm" ->
-      graft.operators.DedupOps.streamCrossModalOracle)
+      graft.operators.DedupOps.streamCrossModalOracle,
+    // stream_dc: split-independent (one row per doc — its grams land in
+    // one batch, its verdict depends on that doc + the frozen probe
+    // set), so the streamed union equals the batch detector over the
+    // whole corpus — decontam's oracle verbatim, zero drift
+    "stream_dc" ->
+      graft.operators.DedupOps.oracle("decontam"))
 }

@@ -507,6 +507,37 @@ class PlanSpec extends SparkTestBase {
     assert(!sp.contains("SortMergeJoin"), sp)
   }
 
+  test("cluster merge staged: touched-selection partition-prunes both assignment keyings") {
+    // the r16 scale shape (r15 verdict #6 'Done' bar): the per-batch
+    // selection must reach the staged assignment as PARTITION filters —
+    // endpoint lookup pruned to the batch's db buckets, member
+    // expansion pruned to the touched clusters' cb buckets — with every
+    // join broadcast (build sides bounded by the increment / the
+    // overlay), never a sort-merge of the assignment
+    import graft.operators.DedupOps
+    val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_plan_staged_")
+    graft.util.TempDirs.track(root)
+    // a real overlay epoch so the anti-join/newest-wins legs are in play
+    DedupOps.mergeClusterIncrementDelta(
+        DedupOps.stagedBaseCrossModalGroups(spark, sfDir), edges)
+      .limit(3).write.mode("overwrite").parquet(s"$root/epoch=0")
+    val (touched, stars, _) = DedupOps.touchedReclosureStaged(spark, sfDir,
+      root.toString, excludeEpoch = None, edges)
+    // endpoint lookup (the checkpointed touched selection): db-pruned
+    // scan of the doc-keyed projection, broadcast-only joins
+    val tp = touched.queryExecution.executedPlan.toString
+    assert(tp.contains("PartitionFilters: [db#"), tp)
+    assert(!tp.contains("SortMergeJoin"), tp)
+    assert("BroadcastHashJoin".r.findAllIn(tp).size >= 2, tp)
+    // member expansion: cb-pruned scan of the cluster-keyed projection,
+    // broadcast-only joins against the bounded checkpointed touched set
+    val sp = stars.queryExecution.executedPlan.toString
+    assert(sp.contains("PartitionFilters: [cb#"), sp)
+    assert(!sp.contains("SortMergeJoin"), sp)
+    assert("BroadcastHashJoin".r.findAllIn(sp).size >= 2, sp)
+  }
+
   test("cluster overlay serve: broadcast anti-join on delta ids, epoch exclusion prunes partitions") {
     // servedClusterAssignment's scale claim: the base side anti-joins
     // against the BOUNDED delta-id set by broadcast (never a shuffle of

@@ -304,6 +304,42 @@ class StreamOpsSpec extends SparkTestBase {
         excludeEpoch = Some(0L)), base)
   }
 
+  test("staged touched-selection equals the generic merge over the served view") {
+    // mergeClusterIncrementDeltaStaged (the pruned per-batch form) must
+    // row-equal mergeClusterIncrementDelta over the materialized served
+    // view, in all three serving states: no overlay, a live overlay
+    // epoch, and a replay (own epoch excluded)
+    import graft.operators.DedupOps
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_staged_eq_")
+    graft.util.TempDirs.track(root)
+    // no overlay: the pure pruned-base path
+    assertSameRows(
+      DedupOps.mergeClusterIncrementDeltaStaged(spark, sfDir,
+        root.toString, excludeEpoch = None, edges),
+      DedupOps.mergeClusterIncrementDelta(base, edges))
+    // live overlay: the first half lands as epoch 0, the second folds
+    // THROUGH the overlay (shadowed base rows must not resurrect)
+    val e0 = edges.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 0)
+    val e1 = edges.filter(pmod(col("doc_a") + col("doc_b"), lit(2)) === 1)
+    assert(e0.count() > 0 && e1.count() > 0,
+      "fixture edges must split into two non-empty batches")
+    DedupOps.mergeClusterIncrementDelta(base, e0)
+      .write.mode("overwrite").parquet(s"$root/epoch=0")
+    val v1 = DedupOps.servedClusterAssignment(spark, base, root.toString)
+    val d1 = DedupOps.mergeClusterIncrementDelta(v1, e1)
+    assertSameRows(
+      DedupOps.mergeClusterIncrementDeltaStaged(spark, sfDir,
+        root.toString, excludeEpoch = None, e1), d1)
+    // replay: epoch 1 already on disk, the re-run excludes its own
+    // epoch and must reproduce the same delta deterministically
+    d1.write.mode("overwrite").parquet(s"$root/epoch=1")
+    assertSameRows(
+      DedupOps.mergeClusterIncrementDeltaStaged(spark, sfDir,
+        root.toString, excludeEpoch = Some(1L), e1), d1)
+  }
+
   test("cluster overlay lifecycle: register, append, gauge, re-stage compaction") {
     import graft.operators.DedupOps
     DedupOps.dropClusterDeltas(sfDir)
@@ -402,6 +438,21 @@ class StreamOpsSpec extends SparkTestBase {
     val live = StreamOps.streamCrossModalMerge(spark, sfDir, dir)
     val staged = StreamOps.streamCrossModalMerge(spark, sfDir)
     assertSameRows(live, staged)
+  }
+
+  test("stream_dc equals the batch decontamination and serves a frozen probe index") {
+    import graft.operators.DedupOps
+    val streamed = StreamOps.streamDecontaminate(spark, sfDir)
+    assert(streamed.count() > 0, "fixture must produce contaminated docs")
+    // split-independence cashes out as equality with the batch detector
+    // over the whole corpus (the key's oracle, via its staged twin)
+    assertSameRows(streamed, DedupOps.stagedContamination(spark, sfDir))
+    // the probe-gram index is a frozen staged artifact: a second
+    // streaming run rebuilds nothing
+    val b0 = DedupOps.textStageBuilds.get()
+    StreamOps.streamDecontaminate(spark, sfDir)
+    assert(DedupOps.textStageBuilds.get() === b0,
+      "a second streaming run must serve from the already-staged probe grams")
   }
 
   test("stream_img serves every micro-batch from the FROZEN staged media index") {
