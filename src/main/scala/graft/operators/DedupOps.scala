@@ -1776,20 +1776,36 @@ object DedupOps {
     * the assignment side) without duplicating the construction. */
   private[graft] def touchedReclosure(g: DataFrame,
       newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val edges = newEdges.toDF("a", "b")
-      .select(col("a").cast("long"), col("b").cast("long"))
-    val verts = edges.select(col("a").as("doc_id"))
-      .union(edges.select(col("b").as("doc_id"))).distinct()
+    val edges = canonMergeEdges(newEdges)
+    val verts = mergeEdgeEndpoints(edges)
     val touched = g.join(broadcast(verts), "doc_id")
       .select("cluster").distinct()
     val affected = g.join(broadcast(touched), "cluster")
-    // star edges: (member, label) for non-label members — label is a
-    // member, so the star reconstructs the component exactly
+    val (stars, reclosed) = starsReclosure(affected, edges)
+    (touched, stars, reclosed)
+  }
+
+  private def canonMergeEdges(newEdges: DataFrame): DataFrame =
+    newEdges.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+
+  private def mergeEdgeEndpoints(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct()
+
+  /** Star re-construction + re-closure shared by the generic and the
+    * staged touched-selection — ONE definition so the spec-locked
+    * row-equality between the two merge paths cannot drift: star edges
+    * are (member, label) for non-label members (the label is itself a
+    * member, so the star reconstructs the component exactly), and the
+    * re-closure runs stars ∪ new edges through the CC fixpoint. */
+  private def starsReclosure(affected: DataFrame,
+      edges: DataFrame): (DataFrame, DataFrame) = {
     val stars = affected.filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("a"), col("cluster").as("b"))
     val reclosed = clusterPairs(edges.union(stars).distinct())
       .withColumnRenamed("id", "doc_id")
-    (touched, stars, reclosed)
+    (stars, reclosed)
   }
 
   /** [[mergeClusterIncrementDelta]] served from the STAGED, partition-
@@ -1824,6 +1840,20 @@ object DedupOps {
       newEdges: DataFrame): DataFrame =
     touchedReclosureStaged(spark, sfDir, deltaRoot, excludeEpoch, newEdges)._3
 
+  /** The FROZEN-DIR form for long-lived streaming frames: the caller
+    * resolves both probe-projection dirs ONCE at stream start and every
+    * micro-batch reads those paths — an in-place corpus rewrite
+    * mid-stream must NOT swing the batch body onto a rebuilt snapshot
+    * while the overlay epochs and the final election still read the
+    * frozen base (the memo-keyed form would, silently: the stamp change
+    * re-derives on next access — review r16). */
+  private[graft] def mergeClusterIncrementDeltaStagedAt(spark: SparkSession,
+      sfDir: String, docIdx: java.nio.file.Path,
+      clusterIdx: java.nio.file.Path, deltaRoot: String,
+      excludeEpoch: Option[Long], newEdges: DataFrame): DataFrame =
+    touchedReclosureStagedAt(spark, sfDir, docIdx, clusterIdx, deltaRoot,
+      excludeEpoch, newEdges)._3
+
   /** The pruned touched-selection + star re-closure behind
     * [[mergeClusterIncrementDeltaStaged]] — `private[graft]` like
     * [[touchedReclosure]] so PlanSpec can assert BOTH partition prunes
@@ -1834,18 +1864,32 @@ object DedupOps {
     * checkpoint write runs here, so the call itself costs one job. */
   private[graft] def touchedReclosureStaged(spark: SparkSession,
       sfDir: String, deltaRoot: String, excludeEpoch: Option[Long],
+      newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    touchedReclosureStagedAt(spark, sfDir, xmDocIdxDir(spark, sfDir),
+      xmClusterIdxDir(spark, sfDir), deltaRoot, excludeEpoch, newEdges)
+
+  private[graft] def touchedReclosureStagedAt(spark: SparkSession,
+      sfDir: String, docIdx: java.nio.file.Path,
+      clusterIdx: java.nio.file.Path, deltaRoot: String,
+      excludeEpoch: Option[Long],
       newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val edges = newEdges.toDF("a", "b")
-      .select(col("a").cast("long"), col("b").cast("long"))
-    val verts = edges.select(col("a").as("doc_id"))
-      .union(edges.select(col("b").as("doc_id"))).distinct()
+    val edges = canonMergeEdges(newEdges)
+    val verts = mergeEdgeEndpoints(edges)
     // bounded driver artifact: ≤ DocBucketParts ints, an index constant
     val dbs = verts
       .select(Hashing.md5Bucket(col("doc_id"), DocBucketParts)
         .cast("int").as("db"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val deltas = rawClusterDeltas(spark, deltaRoot, excludeEpoch)
-      .map(newestClusterDelta)
+    // the newest-wins overlay view checkpoints ONCE per batch: four
+    // plan branches consume it (two anti-join builds, the endpoint
+    // union, the affected union), and un-materialized each re-ran the
+    // overlay scan + max_by aggregation (review r16)
+    val deltas = rawClusterDeltas(spark, deltaRoot, excludeEpoch).map { raw =>
+      val dDir = nextCandDir(s"xmd:$sfDir", "graft_xm_newest_")
+      newestClusterDelta(raw).coalesce(1)
+        .write.mode("overwrite").parquet(dDir.toString)
+      spark.read.parquet(dDir.toString)
+    }
     // base rows shadowed by ANY delta row drop — the build side is the
     // bounded un-compacted delta id set, the servedClusterAssignment
     // anti-join discipline
@@ -1855,7 +1899,7 @@ object DedupOps {
         df.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti")
     }
     val endpointBase = unshadowed(
-      spark.read.parquet(xmDocIdxDir(spark, sfDir).toString)
+      spark.read.parquet(docIdx.toString)
         .filter(col("db").isin(dbs: _*))
         .join(broadcast(verts), "doc_id"))
       .select("cluster")
@@ -1881,7 +1925,7 @@ object DedupOps {
         .cast("int").as("cb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val affectedBase = unshadowed(
-      spark.read.parquet(xmClusterIdxDir(spark, sfDir).toString)
+      spark.read.parquet(clusterIdx.toString)
         .filter(col("cb").isin(cbs: _*))
         .join(broadcast(touched), "cluster"))
       .select(col("doc_id"), col("cluster"))
@@ -1891,10 +1935,7 @@ object DedupOps {
         d.join(broadcast(touched), "cluster")
           .select(col("doc_id"), col("cluster")))
     }
-    val stars = affected.filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as("a"), col("cluster").as("b"))
-    val reclosed = clusterPairs(edges.union(stars).distinct())
-      .withColumnRenamed("id", "doc_id")
+    val (stars, reclosed) = starsReclosure(affected, edges)
     (touchedLive, stars, reclosed)
   }
 
@@ -2182,8 +2223,17 @@ object DedupOps {
     * overload.
     */
   def docDecontaminate(docs: DataFrame, probe: DataFrame, minShared: Int): DataFrame =
-    contamGrams(docs)
-      .join(broadcast(contamGrams(probe).select("g").distinct()), "g")
+    contamVerdicts(contamGrams(docs),
+      contamGrams(probe).select("g").distinct(), minShared)
+
+  /** The contamination VERDICT tail — broadcast gram join, per-doc
+    * distinct-shared count, threshold — shared by the batch detector
+    * and the streaming gate so the two cannot drift (the gate claims
+    * the batch oracle verbatim). */
+  private def contamVerdicts(corpusGrams: DataFrame, probeGrams: DataFrame,
+      minShared: Int): DataFrame =
+    corpusGrams
+      .join(broadcast(probeGrams), "g")
       .groupBy("doc_id")
       .agg(count_distinct(col("g")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -2228,11 +2278,8 @@ object DedupOps {
     * verdict depends on (that doc, the frozen probe set) alone. */
   def decontaminateBatch(spark: SparkSession, sfDir: String,
       batch: DataFrame): DataFrame =
-    contamGrams(batch)
-      .join(broadcast(stagedProbeGrams(spark, sfDir)), "g")
-      .groupBy("doc_id")
-      .agg(count_distinct(col("g")).as("n_shared"))
-      .filter(col("n_shared") >= DecontaminateMinShared)
+    contamVerdicts(contamGrams(batch), stagedProbeGrams(spark, sfDir),
+      DecontaminateMinShared)
 
   val DecontaminateGramLen = 24
   val DecontaminateProbeMod = 20L

@@ -825,8 +825,13 @@ object StreamOps {
     // cb-partitioned projections the pruned per-batch selection reads)
     // + the edge topic BEFORE the stream
     val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
-    DedupOps.xmDocIdxDir(spark, sfDir)
-    DedupOps.xmClusterIdxDir(spark, sfDir)
+    // the PATHS freeze too (not just build-if-absent): every micro-batch
+    // reads these resolved dirs, so an in-place corpus rewrite
+    // mid-stream cannot swing the batch body onto a rebuilt snapshot
+    // while the overlay epochs and the final election still read the
+    // frozen base (review r16)
+    val docIdx = DedupOps.xmDocIdxDir(spark, sfDir)
+    val clusterIdx = DedupOps.xmClusterIdxDir(spark, sfDir)
     val schema = spark.read.parquet(edgesDir).schema
     val root = java.nio.file.Files.createTempDirectory("graft_stream_xm_")
     graft.util.TempDirs.track(root)
@@ -851,8 +856,9 @@ object StreamOps {
               // the replay hazard): reads only the db-/cb-partitions the
               // batch touches plus the bounded overlay, never the full
               // assignment
-              val delta = DedupOps.mergeClusterIncrementDeltaStaged(spark,
-                sfDir, data, excludeEpoch = Some(epochId), batch)
+              val delta = DedupOps.mergeClusterIncrementDeltaStagedAt(spark,
+                sfDir, docIdx, clusterIdx, data,
+                excludeEpoch = Some(epochId), batch)
                 .persist()
               try {
                 delta.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
