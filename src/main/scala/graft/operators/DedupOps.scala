@@ -1898,8 +1898,16 @@ object DedupOps {
       case Some(d) =>
         df.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti")
     }
+    // explicit schemas on both projection reads: a corpus with NO base
+    // dup clusters stages EMPTY projections, and schema inference fails
+    // on a data-file-less dir (caught by the staged-merge ScalaCheck
+    // property's empty-base case); the declared types also pin the
+    // partition columns INT so the isin literals prune without casts
+    def idxSchema(key: String) = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, cluster BIGINT, is_canonical INT, " +
+        s"cluster_size BIGINT, $key INT")
     val endpointBase = unshadowed(
-      spark.read.parquet(docIdx.toString)
+      spark.read.schema(idxSchema("db")).parquet(docIdx.toString)
         .filter(col("db").isin(dbs: _*))
         .join(broadcast(verts), "doc_id"))
       .select("cluster")
@@ -1925,7 +1933,7 @@ object DedupOps {
         .cast("int").as("cb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val affectedBase = unshadowed(
-      spark.read.parquet(clusterIdx.toString)
+      spark.read.schema(idxSchema("cb")).parquet(clusterIdx.toString)
         .filter(col("cb").isin(cbs: _*))
         .join(broadcast(touched), "cluster"))
       .select(col("doc_id"), col("cluster"))

@@ -347,6 +347,58 @@ class CapSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("staged (pruned) touched-selection equals the generic merge for arbitrary graphs") {
+    // the r16 pruned per-batch form's correctness claim, beyond the
+    // fixture: for ANY base/increment edge sets — including an EMPTY
+    // base (empty staged projections must read back, not fail schema
+    // inference) and increments that fold through a live overlay epoch
+    // — mergeClusterIncrementDeltaStagedAt over synthetic db-/cb-keyed
+    // projections equals the generic merge over the served view
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emptyGroups = Seq.empty[(Long, Long, Int, Long)]
+      .toDF("doc_id", "cluster", "is_canonical", "cluster_size")
+    def close(edges: Seq[(Long, Long)]) =
+      DedupOps.mergeClusterIncrement(emptyGroups, edges.toDF("a", "b"))
+    val genEdge = for {
+      a <- Gen.choose(0L, 30L)
+      d <- Gen.choose(1L, 30L)
+    } yield (a, (a + d) % 31)
+    def genEdges(min: Int) =
+      Gen.choose(min, 12).flatMap(n => Gen.listOfN(n, genEdge))
+    val prop = Prop.forAll(genEdges(0), genEdges(0), genEdges(1)) {
+      (base, i1, i2) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_xm_sprop_")
+        graft.util.TempDirs.track(root)
+        val g0 = close(base)
+        // synthetic probe projections in exactly the staged layout
+        val docIdx = root.resolve("docIdx")
+        val clusterIdx = root.resolve("clusterIdx")
+        g0.withColumn("db", graft.operators.Hashing
+            .md5Bucket(col("doc_id"), DedupOps.DocBucketParts).cast("int"))
+          .write.partitionBy("db").parquet(docIdx.toString)
+        g0.withColumn("cb", graft.operators.Hashing
+            .md5Bucket(col("cluster"), DedupOps.XmClusterParts).cast("int"))
+          .write.partitionBy("cb").parquet(clusterIdx.toString)
+        val deltaRoot = root.resolve("deltas").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(deltaRoot))
+        if (i1.nonEmpty) // the stream's empty-batch guard
+          DedupOps.mergeClusterIncrementDelta(g0, i1.toDF("a", "b"))
+            .write.mode("overwrite").parquet(s"$deltaRoot/epoch=0")
+        val staged = canon(DedupOps.mergeClusterIncrementDeltaStagedAt(
+          spark, "prop-xm", docIdx, clusterIdx, deltaRoot, None,
+          i2.toDF("a", "b")))
+        val generic = canon(DedupOps.mergeClusterIncrementDelta(
+          DedupOps.servedClusterAssignment(spark, g0, deltaRoot),
+          i2.toDF("a", "b")))
+        staged == generic
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("defaultNumPlanes sizes the bucket geometry to the corpus") {
     import SimilarityOps.{defaultNumPlanes, MinPlanes, MaxPlanes}
     // mean bucket ≈ target: 1M vectors / 256-target → 2^12 buckets
