@@ -1883,7 +1883,13 @@ object DedupOps {
     // the newest-wins overlay view checkpoints ONCE per batch: four
     // plan branches consume it (two anti-join builds, the endpoint
     // union, the affected union), and un-materialized each re-ran the
-    // overlay scan + max_by aggregation (review r16)
+    // overlay scan + max_by aggregation (review r16). COMPACTION-
+    // CADENCE DEPENDENCY (ADVICE r16): this single-task write is
+    // O(un-compacted overlay) per micro-batch — bounded by
+    // [[maybeCompactClusterDeltas]] (≤ XmCompactEpochs epoch dirs +
+    // one collapsed delta, so ≈ O(live overlay)), which the stream's
+    // maintenance turn runs per epoch; without that fold it would grow
+    // with stream age until the corpus re-stage
     val deltas = rawClusterDeltas(spark, deltaRoot, excludeEpoch).map { raw =>
       val dDir = nextCandDir(s"xmd:$sfDir", "graft_xm_newest_")
       newestClusterDelta(raw).coalesce(1)
@@ -1989,9 +1995,7 @@ object DedupOps {
     * staged touched-selection. */
   private def rawClusterDeltas(spark: SparkSession, deltaRoot: String,
       excludeEpoch: Option[Long]): Option[DataFrame] = {
-    val root = new java.io.File(deltaRoot)
-    val hasDeltas = Option(root.listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("epoch=")))
+    val hasDeltas = graft.util.EpochDirs.list(deltaRoot).nonEmpty
     if (!hasDeltas) None
     else {
       val raw = spark.read.schema(
@@ -2154,7 +2158,8 @@ object DedupOps {
       xmClusterIdxDir(spark, sfDir)            // base + both probe
       root.foreach { r =>                      // keyings rebuild here
         graft.util.ServingManifest.removeIf(sfDir, XmDeltaFamily, XmTables,
-          "deltaRoot", r, alsoRemove = Seq("deltaRows", "baseRows"))
+          "deltaRoot", r,
+          alsoRemove = Seq("deltaRows", "baseRows", "lastEpoch", "epochs"))
       }
       true
     }
@@ -2167,13 +2172,98 @@ object DedupOps {
     * registration another serve path installed after it. */
   def retireClusterDeltas(sfDir: String, deltaRoot: String): Boolean =
     graft.util.ServingManifest.removeIf(sfDir, XmDeltaFamily, XmTables,
-      "deltaRoot", deltaRoot, alsoRemove = Seq("deltaRows", "baseRows"))
+      "deltaRoot", deltaRoot,
+      alsoRemove = Seq("deltaRows", "baseRows", "lastEpoch", "epochs"))
 
   /** Retire any cluster-delta registration for `sfDir` — hermeticity
     * drop for Bench/Verify startup and test isolation (the
     * `dropIndexSegments` sibling). */
   def dropClusterDeltas(sfDir: String): Unit =
     graft.util.ServingManifest.remove(sfDir, XmDeltaFamily)
+
+  /** Epoch-count trigger at which [[maybeCompactClusterDeltas]] folds —
+    * past K epochs, every serve and every per-batch overlay read pays
+    * O(Σ delta rows) across K+ dirs where one collapsed delta would be
+    * O(live overlay); below it, the fold's own write would cost more
+    * than it saves. */
+  val XmCompactEpochs = 8
+
+  /** INTRA-OVERLAY MINOR COMPACTION for the cluster-delta overlay — the
+    * LSM step BETWEEN per-epoch appends and the corpus-cadence re-stage
+    * (which it does not replace: [[maybeRestageCrossModal]] still drops
+    * the whole overlay when the merged fraction crosses its threshold).
+    * Verdict r16: without this, a long-running stream between corpus
+    * snapshots pays O(Σ delta rows over ALL epochs) per micro-batch
+    * (the overlay checkpoint in [[touchedReclosureStagedAt]] and every
+    * [[servedClusterAssignment]] re-collapse accumulated history); the
+    * fold keeps both O(live overlay + maxEpochs recent epochs).
+    *
+    * Also the per-call EPOCH GAUGE: records the overlay's epoch-dir
+    * count (`xm.delta_epochs` + the registration's `epochs` manifest
+    * key — one local listing, no Spark job) whether or not a fold runs.
+    * When the count exceeds `maxEpochs`, every epoch EXCEPT THE NEWEST
+    * folds into ONE newest-wins delta ([[newestClusterDelta]]) landed in
+    * the highest FOLDED epoch's dir, and the older dirs drop. The newest
+    * epoch stays out because it is the only epoch a foreachBatch replay
+    * can rewrite: `excludeEpoch` prunes it BY ID, and folding its rows
+    * into a dir keyed by another id would leak the half-trusted rows
+    * past the exclusion.
+    *
+    * CRASH-SAFE AT EVERY STEP, without a journal, because this overlay
+    * is only ever consumed through the newest-wins collapse: (1) the
+    * collapsed rows write to a hidden `.compact_*` scratch (Spark
+    * listings skip dot-dirs — readers never see the half-written fold);
+    * (2) the scratch's data files MOVE one by one into `epoch=<foldMax>`
+    * — each collapsed row either DOMINATES every folded row it
+    * summarizes (it carries the max folded epoch) or ties value-equal
+    * with foldMax's own row, so any prefix of the moves leaves the
+    * served view unchanged; (3) only then do the shadowed originals and
+    * the older epoch dirs delete — every deletion removes rows the
+    * collapsed files already dominate. An interrupted compaction leaves
+    * extra shadowed rows and a swept-on-next-entry scratch dir, never a
+    * changed view. (The ANN segment compactor CANNOT make this
+    * guarantee — its read path is a plain union — see
+    * [[graft.operators.SimilarityOps.maybeCompactIndexSegments]].)
+    *
+    * Manifest bookkeeping rides a conditional write keyed by the
+    * registration root ([[graft.util.ServingManifest.setIf]]): the
+    * delta-row counter resets to the PHYSICAL post-fold count (the
+    * collapse de-duplicates re-touched docs, so the staleness gauge gets
+    * MORE accurate, never staler), the epoch gauge drops to 2, and an
+    * unregistered or swapped-out root no-ops the bookkeeping while the
+    * file fold still applies. Returns whether a fold ran. */
+  def maybeCompactClusterDeltas(spark: SparkSession, sfDir: String,
+      deltaRoot: String, maxEpochs: Int = XmCompactEpochs): Boolean = {
+    val epochs = graft.util.EpochDirs.list(deltaRoot)
+    graft.ObservedMetrics.recordGauge("xm.delta_epochs", epochs.size.toDouble)
+    graft.util.ServingManifest.setIf(sfDir, XmDeltaFamily, XmTables,
+      "deltaRoot", deltaRoot, Map("epochs" -> epochs.size.toString))
+    if (epochs.size <= maxEpochs || epochs.size < 3) false
+    else {
+      graft.util.EpochDirs.sweepScratch(deltaRoot)
+      val newest = epochs.last
+      val foldMax = epochs(epochs.size - 2)
+      val folded = rawClusterDeltas(spark, deltaRoot, Some(newest)).get
+      val scratch = graft.util.EpochDirs.scratch(deltaRoot)
+      newestClusterDelta(folded).write.parquet(scratch.toString)
+      val target = java.nio.file.Paths.get(deltaRoot, s"epoch=$foldMax")
+      val shadowed = graft.util.EpochDirs.dataFilesIn(target)
+      graft.util.EpochDirs.dataFilesIn(scratch).foreach(f =>
+        java.nio.file.Files.move(f, target.resolve(f.getFileName)))
+      shadowed.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      epochs.dropRight(2).foreach(e =>
+        graft.util.EpochDirs.drop(deltaRoot, e))
+      graft.util.TempDirs.deleteNow(scratch)
+      // physical recount (one cheap job over collapsed + newest): the
+      // counter's append semantics resume on top via addCounterIfNewEpoch
+      val total = rawClusterDeltas(spark, deltaRoot, None)
+        .map(_.count()).getOrElse(0L)
+      graft.util.ServingManifest.setIf(sfDir, XmDeltaFamily, XmTables,
+        "deltaRoot", deltaRoot,
+        Map("deltaRows" -> total.toString, "epochs" -> "2"))
+      true
+    }
+  }
 
   /** The BATCH overlay-serve leg of the cluster layer — `ann_seg`'s
     * register → serve-through-the-overlay → retire shape for cluster
@@ -2286,8 +2376,20 @@ object DedupOps {
     * verdict depends on (that doc, the frozen probe set) alone. */
   def decontaminateBatch(spark: SparkSession, sfDir: String,
       batch: DataFrame): DataFrame =
-    contamVerdicts(contamGrams(batch), stagedProbeGrams(spark, sfDir),
-      DecontaminateMinShared)
+    decontaminateBatchAt(stagedProbeGrams(spark, sfDir), batch)
+
+  /** The FROZEN-PROBE form for long-lived streaming gates
+    * ([[mergeClusterIncrementDeltaStagedAt]]'s discipline for the
+    * decontamination family): the caller resolves the staged probe-gram
+    * frame ONCE at stream start and every micro-batch joins exactly that
+    * frame — a mid-stream benchmark rewrite must NOT silently swing
+    * later batches onto a rebuilt probe set (the memo-keyed
+    * [[decontaminateBatch]] would: the stamp change re-derives on next
+    * access — ADVICE r16), which would break the gate's documented
+    * split-independence premise (every verdict depends on the doc + ONE
+    * frozen probe set). */
+  def decontaminateBatchAt(probe: DataFrame, batch: DataFrame): DataFrame =
+    contamVerdicts(contamGrams(batch), probe, DecontaminateMinShared)
 
   val DecontaminateGramLen = 24
   val DecontaminateProbeMod = 20L
@@ -2308,7 +2410,7 @@ object DedupOps {
     // (tokenize/minhash/shingle once per corpus snapshot — the staged
     // media-fingerprint discipline applied to text)
     "minhash" -> ((s, d) => stagedMinhashLsh(s, d)),
-    "doc_substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
+    "substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
     "sim_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
     // round 11: perceptual image-hash near-dups over the textured media
@@ -2328,7 +2430,7 @@ object DedupOps {
     "xm_served" -> ((s, d) => xmServedContract(s, d)),
     "ngram_jac" -> ((s, d) => stagedNgramJaccard(s, d)),
     "lsh_dups" -> ((s, d) => stagedLshVerifiedDups(s, d)),
-    "doc_dup_groups" -> ((s, d) => stagedDupGroups(s, d)),
+    "dup_groups" -> ((s, d) => stagedDupGroups(s, d)),
     "decontam" -> ((s, d) => stagedContamination(s, d)),
     "incr_dedup" -> ((s, d) => stagedIncrementalDedup(s, d)))
 
@@ -2338,7 +2440,7 @@ object DedupOps {
   /** The verified-dups pipeline as a reusable CTE chain ending in `dup`
     * (doc_a, doc_b, n_bands, jaccard ≥ threshold) — the oracle for
     * `lsh_dups` itself and the input graph of
-    * `doc_dup_groups`. */
+    * `dup_groups`. */
   private def duckVerifiedCtes: String =
     s"""toks AS (SELECT * FROM (
                    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -2578,7 +2680,7 @@ object DedupOps {
     * oracles ride as parenthesized subqueries (each scopes its own WITH
     * chain — their internal CTE names collide by design reuse), media
     * pairs map to doc ids through the fixture link, and the transitive
-    * closure + election mirror `doc_dup_groups` + `keep_best`. The
+    * closure + election mirror `dup_groups` + `keep_best`. The
     * multiply-referenced pair CTEs are MATERIALIZED (the playbook rule:
     * DuckDB inlines a twice-referenced chain exponentially). */
   private def crossModalOracle: String = crossModalElectionOracle(dropNewNew = false)
@@ -2665,7 +2767,7 @@ object DedupOps {
                                       AND a.doc_id < b.doc_id
                                       AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
           GROUP BY a.doc_id, b.doc_id""",
-    "doc_substr_dups" ->
+    "substr_dups" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                           FROM documents) WHERE len(w) >= $SubstrWindow),
@@ -2723,7 +2825,7 @@ object DedupOps {
     "lsh_dups" ->
       s"""WITH $duckVerifiedCtes
           SELECT doc_a, doc_b, n_bands, jaccard FROM dup""",
-    "doc_dup_groups" ->
+    "dup_groups" ->
       // WITH RECURSIVE prefixes the whole CTE list in DuckDB; the
       // verified-dups chain rides along unchanged, then `reach` closes
       // the duplicate graph transitively and min(r) is the cluster label

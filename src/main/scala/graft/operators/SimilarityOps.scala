@@ -673,7 +673,8 @@ object SimilarityOps {
     // step under its own lock could delete a registration another JVM
     // installed between the two (the race class removeIf exists for)
     graft.util.ServingManifest.removeIf(sfDir, SegmentsFamily, AnnTables,
-      "segRoot", segRoot, alsoRemove = Seq("segRows"))
+      "segRoot", segRoot,
+      alsoRemove = Seq("segRows", "lastEpoch", "epochs"))
     ()
   }
 
@@ -683,6 +684,79 @@ object SimilarityOps {
     * serving. */
   private[graft] def forgetSegmentRegistrations(): Unit =
     liveSegmentRoots.clear()
+
+  /** Epoch-count trigger at which [[maybeCompactIndexSegments]] folds
+    * (the [[graft.operators.DedupOps.XmCompactEpochs]] sibling). */
+  val AnnCompactEpochs = 8
+
+  /** INTRA-OVERLAY MINOR COMPACTION for the ANN segment overlay — the
+    * LSM step between per-epoch segment appends and the staleness-
+    * triggered full retrain ([[maybeRetrainStagedIndex]], which it does
+    * not replace): when the segment root has accumulated more than
+    * `maxEpochs` epoch dirs, fold every epoch EXCEPT the newest into ONE
+    * cell-partitioned segment dir (newest epoch wins per `vec_id` —
+    * under the ingestion contract each vector arrives in exactly one
+    * epoch, so the collapse is row-identical to the folded union; a
+    * re-ingested vector, if one ever appeared, serves only its newest
+    * row after the fold, which is the LSM intent) published at the
+    * highest folded epoch id, one file per cell instead of one segment
+    * tree per micro-batch. The newest epoch stays out of the fold for
+    * the same replay reason as the cluster compactor. Also the per-call
+    * EPOCH GAUGE (`ann.segment_epochs` + the registration's `epochs`
+    * manifest key), recorded whether or not a fold runs.
+    *
+    * SWAP CAVEAT (deliberately weaker than
+    * [[graft.operators.DedupOps.maybeCompactClusterDeltas]]'s any-point
+    * crash safety): [[servedIndex]] consumes segments as a plain UNION —
+    * partition pruning must keep reaching both cell-partitioned scans,
+    * so there is no read-side newest-wins collapse to make duplicate or
+    * missing rows self-healing. The fold therefore writes the collapsed
+    * segment to a hidden scratch, DROPS the folded dirs, then renames
+    * the scratch in — a crash between the drops and the rename leaves
+    * the folded rows invisible to serving (never lost: they sit in the
+    * scratch) until the overlay's durable story — the checkpointed
+    * stream restart plus the staleness-triggered retrain — repairs it.
+    * Single-writer precondition: the caller is the ingestion stream's
+    * own maintenance turn (foreachBatch), serialized with the epoch
+    * writes. */
+  def maybeCompactIndexSegments(spark: SparkSession, sfDir: String,
+      segRoot: String, maxEpochs: Int = AnnCompactEpochs): Boolean = {
+    val epochs = graft.util.EpochDirs.list(segRoot)
+    graft.ObservedMetrics.recordGauge("ann.segment_epochs", epochs.size.toDouble)
+    graft.util.ServingManifest.setIf(sfDir, SegmentsFamily, AnnTables,
+      "segRoot", segRoot, Map("epochs" -> epochs.size.toString))
+    if (epochs.size <= maxEpochs || epochs.size < 3) false
+    else {
+      graft.util.EpochDirs.sweepScratch(segRoot)
+      val newest = epochs.last
+      val foldMax = epochs(epochs.size - 2)
+      val segs = spark.read.parquet(segRoot)
+      // cast the exclusion literal to the INFERRED partition type:
+      // small epoch values infer INT, and a Long literal against an Int
+      // partition attribute inserts a widening cast that defeats
+      // pruning (the servedClusterAssignment BIGINT-declaration lesson)
+      val folded = segs.filter(
+        col("epoch") =!= lit(newest).cast(segs.schema("epoch").dataType))
+      val dataCols = segs.schema.fieldNames.toSeq
+        .filterNot(n => n == "vec_id" || n == "epoch")
+      val collapsed = folded.groupBy("vec_id")
+        .agg(max_by(struct(dataCols.map(col): _*), col("epoch")).as("s"))
+        .select(col("vec_id") +: dataCols.map(n => col(s"s.$n").as(n)): _*)
+      val scratch = graft.util.EpochDirs.scratch(segRoot)
+      // repartition by cell → one task owns each cell → one file per
+      // cell: the file-consolidation the fold exists for (a long stream
+      // writes a whole small-file segment tree per micro-batch)
+      collapsed.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(scratch.toString)
+      epochs.dropRight(1).foreach(e => graft.util.EpochDirs.drop(segRoot, e))
+      graft.util.EpochDirs.publish(scratch, segRoot, foldMax)
+      val total = spark.read.parquet(segRoot).count()
+      graft.util.ServingManifest.setIf(sfDir, SegmentsFamily, AnnTables,
+        "segRoot", segRoot,
+        Map("segRows" -> total.toString, "epochs" -> "2"))
+      true
+    }
+  }
 
   /** The index every serve path reads: the staged base ∪ the registered
     * live segments — the LSM read view that makes freshly ingested

@@ -489,7 +489,8 @@ object StreamOps {
   /** File-stream read of the embeddings fixture — the query-vector
     * stream for [[streamAnnTopK]]; same staging discipline as
     * [[eventsStream]]. */
-  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingsStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
     val dir = embStagingDirs.get(sfDir)({
       val d = java.nio.file.Files.createTempDirectory("graft_stream_emb_")
@@ -498,7 +499,10 @@ object StreamOps {
       d
     })
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(dir.toString)
+    val rdr = spark.readStream.schema(schema)
+    maxFilesPerTrigger
+      .fold(rdr)(n => rdr.option("maxFilesPerTrigger", n.toString))
+      .parquet(dir.toString)
   }
 
   private val embStagingDirs =
@@ -628,8 +632,13 @@ object StreamOps {
   def streamDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.DedupOps
     graft.GraftSession.registerFunctions(spark)
-    // freeze the probe index BEFORE the stream (build-if-absent)
-    DedupOps.stagedProbeGrams(spark, sfDir)
+    // freeze the probe index BEFORE the stream — the FRAME over the
+    // resolved staged path, not just build-if-absent: every micro-batch
+    // joins exactly this probe set, so a mid-stream benchmark rewrite
+    // cannot swing later batches onto a rebuilt index while earlier
+    // verdicts stand on the old one (the docIdx/clusterIdx freeze in
+    // streamCrossModalMerge — ADVICE r16)
+    val probe = DedupOps.stagedProbeGrams(spark, sfDir)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_dc_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("hits").toString
@@ -642,7 +651,7 @@ object StreamOps {
         batch.persist()
         try {
           if (batch.count() > 0)
-            DedupOps.decontaminateBatch(spark, sfDir, batch)
+            DedupOps.decontaminateBatchAt(probe, batch)
               .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
         } finally batch.unpersist()
         ()
@@ -818,7 +827,15 @@ object StreamOps {
     * re-stage cadence — the checkpoint makes that restart exactly-once
     * — rather than racing serving reads against generation sweeps. */
   def streamCrossModalMerge(spark: SparkSession, sfDir: String,
-      edgesDir: String): DataFrame = {
+      edgesDir: String,
+      // soak knob: bound each micro-batch's file intake so a multi-file
+      // topic drives MULTIPLE trigger cycles (the contract key's staged
+      // topic is one file — one epoch — so the default changes nothing)
+      maxFilesPerTrigger: Option[Int] = None,
+      // intra-overlay compaction cadence (r16 verdict #2): past this
+      // many accumulated epoch dirs the maintenance turn folds all but
+      // the newest into one newest-wins delta
+      compactEpochs: Int = graft.operators.DedupOps.XmCompactEpochs): DataFrame = {
     import graft.operators.DedupOps
     graft.GraftSession.registerFunctions(spark)
     // freeze the prior assignment (BOTH probe keyings — the db- and
@@ -845,7 +862,10 @@ object StreamOps {
     // ends the bookkeeping, never the returned plan)
     DedupOps.registerClusterDeltas(spark, sfDir, data)
     try {
-      val q = spark.readStream.schema(schema).parquet(edgesDir)
+      val src = spark.readStream.schema(schema)
+      val q = maxFilesPerTrigger
+        .fold(src)(n => src.option("maxFilesPerTrigger", n.toString))
+        .parquet(edgesDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
           batch.persist()
@@ -863,6 +883,12 @@ object StreamOps {
               try {
                 delta.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
                 DedupOps.noteClusterDeltaAppend(sfDir, data, delta.count(), epochId)
+                // maintenance turn: epoch gauge + minor compaction once
+                // the overlay passes the cadence — keeps every later
+                // batch's overlay read (and the election's) bounded by
+                // O(live overlay + compactEpochs epochs), not stream age
+                DedupOps.maybeCompactClusterDeltas(spark, sfDir, data,
+                  compactEpochs)
               } finally { delta.unpersist(); () }
             }
           } finally batch.unpersist()
@@ -981,7 +1007,13 @@ object StreamOps {
     * final contents equal [[graft.operators.SimilarityOps.indexRows]]
     * over the whole corpus (asserted in tests; the oracle re-derives
     * assignment + residual codes per vector). */
-  def streamIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamIndexAppend(spark: SparkSession, sfDir: String,
+      // soak knob + compaction cadence, as on streamCrossModalMerge:
+      // the fixture stream is one file — one epoch — so the defaults
+      // change nothing for the contract keys
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEpochs: Int =
+        graft.operators.SimilarityOps.AnnCompactEpochs): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_idx_")
     graft.util.TempDirs.track(root)
@@ -989,7 +1021,7 @@ object StreamOps {
     val ckpt = root.resolve("ckpt").toString
     val cents = graft.operators.SimilarityOps.stagedCentroidIndex(spark, sfDir)
     val cb = graft.operators.SimilarityOps.stagedPqCodebook(spark, sfDir)
-    val q = embeddingsStream(spark, sfDir)
+    val q = embeddingsStream(spark, sfDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
@@ -1004,6 +1036,11 @@ object StreamOps {
             // topology registers early and appends forever, and the
             // staleness gauge must track that overlay growth)
             graft.operators.SimilarityOps.noteSegmentAppend(sfDir, data, n, epochId)
+            // maintenance turn: epoch gauge + minor compaction past the
+            // cadence (one cell-consolidated segment instead of a
+            // small-file tree per micro-batch)
+            graft.operators.SimilarityOps.maybeCompactIndexSegments(
+              spark, sfDir, data, compactEpochs)
             ()
           }
         } finally batch.unpersist()

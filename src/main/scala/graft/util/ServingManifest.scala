@@ -274,6 +274,29 @@ object ServingManifest {
       getUnlocked(sfDir, family, tables) + (key -> value))
   }
 
+  /** Conditional multi-entry SET under ONE lock: apply every pair of
+    * `updates` only if `condKey` currently holds `expected`, and report
+    * whether it applied — the compaction-bookkeeping primitive: a
+    * compactor that folded a registered overlay's epoch dirs must
+    * rewrite that registration's measurements (the delta-row counter
+    * shrinks to the collapsed count, the epoch gauge drops) in one
+    * atomic write, and must no-op cleanly against a registration
+    * another JVM swapped in meanwhile (the [[removeIf]] race class). */
+  def setIf(sfDir: String, family: String, tables: Seq[String],
+      condKey: String, expected: String,
+      updates: Map[String, String]): Boolean = withFileLock {
+    val cur = getUnlocked(sfDir, family, tables)
+    if (!cur.get(condKey).contains(expected)) false
+    else {
+      // skip the rewrite when every update is already in place — setIf
+      // runs on per-micro-batch gauge paths where the value is usually
+      // unchanged, and an idempotent call should not churn the file
+      if (!updates.forall { case (k, v) => cur.get(k).contains(v) })
+        putUnlocked(sfDir, family, tables, cur ++ updates)
+      true
+    }
+  }
+
   def getCounter(sfDir: String, family: String, tables: Seq[String],
       key: String): Long =
     get(sfDir, family, tables).get(key).map(_.toLong).getOrElse(0L)

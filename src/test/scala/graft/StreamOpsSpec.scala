@@ -482,4 +482,153 @@ class StreamOpsSpec extends SparkTestBase {
     assert(graft.operators.DedupOps.probeStageBuilds.get() === p0 + 2,
       "a second streaming run must serve from the already-staged probe indexes")
   }
+
+  test("cluster-delta compaction folds epochs, preserves the served view, re-arms the gauge") {
+    // r16 verdict #2: N epochs → intra-overlay compaction → identical
+    // served view; the delta-row counter tightens (never grows), the
+    // epoch gauge drops to 2, and appends after the fold still land
+    import graft.operators.DedupOps
+    DedupOps.dropClusterDeltas(sfDir)
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val edges = DedupOps.stagedIncrementCrossEdges(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_compact_")
+    graft.util.TempDirs.track(root)
+    try {
+      DedupOps.registerClusterDeltas(spark, sfDir, root.toString)
+      // four epochs: the edge stream split round-robin (row_number mod 4
+      // — guaranteed non-empty for any ≥4-edge fixture), each fold over
+      // the PRIOR served view (the stream's exact shape)
+      val numbered = edges.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("doc_a", "doc_b")))
+      (0L to 3L).foreach { e =>
+        val b = numbered.filter(pmod(col("rn"), lit(4)) === e)
+          .drop("rn")
+        assert(b.count() > 0, s"fixture slice $e must be non-empty")
+        val served = DedupOps.servedClusterAssignment(spark, base, root.toString)
+        val delta = DedupOps.mergeClusterIncrementDelta(served, b)
+        delta.write.mode("overwrite").parquet(s"$root/epoch=$e")
+        assert(DedupOps.noteClusterDeltaAppend(sfDir, root.toString,
+          delta.count(), epochId = e))
+      }
+      assert(graft.util.EpochDirs.list(root.toString) === Seq(0L, 1L, 2L, 3L))
+      val before = canon(DedupOps.servedClusterAssignment(spark, base, root.toString))
+      val fracBefore = DedupOps.xmMergedFraction(spark, sfDir)
+      assert(fracBefore > 0.0)
+      // below the cadence: a no-op (and the epoch gauge still records)
+      assert(!DedupOps.maybeCompactClusterDeltas(spark, sfDir, root.toString,
+        maxEpochs = 8))
+      assert(graft.util.ServingManifest.get(sfDir, "xm_deltas",
+        Seq("documents")).get("epochs") === Some("4"))
+      // over the cadence: epochs 0..2 fold into epoch=2, epoch 3 (the
+      // replayable newest) stays out
+      assert(DedupOps.maybeCompactClusterDeltas(spark, sfDir, root.toString,
+        maxEpochs = 2))
+      assert(graft.util.EpochDirs.list(root.toString) === Seq(2L, 3L))
+      assert(canon(DedupOps.servedClusterAssignment(spark, base, root.toString))
+        === before, "the fold must not change the served view")
+      // the collapse de-duplicates re-touched docs: the staleness gauge
+      // tightens, never grows, and never re-arms to zero (the overlay
+      // is still stale — only the re-stage resets it)
+      val fracAfter = DedupOps.xmMergedFraction(spark, sfDir)
+      assert(fracAfter > 0.0 && fracAfter <= fracBefore,
+        s"$fracAfter vs $fracBefore")
+      assert(graft.util.ServingManifest.get(sfDir, "xm_deltas",
+        Seq("documents")).get("epochs") === Some("2"))
+      // the stream continues past the fold: a later epoch still lands,
+      // still bumps the counter (the high-water mark survived), and the
+      // view equals the one-shot merge over ALL edges
+      val served2 = DedupOps.servedClusterAssignment(spark, base, root.toString)
+      val extra = DedupOps.mergeClusterIncrementDelta(served2, edges)
+      extra.write.mode("overwrite").parquet(s"$root/epoch=4")
+      assert(DedupOps.noteClusterDeltaAppend(sfDir, root.toString,
+        extra.count(), epochId = 4L))
+      assertSameRows(
+        DedupOps.servedClusterAssignment(spark, base, root.toString),
+        DedupOps.mergeClusterIncrement(base, edges))
+      // full re-stage re-arms to zero (the compaction contract)
+      assert(DedupOps.maybeRestageCrossModal(spark, sfDir, threshold = 0.0))
+      assert(DedupOps.xmMergedFraction(spark, sfDir) === 0.0)
+    } finally DedupOps.dropClusterDeltas(sfDir)
+  }
+
+  test("ANN segment compaction folds epochs, preserves the served view, re-arms the gauge") {
+    // r16 verdict #5 for the vector family: register → append → compact
+    // → retrain, asserting the staleness gauge at every step and the
+    // served index row-equal across the fold
+    import graft.operators.SimilarityOps
+    SimilarityOps.dropIndexSegments(sfDir)
+    graft.GraftSession.registerFunctions(spark)
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val cb = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val segRoot = java.nio.file.Files.createTempDirectory("graft_seg_compact_")
+    graft.util.TempDirs.track(segRoot)
+    try {
+      def slice(e: Long) = emb.filter(pmod(col("vec_id"), lit(4)) === e)
+      (0L to 1L).foreach { e =>
+        SimilarityOps.indexRows(slice(e), cents, cb)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$segRoot/epoch=$e")
+      }
+      SimilarityOps.registerIndexSegments(spark, sfDir, segRoot.toString)
+      val stale0 = SimilarityOps.ivfIndexStaleFraction(spark, sfDir)
+      assert(stale0 > 0.0)
+      (2L to 3L).foreach { e =>
+        val s = slice(e)
+        SimilarityOps.indexRows(s, cents, cb)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$segRoot/epoch=$e")
+        assert(SimilarityOps.noteSegmentAppend(sfDir, segRoot.toString,
+          s.count(), epochId = e))
+      }
+      val staleBefore = SimilarityOps.ivfIndexStaleFraction(spark, sfDir)
+      assert(staleBefore > stale0, "appends must grow the gauge")
+      val before = canon(SimilarityOps.servedIndex(spark, sfDir))
+      assert(SimilarityOps.maybeCompactIndexSegments(spark, sfDir,
+        segRoot.toString, maxEpochs = 2))
+      assert(graft.util.EpochDirs.list(segRoot.toString) === Seq(2L, 3L))
+      assert(canon(SimilarityOps.servedIndex(spark, sfDir)) === before,
+        "the fold must not change the served index")
+      // disjoint ingestion: the fold drops no rows, so the gauge holds
+      // exactly (and must NOT re-arm to zero — only the retrain does)
+      assert(SimilarityOps.ivfIndexStaleFraction(spark, sfDir) === staleBefore)
+      assert(graft.util.ServingManifest.get(sfDir, "ann_segments",
+        Seq("embeddings")).get("epochs") === Some("2"))
+      // the retrain absorbs the overlay and re-arms the gauge to zero
+      assert(SimilarityOps.maybeRetrainStagedIndex(spark, sfDir, 0.0))
+      assert(SimilarityOps.ivfIndexStaleFraction(spark, sfDir) === 0.0)
+      assert(SimilarityOps.registeredSegmentRoot(sfDir) === None)
+    } finally SimilarityOps.dropIndexSegments(sfDir)
+  }
+
+  test("soak: the live gate→topic→merge chain across multiple trigger cycles + compaction") {
+    // r16 verdict #3: the r15/r16 integration spec ran the live topology
+    // in ONE AvailableNow cycle; here the merge consumes the same topic
+    // one file per trigger — every gate-published part file becomes its
+    // own micro-batch — with a compaction cadence low enough to force
+    // mid-stream folds, exercising epoch accumulation, the replay
+    // exclusion, and compaction under churn. The final election must
+    // equal the one-shot run (which is spec-locked to the from-scratch
+    // closure).
+    import graft.operators.DedupOps
+    val topic = java.nio.file.Files.createTempDirectory("graft_xm_soak_topic_")
+    graft.util.TempDirs.track(topic)
+    val dir = topic.toString
+    StreamOps.streamTextDedup(spark, sfDir, publishEdgesTo = Some(dir))
+    DedupOps.MediaModalities.foreach { m =>
+      StreamOps.streamMediaDedup(spark, sfDir, m, publishEdgesTo = Some(dir))
+    }
+    val topicFiles = graft.util.EpochDirs.dataFilesIn(topic).size
+    assert(topicFiles >= 3,
+      s"the four gates must publish at least 3 part files, got $topicFiles")
+    val soaked = StreamOps.streamCrossModalMerge(spark, sfDir, dir,
+      maxFilesPerTrigger = Some(1), compactEpochs = 2)
+    // ≥3 delta epochs really accumulated: the per-batch epoch gauge's
+    // last pre-compaction reading reached the cadence trip point
+    assert(ObservedMetrics.gaugeSnapshot.get("xm.delta_epochs").exists(_ >= 2.0),
+      "the soak must have folded multiple delta epochs")
+    val oneShot = StreamOps.streamCrossModalMerge(spark, sfDir, dir)
+    assertSameRows(soaked, oneShot)
+  }
 }
