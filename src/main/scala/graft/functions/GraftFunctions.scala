@@ -45,7 +45,8 @@ object GraftFunctions {
     entry("ivf_centroid", 3, classOf[IvfCentroid])(a => IvfCentroid(a.head, a(1), a(2))),
     entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))),
     entry("substr_fps", 3, classOf[SubstrFps])(a => SubstrFps(a.head, a(1), a(2))),
-    entry("bpe_count", 2, classOf[BpeCount])(a => BpeCount(a.head, a(1))))
+    entry("bpe_count", 2, classOf[BpeCount])(a => BpeCount(a.head, a(1))),
+    entry("bpe_encode", 2, classOf[BpeEncode])(a => BpeEncode(a.head, a(1))))
 
   /** Register every kernel in a session's registry (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -265,6 +265,35 @@ object TextOps {
         mergesLit).as("bpe_tokens"))
   }
 
+  /** Token-ID EMISSION under the trained merges — the training-prep
+    * output a pipeline actually ships to the trainer (`bpe_cnt` proves
+    * the merges and prices budgets; this materializes the sequences).
+    * The native [[graft.functions.BpeEncode]] kernel emits one
+    * `ARRAY<INT>` per document (same greedy pass, same staged merges
+    * literal, same pre-token classes as the count kernel — one shared
+    * tokenization contract); the CONTRACT projection then lands the
+    * sequence as scalars — `n_tokens` (= `size(ids)` = `bpe_count` by
+    * construction) and the comma-joined `token_ids` string — because the
+    * driver's comparator cannot sort array cells (the round-7 gate
+    * divergence; the `pq_enc` packed-scalar precedent). Pure projection:
+    * zero exchanges, the only corpus-sized work is the scan. Id space:
+    * see [[graft.functions.BpeEncode]] (unmerged letter = 0..25, merged
+    * symbol = 26 + first rank with its surface, non-letter pre-token =
+    * UNK = 26 + K). */
+  def bpeEncodeIds(docs: DataFrame, bpe: BpeModel): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val mergesLit = typedlit(bpe.merges.flatMap(p => Seq(p._1, p._2)))
+    docs
+      .select(col("doc_id"),
+        call_function("bpe_encode",
+          expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""),
+          mergesLit).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",")
+          .as("token_ids"))
+  }
+
   /** The composable gram-hash form — the numerics/portability reference
     * [[graft.functions.GramMd5s]] must match string-for-string (the
     * native expression is the production path; equivalence is asserted
@@ -1171,6 +1200,9 @@ object TextOps {
     // re_tokens keeps the regex approximation
     "bpe_cnt" ->
       ((s, d) => tokenCountsTrained(Fixtures.documents(s, d), stagedBpeModel(s, d))),
+    // round 17: the id-sequence emission under the same staged merges
+    "bpe_enc" ->
+      ((s, d) => bpeEncodeIds(Fixtures.documents(s, d), stagedBpeModel(s, d))),
     "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
@@ -1318,6 +1350,35 @@ object TextOps {
           bpe_m AS MATERIALIZED (SELECT list(word ORDER BY word) AS ks, list(n ORDER BY word) AS vs
                     FROM bpe_n)""")
     sb.toString
+  }
+
+  /** The ENCODE extension of [[bpeTrainCte]] (appended only by the
+    * `bpe_enc` oracle so the count oracle pays nothing): the learned
+    * surfaces in rank order (`bpe_v` — empty `bg_i` saturation rows
+    * contribute nothing, so `vlen` = merges actually learned), every
+    * corpus letter word's id sequence under the shared id contract
+    * (unmerged letter = ascii−97; merged symbol = 25 + FIRST surface
+    * position, DuckDB `list_position` returns the first match exactly
+    * as the kernel's first-rank lookup), and the (ks, vs) lookup lists
+    * the per-doc flatten probes — the `bpe_m` map shape with id LISTS
+    * as values. */
+  private def bpeEncodeCtes: String = {
+    val ranks = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS r, a, b FROM bg_$i")
+      .mkString("\n                UNION ALL ")
+    s"""bpe_v AS MATERIALIZED (
+          SELECT coalesce(list(a || b ORDER BY r), []::VARCHAR[]) AS surf,
+                 CAST(count(*) AS INTEGER) AS vlen
+          FROM ($ranks)),
+        bpe_e AS MATERIALIZED (
+          SELECT word,
+                 list_transform(ts, t -> CASE
+                   WHEN length(t) = 1 THEN ascii(t) - 97
+                   ELSE 25 + CAST(list_position(surf, t) AS INTEGER) END) AS ids
+          FROM aw_$BpeMerges, bpe_v),
+        bpe_em AS MATERIALIZED (
+          SELECT list(word ORDER BY word) AS eks, list(ids ORDER BY word) AS evs
+          FROM bpe_e)"""
   }
 
   private def packStatsOracle: String =
@@ -1542,6 +1603,20 @@ object TextOps {
                            t -> coalesce(vs[list_position(ks, t)], 1))),
                          (a, b) -> a + b) AS INTEGER) AS bpe_tokens
            FROM documents d, bpe_m""",
+      "bpe_enc" ->
+        s"""WITH $bpeTrainCte,
+            $bpeEncodeCtes
+           SELECT doc_id,
+                  CAST(len(ids) AS INTEGER) AS n_tokens,
+                  array_to_string(ids, ',') AS token_ids
+           FROM (
+             SELECT d.doc_id,
+                    flatten(list_transform(
+                      regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                      t -> CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                                THEN evs[list_position(eks, t)]
+                                ELSE [26 + vlen] END)) AS ids
+             FROM documents d, bpe_em, bpe_v)""",
       "doc_fingerprint" ->
         """SELECT doc_id,
                   array_to_string(list_sort([md5(substring(text, i, 8))

@@ -132,6 +132,16 @@ class FunctionRegistrySpec extends SparkTestBase {
     assert(r.getBoolean(0))
   }
 
+  test("bpe_count and bpe_encode share the merge pass; encode emits the id contract") {
+    // merges [(a,b)]: "abab" → [ab][ab] (2 tokens, ids 26,26); "7" is a
+    // digit run (1 token, UNK = 26 + 1 merge = 27); "c" stays a single
+    // letter (id 2)
+    val r = sql("""SELECT bpe_count(array('abab', '7', 'c'), array('a','b')) AS n,
+                          bpe_encode(array('abab', '7', 'c'), array('a','b')) AS ids""")
+    assert(r.getInt(0) === 4)
+    assert(r.getSeq[Int](1) === Seq(26, 26, 27, 2))
+  }
+
   test("pq_enc") {
     val r = sql(s"SELECT pq_enc($pqX, $pqCb) AS k")
     val k = r.getStruct(0)

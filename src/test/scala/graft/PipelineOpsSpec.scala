@@ -1120,6 +1120,82 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("bpe_encode: one id per token, and the id count equals bpe_count on the fixture") {
+    val model = TextOps.stagedBpeModel(spark, sfDir)
+    val enc = TextOps.bpeEncodeIds(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[String]("token_ids"))).toMap
+    val cnt = TextOps.tokenCountsTrained(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bpe_tokens")).toMap
+    assert(enc.keySet === cnt.keySet)
+    val unk = 26 + model.merges.length
+    enc.foreach { case (id, (n, ids)) =>
+      assert(n === cnt(id), s"doc $id: id count must equal bpe_count")
+      val parsed = if (ids.isEmpty) Array.empty[Int] else ids.split(",").map(_.toInt)
+      assert(parsed.length === n, s"doc $id: token_ids length")
+      assert(parsed.forall(i => i >= 0 && i <= unk), s"doc $id: id range")
+    }
+  }
+
+  test("bpe_encode: kernel == replica over arbitrary corpora and merge tables (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    def replicaPass(ts: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var j = 0
+      while (j < ts.length) {
+        if (j < ts.length - 1 && ts(j) == a && ts(j + 1) == b) { out += (a + b); j += 2 }
+        else { out += ts(j); j += 1 }
+      }
+      out.toArray
+    }
+    // independent id derivation: the kernel tags ids at merge-FORMATION
+    // time; the replica replays merges on strings only and maps the
+    // FINAL tokens to ids (single letter → ascii−'a'; else the first
+    // rank owning the surface form) — agreement proves the two roads
+    // meet, including on shared-surface merge tables
+    val genWord = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genDoc = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(genWord, Gen.oneOf("7", "42", "!", "?"))).map(_.mkString(" ")))
+    val genMergeTable = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.oneOf("a", "b", "c", "ab", "bc", "ca", "aa")
+        b <- Gen.oneOf("a", "b", "c", "ab", "bc", "cc")
+      } yield (a, b)))
+    val prop = Prop.forAll(Gen.listOfN(6, genDoc), genMergeTable) { (texts, merges) =>
+      def encode(text: String): Seq[Int] = {
+        val m = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+          .matcher(text.toLowerCase)
+        val out = scala.collection.mutable.ArrayBuffer[Int]()
+        while (m.find()) {
+          val t = m.group()
+          if (t.forall(c => c >= 'a' && c <= 'z')) {
+            val fin = merges.foldLeft(t.toCharArray.map(String.valueOf)) {
+              case (ts, (a, b)) => replicaPass(ts, a, b)
+            }
+            out ++= fin.map { tok =>
+              if (tok.length == 1) tok.charAt(0) - 'a'
+              else 26 + merges.indexWhere { case (a, b) => a + b == tok }
+            }
+          } else out += 26 + merges.length
+        }
+        out.toSeq
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val model = TextOps.BpeModel(merges)
+      val got = TextOps.bpeEncodeIds(df, model).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_tokens"), r.getAs[String]("token_ids"))).toMap
+      texts.indices.forall { i =>
+        val want = encode(texts(i))
+        got(i.toLong) == ((want.size, want.mkString(",")))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lm staged model: fit once per sf dir, indexed scoring matches self-fitting form") {
     TextOps.dropStagedLmModel()
     val before = TextOps.lmFitRuns.get()
