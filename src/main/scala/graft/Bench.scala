@@ -108,87 +108,139 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Interleaved contention probe: one spin sample every few keys, max
-    // emitted as "spinx" — localizes a mid-run load burst the
-    // before/after bracket provably missed in r11 (spin [46,43] around
-    // two 4× phantoms).
-    var spinx = 0L
-    // Suppressed medians (ADVICE r12): when the contention defense
-    // records min-of-reps, the median it REPLACED goes here — a
-    // genuine load-sensitive regression (slow on most reps, fast on
-    // one) stays visible in the line instead of being silently erased.
-    var susp = Map.empty[String, Double]
-    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx % 4 == 0) spinx = math.max(spinx, spinMs())
-      def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (0 until warmup).foreach { _ =>
-        try run()
-        catch { case scala.util.control.NonFatal(_) => () } // reported by the timed pass
+    // One timed pass over the whole inventory. Returns (per-key values,
+    // max interleaved spin, replaced medians). The interleaved probe —
+    // one spin sample every few keys, max emitted as "spinx" —
+    // localizes a mid-run load burst the before/after bracket provably
+    // missed in r11 (spin [46,43] around two 4× phantoms). Replaced
+    // medians (ADVICE r12): when the per-key contention defense records
+    // min-of-reps, the median it REPLACED is returned — a genuine
+    // load-sensitive regression (slow on most reps, fast on one) stays
+    // visible in the line instead of being silently erased.
+    def runPass(doWarmup: Boolean): (Seq[(String, Double)], Long, Map[String, Double]) = {
+      var spinxP = 0L
+      var suspP = Map.empty[String, Double]
+      val res = selected.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx % 4 == 0) spinxP = math.max(spinxP, spinMs())
+        def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (doWarmup) (0 until warmup).foreach { _ =>
+          try run()
+          catch { case scala.util.control.NonFatal(_) => () } // reported by the timed pass
+        }
+        // Keys with nontrivial runtime swing 2-5× run-to-run even warm:
+        // streaming (state-store + AvailableNow setup floor, r5 verdict
+        // #4), iterative CC loops (per-iteration job launches) and
+        // composites (r7 verdict #2 — single-run timing recorded phantom
+        // regressions doc_simhash_pairs 6.3s vs 0.7s re-run). Report the
+        // MEDIAN of 3 timed runs for any key whose first timed run reaches
+        // 1 s, and for every stream_* key — adaptive, so a future slow key
+        // is covered without a hand-kept list. Sub-second batch keys are
+        // stable warm; one run each.
+        // A failed rep's near-zero elapsed time must not enter the median
+        // (it would understate a partially failing query): keep successful
+        // times only and stop repeating on the first error — the error is
+        // reported and forces exit(1) regardless.
+        def timed(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { run(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              None
+          }
+        }
+        val first = timed()
+        val noisy = name.startsWith("stream_") || first.exists(_ >= 1.0)
+        val times = first.toSeq ++ (if (noisy && first.isDefined)
+          Iterator.range(0, 2).map(_ => timed()).takeWhile(_.isDefined).flatten.toSeq
+        else Seq.empty)
+        val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+        // PER-KEY contention defense (r11 verdict #1): a median > 2.5× the
+        // carry base on a key is, empirically, almost always a transient
+        // load burst, not a regression — contention inflates, never
+        // deflates. Run ONE extra rep and keep the overall MIN: a real
+        // regression survives (every rep is slow); a burst is erased by
+        // any idle rep. The suspect value never enters the line, so a
+        // recorded >2.5× outlier now means every rep reproduced it.
+        // Defense triggers: (a) a carry base exists and the median is
+        // >2.5× it; (b) NO carry base (first appearance) and the median
+        // reaches 1 s — r12 recorded the three new keys' first numbers on
+        // a contended run with no defense, and those numbers became the
+        // next round's base.
+        val defend =
+          if (median < 0) false
+          else carryBase.get(name) match {
+            case Some(base) => base > 0 && median > 2.5 * base
+            case None => median >= 1.0
+          }
+        val value =
+          if (!defend) median
+          else {
+            val rerun = timed()
+            val all = times ++ rerun
+            val why = carryBase.get(name)
+              .map(b => f"median $median%.2fs > 2.5x base $b%.2fs")
+              .getOrElse(f"first appearance at $median%.2fs")
+            System.err.println(f"[bench] $name%s $why: re-rep " +
+              f"${rerun.fold("failed")(v => f"$v%.2fs")}, keeping min")
+            val v = if (all.isEmpty) -1.0 else all.min
+            // the replaced median rides in the "susp" side-channel (only
+            // when the min actually differs at line precision)
+            if (v >= 0 && median - v >= 0.05) suspP += name -> median
+            v
+          }
+        name -> value
       }
-      // Keys with nontrivial runtime swing 2-5× run-to-run even warm:
-      // streaming (state-store + AvailableNow setup floor, r5 verdict
-      // #4), iterative CC loops (per-iteration job launches) and
-      // composites (r7 verdict #2 — single-run timing recorded phantom
-      // regressions doc_simhash_pairs 6.3s vs 0.7s re-run). Report the
-      // MEDIAN of 3 timed runs for any key whose first timed run reaches
-      // 1 s, and for every stream_* key — adaptive, so a future slow key
-      // is covered without a hand-kept list. Sub-second batch keys are
-      // stable warm; one run each.
-      // A failed rep's near-zero elapsed time must not enter the median
-      // (it would understate a partially failing query): keep successful
-      // times only and stop repeating on the first error — the error is
-      // reported and forces exit(1) regardless.
-      def timed(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { run(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            None
-        }
-      }
-      val first = timed()
-      val noisy = name.startsWith("stream_") || first.exists(_ >= 1.0)
-      val times = first.toSeq ++ (if (noisy && first.isDefined)
-        Iterator.range(0, 2).map(_ => timed()).takeWhile(_.isDefined).flatten.toSeq
-      else Seq.empty)
-      val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      // PER-KEY contention defense (r11 verdict #1): a median > 2.5× the
-      // carry base on a key is, empirically, almost always a transient
-      // load burst, not a regression — contention inflates, never
-      // deflates. Run ONE extra rep and keep the overall MIN: a real
-      // regression survives (every rep is slow); a burst is erased by
-      // any idle rep. The suspect value never enters the line, so a
-      // recorded >2.5× outlier now means every rep reproduced it.
-      // Defense triggers: (a) a carry base exists and the median is
-      // >2.5× it; (b) NO carry base (first appearance) and the median
-      // reaches 1 s — r12 recorded the three new keys' first numbers on
-      // a contended run with no defense, and those numbers became the
-      // next round's base.
-      val defend =
-        if (median < 0) false
-        else carryBase.get(name) match {
-          case Some(base) => base > 0 && median > 2.5 * base
-          case None => median >= 1.0
-        }
-      val value =
-        if (!defend) median
-        else {
-          val rerun = timed()
-          val all = times ++ rerun
-          val why = carryBase.get(name)
-            .map(b => f"median $median%.2fs > 2.5x base $b%.2fs")
-            .getOrElse(f"first appearance at $median%.2fs")
-          System.err.println(f"[bench] $name%s $why: re-rep " +
-            f"${rerun.fold("failed")(v => f"$v%.2fs")}, keeping min")
-          val v = if (all.isEmpty) -1.0 else all.min
-          // the replaced median rides in the "susp" side-channel (only
-          // when the min actually differs at line precision)
-          if (v >= 0 && median - v >= 0.05) susp += name -> median
-          v
-        }
-      name -> value
+      (res, spinxP, suspP)
     }
+
+    val (results1, spinx1, susp1) = runPass(doWarmup = true)
+    val spinAfter1 = spinMs()
+
+    // WHOLE-LINE contention defense (r16 verdict #1): the per-key
+    // min-of-reps defense cannot save a run where a SUSTAINED burst
+    // inflates every rep of every key (r16's recorded line: spinx 101
+    // vs the clean band, eleven keys 24-49× base, all reps slow). The
+    // clean band carries in BENCH_BASE.json as "_spin" (folded like the
+    // per-key minima); when any canary of the first pass exceeds 2×
+    // that band, the line is machine-contaminated BY CONSTRUCTION —
+    // detect, then RECOVER, not just log: cool down, re-run the whole
+    // timed pass once (keys are warm — no re-warmup), and keep per-key
+    // minima across passes. "contaminated":true marks that the re-pass
+    // was needed; the emitted spin/spinx canaries describe the FINAL
+    // pass, so a reader judges the minima against the canaries that
+    // actually bracketed them.
+    val spinBand = carryBase.getOrElse("_spin", -1.0)
+    val dirty1 = spinBand > 0 &&
+      math.max(spin0, math.max(spinx1, spinAfter1)).toDouble > 2.0 * spinBand
+    val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "45000").toLong
+    val (results, spinStart, spinx, spin1, susp0) =
+      if (!dirty1) (results1, spin0, spinx1, spinAfter1, susp1)
+      else {
+        System.err.println(f"[bench] contaminated pass: spin0 $spin0%d " +
+          f"spinx $spinx1%d spin1 $spinAfter1%d vs band $spinBand%.0f — " +
+          f"cooling ${cooldownMs}ms, re-running the timed pass")
+        Thread.sleep(cooldownMs)
+        val s0 = spinMs()
+        val (results2, spinx2, susp2) = runPass(doWarmup = false)
+        val s1 = spinMs()
+        val v1 = results1.toMap
+        val merged = results2.map { case (name, v2) =>
+          val a = v1.getOrElse(name, -1.0)
+          name -> (if (a < 0) v2 else if (v2 < 0) a else math.min(a, v2))
+        }
+        // replaced medians re-derive against the merged minima: keep
+        // the largest suppressed median per key that still exceeds the
+        // final value at line precision
+        val mv = merged.toMap
+        val suspM = (susp1.keySet ++ susp2.keySet).flatMap { k =>
+          val m = math.max(susp1.getOrElse(k, -1.0), susp2.getOrElse(k, -1.0))
+          val v = mv.getOrElse(k, -1.0)
+          if (v >= 0 && m - v >= 0.05) Some(k -> m) else None
+        }.toMap
+        (merged, s0, spinx2, s1, suspM)
+      }
+    val susp = susp0
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -213,12 +265,14 @@ object Bench {
     // suppressed-median side-channel: absent on a clean run (costs 0
     // chars of the tail window), present only for defended keys; capped
     // to the 2 largest medians so a broadly contended run cannot push
-    // the line past the driver's 2000-char tail capture
+    // the line past the driver's 2000-char tail capture. "suspN" (r16
+    // verdict #2) carries the TOTAL count of replaced medians — on a
+    // broadly contended line the 2-entry cap otherwise under-reports
+    // how many keys the defense had to rescue.
     val suspJson = if (susp.isEmpty) ""
       else susp.toSeq.sortBy(-_._2).take(2)
         .map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }
-        .mkString(""","susp":{""", ",", "}")
-    val spin1 = spinMs()
+        .mkString(s""","suspN":${susp.size},"susp":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Window reclaims, in order: "unit":"sec" dropped in round 8 for the
     // two PQ keys (r7 verdict #3 sanctioned the drop; seconds remain the
@@ -238,7 +292,8 @@ object Bench {
     val canary = {
       val l = if (load1m < 0) "-1"
         else String.format(java.util.Locale.ROOT, "%.1f", Double.box(load1m))
-      s""""spin":[$spin0,$spin1],"spinx":$spinx,"load":$l"""
+      val c = if (dirty1) s""","contaminated":true""" else ""
+      s""""spin":[$spinStart,$spin1],"spinx":$spinx,"load":$l$c"""
     }
     val line = s"""{"value":${total.round},$canary,"queries":$qs$suspJson$errs}"""
     // Guard on the 2000-char capture. True cap: the tail holds the last

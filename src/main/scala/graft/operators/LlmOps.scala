@@ -337,7 +337,7 @@ object LlmOps {
           FROM (${TextOps.oracle("text_lang_id")}) l
           JOIN (${TextOps.oracle("tq_score")}) q USING (doc_id)
           LEFT JOIN (${DedupOps.oracle("decontam")}) c ON c.doc_id = l.doc_id
-          LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("doc_dup_groups")})
+          LEFT JOIN (SELECT doc_id FROM (${DedupOps.oracle("dup_groups")})
                      WHERE is_canonical = 0) g ON g.doc_id = l.doc_id)"""
 
   /** Keep-best oracle — composes the dup-groups (WITH RECURSIVE) and
@@ -348,7 +348,7 @@ object LlmOps {
                CAST(row_number() OVER (PARTITION BY g.cluster
                                        ORDER BY q.quality DESC, g.doc_id) = 1
                     AS INTEGER) AS keep
-        FROM (${DedupOps.oracle("doc_dup_groups")}) g
+        FROM (${DedupOps.oracle("dup_groups")}) g
         JOIN (${TextOps.oracle("tq_score")}) q ON g.doc_id = q.doc_id"""
 
   private def cosineOracle: String =

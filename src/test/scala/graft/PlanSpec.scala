@@ -102,7 +102,7 @@ class PlanSpec extends SparkTestBase {
   test("dup-cluster consumers read the staged assignment, no CC fixpoint in-plan") {
     // the CC fixpoint (an RDD scan in-plan) runs at staging; cluster
     // consumers join staged scalars
-    Seq("doc_dup_groups", "xmodal", "filter_pipe", "keep_best").foreach { k =>
+    Seq("dup_groups", "xmodal", "filter_pipe", "keep_best").foreach { k =>
       val p = plan(k)
       assert(!p.contains("Scan ExistingRDD"), s"$k runs CC in-plan: $p")
       assert(p.contains("Scan parquet"), s"$k: $p")
@@ -580,7 +580,7 @@ class PlanSpec extends SparkTestBase {
     // (embedding_ivf_topk's sanctioned crosses are construction-gated —
     // it sits in `skip` below, exercised by its own tests instead)
     // construction-time jobs are exercised elsewhere; skip the heavy ones
-    val skip = Set("doc_dup_groups", "filter_pipe", "emb_dup_groups",
+    val skip = Set("dup_groups", "filter_pipe", "emb_dup_groups",
       "lsh_dups", "emb_ivf_topk", "bucketed_join",
       "msglog_rt", "msglog_multi_scan", "rr_balance",
       "lm_ppl")
@@ -603,7 +603,7 @@ class PlanSpec extends SparkTestBase {
         "msglog_multi_scan", "bucketed_join",
         "lsh_dups",
         "emb_ivf_topk", // staging writes / C×dim centroid index
-        "doc_dup_groups", "filter_pipe",
+        "dup_groups", "filter_pipe",
         "emb_dup_groups", // CC fixpoint loop runs bounded jobs
         "pq_enc", "pq_topk", // staged PqCodes×dim codebook artifact
         "lm_ppl")) // bounded LM artifacts (total + top-V table)
