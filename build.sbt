@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in every run (-oD): the suite crossed the ~20 min
+// watch line in round 17, and tagging the slow Spark-session-heavy
+// specs needs timings in the artifact of record, not a special re-run.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // The driver captures only the LAST 2000 chars of a run's stdout; sbt's
 // "[success] Total time ..." banner printed after graft.Bench's one-line
 // JSON ate ~76 chars of that window, truncating the line's head
