@@ -1203,8 +1203,8 @@ object TextOps {
     // round 17: the id-sequence emission under the same staged merges
     "bpe_enc" ->
       ((s, d) => bpeEncodeIds(Fixtures.documents(s, d), stagedBpeModel(s, d))),
-    "doc_fingerprint" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
-    "doc_split_assign" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
+    "doc_fp" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
+    "splits" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
     "repetition" -> ((s, d) => textRepetition(Fixtures.documents(s, d))),
     // staged LM: timed reps measure the scoring projection, not a
@@ -1617,14 +1617,14 @@ object TextOps {
                                 THEN evs[list_position(eks, t)]
                                 ELSE [26 + vlen] END)) AS ids
              FROM documents d, bpe_em, bpe_v)""",
-      "doc_fingerprint" ->
+      "doc_fp" ->
         """SELECT doc_id,
                   array_to_string(list_sort([md5(substring(text, i, 8))
                                              for i in range(1, greatest(length(text) - 7, 1) + 1)])[1:4],
                                   '|') AS fingerprint,
                   CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_grams
            FROM documents""",
-      "doc_split_assign" ->
+      "splits" ->
         """WITH b AS (SELECT doc_id, length(text) AS n_chars,
                              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                                % 1000 AS bucket
