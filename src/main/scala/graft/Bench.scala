@@ -76,8 +76,29 @@ object Bench {
       if (x == 42L) System.err.println("spin sink") // defeat dead-code elim
       ms
     }
+    // PARALLEL spin canary (r17): the single-thread spin has a proven
+    // blind spot — co-tenant/host load that leaves one core free keeps
+    // spin in the 42-46 clean band while every 32-way Spark stage
+    // starves (r17 recorded two full lines at 1.5-1.7× base with spins
+    // 41-49 and a loadavg of 2.5-5 from NO visible process). One spin
+    // per core, all started together, worst thread's wall time
+    // reported: diffuse elevation inflates it roughly cores/(cores −
+    // load) while the single-thread spin sees nothing. Bracketed like
+    // "spin"; its clean band is machine-specific (SMT makes it sit
+    // above the single-thread band even idle) and carries as "_pspin"
+    // in BENCH_BASE.json once measured clean — present, it joins the
+    // whole-line defense trigger below.
+    def pspinMs(): Long = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val times = new Array[Long](n)
+      val ts = (0 until n).map(i => new Thread(() => { times(i) = spinMs() }))
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      times.max
+    }
     spinMs() // JIT warm-up: measure the loop, not the interpreter
     val spin0 = spinMs()
+    val pspin0 = pspinMs()
     val load1m: Double = try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0)
@@ -196,6 +217,7 @@ object Bench {
 
     val (results1, spinx1, susp1) = runPass(doWarmup = true)
     val spinAfter1 = spinMs()
+    val pspinAfter1 = pspinMs()
 
     // WHOLE-LINE contention defense (r16 verdict #1): the per-key
     // min-of-reps defense cannot save a run where a SUSTAINED burst
@@ -211,19 +233,25 @@ object Bench {
     // pass, so a reader judges the minima against the canaries that
     // actually bracketed them.
     val spinBand = carryBase.getOrElse("_spin", -1.0)
-    val dirty1 = spinBand > 0 &&
-      math.max(spin0, math.max(spinx1, spinAfter1)).toDouble > 2.0 * spinBand
+    val pspinBand = carryBase.getOrElse("_pspin", -1.0)
+    val dirty1 = (spinBand > 0 &&
+      math.max(spin0, math.max(spinx1, spinAfter1)).toDouble > 2.0 * spinBand) ||
+      (pspinBand > 0 &&
+        math.max(pspin0, pspinAfter1).toDouble > 2.0 * pspinBand)
     val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "45000").toLong
-    val (results, spinStart, spinx, spin1, susp0) =
-      if (!dirty1) (results1, spin0, spinx1, spinAfter1, susp1)
+    val (results, spinStart, spinx, spin1, pspinStart, pspinEnd, susp0) =
+      if (!dirty1) (results1, spin0, spinx1, spinAfter1, pspin0, pspinAfter1, susp1)
       else {
         System.err.println(f"[bench] contaminated pass: spin0 $spin0%d " +
-          f"spinx $spinx1%d spin1 $spinAfter1%d vs band $spinBand%.0f — " +
+          f"spinx $spinx1%d spin1 $spinAfter1%d pspin [$pspin0%d,$pspinAfter1%d] " +
+          f"vs bands $spinBand%.0f/$pspinBand%.0f — " +
           f"cooling ${cooldownMs}ms, re-running the timed pass")
         Thread.sleep(cooldownMs)
         val s0 = spinMs()
+        val p0 = pspinMs()
         val (results2, spinx2, susp2) = runPass(doWarmup = false)
         val s1 = spinMs()
+        val p1 = pspinMs()
         val v1 = results1.toMap
         val merged = results2.map { case (name, v2) =>
           val a = v1.getOrElse(name, -1.0)
@@ -238,7 +266,7 @@ object Bench {
           val v = mv.getOrElse(k, -1.0)
           if (v >= 0 && m - v >= 0.05) Some(k -> m) else None
         }.toMap
-        (merged, s0, spinx2, s1, suspM)
+        (merged, s0, spinx2, s1, p0, p1, suspM)
       }
     val susp = susp0
     def esc(s: String): String =
@@ -293,7 +321,8 @@ object Bench {
       val l = if (load1m < 0) "-1"
         else String.format(java.util.Locale.ROOT, "%.1f", Double.box(load1m))
       val c = if (dirty1) s""","contaminated":true""" else ""
-      s""""spin":[$spinStart,$spin1],"spinx":$spinx,"load":$l$c"""
+      s""""spin":[$spinStart,$spin1],"spinx":$spinx,""" +
+        s""""pspin":[$pspinStart,$pspinEnd],"load":$l$c"""
     }
     val line = s"""{"value":${total.round},$canary,"queries":$qs$suspJson$errs}"""
     // Guard on the 2000-char capture. True cap: the tail holds the last

@@ -303,7 +303,7 @@ object LlmOps {
       ((s, d) => docNearDedup(Fixtures.documents(s, d))),
     "emb_topk_cosine" ->
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
-    "mm_width_stats" ->
+    "mm_widths" ->
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
     // the dup-cluster and contamination stages come staged (the scale
     // note below made real in round 13): the pipeline query joins
@@ -408,7 +408,7 @@ object LlmOps {
          FROM documents GROUP BY 1""",
     "emb_topk_cosine" -> cosineOracle,
     "rrf" -> rrfOracle,
-    "mm_width_stats" ->
+    "mm_widths" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
                 CAST(min(len(embedding)) AS INTEGER) AS min_w,
                 CAST(max(len(embedding)) AS INTEGER) AS max_w,

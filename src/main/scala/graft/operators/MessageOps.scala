@@ -365,7 +365,7 @@ object MessageOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_env" -> ((s, d) => scanEnvelope(Fixtures.events(s, d))),
     "evt_filter" -> ((s, d) => filterByType(Fixtures.events(s, d), "purchase", 50.0)),
-    "decode_props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
+    "props_json" -> ((s, d) => decodeProps(Fixtures.events(s, d))),
     // "route_key" née route_partition_key — round-12 bench-line reclaim
     "route_key" -> ((s, d) => routeByPartitionKey(Fixtures.events(s, d))),
     "rr_balance" -> ((s, d) => roundRobinBalance(Fixtures.events(s, d), 4)),
@@ -427,7 +427,7 @@ object MessageOps {
     "evt_filter" ->
       s"""SELECT event_id, user_id, $US AS publish_us, value FROM events
           WHERE event_type = 'purchase' AND value > 50 ORDER BY event_id""",
-    "decode_props_json" ->
+    "props_json" ->
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS prop_k
          FROM events ORDER BY event_id""",
     "route_key" ->

@@ -336,7 +336,7 @@ object MsgLog {
     "msglog_rt" -> ((s, d) => msglogRoundtripScan(s, d)),
     "msglog_multi_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
     "msglog_env" -> ((s, d) => msglogEnvelopeScan(s, d)),
-    "msglog_schema_scan" -> ((s, d) => msglogSchemaScan(s, d)))
+    "msglog_schema" -> ((s, d) => msglogSchemaScan(s, d)))
 
   def oracle: Map[String, String] = Map(
     "msglog_rt" ->
@@ -349,7 +349,7 @@ object MsgLog {
                 event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
-    "msglog_schema_scan" ->
+    "msglog_schema" ->
       """SELECT CAST(CAST(props->>'k' AS INTEGER) % 10 AS INTEGER) AS k_mod,
                 CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value,
