@@ -318,6 +318,15 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges === 1, p)
   }
 
+  test("bpe_enc emission is a pure projection: no exchange, fused kernel in plan") {
+    // the staged merges ride as a literal inside the expression; the id
+    // emission must stay one in-row pass over the scan — an exchange or
+    // join here means tokenization regressed to a vocabulary join
+    val p = plan("bpe_enc")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("bpe_encode"), p)
+  }
+
   test("lm_ppl scoring is a pure projection: the returned plan has no exchange") {
     // the LM (total + top-V table) is built by bounded driver jobs at
     // construction; the SCORING plan the caller runs over the corpus
