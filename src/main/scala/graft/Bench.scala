@@ -105,7 +105,6 @@ object Bench {
       s.toDouble
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-    var errors = Map.empty[String, String]
     // Per-key carry bases (BENCH_BASE.json — the previous clean round's
     // warm numbers, phantom keys hand-corrected): the reference point
     // for the per-key contention defense below. Three rounds running
@@ -138,9 +137,18 @@ object Bench {
     // min-of-reps, the median it REPLACED is returned — a genuine
     // load-sensitive regression (slow on most reps, fast on one) stays
     // visible in the line instead of being silently erased.
-    def runPass(doWarmup: Boolean): (Seq[(String, Double)], Long, Map[String, Double]) = {
+    // Errors are PER PASS (ADVICE r17): a key that failed only in the
+    // contaminated first pass but recovered in the re-pass must not
+    // carry an error entry (and force exit 1) while the merged line
+    // reports its valid recovered time — the whole-line defense exists
+    // to RECOVER from load-induced transient failures, not just log
+    // them. The pass that produced the line's verdict (the FINAL pass)
+    // owns the error set.
+    def runPass(doWarmup: Boolean)
+        : (Seq[(String, Double)], Long, Map[String, Double], Map[String, String]) = {
       var spinxP = 0L
       var suspP = Map.empty[String, Double]
+      var errors = Map.empty[String, String]
       val res = selected.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx % 4 == 0) spinxP = math.max(spinxP, spinMs())
         def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -212,10 +220,10 @@ object Bench {
           }
         name -> value
       }
-      (res, spinxP, suspP)
+      (res, spinxP, suspP, errors)
     }
 
-    val (results1, spinx1, susp1) = runPass(doWarmup = true)
+    val (results1, spinx1, susp1, errors1) = runPass(doWarmup = true)
     val spinAfter1 = spinMs()
     val pspinAfter1 = pspinMs()
 
@@ -239,8 +247,9 @@ object Bench {
       (pspinBand > 0 &&
         math.max(pspin0, pspinAfter1).toDouble > 2.0 * pspinBand)
     val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "45000").toLong
-    val (results, spinStart, spinx, spin1, pspinStart, pspinEnd, susp0) =
-      if (!dirty1) (results1, spin0, spinx1, spinAfter1, pspin0, pspinAfter1, susp1)
+    val (results, spinStart, spinx, spin1, pspinStart, pspinEnd, susp0, errors) =
+      if (!dirty1)
+        (results1, spin0, spinx1, spinAfter1, pspin0, pspinAfter1, susp1, errors1)
       else {
         System.err.println(f"[bench] contaminated pass: spin0 $spin0%d " +
           f"spinx $spinx1%d spin1 $spinAfter1%d pspin [$pspin0%d,$pspinAfter1%d] " +
@@ -249,7 +258,7 @@ object Bench {
         Thread.sleep(cooldownMs)
         val s0 = spinMs()
         val p0 = pspinMs()
-        val (results2, spinx2, susp2) = runPass(doWarmup = false)
+        val (results2, spinx2, susp2, errors2) = runPass(doWarmup = false)
         val s1 = spinMs()
         val p1 = pspinMs()
         val v1 = results1.toMap
@@ -266,7 +275,10 @@ object Bench {
           val v = mv.getOrElse(k, -1.0)
           if (v >= 0 && m - v >= 0.05) Some(k -> m) else None
         }.toMap
-        (merged, s0, spinx2, s1, p0, p1, suspM)
+        // a pass-1-only failure is a recovered transient: the re-pass
+        // (the verdict pass) owns the error set — a key that failed in
+        // BOTH passes is in errors2 anyway
+        (merged, s0, spinx2, s1, p0, p1, suspM, errors2)
       }
     val susp = susp0
     def esc(s: String): String =
@@ -368,6 +380,9 @@ object Bench {
     // value_percentiles → val_pcts, rate_limit_window → rate_lim,
     // salted_join_skew → salt_join, events_range_join → range_join,
     // events_asof_join → asof_join (clean ~1905, contended ≤ ~1970).
+    // r18: deliver_at_filter → deliver_at, backlog_by_type → backlog,
+    // msglog_multi_scan → multi_scan, sql_top_producers → top_prod
+    // (−31 chars), funding ann_del + bpe_dec (+28).
     val budget = 1990
     val out = line
     if (out.length > budget)

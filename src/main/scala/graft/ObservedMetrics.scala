@@ -56,6 +56,14 @@ object ObservedMetrics {
 
   def recordGauge(name: String, value: Double): Unit = gauges.put(name, value)
 
+  /** Increment a gauge used as a monotonic event COUNTER (e.g. overlay
+    * folds completed). Last-value gauges can't prove an event HAPPENED
+    * — a per-call pre-fold reading is overwritten by the next call, so
+    * a spec asserting on the snapshot could pass without the event
+    * (ADVICE r17); a counter's before/after delta can't. */
+  def bumpGauge(name: String): Unit =
+    gauges.updateWith(name) { v => Some(v.getOrElse(0.0) + 1.0) }
+
   def gaugeSnapshot: Map[String, Double] = gauges.toMap
 
   /** Wait (bounded) until the listener bus has drained: the snapshot is

@@ -46,7 +46,8 @@ object GraftFunctions {
     entry("pq_adc", 3, classOf[PqAdc])(a => PqAdc(a.head, a(1), a(2))),
     entry("substr_fps", 3, classOf[SubstrFps])(a => SubstrFps(a.head, a(1), a(2))),
     entry("bpe_count", 2, classOf[BpeCount])(a => BpeCount(a.head, a(1))),
-    entry("bpe_encode", 2, classOf[BpeEncode])(a => BpeEncode(a.head, a(1))))
+    entry("bpe_encode", 2, classOf[BpeEncode])(a => BpeEncode(a.head, a(1))),
+    entry("bpe_decode", 2, classOf[BpeDecode])(a => BpeDecode(a.head, a(1))))
 
   /** Register every kernel in a session's registry (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -1890,15 +1890,19 @@ object DedupOps {
     // one collapsed delta, so ≈ O(live overlay)), which the stream's
     // maintenance turn runs per epoch; without that fold it would grow
     // with stream age until the corpus re-stage
+    // the COLLAPSED delta (tombstone flag kept): the shadow set needs
+    // every delta id including tombstones, while the union legs below
+    // take only the live rows — one materialization serves both
     val deltas = rawClusterDeltas(spark, deltaRoot, excludeEpoch).map { raw =>
       val dDir = nextCandDir(s"xmd:$sfDir", "graft_xm_newest_")
-      newestClusterDelta(raw).coalesce(1)
+      collapsedClusterDelta(raw).coalesce(1)
         .write.mode("overwrite").parquet(dDir.toString)
       spark.read.parquet(dDir.toString)
     }
-    // base rows shadowed by ANY delta row drop — the build side is the
-    // bounded un-compacted delta id set, the servedClusterAssignment
-    // anti-join discipline
+    // base rows shadowed by ANY delta row drop — updates and
+    // tombstones alike (a retracted doc must not re-enter the merge as
+    // its stale base row) — the servedClusterAssignment anti-join
+    // discipline; build side is the bounded un-compacted delta id set
     def unshadowed(df: DataFrame): DataFrame = deltas match {
       case None => df
       case Some(d) =>
@@ -1920,7 +1924,7 @@ object DedupOps {
     val touchedLive = (deltas match {
       case None => endpointBase
       case Some(d) => endpointBase.unionByName(
-        d.join(broadcast(verts), "doc_id").select("cluster"))
+        liveClusterDelta(d).join(broadcast(verts), "doc_id").select("cluster"))
     }).distinct()
     // checkpoint the touched-cluster set (dup-density-bounded, one
     // scalar per row) before its consumers: the cb-bucket collect and
@@ -1946,7 +1950,7 @@ object DedupOps {
     val affected = deltas match {
       case None => affectedBase
       case Some(d) => affectedBase.unionByName(
-        d.join(broadcast(touched), "cluster")
+        liveClusterDelta(d).join(broadcast(touched), "cluster")
           .select(col("doc_id"), col("cluster")))
     }
     val (stars, reclosed) = starsReclosure(affected, edges)
@@ -1983,10 +1987,13 @@ object DedupOps {
     rawClusterDeltas(spark, deltaRoot, excludeEpoch) match {
       case None => base
       case Some(deltas) =>
-        val newest = newestClusterDelta(deltas)
+        // shadow by ALL delta ids (updates AND tombstones: a retracted
+        // doc drops its base row with nothing replacing it — r17
+        // verdict's deletion gap); union only the LIVE collapsed rows
         assignmentOf(base)
-          .join(broadcast(newest.select("doc_id")), Seq("doc_id"), "left_anti")
-          .unionByName(newest)
+          .join(broadcast(deltas.select("doc_id").distinct()),
+            Seq("doc_id"), "left_anti")
+          .unionByName(newestClusterDelta(deltas))
     }
 
   /** The raw epoch-keyed delta rows under `deltaRoot`, `excludeEpoch`
@@ -1998,10 +2005,15 @@ object DedupOps {
     val hasDeltas = graft.util.EpochDirs.list(deltaRoot).nonEmpty
     if (!hasDeltas) None
     else {
+      // `deleted` is declared even though most epochs never write it:
+      // parquet fills the missing column with NULL, normalized to
+      // false at every collapse — only tombstone epochs
+      // ([[tombstoneClusterDocs]]) and post-fold collapsed dirs carry
+      // it physically
       val raw = spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, cluster BIGINT, is_canonical INT, " +
-            "cluster_size BIGINT, epoch BIGINT"))
+            "cluster_size BIGINT, deleted BOOLEAN, epoch BIGINT"))
         .parquet(deltaRoot)
       Some(excludeEpoch
         .map(e => raw.filter(col("epoch") =!= lit(e)))
@@ -2009,15 +2021,36 @@ object DedupOps {
     }
   }
 
-  /** Newest-wins collapse of the delta rows: one row per delta doc_id,
-    * from its highest epoch. */
-  private def newestClusterDelta(deltas: DataFrame): DataFrame =
+  /** TOMBSTONE-DOMINANT collapse of the delta rows: one row per delta
+    * doc_id, keeping the `deleted` flag — a tombstone wins over any
+    * live row regardless of epoch order (terminal-delete: a retracted
+    * doc must not be resurrected by the relative ordering of its
+    * retraction and an earlier re-assignment; un-deleting is the corpus
+    * re-stage's job). Among same-flag rows, newest epoch wins as
+    * before. */
+  private def collapsedClusterDelta(deltas: DataFrame): DataFrame =
     deltas.groupBy("doc_id").agg(
       max_by(struct(col("cluster"), col("is_canonical"),
-        col("cluster_size")), col("epoch")).as("s"))
+        col("cluster_size"),
+        coalesce(col("deleted"), lit(false)).as("deleted")),
+        struct(coalesce(col("deleted"), lit(false)).cast("int").as("d"),
+          col("epoch").as("e"))).as("s"))
       .select(col("doc_id"), col("s.cluster").as("cluster"),
         col("s.is_canonical").as("is_canonical"),
-        col("s.cluster_size").as("cluster_size"))
+        col("s.cluster_size").as("cluster_size"),
+        col("s.deleted").as("deleted"))
+
+  /** The LIVE collapsed delta view (one row per surviving delta
+    * doc_id): [[collapsedClusterDelta]] minus tombstoned docs — the
+    * union side of every overlay read. Shadow sets (anti-join builds)
+    * must use the FULL id set instead: a tombstoned doc shadows its
+    * base row even though nothing replaces it. */
+  private def newestClusterDelta(deltas: DataFrame): DataFrame =
+    liveClusterDelta(collapsedClusterDelta(deltas))
+
+  /** Drop tombstoned rows from an already-collapsed delta frame. */
+  private def liveClusterDelta(collapsed: DataFrame): DataFrame =
+    collapsed.filter(!coalesce(col("deleted"), lit(false))).drop("deleted")
 
   /** [[mergeClusterIncrement]] wired to the staged cross-modal
     * assignment — the ingestion-cadence entry point: an admitted
@@ -2060,6 +2093,9 @@ object DedupOps {
   def registerClusterDeltas(spark: SparkSession, sfDir: String,
       deltaRoot: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(deltaRoot))
+    // a fresh registration wrote a manifest entry without the "epochs"
+    // gauge — drop the skip cache so the next maintenance turn re-seeds it
+    epochGaugeCache.remove(deltaRoot)
     val baseRows = stagedBaseCrossModalGroups(spark, sfDir).count()
     graft.util.ServingManifest.put(sfDir, XmDeltaFamily, XmTables,
       Map("deltaRoot" -> deltaRoot, "baseRows" -> baseRows.toString,
@@ -2080,6 +2116,34 @@ object DedupOps {
     graft.util.ServingManifest.addCounterIfNewEpoch(sfDir, XmDeltaFamily,
       XmTables, "deltaRoot", deltaRoot, "deltaRows", rows,
       "lastEpoch", epochId)
+
+  /** RETRACTION (takedown / right-to-be-forgotten) at increment cadence
+    * — the cluster layer's tombstone writer, the
+    * [[graft.operators.SimilarityOps.tombstoneSegmentRows]] sibling:
+    * one delta epoch of `deleted = true` rows for `docIds`
+    * (`doc_id BIGINT`). From the next overlay read on, the retracted
+    * doc is out of [[servedClusterAssignment]] (its base row shadows
+    * away, nothing replaces it — the doc LEAVES its cross-modal group
+    * while the group's other members keep serving) and out of the
+    * merge's affected-row inputs; [[maybeCompactClusterDeltas]] carries
+    * the tombstone through folds; the corpus re-stage absorbs it.
+    * Terminal at increment cadence: re-admitting the doc requires the
+    * re-stage, not a later epoch (the [[collapsedClusterDelta]]
+    * dominance rule). Payload columns are typed NULLs — no reader
+    * dereferences them past the live filter. */
+  def tombstoneClusterDocs(spark: SparkSession, sfDir: String,
+      deltaRoot: String, docIds: DataFrame, epochId: Long): Unit = {
+    val n = docIds.count()
+    docIds.select(col("doc_id").cast("long").as("doc_id"),
+        lit(null).cast("long").as("cluster"),
+        lit(null).cast("int").as("is_canonical"),
+        lit(null).cast("long").as("cluster_size"),
+        lit(true).as("deleted"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaRoot/epoch=$epochId")
+    noteClusterDeltaAppend(sfDir, deltaRoot, n, epochId)
+    ()
+  }
 
   /** The overlay root currently registered for `sfDir`, provided its
     * dir still exists (a dead JVM's retired temp root drops the stale
@@ -2236,8 +2300,13 @@ object DedupOps {
       deltaRoot: String, maxEpochs: Int = XmCompactEpochs): Boolean = {
     val epochs = graft.util.EpochDirs.list(deltaRoot)
     graft.ObservedMetrics.recordGauge("xm.delta_epochs", epochs.size.toDouble)
-    graft.util.ServingManifest.setIf(sfDir, XmDeltaFamily, XmTables,
-      "deltaRoot", deltaRoot, Map("epochs" -> epochs.size.toString))
+    // manifest epoch gauge only when the count CHANGED (r17 verdict #3):
+    // the un-triggered per-micro-batch turn must not serialize an
+    // OS-file-locked read-modify-write into the stream
+    val prevGauge = epochGaugeCache.put(deltaRoot, epochs.size)
+    if (prevGauge == null || prevGauge.intValue != epochs.size)
+      graft.util.ServingManifest.setIf(sfDir, XmDeltaFamily, XmTables,
+        "deltaRoot", deltaRoot, Map("epochs" -> epochs.size.toString))
     if (epochs.size <= maxEpochs || epochs.size < 3) false
     else {
       graft.util.EpochDirs.sweepScratch(deltaRoot)
@@ -2245,7 +2314,14 @@ object DedupOps {
       val foldMax = epochs(epochs.size - 2)
       val folded = rawClusterDeltas(spark, deltaRoot, Some(newest)).get
       val scratch = graft.util.EpochDirs.scratch(deltaRoot)
-      newestClusterDelta(folded).write.parquet(scratch.toString)
+      // the COLLAPSED delta, tombstones included: the fold must CARRY a
+      // retraction (dropping it would un-shadow the doc's base row and
+      // resurrect it) — tombstones leave the overlay only at the corpus
+      // re-stage. Dominance safety is unchanged: a collapsed tombstone
+      // row dominates every row it summarizes under the tombstone-
+      // dominant read collapse exactly as a live row does under
+      // newest-wins.
+      collapsedClusterDelta(folded).write.parquet(scratch.toString)
       val target = java.nio.file.Paths.get(deltaRoot, s"epoch=$foldMax")
       val shadowed = graft.util.EpochDirs.dataFilesIn(target)
       graft.util.EpochDirs.dataFilesIn(scratch).foreach(f =>
@@ -2258,12 +2334,20 @@ object DedupOps {
       // counter's append semantics resume on top via addCounterIfNewEpoch
       val total = rawClusterDeltas(spark, deltaRoot, None)
         .map(_.count()).getOrElse(0L)
+      epochGaugeCache.put(deltaRoot, 2)
       graft.util.ServingManifest.setIf(sfDir, XmDeltaFamily, XmTables,
         "deltaRoot", deltaRoot,
         Map("deltaRows" -> total.toString, "epochs" -> "2"))
+      graft.ObservedMetrics.bumpGauge("xm.delta_folds")
       true
     }
   }
+
+  /** Last epoch count written to the manifest per delta root — the
+    * steady-state skip for the per-micro-batch gauge write (r17 verdict
+    * #3; the [[graft.operators.SimilarityOps]] sibling). */
+  private val epochGaugeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The BATCH overlay-serve leg of the cluster layer — `ann_seg`'s
     * register → serve-through-the-overlay → retire shape for cluster

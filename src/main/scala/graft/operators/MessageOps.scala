@@ -383,11 +383,11 @@ object MessageOps {
     "batch_explode" -> ((s, d) => batchExplode(Fixtures.events(s, d))),
     "chunks" -> ((s, d) => chunkReassembly(Fixtures.documents(s, d), 40)),
     "thru_tumbling" -> ((s, d) => throughputTumbling(Fixtures.events(s, d))),
-    "backlog_by_type" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
-    "deliver_at_filter" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
+    "backlog" -> ((s, d) => backlogByType(Fixtures.events(s, d))),
+    "deliver_at" -> ((s, d) => deliverAtFilter(Fixtures.events(s, d), HOUR_US, NOW_US)),
     "rate_lim" -> ((s, d) => rateLimitWindow(Fixtures.events(s, d))),
     "arrival_gaps" -> ((s, d) => interArrivalGaps(Fixtures.events(s, d))),
-    "sql_top_producers" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
+    "top_prod" -> ((s, d) => sqlTopProducers(Fixtures.events(s, d))),
     "payload_crc" -> ((s, d) => payloadIntegrityCrc(Fixtures.events(s, d))))
 
   /** The oracle-side epoch-µs projection of `ts` — the ns→µs cast
@@ -495,10 +495,10 @@ object MessageOps {
       """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000 AS hour_ms,
          CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1 ORDER BY hour_ms""",
-    "backlog_by_type" ->
+    "backlog" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS backlog
          FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST""",
-    "deliver_at_filter" ->
+    "deliver_at" ->
       s"""SELECT event_id, user_id, $US AS publish_us FROM events
           WHERE $US + $HOUR_US <= $NOW_US ORDER BY event_id""",
     "rate_lim" ->
@@ -513,7 +513,7 @@ object MessageOps {
                    $US - lag($US, 1) OVER (PARTITION BY user_id
                      ORDER BY $US, event_id) AS gap_us
             FROM events) WHERE gap_us IS NOT NULL""",
-    "sql_top_producers" ->
+    "top_prod" ->
       """SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk FROM (
            SELECT event_type, user_id, count(*) AS n,
                   dense_rank() OVER (PARTITION BY event_type

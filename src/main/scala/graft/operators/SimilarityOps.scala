@@ -507,6 +507,73 @@ object SimilarityOps {
         col("q8_scale"),
         col("b.cid").as("cell"))
 
+  /** TOMBSTONE rows for the segment overlay — the deletion marker a
+    * takedown/right-to-be-forgotten request ingests at INCREMENT
+    * cadence (r17 verdict: before this, a deleted vector kept serving
+    * until the next corpus re-stage). One row per id in `ids`
+    * (`vec_id BIGINT`), schema-aligned with the live segment writer's
+    * [[indexRows]]-plus-flag shape so every epoch under one root reads
+    * uniformly: payload columns are typed NULLs (no reader ever
+    * dereferences them — [[servedIndex]] filters tombstones before
+    * projection), `deleted = true`, and `cell = -1` — a real partition
+    * value no probe ever matches (a null cell would land in the Hive
+    * default partition), so a pruned probe scan never lists tombstone
+    * files while the un-pruned anti-join build still sees them.
+    * Lifecycle: [[servedIndex]] drops the id from both union sides;
+    * [[maybeCompactIndexSegments]] carries the tombstone through folds
+    * (dominant over any live row); the staleness-triggered retrain /
+    * corpus re-stage absorbs it — durable deletion is the corpus
+    * rewrite's job, the overlay's job is the serving gap between. */
+  def tombstoneSegmentRows(spark: SparkSession, sfDir: String,
+      ids: DataFrame): DataFrame = {
+    graft.GraftSession.registerFunctions(spark)
+    val template = indexRows(
+      graft.model.Fixtures.embeddings(spark, sfDir).limit(0),
+      stagedCentroidIndex(spark, sfDir), stagedPqCodebook(spark, sfDir))
+    val payload = template.schema.fields.toSeq.filterNot(_.name == "vec_id")
+    ids.select(
+      col("vec_id") +:
+        payload.map(f =>
+          if (f.name == "cell") lit(-1L).as("cell")
+          else lit(null).cast(f.dataType).as(f.name)) :+
+        lit(true).as("deleted"): _*)
+  }
+
+  /** Deterministic takedown slice for the `ann_del` contract key: every
+    * vec_id ≡ [[DeleteRem]] (mod [[DeleteMod]]) — SQL-expressible, so
+    * the oracle is the IVF chain minus exactly these ids. */
+  private[graft] val DeleteMod = 17
+  private[graft] val DeleteRem = 3
+
+  /** ANN serve WITH DELETIONS through the segment overlay — the
+    * takedown contract key (`ann_del`): ingest one tombstone epoch for
+    * the deterministic [[DeleteMod]]-slice, register the overlay, and
+    * run the batched top-k THROUGH it ([[servedIndex]] drops the
+    * tombstoned ids from base and segments alike), materializing before
+    * the registration retires (the `ann_seg` lifecycle discipline).
+    * Oracle-checkable because the deleted set is pure arithmetic:
+    * the IVF chain with `vec_id % 17 = 3` excluded from the candidate
+    * side. The registration retires by ROOT in `finally` (ADVICE r13),
+    * so the key leaves no global serving state. */
+  def annDeleteServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_del_")
+    graft.util.TempDirs.track(root)
+    val ids = graft.model.Fixtures.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(DeleteMod)) === lit(DeleteRem))
+      .select("vec_id")
+    tombstoneSegmentRows(spark, sfDir, ids)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/epoch=0")
+    registerIndexSegments(spark, sfDir, root.toString)
+    try {
+      val out = embeddingBatchTopK(spark, sfDir, QUERY_BATCH, IVF_K)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_del_out_")
+      graft.util.TempDirs.track(dir)
+      out.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    } finally dropIndexSegments(sfDir, root.toString)
+  }
+
   /** Manifest family for the append/staleness counters — persisted per
     * (corpus dir, index dir) in the [[graft.util.ServingManifest]]
     * sidecar, so the bookkeeping survives a JVM restart and is visible
@@ -599,6 +666,14 @@ object SimilarityOps {
     * the base. */
   def registerIndexSegments(spark: SparkSession, sfDir: String,
       segRoot: String): Unit = {
+    // a re-registration of the SAME root (checkpointed stream restart)
+    // first completes any fold the dead JVM journaled mid-swap, so the
+    // registration count below sees the full row set (r17 verdict #3)
+    recoverInterruptedSegmentFold(spark, sfDir, segRoot)
+    foldRecoveryChecked.add(segRoot)
+    // a fresh registration writes a manifest entry without the "epochs"
+    // gauge — drop the skip cache so the next maintenance turn re-seeds it
+    epochGaugeCache.remove(segRoot)
     liveSegmentRoots.put(sfDir, segRoot)
     // segment rows counted ONCE at registration (footer metadata) and
     // persisted next to the root, so the staleness gauge is arithmetic
@@ -705,32 +780,58 @@ object SimilarityOps {
     * EPOCH GAUGE (`ann.segment_epochs` + the registration's `epochs`
     * manifest key), recorded whether or not a fold runs.
     *
-    * SWAP CAVEAT (deliberately weaker than
-    * [[graft.operators.DedupOps.maybeCompactClusterDeltas]]'s any-point
-    * crash safety): [[servedIndex]] consumes segments as a plain UNION —
-    * partition pruning must keep reaching both cell-partitioned scans,
-    * so there is no read-side newest-wins collapse to make duplicate or
-    * missing rows self-healing. The fold therefore writes the collapsed
-    * segment to a hidden scratch, DROPS the folded dirs, then renames
-    * the scratch in — a crash between the drops and the rename leaves
-    * the folded rows invisible to serving (never lost: they sit in the
-    * scratch) until the overlay's durable story — the checkpointed
-    * stream restart plus the staleness-triggered retrain — repairs it.
-    * Single-writer precondition: the caller is the ingestion stream's
-    * own maintenance turn (foreachBatch), serialized with the epoch
-    * writes. */
+    * SWAP DISCIPLINE (vs
+    * [[graft.operators.DedupOps.maybeCompactClusterDeltas]]'s
+    * journal-free dominance argument): [[servedIndex]] consumes
+    * segments as a plain UNION — partition pruning must keep reaching
+    * both cell-partitioned scans, so there is no read-side newest-wins
+    * collapse to make duplicate or missing rows self-healing, and the
+    * fold MUST drop the source dirs before renaming the collapsed
+    * scratch in (publishing first would serve every folded row twice).
+    * The drop→publish window is therefore closed by a JOURNAL (r17
+    * verdict #3): before the first drop, the fold intent — scratch dir
+    * name, the epoch ids to drop, the publish target — is written into
+    * the registration's manifest entry under the existing lock; the
+    * post-fold measurement write retires the journal in the same
+    * atomic update ([[graft.util.ServingManifest.setAndClearIf]]). A
+    * crash anywhere between leaves the journal live, and the next
+    * maintenance turn or [[registerIndexSegments]] call completes the
+    * interrupted fold ([[recoverInterruptedSegmentFold]]) BEFORE
+    * anything reads or sweeps the overlay — the folded rows are never
+    * lost and the missing-rows window ends at the next writer entry,
+    * not at the next retrain. Single-writer precondition: the caller
+    * is the ingestion stream's own maintenance turn (foreachBatch),
+    * serialized with the epoch writes. */
   def maybeCompactIndexSegments(spark: SparkSession, sfDir: String,
       segRoot: String, maxEpochs: Int = AnnCompactEpochs): Boolean = {
+    // recovery check ONCE per root per JVM (steady state stays
+    // lock-free): a journal can only appear when a fold is interrupted,
+    // and an interrupted fold in THIS JVM threw — the catch below
+    // re-arms the check, and a restarted JVM re-checks through
+    // registerIndexSegments or its own first maintenance turn
+    if (foldRecoveryChecked.add(segRoot))
+      recoverInterruptedSegmentFold(spark, sfDir, segRoot)
     val epochs = graft.util.EpochDirs.list(segRoot)
     graft.ObservedMetrics.recordGauge("ann.segment_epochs", epochs.size.toDouble)
-    graft.util.ServingManifest.setIf(sfDir, SegmentsFamily, AnnTables,
-      "segRoot", segRoot, Map("epochs" -> epochs.size.toString))
+    // manifest epoch gauge only when the count CHANGED (r17 verdict
+    // #3): the un-triggered maintenance turn of every micro-batch must
+    // not serialize an OS-file-locked read-modify-write into the
+    // stream — the in-memory last-written cache makes the steady state
+    // lock-free (one write per count change, one after JVM restart)
+    val prevGauge = epochGaugeCache.put(segRoot, epochs.size)
+    if (prevGauge == null || prevGauge.intValue != epochs.size)
+      graft.util.ServingManifest.setIf(sfDir, SegmentsFamily, AnnTables,
+        "segRoot", segRoot, Map("epochs" -> epochs.size.toString))
     if (epochs.size <= maxEpochs || epochs.size < 3) false
-    else {
+    else try {
+      // any .compact_* here is pre-journal garbage (a journaled scratch
+      // was consumed by the recovery pass above)
       graft.util.EpochDirs.sweepScratch(segRoot)
       val newest = epochs.last
       val foldMax = epochs(epochs.size - 2)
-      val segs = spark.read.parquet(segRoot)
+      // mergeSchema: the servedIndex discipline — a tombstone epoch may
+      // be the only one carrying the `deleted` column
+      val segs = spark.read.option("mergeSchema", "true").parquet(segRoot)
       // cast the exclusion literal to the INFERRED partition type:
       // small epoch values infer INT, and a Long literal against an Int
       // partition attribute inserts a widening cast that defeats
@@ -739,8 +840,18 @@ object SimilarityOps {
         col("epoch") =!= lit(newest).cast(segs.schema("epoch").dataType))
       val dataCols = segs.schema.fieldNames.toSeq
         .filterNot(n => n == "vec_id" || n == "epoch")
+      // TOMBSTONE DOMINANCE in the collapse (terminal-delete): a
+      // deleted row wins over any live row regardless of epoch order —
+      // folding (tombstone@e1, live@e2) down to the newest-by-epoch
+      // live row would resurrect the vector the pre-fold read excluded.
+      // Among rows with the same flag, newest epoch wins as before.
+      val ordKey =
+        if (segs.columns.contains("deleted"))
+          struct(coalesce(col("deleted"), lit(false)).cast("int").as("d"),
+            col("epoch").as("e"))
+        else struct(lit(0).as("d"), col("epoch").as("e"))
       val collapsed = folded.groupBy("vec_id")
-        .agg(max_by(struct(dataCols.map(col): _*), col("epoch")).as("s"))
+        .agg(max_by(struct(dataCols.map(col): _*), ordKey).as("s"))
         .select(col("vec_id") +: dataCols.map(n => col(s"s.$n").as(n)): _*)
       val scratch = graft.util.EpochDirs.scratch(segRoot)
       // repartition by cell → one task owns each cell → one file per
@@ -748,38 +859,173 @@ object SimilarityOps {
       // writes a whole small-file segment tree per micro-batch)
       collapsed.repartition(col("cell"))
         .write.partitionBy("cell").parquet(scratch.toString)
-      epochs.dropRight(1).foreach(e => graft.util.EpochDirs.drop(segRoot, e))
-      graft.util.EpochDirs.publish(scratch, segRoot, foldMax)
-      val total = spark.read.parquet(segRoot).count()
+      val toDrop = epochs.dropRight(1)
+      // JOURNAL the intent BEFORE the first drop — from here to the
+      // journal's retirement, a crash is recoverable from the manifest.
+      // An unregistered/swapped-out root can't journal (the conditional
+      // write no-ops) — but nothing serves such a root through the
+      // manifest either; the fold proceeds with the pre-journal window
+      // as its (unreachable-by-serving) caveat.
       graft.util.ServingManifest.setIf(sfDir, SegmentsFamily, AnnTables,
         "segRoot", segRoot,
-        Map("segRows" -> total.toString, "epochs" -> "2"))
+        Map(FoldScratchKey -> scratch.getFileName.toString,
+          FoldDropKey -> toDrop.mkString(","),
+          FoldMaxKey -> foldMax.toString))
+      toDrop.foreach(e => graft.util.EpochDirs.drop(segRoot, e))
+      foldCrashpoint("afterDrop")
+      graft.util.EpochDirs.publish(scratch, segRoot, foldMax)
+      foldCrashpoint("afterPublish")
+      finishSegmentFold(spark, sfDir, segRoot)
+      graft.ObservedMetrics.bumpGauge("ann.segment_folds")
       true
+    } catch { case t: Throwable =>
+      // the fold may have journaled and died mid-swap — re-arm the
+      // once-per-JVM recovery check so the NEXT entry repairs it
+      foldRecoveryChecked.remove(segRoot)
+      throw t
     }
   }
+
+  /** Roots whose fold journal this JVM has already checked — the
+    * steady-state skip that keeps the per-micro-batch maintenance turn
+    * free of manifest lock traffic. */
+  private val foldRecoveryChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** TEST-ONLY failpoint inside the fold's journaled swap window,
+    * invoked with the stage just completed ("afterDrop" = sources
+    * dropped, collapsed scratch not yet published; "afterPublish" =
+    * published, journal not yet retired). The crash-point spec throws
+    * from here to exercise [[recoverInterruptedSegmentFold]] against
+    * the exact states a killed writer leaves; production never
+    * reassigns it. */
+  private[graft] var foldCrashpoint: String => Unit = _ => ()
+
+  /** Fold-intent journal keys, living inside the registration's own
+    * manifest entry (same lock, same conditional-on-`segRoot`
+    * lifetime): present exactly while a fold's drop→publish swap is in
+    * flight. */
+  private val FoldScratchKey = "foldScratch"
+  private val FoldDropKey = "foldDrop"
+  private val FoldMaxKey = "foldMax"
+
+  /** Complete an INTERRUPTED segment fold journaled by a dead writer —
+    * called at every maintenance-turn entry and at
+    * [[registerIndexSegments]], i.e. before the next epoch write, sweep
+    * or registration count can observe the half-swapped overlay. Three
+    * journal states: (1) scratch dir still present → the publish never
+    * happened: re-drop the journaled source epochs (idempotent — some
+    * may already be gone) and publish the scratch at the journaled
+    * target, exactly the steps the dead writer had left; (2) scratch
+    * gone → the publish completed and only the journal retirement was
+    * lost: nothing to move; (3) no journal → no-op (the overwhelmingly
+    * common path: one manifest read). States 1-2 end with the same
+    * atomic measurement-update-plus-journal-retirement the uncrashed
+    * fold uses. Returns whether a journaled fold was completed. */
+  private[graft] def recoverInterruptedSegmentFold(spark: SparkSession,
+      sfDir: String, segRoot: String): Boolean = {
+    val m = graft.util.ServingManifest.get(sfDir, SegmentsFamily, AnnTables)
+    if (!m.get("segRoot").contains(segRoot)) false
+    else (m.get(FoldScratchKey), m.get(FoldDropKey), m.get(FoldMaxKey)) match {
+      case (Some(scr), Some(dropList), Some(fm)) =>
+        val scratch = java.nio.file.Paths.get(segRoot, scr)
+        if (java.nio.file.Files.isDirectory(scratch)) {
+          dropList.split(",").filter(_.nonEmpty)
+            .foreach(e => graft.util.EpochDirs.drop(segRoot, e.toLong))
+          graft.util.EpochDirs.publish(scratch, segRoot, fm.toLong)
+        }
+        finishSegmentFold(spark, sfDir, segRoot)
+        true
+      case _ => false
+    }
+  }
+
+  /** The fold's closing write, shared by the uncrashed path and the
+    * recovery path: re-measure the overlay and retire the journal in
+    * ONE conditional manifest update. The row recount is the
+    * AUTHORITATIVE physical figure, deliberately a fresh
+    * metadata-footer count over the collapsed overlay rather than an
+    * arithmetic carry (ADVICE r17): under the disjoint-ingestion
+    * contract it equals the pre-fold counter, and whenever that
+    * contract is ever violated (a re-ingested vec_id, a lost epoch the
+    * journal replayed) the physical count is the one that keeps the
+    * staleness gauge honest — the fold is the natural re-sync point and
+    * runs at epoch cadence, so the extra footer-metadata job is
+    * amortized across `AnnCompactEpochs` micro-batches. */
+  private def finishSegmentFold(spark: SparkSession, sfDir: String,
+      segRoot: String): Unit = {
+    val total = spark.read.parquet(segRoot).count()
+    val nEpochs = graft.util.EpochDirs.list(segRoot).size
+    epochGaugeCache.put(segRoot, nEpochs)
+    graft.util.ServingManifest.setAndClearIf(sfDir, SegmentsFamily, AnnTables,
+      "segRoot", segRoot,
+      Map("segRows" -> total.toString, "epochs" -> nEpochs.toString),
+      Seq(FoldScratchKey, FoldDropKey, FoldMaxKey))
+    ()
+  }
+
+  /** Last epoch count written to the manifest per segment root — the
+    * steady-state skip for the per-micro-batch gauge write (r17 verdict
+    * #3). Int boxing via the map's Integer values; `put` returns null
+    * on first sight, which != any count, forcing the one post-restart
+    * write. */
+  private val epochGaugeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The index every serve path reads: the staged base ∪ the registered
     * live segments — the LSM read view that makes freshly ingested
     * vectors visible BEFORE any retrain. Newest wins: a base row whose
     * vec_id reappears in a segment is anti-joined away (an update that
-    * moved a vector to a new cell serves only the new row). Scale
-    * shape: the probe's cell filter pushes through the union into BOTH
-    * cell-partitioned scans (partition pruning holds — asserted in
-    * PlanSpec), and the anti-join's build side is segment vec_ids only
-    * (the small, recently-ingested slice by LSM design; compaction
-    * bounds it). With no registered segments this is exactly the base
-    * read — zero plan change. */
+    * moved a vector to a new cell serves only the new row). DELETION
+    * (r17 verdict #2's missing pipeline operator): a segment epoch may
+    * carry TOMBSTONE rows (`deleted = true`, written by
+    * [[tombstoneSegmentRows]]) — a tombstoned vec_id is dropped from
+    * BOTH sides of the union: its base row anti-joins away exactly like
+    * an update's, and its segment rows (the tombstone itself AND any
+    * live segment row from an earlier ingestion epoch) are excluded
+    * from the union side. Deletion is TERMINAL at increment cadence —
+    * a tombstoned id stays out regardless of epoch order until the
+    * corpus re-stage rewrites the base without it (takedown semantics:
+    * un-deleting requires the rewrite, not a race between epochs).
+    * Scale shape: the probe's cell filter pushes through the union into
+    * BOTH cell-partitioned scans (partition pruning holds — asserted in
+    * PlanSpec), and the anti-join build sides are segment vec_ids /
+    * tombstone vec_ids only (the small, recently-ingested slice by LSM
+    * design; compaction bounds it). With no registered segments this is
+    * exactly the base read — zero plan change; with no tombstones the
+    * live filter is a nullable-column predicate on the segment scan and
+    * the tombstone anti-join never builds (columns.contains guard). */
   private[graft] def servedIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val base = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
     registeredSegmentRoot(sfDir) match {
       case None => base
       case Some(root) =>
+        // mergeSchema: a root whose early epochs predate the `deleted`
+        // column (or whose only tombstone epoch introduces it) must
+        // read the union schema deterministically, not a random footer
+        val raw = spark.read.option("mergeSchema", "true").parquet(root)
+        val hasTomb = raw.columns.contains("deleted")
+        // live = non-tombstone rows of vec_ids with NO tombstone
+        // anywhere in the overlay (terminal-delete collapse without a
+        // read-side shuffle: tombstone ids are a bounded broadcast)
+        val live =
+          if (!hasTomb) raw
+          else {
+            val tombIds = raw
+              .filter(coalesce(col("deleted"), lit(false)))
+              .select("vec_id")
+            raw.filter(!coalesce(col("deleted"), lit(false)))
+              .join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+          }
         // project to the base read schema: drop the epoch partition
-        // column, align the inferred partition-column types
-        val segs = spark.read.parquet(root).select(
+        // column and the tombstone flag, align inferred partition types
+        val segs = live.select(
           base.schema.fields.toSeq
             .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        base.join(segs.select("vec_id"), Seq("vec_id"), "left_anti")
+        // the anti-join shadows base rows by ALL segment ids — updates
+        // AND tombstones (raw, not live: a deleted id must drop its
+        // base row even though nothing replaces it)
+        base.join(raw.select("vec_id"), Seq("vec_id"), "left_anti")
           .unionByName(segs)
     }
   }
@@ -1840,7 +2086,12 @@ object SimilarityOps {
     // round 9: batched ANN — one pruned index scan serves the whole
     // query batch ("ann_batch" short for the bench line budget)
     "ann_batch" ->
-      ((s, d) => embeddingBatchTopK(s, d, QUERY_BATCH, IVF_K)))
+      ((s, d) => embeddingBatchTopK(s, d, QUERY_BATCH, IVF_K)),
+    // round 18: takedown through the segment overlay — tombstone epoch
+    // ingested, top-k served minus the deleted slice ("ann_del" short
+    // for the bench line budget)
+    "ann_del" ->
+      ((s, d) => annDeleteServe(s, d)))
 
   /** Per-subspace squared-L2 in DuckDB: the SAME sequential left fold
     * over the same index order as [[pqSubDist]], so doubles agree
@@ -2226,7 +2477,11 @@ object SimilarityOps {
           ORDER BY cosine DESC, e.vec_id LIMIT $IVF_K""",
     // the multi-query generalization of emb_ivf_topk's oracle: probe
     // cells and candidate ranking PER query id, same assignment CTEs
-    "ann_batch" -> annBatchOracleSql(s"vec_id IN (${QUERY_BATCH.mkString(", ")})", IVF_K))
+    "ann_batch" -> annBatchOracleSql(s"vec_id IN (${QUERY_BATCH.mkString(", ")})", IVF_K),
+    // ann_del: the SAME chain minus the tombstoned slice — deletion is
+    // pure candidate exclusion, so the oracle is arithmetic
+    "ann_del" -> annBatchOracleSql(s"vec_id IN (${QUERY_BATCH.mkString(", ")})", IVF_K,
+      candPredicate = s"a.vec_id % $DeleteMod <> $DeleteRem"))
 
   /** The batched-ANN oracle, parameterized on the query-id predicate and
     * k — shared verbatim by `ann_batch` and the streaming `stream_ann`
@@ -2276,7 +2531,11 @@ object SimilarityOps {
     }
   }
 
-  def annBatchOracleSql(qidPredicate: String, k: Int): String =
+  /** `candPredicate` excludes candidates (alias `a`) from the pool —
+    * the `ann_del` oracle passes the tombstoned slice's complement;
+    * every other key passes the default TRUE. */
+  def annBatchOracleSql(qidPredicate: String, k: Int,
+      candPredicate: String = "TRUE"): String =
     s"""WITH $ivfScoredCte,
         assigned AS MATERIALIZED (
           SELECT vec_id, cent_id AS cell FROM (
@@ -2290,7 +2549,7 @@ object SimilarityOps {
             FROM scored WHERE $qidPredicate) WHERE rn <= (SELECT np FROM ivf_geo)),
         cand AS (
           SELECT q.qid, a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cell
-          WHERE a.vec_id <> q.qid),
+          WHERE a.vec_id <> q.qid AND ($candPredicate)),
         pair_scored AS (
           SELECT c.qid, e.vec_id,
                  round(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(qe.embedding[t.i] AS DOUBLE))

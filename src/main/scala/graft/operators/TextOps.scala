@@ -294,6 +294,31 @@ object TextOps {
           .as("token_ids"))
   }
 
+  /** DECODE round-trip under the trained merges — the contract
+    * completing the tokenizer triad (`bpe_cnt` prices budgets,
+    * `bpe_enc` ships the ids, this proves the shipped ids DECODE):
+    * encode each document's pre-token stream with the staged merges,
+    * then invert every id back to its surface via the native
+    * [[graft.functions.BpeDecode]] kernel (space-joined; UNK ids — the
+    * non-letter byte-fallback classes — decode to the `<unk>`
+    * sentinel). `decode(encode(w)) == w` per letter-run pre-token is
+    * the ScalaCheck-locked property; this key materializes the per-doc
+    * content lock the r17 count-equality lock lacked. Pure projection:
+    * zero exchanges, the only corpus-sized work is the scan both
+    * kernels ride on. */
+  def bpeDecodeText(docs: DataFrame, bpe: BpeModel): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    val mergesLit = typedlit(bpe.merges.flatMap(p => Seq(p._1, p._2)))
+    docs
+      .select(col("doc_id"),
+        call_function("bpe_encode",
+          expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""),
+          mergesLit).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        call_function("bpe_decode", col("ids"), mergesLit).as("detok"))
+  }
+
   /** The composable gram-hash form — the numerics/portability reference
     * [[graft.functions.GramMd5s]] must match string-for-string (the
     * native expression is the production path; equivalence is asserted
@@ -1203,6 +1228,9 @@ object TextOps {
     // round 17: the id-sequence emission under the same staged merges
     "bpe_enc" ->
       ((s, d) => bpeEncodeIds(Fixtures.documents(s, d), stagedBpeModel(s, d))),
+    // round 18: the decode round-trip — shipped ids back to surfaces
+    "bpe_dec" ->
+      ((s, d) => bpeDecodeText(Fixtures.documents(s, d), stagedBpeModel(s, d))),
     "doc_fp" -> ((s, d) => docFingerprint(Fixtures.documents(s, d))),
     "splits" -> ((s, d) => docSplitAssign(Fixtures.documents(s, d))),
     "doc_pack_bins" -> ((s, d) => docPackBins(Fixtures.documents(s, d))),
@@ -1617,6 +1645,27 @@ object TextOps {
                                 THEN evs[list_position(eks, t)]
                                 ELSE [26 + vlen] END)) AS ids
              FROM documents d, bpe_em, bpe_v)""",
+      // bpe_dec: the encode chain inverted — per id, surface lookup
+      // against the rank-ordered learned surfaces (1-indexed list_
+      // position inverse: id-25 indexes surf), UNK and out-of-range to
+      // the '<unk>' sentinel, space-joined
+      "bpe_dec" ->
+        s"""WITH $bpeTrainCte,
+            $bpeEncodeCtes
+           SELECT doc_id,
+                  CAST(len(ids) AS INTEGER) AS n_tokens,
+                  array_to_string(list_transform(ids, i -> CASE
+                    WHEN i <= 25 THEN chr(97 + i)
+                    WHEN i - 25 <= vlen THEN surf[i - 25]
+                    ELSE '<unk>' END), ' ') AS detok
+           FROM (
+             SELECT d.doc_id,
+                    flatten(list_transform(
+                      regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                      t -> CASE WHEN regexp_matches(t, '^[a-z]+$$')
+                                THEN evs[list_position(eks, t)]
+                                ELSE [26 + vlen] END)) AS ids
+             FROM documents d, bpe_em, bpe_v), bpe_v""",
       "doc_fp" ->
         """SELECT doc_id,
                   array_to_string(list_sort([md5(substring(text, i, 8))

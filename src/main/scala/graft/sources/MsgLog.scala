@@ -334,7 +334,7 @@ object MsgLog {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "msglog_rt" -> ((s, d) => msglogRoundtripScan(s, d)),
-    "msglog_multi_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
+    "multi_scan" -> ((s, d) => msglogMultiTopicScan(s, d)),
     "msglog_env" -> ((s, d) => msglogEnvelopeScan(s, d)),
     "msglog_schema" -> ((s, d) => msglogSchemaScan(s, d)))
 
@@ -344,7 +344,7 @@ object MsgLog {
                 round(sum(value), 2) AS sum_value,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
-    "msglog_multi_scan" ->
+    "multi_scan" ->
       """SELECT CASE WHEN user_id % 2 = 0 THEN 'topic-even' ELSE 'topic-odd' END AS topic,
                 event_type, CAST(count(*) AS BIGINT) AS n,
                 round(sum(value), 2) AS sum_value

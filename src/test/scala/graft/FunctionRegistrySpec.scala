@@ -142,6 +142,16 @@ class FunctionRegistrySpec extends SparkTestBase {
     assert(r.getSeq[Int](1) === Seq(26, 26, 27, 2))
   }
 
+  test("bpe_decode inverts the id contract: surfaces, UNK sentinel, out-of-range safety") {
+    val r = sql("""SELECT bpe_decode(
+                            bpe_encode(array('abab', '7', 'c'), array('a','b')),
+                            array('a','b')) AS roundtrip,
+                          bpe_decode(array(0, 25, 99), array('a','b')) AS edge""")
+    assert(r.getString(0) === "ab ab <unk> c")
+    // 0 → 'a', 25 → 'z'; 99 is out of range → sentinel, never a throw
+    assert(r.getString(1) === "a z <unk>")
+  }
+
   test("pq_enc") {
     val r = sql(s"SELECT pq_enc($pqX, $pqCb) AS k")
     val k = r.getStruct(0)

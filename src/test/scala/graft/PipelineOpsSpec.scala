@@ -1196,6 +1196,66 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("bpe_dec: shipped ids decode to surfaces — replica-locked per fixture doc") {
+    val model = TextOps.stagedBpeModel(spark, sfDir)
+    // independent replica of the id→surface contract (the kernel builds
+    // its table from the same merges; agreement proves the mapping)
+    val surf: Int => String = i =>
+      if (i >= 0 && i < 26) ('a' + i).toChar.toString
+      else if (i - 26 >= 0 && i - 26 < model.merges.length)
+        model.merges(i - 26)._1 + model.merges(i - 26)._2
+      else "<unk>"
+    val enc = TextOps.bpeEncodeIds(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token_ids")).toMap
+    val dec = TextOps.bpeDecodeText(docs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[String]("detok"))).toMap
+    assert(dec.keySet === enc.keySet)
+    dec.foreach { case (id, (n, detok)) =>
+      val ids = if (enc(id).isEmpty) Array.empty[Int]
+        else enc(id).split(",").map(_.toInt)
+      assert(n === ids.length, s"doc $id: n_tokens must equal the id count")
+      assert(detok === ids.map(surf).mkString(" "),
+        s"doc $id: decode must invert the shipped ids surface-for-surface")
+    }
+  }
+
+  test("bpe_decode: decode after encode restores letter-run pre-tokens (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // the round-trip property the r17 count-equality lock lacked: for
+    // documents of pure letter runs, re-joining the decoded surfaces
+    // restores the original words (merged surfaces are in-order
+    // substrings), with no UNK leakage — against arbitrary merge tables
+    // including shared-surface and never-applicable pairs
+    val genWord = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genDoc = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genMergeTable = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.oneOf("a", "b", "c", "ab", "bc", "ca", "aa")
+        b <- Gen.oneOf("a", "b", "c", "ab", "bc", "cc")
+      } yield (a, b)))
+    val prop = Prop.forAll(Gen.listOfN(6, genDoc), genMergeTable) { (texts, merges) =>
+      val model = TextOps.BpeModel(merges)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextOps.bpeDecodeText(df, model).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_tokens"), r.getAs[String]("detok"))).toMap
+      texts.indices.forall { i =>
+        val (n, detok) = got(i.toLong)
+        val toks = if (detok.isEmpty) Array.empty[String] else detok.split(" ")
+        toks.length == n &&
+          toks.forall(t => t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z')) &&
+          toks.mkString == texts(i).replace(" ", "")
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("lm staged model: fit once per sf dir, indexed scoring matches self-fitting form") {
     TextOps.dropStagedLmModel()
     val before = TextOps.lmFitRuns.get()

@@ -591,7 +591,7 @@ class PlanSpec extends SparkTestBase {
     // construction-time jobs are exercised elsewhere; skip the heavy ones
     val skip = Set("dup_groups", "filter_pipe", "emb_dup_groups",
       "lsh_dups", "emb_ivf_topk", "bucketed_join",
-      "msglog_rt", "msglog_multi_scan", "rr_balance",
+      "msglog_rt", "multi_scan", "rr_balance",
       "lm_ppl")
     SparkEntry.queries.keys
       .filterNot(_.startsWith("stream_")).filterNot(skip)
@@ -609,7 +609,7 @@ class PlanSpec extends SparkTestBase {
     // plan must not run a job (closed-form ops may run their one count)
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_"))
       .filterNot(Set("rr_balance", "msglog_rt",
-        "msglog_multi_scan", "bucketed_join",
+        "multi_scan", "bucketed_join",
         "lsh_dups",
         "emb_ivf_topk", // staging writes / C×dim centroid index
         "dup_groups", "filter_pipe",

@@ -590,8 +590,11 @@ class StreamOpsSpec extends SparkTestBase {
       assert(graft.util.EpochDirs.list(segRoot.toString) === Seq(2L, 3L))
       assert(canon(SimilarityOps.servedIndex(spark, sfDir)) === before,
         "the fold must not change the served index")
-      // disjoint ingestion: the fold drops no rows, so the gauge holds
-      // exactly (and must NOT re-arm to zero — only the retrain does)
+      // the post-fold counter is the AUTHORITATIVE physical recount
+      // (ADVICE r17): this fixture's epochs are disjoint vec_id slices,
+      // so it equals the pre-fold value exactly — and must NOT re-arm
+      // to zero; only the retrain does. (A re-ingested vec_id would
+      // legitimately SHRINK it here, which is the recount's point.)
       assert(SimilarityOps.ivfIndexStaleFraction(spark, sfDir) === staleBefore)
       assert(graft.util.ServingManifest.get(sfDir, "ann_segments",
         Seq("embeddings")).get("epochs") === Some("2"))
@@ -600,6 +603,193 @@ class StreamOpsSpec extends SparkTestBase {
       assert(SimilarityOps.ivfIndexStaleFraction(spark, sfDir) === 0.0)
       assert(SimilarityOps.registeredSegmentRoot(sfDir) === None)
     } finally SimilarityOps.dropIndexSegments(sfDir)
+  }
+
+  test("ANN tombstone: a deleted vector leaves the served top-k, survives folds, clears at retrain") {
+    // r17 verdict #2 (next): takedown at INCREMENT cadence — before
+    // this, a deleted vector kept serving until the corpus re-stage.
+    import graft.operators.SimilarityOps
+    SimilarityOps.dropIndexSegments(sfDir)
+    graft.GraftSession.registerFunctions(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_tomb_")
+    graft.util.TempDirs.track(root)
+    try {
+      val base = SimilarityOps.embeddingBatchTopK(spark, sfDir, Seq(0L), 5)
+        .orderBy("rnk").collect()
+      val victim = base(0).getAs[Long]("vec_id")
+      val runnerUp = base(1).getAs[Long]("vec_id")
+      import spark.implicits._
+      SimilarityOps.tombstoneSegmentRows(spark, sfDir,
+          Seq(victim).toDF("vec_id"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/epoch=0")
+      SimilarityOps.registerIndexSegments(spark, sfDir, root.toString)
+      val served = SimilarityOps.embeddingBatchTopK(spark, sfDir, Seq(0L), 5)
+        .orderBy("rnk").collect()
+      assert(!served.exists(_.getAs[Long]("vec_id") == victim),
+        "the tombstoned vector must leave the served top-k")
+      assert(served(0).getAs[Long]("vec_id") === runnerUp,
+        "the former rank-2 takes rank 1")
+      // TERMINAL at increment cadence: a LATER live re-ingestion epoch
+      // does not resurrect the id (un-deleting is the re-stage's job)
+      val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+      val cb = SimilarityOps.stagedPqCodebook(spark, sfDir)
+      SimilarityOps.indexRows(Fixtures.embeddings(spark, sfDir)
+          .filter(col("vec_id") === victim), cents, cb)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/epoch=1")
+      assert(SimilarityOps.servedIndex(spark, sfDir)
+        .filter(col("vec_id") === victim).count() === 0)
+      // the fold CARRIES the tombstone (dominant over the later live
+      // row): epochs 0,1 collapse into 1, the served view is unchanged
+      SimilarityOps.indexRows(Fixtures.embeddings(spark, sfDir)
+          .filter(col("vec_id") === runnerUp), cents, cb)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/epoch=2")
+      val beforeFold = canon(SimilarityOps.servedIndex(spark, sfDir))
+      assert(SimilarityOps.maybeCompactIndexSegments(spark, sfDir,
+        root.toString, maxEpochs = 2))
+      assert(graft.util.EpochDirs.list(root.toString) === Seq(1L, 2L))
+      assert(canon(SimilarityOps.servedIndex(spark, sfDir)) === beforeFold,
+        "the fold must not change the served view (tombstone carried)")
+      assert(SimilarityOps.servedIndex(spark, sfDir)
+        .filter(col("vec_id") === victim).count() === 0)
+      // the retrain absorbs the overlay: the fixture corpus still
+      // carries the vector, so it serves again — durable deletion is
+      // the corpus rewrite's job, the overlay covers the gap between
+      assert(SimilarityOps.maybeRetrainStagedIndex(spark, sfDir, 0.0))
+      val after = SimilarityOps.embeddingBatchTopK(spark, sfDir, Seq(0L), 5)
+        .orderBy("rnk").collect()
+      assert(after(0).getAs[Long]("vec_id") === victim)
+    } finally SimilarityOps.dropIndexSegments(sfDir)
+  }
+
+  test("cluster tombstone: a retracted doc leaves its group; the group's other members keep serving") {
+    import graft.operators.DedupOps
+    DedupOps.dropClusterDeltas(sfDir)
+    val base = DedupOps.stagedBaseCrossModalGroups(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_tomb_")
+    graft.util.TempDirs.track(root)
+    try {
+      DedupOps.registerClusterDeltas(spark, sfDir, root.toString)
+      // retract a member of a multi-member group
+      val pick = base.filter(col("cluster_size") >= 2)
+        .orderBy("doc_id").limit(1).collect()(0)
+      val target = pick.getAs[Long]("doc_id")
+      val grp = pick.getAs[Long]("cluster")
+      val membersBefore = DedupOps
+        .servedClusterAssignment(spark, base, root.toString)
+        .filter(col("cluster") === grp).count()
+      import spark.implicits._
+      DedupOps.tombstoneClusterDocs(spark, sfDir, root.toString,
+        Seq(target).toDF("doc_id"), epochId = 0L)
+      val served = DedupOps.servedClusterAssignment(spark, base, root.toString)
+      assert(served.filter(col("doc_id") === target).count() === 0,
+        "the retracted doc must leave the served assignment")
+      assert(served.filter(col("cluster") === grp).count()
+        === membersBefore - 1, "the group's other members keep serving")
+      // TERMINAL at increment cadence: a later live delta row for the
+      // doc does not resurrect it
+      base.filter(col("doc_id") === target)
+        .write.mode("overwrite").parquet(s"$root/epoch=1")
+      assert(DedupOps.servedClusterAssignment(spark, base, root.toString)
+        .filter(col("doc_id") === target).count() === 0)
+      // the fold CARRIES the tombstone: a third epoch trips cadence 2,
+      // epochs 0,1 collapse, the retraction still serves
+      base.filter(col("doc_id") =!= target).limit(1)
+        .write.mode("overwrite").parquet(s"$root/epoch=2")
+      val beforeFold = canon(
+        DedupOps.servedClusterAssignment(spark, base, root.toString))
+      assert(DedupOps.maybeCompactClusterDeltas(spark, sfDir, root.toString,
+        maxEpochs = 2))
+      assert(graft.util.EpochDirs.list(root.toString) === Seq(1L, 2L))
+      assert(canon(DedupOps.servedClusterAssignment(spark, base, root.toString))
+        === beforeFold, "the fold must not change the served view")
+      assert(DedupOps.servedClusterAssignment(spark, base, root.toString)
+        .filter(col("doc_id") === target).count() === 0)
+    } finally DedupOps.dropClusterDeltas(sfDir)
+  }
+
+  test("ANN segment fold journal: a crash in the swap window is completed by the next writer entry") {
+    // r17 verdict #3: the fold must drop its source dirs before
+    // publishing the collapsed scratch (a union read with no dedup
+    // would otherwise serve every folded row twice), so a crash in
+    // between used to serve an index missing the folded rows until the
+    // next retrain. The journal closes it: this spec injects the crash
+    // at BOTH stages a killed writer can leave and asserts the next
+    // maintenance-turn / registration entry serves the full row set.
+    import graft.operators.SimilarityOps
+    SimilarityOps.dropIndexSegments(sfDir)
+    graft.GraftSession.registerFunctions(spark)
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val cents = SimilarityOps.stagedCentroidIndex(spark, sfDir)
+    val cb = SimilarityOps.stagedPqCodebook(spark, sfDir)
+    val segRoot = java.nio.file.Files.createTempDirectory("graft_seg_crash_")
+    graft.util.TempDirs.track(segRoot)
+    val fam = "ann_segments"
+    try {
+      def slice(e: Long) = emb.filter(pmod(col("vec_id"), lit(6)) === e)
+      (0L to 3L).foreach { e =>
+        SimilarityOps.indexRows(slice(e), cents, cb)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$segRoot/epoch=$e")
+      }
+      SimilarityOps.registerIndexSegments(spark, sfDir, segRoot.toString)
+      val before = canon(SimilarityOps.servedIndex(spark, sfDir))
+      val rowsBefore = graft.util.ServingManifest
+        .get(sfDir, fam, Seq("embeddings"))("segRows")
+      // crash at the worst point: sources dropped, collapsed scratch
+      // not yet published
+      SimilarityOps.foldCrashpoint = stage =>
+        if (stage == "afterDrop") throw new RuntimeException("injected crash")
+      intercept[RuntimeException] {
+        SimilarityOps.maybeCompactIndexSegments(spark, sfDir,
+          segRoot.toString, maxEpochs = 2)
+      }
+      SimilarityOps.foldCrashpoint = _ => ()
+      // the degraded state is real — folded dirs gone, journal live
+      assert(graft.util.EpochDirs.list(segRoot.toString) === Seq(3L))
+      val j = graft.util.ServingManifest.get(sfDir, fam, Seq("embeddings"))
+      assert(j.contains("foldScratch") && j.get("foldMax") === Some("2"))
+      // the next maintenance turn recovers FIRST (no fold re-triggers:
+      // the recovered overlay sits at the cadence), and the served view
+      // is whole again with the journal retired and the physical
+      // recount equal to the pre-fold registration count
+      assert(!SimilarityOps.maybeCompactIndexSegments(spark, sfDir,
+        segRoot.toString, maxEpochs = 2))
+      assert(graft.util.EpochDirs.list(segRoot.toString) === Seq(2L, 3L))
+      assert(canon(SimilarityOps.servedIndex(spark, sfDir)) === before,
+        "recovery must restore every folded row to the served view")
+      val m2 = graft.util.ServingManifest.get(sfDir, fam, Seq("embeddings"))
+      assert(!m2.contains("foldScratch") && !m2.contains("foldDrop") &&
+        !m2.contains("foldMax"))
+      assert(m2("segRows") === rowsBefore)
+      // second crash stage: published but journal not yet retired —
+      // the restart path (re-registration of the same root) clears it
+      (4L to 5L).foreach { e =>
+        SimilarityOps.indexRows(slice(e), cents, cb)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$segRoot/epoch=$e")
+      }
+      val before2 = canon(SimilarityOps.servedIndex(spark, sfDir))
+      SimilarityOps.foldCrashpoint = stage =>
+        if (stage == "afterPublish") throw new RuntimeException("injected crash")
+      intercept[RuntimeException] {
+        SimilarityOps.maybeCompactIndexSegments(spark, sfDir,
+          segRoot.toString, maxEpochs = 2)
+      }
+      SimilarityOps.foldCrashpoint = _ => ()
+      assert(graft.util.ServingManifest.get(sfDir, fam, Seq("embeddings"))
+        .contains("foldScratch"))
+      SimilarityOps.registerIndexSegments(spark, sfDir, segRoot.toString)
+      assert(graft.util.EpochDirs.list(segRoot.toString) === Seq(4L, 5L))
+      assert(canon(SimilarityOps.servedIndex(spark, sfDir)) === before2)
+      assert(!graft.util.ServingManifest.get(sfDir, fam, Seq("embeddings"))
+        .contains("foldScratch"))
+    } finally {
+      SimilarityOps.foldCrashpoint = _ => ()
+      SimilarityOps.dropIndexSegments(sfDir)
+    }
   }
 
   test("soak: the live gate→topic→merge chain across multiple trigger cycles + compaction") {
@@ -622,12 +812,19 @@ class StreamOpsSpec extends SparkTestBase {
     val topicFiles = graft.util.EpochDirs.dataFilesIn(topic).size
     assert(topicFiles >= 3,
       s"the four gates must publish at least 3 part files, got $topicFiles")
+    // assert fold OCCURRENCE directly via the monotonic fold counter's
+    // before/after delta (ADVICE r17: the last-value epoch gauge records
+    // the PRE-fold dir count per call, so a >=2 reading could pass even
+    // if maybeCompactClusterDeltas never folded)
+    val foldsBefore =
+      ObservedMetrics.gaugeSnapshot.getOrElse("xm.delta_folds", 0.0)
     val soaked = StreamOps.streamCrossModalMerge(spark, sfDir, dir,
       maxFilesPerTrigger = Some(1), compactEpochs = 2)
-    // ≥3 delta epochs really accumulated: the per-batch epoch gauge's
-    // last pre-compaction reading reached the cadence trip point
-    assert(ObservedMetrics.gaugeSnapshot.get("xm.delta_epochs").exists(_ >= 2.0),
-      "the soak must have folded multiple delta epochs")
+    val foldsAfter =
+      ObservedMetrics.gaugeSnapshot.getOrElse("xm.delta_folds", 0.0)
+    assert(foldsAfter >= foldsBefore + 1.0,
+      s"the soak must have folded mid-stream at cadence 2 " +
+        s"(folds $foldsBefore -> $foldsAfter)")
     val oneShot = StreamOps.streamCrossModalMerge(spark, sfDir, dir)
     assertSameRows(soaked, oneShot)
   }
