@@ -45,4 +45,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JVM-resource cliff — headroom here is cheap insurance (virtual
   // memory only), not a measured fix.
   "-XX:ReservedCodeCacheSize=512m",
-) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty)) ++
+  // forward the suite-depth switch into the forked test JVM:
+  // `sbt -Dgraft.soak=full test` = the gate run's full property depth
+  sys.props.get("graft.soak").map(v => s"-Dgraft.soak=$v").toSeq

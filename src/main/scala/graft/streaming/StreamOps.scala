@@ -174,7 +174,8 @@ object StreamOps {
     * micro-batch replaces its own epoch's output instead of
     * double-appending, which a blind `mode(append)` cannot guarantee. A
     * zero-row stream yields an empty frame on the input schema. */
-  private def runToFiles(df: DataFrame, mode: String): DataFrame = {
+  private def runToFiles(df: DataFrame, mode: String,
+      updateKeys: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_stream_files_")
     graft.util.TempDirs.track(root)
@@ -182,6 +183,10 @@ object StreamOps {
     val ckpt = root.resolve("ckpt").toString
     val q = mode match {
       case "append" =>
+        // the native sink's _spark_metadata commit log owns retention
+        // here (Spark compacts the log itself; files must not move
+        // underneath it) — the epoch-dir fold below applies only to the
+        // foreachBatch sinks, which have no metadata log
         df.writeStream.format("parquet")
           .option("path", data)
           .option("checkpointLocation", ckpt)
@@ -192,6 +197,11 @@ object StreamOps {
         df.writeStream
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
             batch.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+            // retention maintenance turn (r17 verdict #4): update-shaped
+            // sink — each key's newest emission supersedes its older
+            // ones, so the fold keeps per-key newest-epoch rows
+            graft.util.EpochDirs.foldEpochSink(batch.sparkSession, data,
+              SinkFoldEpochs, updateKeys)
             ()
           }
           .option("checkpointLocation", ckpt)
@@ -226,6 +236,17 @@ object StreamOps {
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
+
+  /** Epoch-count trigger for the RESULT-SINK retention fold
+    * ([[graft.util.EpochDirs.foldEpochSink]] — r17 verdict #4): the
+    * `data/epoch=N`-per-trigger sinks previously accumulated one dir
+    * per micro-batch forever while the sink read unioned them all; past
+    * this cadence, all-but-the-newest fold into one consolidated dir
+    * (the delta overlays' [[graft.operators.SimilarityOps.AnnCompactEpochs]]
+    * sibling). AvailableNow fixture runs are one epoch — the fold never
+    * triggers there; a long-running production stream is bounded at
+    * O(one folded dir + cadence recent epochs). */
+  val SinkFoldEpochs = 8
 
   /** Fixture-scale state sizing for the single-store stateful streaming
     * operators (windowed/session aggregates, watermark dedup, the
@@ -351,7 +372,8 @@ object StreamOps {
         })
 
     val emitted = withStatePartitions(spark, statePartitions)(
-      runToFiles(tracker.toDF(), "update"))
+      runToFiles(tracker.toDF(), "update",
+        updateKeys = Seq("user_id", "seq")))
     // update mode appends one row per key per batch; the
     // latest (= max) count per key is the tracker's answer.
     emitted.groupBy("user_id", "seq")
@@ -599,6 +621,10 @@ object StreamOps {
                     .write.mode("append").parquet(pub)
                 } finally { res.unpersist(); () }
             }
+            // retention maintenance turn (r17 verdict #4): append-shaped
+            // (cross pairs only — each arriving item's pairs land once)
+            graft.util.EpochDirs.foldEpochSink(spark, data, SinkFoldEpochs)
+            ()
           }
         } finally batch.unpersist()
         ()
@@ -650,9 +676,15 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         batch.persist()
         try {
-          if (batch.count() > 0)
+          if (batch.count() > 0) {
             DedupOps.decontaminateBatchAt(probe, batch)
               .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+            // retention maintenance turn (r17 verdict #4): append-shaped
+            // (one verdict row per doc, each doc in exactly one batch)
+            // — plain-concat fold
+            graft.util.EpochDirs.foldEpochSink(spark, data, SinkFoldEpochs)
+            ()
+          }
         } finally batch.unpersist()
         ()
       }
@@ -729,6 +761,10 @@ object StreamOps {
                     .write.mode("append").parquet(pub)
                 } finally { res.unpersist(); () }
             }
+            // retention maintenance turn (r17 verdict #4): append-shaped
+            // (cross pairs only — each arriving item's pairs land once)
+            graft.util.EpochDirs.foldEpochSink(spark, data, SinkFoldEpochs)
+            ()
           }
         } finally batch.unpersist()
         ()
@@ -974,6 +1010,12 @@ object StreamOps {
               } else graft.operators.SimilarityOps
                 .embeddingBatchTopKFrame(spark, sfDir, batch, k, numProbe)
             result.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+            // retention maintenance turn (r17 verdict #4): the serve
+            // sink is update-shaped per query id — a qid's newest top-k
+            // supersedes any earlier serve of the same qid
+            graft.util.EpochDirs.foldEpochSink(spark, data,
+              SinkFoldEpochs, Seq("qid"))
+            ()
           }
         } finally batch.unpersist()
         ()

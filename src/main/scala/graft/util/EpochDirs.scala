@@ -52,6 +52,101 @@ object EpochDirs {
         !f.getName.startsWith("_"))
       .map(_.toPath)
 
+  /** RESULT-SINK MINOR COMPACTION (r17 verdict #4): the epoch-keyed
+    * stream sinks (`data/epoch=N` per trigger, unioned by the sink
+    * read) get the retention contract the delta overlays have — past
+    * `maxEpochs` accumulated epoch dirs, every epoch EXCEPT the newest
+    * (the only replayable one — a retried micro-batch overwrites its
+    * own dir, and folding its rows under another id would leak them
+    * past the overwrite) folds into ONE consolidated dir at the highest
+    * folded id. Shape is the caller's declaration: `newestWinsKeys`
+    * empty = APPEND-shaped sink (each key row emitted once — dedup
+    * gates, decontamination verdicts) folds by plain concatenation;
+    * non-empty = UPDATE-shaped sink (one emission per key per trigger,
+    * later supersedes earlier — trackers, top-k serves) keeps only each
+    * key's newest-epoch rows, which preserves every consumer that
+    * post-aggregates by latest/max per key.
+    *
+    * CRASH-SAFE AT EVERY STEP without a journal, by hide-don't-delete:
+    * (1) the folded rows write to a hidden `.sinkfold_*` scratch;
+    * (2) the source epoch dirs RENAME to hidden `.folded_<id>` names
+    * (data now invisible but intact); (3) the scratch renames in as
+    * `epoch=<foldMax>`; (4) only then do the hidden sources delete.
+    * Every datum exists in at least one (visible or hidden) place at
+    * every instant, so [[recoverSinkFold]] — run at every fold entry —
+    * can always finish or roll back: scratch still present means the
+    * publish never happened (restore the hidden dirs, drop the
+    * scratch); scratch gone with hidden dirs present means only the
+    * cleanup died (delete them). Single-writer precondition as the
+    * overlay compactors: the caller is the stream's own foreachBatch
+    * maintenance turn. */
+  def foldEpochSink(spark: org.apache.spark.sql.SparkSession, root: String,
+      maxEpochs: Int, newestWinsKeys: Seq[String] = Nil): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    recoverSinkFold(root)
+    val epochs = list(root)
+    if (epochs.size <= maxEpochs || epochs.size < 3) false
+    else {
+      val newest = epochs.last
+      val foldMax = epochs(epochs.size - 2)
+      val df = spark.read.parquet(root)
+      // cast the exclusion literal to the INFERRED partition type (the
+      // overlay compactors' pruning lesson)
+      val folded = df.filter(
+        col("epoch") =!= lit(newest).cast(df.schema("epoch").dataType))
+      val out =
+        if (newestWinsKeys.isEmpty) folded.drop("epoch")
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(newestWinsKeys.map(col): _*)
+          folded.withColumn("__maxep", max(col("epoch")).over(w))
+            .filter(col("epoch") === col("__maxep"))
+            .drop("__maxep", "epoch")
+        }
+      val scratch = Paths.get(root, s".sinkfold_${System.nanoTime()}")
+      out.write.parquet(scratch.toString)
+      val toFold = epochs.dropRight(1)
+      toFold.foreach { e =>
+        Files.move(Paths.get(root, s"epoch=$e"), Paths.get(root, s".folded_$e"))
+      }
+      Files.move(scratch, Paths.get(root, s"epoch=$foldMax"))
+      toFold.foreach(e => TempDirs.deleteNow(Paths.get(root, s".folded_$e")))
+      graft.ObservedMetrics.bumpGauge("sink.epoch_folds")
+      true
+    }
+  }
+
+  /** Complete or roll back a [[foldEpochSink]] a dead writer left
+    * mid-swap — see its crash-safety contract. No hidden `.folded_*`
+    * dirs (the overwhelmingly common case) = one local listing, no-op. */
+  def recoverSinkFold(root: String): Unit = {
+    val entries = Option(new java.io.File(root).listFiles()).toSeq.flatten
+    val dotted = entries.filter(f => f.isDirectory && f.getName.startsWith(".folded_"))
+    if (dotted.isEmpty) {
+      // a crash between the scratch write and the first hide leaves an
+      // orphan scratch with every source dir intact — pure garbage
+      entries.filter(f => f.isDirectory && f.getName.startsWith(".sinkfold_"))
+        .foreach(s => TempDirs.deleteNow(s.toPath))
+    } else {
+      val scratches = entries.filter(f =>
+        f.isDirectory && f.getName.startsWith(".sinkfold_"))
+      if (scratches.nonEmpty) {
+        // publish never happened: roll back — every hidden dir restores
+        // (its rows were never deleted), THEN the scratch drops, so a
+        // crash mid-rollback just re-enters here
+        dotted.foreach { d =>
+          val target = Paths.get(root, "epoch=" + d.getName.stripPrefix(".folded_"))
+          if (!Files.exists(target)) { Files.move(d.toPath, target); () }
+        }
+        scratches.foreach(s => TempDirs.deleteNow(s.toPath))
+      } else {
+        // published; only the cleanup died — the hidden rows are all
+        // dominated by the collapsed dir
+        dotted.foreach(d => TempDirs.deleteNow(d.toPath))
+      }
+    }
+  }
+
   /** Drop `root/epoch=<epoch>` recursively, best-effort per file (the
     * [[TempDirs]] deletion stance). */
   def drop(root: String, epoch: Long): Unit = {

@@ -261,7 +261,7 @@ class CapSpec extends SparkTestBase {
       probe == batch
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(2, 6)), prop)
     assert(res.passed, res.status.toString)
     DedupOps.dropStagedTextArtifacts()
     DedupOps.dropStagedProbeIndexes()
@@ -291,7 +291,7 @@ class CapSpec extends SparkTestBase {
       merged == canon(close(base ++ inc))
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(2, 6)), prop)
     assert(res.passed, res.status.toString)
     // the FOLD corollary the streaming reconciliation (stream_xm) rides
     // on: merging increment-by-increment equals merging everything at
@@ -304,7 +304,7 @@ class CapSpec extends SparkTestBase {
       folded == canon(close(base ++ i1 ++ i2))
     }
     val res2 = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(4), prop2)
+      SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(2, 4)), prop2)
     assert(res2.passed, res2.status.toString)
   }
 
@@ -361,7 +361,7 @@ class CapSpec extends SparkTestBase {
           served == canon(close(base ++ i1 ++ i2 ++ i3))
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(2, 4)), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -413,7 +413,7 @@ class CapSpec extends SparkTestBase {
         staged == generic
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(2, 4)), prop)
     assert(res.passed, res.status.toString)
   }
 

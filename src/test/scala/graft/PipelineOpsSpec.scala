@@ -484,9 +484,13 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("pq native kernels are bit-identical to the higher-order reference forms") {
     val cb = SimilarityOps.stagedPqCodebook(spark, sfDir)
-    assertSameRows(SimilarityOps.pqEncode(emb, cb), SimilarityOps.pqEncodeRef(emb, cb))
-    assertSameRows(SimilarityOps.pqTopK(emb, cb, 0L, 10),
-      SimilarityOps.pqTopKRef(emb, cb, 0L, 10))
+    // bit-identity is per-row — the fast default checks a corpus slice
+    // (the HOF reference forms are the cost, not the kernels); the gate
+    // run (-Dgraft.soak=full) sweeps the whole fixture
+    val e = if (Soak.full) emb else emb.filter(col("vec_id") < 256)
+    assertSameRows(SimilarityOps.pqEncode(e, cb), SimilarityOps.pqEncodeRef(e, cb))
+    assertSameRows(SimilarityOps.pqTopK(e, cb, 0L, 10),
+      SimilarityOps.pqTopKRef(e, cb, 0L, 10))
   }
 
   test("pq kernels hold at another geometry: dim 16, synthetic corpus, native == reference") {
@@ -1116,7 +1120,7 @@ class PipelineOpsSpec extends SparkTestBase {
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bpe_tokens")).toMap
       texts.indices.forall(i => got(i.toLong) == count(texts(i)))
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(15, 40)), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -1192,7 +1196,7 @@ class PipelineOpsSpec extends SparkTestBase {
         got(i.toLong) == ((want.size, want.mkString(",")))
       }
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(15, 40)), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -1252,7 +1256,7 @@ class PipelineOpsSpec extends SparkTestBase {
           toks.mkString == texts(i).replace(" ", "")
       }
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(Soak.n(15, 40)), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -1307,6 +1311,22 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("batched ADC ANN: per-query slices equal the single-query indexed ADC serve") {
+    // the nprobe-sweep recall gauges ride this batch form — its
+    // per-query identity to the staged single-query path is what makes
+    // the substitution sound
+    val qs = Seq(0L, 7L, 13L)
+    val out = SimilarityOps.ivfPqBatchTopK(spark, sfDir, qs, 10).collect()
+    qs.foreach { q =>
+      val slice = out.filter(_.getAs[Long]("qid") == q)
+        .sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
+      val single = SimilarityOps.ivfPqTopKIndexed(spark, sfDir, q, 10).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
+      assert(slice === single, s"query $q")
+    }
+  }
+
   test("refined ANN: frame path equals the driver-staged refined path") {
     import spark.implicits._
     val qs = Seq(0L, 7L, 13L)
@@ -1348,10 +1368,16 @@ class PipelineOpsSpec extends SparkTestBase {
     // least as much of the true neighborhood as the baselines it replaced
     // (measured 0.48 seed → 0.53 one-step → 0.55 at LloydIters=3)
     val r3 = SimilarityOps.ivfRecallAtK(spark, sfDir)
-    val r1 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 1)
-    val r0 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 0)
-    assert(r3 >= r1, s"iterated recall $r3 must not regress the 1-step $r1")
-    assert(r3 > r0, s"iterated recall $r3 must beat the raw seed $r0")
+    // the two BASELINE points each train their own centroid set — the
+    // suite's single largest cost; the fast default keeps the staged
+    // index's own recall band + the full nprobe curve below, the gate
+    // run (-Dgraft.soak=full) re-proves the improvement property
+    if (Soak.full) {
+      val r1 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 1)
+      val r0 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 0)
+      assert(r3 >= r1, s"iterated recall $r3 must not regress the 1-step $r1")
+      assert(r3 > r0, s"iterated recall $r3 must beat the raw seed $r0")
+    }
     assert(r3 > 0.3 && r3 <= 1.0, s"recall $r3 out of the plausible band")
     val rpq = SimilarityOps.ivfPqRecallAtK(spark, sfDir)
     assert(rpq > 0.0 && rpq <= 1.0, s"ivfpq recall $rpq out of band")

@@ -327,6 +327,48 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("bpe_encode"), p)
   }
 
+  test("bpe_dec round-trip is a pure projection: no exchange, both kernels fused") {
+    // encode and decode chain in one in-row pass over the scan — an
+    // exchange or join here means either side regressed to a
+    // vocabulary-table join
+    val p = plan("bpe_dec")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("bpe_encode") && p.contains("bpe_decode"), p)
+  }
+
+  test("ann_del serve keeps the cell prune and broadcasts the tombstone exclusions") {
+    // the takedown serve must keep the servedIndex scale shape: the
+    // probe's cell filter still prunes the base index scan, and every
+    // tombstone-driven exclusion (base anti-join on segment ids,
+    // live-side anti-join on tombstone ids) builds from the bounded
+    // overlay — broadcast, never a sort-merge over the corpus. The
+    // contract key materializes its output (the epoch-sink discipline),
+    // so the plan is taken from the serve frame directly, overlay
+    // registered exactly as annDeleteServe registers it.
+    import graft.operators.SimilarityOps
+    SimilarityOps.dropIndexSegments(sfDir)
+    graft.GraftSession.registerFunctions(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_ann_del_")
+    graft.util.TempDirs.track(root)
+    val ids = graft.model.Fixtures.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(col("vec_id"),
+        org.apache.spark.sql.functions.lit(SimilarityOps.DeleteMod))
+        === org.apache.spark.sql.functions.lit(SimilarityOps.DeleteRem))
+      .select("vec_id")
+    SimilarityOps.tombstoneSegmentRows(spark, sfDir, ids)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/epoch=0")
+    SimilarityOps.registerIndexSegments(spark, sfDir, root.toString)
+    try {
+      val p = SimilarityOps.embeddingBatchTopK(spark, sfDir,
+        SimilarityOps.QUERY_BATCH, SimilarityOps.IVF_K)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [cell#"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert("(?s)BroadcastHashJoin.*?LeftAnti".r.findAllIn(p).size >= 2, p)
+    } finally SimilarityOps.dropIndexSegments(sfDir)
+  }
+
   test("lm_ppl scoring is a pure projection: the returned plan has no exchange") {
     // the LM (total + top-V table) is built by bounded driver jobs at
     // construction; the SCORING plan the caller runs over the corpus

@@ -792,6 +792,73 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("epoch-sink retention: folds preserve the sink read for both shapes, crash states recover") {
+    // r17 verdict #4: the result sinks get the overlays' retention
+    // contract — append-shaped folds by concat, update-shaped keeps
+    // per-key newest-epoch rows, the newest epoch stays out (replay),
+    // and the hide-don't-delete swap recovers from any crash point.
+    import spark.implicits._
+    import graft.util.EpochDirs
+    // APPEND shape — disjoint rows per epoch, the dedup-gate/decontam
+    // sink (stream_dc's own rows split as 4 triggers would land them)
+    val dc = StreamOps.queries("stream_dc")(spark, sfDir)
+    val dcRows = dc.collect()
+    assert(dcRows.nonEmpty)
+    val rootA = java.nio.file.Files.createTempDirectory("graft_sink_fold_a_")
+    graft.util.TempDirs.track(rootA)
+    val dcDf = spark.createDataFrame(
+      java.util.Arrays.asList(dcRows: _*), dc.schema)
+    (0L to 3L).foreach { e =>
+      dcDf.filter(pmod(col("doc_id"), lit(4)) === e)
+        .write.mode("overwrite").parquet(s"$rootA/epoch=$e")
+    }
+    val beforeA = canon(spark.read.parquet(rootA.toString).drop("epoch"))
+    assert(EpochDirs.foldEpochSink(spark, rootA.toString, maxEpochs = 2))
+    assert(EpochDirs.list(rootA.toString) === Seq(2L, 3L))
+    assert(canon(spark.read.parquet(rootA.toString).drop("epoch")) === beforeA,
+      "the append-shaped fold must preserve the sink read row-for-row")
+    // UPDATE shape — cumulative per-key emissions (the tracker shape):
+    // each later epoch re-emits every key with a higher count
+    val rootU = java.nio.file.Files.createTempDirectory("graft_sink_fold_u_")
+    graft.util.TempDirs.track(rootU)
+    (0L to 3L).foreach { e =>
+      (1L to 4L).map(u => (u, e + u)).toDF("user_id", "n")
+        .write.mode("overwrite").parquet(s"$rootU/epoch=$e")
+    }
+    assert(EpochDirs.foldEpochSink(spark, rootU.toString, maxEpochs = 2,
+      newestWinsKeys = Seq("user_id")))
+    assert(EpochDirs.list(rootU.toString) === Seq(2L, 3L))
+    val after = spark.read.parquet(rootU.toString).drop("epoch")
+      .as[(Long, Long)].collect().toSet
+    // folded dir keeps each key's epoch-2 (newest folded) emission; the
+    // newest epoch (3) is untouched — the consumer's max-per-key answer
+    // is exactly preserved
+    val expected = (1L to 4L).flatMap(u => Seq((u, 2 + u), (u, 3 + u))).toSet
+    assert(after === expected)
+    // CRASH RECOVERY — mid-swap (scratch present): rollback restores
+    // the hidden source dir and drops the scratch
+    val rowsBefore = canon(spark.read.parquet(rootU.toString).drop("epoch"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(rootU.toString, "epoch=2"),
+      java.nio.file.Paths.get(rootU.toString, ".folded_2"))
+    (1L to 2L).map(u => (u, 99L)).toDF("user_id", "n")
+      .write.parquet(s"$rootU/.sinkfold_${System.nanoTime()}")
+    EpochDirs.recoverSinkFold(rootU.toString)
+    assert(EpochDirs.list(rootU.toString) === Seq(2L, 3L))
+    assert(canon(spark.read.parquet(rootU.toString).drop("epoch")) === rowsBefore,
+      "rollback must restore the pre-fold read exactly")
+    assert(!new java.io.File(rootU.toString).listFiles()
+      .exists(_.getName.startsWith(".sinkfold_")))
+    // CRASH RECOVERY — post-publish (no scratch): the hidden leftovers
+    // are dominated by the published dir and just delete
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(rootU.toString, ".folded_0"))
+    EpochDirs.recoverSinkFold(rootU.toString)
+    assert(!new java.io.File(rootU.toString).listFiles()
+      .exists(_.getName.startsWith(".folded_")))
+    assert(canon(spark.read.parquet(rootU.toString).drop("epoch")) === rowsBefore)
+  }
+
   test("soak: the live gate→topic→merge chain across multiple trigger cycles + compaction") {
     // r16 verdict #3: the r15/r16 integration spec ran the live topology
     // in ONE AvailableNow cycle; here the merge consumes the same topic
