@@ -382,7 +382,9 @@ object Bench {
     // events_asof_join → asof_join (clean ~1905, contended ≤ ~1970).
     // r18: deliver_at_filter → deliver_at, backlog_by_type → backlog,
     // msglog_multi_scan → multi_scan, sql_top_producers → top_prod
-    // (−31 chars), funding ann_del + bpe_dec (+28).
+    // (−31 chars), funding ann_del + bpe_dec (+28); late r18 banked
+    // emb_topk_cosine → emb_topk, doc_near_dedup → doc_nd,
+    // stream_dlq_split → stream_dlq (−21, headroom for r19's keys).
     val budget = 1990
     val out = line
     if (out.length > budget)

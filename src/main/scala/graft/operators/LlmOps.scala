@@ -299,9 +299,9 @@ object LlmOps {
       ((s, d) => textTokenizeCounts(Fixtures.documents(s, d), TOP_K_WORDS)),
     "bigrams" ->
       ((s, d) => corpusBigramTopK(Fixtures.documents(s, d), TOP_K_WORDS)),
-    "doc_near_dedup" ->
+    "doc_nd" ->
       ((s, d) => docNearDedup(Fixtures.documents(s, d))),
-    "emb_topk_cosine" ->
+    "emb_topk" ->
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
     "mm_widths" ->
       ((s, d) => multimodalWidthStats(Fixtures.embeddings(s, d))),
@@ -401,12 +401,12 @@ object LlmOps {
                 FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
                       FROM documents))
           GROUP BY bigram ORDER BY n DESC, bigram LIMIT $TOP_K_WORDS""",
-    "doc_near_dedup" ->
+    "doc_nd" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
                  regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS sig,
                 min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY 1""",
-    "emb_topk_cosine" -> cosineOracle,
+    "emb_topk" -> cosineOracle,
     "rrf" -> rrfOracle,
     "mm_widths" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,

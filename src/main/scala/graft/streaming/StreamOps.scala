@@ -1146,7 +1146,7 @@ object StreamOps {
     "stream_session" -> ((s, d) => streamSessionWindow(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupWatermark(s, d)),
     "stream_redel" -> ((s, d) => streamRedeliveryTracker(s, d)),
-    "stream_dlq_split" -> ((s, d) => streamDeadLetterSplit(s, d)),
+    "stream_dlq" -> ((s, d) => streamDeadLetterSplit(s, d)),
     "stream_enrich" -> ((s, d) => streamEnrichJoin(s, d)),
     // "ss_join" = stream-stream join; short by design — the bench JSON
     // line must fit the driver's 2000-char stdout tail whole (Bench
@@ -1231,7 +1231,7 @@ object StreamOps {
           AND a.event_type = 'click' AND b.event_type = 'purchase'
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
          GROUP BY a.user_id""",
-    "stream_dlq_split" ->
+    "stream_dlq" ->
       """SELECT topic, CAST(n AS BIGINT) AS n, sum_value FROM (
            SELECT 'main' AS topic, count(*) AS n, round(sum(value), 2) AS sum_value
            FROM events WHERE NOT (value IS NULL OR props IS NULL OR value > 250.0)

@@ -179,8 +179,8 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
-  test("emb_topk_cosine broadcasts the query vector and takes ordered") {
-    val p = plan("emb_topk_cosine")
+  test("emb_topk broadcasts the query vector and takes ordered") {
+    val p = plan("emb_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
@@ -619,7 +619,7 @@ class PlanSpec extends SparkTestBase {
     // build side is a provably tiny broadcast (1-row query vector /
     // 1-row corpus count / bounded centroid set).
     val bnljSanctioned = Set(
-      "emb_topk_cosine", // 1-row query vector cross
+      "emb_topk", // 1-row query vector cross
       "pq_topk", // 1-row query vector cross for the ADC lookup table
       "boilerplate", // 1-row corpus-count cross for the df threshold
       "bm25", // 1-row corpus-stats cross (N, Σdl, per-term df)
