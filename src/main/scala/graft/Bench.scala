@@ -247,9 +247,15 @@ object Bench {
       (pspinBand > 0 &&
         math.max(pspin0, pspinAfter1).toDouble > 2.0 * pspinBand)
     val cooldownMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_MS", "45000").toLong
-    val (results, spinStart, spinx, spin1, pspinStart, pspinEnd, susp0, errors) =
+    def loadNow(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val (results, spinStart, spinx, spin1, pspinStart, pspinEnd, susp0, errors,
+        cleanest) =
       if (!dirty1)
-        (results1, spin0, spinx1, spinAfter1, pspin0, pspinAfter1, susp1, errors1)
+        (results1, spin0, spinx1, spinAfter1, pspin0, pspinAfter1, susp1,
+          errors1, "")
       else {
         System.err.println(f"[bench] contaminated pass: spin0 $spin0%d " +
           f"spinx $spinx1%d spin1 $spinAfter1%d pspin [$pspin0%d,$pspinAfter1%d] " +
@@ -258,6 +264,7 @@ object Bench {
         Thread.sleep(cooldownMs)
         val s0 = spinMs()
         val p0 = pspinMs()
+        val load2 = loadNow()
         val (results2, spinx2, susp2, errors2) = runPass(doWarmup = false)
         val s1 = spinMs()
         val p1 = pspinMs()
@@ -277,8 +284,33 @@ object Bench {
         }.toMap
         // a pass-1-only failure is a recovered transient: the re-pass
         // (the verdict pass) owns the error set — a key that failed in
-        // BOTH passes is in errors2 anyway
-        (merged, s0, spinx2, s1, p0, p1, suspM, errors2)
+        // BOTH passes is in errors2 anyway. Symmetrically (ADVICE r18),
+        // a key that failed ONLY in the re-pass but carries a valid
+        // pass-1 time must not report both a merged value and an error:
+        // the defense's whole point is recovering transients, and a
+        // line whose value and errors map disagree confuses the
+        // carry-base reader — drop the entry (logged), keep exit 0.
+        val errM = errors2.filter { case (k, _) => mv.getOrElse(k, -1.0) < 0 }
+        (errors2.keySet -- errM.keySet).foreach(k => System.err.println(
+          s"[bench] $k: re-pass-only failure dropped — valid pass-1 time " +
+            "carries (recovered transient)"))
+        // the BEST-CLEAN stamp (r18 verdict #3): the official artifact
+        // must carry its own clean-floor evidence instead of leaning on
+        // out-of-band BASELINE.md lines — the minima merged across
+        // passes are bracketed by the CLEANER pass's canaries; stamp
+        // that pass's spin/pspin bracket-max and its start loadavg so
+        // one line shows both the loaded reading and the floor.
+        val m1 = math.max(spin0, spinAfter1)
+        val m2 = math.max(s0, s1)
+        val cl = if (m2 <= m1)
+          (m2, math.max(p0, p1), load2)
+        else (m1, math.max(pspin0, pspinAfter1), load1m)
+        val clJson = {
+          val l = if (cl._3 < 0) "-1"
+            else String.format(java.util.Locale.ROOT, "%.1f", Double.box(cl._3))
+          s""","cleanest":[${cl._1},${cl._2},$l]"""
+        }
+        (merged, s0, spinx2, s1, p0, p1, suspM, errM, clJson)
       }
     val susp = susp0
     def esc(s: String): String =
@@ -332,7 +364,7 @@ object Bench {
     val canary = {
       val l = if (load1m < 0) "-1"
         else String.format(java.util.Locale.ROOT, "%.1f", Double.box(load1m))
-      val c = if (dirty1) s""","contaminated":true""" else ""
+      val c = if (dirty1) s""","contaminated":true$cleanest""" else ""
       s""""spin":[$spinStart,$spin1],"spinx":$spinx,""" +
         s""""pspin":[$pspinStart,$pspinEnd],"load":$l$c"""
     }

@@ -409,8 +409,11 @@ object DedupOps {
     * fingerprint index
     * ([[graft.multimodal.MultimodalOps.stagedImageHashes]]). */
   def imageDHashDups(spark: SparkSession, sfDir: String): DataFrame =
-    imageHashPairs(
-      graft.multimodal.MultimodalOps.stagedImageHashes(spark, sfDir))
+    excludeTombstoned(
+      imageHashPairs(
+        graft.multimodal.MultimodalOps.stagedImageHashes(spark, sfDir)),
+      mediaTombstoneIds(spark, sfDir, ImageModality), "media_id",
+      Seq("media_a", "media_b"))
 
   /** Audio near-duplicate pairs by acoustic energy fingerprint — the
     * audio member of the dedup family (text: simhash/minhash; image:
@@ -423,9 +426,12 @@ object DedupOps {
     * fingerprints staged once per corpus snapshot
     * ([[graft.multimodal.MultimodalOps.stagedAudioHashes]]). */
   def audioHashDups(spark: SparkSession, sfDir: String): DataFrame =
-    imageHashPairs(
-      graft.multimodal.MultimodalOps.stagedAudioHashes(spark, sfDir),
-      "wav_hash_block_overflow")
+    excludeTombstoned(
+      imageHashPairs(
+        graft.multimodal.MultimodalOps.stagedAudioHashes(spark, sfDir),
+        "wav_hash_block_overflow"),
+      mediaTombstoneIds(spark, sfDir, AudioModality), "media_id",
+      Seq("media_a", "media_b"))
 
   /** Video near-duplicate pairs by temporal energy fingerprint — the
     * video member of the dedup family, completing the modality square
@@ -439,9 +445,12 @@ object DedupOps {
     * fingerprints staged once per corpus snapshot
     * ([[graft.multimodal.MultimodalOps.stagedVideoHashes]]). */
   def videoHashDups(spark: SparkSession, sfDir: String): DataFrame =
-    imageHashPairs(
-      graft.multimodal.MultimodalOps.stagedVideoHashes(spark, sfDir),
-      "gif_hash_block_overflow")
+    excludeTombstoned(
+      imageHashPairs(
+        graft.multimodal.MultimodalOps.stagedVideoHashes(spark, sfDir),
+        "gif_hash_block_overflow"),
+      mediaTombstoneIds(spark, sfDir, VideoModality), "media_id",
+      Seq("media_a", "media_b"))
 
   /** Cross-modal duplicate reconciliation — the pipeline step AFTER
     * per-modality dedup: a page duplicated with a re-encoded hero image
@@ -813,9 +822,14 @@ object DedupOps {
     * column — no tokenization, no corpus text read, in the query plan. */
   def stagedLshVerifiedDups(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
-    verifyPairsJaccard(stagedMinhashLsh(spark, sfDir),
-      stagedTextSignatures(spark, sfDir).select(col("doc_id"), col("sh")),
-      "doc_a", "doc_b")
+    // takedown exclusion (r19): a retracted doc neither matches nor is
+    // listed — pairs touching a tombstoned endpoint drop; no tombstones
+    // (the gate's steady state) = the untouched plan
+    excludeTombstoned(
+      verifyPairsJaccard(stagedMinhashLsh(spark, sfDir),
+        stagedTextSignatures(spark, sfDir).select(col("doc_id"), col("sh")),
+        "doc_a", "doc_b"),
+      textTombstoneIds(spark, sfDir), "doc_id", Seq("doc_a", "doc_b"))
   }
 
   /** The SHARED exact-Jaccard verify stage: candidate pairs `(aCol, bCol,
@@ -894,7 +908,13 @@ object DedupOps {
     * read as staged scalars. */
   def stagedIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
-    incrementalFromSignatures(stagedTextSignatures(spark, sfDir))
+    // takedown exclusion (r19): the [[stagedLshVerifiedDups]] stance —
+    // a tombstoned doc is out of the ingest gate's verified dups on
+    // both sides (it cannot be matched against, and a retracted
+    // increment doc is not re-listed)
+    excludeTombstoned(
+      incrementalFromSignatures(stagedTextSignatures(spark, sfDir)),
+      textTombstoneIds(spark, sfDir), "doc_id", Seq("new_doc", "base_doc"))
   }
 
   // ---------------------------------------------------------------------
@@ -1108,6 +1128,180 @@ object DedupOps {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Takedown through the dedup probe indexes (r18 verdict #1): the
+  // text/media sibling of the vector overlay's tombstoneSegmentRows and
+  // the cluster overlay's tombstoneClusterDocs — a retracted doc's
+  // bands/shingles (and a retracted asset's fingerprint) must stop
+  // serving as dedup MATCH TARGETS, and the batch dup keys must stop
+  // LISTING the retracted content, at increment cadence rather than at
+  // the next corpus re-stage.
+  // ---------------------------------------------------------------------
+
+  /** The tombstone partition value — a real partition value no probe
+    * ever computes ([[sigPrefix]]/[[mediaBlockPrefix]]/`db` buckets are
+    * all in [0, parts)), so the tombstone files live INSIDE the probe-
+    * index roots yet a pruned probe scan never lists them, exactly the
+    * ANN overlay's `cell = -1` discipline. The partition value itself
+    * is the deletion flag: no `deleted` column, so the hot probe reads
+    * never pay a mergeSchema. */
+  private[graft] val TombstonePart = -1
+
+  /** One tombstone row per id, schema-aligned with the index dir it
+    * lands in: payload columns are typed NULLs (no reader dereferences
+    * them — every read either prunes the tombstone partition away or
+    * projects `idCol` alone), the partition column is
+    * [[TombstonePart]]. */
+  private def tombstoneRowsFor(spark: SparkSession, dir: java.nio.file.Path,
+      ids: DataFrame, idCol: String, partCol: String): DataFrame = {
+    val schema = spark.read.parquet(dir.toString).schema
+    ids.select(schema.fields.toSeq.map { f =>
+      if (f.name == idCol) col(idCol).cast(f.dataType).as(idCol)
+      else if (f.name == partCol)
+        lit(TombstonePart).cast(f.dataType).as(partCol)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** RETRACTION (takedown / right-to-be-forgotten) for the TEXT dedup
+    * probe indexes — one tombstone file set per call, appended into the
+    * `sp = -1` / `db = -1` partitions of the band and shingle index
+    * roots. From the next serve on, the retracted docs are out of the
+    * streaming gate's candidate probe ([[probeCandidates]] anti-joins
+    * the pruned index scan against the tombstone ids) and out of the
+    * batch dup keys ([[stagedLshVerifiedDups]]/[[stagedIncrementalDedup]]
+    * drop pairs touching a tombstoned endpoint). Terminal at increment
+    * cadence: the corpus re-stage ([[maybeRestageTextIndexes]] fresh
+    * generation) absorbs the tombstones — durable deletion is the
+    * corpus rewrite's job, the index's job is the serving gap between
+    * (the [[graft.operators.SimilarityOps.tombstoneSegmentRows]]
+    * contract). Cost: O(retracted ids) — one bounded write per index,
+    * no read of the live index, no shuffle. */
+  def tombstoneTextDocs(spark: SparkSession, sfDir: String,
+      ids: DataFrame): Unit = {
+    val bandDir = bandIdxDir(spark, sfDir)
+    val shDir = shingleIdxDir(spark, sfDir)
+    val obs = org.apache.spark.sql.Observation()
+    tombstoneRowsFor(spark, bandDir, ids, "doc_id", "sp")
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("sp").parquet(bandDir.toString)
+    tombstoneRowsFor(spark, shDir, ids, "doc_id", "db")
+      .write.mode("append").partitionBy("db").parquet(shDir.toString)
+    graft.ObservedMetrics.recordGauge("text.tombstoned_docs",
+      obs.get("n").asInstanceOf[Long].toDouble)
+  }
+
+  /** Retire the text tombstone partitions — the takedown keys' cleanup
+    * (the `ann_del` drop-registration discipline): deletes the
+    * `sp = -1` / `db = -1` dirs so the steady-state serve carries no
+    * leftover test/run state. Resolve, never build; no-op when no
+    * tombstones exist. */
+  def dropTextTombstones(spark: SparkSession, sfDir: String): Unit =
+    Seq(resolvedIdxDir(bandIdxDirs, sfDir, "band_idx").map(_.resolve(s"sp=$TombstonePart")),
+        resolvedIdxDir(shingleIdxDirs, sfDir, "shingle_idx").map(_.resolve(s"db=$TombstonePart")))
+      .flatten.filter(java.nio.file.Files.isDirectory(_))
+      .foreach(graft.util.TempDirs.deleteNow)
+
+  /** The doc ids currently tombstoned in the band probe index — a
+    * partition-pruned read of the `sp = -1` files alone (bounded by
+    * retraction volume, never corpus-proportional), broadcast by every
+    * exclusion site. None when no tombstone partition exists — the
+    * overwhelmingly common path, costing one local `isDirectory` probe
+    * and ZERO plan change (the [[graft.operators.SimilarityOps
+    * .servedIndex]] columns-guard discipline). Resolve, never build: an
+    * un-staged index holds no tombstones. */
+  private[graft] def textTombstoneIds(spark: SparkSession,
+      sfDir: String): Option[DataFrame] =
+    resolvedIdxDir(bandIdxDirs, sfDir, "band_idx") match {
+      case Some(d) if java.nio.file.Files.isDirectory(
+          d.resolve(s"sp=$TombstonePart")) =>
+        Some(spark.read.parquet(d.toString)
+          .filter(col("sp") === lit(TombstonePart))
+          .select("doc_id").distinct())
+      case _ => None
+    }
+
+  /** Drop rows whose id in any of `cols` is tombstoned — the exclusion
+    * every takedown-aware serve rides: one bounded BROADCAST left-anti
+    * join per column when tombstones exist, the untouched frame when
+    * none do. */
+  private def excludeTombstoned(df: DataFrame, tomb: Option[DataFrame],
+      idCol: String, cols: Seq[String]): DataFrame =
+    tomb match {
+      case None => df
+      case Some(t) =>
+        cols.foldLeft(df)((d, c) => d.join(
+          broadcast(t.select(col(idCol).as(c))), Seq(c), "left_anti"))
+    }
+
+  /** RETRACTION for a MEDIA modality's fingerprint probe index — the
+    * [[tombstoneTextDocs]] sibling: tombstone rows land in the
+    * `mp = -1` partition of the modality's band index; the streaming
+    * probe ([[incrementalMediaDedupBatch]]) and the batch dup keys
+    * ([[imageDHashDups]]/[[audioHashDups]]/[[videoHashDups]]) exclude
+    * the retracted assets from the next serve on; the re-stage
+    * ([[maybeRestageMediaIndex]]) absorbs. */
+  def tombstoneMediaAssets(spark: SparkSession, sfDir: String,
+      ids: DataFrame, m: MediaModality = ImageModality): Unit = {
+    val dir = mediaBandIdxDir(spark, sfDir, m)
+    tombstoneRowsFor(spark, dir, ids, "media_id", "mp")
+      .write.mode("append").partitionBy("mp").parquet(dir.toString)
+  }
+
+  /** [[dropTextTombstones]] for a media modality. */
+  def dropMediaTombstones(spark: SparkSession, sfDir: String,
+      m: MediaModality = ImageModality): Unit =
+    resolvedIdxDir(mediaBandIdxDirs(m.name), sfDir, mediaIdxName(m))
+      .map(_.resolve(s"mp=$TombstonePart"))
+      .filter(java.nio.file.Files.isDirectory(_))
+      .foreach(graft.util.TempDirs.deleteNow)
+
+  /** [[textTombstoneIds]] for a media modality. */
+  private[graft] def mediaTombstoneIds(spark: SparkSession, sfDir: String,
+      m: MediaModality = ImageModality): Option[DataFrame] =
+    resolvedIdxDir(mediaBandIdxDirs(m.name), sfDir, mediaIdxName(m)) match {
+      case Some(d) if java.nio.file.Files.isDirectory(
+          d.resolve(s"mp=$TombstonePart")) =>
+        Some(spark.read.parquet(d.toString)
+          .filter(col("mp") === lit(TombstonePart))
+          .select("media_id").distinct())
+      case _ => None
+    }
+
+  /** Deterministic takedown slice for the `lsh_del` contract key —
+    * every doc_id ≡ [[DocDeleteRem]] (mod [[DocDeleteMod]]):
+    * SQL-expressible, so the oracle is the `incr_dedup` chain minus
+    * pairs touching exactly these ids (the
+    * [[graft.operators.SimilarityOps.DeleteMod]] recipe). */
+  private[graft] val DocDeleteMod = 13
+  private[graft] val DocDeleteRem = 5
+
+  /** Text dedup WITH DELETIONS through the probe-index tombstones — the
+    * takedown contract key (`lsh_del`), completing the deletion story
+    * across the index families (vectors: `ann_del`; clusters:
+    * [[tombstoneClusterDocs]]; text: here; media:
+    * [[tombstoneMediaAssets]], spec-locked): ingest one tombstone file
+    * set for the deterministic [[DocDeleteMod]]-slice and run the
+    * incremental-dedup serve THROUGH it — [[stagedIncrementalDedup]]
+    * reads the tombstone ids from the band index's `sp = -1` partition
+    * (the REAL serving read, not a test shim) and drops every pair
+    * touching the slice. Materializes before the tombstones retire in
+    * `finally` (the `ann_del` lifecycle discipline), so the key leaves
+    * no state behind for the rest of the inventory. */
+  def lshDeleteServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Fixtures.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(DocDeleteMod)) === lit(DocDeleteRem))
+      .select("doc_id")
+    tombstoneTextDocs(spark, sfDir, ids)
+    try {
+      val out = stagedIncrementalDedup(spark, sfDir)
+      val dir = java.nio.file.Files.createTempDirectory("graft_lsh_del_out_")
+      graft.util.TempDirs.track(dir)
+      out.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    } finally dropTextTombstones(spark, sfDir)
+  }
+
   /** Assert the bucket-cap premise the streaming dedup's oracle relies
     * on (ADVICE r13): [[stagedBandProbeIndex]] caps each (band, sig)
     * bucket's BASE members alone at staging, while the shared
@@ -1163,8 +1357,13 @@ object DedupOps {
     // (≤ SigPrefixParts, an index constant — never data-proportional)
     val sps = incBands.select(sigPrefix(col("sig")).as("sp"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    stagedBandProbeIndex(spark, sfDir)
-      .filter(col("sp").isin(sps: _*))
+    // takedown exclusion (r19): a tombstoned base doc must stop serving
+    // as a match target — the anti-join rides the already-pruned,
+    // already-bounded probe scan; zero plan change when no tombstone
+    // partition exists
+    excludeTombstoned(
+        stagedBandProbeIndex(spark, sfDir).filter(col("sp").isin(sps: _*)),
+        textTombstoneIds(spark, sfDir), "doc_id", Seq("doc_id"))
       .join(broadcast(incBands), Seq("band", "sig"))
       .groupBy(col("new_doc"), col("doc_id").as("base_doc"))
       .agg(count(lit(1)).as("n_bands"))
@@ -1532,8 +1731,12 @@ object DedupOps {
     val mps = incBlocks
       .select(mediaBlockPrefix(col("blk"), col("blk_val")).as("mp"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    stagedMediaBandIndex(spark, sfDir, m)
-      .filter(col("mp").isin(mps: _*))
+    // takedown exclusion (r19): the probeCandidates stance — a
+    // tombstoned base asset stops matching; zero plan change when no
+    // tombstone partition exists
+    excludeTombstoned(
+        stagedMediaBandIndex(spark, sfDir, m).filter(col("mp").isin(mps: _*)),
+        mediaTombstoneIds(spark, sfDir, m), "media_id", Seq("media_id"))
       .join(broadcast(incBlocks), Seq("blk", "blk_val"))
       .select(col("new_media"), col("media_id").as("base_media"),
         expr("bit_count(nh ^ dhash)").as("hamming"))
@@ -2133,14 +2336,19 @@ object DedupOps {
     * dereferences them past the live filter. */
   def tombstoneClusterDocs(spark: SparkSession, sfDir: String,
       deltaRoot: String, docIds: DataFrame, epochId: Long): Unit = {
-    val n = docIds.count()
+    // the append counter's row count rides the write job as an observed
+    // metric (r18 verdict: the eager docIds.count() here cost one extra
+    // Spark job per retraction solely to feed the counter)
+    val obs = org.apache.spark.sql.Observation(s"tomb_rows_$epochId")
     docIds.select(col("doc_id").cast("long").as("doc_id"),
         lit(null).cast("long").as("cluster"),
         lit(null).cast("int").as("is_canonical"),
         lit(null).cast("long").as("cluster_size"),
         lit(true).as("deleted"))
+      .observe(obs, count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaRoot/epoch=$epochId")
+    val n = obs.get("n").asInstanceOf[Long]
     noteClusterDeltaAppend(sfDir, deltaRoot, n, epochId)
     ()
   }
@@ -2516,10 +2724,57 @@ object DedupOps {
     "lsh_dups" -> ((s, d) => stagedLshVerifiedDups(s, d)),
     "dup_groups" -> ((s, d) => stagedDupGroups(s, d)),
     "decontam" -> ((s, d) => stagedContamination(s, d)),
-    "incr_dedup" -> ((s, d) => stagedIncrementalDedup(s, d)))
+    "incr_dedup" -> ((s, d) => stagedIncrementalDedup(s, d)),
+    // round 19: takedown through the text probe-index tombstones — the
+    // ann_del sibling for the dedup gate
+    "lsh_del" -> ((s, d) => lshDeleteServe(s, d)))
 
   private val DUCK_SHINGLES =
     """list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])"""
+
+  /** The `incr_dedup` oracle chain, parameterized on a pair-level
+    * predicate over the `cand` alias `c` — `lsh_del` passes the
+    * tombstoned slice's complement on both endpoints; the plain key
+    * passes the default TRUE (the
+    * [[graft.operators.SimilarityOps.annBatchOracleSql]] pattern, so
+    * the two keys cannot drift). */
+  private def incrDedupOracleSql(pairPredicate: String = "TRUE"): String =
+    s"""WITH toks AS (SELECT * FROM (
+                        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                        FROM documents) WHERE len(w) >= 3),
+        flag AS (SELECT doc_id,
+                        (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 1000) < $IncrementPermille AS is_new
+                 FROM toks),
+        shset AS (SELECT doc_id, $DUCK_SHINGLES AS sh FROM toks),
+        sh AS (SELECT doc_id, unnest(sh) AS s FROM shset),
+        mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
+               FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
+        bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
+                         md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+                  FROM mh GROUP BY doc_id, seed // $RowsPerBand),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
+                                                ORDER BY doc_id) AS rk
+                   FROM bands),
+        cand AS (SELECT CASE WHEN fa.is_new THEN a.doc_id ELSE b.doc_id END AS new_doc,
+                        CASE WHEN fa.is_new THEN b.doc_id ELSE a.doc_id END AS base_doc,
+                        CAST(count(*) AS BIGINT) AS n_bands
+                 FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
+                                             AND a.doc_id < b.doc_id
+                                             AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
+                 JOIN flag fa ON fa.doc_id = a.doc_id
+                 JOIN flag fb ON fb.doc_id = b.doc_id
+                 WHERE fa.is_new <> fb.is_new
+                 GROUP BY 1, 2)
+        SELECT c.new_doc, c.base_doc, c.n_bands,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+        FROM cand c
+        JOIN shset sa ON sa.doc_id = c.new_doc
+        JOIN shset sb ON sb.doc_id = c.base_doc
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold
+          AND ($pairPredicate)"""
 
   /** The verified-dups pipeline as a reusable CTE chain ending in `dup`
     * (doc_a, doc_b, n_bands, jaccard ≥ threshold) — the oracle for
@@ -2941,42 +3196,13 @@ object DedupOps {
           FROM corpus c JOIN probe p ON c.g = p.g
           GROUP BY c.doc_id
           HAVING count(DISTINCT c.g) >= $DecontaminateMinShared""",
-    "incr_dedup" ->
-      s"""WITH toks AS (SELECT * FROM (
-                          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-                          FROM documents) WHERE len(w) >= 3),
-          flag AS (SELECT doc_id,
-                          (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                            % 1000) < $IncrementPermille AS is_new
-                   FROM toks),
-          shset AS (SELECT doc_id, $DUCK_SHINGLES AS sh FROM toks),
-          sh AS (SELECT doc_id, unnest(sh) AS s FROM shset),
-          mh AS (SELECT doc_id, t.seed, min(md5(concat(t.seed, '|', s))) AS mh
-                 FROM sh, range(0, $NumSeeds) t(seed) GROUP BY doc_id, t.seed),
-          bands AS (SELECT doc_id, seed // $RowsPerBand AS band,
-                           md5(string_agg(mh, '|' ORDER BY seed)) AS sig
-                    FROM mh GROUP BY doc_id, seed // $RowsPerBand),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY band, sig
-                                                  ORDER BY doc_id) AS rk
-                     FROM bands),
-          cand AS (SELECT CASE WHEN fa.is_new THEN a.doc_id ELSE b.doc_id END AS new_doc,
-                          CASE WHEN fa.is_new THEN b.doc_id ELSE a.doc_id END AS base_doc,
-                          CAST(count(*) AS BIGINT) AS n_bands
-                   FROM ranked a JOIN ranked b ON a.band = b.band AND a.sig = b.sig
-                                               AND a.doc_id < b.doc_id
-                                               AND ${duckCap("a.rk")} AND ${duckCap("b.rk")}
-                   JOIN flag fa ON fa.doc_id = a.doc_id
-                   JOIN flag fb ON fb.doc_id = b.doc_id
-                   WHERE fa.is_new <> fb.is_new
-                   GROUP BY 1, 2)
-          SELECT c.new_doc, c.base_doc, c.n_bands,
-                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
-          FROM cand c
-          JOIN shset sa ON sa.doc_id = c.new_doc
-          JOIN shset sb ON sb.doc_id = c.base_doc
-          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= $JaccardThreshold""",
+    "incr_dedup" -> incrDedupOracleSql(),
+    // lsh_del: the SAME chain minus pairs touching the tombstoned slice
+    // — deletion is pure pair exclusion, so the oracle is arithmetic
+    // (the ann_del oracle recipe)
+    "lsh_del" -> incrDedupOracleSql(
+      s"c.new_doc % $DocDeleteMod <> $DocDeleteRem AND " +
+        s"c.base_doc % $DocDeleteMod <> $DocDeleteRem"),
     "ngram_jac" ->
       s"""WITH toks AS (SELECT * FROM (
                           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w

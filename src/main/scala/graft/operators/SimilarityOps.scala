@@ -865,12 +865,21 @@ object SimilarityOps {
       // An unregistered/swapped-out root can't journal (the conditional
       // write no-ops) — but nothing serves such a root through the
       // manifest either; the fold proceeds with the pre-journal window
-      // as its (unreachable-by-serving) caveat.
-      graft.util.ServingManifest.setIf(sfDir, SegmentsFamily, AnnTables,
-        "segRoot", segRoot,
+      // as its (unreachable-by-serving) caveat — OBSERVED, not silent
+      // (ADVICE r18): the unjournaled fold logs and bumps a gauge, so a
+      // crash-loses-rows window that somehow became reachable shows up
+      // in the operator log instead of only in a comment.
+      val journaled = graft.util.ServingManifest.setIf(sfDir, SegmentsFamily,
+        AnnTables, "segRoot", segRoot,
         Map(FoldScratchKey -> scratch.getFileName.toString,
           FoldDropKey -> toDrop.mkString(","),
           FoldMaxKey -> foldMax.toString))
+      if (!journaled) {
+        System.err.println(s"[annfold] $segRoot is not the registered " +
+          "segment root — fold proceeds UNJOURNALED (a crash between " +
+          "drop and publish would lose this root's folded rows)")
+        graft.ObservedMetrics.bumpGauge("ann.unjournaled_folds")
+      }
       toDrop.foreach(e => graft.util.EpochDirs.drop(segRoot, e))
       foldCrashpoint("afterDrop")
       graft.util.EpochDirs.publish(scratch, segRoot, foldMax)

@@ -83,10 +83,16 @@ object EpochDirs {
   def foldEpochSink(spark: org.apache.spark.sql.SparkSession, root: String,
       maxEpochs: Int, newestWinsKeys: Seq[String] = Nil): Boolean = {
     import org.apache.spark.sql.functions.{col, lit, max}
-    recoverSinkFold(root)
+    // recovery check ONCE per root per JVM (r18 verdict: the per-batch
+    // directory listing is cheap on local fs but a LIST-per-sink-per-
+    // trigger on an object store) — the segment compactor's
+    // foldRecoveryChecked discipline: a mid-fold crash in THIS JVM
+    // re-arms through the catch below, and a restarted JVM re-checks on
+    // its first fold call
+    if (sinkRecoveryChecked.add(root)) recoverSinkFold(root)
     val epochs = list(root)
     if (epochs.size <= maxEpochs || epochs.size < 3) false
-    else {
+    else try {
       val newest = epochs.last
       val foldMax = epochs(epochs.size - 2)
       val df = spark.read.parquet(root)
@@ -113,8 +119,20 @@ object EpochDirs {
       toFold.foreach(e => TempDirs.deleteNow(Paths.get(root, s".folded_$e")))
       graft.ObservedMetrics.bumpGauge("sink.epoch_folds")
       true
+    } catch { case e: Throwable =>
+      // a fold that died mid-swap left hidden state only recoverSinkFold
+      // can repair — re-arm the once-per-JVM check so the next fold call
+      // on this root recovers before proceeding
+      sinkRecoveryChecked.remove(root)
+      throw e
     }
   }
+
+  /** Sink roots whose [[recoverSinkFold]] check already ran in this JVM
+    * — folds are the only writer of the hidden state the check repairs,
+    * so one check per root per process suffices in the steady state. */
+  private val sinkRecoveryChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Complete or roll back a [[foldEpochSink]] a dead writer left
     * mid-swap — see its crash-safety contract. No hidden `.folded_*`
@@ -133,10 +151,21 @@ object EpochDirs {
       if (scratches.nonEmpty) {
         // publish never happened: roll back — every hidden dir restores
         // (its rows were never deleted), THEN the scratch drops, so a
-        // crash mid-rollback just re-enters here
+        // crash mid-rollback just re-enters here. A hidden dir whose
+        // epoch target ALREADY exists (a replayed micro-batch re-wrote
+        // the epoch after the crash) is superseded by the replay —
+        // restoring would shadow newer rows, keeping it would leak an
+        // invisible dir forever and pin recovery in the non-empty path
+        // (ADVICE r18): delete it, with a warning for the operator log.
         dotted.foreach { d =>
           val target = Paths.get(root, "epoch=" + d.getName.stripPrefix(".folded_"))
           if (!Files.exists(target)) { Files.move(d.toPath, target); () }
+          else {
+            System.err.println(s"[sinkfold] ${d.getName}: target $target " +
+              "already re-written by a replayed epoch — dropping the " +
+              "superseded hidden dir")
+            TempDirs.deleteNow(d.toPath)
+          }
         }
         scratches.foreach(s => TempDirs.deleteNow(s.toPath))
       } else {

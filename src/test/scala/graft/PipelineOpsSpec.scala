@@ -943,6 +943,112 @@ class PipelineOpsSpec extends SparkTestBase {
     DedupOps.dropStagedMediaProbeIndex()
   }
 
+  test("takedown: text probe tombstones exclude at increment cadence, terminal until re-stage") {
+    // r18 verdict #1: ann_del gave vectors and clusters increment-
+    // cadence deletion; this locks the TEXT probe-index side — a
+    // retracted doc's bands/shingles stop serving as dedup match
+    // targets from the next serve on, the tombstone wins over any
+    // append order (terminal), and the corpus re-stage absorbs it.
+    import spark.implicits._
+    DedupOps.dropStagedProbeIndexes()
+    def doc(id: Long) =
+      Seq((id, "yurble fintock grazzle yurble fintock grazzle wem"))
+        .toDF("doc_id", "text")
+    def hits(): Seq[Long] = DedupOps
+      .incrementalDedupBatch(spark, sfDir, doc(960001L))
+      .select("base_doc").collect().map(_.getLong(0)).toSeq
+    assert(DedupOps.appendToTextIndexes(spark, sfDir, doc(960000L)) === 1L)
+    assert(hits() === Seq(960000L))
+    // RETRACT: the admitted doc leaves the probe's match targets
+    DedupOps.tombstoneTextDocs(spark, sfDir, Seq(960000L).toDF("doc_id"))
+    assert(hits() === Seq.empty, "a tombstoned base doc must stop matching")
+    // terminal at increment cadence: a LATER re-append of the same id
+    // does not resurrect it (the ann_del dominance rule — re-admission
+    // is the re-stage's job)
+    assert(DedupOps.appendToTextIndexes(spark, sfDir, doc(960000L)) === 1L)
+    assert(hits() === Seq.empty, "tombstone must win regardless of append order")
+    // re-stage absorbs: the rebuild reads only the corpus, so the
+    // tombstones AND the never-landed appends both drop
+    assert(DedupOps.maybeRestageTextIndexes(spark, sfDir, threshold = 0.0))
+    assert(DedupOps.textTombstoneIds(spark, sfDir).isEmpty,
+      "the re-stage must absorb the tombstone partition")
+    assert(hits() === Seq.empty)
+    // the id is NOT poisoned: a fresh post-re-stage admission serves
+    assert(DedupOps.appendToTextIndexes(spark, sfDir, doc(960000L)) === 1L)
+    assert(hits() === Seq(960000L))
+    DedupOps.dropStagedProbeIndexes()
+  }
+
+  test("takedown: the batch dup keys stop listing tombstoned docs (the lsh_del contract)") {
+    import spark.implicits._
+    def touches(n: Long, b: Long): Boolean =
+      n % DedupOps.DocDeleteMod == DedupOps.DocDeleteRem ||
+        b % DedupOps.DocDeleteMod == DedupOps.DocDeleteRem
+    val incr = DedupOps.stagedIncrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("base_doc"),
+        r.getAs[Long]("n_bands"), r.getAs[Double]("jaccard"))).toSet
+    assert(incr.exists(p => touches(p._1, p._2)),
+      "fixture premise: the delete slice must intersect the dup pairs")
+    // the contract key end-to-end: tombstone the slice, serve THROUGH
+    // the exclusion, retire — equals the plain chain minus every pair
+    // touching the slice
+    val del = DedupOps.lshDeleteServe(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("base_doc"),
+        r.getAs[Long]("n_bands"), r.getAs[Double]("jaccard"))).toSet
+    assert(del === incr.filterNot(p => touches(p._1, p._2)))
+    // and the key left no serving state behind: tombstones retired,
+    // the plain serve restored
+    assert(DedupOps.textTombstoneIds(spark, sfDir).isEmpty)
+    assert(DedupOps.stagedIncrementalDedup(spark, sfDir).count() === incr.size)
+    // lsh_dups drops BOTH endpoints while tombstones are live
+    val dups = DedupOps.stagedLshVerifiedDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val ids = graft.model.Fixtures.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(DedupOps.DocDeleteMod))
+        === lit(DedupOps.DocDeleteRem)).select("doc_id")
+    DedupOps.tombstoneTextDocs(spark, sfDir, ids)
+    try {
+      val dupsDel = DedupOps.stagedLshVerifiedDups(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(dupsDel === dups.filterNot(p => touches(p._1, p._2)))
+    } finally DedupOps.dropTextTombstones(spark, sfDir)
+    assert(DedupOps.stagedLshVerifiedDups(spark, sfDir).count() === dups.size)
+  }
+
+  test("takedown: media probe tombstones — the asset stops matching and being listed") {
+    // the tombstoneTextDocs sibling over the shared media band index
+    // (one implementation serves all three modalities; locked on img)
+    import spark.implicits._
+    DedupOps.dropStagedMediaProbeIndex()
+    def media(id: Long) = Seq(id).toDS().map(i => MediaRecord(
+      i, "img", MultimodalOps.synthTexturePng(i), Map.empty[String, String]))
+    def hits(): Long = DedupOps
+      .incrementalMediaDedupBatch(spark, sfDir, media(970001L))
+      .filter(col("base_media") === 970000L).count()
+    assert(DedupOps.appendToMediaIndex(spark, sfDir, media(970000L)) === 1L)
+    assert(hits() === 1L)
+    DedupOps.tombstoneMediaAssets(spark, sfDir, Seq(970000L).toDF("media_id"))
+    assert(hits() === 0L, "a tombstoned base asset must stop matching")
+    // terminal until re-stage
+    assert(DedupOps.appendToMediaIndex(spark, sfDir, media(970000L)) === 1L)
+    assert(hits() === 0L, "tombstone must win regardless of append order")
+    // the batch key stops LISTING a tombstoned corpus asset
+    val before = DedupOps.imageDHashDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    val victim = before.head._1
+    DedupOps.tombstoneMediaAssets(spark, sfDir, Seq(victim).toDF("media_id"))
+    assert(DedupOps.imageDHashDups(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      === before.filterNot(p => p._1 == victim || p._2 == victim))
+    // re-stage absorbs the tombstones; the never-landed appends drop
+    assert(DedupOps.maybeRestageMediaIndex(spark, sfDir, 0.0))
+    assert(DedupOps.mediaTombstoneIds(spark, sfDir).isEmpty,
+      "the re-stage must absorb the tombstone partition")
+    assert(DedupOps.imageDHashDups(spark, sfDir).collect().length === before.size)
+    assert(hits() === 0L)
+    DedupOps.dropStagedMediaProbeIndex()
+  }
+
   test("probe-index cap premises hold on the fixture (the stream-key oracle gates)") {
     DedupOps.assertTextProbeCapPremise(spark, sfDir)
     DedupOps.MediaModalities.foreach(m =>
@@ -1368,15 +1474,17 @@ class PipelineOpsSpec extends SparkTestBase {
     // least as much of the true neighborhood as the baselines it replaced
     // (measured 0.48 seed → 0.53 one-step → 0.55 at LloydIters=3)
     val r3 = SimilarityOps.ivfRecallAtK(spark, sfDir)
-    // the two BASELINE points each train their own centroid set — the
-    // suite's single largest cost; the fast default keeps the staged
-    // index's own recall band + the full nprobe curve below, the gate
-    // run (-Dgraft.soak=full) re-proves the improvement property
+    // the raw-seed baseline is CHEAP (no Lloyd iterations; the exact
+    // side is memoized) — keep the training-beats-seed ordering visible
+    // to a plain `sbt test` (ADVICE r18: fully soak-gating both
+    // baselines made an iterated-training regression invisible outside
+    // the gate); the 1-step point trains its own centroid set and stays
+    // gate-only (-Dgraft.soak=full)
+    val r0 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 0)
+    assert(r3 > r0, s"iterated recall $r3 must beat the raw seed $r0")
     if (Soak.full) {
       val r1 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 1)
-      val r0 = SimilarityOps.ivfRecallAtK(spark, sfDir, iters = 0)
       assert(r3 >= r1, s"iterated recall $r3 must not regress the 1-step $r1")
-      assert(r3 > r0, s"iterated recall $r3 must beat the raw seed $r0")
     }
     assert(r3 > 0.3 && r3 <= 1.0, s"recall $r3 out of the plausible band")
     val rpq = SimilarityOps.ivfPqRecallAtK(spark, sfDir)

@@ -369,6 +369,33 @@ class PlanSpec extends SparkTestBase {
     } finally SimilarityOps.dropIndexSegments(sfDir)
   }
 
+  test("lsh_del serve broadcasts the tombstone exclusion on both pair sides") {
+    // the text-takedown serve must keep the incr_dedup scale shape and
+    // bolt on ONLY two bounded broadcast anti-joins (new_doc, base_doc)
+    // driven by the band index's sp=-1 tombstone partition — a
+    // sort-merge of the pair stream against the tombstone set would
+    // shuffle dup pairs over a retraction-sized side. Plan taken from
+    // the serve frame with the tombstones live, exactly as
+    // lshDeleteServe stages them; retired in finally.
+    import graft.operators.DedupOps
+    graft.GraftSession.registerFunctions(spark)
+    val ids = graft.model.Fixtures.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.pmod(col("doc_id"),
+        org.apache.spark.sql.functions.lit(DedupOps.DocDeleteMod))
+        === org.apache.spark.sql.functions.lit(DedupOps.DocDeleteRem))
+      .select("doc_id")
+    DedupOps.tombstoneTextDocs(spark, sfDir, ids)
+    try {
+      val p = DedupOps.stagedIncrementalDedup(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert("(?s)BroadcastHashJoin.*?LeftAnti".r.findAllIn(p).size >= 2, p)
+      // and the tombstone feed reads ONLY the sp=-1 partition: the
+      // band-index scan in the exclusion branch is partition-filtered,
+      // never a full index read
+      assert(p.contains("PartitionFilters: [isnotnull(sp#"), p)
+    } finally DedupOps.dropTextTombstones(spark, sfDir)
+  }
+
   test("lm_ppl scoring is a pure projection: the returned plan has no exchange") {
     // the LM (total + top-V table) is built by bounded driver jobs at
     // construction; the SCORING plan the caller runs over the corpus
