@@ -207,13 +207,19 @@ object MessageOps {
   }
 
   /** Compacted-topic read: latest value per key (read_compacted). The
-    * classic changelog-compaction pattern: ranking window, keep rank 1.
+    * classic changelog-compaction pattern: ranking window, keep rank 1 —
+    * then drop keys whose latest message is a compaction DELETE MARKER
+    * (empty payload, [[graft.sources.MsgLog.isDeleteMarker]]): the
+    * read_compacted view and the compaction job
+    * ([[graft.sources.MsgLog.compactTopic]]) must agree that a
+    * tombstoned key is gone, not served as an empty row.
     */
   def readCompactedLastPerKey(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(publishUs(col("ts")).desc, col("event_id").desc)
     ev.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .filter(!graft.sources.MsgLog.isDeleteMarker)
       .select(
         col("user_id"), col("event_id"), col("event_type"),
         col("value"), publishUs(col("ts")).as("publish_us"))
@@ -480,11 +486,15 @@ object MessageOps {
                     ORDER BY $US DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY part""",
     "read_compacted" ->
+      // the trailing predicate mirrors the engine's delete-marker drop
+      // (empty-payload latest message removes its key) — the fixture
+      // carries no empty props, so the rows are unchanged there
       s"""SELECT user_id, event_id, event_type, value, publish_us FROM
-          (SELECT user_id, event_id, event_type, value, $US AS publish_us,
+          (SELECT user_id, event_id, event_type, value, props, $US AS publish_us,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY $US DESC, event_id DESC) AS rn
-           FROM events) WHERE rn = 1 ORDER BY user_id""",
+           FROM events) WHERE rn = 1 AND coalesce(length(props), 0) > 0
+          ORDER BY user_id""",
     "batch_explode" ->
       """SELECT user_id, CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS batch_n,
          event_id FROM events ORDER BY user_id, event_id""",

@@ -62,7 +62,17 @@ object MsgLog {
     * *read* form is the `read_compacted` query. Latest =
     * max (publish time, event_id); output is routed/framed like any
     * produce, so a compacted topic is itself a valid topic.
-    */
+    *
+    * DELETE MARKERS (r18 verdict #2 — Pulsar compaction semantics): a
+    * message with an EMPTY payload is a deletion of its key — when the
+    * key's LATEST message is such a tombstone, the key is REMOVED from
+    * the compacted topic (and the marker itself is not retained); a
+    * tombstone superseded by a later real message deletes nothing. The
+    * empty-payload analog here is a null/empty `props` (the message's
+    * free-form payload field — every fixture row carries JSON, so the
+    * marker is producible but never accidental), shared with
+    * [[graft.operators.MessageOps.readCompactedLastPerKey]] so the
+    * compaction job and the read_compacted view agree. */
   def compactTopic(spark: SparkSession, inDir: String, outDir: String,
       numLedgers: Int = NumLedgers): Unit = {
     // The sink is append-only, so compacting INTO a non-empty topic would
@@ -76,10 +86,18 @@ object MsgLog {
     val latest = spark.read.format("graft-msglog").load(inDir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .filter(!isDeleteMarker)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     latest.repartition(numLedgers, col("user_id"))
       .write.format("graft-msglog").mode("append").save(outDir)
   }
+
+  /** The compaction delete-marker predicate — an empty message payload
+    * (null or zero-length `props`), per the Pulsar compaction contract
+    * [[compactTopic]] documents. One definition, shared by the
+    * compaction job and the `read_compacted` view. */
+  def isDeleteMarker: org.apache.spark.sql.Column =
+    coalesce(length(col("props")), lit(0)) === 0
 
   /** Namespace topic listing (reference `CommandGetTopicsOfNamespace`,
     * `src/PulsarApi.proto:656-670`): a namespace = a directory of topic

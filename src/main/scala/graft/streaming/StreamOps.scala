@@ -166,14 +166,21 @@ object StreamOps {
     * pairs, and per-key tracker emissions are corpus-sized, so they land
     * in executor-written parquet and the driver touches file paths only
     * (at 100 TB the same declaration writes a real landing dir/topic).
-    * Append-mode streams use the native parquet sink (exactly-once via
-    * its _spark_metadata commit log); update-mode streams — which the
-    * file sink cannot express — go through `foreachBatch` writing an
-    * epoch-keyed partition dir with OVERWRITE (the
-    * [[streamDeadLetterSplit]] discipline): a retried/restarted
-    * micro-batch replaces its own epoch's output instead of
-    * double-appending, which a blind `mode(append)` cannot guarantee. A
-    * zero-row stream yields an empty frame on the input schema. */
+    * BOTH modes go through `foreachBatch` writing an epoch-keyed
+    * partition dir with OVERWRITE (the [[streamDeadLetterSplit]]
+    * discipline): a retried/restarted micro-batch replaces its own
+    * epoch's output instead of double-appending, which a blind
+    * `mode(append)` cannot guarantee — the same exactly-once property
+    * the native parquet sink's `_spark_metadata` log provided, WITHOUT
+    * pinning the file layout forever. The append path used the native
+    * sink until r19 (r18 verdict #4): Spark compacts the metadata LOG,
+    * not the data files, so a long-running append stream accumulated
+    * files unboundedly and the log barred any external compaction from
+    * moving them; epoch dirs give every sink the
+    * [[graft.util.EpochDirs.foldEpochSink]] retention contract instead
+    * (append shape folds by concatenation — `newestWinsKeys` empty;
+    * update shape keeps per-key newest-epoch rows). A zero-row stream
+    * yields an empty frame on the input schema. */
   private def runToFiles(df: DataFrame, mode: String,
       updateKeys: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
@@ -181,49 +188,39 @@ object StreamOps {
     graft.util.TempDirs.track(root)
     val data = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
-    val q = mode match {
-      case "append" =>
-        // the native sink's _spark_metadata commit log owns retention
-        // here (Spark compacts the log itself; files must not move
-        // underneath it) — the epoch-dir fold below applies only to the
-        // foreachBatch sinks, which have no metadata log
-        df.writeStream.format("parquet")
-          .option("path", data)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-      case "update" =>
-        df.writeStream
-          .foreachBatch { (batch: DataFrame, epochId: Long) =>
-            batch.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
-            // retention maintenance turn (r17 verdict #4): update-shaped
-            // sink — each key's newest emission supersedes its older
-            // ones, so the fold keeps per-key newest-epoch rows
-            graft.util.EpochDirs.foldEpochSink(batch.sparkSession, data,
-              SinkFoldEpochs, updateKeys)
-            ()
-          }
-          .option("checkpointLocation", ckpt)
-          .outputMode("update")
-          .trigger(Trigger.AvailableNow())
-          .start()
+    val foldKeys = mode match {
+      case "append" => Nil
+      case "update" => updateKeys
       case other =>
         throw new IllegalArgumentException(
           s"runToFiles supports append/update, not $other (complete finals are " +
             "small aggregates — use runToTable)")
     }
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+        // retention maintenance turn (r17 verdict #4, extended to the
+        // append shape in r19)
+        graft.util.EpochDirs.foldEpochSink(batch.sparkSession, data,
+          SinkFoldEpochs, foldKeys)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
     readEpochSink(spark, data, df.schema)
   }
 
-  /** Batch-read a (possibly epoch-partitioned) stream sink tree, or an
-    * empty frame on `schema` when the stream emitted nothing. The append
-    * sink creates `_spark_metadata` EAGERLY, so dir existence cannot
-    * discriminate an empty stream — and reading a zero-file metadata log
-    * fails schema inference; look for actual data files, one level of
-    * `epoch=N` subdirs included. The inferred `epoch` partition column
-    * (foreachBatch bookkeeping, not stream output) is dropped. */
+  /** Batch-read an epoch-partitioned stream sink tree, or an empty
+    * frame on `schema` when the stream emitted nothing (a zero-row
+    * AvailableNow run still commits an empty epoch dir whose parquet
+    * read would fail schema inference on zero files; and hidden
+    * `_`/`.`-prefixed entries — a legacy `_spark_metadata`, an
+    * in-flight `.sinkfold_` scratch — must not count as data). The
+    * inferred `epoch` partition column (foreachBatch bookkeeping, not
+    * stream output) is dropped. */
   private def readEpochSink(spark: SparkSession, data: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     def dataFiles(d: java.io.File): Boolean =

@@ -1027,6 +1027,51 @@ class MsgLogSpec extends SparkTestBase {
       expected)
   }
 
+  test("compactTopic delete markers: an empty-payload latest message removes its key") {
+    // Pulsar compaction semantics (r18 verdict #2): an empty-payload
+    // message deletes its key — a key whose LATEST message is such a
+    // marker is ABSENT from the compacted topic (and the marker itself
+    // is not retained); a marker superseded by a later real message
+    // deletes nothing. read_compacted's latest-per-key view agrees.
+    import spark.implicits._
+    val in = tmpPath("glog_compact_del_in_").toString
+    val ev = Fixtures.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    MsgLog.writeEvents(ev, in, 2)
+    val agg = ev.agg(max(col("event_id")), max(unix_micros(col("ts")))).collect()(0)
+    val (maxId, maxUs) = (agg.getLong(0), agg.getLong(1))
+    val delKey = 3L
+    val keepKey = 4L
+    val tail = Seq(
+      // newest message for delKey: a delete marker — the key goes
+      (maxId + 1, maxUs + 1000000L, delKey, "del", 0.0, ""),
+      // a marker for keepKey SUPERSEDED by a later real message — stays
+      (maxId + 2, maxUs + 1000000L, keepKey, "del", 0.0, ""),
+      (maxId + 3, maxUs + 2000000L, keepKey, "purchase", 1.5, """{"k": 1}"""))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    MsgLog.writeEvents(tail, in, 2)
+    val out = tmpPath("glog_compact_del_out_").toString
+    MsgLog.compactTopic(spark, in, out)
+    val compacted = spark.read.format("graft-msglog").load(out)
+    assert(compacted.filter(col("user_id") === delKey).count() === 0,
+      "a key whose latest message is a delete marker must be removed")
+    val kept = compacted.filter(col("user_id") === keepKey).collect()
+    assert(kept.length === 1 && kept(0).getAs[Long]("event_id") === maxId + 3,
+      "a superseded marker must not delete; the later real message wins")
+    assert(compacted.filter(MsgLog.isDeleteMarker).count() === 0,
+      "no delete marker survives compaction")
+    assert(compacted.count() ===
+      ev.select("user_id").distinct().count() - 1)
+    // the read_compacted VIEW over the uncompacted stream agrees
+    val rc = graft.operators.MessageOps.readCompactedLastPerKey(
+      spark.read.format("graft-msglog").load(in))
+    assert(rc.filter(col("user_id") === delKey).count() === 0)
+    assert(rc.filter(col("user_id") === keepKey).collect()(0)
+      .getAs[Long]("event_id") === maxId + 3)
+  }
+
   test("listTopics enumerates topics with partition and message counts") {
     val ns = tmpPath("glog_ns_")
     val ev = Fixtures.events(spark, sfDir)
