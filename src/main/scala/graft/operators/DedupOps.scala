@@ -1202,24 +1202,33 @@ object DedupOps {
       .flatten.filter(java.nio.file.Files.isDirectory(_))
       .foreach(graft.util.TempDirs.deleteNow)
 
+  /** The tombstone partition of `dir` as a readable path, if it holds
+    * data files — the existence probe every exclusion site starts from:
+    * one local listing of the marker dir alone, never of the index
+    * tree. The returned path is read DIRECTLY (not via the root +
+    * partition filter): a root read pays partition DISCOVERY — a LIST
+    * of the whole index tree — on every serve call just to prune back
+    * to this one dir, a per-call metadata cost ∝ index files at 100 TB;
+    * the direct read lists only the marker files (bounded by retraction
+    * volume). */
+  private def tombstonePartDir(dir: java.nio.file.Path,
+      partCol: String): Option[java.nio.file.Path] =
+    Some(dir.resolve(s"$partCol=$TombstonePart"))
+      .filter(d => graft.util.EpochDirs.dataFilesIn(d).nonEmpty)
+
   /** The doc ids currently tombstoned in the band probe index — a
-    * partition-pruned read of the `sp = -1` files alone (bounded by
+    * direct read of the `sp = -1` marker files alone (bounded by
     * retraction volume, never corpus-proportional), broadcast by every
     * exclusion site. None when no tombstone partition exists — the
-    * overwhelmingly common path, costing one local `isDirectory` probe
+    * overwhelmingly common path, costing one local listing probe
     * and ZERO plan change (the [[graft.operators.SimilarityOps
     * .servedIndex]] columns-guard discipline). Resolve, never build: an
     * un-staged index holds no tombstones. */
   private[graft] def textTombstoneIds(spark: SparkSession,
       sfDir: String): Option[DataFrame] =
-    resolvedIdxDir(bandIdxDirs, sfDir, "band_idx") match {
-      case Some(d) if java.nio.file.Files.isDirectory(
-          d.resolve(s"sp=$TombstonePart")) =>
-        Some(spark.read.parquet(d.toString)
-          .filter(col("sp") === lit(TombstonePart))
-          .select("doc_id").distinct())
-      case _ => None
-    }
+    resolvedIdxDir(bandIdxDirs, sfDir, "band_idx")
+      .flatMap(tombstonePartDir(_, "sp"))
+      .map(d => spark.read.parquet(d.toString).select("doc_id").distinct())
 
   /** Drop rows whose id in any of `cols` is tombstoned — the exclusion
     * every takedown-aware serve rides: one bounded BROADCAST left-anti
@@ -1256,17 +1265,13 @@ object DedupOps {
       .filter(java.nio.file.Files.isDirectory(_))
       .foreach(graft.util.TempDirs.deleteNow)
 
-  /** [[textTombstoneIds]] for a media modality. */
+  /** [[textTombstoneIds]] for a media modality — the same direct
+    * marker-dir read. */
   private[graft] def mediaTombstoneIds(spark: SparkSession, sfDir: String,
       m: MediaModality = ImageModality): Option[DataFrame] =
-    resolvedIdxDir(mediaBandIdxDirs(m.name), sfDir, mediaIdxName(m)) match {
-      case Some(d) if java.nio.file.Files.isDirectory(
-          d.resolve(s"mp=$TombstonePart")) =>
-        Some(spark.read.parquet(d.toString)
-          .filter(col("mp") === lit(TombstonePart))
-          .select("media_id").distinct())
-      case _ => None
-    }
+    resolvedIdxDir(mediaBandIdxDirs(m.name), sfDir, mediaIdxName(m))
+      .flatMap(tombstonePartDir(_, "mp"))
+      .map(d => spark.read.parquet(d.toString).select("media_id").distinct())
 
   /** Deterministic takedown slice for the `lsh_del` contract key —
     * every doc_id ≡ [[DocDeleteRem]] (mod [[DocDeleteMod]]):

@@ -389,10 +389,19 @@ class PlanSpec extends SparkTestBase {
       val p = DedupOps.stagedIncrementalDedup(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert("(?s)BroadcastHashJoin.*?LeftAnti".r.findAllIn(p).size >= 2, p)
-      // and the tombstone feed reads ONLY the sp=-1 partition: the
-      // band-index scan in the exclusion branch is partition-filtered,
-      // never a full index read
-      assert(p.contains("PartitionFilters: [isnotnull(sp#"), p)
+      // and the tombstone feed reads the sp=-1 marker dir DIRECTLY —
+      // bounded by retraction volume, with no partition discovery over
+      // the index tree: both exclusion scans read the 1-column marker
+      // schema from a single band_idx path with NO partition filter
+      // (the location string truncates before the sp=-1 leaf, so the
+      // shape is asserted from the scan's schema + path count)
+      val tombScans = p.linesIterator.filter(l =>
+        l.contains("ReadSchema: struct<doc_id:bigint>") &&
+          l.contains("_band_idx_")).toSeq
+      assert(tombScans.size >= 2, p)
+      assert(tombScans.forall(l =>
+        l.contains("InMemoryFileIndex(1 paths)") &&
+          l.contains("PartitionFilters: []")), tombScans.mkString("\n"))
     } finally DedupOps.dropTextTombstones(spark, sfDir)
   }
 
