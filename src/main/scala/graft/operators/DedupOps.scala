@@ -1233,7 +1233,14 @@ object DedupOps {
   /** Drop rows whose id in any of `cols` is tombstoned — the exclusion
     * every takedown-aware serve rides: one bounded BROADCAST left-anti
     * join per column when tombstones exist, the untouched frame when
-    * none do. */
+    * none do. Deliberately applied at the OUTPUT (pair/row) level, not
+    * by filtering docs out of the signature frame before bucketing: a
+    * pre-bucketing filter would shift the capped bucket RANKING
+    * (`row_number` over fewer members), so the surviving pairs could
+    * differ from "the no-tombstone chain minus retracted pairs" — the
+    * post-filter keeps the serve bit-identical to that subtraction (the
+    * oracle's formulation) at any bucket size, at a cost bounded by dup
+    * density × deleted fraction. */
   private def excludeTombstoned(df: DataFrame, tomb: Option[DataFrame],
       idCol: String, cols: Seq[String]): DataFrame =
     tomb match {
@@ -1242,6 +1249,15 @@ object DedupOps {
         cols.foldLeft(df)((d, c) => d.join(
           broadcast(t.select(col(idCol).as(c))), Seq(c), "left_anti"))
     }
+
+  /** [[excludeTombstoned]] with the text tombstone feed resolved from
+    * `sfDir` — the form the remaining text dup-listing keys (and
+    * [[graft.operators.LlmOps]]'s `doc_nd`) wrap their serves in, so
+    * EVERY key that lists doc ids as duplicate members stops listing a
+    * retracted doc, not just the LSH family. */
+  private[graft] def excludeTombstonedDocs(spark: SparkSession,
+      sfDir: String, df: DataFrame, cols: Seq[String]): DataFrame =
+    excludeTombstoned(df, textTombstoneIds(spark, sfDir), "doc_id", cols)
 
   /** RETRACTION for a MEDIA modality's fingerprint probe index — the
     * [[tombstoneTextDocs]] sibling: tombstone rows land in the
@@ -2706,10 +2722,18 @@ object DedupOps {
     // round 13: the text dup keys serve from the staged signature index
     // (tokenize/minhash/shingle once per corpus snapshot — the staged
     // media-fingerprint discipline applied to text)
-    "minhash" -> ((s, d) => stagedMinhashLsh(s, d)),
-    "substr_dups" -> ((s, d) => docSubstrDups(Fixtures.documents(s, d))),
+    // the pair-listing keys all ride the takedown exclusion (r19): a
+    // retracted doc stops appearing as a dup-pair member in EVERY
+    // family, not just the LSH chain (doc_simhash is a per-doc
+    // projection, not a dup listing — projections are the corpus
+    // rewrite's takedown domain)
+    "minhash" -> ((s, d) => excludeTombstonedDocs(s, d,
+      stagedMinhashLsh(s, d), Seq("doc_a", "doc_b"))),
+    "substr_dups" -> ((s, d) => excludeTombstonedDocs(s, d,
+      docSubstrDups(Fixtures.documents(s, d)), Seq("doc_a", "doc_b"))),
     "doc_simhash" -> ((s, d) => docSimhash(Fixtures.documents(s, d))),
-    "sim_pairs" -> ((s, d) => docSimhashPairs(Fixtures.documents(s, d))),
+    "sim_pairs" -> ((s, d) => excludeTombstonedDocs(s, d,
+      docSimhashPairs(Fixtures.documents(s, d)), Seq("doc_a", "doc_b"))),
     // round 11: perceptual image-hash near-dups over the textured media
     // corpus ("img_dups" short for the bench line budget)
     "img_dups" -> ((s, d) => imageDHashDups(s, d)),
@@ -2725,7 +2749,8 @@ object DedupOps {
     // round 16: the cluster overlay's BATCH serve — register deltas,
     // fold the edge topic as one epoch, serve base ∪ deltas, elect
     "xm_served" -> ((s, d) => xmServedContract(s, d)),
-    "ngram_jac" -> ((s, d) => stagedNgramJaccard(s, d)),
+    "ngram_jac" -> ((s, d) => excludeTombstonedDocs(s, d,
+      stagedNgramJaccard(s, d), Seq("doc_a", "doc_b"))),
     "lsh_dups" -> ((s, d) => stagedLshVerifiedDups(s, d)),
     "dup_groups" -> ((s, d) => stagedDupGroups(s, d)),
     "decontam" -> ((s, d) => stagedContamination(s, d)),

@@ -299,8 +299,12 @@ object LlmOps {
       ((s, d) => textTokenizeCounts(Fixtures.documents(s, d), TOP_K_WORDS)),
     "bigrams" ->
       ((s, d) => corpusBigramTopK(Fixtures.documents(s, d), TOP_K_WORDS)),
+    // takedown (r19): a retracted doc neither keeps a group nor counts
+    // in n_dups — excluded from the INPUT (exact here: no bucket caps,
+    // so pre-filter equals the no-tombstone result minus the doc)
     "doc_nd" ->
-      ((s, d) => docNearDedup(Fixtures.documents(s, d))),
+      ((s, d) => docNearDedup(DedupOps.excludeTombstonedDocs(s, d,
+        Fixtures.documents(s, d), Seq("doc_id")))),
     "emb_topk" ->
       ((s, d) => embeddingTopKCosine(Fixtures.embeddings(s, d), QUERY_VEC, TOP_K_VECS)),
     "mm_widths" ->

@@ -1011,6 +1011,21 @@ class PipelineOpsSpec extends SparkTestBase {
       val dupsDel = DedupOps.stagedLshVerifiedDups(spark, sfDir).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
       assert(dupsDel === dups.filterNot(p => touches(p._1, p._2)))
+      // EVERY pair-listing family excludes, not just the LSH chain —
+      // through the serving surface (the queries map), as Verify runs it
+      for (k <- Seq("minhash", "ngram_jac", "sim_pairs", "substr_dups")) {
+        val pairs = SparkEntry.queries(k)(spark, sfDir).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        assert(!pairs.exists(p => touches(p._1, p._2)),
+          s"$k still lists a tombstoned doc")
+      }
+      // and doc_nd: a retracted doc neither keeps a group nor counts
+      val slice = ids.count()
+      val nd = SparkEntry.queries("doc_nd")(spark, sfDir).collect()
+      assert(!nd.exists(r => r.getAs[Long]("keep_id") % DedupOps.DocDeleteMod
+        == DedupOps.DocDeleteRem))
+      assert(nd.map(_.getAs[Long]("n_dups")).sum ===
+        Fixtures.documents(spark, sfDir).count() - slice)
     } finally DedupOps.dropTextTombstones(spark, sfDir)
     assert(DedupOps.stagedLshVerifiedDups(spark, sfDir).count() === dups.size)
   }
