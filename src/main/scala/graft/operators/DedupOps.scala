@@ -1817,6 +1817,61 @@ object DedupOps {
     new java.util.concurrent.atomic.AtomicReference[
       Option[org.apache.spark.rdd.RDD[(Long, Long)]]](None)
 
+  /** Edge-count cap for [[clusterPairs]]' driver-local closure: below
+    * it the component fold runs as an in-heap union-find (two longs per
+    * edge — ≤ ~32 MB transient at the cap) and the result ships back as
+    * one local relation; above it the distributed RDD fixpoint runs
+    * unchanged. A merge increment's touched subgraph is dup-density
+    * bounded and sits far under this at any corpus size; the cap exists
+    * for the corpus-cadence closures (staging a 100 TB snapshot), which
+    * route distributed. */
+  private[graft] val MaxDriverCcEdges: Long = 1L << 20
+
+  /** Driver-local connected components over a collected edge list —
+    * union-find with path halving, labels = component min id, then the
+    * same size/canonical dressing as the distributed path. Output is
+    * row-identical to the RDD fixpoint (min-id labels are
+    * representation-independent; locked by the ScalaCheck merge
+    * properties, which drive both paths). */
+  private def localClusterPairs(spark: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.get(r)
+      while (p != r) { // path halving
+        val gp = parent.get(p)
+        parent.put(r, gp)
+        r = gp
+        p = parent.get(r)
+      }
+      r
+    }
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) parent.put(x, x)
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val (ra, rb) = (find(a), find(b))
+      // union by min root: the root IS the running component min, so no
+      // second min pass is needed
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+    val sizes = new java.util.HashMap[Long, Long]()
+    ids.foreach { id =>
+      val r = find(id.longValue)
+      sizes.merge(r, 1L, (a, b) => a + b)
+    }
+    val rows = ids.map { boxed =>
+      val id = boxed.longValue
+      val label = find(id)
+      (id, label, if (id == label) 1 else 0, sizes.get(label))
+    }.toSeq
+    spark.createDataFrame(rows)
+      .toDF("id", "cluster", "is_canonical", "cluster_size")
+  }
+
   private[operators] def clusterPairs(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -1845,6 +1900,26 @@ object DedupOps {
     val fwd = pairs.toDF("doc_a", "doc_b")
       .select(col("doc_a").cast("long"), col("doc_b").cast("long")).persist()
     val nEdges = fwd.count()
+    // CAPPED DRIVER HOP (opt r19): a small edge list — a merge
+    // increment's touched subgraph, a fixture-scale corpus — closes in
+    // microseconds under a local union-find, while the distributed
+    // fixpoint pays ~4 near-empty stages of pure scheduling PER ROUND
+    // (~0.2 s/round measured at sf0.1, 7-9 rounds per run). Same
+    // bounded-driver-artifact discipline as the stream-ANN probe hop
+    // ([[SimilarityOps.MaxDriverProbeIds]]): ≤ MaxDriverCcEdges rows of
+    // two longs collect (≤ ~32 MB transient at the cap), anything
+    // larger — a corpus-scale closure at staging cadence — routes
+    // through the RDD fixpoint unchanged. Identical output by
+    // construction: component min-id labels are partitioning- and
+    // algorithm-agnostic (the ScalaCheck merge properties run both
+    // paths across the cap).
+    if (nEdges <= MaxDriverCcEdges) {
+      val es = fwd.as[(Long, Long)].collect() // served from the cache
+      fwd.unpersist(blocking = false)
+      graft.ObservedMetrics.recordGauge("cc.iterations", 0.0)
+      graft.ObservedMetrics.bumpGauge("cc.driver_folds")
+      return localClusterPairs(spark, es)
+    }
     // SIZE the fixpoint's partitioner to the edge count: every round
     // schedules one task per partition, so a small merge increment
     // (the streaming reconciliation's per-batch subgraph) at full
@@ -1871,7 +1946,6 @@ object DedupOps {
       .mapPartitions(_.map { case (id, mn) => (id, math.min(id, mn)) },
         preservesPartitioning = true)
       .persist()
-    labels.count()
     var iter = 0
     var done = false
     while (!done && iter < MaxCcIterations) {
@@ -1881,9 +1955,16 @@ object DedupOps {
       val nbrMin = edges.join(labels)
         .map { case (_, (dst, lsrc)) => (dst, lsrc) }
         .reduceByKey(part, (x: Long, y: Long) => math.min(x, y))
+      // carry the PREVIOUS label through the re-key so the fixpoint
+      // probe rides the materializing job as an accumulator instead of
+      // a second job per round: the old shape ran next.count() AND a
+      // next⋈labels isEmpty probe — 2 driver jobs per round, and at
+      // ~10 rounds per clustering run the probe job was pure
+      // scheduling overhead on a subgraph this small (opt r19; a
+      // task retried under speculation can only OVER-count the
+      // accumulator, and `changed` is a boolean).
       val stepped = labels.leftOuterJoin(nbrMin)
-        .mapPartitions(_.map { case (id, (l, mn)) =>
-          (id, math.min(l, mn.getOrElse(l))) }, preservesPartitioning = true)
+        .map { case (id, (l, mn)) => (math.min(l, mn.getOrElse(l)), (id, l)) }
       // POINTER JUMPING: follow the stepped label through the previous
       // round's label table — label ← min(stepped, prev(stepped)) — so
       // chain distances contract multiplicatively and rounds-to-fixpoint
@@ -1898,17 +1979,20 @@ object DedupOps {
       // resolves in practice — but the join is a leftOuter so the
       // stated fallback (a missing id keeps its stepped label) is what
       // the code does, not just what the invariant implies.
+      val changedAcc = spark.sparkContext.longAccumulator
       val next = stepped
-        .map { case (id, l) => (l, id) }
         .leftOuterJoin(labels)
-        .map { case (l, (id, ll)) => (id, math.min(l, ll.getOrElse(l))) }
+        .map { case (l, ((id, prev), ll)) =>
+          val v = math.min(l, ll.getOrElse(l))
+          if (v < prev) changedAcc.add(1L)
+          (id, v)
+        }
         .partitionBy(part)
         .persist()
       next.count()
-      // labels only ever decrease: no (id, next < prev) row ⇒ fixpoint.
-      // Both sides share `part`, so the probe is narrow and early-outs.
-      val changed = !next.join(labels)
-        .filter { case (_, (n, p)) => n < p }.isEmpty()
+      // labels only ever decrease: no id with next < prev ⇒ fixpoint.
+      // The count() above ran every stage, so the accumulator is final.
+      val changed = changedAcc.value > 0L
       labels.unpersist()
       labels = next
       done = !changed
@@ -2320,11 +2404,27 @@ object DedupOps {
     // a fresh registration wrote a manifest entry without the "epochs"
     // gauge — drop the skip cache so the next maintenance turn re-seeds it
     epochGaugeCache.remove(deltaRoot)
-    val baseRows = stagedBaseCrossModalGroups(spark, sfDir).count()
+    // the base count is a property of the staged ARTIFACT, not of the
+    // registration: memo it per staged generation dir (a re-stage lands
+    // in a fresh temp dir, so a fresh generation re-counts) instead of
+    // spending one Spark job per register call (opt r19 — every
+    // xm_served/stream_xm invocation registers)
+    val base = stagedBaseCrossModalGroups(spark, sfDir)
+    val baseRows = xmodalBaseDirs.peek(sfDir) match {
+      case Some(dir) =>
+        xmBaseRowCounts.computeIfAbsent(dir, _ => base.count()).longValue
+      case None => base.count()
+    }
     graft.util.ServingManifest.put(sfDir, XmDeltaFamily, XmTables,
       Map("deltaRoot" -> deltaRoot, "baseRows" -> baseRows.toString,
         "deltaRows" -> "0"))
   }
+
+  /** Row count per staged base-assignment generation dir (see
+    * [[registerClusterDeltas]]) — bounded at one entry per staged
+    * generation this JVM ever resolves. */
+  private val xmBaseRowCounts =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Long]()
 
   /** Bump the registered overlay's delta-row counter after an epoch
     * write — conditional on `deltaRoot` still being the registration of
@@ -2607,11 +2707,16 @@ object DedupOps {
       // `stream_xm`'s per-micro-batch body, plan-guarded there.
       val base = stagedBaseCrossModalGroups(spark, sfDir)
       val delta = mergeClusterIncrementDelta(base,
-        stagedIncrementCrossEdges(spark, sfDir)).persist()
-      try {
-        delta.write.mode("overwrite").parquet(s"$root/epoch=0")
-        noteClusterDeltaAppend(sfDir, root.toString, delta.count(), epochId = 0L)
-      } finally { delta.unpersist(); () }
+        stagedIncrementCrossEdges(spark, sfDir))
+      // the append counter's row count rides the write as an observed
+      // metric (the tombstoneClusterDocs r18 discipline): the prior
+      // persist + write + count shape spent one extra Spark job and a
+      // cache fill solely to feed the gauge (opt r19)
+      val obs = org.apache.spark.sql.Observation()
+      delta.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$root/epoch=0")
+      noteClusterDeltaAppend(sfDir, root.toString,
+        obs.get("n").asInstanceOf[Long], epochId = 0L)
       crossModalKeepBestOver(spark, sfDir,
         servedCrossModalGroups(spark, sfDir))
     } finally { retireClusterDeltas(sfDir, root.toString); () }

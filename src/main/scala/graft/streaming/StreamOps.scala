@@ -912,17 +912,22 @@ object StreamOps {
               val delta = DedupOps.mergeClusterIncrementDeltaStagedAt(spark,
                 sfDir, docIdx, clusterIdx, data,
                 excludeEpoch = Some(epochId), batch)
-                .persist()
-              try {
-                delta.write.mode("overwrite").parquet(s"$data/epoch=$epochId")
-                DedupOps.noteClusterDeltaAppend(sfDir, data, delta.count(), epochId)
-                // maintenance turn: epoch gauge + minor compaction once
-                // the overlay passes the cadence — keeps every later
-                // batch's overlay read (and the election's) bounded by
-                // O(live overlay + compactEpochs epochs), not stream age
-                DedupOps.maybeCompactClusterDeltas(spark, sfDir, data,
-                  compactEpochs)
-              } finally { delta.unpersist(); () }
+              // the append counter's row count rides the write as an
+              // observed metric (the tombstoneClusterDocs r18
+              // discipline): the prior persist + write + count shape
+              // spent one extra Spark job per micro-batch solely to
+              // feed the gauge (opt r19)
+              val obs = org.apache.spark.sql.Observation()
+              delta.observe(obs, count(lit(1)).as("n"))
+                .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
+              DedupOps.noteClusterDeltaAppend(sfDir, data,
+                obs.get("n").asInstanceOf[Long], epochId)
+              // maintenance turn: epoch gauge + minor compaction once
+              // the overlay passes the cadence — keeps every later
+              // batch's overlay read (and the election's) bounded by
+              // O(live overlay + compactEpochs epochs), not stream age
+              DedupOps.maybeCompactClusterDeltas(spark, sfDir, data,
+                compactEpochs)
             }
           } finally batch.unpersist()
           ()
