@@ -25,6 +25,21 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+      // Partition discovery of every staged artifact here lists a
+      // BOUNDED dir count — the partition keys are index constants
+      // (SigPrefixParts/DocBucketParts/MediaBandParts/XmClusterParts
+      // ≤ 64+1 dirs; IVF cells ≤ MaxCentroids) — but Spark's default
+      // threshold (32 paths) routed those listings through a
+      // DISTRIBUTED job: measured 0.14–0.26 s and 8×dirs near-empty
+      // tasks PER staged-index read at sf0.1 (e.g. stream_lsh spent
+      // ~1.9 s/run across its five staged reads; 4.4 s → 2.5 s after).
+      // A driver-side listing of ≤ a few hundred dirs is O(dirs)
+      // syscalls at any corpus size; artifacts with genuinely huge
+      // partition counts (an object-store lake) still go distributed
+      // past the threshold, which stays env-tunable for such
+      // deployments (opt r19; guide §6 file-listing).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_PART_DISCOVERY_THRESHOLD", "512"))
 
   /** Register every custom SQL function of the engine in a session's
     * registry (idempotent). Operators that need one call this with THEIR

