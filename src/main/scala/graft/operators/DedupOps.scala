@@ -1429,10 +1429,22 @@ object DedupOps {
     root.resolve(s"b${n.getAndIncrement() % 4}")
   }
 
+  /** Round-robin an ARRIVING micro-batch across the session's
+    * parallelism before its CPU-bound in-batch body (codec decode,
+    * tokenize+sign, gram hashing — opt r19): a file-stream batch
+    * arrives with one partition per source file split, and for a
+    * single-file landing (the fixture; any small topic file) that
+    * serializes the whole per-batch compute on one core while the
+    * session idles. Pure row-level spread of batch-sized data — every
+    * in-batch body is per-row projection or aggregate work, so results
+    * are unchanged at any split. */
+  private[graft] def spreadBatch(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def incrementalDedupBatch(spark: SparkSession, sfDir: String,
       increment: DataFrame): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
-    val inc = textSignaturesOf(increment)
+    val inc = textSignaturesOf(spreadBatch(increment))
       .select(col("doc_id"), col("bands"), col("sh"))
     val incBands = inc
       .select(col("doc_id").as("new_doc"),
@@ -1755,7 +1767,11 @@ object DedupOps {
     // batch — the incrementalDedupBatch leak-bound discipline
     val fpDir = nextCandDir(s"$sfDir|${m.name}",
       s"graft_media_batch_fp_${m.name}_")
-    m.fingerprint(batch)
+    // spread the arriving assets before the codec decode (opt r19 —
+    // see [[spreadBatch]]): the decode is the batch body's CPU cost,
+    // and a single-file batch otherwise decodes serially on one core
+    m.fingerprint(batch.repartition(
+        batch.sparkSession.sparkContext.defaultParallelism))
       .write.mode("overwrite").parquet(fpDir.toString)
     val fp = spark.read.parquet(fpDir.toString)
     val incBlocks = mediaBlocksOf(fp)
@@ -2821,7 +2837,8 @@ object DedupOps {
     * split-independence premise (every verdict depends on the doc + ONE
     * frozen probe set). */
   def decontaminateBatchAt(probe: DataFrame, batch: DataFrame): DataFrame =
-    contamVerdicts(contamGrams(batch), probe, DecontaminateMinShared)
+    contamVerdicts(contamGrams(spreadBatch(batch)), probe,
+      DecontaminateMinShared)
 
   val DecontaminateGramLen = 24
   val DecontaminateProbeMod = 20L
