@@ -24,8 +24,29 @@ object Fixtures {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred schema per (file, size, mtime) — schema inference on a
+    * bare `spark.read.parquet` runs a footer-read JOB per call, and the
+    * fixture tables are read by nearly every key on every rep (opt r19:
+    * ~0.02–0.04 s × hundreds of reads per bench run). The stamp is the
+    * (size, mtime) staleness key every staged artifact already uses, so
+    * a regenerated fixture re-infers; only single-file tables cache (a
+    * directory's mtime does not cover its children). Metadata only —
+    * the data path of the read is unchanged. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(p)) spark.read.parquet(path)
+    else {
+      val key = (path, java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      val s = schemaCache.computeIfAbsent(key,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(s).parquet(path)
+    }
+  }
 
   /** `events` with `ts` normalized to session-TZ TimestampType (µs),
     * adaptive to the fixture's declared type — the driver has regenerated

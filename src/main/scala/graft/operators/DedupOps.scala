@@ -670,7 +670,8 @@ object DedupOps {
     * ALWAYS — so `stream_xm`'s correctness never rests on the cap
     * premise. */
   def stagedIncrementCrossEdges(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(stagedIncrementCrossEdgesDir(spark, sfDir).toString)
+    graft.util.StagedArtifacts.readStaged(spark,
+      stagedIncrementCrossEdgesDir(spark, sfDir))
 
   private[graft] def stagedIncrementCrossEdgesDir(spark: SparkSession,
       sfDir: String): java.nio.file.Path =
@@ -982,7 +983,7 @@ object DedupOps {
     * degrades gracefully to a full (still column-pruned, still
     * shuffle-free) scan of the 3-scalar index. */
   def stagedBandProbeIndex(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(bandIdxDir(spark, sfDir).toString)
+    graft.util.StagedArtifacts.readStaged(spark, bandIdxDir(spark, sfDir))
 
   private def bandIdxDir(spark: SparkSession, sfDir: String,
       fresh: Boolean = false): java.nio.file.Path =
@@ -1003,7 +1004,7 @@ object DedupOps {
     * holding candidate base docs — the shingle fetch is O(candidates),
     * not a corpus scan per micro-batch. */
   def stagedShingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(shingleIdxDir(spark, sfDir).toString)
+    graft.util.StagedArtifacts.readStaged(spark, shingleIdxDir(spark, sfDir))
 
   private def shingleIdxDir(spark: SparkSession, sfDir: String,
       fresh: Boolean = false): java.nio.file.Path =
@@ -1595,7 +1596,8 @@ object DedupOps {
     * shuffle-free) scan of the 4-scalar index. */
   def stagedMediaBandIndex(spark: SparkSession, sfDir: String,
       m: MediaModality = ImageModality): DataFrame =
-    spark.read.parquet(mediaBandIdxDir(spark, sfDir, m).toString)
+    graft.util.StagedArtifacts.readStaged(spark,
+      mediaBandIdxDir(spark, sfDir, m))
 
   private def mediaIdxName(m: MediaModality): String = s"media_idx_${m.name}"
 

@@ -1005,7 +1005,8 @@ object SimilarityOps {
     * live filter is a nullable-column predicate on the segment scan and
     * the tombstone anti-join never builds (columns.contains guard). */
   private[graft] def servedIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = spark.read.parquet(stagedIvfIndexDir(spark, sfDir))
+    val base = graft.util.StagedArtifacts.readStaged(spark,
+      java.nio.file.Paths.get(stagedIvfIndexDir(spark, sfDir)))
     registeredSegmentRoot(sfDir) match {
       case None => base
       case Some(root) =>

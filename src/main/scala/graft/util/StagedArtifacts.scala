@@ -46,8 +46,26 @@ object StagedArtifacts {
       builds: java.util.concurrent.atomic.AtomicLong,
       partitionCols: Seq[String] = Nil)
       (build: => DataFrame): DataFrame =
-    spark.read.parquet(
-      tempDir(sfDir, memo, prefix, builds, partitionCols)(build).toString)
+    readStaged(spark,
+      tempDir(sfDir, memo, prefix, builds, partitionCols)(build))
+
+  /** Inferred schema per staged DIR — skips the per-read footer
+    * inference job (opt r19): a staged dir's schema never changes over
+    * its lifetime (appends — including tombstone partitions — project
+    * to the index's own schema, and a re-stage lands in a FRESH dir,
+    * so the dir path is a sound cache key). Metadata only; partition
+    * values still come from the directory listing on every read. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a staged artifact dir with its schema served from the
+    * per-dir cache — the standard read for every staged index whose
+    * consumers pay per-call schema inference otherwise. */
+  def readStaged(spark: SparkSession, dir: Path): DataFrame = {
+    val s = schemaCache.computeIfAbsent(dir.toString,
+      d => spark.read.parquet(d).schema)
+    spark.read.schema(s).parquet(dir.toString)
+  }
 
   /** The per-JVM temp variant returning the DIRECTORY — for consumers
     * that need the path itself (a streaming file source reading a
