@@ -63,7 +63,9 @@ object StreamOps {
       graft.util.TempDirs.track(d)
       d
     })
-    val schema = spark.read.parquet(src.toString).schema
+    // stamped schema cache (opt r19): the bare read re-ran footer
+    // inference — one job — on every stream-key invocation
+    val schema = Fixtures.table(spark, sfDir, "events").schema
     Fixtures.normalizeEventTs(
       spark.readStream.schema(schema).parquet(dir.toString))
   }
@@ -517,7 +519,7 @@ object StreamOps {
       graft.util.TempDirs.track(d)
       d
     })
-    val schema = spark.read.parquet(src.toString).schema
+    val schema = Fixtures.table(spark, sfDir, "embeddings").schema
     val rdr = spark.readStream.schema(schema)
     maxFilesPerTrigger
       .fold(rdr)(n => rdr.option("maxFilesPerTrigger", n.toString))
@@ -538,7 +540,7 @@ object StreamOps {
       graft.util.TempDirs.track(d)
       d
     })
-    val schema = spark.read.parquet(src.toString).schema
+    val schema = Fixtures.table(spark, sfDir, "documents").schema
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
@@ -882,7 +884,11 @@ object StreamOps {
     // frozen base (review r16)
     val docIdx = DedupOps.xmDocIdxDir(spark, sfDir)
     val clusterIdx = DedupOps.xmClusterIdxDir(spark, sfDir)
-    val schema = spark.read.parquet(edgesDir).schema
+    // per-dir schema cache (opt r19): edgesDir is a staged artifact (or
+    // a gate-published topic) whose schema never changes over the dir's
+    // lifetime — skip the per-invocation footer-inference job
+    val schema = graft.util.StagedArtifacts.readStaged(spark,
+      java.nio.file.Paths.get(edgesDir)).schema
     val root = java.nio.file.Files.createTempDirectory("graft_stream_xm_")
     graft.util.TempDirs.track(root)
     val data = root.resolve("deltas").toString
