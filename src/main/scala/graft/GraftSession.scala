@@ -40,6 +40,24 @@ object GraftSession {
       // deployments (opt r19; guide §6 file-listing).
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_PART_DISCOVERY_THRESHOLD", "512"))
+      // Every streaming query here is a DRAIN-AND-STOP AvailableNow run
+      // (the bench/verify contract; production analog: the periodic-
+      // drain ingestion pattern AvailableNow exists for). After the last
+      // data batch the engine runs ONE extra no-data micro-batch purely
+      // to advance the watermark for state eviction/timeouts — a full
+      // batch cycle (offset+commit log writes, per-partition state-store
+      // load/commit: 32 store instances for the stream-stream join) that
+      // cannot change any result this engine declares: no key uses
+      // append-mode watermark-held aggregate finals (tumbling/session
+      // are complete-mode for exactly that reason), the dedup/tracker
+      // state evictions only drop state that the stop discards anyway,
+      // and data batches run back-to-back under AvailableNow so no
+      // no-data batch can interleave mid-stream. Measured ~0.5-0.7 s per
+      // stateful drain at sf0.1 (opt r20). A continuous deployment that
+      // wants prompt timeout firing between sparse data batches
+      // re-enables via the env override.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_NODATA_BATCHES", "false"))
 
   /** Register every custom SQL function of the engine in a session's
     * registry (idempotent). Operators that need one call this with THEIR

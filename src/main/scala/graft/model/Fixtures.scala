@@ -33,17 +33,23 @@ object Fixtures {
     * directory's mtime does not cover its children). Metadata only —
     * the data path of the read is unchanged. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+    String, ((Long, Long), org.apache.spark.sql.types.StructType)]()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isRegularFile(p)) spark.read.parquet(path)
     else {
-      val key = (path, java.nio.file.Files.size(p),
+      // keyed by path with the stamp INSIDE the value, so a regenerated
+      // fixture REPLACES its entry instead of leaving the stale stamp's
+      // schema behind forever (r19 ADVICE). Inference assumes the fixed
+      // GraftSession parquet configs (nanosAsLong etc.) — every session
+      // in this JVM comes from that one builder.
+      val stamp = (java.nio.file.Files.size(p),
         java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      val s = schemaCache.computeIfAbsent(key,
-        _ => spark.read.parquet(path).schema)
+      val s = schemaCache.compute(path, (_, prev) =>
+        if (prev != null && prev._1 == stamp) prev
+        else (stamp, spark.read.parquet(path).schema))._2
       spark.read.schema(s).parquet(path)
     }
   }

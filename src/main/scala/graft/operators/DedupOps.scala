@@ -715,10 +715,18 @@ object DedupOps {
       .select(col("doc_id"), col("quality"))
     val members = groups.select(col("doc_id"), col("cluster"), col("cluster_size"))
       .join(quality, Seq("doc_id"))
-    val winners = members.groupBy("cluster")
-      .agg(min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
-        .as("keep_id"))
-    members.join(winners, "cluster")
+    // SINGLE-SCAN election (opt r20, guide §7.2 duplicated subtrees):
+    // the former aggregate-then-rejoin shape carried `members` — the
+    // quality kernel over the docs scan JOINED to the assignment, which
+    // for the serving keys is the base ∪ overlay anti-join view — as
+    // TWO plan branches, evaluating that whole subtree twice per serve.
+    // The same min_by evaluated as a window over the cluster runs it
+    // once: one exchange on `cluster`, identical winners (argmin over
+    // the same tie-broken struct), identical columns.
+    members
+      .withColumn("keep_id",
+        min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
+          .over(Window.partitionBy("cluster")))
       .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
         (col("doc_id") === col("keep_id")).cast("int").as("keep"))
   }
@@ -1464,15 +1472,24 @@ object DedupOps {
     // same corpus, which the streaming caller satisfies by construction
     // (each epoch's sink write completes before the next batch starts).
     val candDir = nextCandDir(sfDir, "graft_lsh_cand_")
-    probeCandidates(spark, sfDir, incBands)
+    val candFrame = probeCandidates(spark, sfDir, incBands)
+    // the verify stage's bounded partition-key set (≤ DocBucketParts,
+    // an index constant) rides the checkpoint write as an observed
+    // collect_set instead of a separate post-write distinct job
+    // (opt r20 — the tombstoneClusterDocs ride-along discipline;
+    // set semantics stay exact under task retries)
+    val obs = org.apache.spark.sql.Observation()
+    candFrame
+      .observe(obs, collect_set(
+        Hashing.md5Bucket(col("base_doc"), DocBucketParts).cast("int"))
+        .as("dbs"))
       .write.mode("overwrite").parquet(candDir.toString)
-    val cand = spark.read.parquet(candDir.toString)
+    val dbs = obs.get("dbs").asInstanceOf[Seq[Int]]
+    // declared schema (the frame just written): a bare read re-ran
+    // footer inference — one job per micro-batch (opt r20)
+    val cand = spark.read.schema(candFrame.schema).parquet(candDir.toString)
     val withNewSh = cand.join(
       inc.select(col("doc_id").as("new_doc"), col("sh").as("nsh")), "new_doc")
-    val dbs = cand
-      .select(Hashing.md5Bucket(col("base_doc"), DocBucketParts)
-        .cast("int").as("db"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     val baseSh = stagedShingleIndex(spark, sfDir)
       .filter(col("db").isin(dbs: _*))
       .select(col("doc_id").as("base_doc"), col("sh").as("bsh"))
@@ -1772,18 +1789,31 @@ object DedupOps {
     // spread the arriving assets before the codec decode (opt r19 —
     // see [[spreadBatch]]): the decode is the batch body's CPU cost,
     // and a single-file batch otherwise decodes serially on one core
-    m.fingerprint(batch.repartition(
-        batch.sparkSession.sparkContext.defaultParallelism))
+    val fpFrame = m.fingerprint(batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism))
+    // the probe's bounded partition-key set (≤ MediaBandParts, an index
+    // constant) rides the fingerprint checkpoint write as an observed
+    // collect_set of each asset's 8 block-prefixes — the separate
+    // post-write distinct job this replaces re-read the checkpoint
+    // (opt r20). Same arithmetic as [[mediaBlocksOf]]+[[
+    // mediaBlockPrefix]], folded per row: blk_val(b) =
+    // shiftright(dhash, b*7) & 127.
+    val obs = org.apache.spark.sql.Observation()
+    fpFrame
+      .observe(obs, collect_set(
+        transform(sequence(lit(0), lit(ImgHashBlocks - 1)), b =>
+          mediaBlockPrefix(b,
+            call_function("shiftright", col("dhash"), b * 7)
+              .bitwiseAND(lit(127L)))))
+        .as("mps"))
       .write.mode("overwrite").parquet(fpDir.toString)
-    val fp = spark.read.parquet(fpDir.toString)
+    val mps = obs.get("mps").asInstanceOf[Seq[Seq[Int]]].flatten.distinct
+    // declared schema (the frame just written): a bare read re-ran
+    // footer inference — one job per micro-batch (opt r20)
+    val fp = spark.read.schema(fpFrame.schema).parquet(fpDir.toString)
     val incBlocks = mediaBlocksOf(fp)
       .select(col("media_id").as("new_media"), col("dhash").as("nh"),
         col("blk"), col("blk_val"))
-    // bounded collect: the distinct partition keys this batch probes
-    // (≤ MediaBandParts, an index constant — never data-proportional)
-    val mps = incBlocks
-      .select(mediaBlockPrefix(col("blk"), col("blk_val")).as("mp"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     // takedown exclusion (r19): the probeCandidates stance — a
     // tombstoned base asset stops matching; zero plan change when no
     // tombstone partition exists
@@ -2235,9 +2265,12 @@ object DedupOps {
     // take only the live rows — one materialization serves both
     val deltas = rawClusterDeltas(spark, deltaRoot, excludeEpoch).map { raw =>
       val dDir = nextCandDir(s"xmd:$sfDir", "graft_xm_newest_")
-      collapsedClusterDelta(raw).coalesce(1)
+      val collapsed = collapsedClusterDelta(raw)
+      collapsed.coalesce(1)
         .write.mode("overwrite").parquet(dDir.toString)
-      spark.read.parquet(dDir.toString)
+      // declared schema (the frame just written): a bare read re-ran
+      // footer inference — one job per micro-batch (opt r20)
+      spark.read.schema(collapsed.schema).parquet(dDir.toString)
     }
     // base rows shadowed by ANY delta row drop — updates and
     // tombstones alike (a retracted doc must not re-enter the merge as
@@ -2273,15 +2306,21 @@ object DedupOps {
     // checkpoint discipline (incrementalDedupBatch), applied where the
     // stage really is evaluated more than once
     val tDir = nextCandDir(s"xm:$sfDir", "graft_xm_touched_")
+    // second bounded driver artifact (≤ XmClusterParts ints): rides the
+    // touched-set checkpoint write as an observed collect_set instead
+    // of a separate post-write distinct job (opt r20)
+    val cbObs = org.apache.spark.sql.Observation()
     // coalesce(1): the set is bounded scalars — 32 near-empty commit
     // tasks per micro-batch would cost more than the write itself
-    touchedLive.coalesce(1).write.mode("overwrite").parquet(tDir.toString)
-    val touched = spark.read.parquet(tDir.toString)
-    // second bounded driver artifact: ≤ XmClusterParts ints
-    val cbs = touched
-      .select(Hashing.md5Bucket(col("cluster"), XmClusterParts)
-        .cast("int").as("cb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    touchedLive
+      .observe(cbObs, collect_set(
+        Hashing.md5Bucket(col("cluster"), XmClusterParts).cast("int"))
+        .as("cbs"))
+      .coalesce(1).write.mode("overwrite").parquet(tDir.toString)
+    val cbs = cbObs.get("cbs").asInstanceOf[Seq[Int]]
+    // declared schema (one `cluster BIGINT` column, the frame just
+    // written) — skips the per-batch footer-inference job (opt r20)
+    val touched = spark.read.schema(touchedLive.schema).parquet(tDir.toString)
     val affectedBase = unshadowed(
       spark.read.schema(idxSchema("cb")).parquet(clusterIdx.toString)
         .filter(col("cb").isin(cbs: _*))

@@ -277,11 +277,14 @@ object LlmOps {
     val quality = TextOps.textQualityScore(docs)
       .select(col("doc_id"), col("quality"))
     val members = groups.join(quality, Seq("doc_id"))
-    val winners = members
-      .groupBy("cluster")
-      .agg(min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
-        .as("keep_id"))
-    members.join(winners, "cluster")
+    // single-scan election — the same window-fold as
+    // [[DedupOps.keepBestElection]] (opt r20): the aggregate-then-rejoin
+    // shape evaluated the members subtree (docs scan + quality kernel +
+    // groups join) twice; the window runs it once for identical winners.
+    members
+      .withColumn("keep_id",
+        min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster")))
       .select(col("doc_id"), col("cluster"), col("cluster_size"), col("quality"),
         (col("doc_id") === col("keep_id")).cast("int").as("keep"))
   }

@@ -677,8 +677,14 @@ object SimilarityOps {
     liveSegmentRoots.put(sfDir, segRoot)
     // segment rows counted ONCE at registration (footer metadata) and
     // persisted next to the root, so the staleness gauge is arithmetic
-    // — a monitoring read never scans the segments
-    val n = spark.read.parquet(segRoot).count()
+    // — a monitoring read never scans the segments. The count needs no
+    // payload columns, so a minimal declared schema (vec_id + the two
+    // partition keys) skips the footer-inference job a bare read pays
+    // per registration (opt r20); row count is schema-independent.
+    val n = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, cell BIGINT, epoch BIGINT"))
+      .parquet(segRoot).count()
     graft.util.ServingManifest.put(sfDir, SegmentsFamily, AnnTables,
       Map("segRoot" -> segRoot, "segRows" -> n.toString))
   }

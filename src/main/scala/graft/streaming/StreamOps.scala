@@ -231,7 +231,12 @@ object StreamOps {
         (f.isFile && !hidden) || (f.isDirectory && !hidden && dataFiles(f))
       })
     if (dataFiles(new java.io.File(data)))
-      spark.read.parquet(data).drop("epoch")
+      // the sink's schema is the written batch's own (known here), plus
+      // the epoch partition column declared BIGINT — a bare read re-ran
+      // footer schema inference (one job) per sink read per invocation
+      // (opt r20; the rawClusterDeltas declared-epoch discipline)
+      spark.read.schema(schema.add("epoch", "bigint")).parquet(data)
+        .drop("epoch")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -404,7 +409,12 @@ object StreamOps {
       d
     })
     val (mainDir, dlqDir) = (s"$base/main", s"$base/dlq")
-    val q = eventsStream(spark, sfDir)
+    val ev = eventsStream(spark, sfDir)
+    // the sink trees hold exactly the stream's rows under epoch= dirs:
+    // declare that schema on the read-back so neither aggregate pays a
+    // footer-inference job per invocation (opt r20)
+    val sinkSchema = ev.schema.add("epoch", "bigint")
+    val q = ev
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // idempotent per epoch: each sink writes into an epoch-keyed
@@ -423,10 +433,10 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val main = spark.read.parquet(mainDir)
+    val main = spark.read.schema(sinkSchema).parquet(mainDir)
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .withColumn("topic", lit("main"))
-    val dlq = spark.read.parquet(dlqDir)
+    val dlq = spark.read.schema(sinkSchema).parquet(dlqDir)
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .withColumn("topic", lit("dlq"))
     main.unionByName(dlq).select("topic", "n", "sum_value").orderBy("topic")
@@ -596,9 +606,15 @@ object StreamOps {
       .filter(graft.operators.DedupOps.isNewDoc)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.persist()
-        try {
-          if (batch.count() > 0) {
+        // emptiness gate via limit-1 probe, no persist (opt r20): the
+        // body's two evaluations of the batch (the candidate checkpoint
+        // write and the final plan's shingle side) each re-scan the
+        // tiny staged source file — the old persist(); count() paid a
+        // full materialization job to answer "n > 0" while saving only
+        // that re-scan (the signature compute recomputes either way;
+        // the candidate checkpoint is the dedup discipline's cache)
+        {
+          if (!batch.isEmpty) {
             val res = graft.operators.DedupOps
               .incrementalDedupBatch(spark, sfDir, batch)
             publishEdgesTo match {
@@ -625,7 +641,7 @@ object StreamOps {
             graft.util.EpochDirs.foldEpochSink(spark, data, SinkFoldEpochs)
             ()
           }
-        } finally batch.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -673,9 +689,10 @@ object StreamOps {
         lit(DedupOps.DecontaminateProbeMod)) =!= 0)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.persist()
-        try {
-          if (batch.count() > 0) {
+        // emptiness gate via limit-1 probe, no persist: the batch is
+        // consumed exactly once below (opt r20 — the media-gate shape)
+        {
+          if (!batch.isEmpty) {
             DedupOps.decontaminateBatchAt(probe, batch)
               .write.mode("overwrite").parquet(s"$data/epoch=$epochId")
             // retention maintenance turn (r17 verdict #4): append-shaped
@@ -684,7 +701,7 @@ object StreamOps {
             graft.util.EpochDirs.foldEpochSink(spark, data, SinkFoldEpochs)
             ()
           }
-        } finally batch.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -740,9 +757,12 @@ object StreamOps {
       .filter(graft.operators.DedupOps.isNewDoc)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.persist()
-        try {
-          if (batch.count() > 0) {
+        // emptiness gate via limit-1 probe, no persist: the batch is
+        // consumed exactly ONCE below (the fingerprint checkpoint
+        // write), so the old persist(); count() shape paid one full
+        // materialization job purely to answer "n > 0" (opt r20)
+        {
+          if (!batch.isEmpty) {
             val res = graft.operators.DedupOps.incrementalMediaDedupBatch(
               spark, sfDir, modality.table(batch), modality)
             publishEdgesTo match {
@@ -765,7 +785,7 @@ object StreamOps {
             graft.util.EpochDirs.foldEpochSink(spark, data, SinkFoldEpochs)
             ()
           }
-        } finally batch.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -1074,13 +1094,37 @@ object StreamOps {
     val q = embeddingsStream(spark, sfDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.persist()
-        try {
-          val n = batch.count()
-          if (n > 0) {
-            graft.operators.SimilarityOps.indexRows(batch, cents, cb)
+        // emptiness gate via limit-1 probe; the appended row count rides
+        // the segment write as an observed metric instead of a separate
+        // count job (opt r20 — the tombstoneClusterDocs discipline;
+        // indexRows is a pure projection, so its row count IS the batch
+        // count). No persist: the batch is consumed exactly once.
+        {
+          if (!batch.isEmpty) {
+            val obs = org.apache.spark.sql.Observation()
+            // spread the arriving vectors before the CPU-bound in-batch
+            // encode (the spreadBatch discipline, opt r19/r20): a
+            // single-file batch otherwise PQ-encodes serially on one
+            // core (measured 0.4 s of the batch body at sf0.1)
+            graft.operators.SimilarityOps.indexRows(
+                graft.operators.DedupOps.spreadBatch(batch), cents, cb)
+              .observe(obs, count(lit(1)).as("n"))
+              // spread the dynamic-partition write across the cells
+              // (opt r20): a single-file micro-batch arrives as ONE
+              // task, whose writer then opens/commits every cell's file
+              // SERIALLY (measured 1.2-1.3 s of the key's 1.8 s at
+              // sf0.1); hash-clustering by cell lets ≤|cells| tasks
+              // write in parallel — and at real scale it is also the
+              // file-count bound (guide §6): a many-task batch would
+              // otherwise write tasks × cells small files per epoch
+              // instead of one per cell. Explicit count pins the
+              // exchange against AQE's pre-write coalescing (the
+              // groupMembers lesson); cell values and file contents are
+              // unchanged, only write parallelism moves.
+              .repartition(cents.size, col("cell"))
               .write.mode("overwrite").partitionBy("cell")
               .parquet(s"$data/epoch=$epochId")
+            val n = obs.get("n").asInstanceOf[Long]
             // keep a LIVE registration's row count current (no-op here,
             // where registration follows the drain — but a production
             // topology registers early and appends forever, and the
@@ -1093,7 +1137,7 @@ object StreamOps {
               spark, sfDir, data, compactEpochs)
             ()
           }
-        } finally batch.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", ckpt)
@@ -1105,11 +1149,18 @@ object StreamOps {
     // queryable immediately, retrain is compaction not visibility
     graft.operators.SimilarityOps.registerIndexSegments(spark, sfDir, data)
     // contract projection: the scalar index triple (the embedding array
-    // and stored ccos stay serving-side); `cell` comes back as the
-    // inferred partition column, restored to its BIGINT identity
-    spark.read.parquet(data)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        col("pq_code"))
+    // and stored ccos stay serving-side); `cell` declared BIGINT so the
+    // partition column reads at its identity type — the declared schema
+    // (known from indexRows' own projection) also skips the per-
+    // invocation footer-inference job a bare read pays (opt r20)
+    val segSchema = graft.operators.SimilarityOps
+      .indexRows(graft.model.Fixtures.embeddings(spark, sfDir).limit(0),
+        cents, cb).schema
+    val readSchema = org.apache.spark.sql.types.StructType(
+      segSchema.fields.filterNot(_.name == "cell"))
+      .add("cell", "bigint").add("epoch", "bigint")
+    spark.read.schema(readSchema).parquet(data)
+      .select(col("vec_id"), col("cell"), col("pq_code"))
   }
 
   /** ANN served over base ∪ LIVE SEGMENTS — the end-to-end LSM read:
