@@ -428,4 +428,20 @@ class CapSpec extends SparkTestBase {
     // the oracle-checked keys' pinned counts are reachable geometries
     assert(defaultNumPlanes(2000L) === MinPlanes)
   }
+
+  test("explodeSpread scales with the input estimate, floored at parallelism") {
+    val floor = spark.sparkContext.defaultParallelism
+    // tiny frame: the floor holds (the fixture-scale r19 plan shape)
+    assert(operators.DedupOps.explodeSpread(
+      spark.range(10).toDF("doc_id")) === floor)
+    // large estimate (range stats = 8 bytes/row, driver-side, no job):
+    // the count grows linearly past the floor
+    val big = operators.DedupOps.explodeSpread(
+      spark.range(1L << 31).toDF("doc_id"))
+    assert(big > floor)
+    assert(big === ((8L * (1L << 31)) / (8L << 20)).toInt)
+    // the scheduler-pressure cap binds for absurd estimates
+    assert(operators.DedupOps.explodeSpread(
+      spark.range(Long.MaxValue / 16).toDF("doc_id")) === (1 << 17))
+  }
 }
