@@ -1109,13 +1109,17 @@ object DedupOps {
       .select(col("doc_id"), col("bands"), col("sh")).persist()
     try {
       val n = sigs.count()
-      sigs.select(col("doc_id"),
+      val bandRows = sigs.select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band", "sig")))
         .select(col("band"), col("sig"), col("doc_id"),
           sigPrefix(col("sig")).as("sp"))
+      graft.util.StagedArtifacts.noteAppend(bandDir, bandRows)
+      bandRows
         .write.mode("append").partitionBy("sp").parquet(bandDir.toString)
-      sigs.select(col("doc_id"), col("sh"),
-          Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int").as("db"))
+      val shRows = sigs.select(col("doc_id"), col("sh"),
+        Hashing.md5Bucket(col("doc_id"), DocBucketParts).cast("int").as("db"))
+      graft.util.StagedArtifacts.noteAppend(shDir, shRows)
+      shRows
         .write.mode("append").partitionBy("db").parquet(shDir.toString)
       graft.util.ServingManifest.addCounter(sfDir, TextAppendsFamily,
         TextTables, bandDir.toString, n)
@@ -1209,7 +1213,9 @@ object DedupOps {
     * [[TombstonePart]]. */
   private def tombstoneRowsFor(spark: SparkSession, dir: java.nio.file.Path,
       ids: DataFrame, idCol: String, partCol: String): DataFrame = {
-    val schema = spark.read.parquet(dir.toString).schema
+    // served from the per-dir schema cache — the bare read re-ran
+    // footer inference per tombstone append (opt r20)
+    val schema = graft.util.StagedArtifacts.readStaged(spark, dir).schema
     ids.select(schema.fields.toSeq.map { f =>
       if (f.name == idCol) col(idCol).cast(f.dataType).as(idCol)
       else if (f.name == partCol)
@@ -1237,10 +1243,14 @@ object DedupOps {
     val bandDir = bandIdxDir(spark, sfDir)
     val shDir = shingleIdxDir(spark, sfDir)
     val obs = org.apache.spark.sql.Observation()
-    tombstoneRowsFor(spark, bandDir, ids, "doc_id", "sp")
+    val bandTs = tombstoneRowsFor(spark, bandDir, ids, "doc_id", "sp")
+    graft.util.StagedArtifacts.noteAppend(bandDir, bandTs)
+    bandTs
       .observe(obs, count(lit(1)).as("n"))
       .write.mode("append").partitionBy("sp").parquet(bandDir.toString)
-    tombstoneRowsFor(spark, shDir, ids, "doc_id", "db")
+    val shTs = tombstoneRowsFor(spark, shDir, ids, "doc_id", "db")
+    graft.util.StagedArtifacts.noteAppend(shDir, shTs)
+    shTs
       .write.mode("append").partitionBy("db").parquet(shDir.toString)
     graft.ObservedMetrics.recordGauge("text.tombstoned_docs",
       obs.get("n").asInstanceOf[Long].toDouble)
@@ -1283,7 +1293,11 @@ object DedupOps {
       sfDir: String): Option[DataFrame] =
     resolvedIdxDir(bandIdxDirs, sfDir, "band_idx")
       .flatMap(tombstonePartDir(_, "sp"))
-      .map(d => spark.read.parquet(d.toString).select("doc_id").distinct())
+      // only the id column is read — declaring it skips the per-serve
+      // footer-inference job (opt r20)
+      .map(d => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+        .parquet(d.toString).select("doc_id").distinct())
 
   /** Drop rows whose id in any of `cols` is tombstoned — the exclusion
     * every takedown-aware serve rides: one bounded BROADCAST left-anti
@@ -1324,8 +1338,9 @@ object DedupOps {
   def tombstoneMediaAssets(spark: SparkSession, sfDir: String,
       ids: DataFrame, m: MediaModality = ImageModality): Unit = {
     val dir = mediaBandIdxDir(spark, sfDir, m)
-    tombstoneRowsFor(spark, dir, ids, "media_id", "mp")
-      .write.mode("append").partitionBy("mp").parquet(dir.toString)
+    val ts = tombstoneRowsFor(spark, dir, ids, "media_id", "mp")
+    graft.util.StagedArtifacts.noteAppend(dir, ts)
+    ts.write.mode("append").partitionBy("mp").parquet(dir.toString)
   }
 
   /** [[dropTextTombstones]] for a media modality. */
@@ -1342,7 +1357,11 @@ object DedupOps {
       m: MediaModality = ImageModality): Option[DataFrame] =
     resolvedIdxDir(mediaBandIdxDirs(m.name), sfDir, mediaIdxName(m))
       .flatMap(tombstonePartDir(_, "mp"))
-      .map(d => spark.read.parquet(d.toString).select("media_id").distinct())
+      // only the id column is read — declaring it skips the per-serve
+      // footer-inference job (opt r20)
+      .map(d => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL("media_id BIGINT"))
+        .parquet(d.toString).select("media_id").distinct())
 
   /** Deterministic takedown slice for the `lsh_del` contract key —
     * every doc_id ≡ [[DocDeleteRem]] (mod [[DocDeleteMod]]):
@@ -1374,7 +1393,9 @@ object DedupOps {
       val dir = java.nio.file.Files.createTempDirectory("graft_lsh_del_out_")
       graft.util.TempDirs.track(dir)
       out.write.mode("overwrite").parquet(dir.toString)
-      spark.read.parquet(dir.toString)
+      // declared schema (the frame just written) — skips the read-back's
+      // footer-inference job (opt r20)
+      spark.read.schema(out.schema).parquet(dir.toString)
     } finally dropTextTombstones(spark, sfDir)
   }
 
@@ -1718,9 +1739,11 @@ object DedupOps {
     val fp = m.fingerprint(batch).persist()
     try {
       val n = fp.count()
-      mediaBlocksOf(fp)
+      val blockRows = mediaBlocksOf(fp)
         .select(col("blk"), col("blk_val"), col("media_id"), col("dhash"),
           mediaBlockPrefix(col("blk"), col("blk_val")).as("mp"))
+      graft.util.StagedArtifacts.noteAppend(dir, blockRows)
+      blockRows
         .write.mode("append").partitionBy("mp").parquet(dir.toString)
       graft.util.ServingManifest.addCounter(sfDir, MediaAppendsFamily,
         MediaTables, dir.toString, n)
@@ -1912,10 +1935,14 @@ object DedupOps {
       Option[org.apache.spark.rdd.RDD[(Long, Long)]]](None)
 
   /** Edge-count cap for [[clusterPairs]]' driver-local closure: below
-    * it the component fold runs as an in-heap union-find (two longs per
-    * edge — ≤ ~32 MB transient at the cap) and the result ships back as
-    * one local relation; above it the distributed RDD fixpoint runs
-    * unchanged. A merge increment's touched subgraph is dup-density
+    * it the component fold runs as an in-heap union-find and the result
+    * ships back as one local relation; above it the distributed RDD
+    * fixpoint runs unchanged. Driver footprint at the cap (r19 ADVICE
+    * correction): the 2^20 collected rows are BOXED (Long, Long) tuples
+    * plus a boxed HashMap over up to ~2M vertices — realistically
+    * 100-300 MB transient, comfortably inside the 8g driver but NOT the
+    * ~32 MB a primitive layout would cost; raise the cap only together
+    * with a primitive-array union-find. A merge increment's touched subgraph is dup-density
     * bounded and sits far under this at any corpus size; the cap exists
     * for the corpus-cadence closures (staging a 100 TB snapshot), which
     * route distributed. */
@@ -2000,8 +2027,9 @@ object DedupOps {
     // fixpoint pays ~4 near-empty stages of pure scheduling PER ROUND
     // (~0.2 s/round measured at sf0.1, 7-9 rounds per run). Same
     // bounded-driver-artifact discipline as the stream-ANN probe hop
-    // ([[SimilarityOps.MaxDriverProbeIds]]): ≤ MaxDriverCcEdges rows of
-    // two longs collect (≤ ~32 MB transient at the cap), anything
+    // ([[SimilarityOps.MaxDriverProbeIds]]): ≤ MaxDriverCcEdges rows
+    // collect (boxed — see the cap's scaladoc for the honest driver
+    // footprint at the limit), anything
     // larger — a corpus-scale closure at staging cadence — routes
     // through the RDD fixpoint unchanged. Identical output by
     // construction: component min-id labels are partitioning- and

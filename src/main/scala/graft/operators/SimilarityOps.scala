@@ -570,7 +570,9 @@ object SimilarityOps {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_del_out_")
       graft.util.TempDirs.track(dir)
       out.write.mode("overwrite").parquet(dir.toString)
-      spark.read.parquet(dir.toString)
+      // declared schema (the frame just written) — skips the read-back's
+      // footer-inference job (opt r20)
+      spark.read.schema(out.schema).parquet(dir.toString)
     } finally dropIndexSegments(sfDir, root.toString)
   }
 
@@ -607,8 +609,9 @@ object SimilarityOps {
     val cents = stagedCentroidIndex(spark, sfDir)
     val codebook = stagedPqCodebook(spark, sfDir)
     val n = batch.count()
-    indexRows(batch, cents, codebook)
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    val rows = indexRows(batch, cents, codebook)
+    graft.util.StagedArtifacts.noteAppend(java.nio.file.Paths.get(dir), rows)
+    rows.write.mode("append").partitionBy("cell").parquet(dir)
     graft.util.ServingManifest.addCounter(sfDir, AnnAppendsFamily, AnnTables,
       dir, n)
     ()

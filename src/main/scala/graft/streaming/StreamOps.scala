@@ -1191,7 +1191,9 @@ object StreamOps {
       val dir = java.nio.file.Files.createTempDirectory("graft_ann_seg_")
       graft.util.TempDirs.track(dir)
       out.write.mode("overwrite").parquet(dir.toString)
-      spark.read.parquet(dir.toString)
+      // declared schema (the frame just written) — skips the read-back's
+      // footer-inference job (opt r20)
+      spark.read.schema(out.schema).parquet(dir.toString)
     } finally root.foreach(SimilarityOps.dropIndexSegments(sfDir, _))
   }
 

@@ -67,6 +67,23 @@ object StagedArtifacts {
     spark.read.schema(s).parquet(dir.toString)
   }
 
+  /** Cache-soundness hook for the IN-PLACE append sites (r19 ADVICE):
+    * [[readStaged]]'s per-dir cache is sound only while appends never
+    * add a column — a writer appending a wider frame (say a future
+    * `deleted` flag on a new partition) would otherwise have that
+    * column silently dropped from every subsequent cached read. Called
+    * with the frame ABOUT to append: a frame whose columns all exist in
+    * the cached schema keeps the cache (today's tombstone/index appends
+    * — they project to the index's own schema); any new column DROPS
+    * the entry so the next read re-infers and sees it. No-op when the
+    * dir has no cached entry yet. */
+  def noteAppend(dir: Path, df: DataFrame): Unit =
+    Option(schemaCache.get(dir.toString)).foreach { s =>
+      val cached = s.fieldNames.toSet
+      if (!df.schema.fieldNames.forall(cached.contains))
+        { schemaCache.remove(dir.toString); () }
+    }
+
   /** The per-JVM temp variant returning the DIRECTORY — for consumers
     * that need the path itself (a streaming file source reading a
     * staged artifact as its topic). */
