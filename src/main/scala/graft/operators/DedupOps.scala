@@ -1454,6 +1454,15 @@ object DedupOps {
     // (≤ SigPrefixParts, an index constant — never data-proportional)
     val sps = incBands.select(sigPrefix(col("sig")).as("sp"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    probeCandidatesAt(spark, sfDir, incBands, sps)
+  }
+
+  /** [[probeCandidates]] with the probed prefix set supplied by the
+    * caller — the streaming batch body rides it on the signature
+    * checkpoint write as an observed collect_set (opt r20), so no
+    * separate collect job runs. */
+  private[graft] def probeCandidatesAt(spark: SparkSession, sfDir: String,
+      incBands: DataFrame, sps: Seq[Int]): DataFrame =
     // takedown exclusion (r19): a tombstoned base doc must stop serving
     // as a match target — the anti-join rides the already-pruned,
     // already-bounded probe scan; zero plan change when no tombstone
@@ -1464,7 +1473,6 @@ object DedupOps {
       .join(broadcast(incBands), Seq("band", "sig"))
       .groupBy(col("new_doc"), col("doc_id").as("base_doc"))
       .agg(count(lit(1)).as("n_bands"))
-  }
 
   /** One batch-checkpoint ROOT per (corpus, JVM) — see the overwrite
     * note in [[incrementalDedupBatch]]; media keys by (corpus,
@@ -1506,8 +1514,25 @@ object DedupOps {
   def incrementalDedupBatch(spark: SparkSession, sfDir: String,
       increment: DataFrame): DataFrame = {
     graft.GraftSession.registerFunctions(spark)
-    val inc = textSignaturesOf(spreadBatch(increment))
+    // SIGNATURE CHECKPOINT (opt r20 — the media gate's fingerprint-
+    // checkpoint symmetry): the batch's signatures (tokenize + MinHash
+    // + shingles, the batch body's CPU) were previously recomputed in
+    // THREE plan branches — the prefix collect, the candidate probe's
+    // broadcast side, and the final verify's new-shingle side. One
+    // parquet checkpoint computes them once; the probe's bounded
+    // prefix set (≤ SigPrefixParts) rides the write as an observed
+    // collect_set instead of a separate job. Same rotation-root
+    // discipline as the candidate checkpoint below (its own key).
+    val sigDir = nextCandDir(s"sig:$sfDir", "graft_lsh_sig_")
+    val sigFrame = textSignaturesOf(spreadBatch(increment))
       .select(col("doc_id"), col("bands"), col("sh"))
+    val spObs = org.apache.spark.sql.Observation()
+    sigFrame
+      .observe(spObs,
+        collect_set(transform(col("bands"), b => sigPrefix(b))).as("sps"))
+      .write.mode("overwrite").parquet(sigDir.toString)
+    val sps = spObs.get("sps").asInstanceOf[Seq[Seq[Int]]].flatten.distinct
+    val inc = spark.read.schema(sigFrame.schema).parquet(sigDir.toString)
     val incBands = inc
       .select(col("doc_id").as("new_doc"),
         posexplode(col("bands")).as(Seq("band", "sig")))
@@ -1525,7 +1550,7 @@ object DedupOps {
     // same corpus, which the streaming caller satisfies by construction
     // (each epoch's sink write completes before the next batch starts).
     val candDir = nextCandDir(sfDir, "graft_lsh_cand_")
-    val candFrame = probeCandidates(spark, sfDir, incBands)
+    val candFrame = probeCandidatesAt(spark, sfDir, incBands, sps)
     // the verify stage's bounded partition-key set (≤ DocBucketParts,
     // an index constant) rides the checkpoint write as an observed
     // collect_set instead of a separate post-write distinct job
