@@ -2305,9 +2305,10 @@ object DedupOps {
   private[graft] def mergeClusterIncrementDeltaStagedAt(spark: SparkSession,
       sfDir: String, docIdx: java.nio.file.Path,
       clusterIdx: java.nio.file.Path, deltaRoot: String,
-      excludeEpoch: Option[Long], newEdges: DataFrame): DataFrame =
+      excludeEpoch: Option[Long], newEdges: DataFrame,
+      dbsHint: Option[Seq[Int]] = None): DataFrame =
     touchedReclosureStagedAt(spark, sfDir, docIdx, clusterIdx, deltaRoot,
-      excludeEpoch, newEdges)._3
+      excludeEpoch, newEdges, dbsHint)._3
 
   /** The pruned touched-selection + star re-closure behind
     * [[mergeClusterIncrementDeltaStaged]] — `private[graft]` like
@@ -2327,14 +2328,19 @@ object DedupOps {
       sfDir: String, docIdx: java.nio.file.Path,
       clusterIdx: java.nio.file.Path, deltaRoot: String,
       excludeEpoch: Option[Long],
-      newEdges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      newEdges: DataFrame,
+      // the streaming body rides this bounded set on its emptiness-gate
+      // count as an observed collect_set over both endpoint columns
+      // (opt r20) — exactly the set the collect below derives, since
+      // canonMergeEdges only renames/casts
+      dbsHint: Option[Seq[Int]] = None): (DataFrame, DataFrame, DataFrame) = {
     val edges = canonMergeEdges(newEdges)
     val verts = mergeEdgeEndpoints(edges)
     // bounded driver artifact: ≤ DocBucketParts ints, an index constant
-    val dbs = verts
+    val dbs = dbsHint.getOrElse(verts
       .select(Hashing.md5Bucket(col("doc_id"), DocBucketParts)
         .cast("int").as("db"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      .distinct().collect().map(_.getInt(0)).toSeq)
     // the newest-wins overlay view checkpoints ONCE per batch: four
     // plan branches consume it (two anti-join builds, the endpoint
     // union, the affected union), and un-materialized each re-ran the

@@ -929,7 +929,21 @@ object StreamOps {
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
           batch.persist()
           try {
-            if (batch.count() > 0) {
+            // the emptiness-gate count ALSO carries the touched-doc
+            // bucket set (≤ DocBucketParts, an index constant) as an
+            // observed collect_set over both endpoint columns — the
+            // separate distinct-collect job inside the merge body is
+            // skipped (opt r20)
+            val gateObs = org.apache.spark.sql.Observation()
+            val db = (c: String) => graft.operators.Hashing
+              .md5Bucket(col(c), DedupOps.DocBucketParts).cast("int")
+            val gated = batch.observe(gateObs,
+              count(lit(1)).as("n"),
+              collect_set(db("doc_a")).as("dba"),
+              collect_set(db("doc_b")).as("dbb"))
+            if (gated.count() > 0) {
+              val dbs = (gateObs.get("dba").asInstanceOf[Seq[Int]] ++
+                gateObs.get("dbb").asInstanceOf[Seq[Int]]).distinct
               // pruned per-batch form of mergeClusterIncrementDelta over
               // the served prior view (own epoch partition-pruned out —
               // the replay hazard): reads only the db-/cb-partitions the
@@ -937,7 +951,7 @@ object StreamOps {
               // assignment
               val delta = DedupOps.mergeClusterIncrementDeltaStagedAt(spark,
                 sfDir, docIdx, clusterIdx, data,
-                excludeEpoch = Some(epochId), batch)
+                excludeEpoch = Some(epochId), batch, dbsHint = Some(dbs))
               // the append counter's row count rides the write as an
               // observed metric (the tombstoneClusterDocs r18
               // discipline): the prior persist + write + count shape
