@@ -739,9 +739,10 @@ object DedupOps {
   /** The quality-aware canonical election over a cluster assignment —
     * the serving half of [[crossModalKeepBest]], shared by the staged
     * and inline group sources. Same shape as [[LlmOps.docKeepBest]]:
-    * quality joins as one double per doc, the winner is a
-    * partial-combinable `min_by` aggregate, never a per-cluster
-    * window. */
+    * quality joins as one double per doc, the winner is the `min_by`
+    * argmin evaluated as a window over the cluster — ONE evaluation of
+    * the members subtree (opt r20; the PlanSpec guard documents the
+    * skew trade this accepts). */
   private def keepBestElection(docs: DataFrame, groups: DataFrame): DataFrame = {
     val quality = TextOps.textQualityScore(docs)
       .select(col("doc_id"), col("quality"))

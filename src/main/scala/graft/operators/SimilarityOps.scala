@@ -972,7 +972,12 @@ object SimilarityOps {
     * amortized across `AnnCompactEpochs` micro-batches. */
   private def finishSegmentFold(spark: SparkSession, sfDir: String,
       segRoot: String): Unit = {
-    val total = spark.read.parquet(segRoot).count()
+    // minimal declared schema: the recount reads no payload columns
+    // (the registerIndexSegments discipline, opt r20)
+    val total = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, cell BIGINT, epoch BIGINT"))
+      .parquet(segRoot).count()
     val nEpochs = graft.util.EpochDirs.list(segRoot).size
     epochGaugeCache.put(segRoot, nEpochs)
     graft.util.ServingManifest.setAndClearIf(sfDir, SegmentsFamily, AnnTables,

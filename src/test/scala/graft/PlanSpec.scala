@@ -447,13 +447,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("keep_best: election is a partial min_by aggregate, not a per-cluster window") {
-    // rank-1-window election sorts each cluster in one task; the
-    // aggregate winner reduces map-side and the flag join is
-    // AQE-skew-splittable
+  test("keep_best: single-scan window election — members subtree evaluated once") {
+    // r19 verdict #4 (opt r20): the former aggregate-then-rejoin shape
+    // carried the members subtree (docs scan + quality kernel + groups
+    // join) as TWO plan branches, evaluating it twice per serve — for
+    // the serving keys that subtree is the whole base ∪ overlay view.
+    // The same min_by now evaluates as a window over the cluster: one
+    // evaluation, identical winners. Known trade (the old guard's
+    // concern): a pathological mega-cluster's window partition is one
+    // task where the old flag join was AQE-skew-splittable — but the
+    // removed branch was a full corpus pass + quality kernel, which
+    // dominates at any realistic duplicate-cluster size.
     val p = plan("keep_best")
-    assert(!p.contains("Window"), p)
+    assert(p.contains("Window"), p)
     assert(p.contains("min_by"), p)
+    // the members subtree appears ONCE: half the former scan count
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"keep_best members subtree duplicated ($scans scans): $p")
   }
 
   test("pack_stats rolls up through partial aggregates, no join, no extra pass") {
